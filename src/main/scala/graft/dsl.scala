@@ -1,0 +1,166 @@
+package graft
+
+import graft.logic._
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.{broadcast => bcast, _}
+import org.apache.spark.sql.types._
+
+/** The query DSL — value-level Scala equivalent of the reference's `<-`
+  * macro surface (cascalog-core/src/clj/cascalog/api.clj). Logic vars keep
+  * the reference's string conventions (`?x` `!x` `!!x` `_`, §1.3 of
+  * SURVEY.md); predicates are built with `op(ins...) :> (outs...)`.
+  *
+  * {{{
+  * import graft.dsl._; import graft.ops.Ops
+  * val wc = query("?word", "?cnt")(
+  *   src(docs)("?line"),
+  *   Ops.split()("?line") :> "?word",
+  *   Ops.count() :> "?cnt")
+  * wc.toDF(spark)
+  * }}}
+  */
+object dsl {
+
+  /** `(<- [outvars] preds...)` (api.clj:125-135). */
+  def query(out: Any*)(preds: PredLike*): Query =
+    Query(out, preds.map(_.toPred))
+
+  // ----------------------------------------------------------- generators
+
+  /** Any DataFrame as a generator, fields bound positionally. */
+  def src(df: DataFrame)(fields: Any*): GenPred = GenPred(_ => df, fields)
+
+  /** Lazily-loaded source (for queries parameterized by a data dir). */
+  def source(load: SparkSession => DataFrame)(fields: Any*): GenPred =
+    GenPred(load, fields)
+
+  def parquet(path: String)(fields: Any*): GenPred =
+    GenPred(_.read.parquet(path), fields)
+
+  /** In-memory rows as a generator (reference memory-source-tap,
+    * cascading/tap.clj:230-236). Small by construction → broadcast hint. */
+  def mem(rows: Seq[Seq[Any]])(fields: Any*): GenPred =
+    GenPred(s => memDF(s, rows), fields, small = true)
+
+  /** Mark a generator broadcast-able (reference hash-join-with-tiny,
+    * cascading/operations.clj:412-454). */
+  def tiny(g: GenPred): GenPred = g.copy(small = true)
+
+  /** Generator-as-set (reference `(src ?x :> flag)` existence predicate). */
+  def exists(g: GenPred): ExistsPred = ExistsPred(g, true)
+  def absent(g: GenPred): ExistsPred = ExistsPred(g, false)
+  def existsAs(g: GenPred, boolVar: String): ExistsPred = ExistsPred(g, boolVar)
+
+  // ------------------------------------------------- predicate call sugar
+
+  sealed trait PredLike { def toPred: Pred }
+  final case class PredOf(p: Pred) extends PredLike { def toPred: Pred = p }
+  /** An op applied to inputs; `:>` binds outputs, bare use = filter. */
+  final case class OpCall(op: Op, in: Seq[Any]) extends PredLike {
+    def :>(out: Any*): PredOf = PredOf(OpPred(op, in, out))
+    def toPred: Pred = OpPred(op, in, Nil)
+  }
+
+  implicit def predIsPredLike(p: Pred): PredOf = PredOf(p)
+  implicit class OpSyntax(private val op: Op) {
+    def apply(in: Any*): OpCall = OpCall(op, in)
+  }
+
+  // -------------------------------------------- generator transformations
+
+  /** first-n (reference logic/ops.clj:273-304): global sorted head of a
+    * subquery/generator → `orderBy(...).limit(n)`. */
+  def firstN(q: Query, n: Int, sort: Seq[String] = Nil, reverse: Boolean = false)(
+      fields: Any*): GenPred =
+    GenPred({ s =>
+      val df = q.toDF(s)
+      val sorted =
+        if (sort.isEmpty) df
+        else df.orderBy(sort.map(v =>
+          if (reverse) col(Vars.displayName(v)).desc else col(Vars.displayName(v)).asc): _*)
+      sorted.limit(n)
+    }, fields)
+
+  /** fixed-sample (ops.clj:255-269): uniform random n rows (seeded rand key
+    * + global limit, same plan shape as the reference's RandLong + sort). */
+  def fixedSample(g: GenPred, n: Int, seed: Long = 42L): GenPred =
+    GenPred(s => Planner0.bind(s, g).orderBy(rand(seed)).limit(n), g.fields.collect {
+      case v: String if Vars.isVar(v) => v
+    })
+
+  /** combine: union-all of generators, no dedupe (api.clj:178-186). */
+  def combine(gs: GenPred*): GenPred = {
+    val fields = gs.head.fields
+    GenPred(s => gs.map(g => Planner0.bind(s, g)).reduce(_ unionAll _), fields)
+  }
+
+  /** union: union + dedupe (api.clj:188-192). */
+  def union(gs: GenPred*): GenPred = {
+    val c = combine(gs: _*)
+    c.copy(load = s => c.load(s).distinct())
+  }
+
+  /** select-fields on a named source (logic/parse.clj:801-817). */
+  def selectFields(df: DataFrame, names: String*): DataFrame =
+    df.select(names.map(col): _*)
+
+  /** name-vars (api.clj:154-158). */
+  def nameVars(df: DataFrame, vars: Seq[String])(fields: Any*): GenPred =
+    GenPred(_ => df.toDF(vars.map(Vars.displayName): _*), fields)
+
+  /** `??-` run-to-memory (api.clj:113-123) — just collect. */
+  def runToMemory(spark: SparkSession, q: Query): Seq[Seq[Any]] =
+    q.toDF(spark).collect().toSeq.map(_.toSeq)
+
+  // --------------------------------------------------------------- memDF
+
+  private[graft] object Planner0 {
+    /** Bind a generator to its projected/filtered DataFrame with display
+      * column names — used by generator-level transforms. */
+    def bind(s: SparkSession, g: GenPred): DataFrame = {
+      val t = planner.Planner.bindGenerator(s, g)
+      t.df.select(t.fields.map(v => col(Vars.colName(v)).as(Vars.displayName(v))): _*)
+    }
+  }
+
+  private def inferType(v: Any): DataType = v match {
+    case _: Int => IntegerType
+    case _: Long => LongType
+    case _: Double => DoubleType
+    case _: Float => FloatType
+    case _: String => StringType
+    case _: Boolean => BooleanType
+    case _: java.math.BigDecimal => DecimalType(38, 18)
+    case _: java.sql.Timestamp => TimestampType
+    case _: java.sql.Date => DateType
+    case _: Array[Byte] => BinaryType
+    case s: Seq[_] => ArrayType(inferType(s.head))
+    case other => throw new IllegalArgumentException(s"cannot infer type of $other")
+  }
+
+  private def coerce(v: Any, dt: DataType): Any = (v, dt) match {
+    case (null, _) => null
+    case (n: Number, LongType) => n.longValue()
+    case (n: Number, IntegerType) => n.intValue()
+    case (n: Number, DoubleType) => n.doubleValue()
+    case (n: Number, FloatType) => n.floatValue()
+    case (s: Seq[_], ArrayType(et, _)) => s.map(coerce(_, et))
+    case (x, _) => x
+  }
+
+  /** Local rows → DataFrame with per-column inferred schema (first non-null
+    * value wins; numeric values coerced to the inferred width). */
+  def memDF(s: SparkSession, rows: Seq[Seq[Any]]): DataFrame = {
+    require(rows.nonEmpty, "mem generator needs at least one row")
+    val n = rows.head.length
+    val types = (0 until n).map { i =>
+      rows.collectFirst { case r if r(i) != null => inferType(r(i)) }
+        .getOrElse(StringType)
+    }
+    val schema = StructType(types.zipWithIndex.map { case (t, i) =>
+      StructField(s"c$i", t, nullable = true)
+    })
+    val data = rows.map(r => Row.fromSeq(r.zip(types).map { case (v, t) => coerce(v, t) }))
+    s.createDataFrame(new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(data).asJava), schema)
+  }
+}

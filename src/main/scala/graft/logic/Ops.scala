@@ -1,0 +1,70 @@
+package graft.logic
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.types.DataType
+
+/** Operator ADT. Everything scalar is expressed as Column→Column so the
+  * whole pipeline stays inside Catalyst/whole-stage codegen; arbitrary Scala
+  * functions enter through `functions.udf` wrappers built in [[graft.ops]].
+  *
+  * Reference op taxonomy: mapfn/mapcatfn/filterfn/aggregatefn/bufferfn
+  * (cascalog-core/src/clj/cascalog/logic/def.clj:36-41).
+  */
+sealed trait Op
+
+/** 1→1 scalar op (reference `::map`, logic/parse.clj:202-207): builds
+  * `numOut` output Columns from the input Columns. */
+final case class ColumnMap(numOut: Int, f: Seq[Column] => Seq[Column]) extends Op
+
+/** 1→N op (reference `::mapcat`, ClojureMapcat.java): `f` returns an array
+  * Column; each element yields a row. numOut > 1 → array of structs whose
+  * fields `_1.._n` become the output vars. Empty/null array → no rows. */
+final case class ColumnMapcat(numOut: Int, f: Seq[Column] => Column) extends Op
+
+/** Filter (reference FilterApplication, logic/parse.clj:224-229). With an
+  * output binding the boolean is captured instead of filtering
+  * (logic/predicate.clj:176-180). */
+final case class ColumnFilter(f: Seq[Column] => Column) extends Op
+
+/** Aggregator expressed as Spark aggregate Columns — covers the reference's
+  * ParallelAggregator surface (logic/def.clj:107,137-164): Catalyst gives
+  * map-side partial aggregation for free. Custom monoids arrive here via
+  * `functions.udaf(Aggregator)`. */
+final case class ColumnAgg(numOut: Int, f: Seq[Column] => Seq[Column]) extends Op
+
+/** Whole-group buffer (reference `::buffer`/`::bufferiter`,
+  * logic/def.clj:33,40-41): the group's tuples — secondary-sorted when
+  * `:sort` is set (logic/options.clj:21-23) — stream through `f` lazily.
+  * Output tuple schema must be declared (`outTypes`) since buffers are
+  * arbitrary Scala code. */
+final case class BufferOp(
+    numOut: Int,
+    outTypes: Seq[DataType],
+    f: Iterator[Seq[Any]] => Iterator[Seq[Any]]
+) extends Op
+
+/** Per-group top-k (reference `limit`/`limit-rank`, logic/ops.clj:172-226).
+  * The reference implements this as a ParallelBuffer with a keep-n-of-2n
+  * map-side combiner; on Spark the scalable plan is
+  * `row_number().over(Window.partitionBy(group).orderBy(sort))` + filter —
+  * no per-group materialization, codegen'd. Passes the input tuple through
+  * to the outputs; `withRank` appends the 1-based rank. */
+final case class LimitAgg(n: Int, withRank: Boolean = false) extends Op
+
+/** Sequential fold aggregator (reference `aggregatefn`, logic/def.clj:39):
+  * init → step per tuple → present. Runs on the (optionally sorted) group
+  * iterator, reduce-side, exactly like the reference's ClojureAggregator. */
+object AggregateFn {
+  def apply[B](
+      init: => B,
+      step: (B, Seq[Any]) => B,
+      present: B => Seq[Any],
+      numOut: Int,
+      outTypes: Seq[DataType]
+  ): BufferOp =
+    BufferOp(numOut, outTypes, { it =>
+      var acc = init
+      while (it.hasNext) acc = step(acc, it.next())
+      Iterator.single(present(acc))
+    })
+}

@@ -1,0 +1,67 @@
+package graft.logic
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Predicates — the parsed query IR, mirroring the reference's
+  * RawPredicate/RawSubquery (cascalog-core/src/clj/cascalog/logic/predicate.clj:35-42).
+  */
+sealed trait Pred
+
+/** A generator: any tuple source bound positionally to logic vars
+  * (reference generator dispatch, logic/platform.clj:45-60). `fields` may
+  * contain vars, wildcards, duplicate vars (implicit equality,
+  * logic/parse.clj:308-336) and constants (implicit equality filter,
+  * logic/parse.clj:565-589). `small` hints a broadcast-able side. */
+final case class GenPred(
+    load: SparkSession => DataFrame,
+    fields: Seq[Any],
+    small: Boolean = false
+) extends Pred
+
+/** Operation application: op over input items (vars or constants) binding
+  * output items (vars, constants → equality, or `_`). */
+final case class OpPred(op: Op, in: Seq[Any], out: Seq[Any]) extends Pred
+
+/** Generator-as-set / existence predicate (reference ExistenceNode,
+  * logic/parse.clj:194-199; CascalogJoiner.java:57-86). `flag`:
+  *  - `true`  → semi-join (keep rows with a match)
+  *  - `false` → anti-join (keep rows without a match)
+  *  - a var   → capture the did-it-match boolean, ≤1 row per key
+  */
+final case class ExistsPred(gen: GenPred, flag: Any) extends Pred
+
+/** Per-query options (reference logic/options.clj). `:spill-threshold` is
+  * accepted and ignored — Spark spills automatically. */
+final case class QueryOptions(
+    sort: Seq[String] = Nil,
+    reverse: Boolean = false,
+    distinct: Boolean = false,
+    reducers: Option[Int] = None,
+    name: Option[String] = None,
+    spillThreshold: Option[Int] = None
+)
+
+/** A parsed subquery: declared output fields + predicates + options
+  * (reference RawSubquery). Compile with [[graft.planner.Planner]]. */
+final case class Query(
+    outFields: Seq[Any],
+    preds: Seq[Pred],
+    options: QueryOptions = QueryOptions()
+) {
+
+  def withOptions(o: QueryOptions): Query = copy(options = o)
+  def sorted(vars: String*): Query = copy(options = options.copy(sort = vars))
+  def reversed: Query = copy(options = options.copy(reverse = true))
+  def distinct: Query = copy(options = options.copy(distinct = true))
+  def named(n: String): Query = copy(options = options.copy(name = Some(n)))
+  def reducers(n: Int): Query = copy(options = options.copy(reducers = Some(n)))
+
+  /** Compile and run: columns are the out fields with sigils stripped. */
+  def toDF(spark: SparkSession): DataFrame =
+    graft.planner.Planner.compile(spark, this)
+
+  /** Use this subquery as a generator in an outer query (reference:
+    * subqueries are first-class generators, api_test.clj:193-216). */
+  def apply(fields: Any*): GenPred =
+    GenPred(spark => toDF(spark), fields)
+}

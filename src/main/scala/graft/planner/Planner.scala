@@ -1,0 +1,393 @@
+package graft.planner
+
+import graft.logic._
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import scala.collection.mutable
+
+/** Query planner: predicates → DataFrame.
+  *
+  * A direct Spark-first re-expression of the reference planner
+  * (cascalog-core/src/clj/cascalog/logic/parse.clj:685-730 `build-rule`):
+  * bind generators, fixed-point operation application (filters first,
+  * parse.clj:375-385), greedy maximal-shared-vars tail merging with
+  * groundness-driven join types (parse.clj:389-464,523-533), then
+  * grouping/unique and the final projection. Instead of emitting a node
+  * tree for a pluggable backend, each tail IS a DataFrame — Catalyst then
+  * performs the pushdown/pruning/reorder rewrites the reference hand-rolls
+  * (SURVEY §4.1).
+  */
+object Planner {
+
+  /** A query tail: a DataFrame whose columns are the bound logic vars
+    * (mangled via [[Vars.colName]]), mirroring the reference TailStruct
+    * (logic/parse.clj:173). */
+  final case class Tail(df: DataFrame, fields: Vector[String]) {
+    /** Ground = no `!!` vars (logic/parse.clj:450-456). */
+    def isGround: Boolean = fields.forall(Vars.isGroundVar)
+    def col(v: String): Column = df.col(Vars.colName(v))
+  }
+
+  def compile(spark: SparkSession, q: Query): DataFrame = {
+    val gens = q.preds.collect { case g: GenPred => g }
+    val exist = q.preds.collect { case e: ExistsPred => e }
+    val allOps = q.preds.collect { case o: OpPred => o }
+    require(gens.nonEmpty, "query needs at least one generator")
+
+    val (aggPreds, scalarPreds) = allOps.partition(o =>
+      o.op.isInstanceOf[ColumnAgg] || o.op.isInstanceOf[BufferOp] ||
+        o.op.isInstanceOf[LimitAgg])
+
+    // Reference validations (logic/parse.clj:131-139); limit is a
+    // ParallelBuffer in the reference, so it is buffer-exclusive too.
+    val bufferCount = aggPreds.count(o =>
+      o.op.isInstanceOf[BufferOp] || o.op.isInstanceOf[LimitAgg])
+    require(bufferCount <= 1, "cannot use multiple buffers in one grouping")
+    require(bufferCount == 0 || aggPreds.size == bufferCount,
+      "cannot mix buffers with other aggregators")
+    require(q.options.sort.isEmpty || aggPreds.nonEmpty,
+      "cannot specify a sort when there are no aggregators")
+
+    q.options.name.foreach(spark.sparkContext.setJobDescription)
+
+    val ops = mutable.ArrayBuffer(scalarPreds: _*)
+
+    // 1. bind generators → initial tails; apply ops per-tail (fixed point)
+    var tails = mutable.ArrayBuffer(gens.map(g => bindGenerator(spark, g)): _*)
+    tails = tails.map(t => fixedPoint(t, ops))
+
+    // 2. merge-tails: greedy maximal shared-var pair (parse.clj:416-432)
+    while (tails.size > 1) {
+      val pairs = for { i <- tails.indices; j <- tails.indices if i < j }
+        yield (i, j, tails(i).fields.toSet.intersect(tails(j).fields.toSet))
+      val (i, j, shared) = pairs.maxBy(_._3.size)
+      val joined = joinPair(tails(i), tails(j), shared.toVector.sorted)
+      val rest = tails.zipWithIndex.collect { case (t, k) if k != i && k != j => t }
+      tails = mutable.ArrayBuffer(fixedPoint(joined, ops)) ++ rest
+    }
+    var tail = tails.head
+
+    // 3. existence joins against the merged tail (ExistenceNode)
+    exist.foreach { e => tail = applyExists(spark, tail, e) }
+    tail = fixedPoint(tail, ops)
+
+    // 4. grouping / aggregation
+    if (aggPreds.nonEmpty) {
+      tail = aggregate(tail, aggPreds, q)
+      tail = fixedPoint(tail, ops) // ops over aggregator outputs
+    }
+
+    require(ops.isEmpty,
+      s"ops with unsatisfiable inputs: ${ops.map(_.in).mkString("; ")}")
+
+    // 5. final projection (+ Unique when :distinct and no aggregators)
+    val outCols = q.outFields.map {
+      case v: String if Vars.isVar(v) =>
+        require(tail.fields.contains(v), s"output var $v is not bound")
+        tail.col(v).as(Vars.displayName(v))
+      case c => lit(c)
+    }
+    var out = tail.df.select(outCols: _*)
+    if (q.options.distinct && aggPreds.isEmpty) out = out.distinct()
+    out
+  }
+
+  // ---------------------------------------------------------------- binding
+
+  /** Bind a generator positionally: wildcards dropped, duplicate vars →
+    * implicit equality (parse.clj:308-336), constants → equality filter
+    * (parse.clj:565-589), `?` vars → null filter
+    * (cascading/operations.clj:716-722). */
+  private[graft] def bindGenerator(spark: SparkSession, g: GenPred): Tail = {
+    val raw = g.load(spark)
+    require(raw.columns.length == g.fields.length,
+      s"generator arity ${raw.columns.length} != bound fields ${g.fields.length}")
+    val tmp = raw.columns.indices.map(i => s"_c$i")
+    var df = raw.toDF(tmp: _*)
+
+    val first = mutable.LinkedHashMap[String, String]() // var → tmp col
+    val filters = mutable.ArrayBuffer[Column]()
+    g.fields.zipWithIndex.foreach { case (item, i) =>
+      item match {
+        case w: String if Vars.isWildcard(w) => ()
+        case v: String if Vars.isVar(v) =>
+          first.get(v) match {
+            case Some(f0) => filters += (col(s"_c$i") <=> col(f0))
+            case None     => first(v) = s"_c$i"
+          }
+        case c => filters += (col(s"_c$i") <=> lit(c))
+      }
+    }
+    filters.foreach(f => df = df.filter(f))
+    df = df.select(first.toSeq.map { case (v, cn) => col(cn).as(Vars.colName(v)) }: _*)
+    first.keys.filter(Vars.isNonNullable)
+      .foreach(v => df = df.filter(col(Vars.colName(v)).isNotNull))
+    Tail(if (g.small) broadcast(df) else df, first.keys.toVector)
+  }
+
+  // ------------------------------------------------------- op application
+
+  private def isFilter(o: OpPred): Boolean =
+    o.op.isInstanceOf[ColumnFilter] && o.out.isEmpty
+
+  private def inputsReady(t: Tail, o: OpPred): Boolean =
+    o.in.forall {
+      case v: String if Vars.isVar(v) => t.fields.contains(v)
+      case _                          => true
+    }
+
+  /** Apply every applicable op, filters before maps (prefer-filter,
+    * parse.clj:375-385), until fixed point. Each op applies exactly once. */
+  private def fixedPoint(tail: Tail, ops: mutable.ArrayBuffer[OpPred]): Tail = {
+    var t = tail
+    var progress = true
+    while (progress) {
+      progress = false
+      val ready = ops.filter(o => inputsReady(t, o)).sortBy(o => if (isFilter(o)) 0 else 1)
+      ready.headOption.foreach { o =>
+        t = applyOp(t, o)
+        ops -= o
+        progress = true
+      }
+    }
+    t
+  }
+
+  private def itemCol(t: Tail, item: Any): Column = item match {
+    case v: String if Vars.isVar(v) => t.col(v)
+    case c                          => lit(c)
+  }
+
+  /** Bind computed output columns to the out items: fresh vars bind, bound
+    * vars and constants become implicit equality filters, `?` outputs get a
+    * null filter, wildcards are discarded. */
+  private def bindOutputs(t: Tail, outs: Seq[Any], cols: Seq[Column]): Tail = {
+    require(outs.length == cols.length,
+      s"op emits ${cols.length} columns but ${outs.length} outputs were bound")
+    var df = t.df
+    var fields = t.fields
+    outs.zip(cols).foreach {
+      case (w: String, _) if Vars.isWildcard(w) => ()
+      case (v: String, c) if Vars.isVar(v) && !fields.contains(v) =>
+        df = df.withColumn(Vars.colName(v), c)
+        if (Vars.isNonNullable(v)) df = df.filter(col(Vars.colName(v)).isNotNull)
+        fields :+= v
+      case (v: String, c) if Vars.isVar(v) => // bound: implicit equality
+        df = df.filter(col(Vars.colName(v)) <=> c)
+      case (const, c) => // constant in output position: equality filter
+        df = df.filter(c <=> lit(const))
+    }
+    Tail(df, fields)
+  }
+
+  private def applyOp(t: Tail, o: OpPred): Tail = {
+    val inCols = o.in.map(itemCol(t, _))
+    o.op match {
+      case ColumnMap(_, f) => bindOutputs(t, o.out, f(inCols))
+      case ColumnFilter(f) if o.out.isEmpty => Tail(t.df.filter(f(inCols)), t.fields)
+      case ColumnFilter(f) => bindOutputs(t, o.out, Seq(f(inCols))) // capture bool
+      case ColumnMapcat(n, f) =>
+        val tmp = Vars.colName(Vars.gen())
+        val df = t.df.withColumn(tmp, explode(f(inCols)))
+        val outCols =
+          if (n == 1) Seq(col(tmp))
+          else (1 to n).map(k => col(tmp)(s"_$k"))
+        val bound = bindOutputs(Tail(df, t.fields), o.out, outCols)
+        Tail(bound.df.drop(tmp), bound.fields)
+      case other => sys.error(s"aggregator $other cannot be applied as a scalar op")
+    }
+  }
+
+  // -------------------------------------------------------------- joining
+
+  /** Binary join; type from groundness (parse.clj:450-456): ground=inner
+    * input, unground=outer input. Using-columns joins give the reference's
+    * first-non-null key coalescing (cascading/operations.clj:477-484) free.
+    */
+  private def joinPair(l: Tail, r: Tail, shared: Vector[String]): Tail = {
+    if (shared.isEmpty)
+      return Tail(l.df.crossJoin(r.df), l.fields ++ r.fields)
+    val how = (l.isGround, r.isGround) match {
+      case (true, true)   => "inner"
+      case (true, false)  => "left_outer"
+      case (false, true)  => "right_outer"
+      case (false, false) => "full_outer"
+    }
+    val df = l.df.join(r.df, shared.map(Vars.colName), how)
+    Tail(df, l.fields ++ r.fields.filterNot(shared.contains))
+  }
+
+  /** Existence joins (ExistenceNode, parse.clj:194-199): flag=true → semi,
+    * flag=false → anti, flag=var → capture did-it-match boolean with ≤1 row
+    * per key (CascalogJoiner.java:57-86). */
+  private def applyExists(spark: SparkSession, t: Tail, e: ExistsPred): Tail = {
+    val g = bindGenerator(spark, e.gen)
+    val shared = t.fields.filter(g.fields.contains)
+    require(shared.nonEmpty, "existence predicate shares no vars with the query")
+    val keys = shared.map(Vars.colName)
+    e.flag match {
+      case true  => Tail(t.df.join(g.df, keys, "left_semi"), t.fields)
+      case false => Tail(t.df.join(g.df, keys, "left_anti"), t.fields)
+      case v: String if Vars.isVar(v) =>
+        val marker = Vars.colName(Vars.gen())
+        val right = g.df.select(keys.map(col): _*).distinct().withColumn(marker, lit(true))
+        val df = t.df.join(right, keys, "left_outer")
+          .withColumn(Vars.colName(v), coalesce(col(marker), lit(false)))
+          .drop(marker)
+        Tail(df, t.fields :+ v)
+      case other => sys.error(s"bad existence flag: $other")
+    }
+  }
+
+  // ------------------------------------------------------------ grouping
+
+  /** Grouping node (parse.clj:250-255,472-521): group by the out fields
+    * already bound pre-agg; ColumnAggs run in ONE `.agg` pass (partial
+    * aggregation free); a BufferOp streams each secondary-sorted group
+    * through user code (cascading/operations.clj:251-264). */
+  private def aggregate(t: Tail, aggs: Seq[OpPred], q: Query): Tail = {
+    val aggOutVars = aggs.flatMap(_.out).collect {
+      case v: String if Vars.isVar(v) => v
+    }.toSet
+    val groupVars = q.outFields.collect {
+      case v: String if Vars.isVar(v) && t.fields.contains(v) && !aggOutVars(v) => v
+    }.distinct.toVector
+
+    aggs.head.op match {
+      case _: BufferOp => bufferAggregate(t, aggs.head, groupVars, q)
+      case _: LimitAgg => limitAggregate(t, aggs.head, groupVars, q)
+      case _           => columnAggregate(t, aggs, groupVars)
+    }
+  }
+
+  /** Per-group top-k via window rank — scalable replacement for the
+    * reference's limit ParallelBuffer (logic/ops.clj:172-226). */
+  private def limitAggregate(t: Tail, lp: OpPred, groupVars: Vector[String], q: Query): Tail = {
+    import org.apache.spark.sql.expressions.Window
+    val LimitAgg(n, withRank) = lp.op: @unchecked
+    val inCols = lp.in.map(itemCol(t, _))
+    val orderCols =
+      if (q.options.sort.nonEmpty)
+        q.options.sort.map { v =>
+          val c = col(Vars.colName(v)); if (q.options.reverse) c.desc else c.asc
+        }
+      else inCols.map(_.asc) // deterministic order when :sort is absent
+    val w =
+      (if (groupVars.isEmpty) Window.partitionBy(lit(1))
+       else Window.partitionBy(groupVars.map(v => col(Vars.colName(v))): _*))
+        .orderBy(orderCols: _*)
+    val rk = Vars.colName(Vars.gen())
+    val ranked = t.df.withColumn(rk, row_number().over(w)).filter(col(rk) <= n)
+    val outCols = inCols ++ (if (withRank) Seq(col(rk).cast("long")) else Nil)
+    val bound = bindOutputs(Tail(ranked, t.fields), lp.out, outCols)
+    Tail(bound.df.drop(rk), bound.fields)
+  }
+
+  private def columnAggregate(t: Tail, aggs: Seq[OpPred], groupVars: Vector[String]): Tail = {
+    val aggCols = mutable.ArrayBuffer[Column]()
+    val postFilters = mutable.ArrayBuffer[(String, Any)]() // fresh col <=> const
+    var fields = groupVars
+
+    aggs.foreach { case OpPred(ColumnAgg(_, f), in, out) =>
+      val outCols = f(in.map(itemCol(t, _)))
+      require(out.length == outCols.length,
+        s"aggregator emits ${outCols.length} cols, ${out.length} bound")
+      out.zip(outCols).foreach {
+        case (w: String, c) if Vars.isWildcard(w) =>
+          aggCols += c.as(Vars.colName(Vars.gen()))
+        case (v: String, c) if Vars.isVar(v) =>
+          aggCols += c.as(Vars.colName(v)); fields :+= v
+        case (const, c) =>
+          val tmp = Vars.colName(Vars.gen())
+          aggCols += c.as(tmp); postFilters += ((tmp, const))
+      }
+    case other => sys.error(s"unexpected aggregator ${other.op}")
+    }
+    var df = t.df
+      .groupBy(groupVars.map(v => col(Vars.colName(v))): _*)
+      .agg(aggCols.head, aggCols.tail.toSeq: _*)
+    postFilters.foreach { case (tmp, const) =>
+      df = df.filter(col(tmp) <=> lit(const)).drop(tmp)
+    }
+    Tail(df.select(fields.map(v => col(Vars.colName(v))): _*), fields)
+  }
+
+  /** Secondary-sorted streaming buffer: repartition by group key, sort
+    * within partitions by (key, sortVars), stream consecutive same-key rows
+    * through the buffer. Groups never materialize unless the buffer itself
+    * does — the classic scalable secondary-sort pattern. */
+  private def bufferAggregate(t: Tail, bp: OpPred, groupVars: Vector[String], q: Query): Tail = {
+    val BufferOp(numOut, declaredTypes, f) = bp.op: @unchecked
+    val spark = t.df.sparkSession
+    val nKey = groupVars.length
+    val keyCols = groupVars.map(v => col(Vars.colName(v)))
+    val inCols = bp.in.zipWithIndex.map { case (item, i) => itemCol(t, item).as(s"_in$i") }
+    val sortCols = q.options.sort.map { v =>
+      val c = col(Vars.colName(v)); if (q.options.reverse) c.desc else c.asc
+    }
+    // materialize key + sort + buffer-input columns only
+    val sortProj = q.options.sort.filterNot(groupVars.contains)
+      .map(v => col(Vars.colName(v)))
+    val pre = t.df.select(keyCols ++ sortProj ++ inCols: _*)
+    val parts = q.options.reducers.getOrElse(
+      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    val arranged =
+      (if (nKey == 0) pre.repartition(1)
+       else pre.repartition(parts, keyCols: _*))
+        .sortWithinPartitions(keyCols ++ sortCols: _*)
+
+    val inIdx = arranged.columns.zipWithIndex.collect {
+      case (c, i) if c.startsWith("_in") => i
+    }
+    // empty declared types + matching arity → buffer passes input tuples
+    // through (limit-style): reuse the input column types
+    val outTypes: Seq[DataType] =
+      if (declaredTypes.nonEmpty) declaredTypes
+      else {
+        require(numOut == inIdx.length,
+          "buffer without declared out types must have numOut == input arity")
+        inIdx.toSeq.map(i => arranged.schema(i).dataType)
+      }
+    val outSchema = StructType(
+      groupVars.zipWithIndex.map { case (v, i) =>
+        StructField(Vars.colName(v), pre.schema(i).dataType, nullable = true)
+      } ++ outTypes.zipWithIndex.map { case (dt, i) =>
+        StructField(s"_b$i", dt, nullable = true)
+      })
+
+    val rdd = arranged.rdd.mapPartitions { rows =>
+      val it = rows.buffered
+      new Iterator[Row] {
+        private var out: Iterator[Row] = Iterator.empty
+        @annotation.tailrec
+        private def advance(): Unit =
+          if (!out.hasNext && it.hasNext) {
+            val key = (0 until nKey).map(it.head.get)
+            var more = true
+            val groupIn = new Iterator[Seq[Any]] {
+              def hasNext: Boolean = {
+                more = it.hasNext && (0 until nKey).map(it.head.get) == key
+                more
+              }
+              def next(): Seq[Any] = { val r = it.next(); inIdx.toSeq.map(r.get) }
+            }
+            val produced = f(groupIn).map(tuple => Row.fromSeq(key ++ tuple)).toVector
+            while (groupIn.hasNext) groupIn.next() // drain group remainder
+            out = produced.iterator
+            advance()
+          }
+        def hasNext: Boolean = { advance(); out.hasNext }
+        def next(): Row = { advance(); out.next() }
+      }
+    }
+    val df = spark.createDataFrame(rdd, outSchema)
+    val bound = bindOutputs(
+      Tail(df, groupVars),
+      bp.out,
+      outTypes.indices.map(i => col(s"_b$i")))
+    Tail(bound.df.drop(outTypes.indices.map(i => s"_b$i").filterNot(n =>
+      bound.fields.exists(v => Vars.colName(v) == n)): _*), bound.fields)
+  }
+}

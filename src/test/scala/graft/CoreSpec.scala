@@ -1,0 +1,237 @@
+package graft
+
+import graft.dsl._
+import graft.ops.Ops
+import graft.logic.Vars
+import org.apache.spark.sql.types._
+
+/** Port of the reference semantic corpus's core cases
+  * (test/cascalog/api_test.clj — cites inline). */
+class CoreSpec extends SparkTestBase {
+
+  def ageG = mem(Playground.age) _
+  def genderG = mem(Playground.gender) _
+  def personG = mem(Playground.person) _
+  def followsG = mem(Playground.follows) _
+
+  test("projection + filter (api_test.clj:86-91)") {
+    assertProduces(
+      query("?person")(ageG(Seq("?person", "?age")), Ops.lt("?age", 30)),
+      Seq(Seq("alice"), Seq("david"), Seq("emily"), Seq("gary"), Seq("kumar")))
+  }
+
+  test("map op with output binding") {
+    assertProduces(
+      query("?person", "?double-age")(
+        ageG(Seq("?person", "?age")),
+        Ops.times("?age", 2) :> "?double-age",
+        Ops.lt("?age", 27)),
+      Seq(Seq("david", 50L), Seq("emily", 50L)))
+  }
+
+  test("inner join via shared var (api_test.clj:71-84)") {
+    assertProduces(
+      query("?person", "?age", "?gender")(
+        ageG(Seq("?person", "?age")),
+        genderG(Seq("?person", "?gender")),
+        Ops.lt("?age", 28)),
+      Seq(Seq("david", 25L, "m"), Seq("emily", 25L, "f")))
+  }
+
+  test("left outer join via !! (api_test.clj:277-308)") {
+    assertProduces(
+      query("?person", "!!followed")(
+        personG(Seq("?person")),
+        followsG(Seq("?person", "!!followed"))),
+      Playground.follows.map(r => Seq(r(0), r(1))) ++
+        Seq(Seq("chris", null), Seq("gary", null), Seq("kumar", null)))
+  }
+
+  test("full outer join via !! on both sides (api_test.clj:353-394)") {
+    val expected =
+      (for {
+        Seq(p, a) <- Playground.age
+        Seq(p2, g) <- Playground.gender if p2 == p
+      } yield Seq(p, a, g)) ++
+        Seq(Seq("kumar", 27L, null), Seq("harold", null, "m"))
+    assertProduces(
+      query("?person", "!!age", "!!gender")(
+        GenPredOps.unground(ageG(Seq("?person", "!!age"))),
+        genderG(Seq("?person", "!!gender"))),
+      expected)
+  }
+  // helper kept trivial: a GenPred with !! fields is already unground
+  object GenPredOps { def unground(g: graft.logic.GenPred) = g }
+
+  test("implicit equality through duplicate vars (api_test.clj:218-245)") {
+    assertProduces(
+      query("?n")(mem(Playground.numPair)(Seq("?n", "?n"): _*)),
+      Seq(Seq(0L), Seq(1L), Seq(4L)))
+  }
+
+  test("constant as implicit input filter (api_test.clj:593-608)") {
+    assertProduces(
+      query("?person")(ageG(Seq("?person", 25))),
+      Seq(Seq("david"), Seq("emily")))
+  }
+
+  test("constant in output position filters op result") {
+    assertProduces(
+      query("?n")(
+        mem(Playground.integer)(Seq("?n"): _*),
+        Ops.times("?n", 2) :> 4),
+      Seq(Seq(2L)))
+  }
+
+  test("filter with output capture (api_test.clj:670-694)") {
+    assertProduces(
+      query("?n", "?lt5")(
+        mem(Seq(Seq(1L), Seq(7L)))(Seq("?n"): _*),
+        Ops.lt("?n", 5L) :> "?lt5"),
+      Seq(Seq(1L, true), Seq(7L, false)))
+  }
+
+  test("existence semi and anti joins (api_secondary_test.clj:115-188)") {
+    assertProduces(
+      query("?p")(personG(Seq("?p")), exists(followsG(Seq("?p", "_")))),
+      Seq(Seq("alice"), Seq("bob"), Seq("david"), Seq("emily"),
+        Seq("george"), Seq("harold"), Seq("luanne")))
+    assertProduces(
+      query("?p")(personG(Seq("?p")), absent(followsG(Seq("?p", "_")))),
+      Seq(Seq("chris"), Seq("gary"), Seq("kumar")))
+  }
+
+  test("existence boolean capture") {
+    assertProduces(
+      query("?p", "?follows-any")(
+        personG(Seq("?p")),
+        existsAs(followsG(Seq("?p", "_")), "?follows-any")),
+      Seq(Seq("alice", true), Seq("bob", true), Seq("david", true),
+        Seq("emily", true), Seq("george", true), Seq("harold", true),
+        Seq("luanne", true), Seq("chris", false), Seq("gary", false),
+        Seq("kumar", false)))
+  }
+
+  test("multi-aggregator single pass (api_test.clj:137-191)") {
+    assertProduces(
+      query("?gender", "?cnt", "?sum", "?avg")(
+        ageG(Seq("?person", "?age")),
+        genderG(Seq("?person", "?gender")),
+        Ops.count() :> "?cnt",
+        Ops.sum("?age") :> "?sum",
+        Ops.avg("?age") :> "?avg"),
+      Seq(Seq("f", 3L, 89L, 89.0 / 3), Seq("m", 5L, 157L, 157.0 / 5)))
+  }
+
+  test("global aggregation (no group fields)") {
+    assertProduces(
+      query("?cnt", "?max")(
+        ageG(Seq("_", "?age")), Ops.count() :> "?cnt", Ops.max("?age") :> "?max"),
+      Seq(Seq(9L, 40L)))
+  }
+
+  test("wordcount via mapcat (api_test.clj:124-135)") {
+    val expected = Playground.sentence
+      .flatMap(_.head.toString.split("\\s+", -1))
+      .groupBy(identity).map { case (w, ws) => Seq[Any](w, ws.size.toLong) }.toSeq
+    assertProduces(
+      query("?word", "?cnt")(
+        mem(Playground.sentence)(Seq("?line"): _*),
+        Ops.split()("?line") :> "?word",
+        Ops.count() :> "?cnt"),
+      expected)
+  }
+
+  test("buffer with secondary sort: latest value wins (dirty-ages)") {
+    val lastAge = Ops.bufferFn(1, Seq(LongType)) { it =>
+      var last: Seq[Any] = null
+      while (it.hasNext) last = it.next()
+      Iterator.single(Seq(last.head))
+    }
+    assertProduces(
+      query("?name", "?age")(
+        mem(Playground.dirtyAges)(Seq("?ts", "?name", "?a"): _*),
+        lastAge("?a") :> "?age").sorted("?ts"),
+      Seq(Seq("alice", 19L), Seq("bob", 30L), Seq("harry", 46L)))
+  }
+
+  test("limit per group with sort (api_test.clj:721-783)") {
+    assertProduces(
+      query("?f", "?top")(
+        followsG(Seq("?f", "?fd")),
+        Ops.limit(1)("?fd") :> "?top").sorted("?fd"),
+      Seq(Seq("alice", "bob"), Seq("bob", "david"), Seq("david", "alice"),
+        Seq("emily", "alice"), Seq("george", "gary"), Seq("harold", "bob"),
+        Seq("luanne", "gary")))
+  }
+
+  test("limit-rank (api_test.clj:755-783)") {
+    assertProduces(
+      query("?f", "?top", "?rank")(
+        followsG(Seq("?f", "?fd")),
+        Ops.limitRank(2)("?fd") :> ("?top", "?rank")).sorted("?fd"),
+      Seq(Seq("alice", "bob", 1L), Seq("alice", "david", 2L),
+        Seq("bob", "david", 1L), Seq("bob", "george", 2L),
+        Seq("david", "alice", 1L), Seq("david", "luanne", 2L),
+        Seq("emily", "alice", 1L), Seq("emily", "bob", 2L),
+        Seq("george", "gary", 1L), Seq("harold", "bob", 1L),
+        Seq("luanne", "gary", 1L), Seq("luanne", "harold", 2L)))
+  }
+
+  test(":distinct option (api_test.clj / duprows)") {
+    assertProduces(
+      query("?a", "?b", "?c")(mem(Playground.duprows)(Seq("?a", "?b", "?c"): _*)).distinct,
+      Seq(Seq(1L, 2L, 3L), Seq(1L, 2L, 5L), Seq(1L, 3L, 6L),
+        Seq(2L, 5L, 7L), Seq(2L, 2L, 2L)))
+  }
+
+  test("subquery as generator (api_test.clj:193-216)") {
+    val young = query("?person", "?age")(
+      ageG(Seq("?person", "?age")), Ops.lt("?age", 30))
+    assertProduces(
+      query("?person", "?gender")(
+        young("?person", "_"),
+        genderG(Seq("?person", "?gender"))),
+      Seq(Seq("alice", "f"), Seq("david", "m"), Seq("emily", "f"),
+        Seq("gary", "m")))
+  }
+
+  test("combine and union (cascading_api_test.clj:226-260)") {
+    val a = mem(Seq(Seq(1L), Seq(2L)))(Seq("?n"): _*)
+    val b = mem(Seq(Seq(2L), Seq(3L)))(Seq("?n"): _*)
+    assertProduces(query("?n")(combine(a, b)),
+      Seq(Seq(1L), Seq(2L), Seq(2L), Seq(3L)))
+    assertProduces(query("?n")(union(a, b)),
+      Seq(Seq(1L), Seq(2L), Seq(3L)))
+  }
+
+  test("nullable ! keeps nulls, ? filters (api_test.clj:43-52)") {
+    val data = Seq(Seq("n", 24L), Seq("m", null), Seq("q", 31L))
+    assertProduces(query("?p", "!a")(mem(data)(Seq("?p", "!a"): _*)),
+      Seq(Seq("n", 24L), Seq("m", null), Seq("q", 31L)))
+    assertProduces(query("?p", "?a")(mem(data)(Seq("?p", "?a"): _*)),
+      Seq(Seq("n", 24L), Seq("q", 31L)))
+  }
+
+  test("cross join (api.clj:63-64)") {
+    val a = mem(Seq(Seq(1L), Seq(2L)))(Seq("?a"): _*)
+    val b = mem(Seq(Seq("x"), Seq("y")))(Seq("?b"): _*)
+    assertProduces(query("?a", "?b")(a, b),
+      Seq(Seq(1L, "x"), Seq(1L, "y"), Seq(2L, "x"), Seq(2L, "y")))
+  }
+
+  test("ops over aggregator outputs") {
+    assertProduces(
+      query("?gender", "?double-cnt")(
+        genderG(Seq("_", "?gender")),
+        Ops.count() :> "?cnt",
+        Ops.times("?cnt", 2) :> "?double-cnt"),
+      Seq(Seq("f", 6L), Seq("m", 12L)))
+  }
+
+  test("validation: sort without aggregator throws") {
+    assertThrows[IllegalArgumentException] {
+      query("?p")(personG(Seq("?p"))).sorted("?p").toDF(spark)
+    }
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Shared local session + the reference's result-compare convention:
+  * bag (multiset) equality, order-insensitive, numbers coerced to double
+  * (cascalog-core/src/clj/cascalog/logic/testing.clj:7-34). */
+trait SparkTestBase extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkTestBase.session
+
+  def doublify(v: Any): Any = v match {
+    case n: Byte => n.toDouble
+    case n: Short => n.toDouble
+    case n: Int => n.toDouble
+    case n: Long => n.toDouble
+    case n: Float => n.toDouble
+    case n: Double => n
+    case n: java.math.BigDecimal => n.doubleValue()
+    case s: Seq[_] => s.map(doublify)
+    case x => x
+  }
+
+  def bag(rows: Seq[Seq[Any]]): Map[Seq[Any], Int] =
+    rows.map(_.map(doublify)).groupBy(identity).view.mapValues(_.size).toMap
+
+  /** `produces` matcher (midje-cascalog/src/midje/cascalog.clj:6-37). */
+  def assertProduces(df: DataFrame, expected: Seq[Seq[Any]]): Unit = {
+    val got = df.collect().toSeq.map(_.toSeq)
+    assert(bag(got) == bag(expected),
+      s"\nexpected bag: ${bag(expected)}\n     got bag: ${bag(got)}\n rows: $got")
+  }
+
+  def assertProduces(q: logic.Query, expected: Seq[Seq[Any]]): Unit =
+    assertProduces(q.toDF(spark), expected)
+}
+
+object SparkTestBase {
+  lazy val session: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+}
