@@ -33,6 +33,24 @@ object Demo {
     q3.toDF(spark).show()
     println("== q3 physical plan ==")
     q3.toDF(spark).explain("formatted")
+
+    // pipeline operators over the real documents/embeddings tables
+    import org.apache.spark.sql.functions._
+    import graft.pipeline.{Dedup, Similarity, TextAnalysis}
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    println("== exact-dedup summary (top dup groups) ==")
+    Dedup.exact(docs).orderBy(col("dup_count").desc).show(3)
+    println("== minhash near-dup candidates on documents ==")
+    println("candidate pairs: " + Dedup.minhashCandidates(docs, k = 64, bands = 32).count())
+    println("== text analysis sample ==")
+    TextAnalysis.annotate(docs.limit(3))
+      .select("doc_id", "lang", "lang_pred", "token_count", "bpeish_tokens", "fingerprint")
+      .show(3, truncate = false)
+    println("== brute-force knn (3 probes) ==")
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    Similarity.bruteForceKnn(emb,
+      emb.filter(col("vec_id") < 3).select(col("vec_id").as("probe_id"), col("embedding")),
+      k = 3).show()
     spark.stop()
   }
 }

@@ -1,0 +1,137 @@
+package graft
+
+import graft.pipeline.{Dedup, Similarity, TextAnalysis, Multimodal}
+import org.apache.spark.sql.functions._
+
+class PipelineSpec extends SparkTestBase {
+  import spark.implicits._
+
+  val sf = "/root/testdata/sf0.001"
+  lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+  lazy val embeddings = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  def toyDocs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup of 1
+    (3L, "completely different content about spark query engines and shuffles"),
+    (4L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+    (5L, "unrelated text mentioning databases and columnar storage formats here")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min id per content hash") {
+    val d = Dedup.exact(toyDocs).collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(d.contains((1L, 2L))) // ids 1 and 4 collapse, keep 1, count 2
+    assert(d.count(_._2 == 1L) == 3)
+    assert(Dedup.exactRows(toyDocs).count() == 4)
+  }
+
+  test("minhash LSH finds the near-dup pair, not unrelated pairs") {
+    val cand = Dedup.minhashCandidates(toyDocs, k = 64, bands = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand.contains((1L, 2L)), s"expected (1,2) in $cand")
+    assert(cand.contains((1L, 4L)) && cand.contains((2L, 4L)))
+    assert(!cand.contains((3L, 5L)))
+    val verified = Dedup.jaccardVerify(
+      Dedup.minhashCandidates(toyDocs, k = 64, bands = 32), toyDocs, threshold = 0.5)
+    val pairs = verified.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((1L, 4L)) == 1.0) // exact dup
+    assert(pairs((1L, 2L)) > 0.5 && pairs((1L, 2L)) < 1.0)
+  }
+
+  test("simhash: near-identical texts have small hamming distance") {
+    val sh = toyDocs.select($"doc_id", Dedup.simhash($"text").as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(4L)) == 0)
+    assert(ham(sh(1L), sh(2L)) <= 6)
+    assert(ham(sh(1L), sh(3L)) > 10)
+    val cands = Dedup.simhashCandidates(toyDocs, maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 4L)) && cands.contains((1L, 2L)))
+  }
+
+  test("brute-force knn: self is rank 1 with cosine 1") {
+    val probes = embeddings.limit(3)
+      .select($"vec_id".as("probe_id"), $"embedding")
+    val knn = Similarity.bruteForceKnn(embeddings, probes, k = 5)
+    val top = knn.filter($"rank" === 1).collect()
+    assert(top.length == 3)
+    top.foreach { r =>
+      assert(r.getAs[Long]("probe_id") == r.getAs[Long]("corpus_id"))
+      assert(math.abs(r.getAs[Double]("cosine") - 1.0) < 1e-6)
+    }
+  }
+
+  test("lsh knn returns valid approximate neighbors with decent recall") {
+    val probes = embeddings.filter($"vec_id" < 5).select($"vec_id".as("probe_id"), $"embedding")
+    val exact = Similarity.bruteForceKnn(embeddings, probes, k = 5)
+      .select($"probe_id", $"corpus_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // testdata embeddings are uniform random (nearest cosine ≈ 0.33, near-
+    // orthogonal): bucket-collision probability ≈ (1-θ/π)^planes, so few
+    // planes are the right knob at this similarity regime
+    val approx = Similarity.lshKnn(embeddings, probes, k = 5, planes = 4)
+      .select($"probe_id", $"corpus_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    assert(recall >= 0.4, s"recall@5 $recall too low")
+    // self-match must always survive (identical vector → identical bucket)
+    assert((0L until 5L).forall(i => approx.contains((i, i))))
+  }
+
+  test("embedding near-dup finds self-similar pairs deterministically") {
+    val dupped = embeddings.limit(50)
+      .unionAll(embeddings.limit(5).withColumn("vec_id", $"vec_id" + 1000L))
+    val near = Dedup.embeddingNearDup(dupped, threshold = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0L until 5L).foreach(i => assert(near.contains((i, i + 1000L)), s"missing ($i,${i + 1000L})"))
+  }
+
+  test("text analysis: token counts, quality, langId, fingerprint") {
+    val row = docs.select(
+      TextAnalysis.tokenCount($"text"),
+      TextAnalysis.bpeishTokenCount($"text"),
+      TextAnalysis.qualityScore($"text")("stopword_ratio"),
+      $"text").head()
+    val scalaTokens = row.getString(3).trim.split("\\s+").length
+    assert(row.getInt(0) == scalaTokens)
+    assert(row.getInt(1) >= row.getInt(0)) // BPE-ish ≥ whitespace tokens
+    assert(row.getDouble(2) >= 0.0 && row.getDouble(2) <= 1.0)
+
+    val langs = spark.createDataFrame(Seq(
+      (1, "the cat is on the mat and it is happy for now"),
+      (2, "le chat est dans la maison et il est content pour le moment"),
+      (3, "der hund ist nicht in der schule und sie ist auf dem weg"),
+      (4, "xyzzy plugh qwertyuiop"))).toDF("id", "t")
+      .select($"id", TextAnalysis.langId($"t").as("l"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(langs(1) == "en" && langs(2) == "fr" && langs(3) == "de" && langs(4) == "und")
+
+    // fingerprint: whitespace/case-insensitive identity
+    val fp = spark.createDataFrame(Seq(
+      (1, "Hello   World  Foo"), (2, "hello world foo"), (3, "hello world bar")))
+      .toDF("id", "t").select($"id", TextAnalysis.fingerprint($"t").as("f"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(fp(1) == fp(2) && fp(1) != fp(3))
+  }
+
+  test("multimodal plumbing: binary source, meta, features, frame sampling") {
+    val bin = Multimodal.readBinaryFiles(spark, sf, "*.parquet")
+    assert(bin.count() == 10)
+    assert(bin.schema.fieldNames.contains("content"))
+
+    val withMeta = Multimodal.withMeta(bin, "content", "image")
+    val m = withMeta.select($"meta.width", $"meta.height", $"meta.media_type").head()
+    assert(m.getInt(0) >= 64 && m.getInt(1) >= 64 && m.getString(2) == "image")
+
+    val feats = Multimodal.withFeatures(bin, "content")
+      .select($"features").head().getSeq[Float](0)
+    assert(feats.length == 8 && feats.forall(f => f >= 0f && f <= 1f))
+
+    // deterministic: same bytes → same features
+    val f2 = Multimodal.withFeatures(bin, "content").select($"features").head().getSeq[Float](0)
+    assert(feats == f2)
+
+    val frames = Multimodal.frameSample(bin.limit(1), "content", everyNthFrame = 30)
+    assert(frames.count() > 1) // row multiplication happened
+    assert(frames.schema.fieldNames.contains("frame_idx"))
+  }
+}
