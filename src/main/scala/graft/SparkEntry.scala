@@ -1,13 +1,405 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.dsl._
+import graft.logic.Query
+import graft.ops.Ops
+import graft.pipeline.{Dedup, Similarity, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Driver contract: the operator-inventory queries (SURVEY.md §2) expressed
+  * through the graft DSL + pipeline library, with DuckDB oracle SQL.
+  *
+  * Numeric conventions for hash-stable oracle comparison:
+  *  - floating sums/averages accumulate in DECIMAL (exact, order-free) and
+  *    present as DOUBLE (`Ops.sumDec`/`avgDec`) — both engines produce the
+  *    identical double;
+  *  - counts/sizes are BIGINT on both sides;
+  *  - per-row double arithmetic (x*(1-d)) is IEEE-deterministic everywhere.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def tbl(dir: String, name: String)(s: SparkSession): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private def lineitem(d: String)(fields: Any*) =
+    source(tbl(d, "lineitem"))(fields: _*)
+  private def orders(d: String)(fields: Any*) =
+    source(tbl(d, "orders"))(fields: _*)
+  private def customer(d: String)(fields: Any*) =
+    source(tbl(d, "customer"))(fields: _*)
+  private def nation(d: String)(fields: Any*) =
+    source(tbl(d, "nation"))(fields: _*)
+  private def region(d: String)(fields: Any*) =
+    source(tbl(d, "region"))(fields: _*)
+  private def events(d: String)(fields: Any*) =
+    source(tbl(d, "events"))(fields: _*)
+  private def documents(d: String)(fields: Any*) =
+    source(tbl(d, "documents"))(fields: _*)
+
+  // ------------------------------------------------------- engine queries
+
+  /** Pricing summary: multi-aggregator single pass (SURVEY §2.6). */
+  private def q01(s: SparkSession, d: String): DataFrame =
+    query("?l_returnflag", "?l_linestatus", "?sum_qty", "?sum_price", "?avg_qty", "?cnt")(
+      lineitem(d)("_", "_", "_", "_", "?l_quantity", "?l_extendedprice", "_", "_",
+        "?l_returnflag", "?l_linestatus", "_"),
+      Ops.sumDec()("?l_quantity") :> "?sum_qty",
+      Ops.sumDec()("?l_extendedprice") :> "?sum_price",
+      Ops.avgDec()("?l_quantity") :> "?avg_qty",
+      Ops.count() :> "?cnt").toDF(s)
+
+  /** Filter + map (Application/FilterApplication nodes). */
+  private def q02(s: SparkSession, d: String): DataFrame =
+    query("?l_orderkey", "?revenue")(
+      lineitem(d)("?l_orderkey", "_", "_", "_", "?l_quantity", "?ep", "?disc", "_",
+        "_", "_", "_"),
+      Ops.lt("?l_quantity", 3.0),
+      Ops.cmap(cs => cs(0) * (lit(1.0) - cs(1)))("?ep", "?disc") :> "?revenue").toDF(s)
+
+  /** 3-way join + agg: revenue per market segment (flagship). */
+  private def q03(s: SparkSession, d: String): DataFrame =
+    query("?c_mktsegment", "?revenue", "?n_items")(
+      customer(d)("?ck", "_", "_", "_", "?c_mktsegment"),
+      orders(d)("?ok", "?ck", "_", "_", "_", "_"),
+      lineitem(d)("?ok", "_", "_", "_", "_", "?ep", "?disc", "_", "_", "_", "_"),
+      Ops.cmap(cs => cs(0) * (lit(1.0) - cs(1)))("?ep", "?disc") :> "?rev",
+      Ops.sumDec(28, 8)("?rev") :> "?revenue",
+      Ops.count() :> "?n_items").toDF(s)
+
+  /** Dimension join (broadcast-able): nations per region. */
+  private def q04(s: SparkSession, d: String): DataFrame =
+    query("?r_name", "?n_nations")(
+      region(d)("?rk", "?r_name"),
+      nation(d)("_", "_", "?rk"),
+      Ops.count() :> "?n_nations").toDF(s)
+
+  /** Left outer join via `!!` + !count: orders per customer incl. zero. */
+  private def q05(s: SparkSession, d: String): DataFrame =
+    query("?c_custkey", "?order_cnt")(
+      customer(d)("?c_custkey", "_", "_", "_", "_"),
+      orders(d)("!!ok", "?c_custkey", "_", "_", "_", "_"),
+      Ops.countNotNull("!!ok") :> "?order_cnt").toDF(s)
+
+  /** Existence semi-join. */
+  private def q06(s: SparkSession, d: String): DataFrame =
+    query("?c_custkey", "?c_name")(
+      customer(d)("?c_custkey", "?c_name", "_", "_", "_"),
+      dsl.exists(orders(d)("_", "?c_custkey", "_", "_", "_", "_"))).toDF(s)
+
+  /** Negation anti-join (filter inside the generator-as-set: constants are
+    * implicit equality filters): customers with no 'F'-status order. */
+  private def q07(s: SparkSession, d: String): DataFrame =
+    query("?c_custkey", "?c_name")(
+      customer(d)("?c_custkey", "?c_name", "_", "_", "_"),
+      absent(orders(d)("_", "?c_custkey", "F", "_", "_", "_"))).toDF(s)
+
+  /** Existence boolean capture. */
+  private def q08(s: SparkSession, d: String): DataFrame =
+    query("?c_custkey", "?has_order")(
+      customer(d)("?c_custkey", "_", "_", "_", "_"),
+      existsAs(orders(d)("_", "?c_custkey", "_", "_", "_", "_"), "?has_order")).toDF(s)
+
+  /** Unique node (:distinct). */
+  private def q09(s: SparkSession, d: String): DataFrame =
+    query("?mktsegment")(
+      customer(d)("_", "_", "_", "_", "?mktsegment")).distinct.toDF(s)
+
+  /** union (dedupe). */
+  private def q10(s: SparkSession, d: String): DataFrame =
+    query("?nationkey")(union(
+      customer(d)("_", "_", "?nationkey", "_", "_"),
+      source(tbl(d, "supplier"))("_", "_", "?nationkey", "_"))).toDF(s)
+
+  /** combine (union-all). */
+  private def q11(s: SparkSession, d: String): DataFrame =
+    query("?nationkey")(combine(
+      customer(d)("_", "_", "?nationkey", "_", "_"),
+      source(tbl(d, "supplier"))("_", "_", "?nationkey", "_"))).toDF(s)
+
+  /** first-n: global top-k with sort. */
+  private def q12(s: SparkSession, d: String): DataFrame = {
+    val all = query("?c_custkey", "?c_acctbal")(
+      customer(d)("?c_custkey", "_", "_", "?c_acctbal", "_"))
+    query("?c_custkey", "?c_acctbal")(
+      firstN(all, 10, sort = Seq("?c_acctbal", "?c_custkey"), reverse = true)(
+        "?c_custkey", "?c_acctbal")).toDF(s)
+  }
+
+  /** limit: per-group top-k with secondary sort. */
+  private def q13(s: SparkSession, d: String): DataFrame =
+    query("?o_custkey", "?top_orderkey", "?top_price")(
+      orders(d)("?ok", "?o_custkey", "_", "?price", "_", "_"),
+      Ops.limit(3)("?ok", "?price") :> ("?top_orderkey", "?top_price"))
+      .sorted("?price", "?ok").reversed.toDF(s)
+
+  /** exact distinct-count. */
+  private def q14(s: SparkSession, d: String): DataFrame =
+    query("?n_cust")(
+      orders(d)("_", "?o_custkey", "_", "_", "_", "_"),
+      Ops.distinctCount("?o_custkey") :> "?n_cust").toDF(s)
+
+  /** Constant aggregator output = HAVING (api_test.clj:602-604). */
+  private def q15(s: SparkSession, d: String): DataFrame =
+    query("?o_custkey")(
+      orders(d)("_", "?o_custkey", "_", "_", "_", "_"),
+      Ops.count() :> 10L).toDF(s)
+
+  /** Implicit equality via duplicate var. */
+  private def q16(s: SparkSession, d: String): DataFrame =
+    query("?l_orderkey", "?k")(
+      lineitem(d)("?l_orderkey", "?k", "?k", "_", "_", "_", "_", "_", "_", "_", "_")).toDF(s)
+
+  /** Wordcount: mapcat + count (api_test.clj:124-135). */
+  private def q17(s: SparkSession, d: String): DataFrame =
+    query("?word", "?cnt")(
+      documents(d)("_", "?text", "_", "_", "_"),
+      Ops.tokens("?text") :> "?word",
+      Ops.count() :> "?cnt").toDF(s)
+
+  /** Buffer over secondary-sorted group: first order date per customer.
+    * `bufferSame` = output schema mirrors the input tuple (the parquet
+    * timestamp arrives as TIMESTAMP_NTZ; pass-through keeps it intact). */
+  private def q18(s: SparkSession, d: String): DataFrame = {
+    val firstDate = Ops.bufferSame(1) { it =>
+      if (it.hasNext) Iterator.single(Seq(it.next().head)) else Iterator.empty
+    }
+    query("?o_custkey", "?first_date")(
+      orders(d)("_", "?o_custkey", "_", "_", "?od", "_"),
+      firstDate("?od") :> "?first_date").sorted("?od").toDF(s)
+  }
+
+  /** Cross join. */
+  private def q19(s: SparkSession, d: String): DataFrame =
+    query("?r_name", "?n_name")(
+      region(d)("_", "?r_name"),
+      nation(d)("_", "?n_name", "_")).toDF(s)
+
+  /** Global aggregation (no grouping fields). */
+  private def q20(s: SparkSession, d: String): DataFrame =
+    query("?cnt", "?sum_qty", "?max_ship")(
+      lineitem(d)("_", "_", "_", "_", "?q", "_", "_", "_", "_", "_", "?ship"),
+      Ops.count() :> "?cnt",
+      Ops.sumDec()("?q") :> "?sum_qty",
+      Ops.max("?ship") :> "?max_ship").toDF(s)
+
+  /** Variance via hash-stable decimal moments + post-agg ops
+    * (cascalog-math stats; ops over aggregator outputs). */
+  private def q21(s: SparkSession, d: String): DataFrame =
+    query("?c_mktsegment", "?var_bal")(
+      customer(d)("_", "_", "_", "?bal", "?c_mktsegment"),
+      Ops.times("?bal", "?bal") :> "?bal2",
+      Ops.count() :> "?n",
+      Ops.sumDec(28, 8)("?bal2") :> "?sx2",
+      Ops.sumDec()("?bal") :> "?sx",
+      Ops.div("?sx2", "?n") :> "?a",
+      Ops.div("?sx", "?n") :> "?m",
+      Ops.times("?m", "?m") :> "?m2",
+      Ops.minus("?a", "?m2") :> "?var_bal").toDF(s)
+
+  /** Events rollup (the stream table, batch view). */
+  private def q22(s: SparkSession, d: String): DataFrame =
+    query("?event_type", "?cnt", "?sum_value")(
+      events(d)("_", "_", "_", "?event_type", "?value", "_"),
+      Ops.count() :> "?cnt",
+      Ops.sumDec()("?value") :> "?sum_value").toDF(s)
+
+  /** Bernoulli sample (nondeterministic across engines → rows-only). */
+  private def q23(s: SparkSession, d: String): DataFrame =
+    tbl(d, "lineitem")(s).sample(0.1, 42L).select("l_orderkey", "l_linenumber")
+
+  // ----------------------------------------------------- pipeline queries
+
+  private def p01(s: SparkSession, d: String): DataFrame =
+    Dedup.exact(tbl(d, "documents")(s))
+
+  private def p02(s: SparkSession, d: String): DataFrame =
+    tbl(d, "documents")(s).select(col("doc_id"),
+      size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+        .cast("long").as("token_count"))
+
+  private def p03(s: SparkSession, d: String): DataFrame =
+    tbl(d, "documents")(s).select(col("doc_id"),
+      (length(col("text")).cast("double") /
+        greatest(size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+          .cast("long"), lit(1L))).as("chars_per_token"))
+
+  private def p04(s: SparkSession, d: String): DataFrame =
+    tbl(d, "documents")(s).select(col("doc_id"),
+      size(array_intersect(
+        array_distinct(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))),
+        array(Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "was")
+          .map(lit): _*))).cast("long").as("en_hits"))
+
+  private def p05(s: SparkSession, d: String): DataFrame =
+    tbl(d, "documents")(s).select(col("doc_id"),
+      TextAnalysis.fingerprint(col("text")).as("fingerprint"),
+      TextAnalysis.langId(col("text")).as("lang_pred"))
+
+  private def p06(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashCandidates(tbl(d, "documents")(s), k = 64, bands = 16)
+
+  private def p07(s: SparkSession, d: String): DataFrame =
+    tbl(d, "documents")(s).select(col("doc_id"),
+      Dedup.simhash(col("text")).as("simhash"))
+
+  private def p08(s: SparkSession, d: String): DataFrame = {
+    val emb = tbl(d, "embeddings")(s)
+    Similarity.bruteForceKnn(emb,
+      emb.filter(col("vec_id") < 8).select(col("vec_id").as("probe_id"), col("embedding")),
+      k = 10)
+  }
+
+  private def p09(s: SparkSession, d: String): DataFrame = {
+    val emb = tbl(d, "embeddings")(s)
+    Similarity.lshKnn(emb,
+      emb.filter(col("vec_id") < 8).select(col("vec_id").as("probe_id"), col("embedding")),
+      k = 10, planes = 4)
+  }
+
+  private def p10(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashCandidates(tbl(d, "documents")(s), maxHamming = 10)
+
+  // --------------------------------------------------------------- driver
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
+  def entry(spark: SparkSession): DataFrame = q03(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_multi_agg" -> (q01 _),
+    "q02_filter_map" -> (q02 _),
+    "q03_join_agg" -> (q03 _),
+    "q04_dim_join" -> (q04 _),
+    "q05_outer_count" -> (q05 _),
+    "q06_semi_join" -> (q06 _),
+    "q07_anti_join" -> (q07 _),
+    "q08_exists_flag" -> (q08 _),
+    "q09_distinct" -> (q09 _),
+    "q10_union" -> (q10 _),
+    "q11_union_all" -> (q11 _),
+    "q12_topk_global" -> (q12 _),
+    "q13_topk_pergroup" -> (q13 _),
+    "q14_count_distinct" -> (q14 _),
+    "q15_having" -> (q15 _),
+    "q16_dup_var_eq" -> (q16 _),
+    "q17_wordcount" -> (q17 _),
+    "q18_buffer_first" -> (q18 _),
+    "q19_cross_join" -> (q19 _),
+    "q20_global_agg" -> (q20 _),
+    "q21_variance" -> (q21 _),
+    "q22_events_agg" -> (q22 _),
+    "q23_sample" -> (q23 _),
+    "p01_exact_dedup" -> (p01 _),
+    "p02_token_count" -> (p02 _),
+    "p03_chars_per_token" -> (p03 _),
+    "p04_stopword_hits" -> (p04 _),
+    "p05_fingerprint_langid" -> (p05 _),
+    "p06_minhash_pairs" -> (p06 _),
+    "p07_simhash" -> (p07 _),
+    "p08_knn_brute" -> (p08 _),
+    "p09_knn_lsh" -> (p09 _),
+    "p10_simhash_neardup" -> (p10 _)
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_multi_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)/COUNT(l_quantity) AS avg_qty,
+        |COUNT(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_filter_map" ->
+      """SELECT l_orderkey, l_extendedprice * (1.0 - l_discount) AS revenue
+        |FROM lineitem WHERE l_quantity < 3.0""".stripMargin,
+    "q03_join_agg" ->
+      """SELECT c_mktsegment,
+        |CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,8))) AS DOUBLE) AS revenue,
+        |COUNT(*) AS n_items
+        |FROM customer JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q04_dim_join" ->
+      """SELECT r_name, COUNT(*) AS n_nations
+        |FROM region JOIN nation ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
+    "q05_outer_count" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS order_cnt
+        |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        |GROUP BY c_custkey""".stripMargin,
+    "q06_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "q07_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""".stripMargin,
+    "q08_exists_flag" ->
+      """SELECT c_custkey,
+        |c_custkey IN (SELECT o_custkey FROM orders) AS has_order
+        |FROM customer""".stripMargin,
+    "q09_distinct" ->
+      "SELECT DISTINCT c_mktsegment AS mktsegment FROM customer",
+    "q10_union" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |UNION SELECT s_nationkey FROM supplier""".stripMargin,
+    "q11_union_all" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |UNION ALL SELECT s_nationkey FROM supplier""".stripMargin,
+    "q12_topk_global" ->
+      """SELECT c_custkey, c_acctbal FROM customer
+        |ORDER BY c_acctbal DESC, c_custkey DESC LIMIT 10""".stripMargin,
+    "q13_topk_pergroup" ->
+      """SELECT o_custkey, o_orderkey AS top_orderkey, o_totalprice AS top_price
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |  ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn FROM orders) t
+        |WHERE rn <= 3""".stripMargin,
+    "q14_count_distinct" ->
+      "SELECT COUNT(DISTINCT o_custkey) AS n_cust FROM orders",
+    "q15_having" ->
+      "SELECT o_custkey FROM orders GROUP BY o_custkey HAVING COUNT(*) = 10",
+    "q16_dup_var_eq" ->
+      """SELECT l_orderkey, l_partkey AS k FROM lineitem
+        |WHERE l_partkey = l_suppkey""".stripMargin,
+    "q17_wordcount" ->
+      """SELECT token AS word, COUNT(*) AS cnt FROM
+        |(SELECT UNNEST(regexp_extract_all(text, '\S+')) AS token FROM documents) t
+        |GROUP BY token""".stripMargin,
+    "q18_buffer_first" ->
+      """SELECT o_custkey, MIN(o_orderdate) AS first_date
+        |FROM orders GROUP BY o_custkey""".stripMargin,
+    "q19_cross_join" ->
+      "SELECT r_name, n_name FROM region CROSS JOIN nation",
+    "q20_global_agg" ->
+      """SELECT COUNT(*) AS cnt,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |MAX(l_shipdate) AS max_ship FROM lineitem""".stripMargin,
+    "q21_variance" ->
+      """SELECT c_mktsegment, a - m*m AS var_bal FROM
+        |(SELECT c_mktsegment,
+        |  CAST(SUM(CAST(c_acctbal*c_acctbal AS DECIMAL(28,8))) AS DOUBLE)/COUNT(*) AS a,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)/COUNT(*) AS m
+        | FROM customer GROUP BY c_mktsegment) t""".stripMargin,
+    "q22_events_agg" ->
+      """SELECT event_type, COUNT(*) AS cnt,
+        |CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type""".stripMargin,
+    "p01_exact_dedup" ->
+      """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
+        |COUNT(*) AS dup_count FROM documents GROUP BY md5(text)""".stripMargin,
+    "p02_token_count" ->
+      """SELECT doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
+        |AS token_count FROM documents""".stripMargin,
+    "p03_chars_per_token" ->
+      """SELECT doc_id, CAST(LENGTH(text) AS DOUBLE) /
+        |GREATEST(CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT), 1)
+        |AS chars_per_token FROM documents""".stripMargin,
+    "p04_stopword_hits" ->
+      """SELECT doc_id, CAST(len(list_intersect(
+        |list_distinct(regexp_extract_all(lower(text), '[a-z]+')),
+        |['the','and','of','to','in','is','that','it','for','was'])) AS BIGINT)
+        |AS en_hits FROM documents""".stripMargin
+  )
 }

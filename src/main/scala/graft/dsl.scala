@@ -88,9 +88,13 @@ object dsl {
       case v: String if Vars.isVar(v) => v
     })
 
-  /** combine: union-all of generators, no dedupe (api.clj:178-186). */
+  /** combine: union-all of generators, no dedupe (api.clj:178-186).
+    * The merged generator's fields are the head's BOUND vars (wildcards,
+    * constants and duplicate positions are resolved at bind time). */
   def combine(gs: GenPred*): GenPred = {
-    val fields = gs.head.fields
+    val fields = gs.head.fields.collect {
+      case v: String if Vars.isVar(v) && !Vars.isWildcard(v) => v
+    }.distinct
     GenPred(s => gs.map(g => Planner0.bind(s, g)).reduce(_ unionAll _), fields)
   }
 

@@ -136,6 +136,25 @@ object Ops {
   val sampleVariance: ColumnAgg = ColumnAgg(1, cs => Seq(F.var_samp(cs.head)))
   val stddev: ColumnAgg = ColumnAgg(1, cs => Seq(F.stddev_pop(cs.head)))
 
+  /** Order-independent floating sum: accumulate in exact decimal, present
+    * as double. Double summation order differs between engines/partitions
+    * (last-ULP drift); decimal accumulation makes the result hash-stable
+    * for oracle comparison at any parallelism. */
+  def sumDec(precision: Int = 18, scale: Int = 4): ColumnAgg =
+    ColumnAgg(-1, _.map(c =>
+      F.sum(c.cast(DecimalType(precision, scale))).cast(DoubleType)))
+
+  /** Hash-stable mean: exact decimal sum / count, divided in double. */
+  def avgDec(precision: Int = 18, scale: Int = 4): ColumnAgg =
+    ColumnAgg(1, cs => Seq(
+      F.sum(cs.head.cast(DecimalType(precision, scale))).cast(DoubleType) /
+        F.count(cs.head)))
+
+  /** Non-space token runs — engine-portable tokenizer (same semantics as
+    * DuckDB regexp_extract_all(text, '\S+')). */
+  val tokens: ColumnMapcat =
+    ColumnMapcat(1, cs => F.regexp_extract_all(cs.head, F.lit("\\S+"), F.lit(0)))
+
   /** Any Spark aggregate expression as an aggregator — also the entry point
     * for `functions.udaf(Aggregator)` custom monoids (defparallelagg). */
   def cagg(f: Seq[Column] => Column): ColumnAgg = ColumnAgg(1, cs => Seq(f(cs)))
