@@ -1,0 +1,98 @@
+package graft.sources
+
+import graft.logic.GenPred
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Tap surface — sources and sinks (reference
+  * cascalog-core/src/clj/cascalog/cascading/tap.clj and
+  * cascalog-more-taps). Sources are generators; sinks wrap
+  * DataFrameWriter with the reference's :sinkmode semantics.
+  */
+object Taps {
+
+  /** :sinkmode (tap.clj:104-159): :keep errors if output exists, :update
+    * appends, :replace overwrites. */
+  val sinkModes: Map[String, SaveMode] = Map(
+    "keep" -> SaveMode.ErrorIfExists,
+    "update" -> SaveMode.Append,
+    "replace" -> SaveMode.Overwrite)
+
+  // -------------------------------------------------------------- sources
+
+  /** hfs-tap equivalent: any format, glob patterns supported natively
+    * (`:source-pattern`, tap.clj:75-78). */
+  def hfs(format: String, path: String, options: Map[String, String] = Map.empty)(
+      fields: Any*): GenPred =
+    GenPred(s => s.read.options(options).format(format).load(path), fields)
+
+  /** parquet is the native tuple format (the seqfile role). */
+  def seqfile(path: String)(fields: Any*): GenPred =
+    GenPred(_.read.parquet(path), fields)
+
+  /** hfs-textline (tap.clj:50-57): one tuple per line. */
+  def textline(path: String)(fields: Any*): GenPred =
+    GenPred(_.read.text(path), fields)
+
+  /** hfs-delimited (more_taps.clj:11-80): sep/quote/header/inferSchema. */
+  def delimited(path: String, sep: String = "\t", header: Boolean = false,
+      quote: String = "\"", inferSchema: Boolean = true)(fields: Any*): GenPred =
+    GenPred(_.read
+      .option("sep", sep).option("header", header.toString)
+      .option("quote", quote).option("inferSchema", inferSchema.toString)
+      .csv(path), fields)
+
+  /** hfs-wholefile (more_taps.clj:114-120): one tuple per whole file. */
+  def wholefile(path: String, glob: String = "*")(fields: Any*): GenPred =
+    GenPred(_.read.format("binaryFile").option("pathGlobFilter", glob).load(path),
+      fields)
+
+  // ---------------------------------------------------------------- sinks
+
+  /** A sink: writes a compiled query result. `sinkparts` → coalesce
+    * (tap.clj:104-159); `template` → partitioned output by field values
+    * (template-tap, tap.clj:80-102). */
+  final case class Sink(
+      format: String,
+      path: String,
+      mode: String = "replace",
+      sinkparts: Option[Int] = None,
+      template: Seq[String] = Nil,
+      options: Map[String, String] = Map.empty) {
+    def write(df: DataFrame): Unit = {
+      val coalesced = sinkparts.fold(df)(df.coalesce)
+      var w = coalesced.write.mode(sinkModes(mode)).options(options)
+      if (template.nonEmpty) w = w.partitionBy(template: _*)
+      w.format(format).save(path)
+    }
+  }
+
+  def parquetSink(path: String, mode: String = "replace"): Sink =
+    Sink("parquet", path, mode)
+  def csvSink(path: String, sep: String = "\t", header: Boolean = false,
+      mode: String = "replace"): Sink =
+    Sink("csv", path, mode, options = Map("sep" -> sep, "header" -> header.toString))
+  def textSink(path: String, compression: Option[String] = None,
+      mode: String = "replace"): Sink =
+    Sink("text", path, mode,
+      options = compression.map("compression" -> _).toMap)
+  def templateSink(path: String, templateFields: Seq[String],
+      format: String = "parquet", mode: String = "replace"): Sink =
+    Sink(format, path, mode, template = templateFields)
+
+  /** stdout tap (tap.clj:225-228). */
+  def stdout(df: DataFrame, n: Int = 20): Unit = df.show(n, truncate = false)
+
+  /** cascalog-tap: a (source, sink) pair (cascading/tap.clj:23-26). */
+  final case class CascalogTap(source: Seq[Any] => GenPred, sink: Sink)
+
+  def tap(format: String, path: String, sink: Sink): CascalogTap =
+    CascalogTap(fields => hfs(format, path)(fields: _*), sink)
+
+  /** fill-tap! (tap.clj:239-250): write local tuples through a sink. */
+  def fillTap(s: SparkSession, sink: Sink, rows: Seq[Seq[Any]]): Unit =
+    sink.write(graft.dsl.memDF(s, rows))
+
+  /** get-sink-tuples (tap.clj:252-260): read a tap back to local tuples. */
+  def sinkTuples(s: SparkSession, format: String, path: String): Seq[Seq[Any]] =
+    s.read.format(format).load(path).collect().toSeq.map(_.toSeq)
+}

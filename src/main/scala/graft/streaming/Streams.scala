@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+
+/** Structured Streaming surface — ADDITIVE capability (the reference is
+  * batch-only, SURVEY §2.10): the same engine's operators applied to
+  * unbounded data with watermarks, event-time windows, streaming dedup and
+  * custom state. An `events`-shaped stream (event_id, ts, user_id,
+  * event_type, value, props) is the canonical input.
+  */
+object Streams {
+
+  /** File-based stream source over a directory of parquet drops. */
+  def parquetStream(s: SparkSession, path: String, schemaFrom: String): DataFrame =
+    s.readStream.schema(s.read.parquet(schemaFrom).schema).parquet(path)
+
+  /** Event-time tumbling/sliding window aggregation with a watermark —
+    * the streaming analog of the engine's Grouping node. */
+  def windowedAgg(
+      events: DataFrame,
+      tsCol: String,
+      watermark: String,
+      windowDur: String,
+      slide: Option[String] = None,
+      groupCols: Seq[String] = Nil,
+      aggs: Seq[Column] = Seq(count(lit(1)).as("cnt"))): DataFrame = {
+    val w = slide.fold(window(col(tsCol), windowDur))(sl =>
+      window(col(tsCol), windowDur, sl))
+    events.withWatermark(tsCol, watermark)
+      .groupBy(w +: groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Streaming exact dedup with state eviction via watermark — the
+    * streaming face of pipeline.Dedup.exact. */
+  def streamingDedup(events: DataFrame, tsCol: String, watermark: String,
+      keyCols: Seq[String]): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  final case class SessionState(start: Long, end: Long, events: Long)
+  final case class SessionOut(key: Long, startMs: Long, endMs: Long, events: Long)
+
+  /** Sessionization via mapGroupsWithState (processing-time timeout) —
+    * the KeyValueGroupedDataset custom-state surface. Input rows:
+    * (user_id, ts_ms). Emits the running session per user each batch. */
+  def sessionize(events: Dataset[(Long, Long)], gapMs: Long): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .mapGroupsWithState[SessionState, SessionOut](GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[(Long, Long)], state: GroupState[SessionState]) =>
+          var st = state.getOption.getOrElse(SessionState(Long.MaxValue, 0L, 0L))
+          rows.foreach { case (_, ts) =>
+            st =
+              if (st.events == 0L || ts - st.end > gapMs)
+                SessionState(ts, ts, 1L) // gap exceeded → new session
+              else
+                SessionState(math.min(st.start, ts), math.max(st.end, ts), st.events + 1L)
+          }
+          state.update(st)
+          SessionOut(key, st.start, st.end, st.events)
+      }
+  }
+
+  /** Run a streaming query to a memory sink (testing/inspection). */
+  def toMemory(df: DataFrame, name: String, outputMode: String = "update"): StreamingQuery =
+    df.writeStream.format("memory").queryName(name)
+      .outputMode(outputMode).start()
+
+  /** Production file sink with checkpointing. */
+  def toParquet(df: DataFrame, path: String, checkpoint: String,
+      trigger: String = "10 seconds"): StreamingQuery =
+    df.writeStream.format("parquet")
+      .option("path", path).option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(trigger))
+      .outputMode(OutputMode.Append).start()
+}

@@ -1,0 +1,61 @@
+package graft
+
+import graft.streaming.Streams
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("windowed aggregation with watermark (event time)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = in.toDF().toDF("ts", "event_type", "value")
+    val agg = Streams.windowedAgg(df, "ts", "10 minutes", "5 minutes",
+      groupCols = Seq("event_type"),
+      aggs = Seq(count(lit(1)).as("cnt"), sum("value").as("sum_v")))
+    val q = Streams.toMemory(agg, "win_agg", "complete")
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:${m}%02d:00")
+    in.addData((ts(0), "click", 1.0), (ts(1), "click", 2.0), (ts(6), "view", 5.0))
+    q.processAllAvailable()
+    val rows = spark.table("win_agg").collect()
+    assert(rows.length == 2) // two 5-min windows
+    val click = rows.find(_.getAs[String]("event_type") == "click").get
+    assert(click.getAs[Long]("cnt") == 2 && click.getAs[Double]("sum_v") == 3.0)
+    q.stop()
+  }
+
+  test("streaming dedup within watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, Long)]
+    val df = in.toDF().toDF("ts", "event_id")
+    val deduped = Streams.streamingDedup(df, "ts", "1 hour", Seq("event_id"))
+    val q = Streams.toMemory(deduped, "dedup_out", "append")
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:${m}%02d:00")
+    in.addData((ts(0), 1L), (ts(1), 1L), (ts(2), 2L), (ts(3), 2L), (ts(4), 3L))
+    q.processAllAvailable()
+    assert(spark.table("dedup_out").select("event_id").as[Long].collect().sorted
+      .sameElements(Array(1L, 2L, 3L)))
+    q.stop()
+  }
+
+  test("sessionization with custom state (mapGroupsWithState)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long)] // (user_id, ts_ms)
+    val sessions = Streams.sessionize(in.toDS(), gapMs = 30000L)
+    val q = sessions.writeStream.format("memory").queryName("sessions")
+      .outputMode("update").start()
+    in.addData((1L, 1000L), (1L, 5000L), (2L, 2000L))
+    q.processAllAvailable()
+    val s1 = spark.table("sessions").as[Streams.SessionOut].collect()
+      .find(_.key == 1L).get
+    assert(s1.events == 2L && s1.startMs == 1000L && s1.endMs == 5000L)
+    // gap exceeded → new session for user 1
+    in.addData((1L, 100000L))
+    q.processAllAvailable()
+    val s2 = spark.table("sessions").as[Streams.SessionOut].collect()
+      .filter(_.key == 1L).maxBy(_.endMs)
+    assert(s2.events == 1L && s2.startMs == 100000L)
+    q.stop()
+  }
+}

@@ -1,0 +1,129 @@
+package graft
+
+import graft.dsl._
+import graft.ops.Ops
+import graft.operators.{Prep, Stats, Trap}
+import graft.plans.Workflow
+import graft.sources.Taps
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+class TapsAndOpsSpec extends SparkTestBase {
+
+  def tmp(): String = Files.createTempDirectory("graft").toString
+
+  test("sink modes, template sink, delimited round-trip (tap.clj)") {
+    val dir = tmp()
+    val rows = Seq(Seq("a", 1L), Seq("b", 2L), Seq("a", 3L))
+
+    // parquet replace + keep
+    Taps.fillTap(spark, Taps.parquetSink(s"$dir/p"), rows)
+    assert(Taps.sinkTuples(spark, "parquet", s"$dir/p").size == 3)
+    assertThrows[Exception] { // :keep errors when output exists
+      Taps.fillTap(spark, Taps.parquetSink(s"$dir/p", mode = "keep"), rows)
+    }
+    // :update appends
+    Taps.fillTap(spark, Taps.parquetSink(s"$dir/p", mode = "update"), rows)
+    assert(Taps.sinkTuples(spark, "parquet", s"$dir/p").size == 6)
+
+    // delimited round-trip with header
+    Taps.csvSink(s"$dir/c", sep = "|", header = true)
+      .write(memDF(spark, rows).toDF("k", "v"))
+    val back = Taps.delimited(s"$dir/c", sep = "|", header = true)("?k", "?v")
+    assertProduces(query("?k", "?v")(back), rows)
+
+    // template (partitioned) sink: one directory per key value
+    Taps.templateSink(s"$dir/t", Seq("k")).write(memDF(spark, rows).toDF("k", "v"))
+    assert(Files.exists(java.nio.file.Paths.get(s"$dir/t/k=a")))
+    assert(Files.exists(java.nio.file.Paths.get(s"$dir/t/k=b")))
+
+    // textline source round-trip
+    Taps.textSink(s"$dir/x").write(memDF(spark, Seq(Seq("hello"), Seq("world"))).toDF("value"))
+    assertProduces(query("?line")(Taps.textline(s"$dir/x")("?line")),
+      Seq(Seq("hello"), Seq("world")))
+
+    // wholefile: one tuple per file (binaryFile schema: path, time, len, content)
+    val files = Taps.wholefile(s"$dir/x", "*.txt")("?path", "_", "_", "_")
+    assert(query("?path")(files).toDF(spark).count() >= 1)
+  }
+
+  test("trap: failing tuples diverted, job continues (cascading_api_test.clj:163-224)") {
+    val dir = tmp()
+    val boom = Trap.trapFn[Long, Long](n =>
+      if (n % 2 == 1) throw new IllegalArgumentException(s"odd: $n") else n * 10)
+    val df = query("?n", "!res", "!err")(
+      mem(Seq(Seq(1L), Seq(2L), Seq(3L), Seq(4L)))(Seq("?n"): _*),
+      boom("?n") :> ("!res", "!err")).toDF(spark)
+    val clean = Trap.divert(df, "err", Some(Taps.parquetSink(s"$dir/trap")))
+    assert(clean.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((2L, 20L), (4L, 40L)))
+    val trapped = Taps.sinkTuples(spark, "parquet", s"$dir/trap")
+    assert(trapped.map(_.head).toSet == Set(1L, 3L))
+    assert(trapped.forall(_.last.toString.contains("odd:")))
+  }
+
+  test("prepfn: per-executor prepare runs once per JVM (cascading/def.clj:6-33)") {
+    val op = Prep.prepFn[String, Long, String](
+      () => { TapsAndOpsSpec.prepCount.incrementAndGet(); "model-v1" })(
+      (model, n) => s"$model:$n")
+    assertProduces(
+      query("?out")(
+        mem(Seq(Seq(1L), Seq(2L), Seq(3L)))(Seq("?n"): _*),
+        op("?n") :> "?out"),
+      Seq(Seq("model-v1:1"), Seq("model-v1:2"), Seq("model-v1:3")))
+    // local[4] single JVM → exactly one prepare regardless of tuple count
+    assert(TapsAndOpsSpec.prepCount.get() == 1)
+  }
+
+  test("stats counters: inc! from inside ops (cascading/stats.clj)") {
+    val stats = new Stats(spark)
+    val op = stats.counted[Long, Long]("graft", "tuples-seen")(_ * 2)
+    query("?d")(
+      mem(Seq(Seq(1L), Seq(2L), Seq(3L)))(Seq("?n"): _*),
+      op("?n") :> "?d").toDF(spark).collect()
+    assert(stats.snapshot("graft/tuples-seen") == 3L)
+  }
+
+  test("checkpoint workflow: DAG order, resume skips done steps") {
+    val dir = tmp()
+    val log = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    def wf() = {
+      val w = new Workflow(dir)
+      w.step("a")() { _ => log.add("a") }
+      w.step("b")("a") { _ => log.add("b") }
+      w.step("c")("a") { _ => log.add("c") }
+      w.step("d")("b", "c") { _ => log.add("d") }
+      w
+    }
+    val r1 = wf().run(parallelism = 2)
+    assert(r1.values.forall(_.isSuccess))
+    assert(log.indexOf("a") < log.indexOf("b") && log.indexOf("b") < log.indexOf("d"))
+    assert(log.indexOf("c") < log.indexOf("d"))
+    log.clear()
+    wf().run(parallelism = 2) // all tokens present → nothing re-runs
+    assert(log.isEmpty)
+  }
+
+  test("checkpoint workflow: failure blocks dependents, resume re-runs failed") {
+    val dir = tmp()
+    val ran = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    var fail = true
+    def wf() = {
+      val w = new Workflow(dir)
+      w.step("ok")() { _ => ran.add("ok") }
+      w.step("flaky")("ok") { _ => ran.add("flaky"); if (fail) sys.error("boom") }
+      w.step("after")("flaky") { _ => ran.add("after") }
+      w
+    }
+    val r1 = wf().run()
+    assert(r1("flaky").isFailure && !r1.contains("after"))
+    fail = false
+    val r2 = wf().run()
+    assert(r2("flaky").isSuccess && r2("after").isSuccess)
+    assert(ran.toArray.count(_ == "ok") == 1) // ok not re-run
+  }
+}
+
+object TapsAndOpsSpec {
+  val prepCount = new java.util.concurrent.atomic.AtomicInteger(0)
+}
