@@ -21,9 +21,15 @@ import org.apache.spark.sql.types._
   */
 object dsl {
 
-  /** `(<- [outvars] preds...)` (api.clj:125-135). */
+  /** `(<- [outvars] preds...)` (api.clj:125-135). Predicate macros are
+    * expanded recursively before planning (logic/parse.clj:94-102). */
   def query(out: Any*)(preds: PredLike*): Query =
-    Query(out, preds.map(_.toPred))
+    Query(out, expandPreds(preds))
+
+  private def expandPreds(ps: Seq[PredLike]): Seq[Pred] = ps.flatMap {
+    case MacroCall(m, in, o) => expandPreds(m(in, o))
+    case p => Seq(p.toPred)
+  }
 
   // ----------------------------------------------------------- generators
 
@@ -64,6 +70,13 @@ object dsl {
   implicit def predIsPredLike(p: Pred): PredOf = PredOf(p)
   implicit class OpSyntax(private val op: Op) {
     def apply(in: Any*): OpCall = OpCall(op, in)
+  }
+
+  final case class MacroCallBuilder(m: PredMacro, in: Seq[Any]) {
+    def :>(out: Any*): MacroCall = MacroCall(m, in, out)
+  }
+  implicit class MacroSyntax(private val m: PredMacro) {
+    def apply(in: Any*): MacroCallBuilder = MacroCallBuilder(m, in)
   }
 
   // -------------------------------------------- generator transformations
@@ -115,6 +128,55 @@ object dsl {
   /** `??-` run-to-memory (api.clj:113-123) — just collect. */
   def runToMemory(spark: SparkSession, q: Query): Seq[Seq[Any]] =
     q.toDF(spark).collect().toSeq.map(_.toSeq)
+
+  // ------------------------------------------------------ predicate macros
+
+  /** Predicate macro (reference logic/predmacro.clj:65-128): a function
+    * from bound vars to a predicate list, expanded before planning — pure
+    * AST→AST. Splice into a query with `: _*` or via [[expand]].
+    *
+    * {{{
+    * val avgM = predmacro { case (Seq(x), Seq(out)) =>
+    *   val (c, s) = (Vars.gen(), Vars.gen())
+    *   Seq(Ops.count() :> c, Ops.sum(x) :> s, Ops.div(s, c) :> out)
+    * }
+    * query("?k", "?avg")(gen, expand(avgM)("?x")("?avg")) // or splice
+    * }}}
+    */
+  type PredMacro = (Seq[Any], Seq[Any]) => Seq[PredLike]
+  def predmacro(f: PartialFunction[(Seq[Any], Seq[Any]), Seq[PredLike]]): PredMacro =
+    (in, out) => f((in, out))
+
+  /** A pre-expanded macro call usable directly as one predicate-list. */
+  final case class MacroCall(m: PredMacro, in: Seq[Any], out: Seq[Any]) extends PredLike {
+    def toPred: Pred =
+      sys.error("macro call must be expanded; pass through query(...) which expands it")
+  }
+
+  /** The shipped avg predicate macro (reference logic/ops.clj:228-240). */
+  val avgMacro: PredMacro = (in, out) => {
+    val (c, s) = (Vars.gen(), Vars.gen())
+    Seq(graft.ops.Ops.count() :> c,
+      graft.ops.Ops.sum(in.head) :> s,
+      graft.ops.Ops.div(s, c) :> out.head)
+  }
+
+  /** Variance via moments — multi-predicate macro composition
+    * (cascalog-math stats.clj:7-48 re-expressed as a predmacro). */
+  val varianceMacro: PredMacro = (in, out) => {
+    val x = in.head
+    val (x2, n, sx, sx2, a, m, m2) =
+      (Vars.gen(), Vars.gen(), Vars.gen(), Vars.gen(), Vars.gen(), Vars.gen(), Vars.gen())
+    Seq(
+      graft.ops.Ops.times(x, x) :> x2,
+      graft.ops.Ops.count() :> n,
+      graft.ops.Ops.sum(x) :> sx,
+      graft.ops.Ops.sum(x2) :> sx2,
+      graft.ops.Ops.div(sx2, n) :> a,
+      graft.ops.Ops.div(sx, n) :> m,
+      graft.ops.Ops.times(m, m) :> m2,
+      graft.ops.Ops.minus(a, m2) :> out.head)
+  }
 
   // --------------------------------------------------------------- memDF
 

@@ -1,0 +1,102 @@
+package graft
+
+import graft.dsl._
+import graft.logic.Vars
+import graft.operators.MultiGroup
+import graft.ops.Ops
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class MacroMultigroupPlanSpec extends SparkTestBase {
+
+  test("predicate macro expansion: avg (pred_macro_test.clj)") {
+    assertProduces(
+      query("?gender", "?avg-age")(
+        mem(Playground.age)(Seq("?p", "?age"): _*),
+        mem(Playground.gender)(Seq("?p", "?gender"): _*),
+        avgMacro("?age") :> "?avg-age"),
+      Seq(Seq("f", 89.0 / 3), Seq("m", 157.0 / 5)))
+  }
+
+  test("predicate macro composition: variance via moments") {
+    val vals = Seq(Seq("k", 2.0), Seq("k", 4.0), Seq("k", 4.0), Seq("k", 4.0),
+      Seq("k", 5.0), Seq("k", 5.0), Seq("k", 7.0), Seq("k", 9.0))
+    assertProduces(
+      query("?k", "?var")(
+        mem(vals)(Seq("?k", "?x"): _*),
+        varianceMacro("?x") :> "?var"),
+      Seq(Seq("k", 4.0)))
+  }
+
+  test("multigroup: one multibuffer over two cogrouped inputs (MultiGroupBy.java)") {
+    val l = memDF(spark, Seq(Seq("a", 1L), Seq("a", 2L), Seq("b", 3L))).toDF("k", "x")
+    val r = memDF(spark, Seq(Seq("a", 10L), Seq("c", 30L))).toDF("k", "y")
+    val out = MultiGroup.multigroup(Seq(l, r), Seq("k"),
+      Seq("n_left", "n_right", "sum_all"), Seq(LongType, LongType, LongType)) {
+      (_, groups) =>
+        val Seq(ls, rs) = groups
+        val sum = ls.map(_.getLong(0)).sum + rs.map(_.getLong(0)).sum
+        Iterator.single(Seq(ls.size.toLong, rs.size.toLong, sum))
+    }
+    assert(out.collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3))).toSet ==
+      Set(("a", 2L, 1L, 13L), ("b", 1L, 0L, 3L), ("c", 0L, 1L, 30L)))
+  }
+
+  // ------------------------------------------------ physical plan checks
+  // The 100 TB questions, asserted against the actual plans.
+
+  def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filters and pruning reach the parquet scan") {
+    val d = "/root/testdata/sf0.001"
+    val df = query("?l_orderkey", "?q")(
+      parquet(s"$d/lineitem.parquet")(
+        "?l_orderkey", "_", "_", "_", "?q", "_", "_", "_", "_", "_", "_"),
+      Ops.lt("?q", 5.0)).toDF(spark)
+    val p = plan(df)
+    assert(p.contains("PushedFilters: [IsNotNull"), s"no pushdown in:\n$p")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"not pruned to 2 cols:\n$p")
+  }
+
+  test("dimension joins broadcast; fact side never shuffles for the join") {
+    val d = "/root/testdata/sf0.001"
+    val df = query("?n_name", "?cnt")(
+      parquet(s"$d/customer.parquet")("_", "_", "?nk", "_", "_"),
+      parquet(s"$d/nation.parquet")("?nk", "?n_name", "_"),
+      Ops.count() :> "?cnt").toDF(spark)
+    assert(plan(df).contains("BroadcastHashJoin"), plan(df))
+  }
+
+  test("multi-agg runs as one aggregation pass with map-side partials") {
+    val d = "/root/testdata/sf0.001"
+    val df = query("?f", "?c", "?s")(
+      parquet(s"$d/lineitem.parquet")(
+        "_", "_", "_", "_", "?q", "_", "_", "_", "?f", "_", "_"),
+      Ops.count() :> "?c", Ops.sum("?q") :> "?s").toDF(spark)
+    val p = plan(df)
+    assert("HashAggregate".r.findAllIn(p).size == 2, s"expected partial+final:\n$p")
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("whole-stage codegen covers the scan-filter-project pipeline") {
+    val d = "/root/testdata/sf0.001"
+    val df = query("?k2")(
+      parquet(s"$d/lineitem.parquet")(
+        "?k", "_", "_", "_", "_", "_", "_", "_", "_", "_", "_"),
+      Ops.times("?k", 2L) :> "?k2").toDF(spark)
+    // "*(n)" prefixes mark whole-stage-codegen'd spans in plan toString
+    assert(plan(df).contains("*(1)"), plan(df))
+  }
+
+  test("per-group top-k plans as a single window, no group materialization") {
+    val d = "/root/testdata/sf0.001"
+    val df = query("?ck", "?top")(
+      parquet(s"$d/orders.parquet")("?ok", "?ck", "_", "?p", "_", "_"),
+      Ops.limit(2)("?ok") :> "?top").sorted("?p").toDF(spark)
+    val p = plan(df)
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+}
