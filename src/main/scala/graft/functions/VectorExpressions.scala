@@ -1,0 +1,142 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst expression for cosine similarity over `array<float>`
+  * embeddings, WITH whole-stage codegen (`doGenCode`) — one fused primitive
+  * loop per row pair.
+  *
+  * Why not `zip_with`/`aggregate`: Spark higher-order functions are
+  * CodegenFallback — per-element interpreted lambda dispatch plus three
+  * array traversals (dot, |a|, |b|). At brute-force-knn scale
+  * (|corpus| × |probes| pairs) that interpretation dominates the job.
+  * This is the (b) tier of the extension ladder: a scalar Expression,
+  * beneath composing built-ins but above a Scala UDF (no
+  * serialization/boxing boundary, participates in codegen).
+  */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (Seq(left, right).forall(_.dataType == ArrayType(FloatType)))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs two array<float> inputs, got ${left.dataType} / ${right.dataType}")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_cosine"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x.getFloat(i).toDouble
+      val yi = y.getFloat(i).toDouble
+      dot += xi * yi; nx += xi * xi; ny += yi * yi
+      i += 1
+    }
+    dot / (math.max(math.sqrt(nx), 1e-12) * math.max(math.sqrt(ny), 1e-12))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xi = (double) $x.getFloat($i);
+         |  double $yi = (double) $y.getFloat($i);
+         |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.max(java.lang.Math.sqrt($nx), 1e-12)
+         |  * java.lang.Math.max(java.lang.Math.sqrt($ny), 1e-12));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Dot product, same construction. */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (Seq(left, right).forall(_.dataType == ArrayType(FloatType)))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs two array<float> inputs, got ${left.dataType} / ${right.dataType}")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) { dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $dot = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += (double) $x.getFloat($i) * (double) $y.getFloat($i);
+         |}
+         |${ev.value} = $dot;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Registration: exposes the native expressions as SQL functions so they
+  * are reachable from `call_function` / `expr` without private Column
+  * constructors (SparkSessionExtensions-style, applied per session). */
+object VectorExpressions {
+  @volatile private var registered = Set.empty[String]
+
+  def register(spark: SparkSession): Unit = synchronized {
+    val key = spark.sessionState.toString
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_cosine",
+      exprs => CosineSim(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_dot",
+      exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    registered += key
+  }
+
+  def cosine(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("graft_cosine", a, b)
+  }
+
+  def dot(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("graft_dot", a, b)
+  }
+}

@@ -239,7 +239,8 @@ object Dedup {
     val r = sigs.toDF("id_b", "emb_b", "bucket")
     l.join(r, "bucket")
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", Similarity.cosine(col("emb_a"), col("emb_b")))
+      .withColumn("cosine", graft.functions.VectorExpressions.cosine(
+        df.sparkSession, col("emb_a"), col("emb_b")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine").distinct()
   }

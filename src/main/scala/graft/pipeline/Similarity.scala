@@ -12,36 +12,50 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two float-array columns. */
+  /** Dot product of two float-array columns — HOF fallback; the knn paths
+    * use the native codegen expression [[graft.functions.DotProduct]]. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
 
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity. */
+  /** Cosine similarity — HOF fallback (see [[graft.functions.CosineSim]]
+    * for the codegen path used by the knn operators). */
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (greatest(norm(a), lit(1e-12)) * greatest(norm(b), lit(1e-12)))
 
-  /** Deterministic pseudo-random hyperplane component: plane p, dim i →
-    * a fixed value in [-1, 1) derived from a 64-bit mix. Seeded — stable
-    * across runs and partitions (required for joinable bucket keys). */
-  private def planeComponent(p: Int, i: Column): Column =
-    (pmod(xxhash64(lit(p), i, lit(0x9E3779B97F4A7C15L)), lit(2000000L)).cast("double")
-      / 1000000.0d) - 1.0d
-
-  /** Sign bit of the projection onto deterministic hyperplane p. */
-  private def planeSign(emb: Column, p: Int): Column = {
-    val proj = aggregate(
-      zip_with(emb, sequence(lit(0), size(emb) - 1), (x, i) => x * planeComponent(p, i)),
-      lit(0.0d), (acc, x) => acc + x)
-    when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+  @inline private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
   }
 
   /** Random-hyperplane LSH signature: `planes` sign bits packed in a long.
-    * Vectors with small angle share buckets with high probability. */
+    * Plane components are deterministic in (plane, dim) via splitmix64 —
+    * stable across runs and partitions (joinable bucket keys). Tight-loop
+    * kernel (HOF lambdas are interpreted; see BASELINE.md). */
+  private val hyperplaneKernel = udf((emb: Seq[Float], planes: Int) => {
+    var sig = 0L
+    var p = 0
+    while (p < planes) {
+      var proj = 0.0
+      var i = 0
+      while (i < emb.length) {
+        // component in [-1, 1) from the top 53 bits of the mix
+        val h = mix64(p.toLong * 0x9E3779B97F4A7C15L + i)
+        proj += emb(i) * ((h >>> 11) * (1.0 / (1L << 52)) - 1.0)
+        i += 1
+      }
+      if (proj >= 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  })
+
   def hyperplaneSignature(emb: Column, planes: Int = 12): Column =
-    (0 until planes).map(planeSign(emb, _)).reduce(_.bitwiseOR(_))
+    hyperplaneKernel(emb, lit(planes))
 
   /** Exact brute-force cosine top-k: every probe against every corpus row
     * (broadcast the probes — they are the small side), then window top-k.
@@ -57,7 +71,8 @@ object Similarity {
     val c = corpus.select(col(corpusId).as("corpus_id"), col(embCol).as("c_emb"))
     val p = probes.select(col(probeId).as("probe_id"), col(embCol).as("p_emb"))
     val scored = c.crossJoin(broadcast(p))
-      .withColumn("cosine", cosine(col("c_emb"), col("p_emb")))
+      .withColumn("cosine", graft.functions.VectorExpressions.cosine(
+        corpus.sparkSession, col("c_emb"), col("p_emb")))
     val w = Window.partitionBy("probe_id").orderBy(col("cosine").desc, col("corpus_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -87,7 +102,8 @@ object Similarity {
     val p = probes.select(col(probeId).as("probe_id"), col(embCol).as("p_emb"),
       explode(probeBuckets).as("bucket"))
     val scored = c.join(p, "bucket")
-      .withColumn("cosine", cosine(col("c_emb"), col("p_emb")))
+      .withColumn("cosine", graft.functions.VectorExpressions.cosine(
+        corpus.sparkSession, col("c_emb"), col("p_emb")))
     val w = Window.partitionBy("probe_id").orderBy(col("cosine").desc, col("corpus_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
