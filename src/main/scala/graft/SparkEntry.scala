@@ -209,6 +209,32 @@ object SparkEntry {
   private def q23(s: SparkSession, d: String): DataFrame =
     tbl(d, "lineitem")(s).sample(0.1, 42L).select("l_orderkey", "l_linenumber")
 
+  /** Subquery composition (api_test.clj:193-216): a filtered subquery used
+    * as a generator in an outer join-aggregation. */
+  private def q24(s: SparkSession, d: String): DataFrame = {
+    val bigOrders = query("?ok", "?ck")(
+      orders(d)("?ok", "?ck", "_", "?price", "_", "_"),
+      Ops.gt("?price", 100000.0))
+    query("?c_mktsegment", "?big_orders")(
+      customer(d)("?ck", "_", "_", "_", "?c_mktsegment"),
+      bigOrders("_", "?ck"),
+      Ops.count() :> "?big_orders").toDF(s)
+  }
+
+  /** Predicate-macro expansion (logic/predmacro.clj): avg via
+    * count+sum+div — hash-stable through the decimal sum. */
+  private def q25(s: SparkSession, d: String): DataFrame = {
+    val avgDecMacro: PredMacro = (in, out) => {
+      val (c, sm) = (graft.logic.Vars.gen(), graft.logic.Vars.gen())
+      Seq(Ops.count() :> c,
+        Ops.sumDec()(in.head) :> sm,
+        Ops.div(sm, c) :> out.head)
+    }
+    query("?c_mktsegment", "?avg_bal")(
+      customer(d)("_", "_", "_", "?bal", "?c_mktsegment"),
+      avgDecMacro("?bal") :> "?avg_bal").toDF(s)
+  }
+
   // ----------------------------------------------------- pipeline queries
 
   private def p01(s: SparkSession, d: String): DataFrame =
@@ -290,6 +316,8 @@ object SparkEntry {
     "q21_variance" -> (q21 _),
     "q22_events_agg" -> (q22 _),
     "q23_sample" -> (q23 _),
+    "q24_subquery" -> (q24 _),
+    "q25_predmacro_avg" -> (q25 _),
     "p01_exact_dedup" -> (p01 _),
     "p02_token_count" -> (p02 _),
     "p03_chars_per_token" -> (p03 _),
@@ -386,6 +414,15 @@ object SparkEntry {
       """SELECT event_type, COUNT(*) AS cnt,
         |CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type""".stripMargin,
+    "q24_subquery" ->
+      """SELECT c_mktsegment, COUNT(*) AS big_orders
+        |FROM customer JOIN (SELECT o_orderkey, o_custkey FROM orders
+        |  WHERE o_totalprice > 100000.0) t ON t.o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q25_predmacro_avg" ->
+      """SELECT c_mktsegment,
+        |CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)/COUNT(*) AS avg_bal
+        |FROM customer GROUP BY c_mktsegment""".stripMargin,
     "p01_exact_dedup" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
         |COUNT(*) AS dup_count FROM documents GROUP BY md5(text)""".stripMargin,

@@ -94,6 +94,12 @@ object dsl {
       sorted.limit(n)
     }, fields)
 
+  /** sample* (cascading/operations.clj:109-116): Bernoulli sample by
+    * fraction with seed, as a generator transform. */
+  def sample(g: GenPred, fraction: Double, seed: Long = 42L): GenPred =
+    g.copy(load = s => Planner0.bind(s, g).sample(fraction, seed),
+      fields = g.fields.collect { case v: String if Vars.isVar(v) && !Vars.isWildcard(v) => v })
+
   /** fixed-sample (ops.clj:255-269): uniform random n rows (seeded rand key
     * + global limit, same plan shape as the reference's RandLong + sort). */
   def fixedSample(g: GenPred, n: Int, seed: Long = 42L): GenPred =
@@ -200,7 +206,11 @@ object dsl {
     case _: java.sql.Timestamp => TimestampType
     case _: java.sql.Date => DateType
     case _: Array[Byte] => BinaryType
-    case s: Seq[_] => ArrayType(inferType(s.head))
+    case s: Seq[_] =>
+      require(s.nonEmpty, "cannot infer element type of an empty collection")
+      val ts = s.map(inferType).distinct
+      require(ts.size == 1, s"mixed element types $ts") // → AnyColumn fallback
+      ArrayType(ts.head)
     case other => throw new IllegalArgumentException(s"cannot infer type of $other")
   }
 
@@ -214,19 +224,35 @@ object dsl {
     case (x, _) => x
   }
 
-  /** Local rows → DataFrame with per-column inferred schema (first non-null
-    * value wins; numeric values coerced to the inferred width). */
+  /** Local rows → DataFrame with per-column inferred schema (numeric
+    * values coerced to the inferred width). A column whose non-null values
+    * mix incompatible types — or hold values Spark has no type for (nested
+    * Clojure-style maps, arbitrary objects) — falls back to the
+    * [[graft.logic.AnyColumn]] tagged-binary codec (reference untyped
+    * tuples, SURVEY §1.2/§7.4.4); the typed fast path is untouched. */
   def memDF(s: SparkSession, rows: Seq[Seq[Any]]): DataFrame = {
     require(rows.nonEmpty, "mem generator needs at least one row")
     val n = rows.head.length
-    val types = (0 until n).map { i =>
-      rows.collectFirst { case r if r(i) != null => inferType(r(i)) }
-        .getOrElse(StringType)
+    val types: Seq[DataType] = (0 until n).map { i =>
+      val inferred = rows.flatMap(r => Option(r(i))).map { v =>
+        try inferType(v) catch { case scala.util.control.NonFatal(_) => BinaryType }
+      }.distinct
+      inferred match {
+        case Seq() => StringType
+        case Seq(one) => one
+        case many if many.forall(t => t == LongType || t == IntegerType) => LongType
+        case many if many.forall(_.isInstanceOf[NumericType]) => DoubleType
+        case _ => BinaryType // mixed → AnyColumn codec
+      }
     }
     val schema = StructType(types.zipWithIndex.map { case (t, i) =>
       StructField(s"c$i", t, nullable = true)
     })
-    val data = rows.map(r => Row.fromSeq(r.zip(types).map { case (v, t) => coerce(v, t) }))
+    val data = rows.map(r => Row.fromSeq(r.zip(types).map {
+      case (v, BinaryType) if v != null && !v.isInstanceOf[Array[Byte]] =>
+        graft.logic.AnyColumn.encode(v)
+      case (v, t) => coerce(v, t)
+    }))
     s.createDataFrame(new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(data).asJava), schema)
   }
 }

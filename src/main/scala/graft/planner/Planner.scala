@@ -258,7 +258,7 @@ object Planner {
     aggs.head.op match {
       case _: BufferOp => bufferAggregate(t, aggs.head, groupVars, q)
       case _: LimitAgg => limitAggregate(t, aggs.head, groupVars, q)
-      case _           => columnAggregate(t, aggs, groupVars)
+      case _           => columnAggregate(t, aggs, groupVars, q.options.reducers)
     }
   }
 
@@ -285,7 +285,8 @@ object Planner {
     Tail(bound.df.drop(rk), bound.fields)
   }
 
-  private def columnAggregate(t: Tail, aggs: Seq[OpPred], groupVars: Vector[String]): Tail = {
+  private def columnAggregate(t: Tail, aggs: Seq[OpPred], groupVars: Vector[String],
+      reducers: Option[Int]): Tail = {
     val aggCols = mutable.ArrayBuffer[Column]()
     val postFilters = mutable.ArrayBuffer[(String, Any)]() // fresh col <=> const
     var fields = groupVars
@@ -305,7 +306,10 @@ object Planner {
       }
     case other => sys.error(s"unexpected aggregator ${other.op}")
     }
-    var df = t.df
+    // :reducers (operations.clj:220-233): explicit reduce parallelism
+    val pre = reducers.filter(_ => groupVars.nonEmpty).fold(t.df)(n =>
+      t.df.repartition(n, groupVars.map(v => col(Vars.colName(v))): _*))
+    var df = pre
       .groupBy(groupVars.map(v => col(Vars.colName(v))): _*)
       .agg(aggCols.head, aggCols.tail.toSeq: _*)
     postFilters.foreach { case (tmp, const) =>
