@@ -127,6 +127,40 @@ object dsl {
   def selectFields(df: DataFrame, names: String*): DataFrame =
     df.select(names.map(col): _*)
 
+  /** Field-level operations (reference cascading/operations.clj:78-125):
+    * the select/identity/discard/rename/insert/debug star-ops as
+    * DataFrame transformations. */
+  object fields {
+    /** select* (operations.clj:78-83). */
+    def select(df: DataFrame, names: String*): DataFrame = selectFields(df, names: _*)
+    /** identity*: mirror input fields into new output fields (:85-88). */
+    def identity(df: DataFrame, from: Seq[String], to: Seq[String]): DataFrame =
+      from.zip(to).foldLeft(df) { case (d, (f, t)) => d.withColumn(t, col(f)) }
+    /** discard* (:90-93). */
+    def discard(df: DataFrame, names: String*): DataFrame = df.drop(names: _*)
+    /** rename* (:118-125). */
+    def rename(df: DataFrame, from: Seq[String], to: Seq[String]): DataFrame =
+      from.zip(to).foldLeft(df) { case (d, (f, t)) => d.withColumnRenamed(f, t) }
+    /** insert*: constant-valued fields (:100-107). */
+    def insert(df: DataFrame, values: (String, Any)*): DataFrame =
+      values.foldLeft(df) { case (d, (n, v)) => d.withColumn(n, lit(v)) }
+    /** debug*: print passing tuples, pass through (:95-98). */
+    def debug(df: DataFrame, n: Int = 20): DataFrame = { df.show(n, truncate = false); df }
+  }
+
+  /** intersect / except — absent in the reference (expressible there only
+    * via exists-joins, SURVEY §2.9); free primitives on Spark. */
+  def intersect(a: GenPred, b: GenPred): GenPred =
+    a.copy(load = s => Planner0.bind(s, a).intersect(Planner0.bind(s, b)),
+      fields = boundVars(a))
+  def except(a: GenPred, b: GenPred): GenPred =
+    a.copy(load = s => Planner0.bind(s, a).except(Planner0.bind(s, b)),
+      fields = boundVars(a))
+
+  private def boundVars(g: GenPred): Seq[Any] = g.fields.collect {
+    case v: String if Vars.isVar(v) && !Vars.isWildcard(v) => v
+  }.distinct
+
   /** name-vars (api.clj:154-158). */
   def nameVars(df: DataFrame, vars: Seq[String])(fields: Any*): GenPred =
     GenPred(_ => df.toDF(vars.map(Vars.displayName): _*), fields)
