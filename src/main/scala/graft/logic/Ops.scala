@@ -48,8 +48,13 @@ final case class BufferOp(
   * map-side combiner; on Spark the scalable plan is
   * `row_number().over(Window.partitionBy(group).orderBy(sort))` + filter —
   * no per-group materialization, codegen'd. Passes the input tuple through
-  * to the outputs; `withRank` appends the 1-based rank. */
-final case class LimitAgg(n: Int, withRank: Boolean = false) extends Op
+  * to the outputs; `withRank` appends the 1-based rank.
+  *
+  * `salt > 1` enables the skew-safe two-phase plan: local top-n per
+  * (group, salt) bucket, then final top-n per group — a hot key's rows
+  * spread over `salt` tasks instead of one straggler window partition.
+  * Output is identical to the unsalted plan. */
+final case class LimitAgg(n: Int, withRank: Boolean = false, salt: Int = 0) extends Op
 
 /** Sequential fold aggregator (reference `aggregatefn`, logic/def.clj:39):
   * init → step per tuple → present. Runs on the (optionally sorted) group

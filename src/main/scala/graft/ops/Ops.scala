@@ -164,6 +164,8 @@ object Ops {
   /** limit / limit-rank (ops.clj:172-226) — window-rank plan, see LimitAgg. */
   def limit(n: Int): LimitAgg = LimitAgg(n)
   def limitRank(n: Int): LimitAgg = LimitAgg(n, withRank = true)
+  /** Skew-safe top-k: two-phase salted plan, identical output. */
+  def limitSalted(n: Int, salt: Int = 16): LimitAgg = LimitAgg(n, salt = salt)
 
   /** bufferfn (def.clj:40): group tuples (secondary-sorted) → output tuples. */
   def bufferFn(numOut: Int, outTypes: Seq[DataType])(

@@ -266,7 +266,7 @@ object Planner {
     * reference's limit ParallelBuffer (logic/ops.clj:172-226). */
   private def limitAggregate(t: Tail, lp: OpPred, groupVars: Vector[String], q: Query): Tail = {
     import org.apache.spark.sql.expressions.Window
-    val LimitAgg(n, withRank) = lp.op: @unchecked
+    val LimitAgg(n, withRank, salt) = lp.op: @unchecked
     val inCols = lp.in.map(itemCol(t, _))
     val orderCols =
       if (q.options.sort.nonEmpty)
@@ -274,12 +274,23 @@ object Planner {
           val c = col(Vars.colName(v)); if (q.options.reverse) c.desc else c.asc
         }
       else inCols.map(_.asc) // deterministic order when :sort is absent
-    val w =
-      (if (groupVars.isEmpty) Window.partitionBy(lit(1))
-       else Window.partitionBy(groupVars.map(v => col(Vars.colName(v))): _*))
+    val groupCols = groupVars.map(v => col(Vars.colName(v)))
+    def windowOver(parts: Seq[Column]) =
+      (if (parts.isEmpty) Window.partitionBy(lit(1)) else Window.partitionBy(parts: _*))
         .orderBy(orderCols: _*)
     val rk = Vars.colName(Vars.gen())
-    val ranked = t.df.withColumn(rk, row_number().over(w)).filter(col(rk) <= n)
+    // skew-safe two-phase: local top-n per (group, salt) first — a hot
+    // key's rows spread across `salt` tasks; final pass sees ≤ salt*n
+    // rows per group. Same output as the single window.
+    val pre =
+      if (salt > 1) {
+        val sc = Vars.colName(Vars.gen())
+        t.df.withColumn(sc, pmod(monotonically_increasing_id(), lit(salt.toLong)))
+          .withColumn(rk, row_number().over(windowOver(groupCols :+ col(sc))))
+          .filter(col(rk) <= n).drop(sc, rk)
+      } else t.df
+    val ranked = pre.withColumn(rk, row_number().over(windowOver(groupCols)))
+      .filter(col(rk) <= n)
     val outCols = inCols ++ (if (withRank) Seq(col(rk).cast("long")) else Nil)
     val bound = bindOutputs(Tail(ranked, t.fields), lp.out, outCols)
     Tail(bound.df.drop(rk), bound.fields)

@@ -139,6 +139,15 @@ class OpsLibrarySpec extends SparkTestBase {
     assert(r1.size == 4 && r1 == r2) // seeded → deterministic
   }
 
+  test("salted top-k equals unsalted top-k (skew-safe plan)") {
+    def topk(op: graft.logic.LimitAgg) =
+      query("?f", "?top", "?r")(
+        mem(Playground.follows)(Seq("?f", "?fd"): _*),
+        op.copy(withRank = true)("?fd") :> ("?top", "?r")).sorted("?fd")
+        .toDF(spark).collect().map(_.toSeq).toSet
+    assert(topk(Ops.limitSalted(2, salt = 4)) == topk(Ops.limit(2)))
+  }
+
   test("sample generator transform") {
     val g = sample(mem(Playground.integer)(Seq("?n"): _*), 0.5, seed = 7L)
     val n = query("?n")(g).toDF(spark).count()
