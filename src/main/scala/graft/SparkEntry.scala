@@ -235,6 +235,24 @@ object SparkEntry {
       avgDecMacro("?bal") :> "?avg_bal").toDF(s)
   }
 
+  /** intersect (beyond-reference set op): nation keys present in BOTH
+    * customer and supplier. */
+  private def q26(s: SparkSession, d: String): DataFrame =
+    query("?nationkey")(dsl.intersect(
+      customer(d)("_", "_", "?nationkey", "_", "_"),
+      source(tbl(d, "supplier"))("_", "_", "?nationkey", "_"))).toDF(s)
+
+  /** except: nations with a rich customer but no rich supplier (the
+    * filters ride inside the generators via constant-free predicates). */
+  private def q27(s: SparkSession, d: String): DataFrame = {
+    val richCust = query("?nationkey")(
+      customer(d)("_", "_", "?nationkey", "?bal", "_"), Ops.gt("?bal", 9000.0))
+    val richSupp = query("?nationkey")(
+      source(tbl(d, "supplier"))("_", "_", "?nationkey", "?bal"), Ops.gt("?bal", 9000.0))
+    query("?nationkey")(dsl.except(
+      richCust("?nationkey"), richSupp("?nationkey"))).toDF(s)
+  }
+
   // ----------------------------------------------------- pipeline queries
 
   private def p01(s: SparkSession, d: String): DataFrame =
@@ -318,6 +336,8 @@ object SparkEntry {
     "q23_sample" -> (q23 _),
     "q24_subquery" -> (q24 _),
     "q25_predmacro_avg" -> (q25 _),
+    "q26_intersect" -> (q26 _),
+    "q27_except" -> (q27 _),
     "p01_exact_dedup" -> (p01 _),
     "p02_token_count" -> (p02 _),
     "p03_chars_per_token" -> (p03 _),
@@ -423,6 +443,12 @@ object SparkEntry {
       """SELECT c_mktsegment,
         |CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)/COUNT(*) AS avg_bal
         |FROM customer GROUP BY c_mktsegment""".stripMargin,
+    "q26_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT SELECT s_nationkey FROM supplier""".stripMargin,
+    "q27_except" ->
+      """SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000.0
+        |EXCEPT SELECT s_nationkey FROM supplier WHERE s_acctbal > 9000.0""".stripMargin,
     "p01_exact_dedup" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
         |COUNT(*) AS dup_count FROM documents GROUP BY md5(text)""".stripMargin,

@@ -161,6 +161,17 @@ object dsl {
     case v: String if Vars.isVar(v) && !Vars.isWildcard(v) => v
   }.distinct
 
+  /** checkpoint* (reference cascading/operations.clj:626-632: force a
+    * temp-file job boundary mid-flow) → `df.localCheckpoint` — truncates
+    * lineage and materializes, the Spark equivalent of the reference's
+    * intermediate seqfile. */
+  def checkpointed(g: GenPred): GenPred =
+    g.copy(load = s => Planner0.bind(s, g).localCheckpoint(), fields = boundVars(g))
+
+  /** Reusable branch: persist a generator consumed by several queries. */
+  def cached(g: GenPred): GenPred =
+    g.copy(load = s => Planner0.bind(s, g).cache(), fields = boundVars(g))
+
   /** name-vars (api.clj:154-158). */
   def nameVars(df: DataFrame, vars: Seq[String])(fields: Any*): GenPred =
     GenPred(_ => df.toDF(vars.map(Vars.displayName): _*), fields)
