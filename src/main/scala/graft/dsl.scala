@@ -72,6 +72,19 @@ object dsl {
     def apply(in: Any*): OpCall = OpCall(op, in)
   }
 
+  /** Trapped op sugar: `trapped(f, "?x") :> "?y"` — on exception the tuple
+    * goes to the query's `withTrap` sink (or is dropped if none), the job
+    * continues. Error rides a reserved `!__trap*` var until the planner
+    * diverts it pre-aggregation. */
+  def trapped[A: scala.reflect.runtime.universe.TypeTag,
+      R: scala.reflect.runtime.universe.TypeTag](f: A => R, in: Any*): TrappedCall =
+    TrappedCall(graft.operators.Trap.trapFn(f), in)
+
+  final case class TrappedCall(op: ColumnMap, in: Seq[Any]) {
+    def :>(out: Any*): PredOf =
+      PredOf(OpPred(op, in, out :+ s"!__trap${Vars.gen().drop(2)}"))
+  }
+
   final case class MacroCallBuilder(m: PredMacro, in: Seq[Any]) {
     def :>(out: Any*): MacroCall = MacroCall(m, in, out)
   }

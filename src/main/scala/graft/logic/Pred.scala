@@ -31,14 +31,17 @@ final case class OpPred(op: Op, in: Seq[Any], out: Seq[Any]) extends Pred
 final case class ExistsPred(gen: GenPred, flag: Any) extends Pred
 
 /** Per-query options (reference logic/options.clj). `:spill-threshold` is
-  * accepted and ignored — Spark spills automatically. */
+  * accepted and ignored — Spark spills automatically. `trap` receives the
+  * DataFrame of failing tuples (reference :trap tap, logic/options.clj:56).
+  */
 final case class QueryOptions(
     sort: Seq[String] = Nil,
     reverse: Boolean = false,
     distinct: Boolean = false,
     reducers: Option[Int] = None,
     name: Option[String] = None,
-    spillThreshold: Option[Int] = None
+    spillThreshold: Option[Int] = None,
+    trap: Option[DataFrame => Unit] = None
 )
 
 /** A parsed subquery: declared output fields + predicates + options
@@ -55,6 +58,10 @@ final case class Query(
   def distinct: Query = copy(options = options.copy(distinct = true))
   def named(n: String): Query = copy(options = options.copy(name = Some(n)))
   def reducers(n: Int): Query = copy(options = options.copy(reducers = Some(n)))
+  /** :trap — failing tuples of trapped ops are diverted here and the job
+    * continues (reference trap taps, cascading/platform.clj:311-318). */
+  def withTrap(sink: DataFrame => Unit): Query =
+    copy(options = options.copy(trap = Some(sink)))
 
   /** Compile and run: columns are the out fields with sigils stripped. */
   def toDF(spark: SparkSession): DataFrame =

@@ -225,6 +225,63 @@ object Dedup {
       .select("id_a", "id_b", "hamming").distinct()
   }
 
+  /** Connected components over near-dup candidate pairs → duplicate
+    * clusters (the consolidation step of a dedup pipeline: candidates come
+    * in as edges, every document keeps exactly one representative per
+    * component). Iterative min-label propagation: label(v) ← min(label(v),
+    * min over neighbors) until fixpoint, localCheckpoint per round to keep
+    * lineage flat. O(diameter) rounds — near-dup clusters are tiny, so 2-3
+    * rounds in practice; `maxIter` bounds adversarial chains.
+    * Returns (id, component) with component = min id in the cluster. */
+  def components(edges: DataFrame, maxIter: Int = 10): DataFrame = {
+    // undirected: both directions + self-loops for isolated correctness
+    val fwd = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+    val sym = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
+    var labels = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("component"))
+      .localCheckpoint()
+    var iter = 0
+    var changed = 1L
+    while (iter < maxIter && changed > 0) {
+      // every node adopts the min component among itself and its neighbors
+      val neighborMin = sym
+        .join(labels.withColumnRenamed("id", "dst")
+          .withColumnRenamed("component", "n_comp"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min("n_comp").as("n_comp"))
+      val updated = labels.join(neighborMin, Seq("id"), "left_outer")
+        .select(col("id"),
+          least(col("component"), coalesce(col("n_comp"), col("component")))
+            .as("component"))
+        .localCheckpoint()
+      changed = updated.join(labels.withColumnRenamed("component", "old"), "id")
+        .filter(col("component") =!= col("old")).count()
+      labels = updated
+      iter += 1
+    }
+    labels
+  }
+
+  /** End-to-end near-dup dedup: candidates → verified pairs → components →
+    * survivors (min doc id per component + all unclustered docs). */
+  def nearDupDedup(
+      df: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      k: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.8): DataFrame = {
+    val cands = minhashCandidates(df, textCol, idCol, k, bands)
+    val verified = jaccardVerify(cands, df, textCol, idCol, threshold = threshold)
+    val comp = components(verified.select("id_a", "id_b"))
+    val keep = comp.groupBy("component").agg(min("id").as(idCol)).select(idCol)
+    val clustered = comp.select(col("id").as(idCol))
+    df.join(clustered, Seq(idCol), "left_anti") // never-clustered docs
+      .select(col(idCol))
+      .unionAll(keep) // plus one representative per cluster
+      .join(df, Seq(idCol))
+  }
+
   /** Embedding cosine near-dup: LSH-bucket by random-hyperplane signs
     * (deterministic seeded planes), verify exact cosine within buckets. */
   def embeddingNearDup(

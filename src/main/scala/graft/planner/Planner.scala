@@ -73,6 +73,20 @@ object Planner {
     exist.foreach { e => tail = applyExists(spark, tail, e) }
     tail = fixedPoint(tail, ops)
 
+    // 3.5 trap diversion (reference :trap, cascading/platform.clj:311-318):
+    // trapped ops bound their error to reserved `!__trap*` vars; failing
+    // tuples are diverted BEFORE aggregation so they never count
+    val trapVars = tail.fields.filter(_.startsWith("!__trap"))
+    if (trapVars.nonEmpty) {
+      val anyErr = trapVars.map(v => tail.col(v).isNotNull).reduce(_ || _)
+      q.options.trap.foreach(sink => sink(
+        tail.df.filter(anyErr).select(tail.fields.map(v =>
+          tail.col(v).as(Vars.displayName(v))): _*)))
+      tail = Tail(
+        tail.df.filter(!anyErr).drop(trapVars.map(Vars.colName): _*),
+        tail.fields.filterNot(trapVars.contains))
+    }
+
     // 4. grouping / aggregation
     if (aggPreds.nonEmpty) {
       tail = aggregate(tail, aggPreds, q)
@@ -162,8 +176,11 @@ object Planner {
 
   /** Bind computed output columns to the out items: fresh vars bind, bound
     * vars and constants become implicit equality filters, `?` outputs get a
-    * null filter, wildcards are discarded. */
-  private def bindOutputs(t: Tail, outs: Seq[Any], cols: Seq[Column]): Tail = {
+    * null filter, wildcards are discarded. `skipNullFilter` is set for
+    * trapped ops — their failed rows (null result + error set) must survive
+    * until the trap diversion point. */
+  private def bindOutputs(t: Tail, outs: Seq[Any], cols: Seq[Column],
+      skipNullFilter: Boolean = false): Tail = {
     require(outs.length == cols.length,
       s"op emits ${cols.length} columns but ${outs.length} outputs were bound")
     var df = t.df
@@ -172,7 +189,8 @@ object Planner {
       case (w: String, _) if Vars.isWildcard(w) => ()
       case (v: String, c) if Vars.isVar(v) && !fields.contains(v) =>
         df = df.withColumn(Vars.colName(v), c)
-        if (Vars.isNonNullable(v)) df = df.filter(col(Vars.colName(v)).isNotNull)
+        if (Vars.isNonNullable(v) && !skipNullFilter)
+          df = df.filter(col(Vars.colName(v)).isNotNull)
         fields :+= v
       case (v: String, c) if Vars.isVar(v) => // bound: implicit equality
         df = df.filter(col(Vars.colName(v)) <=> c)
@@ -184,8 +202,12 @@ object Planner {
 
   private def applyOp(t: Tail, o: OpPred): Tail = {
     val inCols = o.in.map(itemCol(t, _))
+    val isTrapped = o.out.exists {
+      case s: String => s.startsWith("!__trap")
+      case _ => false
+    }
     o.op match {
-      case ColumnMap(_, f) => bindOutputs(t, o.out, f(inCols))
+      case ColumnMap(_, f) => bindOutputs(t, o.out, f(inCols), skipNullFilter = isTrapped)
       case ColumnFilter(f) if o.out.isEmpty => Tail(t.df.filter(f(inCols)), t.fields)
       case ColumnFilter(f) => bindOutputs(t, o.out, Seq(f(inCols))) // capture bool
       case ColumnMapcat(n, f) =>

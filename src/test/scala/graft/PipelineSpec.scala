@@ -85,6 +85,34 @@ class PipelineSpec extends SparkTestBase {
     (0L until 5L).foreach(i => assert(near.contains((i, i + 1000L)), s"missing ($i,${i + 1000L})"))
   }
 
+  test("connected components and end-to-end near-dup dedup") {
+    // chain 1-2-3, pair 4-5, isolated 6 never appears in edges
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val comp = Dedup.components(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L))
+
+    // end-to-end: docs 1,2,4 near-identical; 3,5 distinct → keep 1,3,5
+    val kept = Dedup.nearDupDedup(toyDocs, threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 5L), s"kept $kept")
+  }
+
+  test("trapped op through the query DSL with :trap option") {
+    import graft.dsl._
+    val sunk = scala.collection.mutable.ArrayBuffer[Seq[Any]]()
+    val q = query("?n", "!res")(
+      mem(Seq(Seq(1L), Seq(2L), Seq(3L), Seq(4L)))(Seq("?n"): _*),
+      trapped((n: Long) =>
+        if (n % 2 == 1) throw new IllegalArgumentException(s"odd $n") else n * 10,
+        "?n") :> "!res")
+      .withTrap(df => sunk ++= df.collect().toSeq.map(_.toSeq))
+    val clean = q.toDF(spark).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(clean == Set((2L, 20L), (4L, 40L)))
+    assert(sunk.map(_.head).toSet == Set(1L, 3L))
+    assert(sunk.forall(_.last.toString.contains("odd")))
+  }
+
   test("text analysis: token counts, quality, langId, fingerprint") {
     val row = docs.select(
       TextAnalysis.tokenCount($"text"),
