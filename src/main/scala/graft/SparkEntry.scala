@@ -305,6 +305,12 @@ object SparkEntry {
   private def p10(s: SparkSession, d: String): DataFrame =
     Dedup.simhashCandidates(tbl(d, "documents")(s), maxHamming = 10)
 
+  /** End-to-end near-dup dedup: candidates → verify → components → one
+    * representative per cluster (rows-only: survivor set). */
+  private def p11(s: SparkSession, d: String): DataFrame =
+    Dedup.nearDupDedup(tbl(d, "documents")(s), threshold = 0.6)
+      .select("doc_id", "lang", "source")
+
   // --------------------------------------------------------------- driver
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
@@ -347,7 +353,8 @@ object SparkEntry {
     "p07_simhash" -> (p07 _),
     "p08_knn_brute" -> (p08 _),
     "p09_knn_lsh" -> (p09 _),
-    "p10_simhash_neardup" -> (p10 _)
+    "p10_simhash_neardup" -> (p10 _),
+    "p11_neardup_dedup" -> (p11 _)
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -146,8 +146,22 @@ object Dedup {
       .select("id_a", "id_b").distinct()
   }
 
-  /** Exact n-gram Jaccard similarity for candidate pairs: join shingle sets
-    * back in and compute |∩|/|∪| with array expressions. */
+  /** w-gram Jaccard kernel over raw texts — one tight pass per pair
+    * (the HOF shingle/intersect/union pipeline is interpreted). */
+  private val jaccardKernel = udf((a: String, b: String, w: Int) => {
+    def sh(t: String): Set[String] =
+      if (t == null) Set.empty
+      else {
+        val toks = t.trim.toLowerCase.split("\\W+").filter(_.nonEmpty)
+        if (toks.length <= w) Set(toks.mkString(" "))
+        else toks.sliding(w).map(_.mkString(" ")).toSet
+      }
+    val sa = sh(a); val sb = sh(b)
+    val union = (sa | sb).size
+    if (union == 0) 1.0 else (sa & sb).size.toDouble / union
+  })
+
+  /** Exact n-gram Jaccard similarity for candidate pairs. */
   def jaccardVerify(
       candidates: DataFrame, // (id_a, id_b)
       docs: DataFrame,
@@ -155,14 +169,11 @@ object Dedup {
       idCol: String = "doc_id",
       shingleWords: Int = 3,
       threshold: Double = 0.8): DataFrame = {
-    val sh = docs.select(col(idCol).as("_id"),
-      wordShingles(col(textCol), shingleWords).as("_sh"))
+    val t = docs.select(col(idCol).as("_id"), col(textCol).as("_t"))
     candidates
-      .join(sh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "sh_a"), "id_a")
-      .join(sh.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "sh_b"), "id_b")
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          greatest(size(array_union(col("sh_a"), col("sh_b"))), lit(1)))
+      .join(t.withColumnRenamed("_id", "id_a").withColumnRenamed("_t", "t_a"), "id_a")
+      .join(t.withColumnRenamed("_id", "id_b").withColumnRenamed("_t", "t_b"), "id_b")
+      .withColumn("jaccard", jaccardKernel(col("t_a"), col("t_b"), lit(shingleWords)))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
@@ -234,9 +245,12 @@ object Dedup {
     * rounds in practice; `maxIter` bounds adversarial chains.
     * Returns (id, component) with component = min id in the cluster. */
   def components(edges: DataFrame, maxIter: Int = 10): DataFrame = {
-    // undirected: both directions + self-loops for isolated correctness
+    // undirected: both directions; materialized ONCE — the edge list is
+    // re-joined every iteration and usually sits atop an expensive
+    // candidate-generation chain (minhash → jaccard)
     val fwd = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
     val sym = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
     var labels = sym.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("component"))
       .localCheckpoint()

@@ -41,6 +41,23 @@ object Taps {
       .option("quote", quote).option("inferSchema", inferSchema.toString)
       .csv(path), fields)
 
+  /** hfs-wrtseqfile (more_taps.clj:83-112): Hadoop SequenceFile of
+    * Writable key/value pairs, as (key string, value string) tuples. */
+  def wrtseqfile(path: String)(fields: Any*): GenPred =
+    GenPred({ s =>
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val rdd = s.sparkContext.sequenceFile[String, String](path)
+        .map { case (k, v) => Row(k, v) }
+      s.createDataFrame(rdd, StructType(Seq(
+        StructField("key", StringType), StructField("value", StringType))))
+    }, fields)
+
+  /** Writable SequenceFile sink for two-column (string, string) frames. */
+  def wrtseqfileSink(df: DataFrame, path: String): Unit =
+    df.rdd.map(r => (String.valueOf(r.get(0)), String.valueOf(r.get(1))))
+      .saveAsSequenceFile(path)
+
   /** hfs-wholefile (more_taps.clj:114-120): one tuple per whole file. */
   def wholefile(path: String, glob: String = "*")(fields: Any*): GenPred =
     GenPred(_.read.format("binaryFile").option("pathGlobFilter", glob).load(path),

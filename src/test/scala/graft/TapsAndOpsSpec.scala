@@ -45,6 +45,11 @@ class TapsAndOpsSpec extends SparkTestBase {
     // wholefile: one tuple per file (binaryFile schema: path, time, len, content)
     val files = Taps.wholefile(s"$dir/x", "*.txt")("?path", "_", "_", "_")
     assert(query("?path")(files).toDF(spark).count() >= 1)
+
+    // Writable SequenceFile round-trip (hfs-wrtseqfile)
+    Taps.wrtseqfileSink(memDF(spark, Seq(Seq("k1", "v1"), Seq("k2", "v2"))), s"$dir/sq")
+    assertProduces(query("?k", "?v")(Taps.wrtseqfile(s"$dir/sq")("?k", "?v")),
+      Seq(Seq("k1", "v1"), Seq("k2", "v2")))
   }
 
   test("trap: failing tuples diverted, job continues (cascading_api_test.clj:163-224)") {
