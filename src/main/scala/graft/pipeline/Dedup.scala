@@ -115,9 +115,11 @@ object Dedup {
   /** LSH banding: split the k-length signature into `bands` bands and hash
     * each; docs sharing any (band_idx, band_hash) are candidates.
     * Returns (idCol, band, band_hash) — one row per band. */
-  def lshBands(df: DataFrame, idCol: String, sigCol: String, bands: Int): DataFrame = {
+  def lshBands(df: DataFrame, idCol: String, sigCol: String, bands: Int,
+      sigLen: Int = -1): DataFrame = {
     val sig = col(sigCol)
-    val k = df.selectExpr(s"size($sigCol)").head().getInt(0)
+    // avoid a driver head() job when the caller knows the signature length
+    val k = if (sigLen > 0) sigLen else df.selectExpr(s"size($sigCol)").head().getInt(0)
     require(k % bands == 0, s"signature length $k not divisible by $bands bands")
     val r = k / bands
     val bandStructs = array((0 until bands).map(b =>
@@ -138,7 +140,7 @@ object Dedup {
       shingleWords: Int = 3): DataFrame = {
     val sigs = df.select(col(idCol),
       minhashOfText(col(textCol), shingleWords, k).as("sig"))
-    val banded = lshBands(sigs, idCol, "sig", bands)
+    val banded = lshBands(sigs, idCol, "sig", bands, sigLen = k)
     val l = banded.toDF("id_a", "band", "band_hash")
     val r = banded.toDF("id_b", "band", "band_hash")
     l.join(r, Seq("band", "band_hash"))
