@@ -67,6 +67,36 @@ final case class Query(
   def toDF(spark: SparkSession): DataFrame =
     graft.planner.Planner.compile(spark, this)
 
+  /** Explain: the query's predicate tree plus Catalyst's formatted
+    * physical plan (reference explain surface; SURVEY §7.2). */
+  def explain(spark: SparkSession): Unit = {
+    println(describe)
+    toDF(spark).explain("formatted")
+  }
+
+  /** Human-readable predicate listing (the logical node-tree view). */
+  def describe: String = {
+    val ps = preds.map {
+      case GenPred(_, fields, small) =>
+        s"  generator(${fields.mkString(", ")})${if (small) " [broadcast]" else ""}"
+      case OpPred(op, in, out) =>
+        val o = if (out.isEmpty) "" else s" :> ${out.mkString(", ")}"
+        s"  ${op.getClass.getSimpleName}(${in.mkString(", ")})$o"
+      case ExistsPred(g, flag) =>
+        s"  exists[$flag](${g.fields.mkString(", ")})"
+    }
+    val opts = Seq(
+      if (options.sort.nonEmpty)
+        Some(s"sort=${options.sort.mkString(",")}${if (options.reverse) " desc" else ""}")
+      else None,
+      if (options.distinct) Some("distinct") else None,
+      options.reducers.map(r => s"reducers=$r"),
+      options.trap.map(_ => "trap")).flatten
+    s"query(${outFields.mkString(", ")})" +
+      (if (opts.nonEmpty) opts.mkString(" [", " ", "]") else "") +
+      "\n" + ps.mkString("\n")
+  }
+
   /** Use this subquery as a generator in an outer query (reference:
     * subqueries are first-class generators, api_test.clj:193-216). */
   def apply(fields: Any*): GenPred =

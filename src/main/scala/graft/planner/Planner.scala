@@ -394,7 +394,9 @@ object Planner {
         StructField(s"_b$i", dt, nullable = true)
       })
 
-    val rdd = arranged.rdd.mapPartitions { rows =>
+    // stays a Dataset op (no RDD boundary): one deserialize → streaming
+    // group pass → serialize, all inside the same physical plan
+    val df = arranged.mapPartitions { rows =>
       val it = rows.buffered
       new Iterator[Row] {
         private var out: Iterator[Row] = Iterator.empty
@@ -418,8 +420,7 @@ object Planner {
         def hasNext: Boolean = { advance(); out.hasNext }
         def next(): Row = { advance(); out.next() }
       }
-    }
-    val df = spark.createDataFrame(rdd, outSchema)
+    }(org.apache.spark.sql.Encoders.row(outSchema))
     val bound = bindOutputs(
       Tail(df, groupVars),
       bp.out,
