@@ -253,6 +253,21 @@ object SparkEntry {
       richCust("?nationkey"), richSupp("?nationkey"))).toDF(s)
   }
 
+  /** Analytic window function as a plain scalar op (SURVEY §2.7: Spark
+    * windows come free — any `expr.over(window)` Column slots into the
+    * predicate model): running revenue total per customer. */
+  private def q28(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val runTotal = Ops.cmap(cs =>
+      sum(cs(1).cast(DecimalType(18, 4)))
+        .over(Window.partitionBy(cs(0)).orderBy(cs(2).asc, cs(3).asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double"))
+    query("?o_custkey", "?o_orderkey", "?running_total")(
+      orders(d)("?o_orderkey", "?o_custkey", "_", "?price", "?od", "_"),
+      runTotal("?o_custkey", "?price", "?od", "?o_orderkey") :> "?running_total").toDF(s)
+  }
+
   // ----------------------------------------------------- pipeline queries
 
   private def p01(s: SparkSession, d: String): DataFrame =
@@ -344,6 +359,7 @@ object SparkEntry {
     "q25_predmacro_avg" -> (q25 _),
     "q26_intersect" -> (q26 _),
     "q27_except" -> (q27 _),
+    "q28_window_running" -> (q28 _),
     "p01_exact_dedup" -> (p01 _),
     "p02_token_count" -> (p02 _),
     "p03_chars_per_token" -> (p03 _),
@@ -456,6 +472,12 @@ object SparkEntry {
     "q27_except" ->
       """SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000.0
         |EXCEPT SELECT s_nationkey FROM supplier WHERE s_acctbal > 9000.0""".stripMargin,
+    "q28_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+        |  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |AS running_total FROM orders""".stripMargin,
     "p01_exact_dedup" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
         |COUNT(*) AS dup_count FROM documents GROUP BY md5(text)""".stripMargin,
