@@ -1,0 +1,44 @@
+package graft
+
+import graft.dsl._
+import graft.ops.Ops
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale probe: replicate lineitem 10× (~6M rows) to /tmp and compare
+  * per-row throughput against sf0.1 — the "would this survive a 100×
+  * scale-up" sanity check, run manually per round. */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val big = "/tmp/graft_scale/lineitem10x.parquet"
+    if (!new java.io.File(big).exists()) {
+      val li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+      (1 to 10).map(i => li.withColumn("l_orderkey", col("l_orderkey") + lit(i * 10000000L)))
+        .reduce(_ unionAll _)
+        .repartition(32).write.mode("overwrite").parquet(big)
+    }
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+    }
+    // warmup
+    spark.read.parquet(big).count()
+
+    def q1(src: String) = query("?f", "?s", "?sum", "?cnt")(
+      parquet(src)("_", "_", "_", "_", "?q", "_", "_", "_", "?f", "?s", "_"),
+      Ops.sumDec()("?q") :> "?sum", Ops.count() :> "?cnt")
+    def topk(src: String) = query("?ok", "?top")(
+      parquet(src)("?ok", "_", "_", "_", "_", "_", "_", "_", "_", "_", "?sd"),
+      Ops.limit(2)("?sd") :> "?top").sorted("?sd")
+
+    time("q1-style agg @600k")(q1("/root/testdata/sf0.1/lineitem.parquet").toDF(spark).count())
+    time("q1-style agg @6M")(q1(big).toDF(spark).count())
+    time("per-group top-k @600k")(topk("/root/testdata/sf0.1/lineitem.parquet").toDF(spark).count())
+    time("per-group top-k @6M")(topk(big).toDF(spark).count())
+    spark.stop()
+  }
+}
