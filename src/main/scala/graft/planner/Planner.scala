@@ -194,6 +194,10 @@ object Planner {
         fields :+= v
       case (v: String, c) if Vars.isVar(v) => // bound: implicit equality
         df = df.filter(col(Vars.colName(v)) <=> c)
+      case (guard: ColumnFilter, c) => // function guard in output position
+        // (reference: constant fn in output filters on the op result,
+        // logic/parse.clj:583-587, tests api_test.clj:577-591)
+        df = df.filter(guard.f(Seq(c)))
       case (const, c) => // constant in output position: equality filter
         df = df.filter(c <=> lit(const))
     }

@@ -83,6 +83,27 @@ class CoreSpec extends SparkTestBase {
       Seq(Seq(2L)))
   }
 
+  test("function guard in output position (api_test.clj:577-591)") {
+    // (* ?n 3 :> even?) — keep rows where the op RESULT satisfies the guard
+    assertProduces(
+      query("?n")(
+        mem(Playground.integer)(Seq("?n"): _*),
+        Ops.times("?n", 3) :> Ops.even),
+      Seq(Seq(-1L), Seq(0L), Seq(1L), Seq(2L), Seq(3L), Seq(4L), Seq(5L),
+        Seq(6L), Seq(7L), Seq(8L), Seq(9L))
+        .filter(r => (r.head.asInstanceOf[Long] * 3) % 2 == 0))
+  }
+
+  test("op output colliding with bound var = implicit equality (api_test.clj:816-828)") {
+    // (num-pair ?a ?b) (+ ?a 1 :> ?b) → rows where b = a + 1
+    assertProduces(
+      query("?a", "?b")(
+        mem(Playground.numPair)(Seq("?a", "?b"): _*),
+        Ops.plus("?a", 1L) :> "?b"),
+      Playground.numPair.filter(r =>
+        r(1).asInstanceOf[Long] == r(0).asInstanceOf[Long] + 1))
+  }
+
   test("filter with output capture (api_test.clj:670-694)") {
     assertProduces(
       query("?n", "?lt5")(
