@@ -492,6 +492,98 @@ object SparkEntry {
       """SELECT doc_id, CAST(len(list_intersect(
         |list_distinct(regexp_extract_all(lower(text), '[a-z]+')),
         |['the','and','of','to','in','is','that','it','for','was'])) AS BIGINT)
-        |AS en_hits FROM documents""".stripMargin
+        |AS en_hits FROM documents""".stripMargin,
+    // --- sketch-kernel oracles: the md5-derived kernels (graft.pipeline.Md5)
+    // are replicated step-for-step in SQL; md5_number_lower == Md5.lower64.
+    "p05_fingerprint_langid" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS toks,
+        |    list_distinct(regexp_split_to_array(lower(trim(text)), '\W+')) AS wtoks
+        |  FROM documents),
+        |scored AS (
+        |  SELECT doc_id, toks, list_max([
+        |    {'hits': len(list_intersect(wtoks, ['der','die','das','und','ist','nicht','ein','mit','sie','auf'])), 'lang': 'de'},
+        |    {'hits': len(list_intersect(wtoks, ['the','and','of','to','in','is','that','it','for','was'])), 'lang': 'en'},
+        |    {'hits': len(list_intersect(wtoks, ['el','la','los','que','y','es','una','por','con','para'])), 'lang': 'es'},
+        |    {'hits': len(list_intersect(wtoks, ['le','la','les','et','est','une','que','pour','dans','pas'])), 'lang': 'fr'},
+        |    {'hits': len(list_intersect(wtoks, ['il','la','che','di','e','un','per','non','sono','con'])), 'lang': 'it'}
+        |  ]) AS best FROM tk)
+        |SELECT doc_id,
+        |  list_reduce(list_prepend(0::BIGINT, list_transform(toks,
+        |    t -> CAST(md5_number_lower(t) & 2305843009213693951 AS BIGINT))),
+        |    (a, b) -> CAST(((a::HUGEINT) * 1000003 + b) % 2305843009213693951 AS BIGINT)) AS fingerprint,
+        |  CASE WHEN best.hits > 0 THEN best.lang ELSE 'und' END AS lang_pred
+        |FROM scored""".stripMargin,
+    "p06_minhash_pairs" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\W+'),
+        |    x -> x != '') AS toks FROM documents),
+        |sh AS (
+        |  SELECT doc_id, (md5_number_lower(s) & 2147483647) AS base
+        |  FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s FROM tk) u),
+        |perm AS (
+        |  SELECT s.s AS s, ((md5_number_lower('ga' || s.s) & 2147483647) | 1) AS a,
+        |         (md5_number_lower('gb' || s.s) & 2147483647) AS b
+        |  FROM generate_series(0, 63) s(s)),
+        |mins AS (
+        |  SELECT doc_id, s, CAST(MIN((a * base + b) % 2305843009213693951) AS BIGINT) AS v
+        |  FROM sh, perm GROUP BY doc_id, s),
+        |sig AS (SELECT doc_id, list(v ORDER BY s) AS sig FROM mins GROUP BY doc_id),
+        |banded AS (
+        |  SELECT doc_id, b.b AS band,
+        |    array_to_string(list_slice(sig, 4*b.b + 1, 4*b.b + 4), ',') AS band_key
+        |  FROM sig, generate_series(0, 15) b(b))
+        |SELECT l.doc_id AS id_a, r.doc_id AS id_b
+        |FROM banded l JOIN banded r ON l.band = r.band AND l.band_key = r.band_key
+        |WHERE l.doc_id < r.doc_id GROUP BY 1, 2""".stripMargin,
+    "p07_simhash" ->
+      """WITH tk AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM documents),
+        |th AS (SELECT doc_id, len(toks) AS n, unnest(toks) AS tok FROM tk),
+        |h AS (SELECT doc_id, n, md5_number_lower(tok) AS h FROM th),
+        |bits AS (
+        |  SELECT doc_id, s.b AS b,
+        |    CASE WHEN 2 * SUM(CASE WHEN (h >> s.b) & 1 = 1 THEN 1 ELSE 0 END) > MAX(n)
+        |         THEN 1::HUGEINT ELSE 0::HUGEINT END AS bit
+        |  FROM h, generate_series(0, 63) s(b) GROUP BY doc_id, s.b),
+        |shu AS (SELECT doc_id, SUM(bit * (1::HUGEINT << b)) AS v FROM bits GROUP BY doc_id)
+        |SELECT doc_id, CAST(CASE WHEN v >= 9223372036854775808 THEN v - 18446744073709551616
+        |  ELSE v END AS BIGINT) AS simhash FROM shu""".stripMargin,
+    "p08_knn_brute" ->
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+        |p AS (SELECT vec_id AS probe_id, e AS pe FROM c WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT p.probe_id, c.vec_id AS corpus_id,
+        |    list_reduce(list_transform(generate_series(1, 64), i -> e[i]*pe[i]), (x,y) -> x+y) /
+        |    (greatest(sqrt(list_reduce(list_transform(generate_series(1, 64), i -> e[i]*e[i]), (x,y) -> x+y)), 1e-12) *
+        |     greatest(sqrt(list_reduce(list_transform(generate_series(1, 64), i -> pe[i]*pe[i]), (x,y) -> x+y)), 1e-12)) AS cosine
+        |  FROM c, p)
+        |SELECT probe_id, corpus_id, cosine, CAST(rn AS INTEGER) AS rank FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+        |    ORDER BY cosine DESC, corpus_id) AS rn FROM scored) t
+        |WHERE rn <= 10""".stripMargin,
+    "p10_simhash_neardup" ->
+      """WITH tk AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM documents),
+        |th AS (SELECT doc_id, len(toks) AS n, unnest(toks) AS tok FROM tk),
+        |h AS (SELECT doc_id, n, md5_number_lower(tok) AS h FROM th),
+        |bits AS (
+        |  SELECT doc_id, s.b AS b,
+        |    CASE WHEN 2 * SUM(CASE WHEN (h >> s.b) & 1 = 1 THEN 1 ELSE 0 END) > MAX(n)
+        |         THEN 1::HUGEINT ELSE 0::HUGEINT END AS bit
+        |  FROM h, generate_series(0, 63) s(b) GROUP BY doc_id, s.b),
+        |shu AS (SELECT doc_id, SUM(bit * (1::HUGEINT << b)) AS v FROM bits GROUP BY doc_id),
+        |sh AS (SELECT doc_id, CAST(v AS UBIGINT) AS v,
+        |  CAST(CASE WHEN v >= 9223372036854775808 THEN v - 18446744073709551616
+        |    ELSE v END AS BIGINT) AS s FROM shu),
+        |blk AS (SELECT doc_id, s, b.b AS blk, (v >> (16*b.b)) & 65535 AS blk_val
+        |  FROM sh, generate_series(0, 3) b(b))
+        |SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+        |  CAST(bit_count(xor(l.s, r.s)) AS BIGINT) AS hamming
+        |FROM blk l JOIN blk r ON l.blk = r.blk AND l.blk_val = r.blk_val
+        |  AND l.doc_id < r.doc_id
+        |WHERE bit_count(xor(l.s, r.s)) <= 10 GROUP BY 1, 2, 3""".stripMargin
   )
 }

@@ -108,9 +108,47 @@ object Dedup {
     sig
   })
 
-  /** Text → minhash signature directly (the scale path). */
-  def minhashOfText(text: Column, shingleWords: Int = 3, k: Int = 128): Column =
+  /** Text → minhash signature directly — murmur/splitmix hashing (the raw
+    * throughput variant; not replicable by an external SQL engine). */
+  def minhashOfTextFast(text: Column, shingleWords: Int = 3, k: Int = 128): Column =
     minhashTextKernel(text, lit(shingleWords), lit(k))
+
+  /** Oracle-exact fused shingle+minhash kernel: w-gram shingles over
+    * `\W+`-split lowercase tokens, base hash = md5-lower-64 masked to 31
+    * bits, k affine permutation minima mod 2^61-1 (all md5-derived — see
+    * [[Md5]]). Every step is replicable in DuckDB SQL, so minhash
+    * signatures (and everything downstream: bands, candidate pairs) are
+    * checkable against an independent engine bit-for-bit. */
+  private val minhashMd5Kernel = udf((text: String, w: Int, k: Int) => {
+    val (pa, pb) = Md5.permConsts(k)
+    val sig = Array.fill(k)(Long.MaxValue)
+    if (text != null) {
+      val md = Md5.newDigest()
+      val toks = text.trim.toLowerCase.split("\\W+").filter(_.nonEmpty)
+      var i = 0
+      val last = toks.length - w
+      val sb = new java.lang.StringBuilder
+      while (i <= last) {
+        sb.setLength(0)
+        var j = 0
+        while (j < w) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+        val base = Md5.lower31(md, sb.toString)
+        var s = 0
+        while (s < k) {
+          val v = (pa(s) * base + pb(s)) % Md5.M61
+          if (v < sig(s)) sig(s) = v
+          s += 1
+        }
+        i += 1
+      }
+    }
+    sig
+  })
+
+  /** Text → minhash signature (md5-exact kernel — the default; the oracle
+    * can recompute it). */
+  def minhashOfText(text: Column, shingleWords: Int = 3, k: Int = 128): Column =
+    minhashMd5Kernel(text, lit(shingleWords), lit(k))
 
   /** LSH banding: split the k-length signature into `bands` bands and hash
     * each; docs sharing any (band_idx, band_hash) are candidates.
@@ -129,8 +167,16 @@ object Dedup {
   }
 
   /** MinHash+LSH near-dup candidate pairs: shingle → minhash → band →
-    * bucket self-join. The self-join happens per (band, band_hash) bucket —
-    * never all-pairs. Emits (id_a, id_b) with id_a < id_b, distinct. */
+    * bucket self-join. The self-join happens per (band, band_key) bucket —
+    * never all-pairs. Emits (id_a, id_b) with id_a < id_b, distinct.
+    *
+    * The band key is the slice VALUES rendered as a string (not a hash of
+    * them): two docs are candidates iff a band's r minhash values are all
+    * equal — exactly the set the oracle computes, with no hash-collision
+    * false pairs. Docs with fewer than `shingleWords` tokens produce no
+    * shingles and are excluded (they cannot be near-dups of anything).
+    * At 100 TB the string key costs marginally more shuffle width than a
+    * 64-bit hash; swap in [[lshBands]] (xxhash64 keys) if that matters. */
   def minhashCandidates(
       df: DataFrame,
       textCol: String = "text",
@@ -138,12 +184,20 @@ object Dedup {
       k: Int = 64,
       bands: Int = 16,
       shingleWords: Int = 3): DataFrame = {
+    require(k % bands == 0, s"signature length $k not divisible by $bands bands")
+    val r = k / bands
     val sigs = df.select(col(idCol),
       minhashOfText(col(textCol), shingleWords, k).as("sig"))
-    val banded = lshBands(sigs, idCol, "sig", bands, sigLen = k)
-    val l = banded.toDF("id_a", "band", "band_hash")
-    val r = banded.toDF("id_b", "band", "band_hash")
-    l.join(r, Seq("band", "band_hash"))
+      .filter(col("sig")(0) =!= Long.MaxValue)
+    val bandKeys = array((0 until bands).map(b =>
+      struct(lit(b).as("band"),
+        concat_ws(",", transform(slice(col("sig"), b * r + 1, r),
+          _.cast("string"))).as("band_key"))): _*)
+    val banded = sigs.select(col(idCol), explode(bandKeys).as("b"))
+      .select(col(idCol), col("b.band"), col("b.band_key"))
+    val l = banded.toDF("id_a", "band", "band_key")
+    val rr = banded.toDF("id_b", "band", "band_key")
+    l.join(rr, Seq("band", "band_key"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
   }
@@ -180,10 +234,12 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** 64-bit SimHash over whitespace tokens: per-bit weighted sign sum of
-    * token hashes. Tight-loop UDF kernel for the same CodegenFallback
-    * reason as [[minhashSignature]]. */
-  private val simhashKernel = udf((text: String) => {
+  /** 64-bit SimHash over whitespace tokens: per-bit majority vote of token
+    * hash bits. Tight-loop UDF kernel for the same CodegenFallback reason
+    * as [[minhashSignature]]. Token hash = md5-lower-64 ([[Md5.lower64]])
+    * so the DuckDB oracle recomputes identical simhashes; `simhashFast`
+    * keeps the murmur variant. */
+  private def simhashBody(hash: String => Long): String => Long = { text =>
     val counts = new Array[Int](64)
     var n = 0
     if (text != null) {
@@ -191,7 +247,7 @@ object Dedup {
       n = toks.length
       var t = 0
       while (t < toks.length) {
-        val h = hash64(toks(t))
+        val h = hash(toks(t))
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) counts(b) += 1
@@ -207,9 +263,16 @@ object Dedup {
       b += 1
     }
     sh
-  })
+  }
 
-  def simhash(text: Column): Column = simhashKernel(text)
+  private val simhashMd5Kernel = udf { (text: String) =>
+    val md = Md5.newDigest()
+    simhashBody(Md5.lower64(md, _))(text)
+  }
+  private val simhashFastKernel = udf(simhashBody(hash64))
+
+  def simhash(text: Column): Column = simhashMd5Kernel(text)
+  def simhashFast(text: Column): Column = simhashFastKernel(text)
 
   /** Hamming distance between two 64-bit simhashes. */
   def hammingDistance(a: Column, b: Column): Column =
@@ -233,7 +296,7 @@ object Dedup {
     val r = bucketed.toDF("id_b", "sh_b", "blk", "blk_val")
     l.join(r, Seq("blk", "blk_val"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("hamming", hammingDistance(col("sh_a"), col("sh_b")))
+      .withColumn("hamming", hammingDistance(col("sh_a"), col("sh_b")).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming").distinct()
   }

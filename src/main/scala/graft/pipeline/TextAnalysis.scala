@@ -66,10 +66,29 @@ object TextAnalysis {
   }
 
   /** Rolling-hash document fingerprint over normalized tokens —
-    * whitespace/case-insensitive near-identity fingerprint (64-bit).
-    * Chained xxhash64 (order-sensitive) instead of a polynomial hash so it
-    * stays overflow-free under ANSI mode. */
-  def fingerprint(text: Column): Column = {
+    * whitespace/case-insensitive near-identity fingerprint. Polynomial
+    * rolling hash mod 2^61-1 over md5-lower-64 token hashes (order
+    * sensitive): acc ← (acc·1000003 + h61(tok)) mod M. Every step is
+    * replicable in DuckDB (`list_reduce` over `md5_number_lower`), so the
+    * oracle checks fingerprints bit-for-bit; see [[graft.pipeline.Md5]].
+    * BigInt only guards the 61×20-bit product — ~100 tokens/doc, cold
+    * path. `fingerprintFast` keeps the chained-xxhash64 Column variant. */
+  def fingerprint(text: Column): Column = fingerprintKernel(text)
+
+  private val fingerprintKernel = udf { (text: String) =>
+    val md = Md5.newDigest()
+    val M = BigInt(Md5.M61)
+    var acc = BigInt(0)
+    if (text != null)
+      text.trim.toLowerCase.split("\\s+").foreach { t =>
+        acc = (acc * 1000003 + BigInt(Md5.lower64(md, t) & Md5.M61)) % M
+      }
+    acc.toLong
+  }
+
+  /** Chained-xxhash64 fingerprint (pure Column expression, codegen'd) —
+    * the throughput variant when oracle replication is not needed. */
+  def fingerprintFast(text: Column): Column = {
     val toks = split(trim(lower(text)), "\\s+")
     aggregate(toks, lit(1125899906842597L), (acc, t) => xxhash64(acc, t))
   }
