@@ -564,6 +564,79 @@ object SparkEntry {
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
         |    ORDER BY cosine DESC, corpus_id) AS rn FROM scored) t
         |WHERE rn <= 10""".stripMargin,
+    "p09_knn_lsh" ->
+      """WITH c0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+        |pl AS (SELECT p.p AS p, list_transform(generate_series(0, 63),
+        |    i -> CAST(md5_number_lower('pl' || p.p || '_' || i) >> 11 AS DOUBLE)
+        |      * (1.0/4503599627370496) - 1.0) AS comp
+        |  FROM generate_series(0, 3) p(p)),
+        |sig AS (
+        |  SELECT vec_id, CAST(SUM(CASE WHEN proj >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS b
+        |  FROM (SELECT c0.vec_id, pl.p,
+        |      list_reduce(list_transform(generate_series(1, 64), i -> e[i] * comp[i]),
+        |        (x, y) -> x + y) AS proj
+        |    FROM c0, pl) t GROUP BY vec_id),
+        |pbuck AS (SELECT vec_id AS probe_id, unnest([b, xor(b, 1), xor(b, 2), xor(b, 4), xor(b, 8)]) AS b
+        |  FROM sig WHERE vec_id < 8),
+        |cand AS (SELECT DISTINCT pbuck.probe_id, sig.vec_id AS corpus_id
+        |  FROM sig JOIN pbuck USING (b)),
+        |scored AS (
+        |  SELECT cand.probe_id, cand.corpus_id,
+        |    list_reduce(list_transform(generate_series(1, 64), i -> ce.e[i]*pe.e[i]), (x,y) -> x+y) /
+        |    (greatest(sqrt(list_reduce(list_transform(generate_series(1, 64), i -> ce.e[i]*ce.e[i]), (x,y) -> x+y)), 1e-12) *
+        |     greatest(sqrt(list_reduce(list_transform(generate_series(1, 64), i -> pe.e[i]*pe.e[i]), (x,y) -> x+y)), 1e-12)) AS cosine
+        |  FROM cand JOIN c0 ce ON ce.vec_id = cand.corpus_id
+        |            JOIN c0 pe ON pe.vec_id = cand.probe_id)
+        |SELECT probe_id, corpus_id, cosine, CAST(rn AS INTEGER) AS rank FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+        |    ORDER BY cosine DESC, corpus_id) AS rn FROM scored) t
+        |WHERE rn <= 10""".stripMargin,
+    "p11_neardup_dedup" ->
+      """WITH RECURSIVE tk AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\W+'),
+        |    x -> x != '') AS toks FROM documents),
+        |sh AS (
+        |  SELECT doc_id, (md5_number_lower(s) & 2147483647) AS base
+        |  FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s FROM tk) u),
+        |perm AS (
+        |  SELECT s.s AS s, ((md5_number_lower('ga' || s.s) & 2147483647) | 1) AS a,
+        |         (md5_number_lower('gb' || s.s) & 2147483647) AS b
+        |  FROM generate_series(0, 63) s(s)),
+        |mins AS (
+        |  SELECT doc_id, s, CAST(MIN((a * base + b) % 2305843009213693951) AS BIGINT) AS v
+        |  FROM sh, perm GROUP BY doc_id, s),
+        |sig AS (SELECT doc_id, list(v ORDER BY s) AS sig FROM mins GROUP BY doc_id),
+        |banded AS (
+        |  SELECT doc_id, b.b AS band,
+        |    array_to_string(list_slice(sig, 4*b.b + 1, 4*b.b + 4), ',') AS band_key
+        |  FROM sig, generate_series(0, 15) b(b)),
+        |cand AS (
+        |  SELECT l.doc_id AS id_a, r.doc_id AS id_b
+        |  FROM banded l JOIN banded r ON l.band = r.band AND l.band_key = r.band_key
+        |  WHERE l.doc_id < r.doc_id GROUP BY 1, 2),
+        |shs AS (
+        |  SELECT doc_id, CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+        |    ELSE list_distinct(list_transform(generate_series(1, len(toks) - 2),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END AS sset FROM tk),
+        |verified AS (
+        |  SELECT id_a, id_b FROM cand
+        |  JOIN shs sa ON sa.doc_id = cand.id_a JOIN shs sb ON sb.doc_id = cand.id_b
+        |  WHERE (CASE WHEN len(list_distinct(sa.sset || sb.sset)) = 0 THEN 1.0
+        |    ELSE CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE)
+        |      / len(list_distinct(sa.sset || sb.sset)) END) >= 0.6),
+        |sym AS (SELECT id_a AS s, id_b AS d FROM verified
+        |        UNION ALL SELECT id_b, id_a FROM verified),
+        |reach AS (
+        |  SELECT DISTINCT s AS id, s AS lab FROM sym
+        |  UNION
+        |  SELECT sym.d AS id, reach.lab FROM reach JOIN sym ON sym.s = reach.id),
+        |comp AS (SELECT id, MIN(lab) AS component FROM reach GROUP BY id),
+        |keep AS (SELECT component, MIN(id) AS doc_id FROM comp GROUP BY component)
+        |SELECT d.doc_id, d.lang, d.source FROM documents d
+        |LEFT JOIN comp ON comp.id = d.doc_id WHERE comp.id IS NULL
+        |UNION ALL
+        |SELECT d.doc_id, d.lang, d.source FROM keep JOIN documents d ON d.doc_id = keep.doc_id""".stripMargin,
     "p10_simhash_neardup" ->
       """WITH tk AS (
         |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM documents),

@@ -32,20 +32,35 @@ object Similarity {
     z ^ (z >>> 31)
   }
 
+  /** Plane components for [[hyperplaneSignature]], deterministic in
+    * (plane, dim): md5-lower-64 of "pl<p>_<i>" scaled to [-1, 1) from its
+    * top 53 bits. md5-derived (not splitmix) so an external SQL engine can
+    * regenerate the planes and check bucket assignments bit-for-bit —
+    * `(md5_number_lower(s) >> 11) * 2^-52 - 1` is exact double arithmetic
+    * in both engines. Cached per (planes, dims) on each executor. */
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
+
+  private def planeComponents(planes: Int, dims: Int): Array[Array[Double]] =
+    planeCache.computeIfAbsent((planes, dims), { case (planes, dims) =>
+      val md = Md5.newDigest()
+      Array.tabulate(planes, dims) { (p, i) =>
+        (Md5.lower64(md, "pl" + p + "_" + i) >>> 11) * (1.0 / (1L << 52)) - 1.0
+      }
+    })
+
   /** Random-hyperplane LSH signature: `planes` sign bits packed in a long.
-    * Plane components are deterministic in (plane, dim) via splitmix64 —
-    * stable across runs and partitions (joinable bucket keys). Tight-loop
-    * kernel (HOF lambdas are interpreted; see BASELINE.md). */
+    * Tight-loop kernel (HOF lambdas are interpreted; see BASELINE.md). */
   private val hyperplaneKernel = udf((emb: Seq[Float], planes: Int) => {
+    val comp = planeComponents(planes, emb.length)
     var sig = 0L
     var p = 0
     while (p < planes) {
+      val c = comp(p)
       var proj = 0.0
       var i = 0
       while (i < emb.length) {
-        // component in [-1, 1) from the top 53 bits of the mix
-        val h = mix64(p.toLong * 0x9E3779B97F4A7C15L + i)
-        proj += emb(i) * ((h >>> 11) * (1.0 / (1L << 52)) - 1.0)
+        proj += emb(i) * c(i)
         i += 1
       }
       if (proj >= 0) sig |= (1L << p)
@@ -101,14 +116,19 @@ object Similarity {
         .map(b => sig.bitwiseXOR(shiftleft(lit(1L), b)))): _*)
     val p = probes.select(col(probeId).as("probe_id"), col(embCol).as("p_emb"),
       explode(probeBuckets).as("bucket"))
-    val scored = c.join(p, "bucket")
+    // dedupe candidate pairs BEFORE scoring: multi-probe can reach the same
+    // corpus row through several buckets — scoring once per pair both saves
+    // the extra cosine evaluations and keeps ranks gap-free
+    val cand = c.join(p, "bucket")
+      .select("probe_id", "corpus_id", "c_emb", "p_emb")
+      .dropDuplicates("probe_id", "corpus_id")
+    val scored = cand
       .withColumn("cosine", graft.functions.VectorExpressions.cosine(
         corpus.sparkSession, col("c_emb"), col("p_emb")))
     val w = Window.partitionBy("probe_id").orderBy(col("cosine").desc, col("corpus_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("probe_id", "corpus_id", "cosine", "rank")
-      .distinct()
   }
 
   /** IVF-style coarse quantization without a trained codebook: cells are
