@@ -193,8 +193,12 @@ object Dedup {
       struct(lit(b).as("band"),
         concat_ws(",", transform(slice(col("sig"), b * r + 1, r),
           _.cast("string"))).as("band_key"))): _*)
+    // materialize the banded rows once: both sides of the self-join read
+    // them, and without the checkpoint the minhash kernel would run twice
+    // over the full corpus (the dominant cost of candidate generation)
     val banded = sigs.select(col(idCol), explode(bandKeys).as("b"))
       .select(col(idCol), col("b.band"), col("b.band_key"))
+      .localCheckpoint()
     val l = banded.toDF("id_a", "band", "band_key")
     val rr = banded.toDF("id_b", "band", "band_key")
     l.join(rr, Seq("band", "band_key"))
@@ -202,22 +206,58 @@ object Dedup {
       .select("id_a", "id_b").distinct()
   }
 
-  /** w-gram Jaccard kernel over raw texts — one tight pass per pair
-    * (the HOF shingle/intersect/union pipeline is interpreted). */
-  private val jaccardKernel = udf((a: String, b: String, w: Int) => {
-    def sh(t: String): Set[String] =
-      if (t == null) Set.empty
+  /** Per-doc sorted distinct w-gram shingle hashes (md5-lower-64 masked to
+    * 61 bits — same family as [[Md5]]; for tiny texts with ≤ w tokens the
+    * whole text is the one shingle). Computed ONCE per document, so pair
+    * verification doesn't rebuild shingle sets per candidate pair. */
+  private val shingleHashKernel = udf((text: String, w: Int) => {
+    val md = Md5.newDigest()
+    val toks =
+      if (text == null) Array.empty[String]
+      else text.trim.toLowerCase.split("\\W+").filter(_.nonEmpty)
+    val hs =
+      if (toks.isEmpty) Array.empty[Long]
+      else if (toks.length <= w) Array(Md5.lower64(md, toks.mkString(" ")) & Md5.M61)
       else {
-        val toks = t.trim.toLowerCase.split("\\W+").filter(_.nonEmpty)
-        if (toks.length <= w) Set(toks.mkString(" "))
-        else toks.sliding(w).map(_.mkString(" ")).toSet
+        val out = new Array[Long](toks.length - w + 1)
+        val sb = new java.lang.StringBuilder
+        var i = 0
+        while (i < out.length) {
+          sb.setLength(0)
+          var j = 0
+          while (j < w) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+          out(i) = Md5.lower64(md, sb.toString) & Md5.M61
+          i += 1
+        }
+        out
       }
-    val sa = sh(a); val sb = sh(b)
-    val union = (sa | sb).size
-    if (union == 0) 1.0 else (sa & sb).size.toDouble / union
+    java.util.Arrays.sort(hs)
+    // dedupe in place (sets, not multisets)
+    var n = 0
+    var i = 0
+    while (i < hs.length) {
+      if (n == 0 || hs(i) != hs(n - 1)) { hs(n) = hs(i); n += 1 }
+      i += 1
+    }
+    java.util.Arrays.copyOf(hs, n)
   })
 
-  /** Exact n-gram Jaccard similarity for candidate pairs. */
+  /** Jaccard of two sorted distinct hash arrays: one merge pass. */
+  private val jaccardSortedKernel = udf((a: Seq[Long], b: Seq[Long]) => {
+    var i = 0; var j = 0; var inter = 0
+    while (i < a.length && j < b.length) {
+      val x = a(i); val y = b(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    val union = a.length + b.length - inter
+    if (union == 0) 1.0 else inter.toDouble / union
+  })
+
+  /** Exact n-gram Jaccard similarity for candidate pairs. Shingle sets are
+    * hashed per document once (materialized — both pair sides read them),
+    * then each pair costs a single sorted-merge intersection. */
   def jaccardVerify(
       candidates: DataFrame, // (id_a, id_b)
       docs: DataFrame,
@@ -225,11 +265,13 @@ object Dedup {
       idCol: String = "doc_id",
       shingleWords: Int = 3,
       threshold: Double = 0.8): DataFrame = {
-    val t = docs.select(col(idCol).as("_id"), col(textCol).as("_t"))
+    val t = docs.select(col(idCol).as("_id"),
+      shingleHashKernel(col(textCol), lit(shingleWords)).as("_sh"))
+      .localCheckpoint()
     candidates
-      .join(t.withColumnRenamed("_id", "id_a").withColumnRenamed("_t", "t_a"), "id_a")
-      .join(t.withColumnRenamed("_id", "id_b").withColumnRenamed("_t", "t_b"), "id_b")
-      .withColumn("jaccard", jaccardKernel(col("t_a"), col("t_b"), lit(shingleWords)))
+      .join(t.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "sh_a"), "id_a")
+      .join(t.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "sh_b"), "id_b")
+      .withColumn("jaccard", jaccardSortedKernel(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
@@ -290,8 +332,11 @@ object Dedup {
     val blocks = array((0 until 4).map(i =>
       struct(lit(i).as("blk"),
         shiftright(col("sh"), i * 16).bitwiseAND(0xFFFFL).as("blk_val"))): _*)
+    // same self-join-recompute rule as minhashCandidates: materialize the
+    // bucketed rows so the simhash kernel runs once, not once per side
     val bucketed = withSh.select(col(idCol), col("sh"), explode(blocks).as("b"))
       .select(col(idCol), col("sh"), col("b.blk"), col("b.blk_val"))
+      .localCheckpoint()
     val l = bucketed.toDF("id_a", "sh_a", "blk", "blk_val")
     val r = bucketed.toDF("id_b", "sh_b", "blk", "blk_val")
     l.join(r, Seq("blk", "blk_val"))
@@ -310,19 +355,27 @@ object Dedup {
     * rounds in practice; `maxIter` bounds adversarial chains.
     * Returns (id, component) with component = min id in the cluster. */
   def components(edges: DataFrame, maxIter: Int = 10): DataFrame = {
-    // undirected: both directions; materialized ONCE — the edge list is
-    // re-joined every iteration and usually sits atop an expensive
-    // candidate-generation chain (minhash → jaccard)
+    // undirected: both directions. Materialize the FORWARD edges first —
+    // the union references them twice, and they usually sit atop an
+    // expensive candidate-generation chain (minhash → jaccard) that must
+    // not run once per union branch; the symmetrized list is then
+    // checkpointed too, since it is re-joined every iteration.
     val fwd = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .localCheckpoint()
     val sym = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint()
-    var labels = sym.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("component"))
+    // round 0 fused into initialization: label = min(id, min neighbor) —
+    // resolves all simple pairs before the loop even starts
+    var labels = sym.groupBy(col("src").as("id"))
+      .agg(least(min(col("dst")), col("src")).as("component"))
       .localCheckpoint()
-    var iter = 0
+    var iter = 1
     var changed = 1L
     while (iter < maxIter && changed > 0) {
-      // every node adopts the min component among itself and its neighbors
+      // every node adopts the min component among itself and its neighbors;
+      // the convergence flag rides in the SAME materialized result, so each
+      // round costs one shuffle job plus a scan of checkpointed data (the
+      // old separate labels-vs-updated join doubled the per-round jobs)
       val neighborMin = sym
         .join(labels.withColumnRenamed("id", "dst")
           .withColumnRenamed("component", "n_comp"), "dst")
@@ -331,11 +384,11 @@ object Dedup {
       val updated = labels.join(neighborMin, Seq("id"), "left_outer")
         .select(col("id"),
           least(col("component"), coalesce(col("n_comp"), col("component")))
-            .as("component"))
+            .as("component"),
+          (coalesce(col("n_comp"), col("component")) < col("component")).as("_chg"))
         .localCheckpoint()
-      changed = updated.join(labels.withColumnRenamed("component", "old"), "id")
-        .filter(col("component") =!= col("old")).count()
-      labels = updated
+      changed = updated.filter(col("_chg")).count()
+      labels = updated.drop("_chg")
       iter += 1
     }
     labels
@@ -371,6 +424,7 @@ object Dedup {
       threshold: Double = 0.95): DataFrame = {
     val sigCol = Similarity.hyperplaneSignature(col(embCol), planes)
     val sigs = df.select(col(idCol), col(embCol), sigCol.as("bucket"))
+      .localCheckpoint() // self-joined: signature kernel must run once
     val l = sigs.toDF("id_a", "emb_a", "bucket")
     val r = sigs.toDF("id_b", "emb_b", "bucket")
     l.join(r, "bucket")
