@@ -268,6 +268,56 @@ object SparkEntry {
       runTotal("?o_custkey", "?price", "?od", "?o_orderkey") :> "?running_total").toDF(s)
   }
 
+  /** Full outer join via `!!` on both sides (api_test.clj:353-394) with
+    * key coalescing: nations with rich customers vs rich suppliers —
+    * either side may be missing. */
+  private def q29(s: SparkSession, d: String): DataFrame = {
+    val richCust = query("?nk", "?c_cnt")(
+      customer(d)("_", "_", "?nk", "?bal", "_"), Ops.gt("?bal", 9000.0),
+      Ops.count() :> "?c_cnt")
+    val richSupp = query("?nk", "?s_cnt")(
+      source(tbl(d, "supplier"))("_", "_", "?nk", "?bal"), Ops.gt("?bal", 9000.0),
+      Ops.count() :> "?s_cnt")
+    query("?nk", "!!c_cnt", "!!s_cnt")(
+      richCust("?nk", "!!c_cnt"), richSupp("?nk", "!!s_cnt")).toDF(s)
+  }
+
+  /** Buffer over a secondary-sorted group emitting PAIRWISE deltas — the
+    * reference's `(partition 2 1)` over a sorted group ≈ lag
+    * (api_test.clj:453-468): per-customer order price change between
+    * consecutive orders by date. */
+  private def q30(s: SparkSession, d: String): DataFrame = {
+    val lagDiff = Ops.bufferFn(2, Seq(LongType, DoubleType)) { it =>
+      var prev: java.lang.Double = null
+      it.map { row =>
+        val price = row(1).asInstanceOf[Double]
+        val delta: java.lang.Double =
+          if (prev == null) null else Double.box(price - prev)
+        prev = price
+        Seq(row(0), delta)
+      }
+    }
+    // "!delta": first row of each group has no predecessor → null delta;
+    // a `?` var would null-filter those rows away (vars.clj:92-101 parity)
+    query("?o_custkey", "?ok2", "!delta")(
+      orders(d)("?ok", "?o_custkey", "_", "?price", "?od", "_"),
+      lagDiff("?ok", "?price") :> ("?ok2", "!delta")).sorted("?od", "?ok").toDF(s)
+  }
+
+  /** multigroup (operations.clj:550-569): one multibuffer over N cogrouped
+    * inputs — per-nation customer and supplier group sizes in one pass. */
+  private def q31(s: SparkSession, d: String): DataFrame = {
+    val cust = tbl(d, "customer")(s)
+      .select(col("c_nationkey").as("nationkey"), col("c_custkey"))
+    val supp = tbl(d, "supplier")(s)
+      .select(col("s_nationkey").as("nationkey"), col("s_suppkey"))
+    graft.operators.MultiGroup.multigroup(
+      Seq(cust, supp), Seq("nationkey"),
+      Seq("n_cust", "n_supp"), Seq(LongType, LongType)) { (_, groups) =>
+      Iterator.single(Seq(groups(0).size.toLong, groups(1).size.toLong))
+    }
+  }
+
   // ----------------------------------------------------- pipeline queries
 
   private def p01(s: SparkSession, d: String): DataFrame =
@@ -326,6 +376,24 @@ object SparkEntry {
     Dedup.nearDupDedup(tbl(d, "documents")(s), threshold = 0.6)
       .select("doc_id", "lang", "source")
 
+  /** Quality-score suite flattened (C4/Gopher-style heuristics). */
+  private def p12(s: SparkSession, d: String): DataFrame =
+    tbl(d, "documents")(s)
+      .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("q"))
+      .select(col("doc_id"),
+        col("q.n_chars").cast("long").as("n_chars"),
+        col("q.n_tokens").cast("long").as("n_tokens"),
+        col("q.punct_ratio"), col("q.stopword_ratio"),
+        col("q.mean_word_len"), col("q.upper_ratio"))
+
+  /** n-gram Jaccard verification of minhash candidates (the verify stage
+    * of the dedup pipeline as its own operator). */
+  private def p13(s: SparkSession, d: String): DataFrame = {
+    val docs = tbl(d, "documents")(s)
+    Dedup.jaccardVerify(Dedup.minhashCandidates(docs, k = 64, bands = 16),
+      docs, threshold = 0.5)
+  }
+
   // --------------------------------------------------------------- driver
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
@@ -360,6 +428,9 @@ object SparkEntry {
     "q26_intersect" -> (q26 _),
     "q27_except" -> (q27 _),
     "q28_window_running" -> (q28 _),
+    "q29_full_outer" -> (q29 _),
+    "q30_lag_buffer" -> (q30 _),
+    "q31_multigroup" -> (q31 _),
     "p01_exact_dedup" -> (p01 _),
     "p02_token_count" -> (p02 _),
     "p03_chars_per_token" -> (p03 _),
@@ -370,7 +441,9 @@ object SparkEntry {
     "p08_knn_brute" -> (p08 _),
     "p09_knn_lsh" -> (p09 _),
     "p10_simhash_neardup" -> (p10 _),
-    "p11_neardup_dedup" -> (p11 _)
+    "p11_neardup_dedup" -> (p11 _),
+    "p12_quality_score" -> (p12 _),
+    "p13_jaccard_verify" -> (p13 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -478,6 +551,27 @@ object SparkEntry {
         |  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
         |AS running_total FROM orders""".stripMargin,
+    "q29_full_outer" ->
+      """SELECT COALESCE(c.nk, s.nk) AS nk, c.c_cnt, s.s_cnt FROM
+        |(SELECT c_nationkey AS nk, COUNT(*) AS c_cnt FROM customer
+        |  WHERE c_acctbal > 9000.0 GROUP BY 1) c
+        |FULL OUTER JOIN
+        |(SELECT s_nationkey AS nk, COUNT(*) AS s_cnt FROM supplier
+        |  WHERE s_acctbal > 9000.0 GROUP BY 1) s
+        |ON c.nk = s.nk""".stripMargin,
+    "q30_lag_buffer" ->
+      """SELECT o_custkey, o_orderkey AS ok2,
+        |o_totalprice - LAG(o_totalprice) OVER (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate, o_orderkey) AS delta
+        |FROM orders""".stripMargin,
+    "q31_multigroup" ->
+      """SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+        |COALESCE(c.n_cust, 0) AS n_cust, COALESCE(s.n_supp, 0) AS n_supp
+        |FROM (SELECT c_nationkey AS nationkey, COUNT(*) AS n_cust
+        |  FROM customer GROUP BY 1) c
+        |FULL OUTER JOIN (SELECT s_nationkey AS nationkey, COUNT(*) AS n_supp
+        |  FROM supplier GROUP BY 1) s
+        |ON c.nationkey = s.nationkey""".stripMargin,
     "p01_exact_dedup" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
         |COUNT(*) AS dup_count FROM documents GROUP BY md5(text)""".stripMargin,
@@ -493,6 +587,56 @@ object SparkEntry {
         |list_distinct(regexp_extract_all(lower(text), '[a-z]+')),
         |['the','and','of','to','in','is','that','it','for','was'])) AS BIGINT)
         |AS en_hits FROM documents""".stripMargin,
+    "p12_quality_score" ->
+      """WITH t AS (SELECT doc_id, text,
+        |  regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM documents)
+        |SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
+        |    / greatest(length(text), 1) AS punct_ratio,
+        |  CAST(len(list_intersect(toks, ['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','was','at','by'])) AS DOUBLE)
+        |    / greatest(len(toks), 1) AS stopword_ratio,
+        |  (CAST(length(text) AS DOUBLE) - len(toks) + 1) / greatest(len(toks), 1) AS mean_word_len,
+        |  CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE)
+        |    / greatest(length(text), 1) AS upper_ratio
+        |FROM t""".stripMargin,
+    "p13_jaccard_verify" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\W+'),
+        |    x -> x != '') AS toks FROM documents),
+        |sh AS (
+        |  SELECT doc_id, (md5_number_lower(s) & 2147483647) AS base
+        |  FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s FROM tk) u),
+        |perm AS (
+        |  SELECT s.s AS s, ((md5_number_lower('ga' || s.s) & 2147483647) | 1) AS a,
+        |         (md5_number_lower('gb' || s.s) & 2147483647) AS b
+        |  FROM generate_series(0, 63) s(s)),
+        |mins AS (
+        |  SELECT doc_id, s, CAST(MIN((a * base + b) % 2305843009213693951) AS BIGINT) AS v
+        |  FROM sh, perm GROUP BY doc_id, s),
+        |sig AS (SELECT doc_id, list(v ORDER BY s) AS sig FROM mins GROUP BY doc_id),
+        |banded AS (
+        |  SELECT doc_id, b.b AS band,
+        |    array_to_string(list_slice(sig, 4*b.b + 1, 4*b.b + 4), ',') AS band_key
+        |  FROM sig, generate_series(0, 15) b(b)),
+        |cand AS (
+        |  SELECT l.doc_id AS id_a, r.doc_id AS id_b
+        |  FROM banded l JOIN banded r ON l.band = r.band AND l.band_key = r.band_key
+        |  WHERE l.doc_id < r.doc_id GROUP BY 1, 2),
+        |shs AS (
+        |  SELECT doc_id, CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+        |    ELSE list_distinct(list_transform(generate_series(1, len(toks) - 2),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END AS sset FROM tk)
+        |SELECT id_a, id_b, jaccard FROM (
+        |  SELECT id_a, id_b,
+        |    CASE WHEN len(list_distinct(sa.sset || sb.sset)) = 0 THEN 1.0
+        |      ELSE CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE)
+        |        / len(list_distinct(sa.sset || sb.sset)) END AS jaccard
+        |  FROM cand
+        |  JOIN shs sa ON sa.doc_id = cand.id_a JOIN shs sb ON sb.doc_id = cand.id_b) t
+        |WHERE jaccard >= 0.5""".stripMargin,
     // --- sketch-kernel oracles: the md5-derived kernels (graft.pipeline.Md5)
     // are replicated step-for-step in SQL; md5_number_lower == Md5.lower64.
     "p05_fingerprint_langid" ->
