@@ -83,6 +83,80 @@ object AnyColumn {
     if (bytes == null) null
     else get(new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes)))
 
+  // ------------------------------------------------------------ ordering
+
+  /** `l` as big-endian bytes whose unsigned lexicographic order equals
+    * signed numeric order (sign bit flipped). */
+  private def putSortableLong(out: DataOutputStream, l: Long): Unit =
+    out.writeLong(l ^ Long.MinValue)
+
+  /** IEEE-754 total-order trick: negative doubles flip all bits, positives
+    * flip the sign bit — unsigned byte order == numeric order, NaN last. */
+  private def putSortableDouble(out: DataOutputStream, d: Double): Unit = {
+    val bits = java.lang.Double.doubleToLongBits(d)
+    out.writeLong(if (bits < 0) ~bits else bits | Long.MinValue)
+  }
+
+  private def putKey(out: DataOutputStream, v: Any): Unit = v match {
+    case null => out.writeByte(0)
+    case b: Boolean => out.writeByte(1); out.writeByte(if (b) 1 else 0)
+    case n: Byte => putKey(out, n.toLong)
+    case n: Short => putKey(out, n.toLong)
+    case n: Int => putKey(out, n.toLong)
+    case n: Long =>
+      // numerics of either width share tag 2 and order by DOUBLE value
+      // first (so 1L < 1.5 < 2L), exact bits as tiebreak: kind byte 0 =
+      // double, 1 = long (1L vs 1.0 is a near-tie broken deterministically;
+      // integral magnitudes beyond 2^53 still order exactly via the
+      // long-bits tiebreak)
+      out.writeByte(2); putSortableDouble(out, n.toDouble)
+      out.writeByte(1); putSortableLong(out, n)
+    case n: Float => putKey(out, n.toDouble)
+    case n: Double =>
+      out.writeByte(2); putSortableDouble(out, n)
+      out.writeByte(0); putSortableLong(out, java.lang.Double.doubleToLongBits(n))
+    case s: String =>
+      // UTF-8 byte order == code-point order; no length prefix (a prefix
+      // string sorts first under unsigned byte comparison, as it should)
+      out.writeByte(3); out.write(s.getBytes(StandardCharsets.UTF_8))
+    case other =>
+      // composites: stable-but-arbitrary order via the equality encoding
+      out.writeByte(4); out.write(encode(other))
+  }
+
+  /** Order-preserving binary sort key: unsigned lexicographic comparison of
+    * `sortKeyBytes(a)` vs `sortKeyBytes(b)` is a total order that ranks
+    * null < booleans < numerics (longs and doubles interleaved by value) <
+    * strings (code-point order) < composites. Spark compares BinaryType
+    * unsigned-lexicographically, so sorting on this key orders mixed
+    * columns correctly (closing the round-1 "byte equality only" gap). */
+  def sortKeyBytes(v: Any): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    putKey(out, v); out.flush()
+    bos.toByteArray
+  }
+
+  /** Scala-side comparator consistent with [[sortKeyBytes]]. */
+  def compare(a: Any, b: Any): Int = {
+    val x = sortKeyBytes(a); val y = sortKeyBytes(b)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xFF) - (y(i) & 0xFF)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  /** Sort-key op over an encoded Any column (decode → order-preserving
+    * key); feed the result to `:sort` / orderBy. */
+  val sortKey: ColumnMap = {
+    val u = udf((b: Array[Byte]) => sortKeyBytes(decode(b)))
+    ColumnMap(1, cs => Seq(u(cs.head)))
+  }
+
   // ----------------------------------------------------------------- ops
 
   /** mapfn over decoded values: arbitrary Scala Any → Any. */

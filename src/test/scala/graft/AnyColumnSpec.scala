@@ -27,6 +27,32 @@ class AnyColumnSpec extends SparkTestBase {
       .sameElements(AnyColumn.encode(Map("b" -> 2L, "a" -> 1L))))
   }
 
+  test("cross-type ordering: sortKey interleaves numerics, ranks types") {
+    // the round-1 gap: equality-encoding bytes don't order; sortKeyBytes do
+    val vals: Seq[Any] = Seq("b", 2.5, null, 10L, true, -3.5, 1L, "a", false,
+      2L, 1e300, Long.MaxValue, Double.NaN, Vector(1L))
+    val sorted = vals.sortWith((a, b) => AnyColumn.compare(a, b) < 0)
+    val expected: Seq[Any] = Seq(null, false, true, -3.5, 1L, 2L, 2.5, 10L,
+      Long.MaxValue, 1e300, Double.NaN, "a", "b", Vector(1L))
+    def eq(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: Double, y: Double) => x.equals(y) // NaN == NaN here
+      case _ => a == b
+    }
+    assert(sorted.zip(expected).forall { case (a, b) => eq(a, b) }, s"got $sorted")
+    // numerically equal long/double are a deterministic near-tie, not equal
+    assert(AnyColumn.compare(1L, 1.0) != 0)
+    assert(AnyColumn.compare(1.0, 1L) == -AnyColumn.compare(1L, 1.0))
+    // Spark-side: sorting an encoded mixed column by the sortKey op
+    val df = spark.createDataFrame(
+      vals.map(v => Tuple1(AnyColumn.encode(v))))
+      .toDF("v")
+    import org.apache.spark.sql.functions.col
+    val keyed = df.withColumn("k", AnyColumn.sortKey.f(Seq(col("v"))).head)
+    val back = keyed.orderBy("k").collect()
+      .map(r => AnyColumn.decode(r.getAs[Array[Byte]]("v"))).toSeq
+    assert(back.zip(expected).forall { case (a, b) => eq(a, b) }, s"got $back")
+  }
+
   test("mixed String/Long/Double column with runtime-class dispatch (api_test.clj:617-628)") {
     // reference: multimethod on runtime class → stringify differently
     val src = Seq(Seq[Any]("word."), Seq[Any](1L), Seq[Any](1.0))
