@@ -96,6 +96,25 @@ object Taps {
       format: String = "parquet", mode: String = "replace"): Sink =
     Sink(format, path, mode, template = templateFields)
 
+  /** Bucketed-table sink — the 100 TB co-located-join path. Writing both
+    * sides of a recurring big-big equi-join bucketed (same keys, same
+    * bucket count) lets every later join/aggregation on those keys run
+    * WITHOUT a shuffle: Spark's bucketing metadata proves the partitioning
+    * (hfs-tap has no Cascading analog; this is Spark-native scale
+    * machinery, beyond-reference). `sortCols` additionally pre-sorts
+    * within buckets so sort-merge joins skip the per-task sort. */
+  def bucketSink(df: DataFrame, table: String, keys: Seq[String], buckets: Int,
+      sortCols: Seq[String] = Nil, mode: String = "replace"): Unit = {
+    var w = df.write.mode(sinkModes(mode))
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+    if (sortCols.nonEmpty) w = w.sortBy(sortCols.head, sortCols.tail: _*)
+    w.format("parquet").saveAsTable(table)
+  }
+
+  /** Source over a bucketed table (pairs with [[bucketSink]]). */
+  def bucketTap(table: String)(fields: Any*): GenPred =
+    GenPred(_.table(table), fields)
+
   /** stdout tap (tap.clj:225-228). */
   def stdout(df: DataFrame, n: Int = 20): Unit = df.show(n, truncate = false)
 

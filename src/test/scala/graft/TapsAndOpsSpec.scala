@@ -52,6 +52,27 @@ class TapsAndOpsSpec extends SparkTestBase {
       Seq(Seq("k1", "v1"), Seq("k2", "v2")))
   }
 
+  test("bucketed tables: co-located equi-join with NO shuffle exchange") {
+    // the 100 TB recurring-join path: both sides bucketed on the key with
+    // the same bucket count -> later joins need no Exchange at all
+    val rows = (1 to 200).map(i => (i.toLong, s"v$i"))
+    Taps.bucketSink(spark.createDataFrame(rows).toDF("k", "va"),
+      "t_bk_a", Seq("k"), 4, sortCols = Seq("k"))
+    Taps.bucketSink(spark.createDataFrame(rows.map { case (k, v) => (k, v.toUpperCase) })
+      .toDF("k", "vb"), "t_bk_b", Seq("k"), 4, sortCols = Seq("k"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = graft.dsl.query("?k", "?va", "?vb")(
+        Taps.bucketTap("t_bk_a")("?k", "?va"),
+        Taps.bucketTap("t_bk_b")("?k", "?vb")).toDF(spark)
+      assert(j.count() === 200)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join should be shuffle-free, got:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("trap: failing tuples diverted, job continues (cascading_api_test.clj:163-224)") {
     val dir = tmp()
     val boom = Trap.trapFn[Long, Long](n =>
