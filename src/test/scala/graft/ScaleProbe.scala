@@ -39,6 +39,24 @@ object ScaleProbe {
     time("q1-style agg @6M")(q1(big).toDF(spark).count())
     time("per-group top-k @600k")(topk("/root/testdata/sf0.1/lineitem.parquet").toDF(spark).count())
     time("per-group top-k @6M")(topk(big).toDF(spark).count())
+
+    // near-dup dedup at 10x docs (50k): doc_ids offset per replica so the
+    // replicas ARE mutual near-dups — candidate volume grows 10x too, the
+    // adversarial direction for the band join
+    val bigDocs = "/tmp/graft_scale/documents10x.parquet"
+    if (!new java.io.File(bigDocs).exists()) {
+      val d = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      (1 to 10).map(i => d.withColumn("doc_id", col("doc_id") + lit(i * 10000000L)))
+        .reduce(_ unionAll _)
+        .repartition(32).write.mode("overwrite").parquet(bigDocs)
+    }
+    spark.read.parquet(bigDocs).count()
+    time("neardup dedup @5k docs")(graft.pipeline.Dedup.nearDupDedup(
+      spark.read.parquet("/root/testdata/sf0.1/documents.parquet"), threshold = 0.6).count())
+    time("neardup dedup @50k docs")(graft.pipeline.Dedup.nearDupDedup(
+      spark.read.parquet(bigDocs), threshold = 0.6).count())
+    time("minhash candidates @50k docs")(graft.pipeline.Dedup.minhashCandidates(
+      spark.read.parquet(bigDocs)).count())
     spark.stop()
   }
 }
