@@ -40,6 +40,19 @@ object Streams {
     events.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming NEAR-dup suppression: a doc is dropped if another doc with
+    * the SAME 64-bit simhash arrived within the watermark (simhash equality
+    * over whitespace tokens ⇒ near-identical text — the coarse tier of the
+    * batch pipeline's hamming-distance candidates, with watermark-bounded
+    * state). Uses the md5-exact kernel, so the survivor set is auditable
+    * offline against the batch [[graft.pipeline.Dedup.simhash]]. */
+  def streamingNearDup(docs: DataFrame, tsCol: String, watermark: String,
+      textCol: String = "text"): DataFrame =
+    docs.withColumn("_simhash", graft.pipeline.Dedup.simhash(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(Seq("_simhash"))
+      .drop("_simhash")
+
   final case class SessionState(start: Long, end: Long, events: Long)
   final case class SessionOut(key: Long, startMs: Long, endMs: Long, events: Long)
 

@@ -39,6 +39,24 @@ class StreamingSpec extends SparkTestBase {
     q.stop()
   }
 
+  test("streaming near-dup suppression via simhash within watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val df = in.toDF().toDF("ts", "doc_id", "text")
+    val kept = Streams.streamingNearDup(df, "ts", "1 hour")
+    val q = Streams.toMemory(kept, "neardup_out", "append")
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:${m}%02d:00")
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    in.addData(
+      (ts(0), 1L, a),
+      (ts(1), 2L, a.replace("lazy", "LAZY")), // case-only change → same simhash
+      (ts(2), 3L, "an entirely different document about spark aggregation"))
+    q.processAllAvailable()
+    val ids = spark.table("neardup_out").select("doc_id").as[Long].collect().sorted
+    assert(ids.sameElements(Array(1L, 3L)), s"got ${ids.toSeq}")
+    q.stop()
+  }
+
   test("sessionization with custom state (mapGroupsWithState)") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Long)] // (user_id, ts_ms)
