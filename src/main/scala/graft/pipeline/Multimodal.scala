@@ -78,6 +78,30 @@ object Multimodal {
   def resized(df: DataFrame, binCol: String, w: Int, h: Int): DataFrame =
     df.withColumn("resized", resizeUdf(col(binCol), lit(w), lit(h)))
 
+  /** Batched feature extraction — the Scala analog of a Pandas UDF over
+    * `mapInPandas`: the expensive codec/model is initialized ONCE per
+    * partition and rows are processed in `batchSize` groups (exactly why
+    * mapInPandas exists — amortizing per-call setup over a batch). The
+    * stub "model" is [[featuresStub]]; swap the `init`/`infer` pair for a
+    * real decoder+model in production. Output schema = input + features. */
+  def withFeaturesBatched(df: DataFrame, binCol: String,
+      batchSize: Int = 64): DataFrame = {
+    val schema = df.schema.add(StructField("features", ArrayType(FloatType)))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val out = df.mapPartitions { rows =>
+      // per-partition init (production: load codec / model weights here)
+      val infer: Array[Array[Byte]] => Array[Array[Float]] =
+        batch => batch.map(featuresStub)
+      rows.grouped(batchSize).flatMap { batch =>
+        val feats = infer(batch.map(_.getAs[Array[Byte]](binIdx)).toArray)
+        batch.iterator.zip(feats.iterator).map { case (r, f) =>
+          Row.fromSeq(r.toSeq :+ f.toSeq)
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+    out
+  }
+
   /** Frame sampling: one output row per sampled frame index — the explode
     * pattern a video pipeline needs. Frame extraction itself is the stub
     * (byte slice); the row multiplication, index bookkeeping, and even

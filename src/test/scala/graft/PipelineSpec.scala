@@ -161,5 +161,13 @@ class PipelineSpec extends SparkTestBase {
     val frames = Multimodal.frameSample(bin.limit(1), "content", everyNthFrame = 30)
     assert(frames.count() > 1) // row multiplication happened
     assert(frames.schema.fieldNames.contains("frame_idx"))
+
+    // batched (mapInPandas-analog) path produces the same features as the
+    // per-row path, with batch size smaller than the partition
+    val batched = Multimodal.withFeaturesBatched(bin, "content", batchSize = 3)
+      .select($"path", $"features")
+    val perRow = Multimodal.withFeatures(bin, "content").select($"path", $"features")
+    assert(batched.collect().map(r => (r.getString(0), r.getSeq[Float](1))).toMap ==
+      perRow.collect().map(r => (r.getString(0), r.getSeq[Float](1))).toMap)
   }
 }
