@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -131,18 +131,97 @@ object Similarity {
       .select("probe_id", "corpus_id", "cosine", "rank")
   }
 
-  /** IVF-style coarse quantization without a trained codebook: cells are
-    * hyperplane buckets at two resolutions (coarse for routing, fine for
-    * ranking) — a deterministic stand-in for k-means centroids that keeps
-    * the same plan shape (route → per-cell scan → top-k). */
+  /** Deterministic Lloyd's k-means codebook for IVF routing. Centroids
+    * live on the driver (k × dims doubles — tiny; the same layout Spark
+    * MLlib uses) and ship to executors inside the assignment UDF closure;
+    * the DATA never leaves the cluster: assignment is a distributed map,
+    * the update step a distributed groupBy-average. Seeded
+    * deterministically by taking the k lowest-id vectors as initial
+    * centroids; fixed iteration count keeps runs reproducible. */
+  def kmeansCentroids(
+      corpus: DataFrame,
+      cells: Int,
+      iters: Int = 3,
+      corpusId: String = "vec_id",
+      embCol: String = "embedding"): Array[Array[Double]] = {
+    val seed = corpus.select(col(corpusId), col(embCol))
+      .orderBy(col(corpusId)).limit(cells).collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    var centroids = seed
+    var it = 0
+    while (it < iters) {
+      val cs = centroids // stable reference for the closure
+      val assignU = udf((emb: Seq[Float]) => nearestCell(cs, emb))
+      val means = corpus
+        .select(assignU(col(embCol)).as("cell"), col(embCol))
+        .select(col("cell"), posexplode(col(embCol)).as(Seq("dim", "v")))
+        .groupBy("cell", "dim").agg(avg(col("v")).as("m"))
+        .groupBy("cell").agg(sort_array(collect_list(struct(col("dim"), col("m"))))
+          .as("dims"))
+        .collect()
+        .map(r => r.getInt(0) ->
+          r.getSeq[Row](1).map(_.getDouble(1)).toArray).toMap
+      // empty cells keep their previous centroid
+      centroids = centroids.indices.map(i => means.getOrElse(i, centroids(i))).toArray
+      it += 1
+    }
+    centroids
+  }
+
+  private def nearestCell(centroids: Array[Array[Double]], emb: Seq[Float]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      val ctr = centroids(c)
+      var d = 0.0; var i = 0
+      val n = math.min(ctr.length, emb.length)
+      while (i < n) { val diff = emb(i) - ctr(i); d += diff * diff; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  private def nearestCells(centroids: Array[Array[Double]], emb: Seq[Float],
+      nProbe: Int): Array[Int] = {
+    val ds = centroids.indices.map { c =>
+      val ctr = centroids(c)
+      var d = 0.0; var i = 0
+      val n = math.min(ctr.length, emb.length)
+      while (i < n) { val diff = emb(i) - ctr(i); d += diff * diff; i += 1 }
+      (d, c)
+    }
+    ds.sorted.take(nProbe).map(_._2).toArray
+  }
+
+  /** True IVF approximate top-k: a k-means codebook routes each probe to its
+    * `nProbe` nearest cells and only those cells' vectors are scored —
+    * per-probe work drops from |corpus| to nProbe/cells of it. The scale
+    * path: cells grow with data (√N rule), cell lists are a bucketed join,
+    * the codebook stays kilobytes. */
   def ivfKnn(
       corpus: DataFrame,
       probes: DataFrame,
       k: Int = 10,
-      coarsePlanes: Int = 6,
+      cells: Int = 16,
+      nProbe: Int = 4,
+      iters: Int = 3,
       corpusId: String = "vec_id",
       probeId: String = "probe_id",
-      embCol: String = "embedding"): DataFrame =
-    lshKnn(corpus, probes, k, coarsePlanes, multiProbeBits = 1,
-      corpusId, probeId, embCol)
+      embCol: String = "embedding"): DataFrame = {
+    val centroids = kmeansCentroids(corpus, cells, iters, corpusId, embCol)
+    val assignU = udf((emb: Seq[Float]) => nearestCell(centroids, emb))
+    val routeU = udf((emb: Seq[Float]) => nearestCells(centroids, emb, nProbe))
+    val c = corpus.select(col(corpusId).as("corpus_id"), col(embCol).as("c_emb"),
+      assignU(col(embCol)).as("cell"))
+    val p = probes.select(col(probeId).as("probe_id"), col(embCol).as("p_emb"),
+      explode(routeU(col(embCol))).as("cell"))
+    val scored = c.join(p, "cell")
+      .withColumn("cosine", graft.functions.VectorExpressions.cosine(
+        corpus.sparkSession, col("c_emb"), col("p_emb")))
+    val w = Window.partitionBy("probe_id").orderBy(col("cosine").desc, col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("probe_id", "corpus_id", "cosine", "rank")
+  }
 }

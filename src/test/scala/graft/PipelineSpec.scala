@@ -77,6 +77,26 @@ class PipelineSpec extends SparkTestBase {
     assert((0L until 5L).forall(i => approx.contains((i, i))))
   }
 
+  test("ivf knn: k-means routing, self-match survives, decent recall") {
+    val probes = embeddings.filter($"vec_id" < 5).select($"vec_id".as("probe_id"), $"embedding")
+    val exact = Similarity.bruteForceKnn(embeddings, probes, k = 5)
+      .select($"probe_id", $"corpus_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // uniform-random embeddings are the worst case for IVF (no cluster
+    // structure) — probing 8/16 cells scans ~half the corpus; recall
+    // should be well above that fraction since near neighbors concentrate
+    // in near cells
+    val ivf = Similarity.ivfKnn(embeddings, probes, k = 5, cells = 16, nProbe = 8)
+      .select($"probe_id", $"corpus_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(ivf.contains).toDouble / exact.size
+    assert(recall >= 0.5, s"recall@5 $recall too low")
+    // a probe's own vector lands in its assigned cell = its nearest cell
+    assert((0L until 5L).forall(i => ivf.contains((i, i))))
+    // determinism: same codebook, same result
+    val again = Similarity.ivfKnn(embeddings, probes, k = 5, cells = 16, nProbe = 8)
+      .select($"probe_id", $"corpus_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf == again)
+  }
+
   test("embedding near-dup finds self-similar pairs deterministically") {
     val dupped = embeddings.limit(50)
       .unionAll(embeddings.limit(5).withColumn("vec_id", $"vec_id" + 1000L))
