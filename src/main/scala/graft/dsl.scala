@@ -44,9 +44,11 @@ object dsl {
     GenPred(_.read.parquet(path), fields)
 
   /** In-memory rows as a generator (reference memory-source-tap,
-    * cascading/tap.clj:230-236). Small by construction → broadcast hint. */
+    * cascading/tap.clj:230-236). Small by construction → broadcast hint.
+    * An EMPTY rows seq is legal (api_test.clj:36-40 test-empty-vector-
+    * input): arity then comes from the binding site, schema all-string. */
   def mem(rows: Seq[Seq[Any]])(fields: Any*): GenPred =
-    GenPred(s => memDF(s, rows), fields, small = true)
+    GenPred(s => memDF(s, rows, arity = fields.length), fields, small = true)
 
   /** Mark a generator broadcast-able (reference hash-join-with-tiny,
     * cascading/operations.clj:412-454). */
@@ -288,9 +290,10 @@ object dsl {
     * Clojure-style maps, arbitrary objects) — falls back to the
     * [[graft.logic.AnyColumn]] tagged-binary codec (reference untyped
     * tuples, SURVEY §1.2/§7.4.4); the typed fast path is untouched. */
-  def memDF(s: SparkSession, rows: Seq[Seq[Any]]): DataFrame = {
-    require(rows.nonEmpty, "mem generator needs at least one row")
-    val n = rows.head.length
+  def memDF(s: SparkSession, rows: Seq[Seq[Any]], arity: Int = -1): DataFrame = {
+    require(rows.nonEmpty || arity >= 0,
+      "empty mem generator needs a declared arity (bind it to fields)")
+    val n = if (rows.nonEmpty) rows.head.length else arity
     val types: Seq[DataType] = (0 until n).map { i =>
       val inferred = rows.flatMap(r => Option(r(i))).map { v =>
         try inferType(v) catch { case scala.util.control.NonFatal(_) => BinaryType }

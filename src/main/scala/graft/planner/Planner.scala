@@ -131,6 +131,11 @@ object Planner {
             case Some(f0) => filters += (col(s"_c$i") <=> col(f0))
             case None     => first(v) = s"_c$i"
           }
+        case guard: ColumnFilter =>
+          // function guard in generator binding position, e.g.
+          // `(pairs odd? ?b)` filters rows by that column
+          // (api_test.clj:577-591 test-complex-constraints)
+          filters += guard.f(Seq(col(s"_c$i")))
         case c => filters += (col(s"_c$i") <=> lit(c))
       }
     }

@@ -255,4 +255,65 @@ class CoreSpec extends SparkTestBase {
       query("?p")(personG(Seq("?p"))).sorted("?p").toDF(spark)
     }
   }
+
+  test("zero-input op appends to every row (api_test.clj:22-34 test-no-input)") {
+    val nums = Seq(Seq(1L), Seq(2L), Seq(3L))
+    val mkOne = Ops.cmap(_ => org.apache.spark.sql.functions.lit(1L))
+    assertProduces(
+      query("?n", "?n2")(mem(nums)(Seq("?n"): _*), mkOne() :> "?n2"),
+      Seq(Seq(1L, 1L), Seq(2L, 1L), Seq(3L, 1L)))
+    // second generator shares no vars → cross join, zero-input op intact
+    assertProduces(
+      query("?n", "?n3")(
+        mem(nums)(Seq("?n"): _*), mkOne() :> "?n2", mem(nums)(Seq("?n3"): _*)),
+      for { n <- 1L to 3L; n3 <- 1L to 3L } yield Seq(n, n3))
+  }
+
+  test("function guard in generator binding position (api_test.clj:577-591)") {
+    // (pairs odd? ?b): the guard filters the first source column; combined
+    // with the output-position guard (* ?b 3 :> even?)
+    val pairs = Seq(Seq(1L, 2L), Seq(2L, 4L), Seq(3L, 3L))
+    val odd = Ops.filterFn((n: Long) => n % 2 == 1)
+    val even = Ops.filterFn((n: Long) => n % 2 == 0)
+    assertProduces(
+      query("?b")(
+        mem(pairs)(odd, "?b"),
+        Ops.times("?b", 3) :> even),
+      Seq(Seq(2L)))
+  }
+
+  test("multi-rule composition: shared subqueries, nil? on nullable (api_test.clj:193-216)") {
+    val age = Seq(Seq("n", 24L), Seq("c", 40L), Seq("j", 23L), Seq("g", 50L))
+    val interest = Seq(Seq("n", "bb", null), Seq("n", "fb", 20L),
+      Seq("g", "ck", 30L), Seq("j", "nz", 10L), Seq("j", "hk", 1L),
+      Seq("jj", "ee", null))
+    val follows = Seq(Seq("n", "j"), Seq("j", "n"), Seq("j", "a"),
+      Seq("n", "a"), Seq("g", "q"))
+    val manyFollow = query("?p")(
+      mem(follows)("?p", "_"),
+      Ops.count() :> "?c",
+      Ops.gt("?c", 1L))
+    // the SAME subquery bound twice with different vars in one query
+    val activeFollows = query("?p", "?p2")(
+      manyFollow("?p"), manyFollow("?p2"), mem(follows)("?p", "?p2"))
+    val unknownInterest = query("?p")(
+      mem(age)("?p", "?a"),
+      mem(interest)("?p", "_", "!i"),
+      Ops.pred1(_.isNull)("!i"))
+    val weirdFollows = query("?p", "?p2")(
+      activeFollows("?p", "?p2"), unknownInterest("?p2"))
+    assertProduces(activeFollows, Seq(Seq("n", "j"), Seq("j", "n")))
+    assertProduces(unknownInterest, Seq(Seq("n")))
+    assertProduces(weirdFollows, Seq(Seq("j", "n")))
+  }
+
+  test("empty generator yields empty result (api_test.clj:36-40)") {
+    assertProduces(query("?a")(mem(Seq.empty)(Seq("?a"): _*)), Seq.empty)
+    // and through a join: empty ⋈ nonempty = empty
+    assertProduces(
+      query("?a", "?b")(
+        mem(Seq.empty)(Seq("?a"): _*),
+        mem(Seq(Seq("x", "y")))(Seq("?a", "?b"): _*)),
+      Seq.empty)
+  }
 }
