@@ -307,6 +307,19 @@ class CoreSpec extends SparkTestBase {
     assertProduces(weirdFollows, Seq(Seq("j", "n")))
   }
 
+  test("self-join of the same generator (cascading_api_test.clj:147-162)") {
+    val src = Seq(Seq("a"))
+    assertProduces(
+      query("!a")(mem(src)(Seq("!a"): _*), mem(src)(Seq("!a"): _*)),
+      Seq(Seq("a")))
+    // mutual follows: same source joined against itself with swapped vars
+    val follows = Seq(Seq("a", "b"), Seq("b", "a"), Seq("a", "c"))
+    assertProduces(
+      query("?p", "?p2")(
+        mem(follows)("?p", "?p2"), mem(follows)("?p2", "?p")),
+      Seq(Seq("a", "b"), Seq("b", "a")))
+  }
+
   test("empty generator yields empty result (api_test.clj:36-40)") {
     assertProduces(query("?a")(mem(Seq.empty)(Seq("?a"): _*)), Seq.empty)
     // and through a join: empty ⋈ nonempty = empty
