@@ -24,9 +24,14 @@ object Planner {
   /** A query tail: a DataFrame whose columns are the bound logic vars
     * (mangled via [[Vars.colName]]), mirroring the reference TailStruct
     * (logic/parse.clj:173). */
-  final case class Tail(df: DataFrame, fields: Vector[String]) {
-    /** Ground = no `!!` vars (logic/parse.clj:450-456). */
-    def isGround: Boolean = fields.forall(Vars.isGroundVar)
+  final case class Tail(df: DataFrame, fields: Vector[String],
+      groundOverride: Option[Boolean] = None) {
+    /** Ground status drives join typing. A fresh generator tail is ground
+      * iff it binds no `!!` vars; a JOINED tail is ground if ANY of its
+      * inputs was ground (parse.clj:460 `(s/some? :ground? join-set)`) —
+      * the ground core keeps later joins left-outer even though the tail
+      * now carries nullable `!!` columns from earlier outer joins. */
+    def isGround: Boolean = groundOverride.getOrElse(fields.forall(Vars.isGroundVar))
     def col(v: String): Column = df.col(Vars.colName(v))
   }
 
@@ -49,6 +54,29 @@ object Planner {
       "cannot mix buffers with other aggregators")
     require(q.options.sort.isEmpty || aggPreds.nonEmpty,
       "cannot specify a sort when there are no aggregators")
+
+    // Ungrounding-var rules (logic/parse.clj:113-129; tests
+    // api_test.clj:325-351): a `!!` var springs from exactly ONE
+    // generator, never from an op output, and generators-as-sets may not
+    // mention one at all.
+    val genUnground = gens.flatMap(_.fields).collect {
+      case v: String if Vars.isUnground(v) => v
+    }
+    genUnground.groupBy(identity).foreach { case (v, occ) =>
+      require(occ.size == 1, s"ungrounding var $v can only appear in one generator")
+    }
+    allOps.foreach(_.out.foreach {
+      case v: String if Vars.isUnground(v) => throw new IllegalArgumentException(
+        s"ungrounding var $v must spring from a generator, not an operation")
+      case _ => ()
+    })
+    exist.foreach { e =>
+      (e.gen.fields :+ e.flag).foreach {
+        case v: String if Vars.isUnground(v) => throw new IllegalArgumentException(
+          s"no ungrounding vars allowed in generators-as-sets: $v")
+        case _ => ()
+      }
+    }
 
     q.options.name.foreach(spark.sparkContext.setJobDescription)
 
@@ -84,7 +112,7 @@ object Planner {
           tail.col(v).as(Vars.displayName(v))): _*)))
       tail = Tail(
         tail.df.filter(!anyErr).drop(trapVars.map(Vars.colName): _*),
-        tail.fields.filterNot(trapVars.contains))
+        tail.fields.filterNot(trapVars.contains), tail.groundOverride)
     }
 
     // 4. grouping / aggregation
@@ -206,7 +234,7 @@ object Planner {
       case (const, c) => // constant in output position: equality filter
         df = df.filter(c <=> lit(const))
     }
-    Tail(df, fields)
+    Tail(df, fields, t.groundOverride)
   }
 
   private def applyOp(t: Tail, o: OpPred): Tail = {
@@ -217,7 +245,8 @@ object Planner {
     }
     o.op match {
       case ColumnMap(_, f) => bindOutputs(t, o.out, f(inCols), skipNullFilter = isTrapped)
-      case ColumnFilter(f) if o.out.isEmpty => Tail(t.df.filter(f(inCols)), t.fields)
+      case ColumnFilter(f) if o.out.isEmpty =>
+        Tail(t.df.filter(f(inCols)), t.fields, t.groundOverride)
       case ColumnFilter(f) => bindOutputs(t, o.out, Seq(f(inCols))) // capture bool
       case ColumnMapcat(n, f) =>
         val tmp = Vars.colName(Vars.gen())
@@ -225,8 +254,8 @@ object Planner {
         val outCols =
           if (n == 1) Seq(col(tmp))
           else (1 to n).map(k => col(tmp)(s"_$k"))
-        val bound = bindOutputs(Tail(df, t.fields), o.out, outCols)
-        Tail(bound.df.drop(tmp), bound.fields)
+        val bound = bindOutputs(Tail(df, t.fields, t.groundOverride), o.out, outCols)
+        Tail(bound.df.drop(tmp), bound.fields, bound.groundOverride)
       case other => sys.error(s"aggregator $other cannot be applied as a scalar op")
     }
   }
@@ -238,8 +267,9 @@ object Planner {
     * first-non-null key coalescing (cascading/operations.clj:477-484) free.
     */
   private def joinPair(l: Tail, r: Tail, shared: Vector[String]): Tail = {
+    val ground = Some(l.isGround || r.isGround)
     if (shared.isEmpty)
-      return Tail(l.df.crossJoin(r.df), l.fields ++ r.fields)
+      return Tail(l.df.crossJoin(r.df), l.fields ++ r.fields, ground)
     val how = (l.isGround, r.isGround) match {
       case (true, true)   => "inner"
       case (true, false)  => "left_outer"
@@ -247,7 +277,7 @@ object Planner {
       case (false, false) => "full_outer"
     }
     val df = l.df.join(r.df, shared.map(Vars.colName), how)
-    Tail(df, l.fields ++ r.fields.filterNot(shared.contains))
+    Tail(df, l.fields ++ r.fields.filterNot(shared.contains), ground)
   }
 
   /** Existence joins (ExistenceNode, parse.clj:194-199): flag=true → semi,
@@ -259,15 +289,15 @@ object Planner {
     require(shared.nonEmpty, "existence predicate shares no vars with the query")
     val keys = shared.map(Vars.colName)
     e.flag match {
-      case true  => Tail(t.df.join(g.df, keys, "left_semi"), t.fields)
-      case false => Tail(t.df.join(g.df, keys, "left_anti"), t.fields)
+      case true  => Tail(t.df.join(g.df, keys, "left_semi"), t.fields, t.groundOverride)
+      case false => Tail(t.df.join(g.df, keys, "left_anti"), t.fields, t.groundOverride)
       case v: String if Vars.isVar(v) =>
         val marker = Vars.colName(Vars.gen())
         val right = g.df.select(keys.map(col): _*).distinct().withColumn(marker, lit(true))
         val df = t.df.join(right, keys, "left_outer")
           .withColumn(Vars.colName(v), coalesce(col(marker), lit(false)))
           .drop(marker)
-        Tail(df, t.fields :+ v)
+        Tail(df, t.fields :+ v, t.groundOverride)
       case other => sys.error(s"bad existence flag: $other")
     }
   }

@@ -320,6 +320,47 @@ class CoreSpec extends SparkTestBase {
       Seq(Seq("a", "b"), Seq("b", "a")))
   }
 
+  test("complex mixed outer join: two unground tails, composite keys (api_test.clj:310-323)") {
+    val age = Seq(Seq("a", 20L), Seq("b", 30L), Seq("c", 27L), Seq("d", 40L))
+    val rec1 = Seq(Seq("a", 1L, 2L), Seq("b", 30L, 16L), Seq("e", 3L, 4L))
+    val rec2 = Seq(Seq("a", 20L, 6L), Seq("c", 27L, 25L), Seq("c", 1L, 11L),
+      Seq("f", 30L, 1L), Seq("b", 100L, 16L))
+    assertProduces(
+      query("?p", "?a", "!!f1", "!!f2", "!!f3")(
+        mem(age)("?p", "?a"),
+        mem(rec1)("?p", "!!f1", "!!f2"),
+        mem(rec2)("?p", "?a", "!!f3")), // joins on BOTH ?p and ?a
+      Seq(Seq("a", 20L, 1L, 2L, 6L), Seq("c", 27L, null, null, 25L),
+        Seq("d", 40L, null, null, null), Seq("b", 30L, 30L, 16L, null)))
+  }
+
+  test("ungrounding validation errors (api_test.clj:325-351)") {
+    val age = Seq(Seq("a", 20L), Seq("b", 30L))
+    val rec1 = Seq(Seq("a", 1L, 2L))
+    // each unground var can only appear in one generator
+    assertThrows[IllegalArgumentException] {
+      query("!!a", "?c")(
+        mem(age)("!!a", "?b"), mem(rec1)("!!a", "?f1", "?f2"),
+        Ops.minus("?b", 2L) :> "?c").toDF(spark)
+    }
+    // ungrounding vars have to spring from a generator, not an op
+    assertThrows[IllegalArgumentException] {
+      query("!!a", "!!c")(
+        mem(age)("!!a", "?b"), Ops.minus("?b", 2L) :> "!!c").toDF(spark)
+    }
+    // no ungrounding vars in generators-as-sets
+    assertThrows[IllegalArgumentException] {
+      query("!!a")(
+        mem(age)("!!a", "?b"),
+        dsl.exists(mem(rec1)("!!a", "_", "_"))).toDF(spark)
+    }
+    assertThrows[IllegalArgumentException] {
+      query("?a", "!!c")(
+        mem(age)("?a", "?b"),
+        existsAs(mem(rec1)("?a", "_", "_"), "!!c")).toDF(spark)
+    }
+  }
+
   test("empty generator yields empty result (api_test.clj:36-40)") {
     assertProduces(query("?a")(mem(Seq.empty)(Seq("?a"): _*)), Seq.empty)
     // and through a join: empty ⋈ nonempty = empty
