@@ -86,11 +86,29 @@ object Planner {
     var tails = mutable.ArrayBuffer(gens.map(g => bindGenerator(spark, g)): _*)
     tails = tails.map(t => fixedPoint(t, ops))
 
-    // 2. merge-tails: greedy maximal shared-var pair (parse.clj:416-432)
+    // 2. merge-tails: greedy maximal shared-var pair (parse.clj:416-432),
+    // restricted to JOINABLE tails (parse.clj:394-407): an unground tail
+    // may only join when every non-join field is unground — otherwise its
+    // `?` fields would go null on unmatched rows. Unjoinable-now pairs may
+    // become joinable after other merges widen the shared set; only when
+    // no joinable pair remains do we cross-join (our explicit extension
+    // for var-disjoint GROUND tails; the reference requires a constant
+    // join key) or throw the reference's planning error.
+    def joinable(t: Tail, joinFields: Set[String]): Boolean =
+      joinFields.subsetOf(t.fields.toSet) &&
+        (t.isGround || t.fields.filterNot(joinFields).forall(Vars.isUnground))
     while (tails.size > 1) {
       val pairs = for { i <- tails.indices; j <- tails.indices if i < j }
         yield (i, j, tails(i).fields.toSet.intersect(tails(j).fields.toSet))
-      val (i, j, shared) = pairs.maxBy(_._3.size)
+      val candidates = pairs.filter { case (i, j, shared) =>
+        shared.nonEmpty && joinable(tails(i), shared) && joinable(tails(j), shared)
+      }
+      val (i, j, shared) =
+        if (candidates.nonEmpty) candidates.maxBy(_._3.size)
+        else pairs.find { case (i, j, s) =>
+          s.isEmpty && tails(i).isGround && tails(j).isGround
+        }.getOrElse(throw new IllegalArgumentException(
+          "unable to join predicates together"))
       val joined = joinPair(tails(i), tails(j), shared.toVector.sorted)
       val rest = tails.zipWithIndex.collect { case (t, k) if k != i && k != j => t }
       tails = mutable.ArrayBuffer(fixedPoint(joined, ops)) ++ rest

@@ -361,6 +361,17 @@ class CoreSpec extends SparkTestBase {
     }
   }
 
+  test("unjoinable: unground tail with non-join ground field throws (parse.clj:394-407)") {
+    // B shares only ?y, but its ?g would go null on unmatched rows — the
+    // reference refuses to plan this ("Unable to join predicates together")
+    val a = Seq(Seq(1L, 2L))
+    val b = Seq(Seq(2L, 3L, 4L))
+    assertThrows[IllegalArgumentException] {
+      query("?y", "?g", "!!z")(
+        mem(a)("?x", "?y"), mem(b)("?y", "!!z", "?g")).toDF(spark)
+    }
+  }
+
   test("empty generator yields empty result (api_test.clj:36-40)") {
     assertProduces(query("?a")(mem(Seq.empty)(Seq("?a"): _*)), Seq.empty)
     // and through a join: empty ⋈ nonempty = empty
