@@ -80,7 +80,50 @@ object Planner {
 
     q.options.name.foreach(spark.sparkContext.setJobDescription)
 
-    val ops = mutable.ArrayBuffer(scalarPreds: _*)
+    // Dead-operation pruning (parse.clj:640-682; spec parse_test.clj:50-129):
+    // drop map operations whose outputs reach neither the out-fields, a
+    // generator var (join/implicit equality), a filter/aggregator input,
+    // another kept op's input, nor :sort — chained dead ops fall at the
+    // fixed point. Matters semantically, not just for speed: a pruned op
+    // never runs (it may throw) and never injects its `?`-output null
+    // filter. Disabled wholesale when ANY predicate has zero inputs
+    // (reference rule — e.g. `count` makes every field load-bearing).
+    def outVars(o: OpPred) = o.out.collect { case v: String if Vars.isVar(v) => v }
+    def inVars(o: OpPred) = o.in.collect { case v: String if Vars.isVar(v) => v }
+    val keptScalars: Seq[OpPred] =
+      if (allOps.exists(_.in.isEmpty)) scalarPreds
+      else {
+        def effectful(o: OpPred): Boolean =
+          (o.op.isInstanceOf[ColumnFilter] && o.out.isEmpty) || // pure filter
+            o.out.exists {
+              case v: String if Vars.isVar(v) => v.startsWith("!__trap")
+              case w: String if Vars.isWildcard(w) => false
+              case _ => true // constant or fn guard in output = implicit filter
+            }
+        // a var emitted by 2+ predicates is an implicit equality: effectful
+        val dupOut = allOps.flatMap(outVars).groupBy(identity)
+          .collect { case (v, occ) if occ.size > 1 => v }.toSet
+        val base: Set[String] =
+          q.outFields.collect { case v: String if Vars.isVar(v) => v }.toSet ++
+            gens.flatMap(_.fields).collect { case v: String if Vars.isVar(v) => v } ++
+            exist.flatMap(e => e.gen.fields :+ e.flag)
+              .collect { case v: String if Vars.isVar(v) => v } ++
+            scalarPreds.filter(o => o.op.isInstanceOf[ColumnFilter] && o.out.isEmpty)
+              .flatMap(inVars) ++
+            aggPreds.flatMap(inVars) ++ q.options.sort ++ dupOut
+        var kept = scalarPreds
+        var stable = false
+        while (!stable) {
+          val necessary = base ++ kept.flatMap(inVars)
+          val next = scalarPreds.filter(o =>
+            effectful(o) || outVars(o).exists(necessary))
+          stable = next == kept
+          kept = next
+        }
+        kept
+      }
+
+    val ops = mutable.ArrayBuffer(keptScalars: _*)
 
     // 1. bind generators → initial tails; apply ops per-tail (fixed point)
     var tails = mutable.ArrayBuffer(gens.map(g => bindGenerator(spark, g)): _*)

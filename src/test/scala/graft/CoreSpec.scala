@@ -372,6 +372,48 @@ class CoreSpec extends SparkTestBase {
     }
   }
 
+  test("dead-operation pruning (parse.clj:640-682, parse_test.clj:50-129)") {
+    val pairs = Seq(Seq(1L, 2L), Seq(2L, 4L))
+    val boom = Ops.mapFn((n: Long) => {
+      throw new RuntimeException("pruned ops must never run"); n
+    })
+    // unused op output → op pruned → the throwing fn never executes
+    assertProduces(
+      query("?minus")(
+        mem(pairs)("?a", "?b"),
+        Ops.minus("?b", "?a") :> "?minus",
+        boom("?a") :> "?plus"),
+      Seq(Seq(1L), Seq(2L)))
+    // chained dead ops both pruned
+    assertProduces(
+      query("?minus")(
+        mem(pairs)("?a", "?b"),
+        Ops.minus("?b", "?a") :> "?minus",
+        boom("?a") :> "?plus",
+        boom("?plus") :> "?incplus"),
+      Seq(Seq(1L), Seq(2L)))
+    // a pruned op's ?-output null filter must not apply either: nullMap
+    // yields null for a=2 → with pruning both rows still survive
+    val nullMap = Ops.mapFn((n: Long) =>
+      if (n == 2L) None else Some(n): Option[Long])
+    assertProduces(
+      query("?minus")(
+        mem(pairs)("?a", "?b"),
+        Ops.minus("?b", "?a") :> "?minus",
+        nullMap("?a") :> "?maybe"),
+      Seq(Seq(1L), Seq(2L)))
+    // NOT pruned when consumed by a filter downstream: plus survives and
+    // the even filter actually drops the (1,2) row (1+2=3)
+    val even = Ops.filterFn((n: Long) => n % 2 == 0)
+    assertProduces(
+      query("?minus")(
+        mem(pairs)("?a", "?b"),
+        Ops.minus("?b", "?a") :> "?minus",
+        Ops.plus("?b", "?a") :> "?plus",
+        even("?plus")),
+      Seq(Seq(2L)))
+  }
+
   test("empty generator yields empty result (api_test.clj:36-40)") {
     assertProduces(query("?a")(mem(Seq.empty)(Seq("?a"): _*)), Seq.empty)
     // and through a join: empty ⋈ nonempty = empty
