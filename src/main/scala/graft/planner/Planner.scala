@@ -94,7 +94,7 @@ object Planner {
       if (allOps.exists(_.in.isEmpty)) scalarPreds
       else {
         def effectful(o: OpPred): Boolean =
-          (o.op.isInstanceOf[ColumnFilter] && o.out.isEmpty) || // pure filter
+          o.out.isEmpty || // pure filter (incl. mapop-as-filter truthiness)
             o.out.exists {
               case v: String if Vars.isVar(v) => v.startsWith("!__trap")
               case w: String if Vars.isWildcard(w) => false
@@ -108,8 +108,7 @@ object Planner {
             gens.flatMap(_.fields).collect { case v: String if Vars.isVar(v) => v } ++
             exist.flatMap(e => e.gen.fields :+ e.flag)
               .collect { case v: String if Vars.isVar(v) => v } ++
-            scalarPreds.filter(o => o.op.isInstanceOf[ColumnFilter] && o.out.isEmpty)
-              .flatMap(inVars) ++
+            scalarPreds.filter(_.out.isEmpty).flatMap(inVars) ++
             aggPreds.flatMap(inVars) ++ q.options.sort ++ dupOut
         var kept = scalarPreds
         var stable = false
@@ -305,6 +304,18 @@ object Planner {
       case _ => false
     }
     o.op match {
+      case ColumnMap(_, f) if o.out.isEmpty =>
+        // mapop with no output vars acts as a filter on its result's
+        // truthiness (api_test.clj:690-694; Clojure rules: false/nil are
+        // falsy, anything else — including 0 — is truthy)
+        val tmp = Vars.colName(Vars.gen())
+        val df = t.df.withColumn(tmp, f(inCols).head)
+        val c = col(tmp)
+        val truthy =
+          if (df.schema(tmp).dataType == org.apache.spark.sql.types.BooleanType)
+            c <=> lit(true)
+          else c.isNotNull
+        Tail(df.filter(truthy).drop(tmp), t.fields, t.groundOverride)
       case ColumnMap(_, f) => bindOutputs(t, o.out, f(inCols), skipNullFilter = isTrapped)
       case ColumnFilter(f) if o.out.isEmpty =>
         Tail(t.df.filter(f(inCols)), t.fields, t.groundOverride)

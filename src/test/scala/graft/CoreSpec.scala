@@ -414,6 +414,54 @@ class CoreSpec extends SparkTestBase {
       Seq(Seq(2L)))
   }
 
+  test("mapop with no outputs filters on truthiness (api_test.clj:690-694)") {
+    val src = Seq(Seq(1L), Seq(2L))
+    val evenMap = Ops.mapFn((n: Long) => n % 2 == 0) // boolean result
+    assertProduces(
+      query("?x")(mem(src)(Seq("?x"): _*), evenMap("?x")),
+      Seq(Seq(2L)))
+    // non-boolean result: nil is falsy, any value (incl. 0) truthy
+    val nilForOdd = Ops.mapFn((n: Long) =>
+      if (n % 2 == 1) None else Some(0L): Option[Long])
+    assertProduces(
+      query("?x")(mem(src)(Seq("?x"): _*), nilForOdd("?x")),
+      Seq(Seq(2L)))
+  }
+
+  test("op output colliding with own input chains equalities (api_test.clj:218-245)") {
+    val nums = Seq(Seq(1L, 1L), Seq(0L, 0L), Seq(1L, 2L), Seq(3L, 7L),
+      Seq(8L, 64L), Seq(7L, 1L), Seq(2L, 4L), Seq(6L, 6L))
+    // (* ?n ?n :> ?n2) against bound ?n2: implicit equality n*n == n2
+    assertProduces(
+      query("?n", "?n2")(
+        mem(nums)("?n", "?n2"), Ops.times("?n", "?n") :> "?n2"),
+      Seq(Seq(1L, 1L), Seq(0L, 0L), Seq(8L, 64L), Seq(2L, 4L)))
+    // chained self-collisions: n*n == n AND n+n == n → only 0
+    assertProduces(
+      query("?n")(
+        mem(nums)("?n", "?n"),
+        Ops.times("?n", "?n") :> "?n",
+        Ops.plus("?n", "?n") :> "?n"),
+      Seq(Seq(0L)))
+  }
+
+  test("bloated all-nullable join with :distinct (api_test.clj:104-122)") {
+    val gender = Seq(Seq("n", "male"), Seq("j", "male"), Seq("a", null), Seq("z", "female"))
+    val interest = Seq(Seq("n", "bball"), Seq("n", "dl"), Seq("j", "tennis"),
+      Seq("z", "stuff"), Seq("a", "shoes"))
+    val friends = Seq(Seq("n", "j"), Seq("n", "m"), Seq("n", "a"),
+      Seq("j", "a"), Seq("a", "z"), Seq("z", "a"))
+    val age = Seq(Seq("z", 20L), Seq("a", 10L), Seq("n", 15L))
+    assertProduces(
+      query("!p", "!interest", "!age", "!gender")(
+        mem(friends)("!p", "_"),
+        mem(age)("!p", "!age"),
+        mem(interest)("!p", "!interest"),
+        mem(gender)("!p", "!gender")).distinct,
+      Seq(Seq("n", "bball", 15L, "male"), Seq("n", "dl", 15L, "male"),
+        Seq("a", "shoes", 10L, null), Seq("z", "stuff", 20L, "female")))
+  }
+
   test("empty generator yields empty result (api_test.clj:36-40)") {
     assertProduces(query("?a")(mem(Seq.empty)(Seq("?a"): _*)), Seq.empty)
     // and through a join: empty ⋈ nonempty = empty
