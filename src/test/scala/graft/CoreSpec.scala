@@ -462,6 +462,55 @@ class CoreSpec extends SparkTestBase {
         Seq("a", "shoes", 10L, null), Seq("z", "stuff", 20L, "female")))
   }
 
+  test("limit / limit-rank full parity block (api_test.clj:721-783)") {
+    val pair = Seq(Seq("a", 1L), Seq("a", 3L), Seq("a", 2L), Seq("a", 4L),
+      Seq("b", 1L), Seq("b", 6L), Seq("b", 7L), Seq("c", 0L))
+    def p(fields: Any*) = mem(pair)(fields: _*)
+    // global pass-through buffer over the sorted whole
+    val nothingBuf = Ops.bufferSame(1)(identity)
+    assertProduces(
+      query("?n2")(p("_", "?n"), nothingBuf("?n") :> "?n2").sorted("?n"),
+      Seq(Seq(0L), Seq(1L), Seq(1L), Seq(2L), Seq(3L), Seq(4L), Seq(6L), Seq(7L)))
+    // global limit 2 ascending
+    assertProduces(
+      query("?n2")(p("_", "?n"), Ops.limit(2)("?n") :> "?n2").sorted("?n"),
+      Seq(Seq(0L), Seq(1L)))
+    // global limit-rank 5, two sort fields
+    assertProduces(
+      query("?n2", "?r")(p("?l", "?n"),
+        Ops.limitRank(5)("?n") :> ("?n2", "?r")).sorted("?l", "?n"),
+      Seq(Seq(1L, 1L), Seq(2L, 2L), Seq(3L, 3L), Seq(4L, 4L), Seq(1L, 5L)))
+    // reverse, two in/out fields
+    assertProduces(
+      query("?l2", "?n2")(p("?l", "?n"),
+        Ops.limit(2)("?l", "?n") :> ("?l2", "?n2")).sorted("?l", "?n").reversed,
+      Seq(Seq("c", 0L), Seq("b", 7L)))
+    // global limit 3 keeps the duplicate 1
+    assertProduces(
+      query("?n2")(p("_", "?n"), Ops.limit(3)("?n") :> "?n2").sorted("?n"),
+      Seq(Seq(0L), Seq(1L), Seq(1L)))
+    // limit-rank 3 ascending
+    assertProduces(
+      query("?n2", "?r")(p("_", "?n"),
+        Ops.limitRank(3)("?n") :> ("?n2", "?r")).sorted("?n"),
+      Seq(Seq(0L, 1L), Seq(1L, 2L), Seq(1L, 3L)))
+    // reverse limit 2
+    assertProduces(
+      query("?n2")(p("_", "?n"),
+        Ops.limit(2)("?n") :> "?n2").sorted("?n").reversed,
+      Seq(Seq(6L), Seq(7L)))
+    // reverse limit-rank 2
+    assertProduces(
+      query("?n2", "?r")(p("_", "?n"),
+        Ops.limitRank(2)("?n") :> ("?n2", "?r")).sorted("?n").reversed,
+      Seq(Seq(6L, 2L), Seq(7L, 1L)))
+    // ?l in the output → PER-GROUP limit 2
+    assertProduces(
+      query("?l", "?n2")(p("?l", "?n"),
+        Ops.limit(2)("?n") :> "?n2").sorted("?n"),
+      Seq(Seq("a", 1L), Seq("a", 2L), Seq("b", 1L), Seq("b", 6L), Seq("c", 0L)))
+  }
+
   test("empty generator yields empty result (api_test.clj:36-40)") {
     assertProduces(query("?a")(mem(Seq.empty)(Seq("?a"): _*)), Seq.empty)
     // and through a join: empty ⋈ nonempty = empty
