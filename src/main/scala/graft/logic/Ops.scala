@@ -56,6 +56,16 @@ final case class BufferOp(
   * Output is identical to the unsalted plan. */
 final case class LimitAgg(n: Int, withRank: Boolean = false, salt: Int = 0) extends Op
 
+/** Sequential-fold aggregator marker (reference `aggregatefn`,
+  * logic/def.clj:39). Unlike buffers, sequential aggregators MAY mix with
+  * parallel aggregators and with each other in one grouping
+  * (parse.clj:131-139 only excludes buffers; api_test.clj:181-191
+  * test-complex-noncomplex-agg-mix is the spec). The planner runs each as
+  * a sorted-group fold and assembles multi-aggregator results by joining
+  * on the group keys — the same composition the reference's in-memory
+  * platform uses (in_memory/platform.clj:178-198). */
+final case class SeqAggOp(buffer: BufferOp) extends Op
+
 /** Sequential fold aggregator (reference `aggregatefn`, logic/def.clj:39):
   * init → step per tuple → present. Runs on the (optionally sorted) group
   * iterator, reduce-side, exactly like the reference's ClojureAggregator. */
@@ -66,10 +76,10 @@ object AggregateFn {
       present: B => Seq[Any],
       numOut: Int,
       outTypes: Seq[DataType]
-  ): BufferOp =
-    BufferOp(numOut, outTypes, { it =>
+  ): SeqAggOp =
+    SeqAggOp(BufferOp(numOut, outTypes, { it =>
       var acc = init
       while (it.hasNext) acc = step(acc, it.next())
       Iterator.single(present(acc))
-    })
+    }))
 }

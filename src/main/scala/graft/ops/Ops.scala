@@ -176,8 +176,9 @@ object Ops {
   def bufferSame(numOut: Int)(f: Iterator[Seq[Any]] => Iterator[Seq[Any]]): BufferOp =
     BufferOp(numOut, Nil, f)
 
-  /** aggregatefn (def.clj:39): init/step/present sequential fold. */
+  /** aggregatefn (def.clj:39): init/step/present sequential fold —
+    * mixable with parallel aggregators, unlike buffers. */
   def aggregateFn[B](numOut: Int, outTypes: Seq[DataType])(
-      init: => B)(step: (B, Seq[Any]) => B)(present: B => Seq[Any]): BufferOp =
+      init: => B)(step: (B, Seq[Any]) => B)(present: B => Seq[Any]): SeqAggOp =
     AggregateFn(init, step, present, numOut, outTypes)
 }

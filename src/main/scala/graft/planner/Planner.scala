@@ -43,10 +43,12 @@ object Planner {
 
     val (aggPreds, scalarPreds) = allOps.partition(o =>
       o.op.isInstanceOf[ColumnAgg] || o.op.isInstanceOf[BufferOp] ||
-        o.op.isInstanceOf[LimitAgg])
+        o.op.isInstanceOf[LimitAgg] || o.op.isInstanceOf[SeqAggOp])
 
     // Reference validations (logic/parse.clj:131-139); limit is a
     // ParallelBuffer in the reference, so it is buffer-exclusive too.
+    // Sequential aggregatefns (SeqAggOp) are NOT buffers: they mix freely
+    // with parallel aggregators and each other (api_test.clj:181-191).
     val bufferCount = aggPreds.count(o =>
       o.op.isInstanceOf[BufferOp] || o.op.isInstanceOf[LimitAgg])
     require(bufferCount <= 1, "cannot use multiple buffers in one grouping")
@@ -388,10 +390,32 @@ object Planner {
       case v: String if Vars.isVar(v) && t.fields.contains(v) && !aggOutVars(v) => v
     }.distinct.toVector
 
+    // one aggregation unit per execution strategy: all ColumnAggs run in a
+    // single .agg pass; each sequential fold (SeqAggOp) is its own sorted
+    // streaming pass. Multi-unit results join back on the group keys —
+    // the reference's own in-memory composition (in_memory/platform.clj:
+    // 178-198 runs each aggregator and cross-joins the per-group results).
+    // Spark reuses the shuffle exchange across units (same keys).
     aggs.head.op match {
       case _: BufferOp => bufferAggregate(t, aggs.head, groupVars, q)
       case _: LimitAgg => limitAggregate(t, aggs.head, groupVars, q)
-      case _           => columnAggregate(t, aggs, groupVars, q.options.reducers)
+      case _ =>
+        val (seqAggs, colAggs) = aggs.partition(_.op.isInstanceOf[SeqAggOp])
+        val unitTails =
+          (if (colAggs.nonEmpty)
+            Seq(columnAggregate(t, colAggs, groupVars, q.options.reducers))
+          else Nil) ++
+            seqAggs.map { o =>
+              val SeqAggOp(buf) = o.op: @unchecked
+              bufferAggregate(t, OpPred(buf, o.in, o.out), groupVars, q)
+            }
+        unitTails.reduce { (a, b) =>
+          if (groupVars.isEmpty)
+            Tail(a.df.crossJoin(b.df), a.fields ++ b.fields)
+          else
+            Tail(a.df.join(b.df, groupVars.map(Vars.colName), "inner"),
+              a.fields ++ b.fields.filterNot(groupVars.contains))
+        }
     }
   }
 

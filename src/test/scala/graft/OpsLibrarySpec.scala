@@ -67,6 +67,22 @@ class OpsLibrarySpec extends SparkTestBase {
       Seq(Seq(5L, 6L)))
   }
 
+  test("sequential aggregatefn MIXES with parallel aggs (api_test.clj:181-191)") {
+    val num = Seq(Seq("a", 1L), Seq("a", 2L), Seq("a", 5L), Seq("c", 6L),
+      Seq("d", 9L), Seq("a", 12L), Seq("c", 16L), Seq("e", 16L))
+    val evensVsOdds = Ops.aggregateFn[Long](1, Seq(LongType))(0L)(
+      (acc, row) => if (row.head.asInstanceOf[Long] % 2 == 0) acc + 1 else acc - 1)(
+      acc => Seq(acc))
+    assertProduces(
+      query("?a", "?c", "?e", "?s")(
+        mem(num)("?a", "?n"),
+        Ops.count() :> "?c",
+        Ops.sum("?n") :> "?s",
+        evensVsOdds("?n") :> "?e"),
+      Seq(Seq("a", 4L, 0L, 20L), Seq("c", 2L, 2L, 22L),
+        Seq("d", 1L, -1L, 9L), Seq("e", 1L, 1L, 16L)))
+  }
+
   test("bufferiter-style pairwise over sorted group (api_test.clj:453-468)") {
     // partition 2 1 over a sorted group ≈ lag: emit (prev, cur) pairs
     val pairwise = Ops.bufferSame(2) { it =>
