@@ -18,6 +18,29 @@ class MacroMultigroupPlanSpec extends SparkTestBase {
       Seq(Seq("f", 89.0 / 3), Seq("m", 157.0 / 5)))
   }
 
+  test("macro hygiene: internal temp var never collides with outer var (pred_macro_test.clj:22-43)") {
+    // mac1's internal ?t (fresh via Vars.gen) must not unify with the
+    // QUERY's own ?t; macro output 0 discarded via wildcard
+    val mac1: PredMacro = (in, out) => {
+      val t = Vars.gen()
+      Seq(Ops.plus(in.head, 1L) :> t,
+        Ops.times(t, 2L) :> out(0),
+        Ops.plus(in.head, t) :> out(1))
+    }
+    val num1 = Seq(Seq(0L), Seq(1L), Seq(2L), Seq(3L))
+    assertProduces(
+      query("?t", "?o")(
+        mem(num1)(Seq("?n"): _*),
+        mac1("?n") :> ("_", "?o"),
+        Ops.minus("?n", 1L) :> "?t"),
+      Seq(Seq(-1L, 1L), Seq(0L, 3L), Seq(1L, 5L), Seq(2L, 7L)))
+    // mac3-style: same var as macro input AND output → implicit equality
+    val mac3: PredMacro = (in, out) => Seq(Ops.plus(in.head, in.head) :> out.head)
+    assertProduces(
+      query("?n")(mem(num1)(Seq("?n"): _*), mac3("?n") :> "?n"),
+      Seq(Seq(0L)))
+  }
+
   test("predicate macro composition: variance via moments") {
     val vals = Seq(Seq("k", 2.0), Seq("k", 4.0), Seq("k", 4.0), Seq("k", 4.0),
       Seq("k", 5.0), Seq("k", 5.0), Seq("k", 7.0), Seq("k", 9.0))
