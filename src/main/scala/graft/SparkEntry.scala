@@ -318,6 +318,26 @@ object SparkEntry {
     }
   }
 
+  /** Eager aggregation via subquery composition: lineitem partially
+    * aggregated per orderkey BEFORE the joins, then re-aggregated per
+    * segment — 4× less join input at scale. An automatic rewrite would be
+    * unsound without key-uniqueness metadata (duplicate dim rows would
+    * multiply partial sums), but the DSL expresses it exactly; decimal
+    * partial sums re-sum associatively so results match q03 bit-for-bit. */
+  private def q32(s: SparkSession, d: String): DataFrame = {
+    val perOrder = query("?ok", "?part_rev", "?part_cnt")(
+      lineitem(d)("?ok", "_", "_", "_", "_", "?ep", "?disc", "_", "_", "_", "_"),
+      Ops.cmap(cs => cs(0) * (lit(1.0) - cs(1)))("?ep", "?disc") :> "?rev",
+      Ops.sumDec(28, 8)("?rev") :> "?part_rev",
+      Ops.count() :> "?part_cnt")
+    query("?c_mktsegment", "?revenue", "?n_items")(
+      customer(d)("?ck", "_", "_", "_", "?c_mktsegment"),
+      orders(d)("?ok", "?ck", "_", "_", "_", "_"),
+      perOrder("?ok", "?part_rev", "?part_cnt"),
+      Ops.sumDec(28, 8)("?part_rev") :> "?revenue",
+      Ops.sum("?part_cnt") :> "?n_items").toDF(s)
+  }
+
   // ----------------------------------------------------- pipeline queries
 
   private def p01(s: SparkSession, d: String): DataFrame =
@@ -431,6 +451,7 @@ object SparkEntry {
     "q29_full_outer" -> (q29 _),
     "q30_lag_buffer" -> (q30 _),
     "q31_multigroup" -> (q31 _),
+    "q32_preagg_join" -> (q32 _),
     "p01_exact_dedup" -> (p01 _),
     "p02_token_count" -> (p02 _),
     "p03_chars_per_token" -> (p03 _),
@@ -551,6 +572,13 @@ object SparkEntry {
         |  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
         |AS running_total FROM orders""".stripMargin,
+    "q32_preagg_join" ->
+      """SELECT c_mktsegment,
+        |CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,8))) AS DOUBLE) AS revenue,
+        |COUNT(*) AS n_items
+        |FROM customer JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |GROUP BY c_mktsegment""".stripMargin,
     "q29_full_outer" ->
       """SELECT COALESCE(c.nk, s.nk) AS nk, c.c_cnt, s.s_cnt FROM
         |(SELECT c_nationkey AS nk, COUNT(*) AS c_cnt FROM customer
