@@ -48,9 +48,33 @@ object Demo {
       .show(3, truncate = false)
     println("== brute-force knn (3 probes) ==")
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
-    Similarity.bruteForceKnn(emb,
-      emb.filter(col("vec_id") < 3).select(col("vec_id").as("probe_id"), col("embedding")),
-      k = 3).show()
+    val probes = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("probe_id"), col("embedding"))
+    Similarity.bruteForceKnn(emb, probes, k = 3).show()
+    println("== IVF knn (k-means codebook, 8 cells, probe 3) ==")
+    Similarity.ivfKnn(emb, probes, k = 3, cells = 8, nProbe = 3).show()
+
+    println("== end-to-end near-dup dedup (survivors) ==")
+    println("docs: " + docs.count() + "  survivors: " +
+      Dedup.nearDupDedup(docs, threshold = 0.6).count())
+
+    // bucketed co-located join: zero-shuffle plan
+    println("== bucketed join (Exchange-free) ==")
+    import graft.sources.Taps
+    val ords = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    Taps.bucketSink(ords, "demo_orders_bk", Seq("o_custkey"), 4)
+    Taps.bucketSink(spark.read.parquet(s"$sf/customer.parquet")
+      .select("c_custkey", "c_mktsegment")
+      .withColumnRenamed("c_custkey", "o_custkey"),
+      "demo_cust_bk", Seq("o_custkey"), 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val bj = spark.table("demo_orders_bk").join(spark.table("demo_cust_bk"), "o_custkey")
+    bj.count()
+    println("plan contains Exchange: " +
+      bj.queryExecution.executedPlan.toString.contains("Exchange"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     spark.stop()
   }
 }
