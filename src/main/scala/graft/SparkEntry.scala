@@ -338,6 +338,14 @@ object SparkEntry {
       Ops.sum("?part_cnt") :> "?n_items").toDF(s)
   }
 
+  /** Beyond-reference: hierarchical rollup aggregation (Spark-native
+    * grouping sets — the reference has no analog; free via Catalyst). */
+  private def q33(s: SparkSession, d: String): DataFrame =
+    tbl(d, "lineitem")(s)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity").cast(DecimalType(18, 4))).cast("double").as("sum_qty"),
+        count(lit(1)).as("cnt"))
+
   // ----------------------------------------------------- pipeline queries
 
   private def p01(s: SparkSession, d: String): DataFrame =
@@ -452,6 +460,7 @@ object SparkEntry {
     "q30_lag_buffer" -> (q30 _),
     "q31_multigroup" -> (q31 _),
     "q32_preagg_join" -> (q32 _),
+    "q33_rollup" -> (q33 _),
     "p01_exact_dedup" -> (p01 _),
     "p02_token_count" -> (p02 _),
     "p03_chars_per_token" -> (p03 _),
@@ -579,6 +588,11 @@ object SparkEntry {
         |FROM customer JOIN orders ON o_custkey = c_custkey
         |JOIN lineitem ON l_orderkey = o_orderkey
         |GROUP BY c_mktsegment""".stripMargin,
+    "q33_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |COUNT(*) AS cnt
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
     "q29_full_outer" ->
       """SELECT COALESCE(c.nk, s.nk) AS nk, c.c_cnt, s.s_cnt FROM
         |(SELECT c_nationkey AS nk, COUNT(*) AS c_cnt FROM customer
