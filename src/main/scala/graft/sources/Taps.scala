@@ -118,6 +118,12 @@ object Taps {
   /** stdout tap (tap.clj:225-228). */
   def stdout(df: DataFrame, n: Int = 20): Unit = df.show(n, truncate = false)
 
+  /** fn sink (in-memory platform sinks, in_memory/platform.clj:56-76 and
+    * fn-sinks at cascading/platform.clj:320-324): deliver the result
+    * tuples to a function. */
+  def fnSink(f: Seq[Seq[Any]] => Unit): DataFrame => Unit =
+    df => f(df.collect().toSeq.map(_.toSeq))
+
   /** cascalog-tap: a (source, sink) pair (cascading/tap.clj:23-26). */
   final case class CascalogTap(source: Seq[Any] => GenPred, sink: Sink)
 

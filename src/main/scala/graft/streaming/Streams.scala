@@ -77,6 +77,30 @@ object Streams {
       }
   }
 
+  /** Sessionization emitting only CLOSED sessions, via
+    * flatMapGroupsWithState (event-time gap on the data itself): a batch's
+    * events extend the open session or close it and start a new one; every
+    * closed session is emitted exactly once. */
+  def sessionizeClosed(events: Dataset[(Long, Long)], gapMs: Long): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[(Long, Long)], state: GroupState[SessionState]) =>
+          val closed = Vector.newBuilder[SessionOut]
+          var st = state.getOption.getOrElse(SessionState(Long.MaxValue, 0L, 0L))
+          rows.toSeq.sortBy(_._2).foreach { case (_, ts) =>
+            if (st.events > 0L && ts - st.end > gapMs) {
+              closed += SessionOut(key, st.start, st.end, st.events)
+              st = SessionState(ts, ts, 1L)
+            } else if (st.events == 0L) st = SessionState(ts, ts, 1L)
+            else st = SessionState(math.min(st.start, ts), math.max(st.end, ts), st.events + 1L)
+          }
+          state.update(st)
+          closed.result().iterator
+      }
+  }
+
   /** Run a streaming query to a memory sink (testing/inspection). */
   def toMemory(df: DataFrame, name: String, outputMode: String = "update"): StreamingQuery =
     df.writeStream.format("memory").queryName(name)

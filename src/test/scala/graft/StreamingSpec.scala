@@ -57,6 +57,24 @@ class StreamingSpec extends SparkTestBase {
     q.stop()
   }
 
+  test("closed-session emission via flatMapGroupsWithState") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long)]
+    val closed = Streams.sessionizeClosed(in.toDS(), gapMs = 30000L)
+    val q = closed.writeStream.format("memory").queryName("closed_sessions")
+      .outputMode("append").start()
+    in.addData((1L, 1000L), (1L, 5000L))
+    q.processAllAvailable()
+    assert(spark.table("closed_sessions").count() == 0) // still open
+    // gap exceeded → first session closes, new one opens
+    in.addData((1L, 100000L))
+    q.processAllAvailable()
+    val s = spark.table("closed_sessions").as[Streams.SessionOut].collect()
+    assert(s.length == 1 && s.head.startMs == 1000L &&
+      s.head.endMs == 5000L && s.head.events == 2L)
+    q.stop()
+  }
+
   test("sessionization with custom state (mapGroupsWithState)") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Long)] // (user_id, ts_ms)
