@@ -54,7 +54,8 @@ final case class BufferOp(
   * (group, salt) bucket, then final top-n per group — a hot key's rows
   * spread over `salt` tasks instead of one straggler window partition.
   * Output is identical to the unsalted plan. */
-final case class LimitAgg(n: Int, withRank: Boolean = false, salt: Int = 0) extends Op
+final case class LimitAgg(n: Int, withRank: Boolean = false, salt: Int = 0,
+    heap: Boolean = false) extends Op
 
 /** Sequential-fold aggregator marker (reference `aggregatefn`,
   * logic/def.clj:39). Unlike buffers, sequential aggregators MAY mix with

@@ -166,6 +166,11 @@ object Ops {
   def limitRank(n: Int): LimitAgg = LimitAgg(n, withRank = true)
   /** Skew-safe top-k: two-phase salted plan, identical output. */
   def limitSalted(n: Int, salt: Int = 16): LimitAgg = LimitAgg(n, salt = salt)
+  /** Bounded-buffer top-k AGGREGATION (operators.TopK): map-side partial
+    * keep-n-of-2n like the reference's limit combiner — shuffles ≤ n rows
+    * per group per task instead of window-sorting whole groups. */
+  def limitHeap(n: Int): LimitAgg = LimitAgg(n, heap = true)
+  def limitRankHeap(n: Int): LimitAgg = LimitAgg(n, withRank = true, heap = true)
 
   /** bufferfn (def.clj:40): group tuples (secondary-sorted) → output tuples. */
   def bufferFn(numOut: Int, outTypes: Seq[DataType])(

@@ -423,8 +423,27 @@ object Planner {
     * reference's limit ParallelBuffer (logic/ops.clj:172-226). */
   private def limitAggregate(t: Tail, lp: OpPred, groupVars: Vector[String], q: Query): Tail = {
     import org.apache.spark.sql.expressions.Window
-    val LimitAgg(n, withRank, salt) = lp.op: @unchecked
+    val LimitAgg(n, withRank, salt, heap) = lp.op: @unchecked
     val inCols = lp.in.map(itemCol(t, _))
+    if (heap) {
+      // bounded-buffer aggregation plan (operators.TopK): true partial
+      // aggregation, no window sort — the reference-combiner realization
+      val payload = lp.in.zipWithIndex.map { case (item, i) =>
+        (s"_tk$i", itemCol(t, item))
+      }
+      val sortCols =
+        if (q.options.sort.nonEmpty) q.options.sort.map(v => col(Vars.colName(v)))
+        else payload.map(_._2)
+      val rk = if (withRank) Some(Vars.colName(Vars.gen())) else None
+      val res = graft.operators.TopK.topK(t.df, groupVars.map(Vars.colName), n,
+        sortCols, payload, desc = q.options.reverse, rankCol = rk)
+      val outCols = payload.map(p => col(p._1)) ++ rk.map(col).toSeq
+      val bound = bindOutputs(Tail(res, groupVars), lp.out, outCols)
+      val keepCols = bound.fields.map(Vars.colName).toSet
+      return Tail(
+        bound.df.drop((payload.map(_._1) ++ rk.toSeq).filterNot(keepCols): _*),
+        bound.fields)
+    }
     val orderCols =
       if (q.options.sort.nonEmpty)
         q.options.sort.map { v =>

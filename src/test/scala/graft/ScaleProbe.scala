@@ -40,6 +40,29 @@ object ScaleProbe {
     time("per-group top-k @600k")(topk("/root/testdata/sf0.1/lineitem.parquet").toDF(spark).count())
     time("per-group top-k @6M")(topk(big).toDF(spark).count())
 
+    def topkHeap(src: String) = query("?ok", "?top")(
+      parquet(src)("?ok", "_", "_", "_", "_", "_", "_", "_", "_", "_", "?sd"),
+      Ops.limitHeap(2)("?sd") :> "?top").sorted("?sd")
+    time("heap top-k @600k")(topkHeap("/root/testdata/sf0.1/lineitem.parquet").toDF(spark).count())
+    time("heap top-k @6M")(topkHeap(big).toDF(spark).count())
+
+    // adversarial shape for the window plan: 3 HUGE groups (2M rows each)
+    // — the window must sort every row inside 3 partitions; the heap
+    // aggregation keeps ≤2 per task per group
+    def hugeGroupsWindow(src: String) = query("?f", "?top")(
+      parquet(src)("_", "_", "_", "_", "_", "_", "_", "_", "?f", "_", "?sd"),
+      Ops.limit(2)("?sd") :> "?top").sorted("?sd")
+    def hugeGroupsHeap(src: String) = query("?f", "?top")(
+      parquet(src)("_", "_", "_", "_", "_", "_", "_", "_", "?f", "_", "?sd"),
+      Ops.limitHeap(2)("?sd") :> "?top").sorted("?sd")
+    time("huge-group window top-k @6M")(hugeGroupsWindow(big).toDF(spark).count())
+    time("huge-group heap top-k @6M")(hugeGroupsHeap(big).toDF(spark).count())
+    time("huge-group salted top-k @6M") {
+      query("?f", "?top")(
+        parquet(big)("_", "_", "_", "_", "_", "_", "_", "_", "?f", "_", "?sd"),
+        Ops.limitSalted(2, 32)("?sd") :> "?top").sorted("?sd").toDF(spark).count()
+    }
+
     // near-dup dedup at 10x docs (50k): doc_ids offset per replica so the
     // replicas ARE mutual near-dups — candidate volume grows 10x too, the
     // adversarial direction for the band join
