@@ -422,6 +422,17 @@ object SparkEntry {
       docs, threshold = 0.5)
   }
 
+  /** Per-source document-length quartiles — the distribution statistics a
+    * quality-filtering pass thresholds on (exact linear-interpolation
+    * percentiles; approx_percentile is the sketch variant at scale). */
+  private def p14(s: SparkSession, d: String): DataFrame =
+    tbl(d, "documents")(s)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        percentile(col("n_chars"), lit(0.25)).as("len_q25"),
+        percentile(col("n_chars"), lit(0.5)).as("len_q50"),
+        percentile(col("n_chars"), lit(0.75)).as("len_q75"))
+
   // --------------------------------------------------------------- driver
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
@@ -473,7 +484,8 @@ object SparkEntry {
     "p10_simhash_neardup" -> (p10 _),
     "p11_neardup_dedup" -> (p11 _),
     "p12_quality_score" -> (p12 _),
-    "p13_jaccard_verify" -> (p13 _)
+    "p13_jaccard_verify" -> (p13 _),
+    "p14_length_quantiles" -> (p14 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -679,6 +691,12 @@ object SparkEntry {
         |  FROM cand
         |  JOIN shs sa ON sa.doc_id = cand.id_a JOIN shs sb ON sb.doc_id = cand.id_b) t
         |WHERE jaccard >= 0.5""".stripMargin,
+    "p14_length_quantiles" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |quantile_cont(n_chars, 0.25) AS len_q25,
+        |quantile_cont(n_chars, 0.5) AS len_q50,
+        |quantile_cont(n_chars, 0.75) AS len_q75
+        |FROM documents GROUP BY source""".stripMargin,
     // --- sketch-kernel oracles: the md5-derived kernels (graft.pipeline.Md5)
     // are replicated step-for-step in SQL; md5_number_lower == Md5.lower64.
     "p05_fingerprint_langid" ->
