@@ -433,6 +433,28 @@ object SparkEntry {
         percentile(col("n_chars"), lit(0.5)).as("len_q50"),
         percentile(col("n_chars"), lit(0.75)).as("len_q75"))
 
+  /** Batch sessionization (the streaming sessionizer's batch twin):
+    * gap-based session assignment via lag + running sum, then per-session
+    * rollup — all window functions, no state store needed in batch. */
+  private def q34(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gapUs = 1800000000L // 30 min
+    val w = Window.partitionBy("user_id").orderBy(col("us").asc, col("event_id").asc)
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // events.ts arrives as BIGINT nanoseconds (legacy nanosAsLong read);
+    // integer-div to micros — the same truncation DuckDB applies reading
+    // the nanos column as TIMESTAMP
+    tbl(d, "events")(s)
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("us"))
+      .withColumn("new_s",
+        when(lag(col("us"), 1).over(w).isNull ||
+          col("us") - lag(col("us"), 1).over(w) > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_s")).over(run))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("us")).as("start_us"), max(col("us")).as("end_us"))
+  }
+
   // --------------------------------------------------------------- driver
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
@@ -472,6 +494,7 @@ object SparkEntry {
     "q31_multigroup" -> (q31 _),
     "q32_preagg_join" -> (q32 _),
     "q33_rollup" -> (q33 _),
+    "q34_sessionize" -> (q34 _),
     "p01_exact_dedup" -> (p01 _),
     "p02_token_count" -> (p02 _),
     "p03_chars_per_token" -> (p03 _),
@@ -691,6 +714,18 @@ object SparkEntry {
         |  FROM cand
         |  JOIN shs sa ON sa.doc_id = cand.id_a JOIN shs sb ON sb.doc_id = cand.id_b) t
         |WHERE jaccard >= 0.5""".stripMargin,
+    "q34_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |m AS (SELECT user_id, event_id, us,
+        |  CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+        |         OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) > 1800000000
+        |       THEN 1 ELSE 0 END AS new_s FROM e),
+        |s AS (SELECT user_id, us,
+        |  CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM m)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |  MIN(us) AS start_us, MAX(us) AS end_us
+        |FROM s GROUP BY user_id, session_id""".stripMargin,
     "p14_length_quantiles" ->
       """SELECT source, COUNT(*) AS n_docs,
         |quantile_cont(n_chars, 0.25) AS len_q25,
