@@ -133,6 +133,25 @@ class PipelineSpec extends SparkTestBase {
     assert(sunk.forall(_.last.toString.contains("odd")))
   }
 
+  test("trap after a join diverts failing joined tuples (cascading_api_test.clj:190-207)") {
+    import graft.dsl._
+    val age = Seq(Seq("A", 20L), Seq("B", 21L))
+    val gender = Seq(Seq("A", "m"), Seq("B", "f"))
+    val sunk = scala.collection.mutable.ArrayBuffer[Seq[Any]]()
+    val q = query("?p", "?a", "?g", "!chk")(
+      mem(age)("?p", "?a"),
+      mem(gender)("?p", "?g"),
+      trapped((a: Long) =>
+        if (a % 2 == 1) throw new RuntimeException(s"odd $a") else a, "?a") :> "!chk")
+      .withTrap(df => sunk ++= df.collect().toSeq.map(_.toSeq))
+    val clean = q.toDF(spark).collect().map(_.toSeq)
+    assert(clean.map(r => (r(0), r(1), r(2))).toSet == Set(("A", 20L, "m")))
+    // the diverted tuple carries the full JOIN context, not just the input
+    assert(sunk.size == 1, s"got $sunk")
+    assert(Set[Any]("B", 21L, "f").subsetOf(sunk.head.toSet), s"got ${sunk.head}")
+    assert(sunk.head.exists(v => v != null && v.toString.contains("odd 21")))
+  }
+
   test("text analysis: token counts, quality, langId, fingerprint") {
     val row = docs.select(
       TextAnalysis.tokenCount($"text"),
