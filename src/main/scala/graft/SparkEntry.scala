@@ -455,6 +455,12 @@ object SparkEntry {
         min(col("us")).as("start_us"), max(col("us")).as("end_us"))
   }
 
+  /** End-to-end curation: quality gate → language gate → near-dup dedup,
+    * the full training-data pipeline as one query (every stage
+    * oracle-replicable — see pipeline.Curate). */
+  private def p15(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.Curate.curate(tbl(d, "documents")(s))
+
   // --------------------------------------------------------------- driver
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
@@ -508,7 +514,8 @@ object SparkEntry {
     "p11_neardup_dedup" -> (p11 _),
     "p12_quality_score" -> (p12 _),
     "p13_jaccard_verify" -> (p13 _),
-    "p14_length_quantiles" -> (p14 _)
+    "p14_length_quantiles" -> (p14 _),
+    "p15_curate" -> (p15 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -732,6 +739,71 @@ object SparkEntry {
         |quantile_cont(n_chars, 0.5) AS len_q50,
         |quantile_cont(n_chars, 0.75) AS len_q75
         |FROM documents GROUP BY source""".stripMargin,
+    "p15_curate" ->
+      """WITH RECURSIVE gated AS (
+        |  SELECT doc_id, text, lang, source FROM (
+        |    SELECT doc_id, text, lang, source,
+        |      CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
+        |        / greatest(length(text), 1) AS pr,
+        |      CAST(len(list_intersect(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |        ['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','was','at','by'])) AS DOUBLE)
+        |        / greatest(len(regexp_split_to_array(lower(trim(text)), '\s+')), 1) AS sr,
+        |      list_max([
+        |        {'hits': len(list_intersect(wtoks, ['der','die','das','und','ist','nicht','ein','mit','sie','auf'])), 'lang': 'de'},
+        |        {'hits': len(list_intersect(wtoks, ['the','and','of','to','in','is','that','it','for','was'])), 'lang': 'en'},
+        |        {'hits': len(list_intersect(wtoks, ['el','la','los','que','y','es','una','por','con','para'])), 'lang': 'es'},
+        |        {'hits': len(list_intersect(wtoks, ['le','la','les','et','est','une','que','pour','dans','pas'])), 'lang': 'fr'},
+        |        {'hits': len(list_intersect(wtoks, ['il','la','che','di','e','un','per','non','sono','con'])), 'lang': 'it'}
+        |      ]) AS best
+        |    FROM (SELECT *, list_distinct(regexp_split_to_array(lower(trim(text)), '\W+')) AS wtoks
+        |          FROM documents) d0) t
+        |  WHERE length(text) >= 100 AND pr <= 0.2 AND sr >= 0.01
+        |    AND (CASE WHEN best.hits > 0 THEN best.lang ELSE 'und' END) = 'en'),
+        |tk AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\W+'),
+        |    x -> x != '') AS toks FROM gated),
+        |sh AS (
+        |  SELECT doc_id, (md5_number_lower(s) & 2147483647) AS base
+        |  FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s FROM tk) u),
+        |perm AS (
+        |  SELECT s.s AS s, ((md5_number_lower('ga' || s.s) & 2147483647) | 1) AS a,
+        |         (md5_number_lower('gb' || s.s) & 2147483647) AS b
+        |  FROM generate_series(0, 63) s(s)),
+        |mins AS (
+        |  SELECT doc_id, s, CAST(MIN((a * base + b) % 2305843009213693951) AS BIGINT) AS v
+        |  FROM sh, perm GROUP BY doc_id, s),
+        |sig AS (SELECT doc_id, list(v ORDER BY s) AS sig FROM mins GROUP BY doc_id),
+        |banded AS (
+        |  SELECT doc_id, b.b AS band,
+        |    array_to_string(list_slice(sig, 4*b.b + 1, 4*b.b + 4), ',') AS band_key
+        |  FROM sig, generate_series(0, 15) b(b)),
+        |cand AS (
+        |  SELECT l.doc_id AS id_a, r.doc_id AS id_b
+        |  FROM banded l JOIN banded r ON l.band = r.band AND l.band_key = r.band_key
+        |  WHERE l.doc_id < r.doc_id GROUP BY 1, 2),
+        |shs AS (
+        |  SELECT doc_id, CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+        |    ELSE list_distinct(list_transform(generate_series(1, len(toks) - 2),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END AS sset FROM tk),
+        |verified AS (
+        |  SELECT id_a, id_b FROM cand
+        |  JOIN shs sa ON sa.doc_id = cand.id_a JOIN shs sb ON sb.doc_id = cand.id_b
+        |  WHERE (CASE WHEN len(list_distinct(sa.sset || sb.sset)) = 0 THEN 1.0
+        |    ELSE CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE)
+        |      / len(list_distinct(sa.sset || sb.sset)) END) >= 0.6),
+        |sym AS (SELECT id_a AS s, id_b AS d FROM verified
+        |        UNION ALL SELECT id_b, id_a FROM verified),
+        |reach AS (
+        |  SELECT DISTINCT s AS id, s AS lab FROM sym
+        |  UNION
+        |  SELECT sym.d AS id, reach.lab FROM reach JOIN sym ON sym.s = reach.id),
+        |comp AS (SELECT id, MIN(lab) AS component FROM reach GROUP BY id),
+        |keep AS (SELECT component, MIN(id) AS doc_id FROM comp GROUP BY component)
+        |SELECT d.doc_id, d.lang, d.source FROM gated d
+        |LEFT JOIN comp ON comp.id = d.doc_id WHERE comp.id IS NULL
+        |UNION ALL
+        |SELECT d.doc_id, d.lang, d.source FROM keep JOIN gated d ON d.doc_id = keep.doc_id""".stripMargin,
     // --- sketch-kernel oracles: the md5-derived kernels (graft.pipeline.Md5)
     // are replicated step-for-step in SQL; md5_number_lower == Md5.lower64.
     "p05_fingerprint_langid" ->
