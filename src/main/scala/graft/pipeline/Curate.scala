@@ -23,6 +23,10 @@ object Curate {
       minStopwordRatio: Double = 0.01,
       jaccardThreshold: Double = 0.6): DataFrame = {
     val q = TextAnalysis.qualityScore(col("text"))
+    // materialize the gate ONCE: the dedup stage references the gated
+    // corpus several times (signatures, shingle sets, survivor assembly)
+    // and the gate's language/quality expressions are the expensive part —
+    // a stage boundary, exactly where a production pipeline persists
     val gated = docs
       .withColumn("_q", q)
       .withColumn("_lang", TextAnalysis.langId(col("text")))
@@ -31,6 +35,7 @@ object Curate {
         col("_q.stopword_ratio") >= minStopwordRatio &&
         col("_lang") === lang)
       .drop("_q", "_lang")
+      .localCheckpoint()
     Dedup.nearDupDedup(gated, threshold = jaccardThreshold)
       .select("doc_id", "lang", "source")
   }
