@@ -77,4 +77,19 @@ object JApi {
   def minus(): Op = graft.ops.Ops.minus
   def times(): Op = graft.ops.Ops.times
   def div(): Op = graft.ops.Ops.div
+  def limitHeap(n: Int): Op = graft.ops.Ops.limitHeap(n)
+  def limitSalted(n: Int, salt: Int): Op = graft.ops.Ops.limitSalted(n, salt)
+
+  // ---------------------------------------------------- pipeline facade
+
+  def curate(docs: DataFrame, lang: String): DataFrame =
+    graft.pipeline.Curate.curate(docs, lang)
+  def nearDupDedup(docs: DataFrame, threshold: Double): DataFrame =
+    graft.pipeline.Dedup.nearDupDedup(docs, threshold = threshold)
+  def bruteForceKnn(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame =
+    graft.pipeline.Similarity.bruteForceKnn(corpus, probes, k)
+  def ivfKnn(corpus: DataFrame, probes: DataFrame, k: Int, cells: Int, nProbe: Int): DataFrame =
+    graft.pipeline.Similarity.ivfKnn(corpus, probes, k, cells, nProbe)
+  def bucketSink(df: DataFrame, table: String, keys: JList[String], buckets: Int): Unit =
+    graft.sources.Taps.bucketSink(df, table, keys.asScala.toSeq, buckets)
 }

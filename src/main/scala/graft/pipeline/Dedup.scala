@@ -355,15 +355,15 @@ object Dedup {
     * rounds in practice; `maxIter` bounds adversarial chains.
     * Returns (id, component) with component = min id in the cluster. */
   def components(edges: DataFrame, maxIter: Int = 10): DataFrame = {
-    // undirected: both directions. Materialize the FORWARD edges first —
+    // undirected: both directions. Materialize the FORWARD edges once —
     // the union references them twice, and they usually sit atop an
     // expensive candidate-generation chain (minhash → jaccard) that must
-    // not run once per union branch; the symmetrized list is then
-    // checkpointed too, since it is re-joined every iteration.
+    // not run once per union branch. The symmetrized view itself stays
+    // lazy: re-deriving it per iteration is two cheap scans of the
+    // checkpointed edges, one job less than materializing it too.
     val fwd = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .localCheckpoint()
     val sym = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint()
     // round 0 fused into initialization: label = min(id, min neighbor) —
     // resolves all simple pairs before the loop even starts
     var labels = sym.groupBy(col("src").as("id"))
