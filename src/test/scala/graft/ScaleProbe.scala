@@ -80,6 +80,10 @@ object ScaleProbe {
       spark.read.parquet(bigDocs), threshold = 0.6).count())
     time("minhash candidates @50k docs")(graft.pipeline.Dedup.minhashCandidates(
       spark.read.parquet(bigDocs)).count())
+    time("curate pipeline @5k docs")(graft.pipeline.Curate.curate(
+      spark.read.parquet("/root/testdata/sf0.1/documents.parquet")).count())
+    time("curate pipeline @50k docs")(graft.pipeline.Curate.curate(
+      spark.read.parquet(bigDocs)).count())
     spark.stop()
   }
 }
