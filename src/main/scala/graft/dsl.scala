@@ -195,6 +195,21 @@ object dsl {
   def runToMemory(spark: SparkSession, q: Query): Seq[Seq[Any]] =
     q.toDF(spark).collect().toSeq.map(_.toSeq)
 
+  /** `??-` over several queries at once (test-multi-query-parallel,
+    * api_test.clj:804-814): compiled together, collected CONCURRENTLY —
+    * Spark's scheduler interleaves the jobs; results come back in
+    * argument order. */
+  def runToMemory(spark: SparkSession, qs: Seq[Query]): Seq[Seq[Seq[Any]]] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dfs = qs.map(_.toDF(spark)) // compile on the caller thread
+    Await.result(
+      Future.sequence(dfs.map(df =>
+        Future(df.collect().toSeq.map(_.toSeq)))),
+      Duration.Inf)
+  }
+
   // ------------------------------------------------------ predicate macros
 
   /** Predicate macro (reference logic/predmacro.clj:65-128): a function

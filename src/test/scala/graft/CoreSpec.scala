@@ -511,6 +511,17 @@ class CoreSpec extends SparkTestBase {
       Seq(Seq("a", 1L), Seq("a", 2L), Seq("b", 1L), Seq("b", 6L), Seq("c", 0L)))
   }
 
+  test("multi-query parallel run-to-memory (api_test.clj:804-814)") {
+    val data = Seq(Seq("ben", 35L), Seq("jerry", 41L))
+    val under40 = query("?name", "?age")(
+      mem(data)("?name", "?age"), Ops.lt("?age", 40L))
+    val under50 = query("?name", "?age")(
+      mem(data)("?name", "?age"), Ops.lt("?age", 50L))
+    val Seq(a, b) = runToMemory(spark, Seq(under40, under50))
+    assert(bag(a) == bag(Seq(Seq("ben", 35L))))
+    assert(bag(b) == bag(data))
+  }
+
   test("empty generator yields empty result (api_test.clj:36-40)") {
     assertProduces(query("?a")(mem(Seq.empty)(Seq("?a"): _*)), Seq.empty)
     // and through a join: empty ⋈ nonempty = empty
