@@ -84,6 +84,22 @@ object ScaleProbe {
       spark.read.parquet("/root/testdata/sf0.1/documents.parquet")).count())
     time("curate pipeline @50k docs")(graft.pipeline.Curate.curate(
       spark.read.parquet(bigDocs)).count())
+
+    // streaming secondary-sort buffer over HUGE groups (3 groups × 2M rows):
+    // the group must stream through the buffer, never materialize — memory
+    // stays flat, wall scales with the external sort
+    def hugeBuffer(src: String) = {
+      val firstLast = Ops.bufferSame(1) { it =>
+        var first: Seq[Any] = null; var last: Seq[Any] = null
+        while (it.hasNext) { val r = it.next(); if (first == null) first = r; last = r }
+        if (first == null) Iterator.empty else Iterator(Seq(first.head), Seq(last.head))
+      }
+      query("?f", "?d")(
+        parquet(src)("_", "_", "_", "_", "_", "_", "_", "_", "?f", "_", "?sd"),
+        firstLast("?sd") :> "?d").sorted("?sd")
+    }
+    time("huge-group buffer @600k")(hugeBuffer("/root/testdata/sf0.1/lineitem.parquet").toDF(spark).count())
+    time("huge-group buffer @6M")(hugeBuffer(big).toDF(spark).count())
     spark.stop()
   }
 }
