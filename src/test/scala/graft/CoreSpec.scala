@@ -511,6 +511,15 @@ class CoreSpec extends SparkTestBase {
       Seq(Seq("a", 1L), Seq("a", 2L), Seq("b", 1L), Seq("b", 6L), Seq("c", 0L)))
   }
 
+  test("midje-style checkers: produces-some / prefix / suffix") {
+    val src = mem(Seq(Seq(3L), Seq(1L), Seq(2L)))(Seq("?n"): _*)
+    val sortedQ = query("?n2")(src,
+      Ops.bufferSame(1)(identity)("?n") :> "?n2").sorted("?n").toDF(spark)
+    assertProducesSome(sortedQ, Seq(Seq(2L)))
+    assertProducesPrefix(sortedQ.orderBy("n2"), Seq(Seq(1L), Seq(2L)))
+    assertProducesSuffix(sortedQ.orderBy("n2"), Seq(Seq(3L)))
+  }
+
   test("multi-query parallel run-to-memory (api_test.clj:804-814)") {
     val data = Seq(Seq("ben", 35L), Seq("jerry", 41L))
     val under40 = query("?name", "?age")(

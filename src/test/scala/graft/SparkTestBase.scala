@@ -35,6 +35,27 @@ trait SparkTestBase extends AnyFunSuite with BeforeAndAfterAll {
 
   def assertProduces(q: logic.Query, expected: Seq[Seq[Any]]): Unit =
     assertProduces(q.toDF(spark), expected)
+
+  /** `produces-some` (midje-cascalog/src/midje/cascalog.clj:6-37):
+    * every expected tuple appears in the result (subset, bag-wise). */
+  def assertProducesSome(df: DataFrame, expected: Seq[Seq[Any]]): Unit = {
+    val got = bag(df.collect().toSeq.map(_.toSeq))
+    val want = bag(expected)
+    val missing = want.filter { case (row, n) => got.getOrElse(row, 0) < n }
+    assert(missing.isEmpty, s"missing tuples: $missing\n got: $got")
+  }
+
+  /** `produces-prefix` / `produces-suffix` with :in-order — against the
+    * result's collected order (meaningful for sorted buffers/limits). */
+  def assertProducesPrefix(df: DataFrame, expected: Seq[Seq[Any]]): Unit = {
+    val got = df.collect().toSeq.map(_.toSeq.map(doublify)).take(expected.length)
+    assert(got == expected.map(_.map(doublify)), s"prefix mismatch: got $got")
+  }
+
+  def assertProducesSuffix(df: DataFrame, expected: Seq[Seq[Any]]): Unit = {
+    val got = df.collect().toSeq.map(_.toSeq.map(doublify)).takeRight(expected.length)
+    assert(got == expected.map(_.map(doublify)), s"suffix mismatch: got $got")
+  }
 }
 
 object SparkTestBase {
