@@ -461,6 +461,20 @@ object SparkEntry {
   private def p15(s: SparkSession, d: String): DataFrame =
     graft.pipeline.Curate.curate(tbl(d, "documents")(s))
 
+  /** As-of join (beyond-reference; the union+window composition —
+    * operators.AsOf): every click event matched to the user's most recent
+    * error event at or before it. */
+  private def q35(s: SparkSession, d: String): DataFrame = {
+    val e = tbl(d, "events")(s).select(col("event_id"), col("user_id"),
+      expr("ts div 1000").as("us"), col("event_type"))
+    val clicks = e.filter(col("event_type") === "click").drop("event_type")
+    val errors = e.filter(col("event_type") === "error").drop("event_type")
+      .withColumnRenamed("us", "last_err_us")
+      .withColumnRenamed("event_id", "last_err_id")
+    graft.operators.AsOf.asofJoin(clicks, errors,
+      key = Seq("user_id"), leftTime = "us", rightTime = "last_err_us")
+  }
+
   // --------------------------------------------------------------- driver
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
@@ -501,6 +515,7 @@ object SparkEntry {
     "q32_preagg_join" -> (q32 _),
     "q33_rollup" -> (q33 _),
     "q34_sessionize" -> (q34 _),
+    "q35_asof_join" -> (q35 _),
     "p01_exact_dedup" -> (p01 _),
     "p02_token_count" -> (p02 _),
     "p03_chars_per_token" -> (p03 _),
@@ -739,6 +754,14 @@ object SparkEntry {
         |quantile_cont(n_chars, 0.5) AS len_q50,
         |quantile_cont(n_chars, 0.75) AS len_q75
         |FROM documents GROUP BY source""".stripMargin,
+    "q35_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us, event_type FROM events),
+        |c AS (SELECT event_id, user_id, us FROM e WHERE event_type = 'click'),
+        |x AS (SELECT event_id AS last_err_id, user_id, us AS last_err_us FROM e
+        |      WHERE event_type = 'error')
+        |SELECT c.event_id, c.user_id, c.us, x.last_err_us, x.last_err_id
+        |FROM c ASOF LEFT JOIN x
+        |ON c.user_id = x.user_id AND c.us >= x.last_err_us""".stripMargin,
     "p15_curate" ->
       """WITH RECURSIVE gated AS (
         |  SELECT doc_id, text, lang, source FROM (

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Backward as-of join — an operator Spark's built-ins lack (and the
+  * reference never had: it is equi-join only, SURVEY §2.4). For each left
+  * row, attach the single right row with the greatest `rightTime` ≤ the
+  * row's `leftTime` within the same key; unmatched left rows keep nulls
+  * (LEFT semantics).
+  *
+  * Realized by COMPOSITION, not a custom physical operator (tier (a) of
+  * the extension ladder): union both sides tagged, one window pass of
+  * `last(payload, ignoreNulls)` over (key) ordered by (time, side) — the
+  * right row rides forward to every left row it matches. ONE shuffle on
+  * the key, sorted once, no per-row probing; at 100 TB this is the plan a
+  * range/as-of join should have. Right rows sort BEFORE left rows at the
+  * same timestamp, so the match is inclusive (ts ≥ ts).
+  */
+object AsOf {
+
+  /** @param key        equi columns present on both sides
+    * @param leftTime   left ordering column name
+    * @param rightTime  right ordering column name
+    * @return left columns + the right side's non-key columns (nullable) */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: Seq[String],
+      leftTime: String,
+      rightTime: String): DataFrame = {
+    val leftOnly = left.columns.filterNot(key.contains).toSeq
+    val payloadCols = right.columns.filterNot(key.contains).toSeq
+    val payloadSchema = StructType(payloadCols.map(c => right.schema(c)))
+    val leftSchema = left.schema
+
+    val l = left.select(
+      key.map(col) ++ leftOnly.map(col) ++ Seq(
+        col(leftTime).as("_t"), lit(1).as("_side"),
+        lit(null).cast(payloadSchema).as("_rp")): _*)
+    val r = right.select(
+      key.map(col) ++ leftOnly.map(c =>
+        lit(null).cast(leftSchema(c).dataType).as(c)) ++ Seq(
+        col(rightTime).as("_t"), lit(0).as("_side"),
+        struct(payloadCols.map(col): _*).as("_rp")): _*)
+
+    val w = Window.partitionBy(key.map(col): _*)
+      .orderBy(col("_t").asc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionAll(r)
+      .withColumn("_m", last(col("_rp"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .select(key.map(col) ++ leftOnly.map(col) ++
+        payloadCols.map(c => col(s"_m.$c").as(c)): _*)
+  }
+}

@@ -73,6 +73,24 @@ class TapsAndOpsSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("as-of join: backward match, inclusive ties, unmatched lefts null") {
+    import spark.implicits._
+    val quotes = Seq((1L, 10L, 1.0), (1L, 20L, 2.0), (2L, 15L, 9.9))
+      .toDF("k", "qt", "px")
+    val trades = Seq((1L, 5L), (1L, 10L), (1L, 25L), (2L, 14L), (3L, 1L))
+      .toDF("k", "tt")
+    val j = graft.operators.AsOf.asofJoin(trades, quotes,
+      key = Seq("k"), leftTime = "tt", rightTime = "qt")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(3)) null else r.getDouble(3))).toSet
+    assert(j == Set(
+      (1L, 5L, null),   // before any quote
+      (1L, 10L, 1.0),   // inclusive: quote AT trade time matches
+      (1L, 25L, 2.0),   // latest preceding
+      (2L, 14L, null),  // key 2's quote is later
+      (3L, 1L, null)))  // key never quoted
+  }
+
   test("trap: failing tuples diverted, job continues (cascading_api_test.clj:163-224)") {
     val dir = tmp()
     val boom = Trap.trapFn[Long, Long](n =>
