@@ -475,6 +475,22 @@ object SparkEntry {
       key = Seq("user_id"), leftTime = "us", rightTime = "last_err_us")
   }
 
+  /** Range join (beyond-reference; binned interval join — operators.
+    * RangeJoin): purchases within 30 minutes after an error event of the
+    * same user. */
+  private def q36(s: SparkSession, d: String): DataFrame = {
+    val gapUs = 1800000000L
+    val e = tbl(d, "events")(s).select(col("event_id"), col("user_id"),
+      expr("ts div 1000").as("us"), col("event_type"))
+    val purchases = e.filter(col("event_type") === "purchase").drop("event_type")
+    val errors = e.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("user_id"),
+        col("us").as("err_us"), (col("us") + gapUs).as("_hi"))
+    graft.operators.RangeJoin.rangeJoin(purchases, errors,
+      key = Seq("user_id"), timeCol = "us", loCol = "err_us", hiCol = "_hi",
+      binWidth = gapUs).drop("_hi")
+  }
+
   // --------------------------------------------------------------- driver
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
@@ -516,6 +532,7 @@ object SparkEntry {
     "q33_rollup" -> (q33 _),
     "q34_sessionize" -> (q34 _),
     "q35_asof_join" -> (q35 _),
+    "q36_range_join" -> (q36 _),
     "p01_exact_dedup" -> (p01 _),
     "p02_token_count" -> (p02 _),
     "p03_chars_per_token" -> (p03 _),
@@ -762,6 +779,14 @@ object SparkEntry {
         |SELECT c.event_id, c.user_id, c.us, x.last_err_us, x.last_err_id
         |FROM c ASOF LEFT JOIN x
         |ON c.user_id = x.user_id AND c.us >= x.last_err_us""".stripMargin,
+    "q36_range_join" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us, event_type FROM events)
+        |SELECT p.event_id, p.user_id, p.us,
+        |       x.event_id AS err_id, x.us AS err_us
+        |FROM (SELECT * FROM e WHERE event_type = 'purchase') p
+        |JOIN (SELECT * FROM e WHERE event_type = 'error') x
+        |ON p.user_id = x.user_id AND p.us >= x.us
+        |   AND p.us <= x.us + 1800000000""".stripMargin,
     "p15_curate" ->
       """WITH RECURSIVE gated AS (
         |  SELECT doc_id, text, lang, source FROM (

@@ -91,6 +91,23 @@ class TapsAndOpsSpec extends SparkTestBase {
       (3L, 1L, null)))  // key never quoted
   }
 
+  test("range join: inclusive bounds, multi-bin intervals, no duplicate pairs") {
+    import spark.implicits._
+    val intervals = Seq((1L, 10L, 30L, "a"), (1L, 25L, 26L, "b"), (2L, 0L, 100L, "c"))
+      .toDF("k", "lo", "hi", "tag")
+    val points = Seq((1L, 10L), (1L, 30L), (1L, 31L), (1L, 25L), (2L, 55L), (3L, 5L))
+      .toDF("k", "t")
+    // binWidth 7 forces every interval across multiple bins
+    val j = graft.operators.RangeJoin.rangeJoin(points, intervals,
+      key = Seq("k"), timeCol = "t", loCol = "lo", hiCol = "hi", binWidth = 7L)
+      .select("k", "t", "tag").collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(j.toSet == Set(
+      (1L, 10L, "a"), (1L, 30L, "a"), // inclusive at both bounds
+      (1L, 25L, "a"), (1L, 25L, "b"), // overlapping intervals both match
+      (2L, 55L, "c")))
+    assert(j.length == j.toSet.size, "no duplicate pairs from binning")
+  }
+
   test("trap: failing tuples diverted, job continues (cascading_api_test.clj:163-224)") {
     val dir = tmp()
     val boom = Trap.trapFn[Long, Long](n =>
