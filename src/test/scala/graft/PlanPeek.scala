@@ -10,6 +10,7 @@ object PlanPeek {
     val sf = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
