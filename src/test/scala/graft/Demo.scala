@@ -11,6 +11,11 @@ object Demo {
     val sf = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
+      // fresh warehouse per run: a stale managed-table DIRECTORY plus a
+      // fresh in-memory catalog would make the bucketed-sink demo
+      // non-idempotent (LOCATION_ALREADY_EXISTS)
+      .config("spark.sql.warehouse.dir",
+        s"/tmp/graft-demo-wh-${java.util.UUID.randomUUID()}")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
