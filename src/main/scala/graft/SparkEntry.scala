@@ -491,6 +491,16 @@ object SparkEntry {
       binWidth = gapUs).drop("_hi")
   }
 
+  /** Nested-value destructuring (reference get-in over nested payloads,
+    * api_test.clj:785-790 / SURVEY §1.1) against the real JSON `props`
+    * column: extract `$.k`, aggregate per event type. */
+  private def q37(s: SparkSession, d: String): DataFrame =
+    query("?event_type", "?sum_k", "?cnt")(
+      events(d)("_", "_", "_", "?event_type", "_", "?props"),
+      Ops.cmap(cs => get_json_object(cs(0), "$.k").cast("long"))("?props") :> "?k",
+      Ops.sum("?k") :> "?sum_k",
+      Ops.count() :> "?cnt").toDF(s)
+
   // --------------------------------------------------------------- driver
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
@@ -533,6 +543,7 @@ object SparkEntry {
     "q34_sessionize" -> (q34 _),
     "q35_asof_join" -> (q35 _),
     "q36_range_join" -> (q36 _),
+    "q37_json_destructure" -> (q37 _),
     "p01_exact_dedup" -> (p01 _),
     "p02_token_count" -> (p02 _),
     "p03_chars_per_token" -> (p03 _),
@@ -787,6 +798,11 @@ object SparkEntry {
         |JOIN (SELECT * FROM e WHERE event_type = 'error') x
         |ON p.user_id = x.user_id AND p.us >= x.us
         |   AND p.us <= x.us + 1800000000""".stripMargin,
+    "q37_json_destructure" ->
+      """SELECT event_type,
+        |CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |COUNT(*) AS cnt
+        |FROM events GROUP BY event_type""".stripMargin,
     "p15_curate" ->
       """WITH RECURSIVE gated AS (
         |  SELECT doc_id, text, lang, source FROM (
