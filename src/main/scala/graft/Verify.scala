@@ -16,10 +16,18 @@ object Verify {
     // extra confs for cross-checks, e.g. disabling whole-stage codegen to
     // exercise the interpreted path of custom expressions:
     // SPARK_GRAFT_CONF="spark.sql.codegen.wholeStage=false,..."
-    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(',').foreach { kv =>
-      val Array(k, v) = kv.split("=", 2)
-      builder.config(k, v)
-    })
+    // Entries split on ';' when present (for values that contain commas,
+    // e.g. extraJavaOptions), else on ','; malformed entries fail loudly.
+    sys.env.get("SPARK_GRAFT_CONF").foreach { raw =>
+      val sep = if (raw.contains(';')) ';' else ','
+      raw.split(sep).map(_.trim).filter(_.nonEmpty).foreach { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) if k.nonEmpty => builder.config(k, v)
+          case _ => sys.error(
+            s"SPARK_GRAFT_CONF entry '$kv' is not key=value (separate entries with ';' or ',')")
+        }
+      }
+    }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -97,6 +97,37 @@ object AnyColumn {
     out.writeLong(if (bits < 0) ~bits else bits | Long.MinValue)
   }
 
+  /** Order-preserving arbitrary-precision decimal (OrderedBytes-style):
+    * sign byte, sign-adjusted sortable exponent, then mantissa digits+1
+    * (complemented for negatives) with a terminator that ranks a prefix
+    * mantissa correctly on either sign. */
+  private def putSortableDecimal(out: DataOutputStream, d0: java.math.BigDecimal): Unit = {
+    val d = d0.stripTrailingZeros()
+    val signum = d.signum()
+    out.writeByte(signum + 1) // 0 = negative, 1 = zero, 2 = positive
+    if (signum != 0) {
+      val digits = d.unscaledValue().abs().toString
+      val adjExp = d.precision() - d.scale() // digits left of the point
+      putSortableLong(out, if (signum > 0) adjExp.toLong else -adjExp.toLong)
+      if (signum > 0) {
+        digits.foreach(c => out.writeByte(c - '0' + 1)) // 1..10
+        out.writeByte(0) // terminator < any digit byte: prefix sorts first
+      } else {
+        digits.foreach(c => out.writeByte(0xFF - (c - '0' + 1)))
+        out.writeByte(0xFF) // terminator > any complemented digit
+      }
+    }
+  }
+
+  /** Temporal values order chronologically via (epoch seconds, nanos);
+    * the kind byte only breaks exact cross-type ties deterministically. */
+  private def putSortableTemporal(out: DataOutputStream, sec: Long, nano: Int,
+      kind: Int): Unit = {
+    putSortableLong(out, sec)
+    out.writeInt(nano) // 0..999999999: plain BE int is order-preserving
+    out.writeByte(kind)
+  }
+
   private def putKey(out: DataOutputStream, v: Any): Unit = v match {
     case null => out.writeByte(0)
     case b: Boolean => out.writeByte(1); out.writeByte(if (b) 1 else 0)
@@ -104,30 +135,58 @@ object AnyColumn {
     case n: Short => putKey(out, n.toLong)
     case n: Int => putKey(out, n.toLong)
     case n: Long =>
-      // numerics of either width share tag 2 and order by DOUBLE value
-      // first (so 1L < 1.5 < 2L), exact bits as tiebreak: kind byte 0 =
-      // double, 1 = long (1L vs 1.0 is a near-tie broken deterministically;
-      // integral magnitudes beyond 2^53 still order exactly via the
-      // long-bits tiebreak)
+      // numerics of any width share tag 2 and order by DOUBLE value
+      // first (so 1L < 1.5 < 2L), exact encoding as tiebreak: kind byte 0 =
+      // double, 1 = long, 2 = decimal (1L vs 1.0 is a near-tie broken
+      // deterministically; integral magnitudes beyond 2^53 still order
+      // exactly via the long-bits tiebreak)
       out.writeByte(2); putSortableDouble(out, n.toDouble)
       out.writeByte(1); putSortableLong(out, n)
     case n: Float => putKey(out, n.toDouble)
     case n: Double =>
       out.writeByte(2); putSortableDouble(out, n)
       out.writeByte(0); putSortableLong(out, java.lang.Double.doubleToLongBits(n))
+    case n: java.math.BigDecimal =>
+      // same numeric family: double approximation primary, exact decimal
+      // tiebreak — two decimals only reach the tiebreak when they round to
+      // the same double, and there it orders them exactly
+      out.writeByte(2); putSortableDouble(out, n.doubleValue())
+      out.writeByte(2); putSortableDecimal(out, n)
+    case n: scala.math.BigDecimal => putKey(out, n.bigDecimal)
+    case n: java.math.BigInteger => putKey(out, new java.math.BigDecimal(n))
+    case n: scala.math.BigInt => putKey(out, new java.math.BigDecimal(n.bigInteger))
     case s: String =>
       // UTF-8 byte order == code-point order; no length prefix (a prefix
       // string sorts first under unsigned byte comparison, as it should)
       out.writeByte(3); out.write(s.getBytes(StandardCharsets.UTF_8))
+    case t: java.sql.Timestamp =>
+      out.writeByte(4)
+      putSortableTemporal(out, Math.floorDiv(t.getTime, 1000L), t.getNanos, 1)
+    case t: java.sql.Date =>
+      out.writeByte(4)
+      putSortableTemporal(out, Math.floorDiv(t.getTime, 1000L),
+        (Math.floorMod(t.getTime, 1000L) * 1000000L).toInt, 0)
+    case t: java.time.LocalDate =>
+      out.writeByte(4)
+      putSortableTemporal(out, t.toEpochDay * 86400L, 0, 2)
+    case t: java.time.LocalDateTime =>
+      out.writeByte(4)
+      putSortableTemporal(out, t.toEpochSecond(java.time.ZoneOffset.UTC), t.getNano, 3)
+    case t: java.time.Instant =>
+      out.writeByte(4)
+      putSortableTemporal(out, t.getEpochSecond, t.getNano, 4)
+    case b: Array[Byte] =>
+      out.writeByte(5); out.write(b) // unsigned lexicographic, like strings
     case other =>
       // composites: stable-but-arbitrary order via the equality encoding
-      out.writeByte(4); out.write(encode(other))
+      out.writeByte(6); out.write(encode(other))
   }
 
   /** Order-preserving binary sort key: unsigned lexicographic comparison of
     * `sortKeyBytes(a)` vs `sortKeyBytes(b)` is a total order that ranks
-    * null < booleans < numerics (longs and doubles interleaved by value) <
-    * strings (code-point order) < composites. Spark compares BinaryType
+    * null < booleans < numerics (longs, doubles, decimals interleaved by
+    * value) < strings (code-point order) < temporals (chronological) <
+    * byte arrays < composites. Spark compares BinaryType
     * unsigned-lexicographically, so sorting on this key orders mixed
     * columns correctly (closing the round-1 "byte equality only" gap). */
   def sortKeyBytes(v: Any): Array[Byte] = {

@@ -40,7 +40,12 @@ object AsOf {
       key.map(col) ++ leftOnly.map(col) ++ Seq(
         col(leftTime).as("_t"), lit(1).as("_side"),
         lit(null).cast(payloadSchema).as("_rp")): _*)
-    val r = right.select(
+    // null-time right rows would sort FIRST under asc (nulls-first) order
+    // and ride forward as a spurious "most recent" match; as-of semantics
+    // (ts >= ts never true on null) say they match nothing — drop them.
+    // Null-time LEFT rows need no filter: they also sort first, see no
+    // preceding real right row, and correctly keep a null match.
+    val r = right.filter(col(rightTime).isNotNull).select(
       key.map(col) ++ leftOnly.map(c =>
         lit(null).cast(leftSchema(c).dataType).as(c)) ++ Seq(
         col(rightTime).as("_t"), lit(0).as("_side"),

@@ -30,19 +30,31 @@ import scala.collection.mutable.ArrayBuffer
   * shuffle-bound plan.
   *
   * Ordering rides a compound order-preserving binary key
-  * ([[AnyColumn.sortKeyBytes]] per component, NUL-separated, bytewise
-  * inverted for descending) — one unsigned byte comparison regardless of
-  * the sort-column types.
+  * ([[AnyColumn.sortKeyBytes]] per component, NUL-escaped + terminated,
+  * bytewise inverted for descending) — one unsigned byte comparison
+  * regardless of the sort-column types.
   */
 object TopK {
 
-  /** Compound order-preserving key over component values. */
+  /** Compound order-preserving key over component values. Component keys
+    * can legitimately contain 0x00 (strings with U+0000, length-prefixed
+    * composite encodings), so a bare 0x00 separator would let a later
+    * component bleed into the comparison whenever one variable-length key
+    * is a byte-prefix of another. FoundationDB-tuple-style escaping keeps
+    * the order: 0x00 inside a component → 0x00 0xFF, terminator 0x00 0x00
+    * (a proper prefix then meets 0x00 0x00 < 0x00 0xFF < any nonzero byte,
+    * so it still sorts first and boundaries never shift). */
   def compoundKey(vals: Seq[Any], desc: Boolean): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     vals.foreach { v =>
       val k = AnyColumn.sortKeyBytes(v)
-      bos.write(k, 0, k.length)
-      bos.write(0)
+      var i = 0
+      while (i < k.length) {
+        bos.write(k(i))
+        if (k(i) == 0) bos.write(0xFF)
+        i += 1
+      }
+      bos.write(0); bos.write(0)
     }
     val b = bos.toByteArray
     if (desc) b.map(x => (~x).toByte) else b

@@ -412,9 +412,17 @@ object Planner {
         unitTails.reduce { (a, b) =>
           if (groupVars.isEmpty)
             Tail(a.df.crossJoin(b.df), a.fields ++ b.fields)
-          else
-            Tail(a.df.join(b.df, groupVars.map(Vars.colName), "inner"),
-              a.fields ++ b.fields.filterNot(groupVars.contains))
+          else {
+            // null-safe re-assembly: a `!` group key can be null, and every
+            // unit aggregates the SAME tail, so the key sets are identical —
+            // but a plain equi-join would drop the null-key group. Join on
+            // <=> with dataset-qualified refs, then drop b's key columns.
+            val cond = groupVars.map(v =>
+              a.df(Vars.colName(v)) <=> b.df(Vars.colName(v))).reduce(_ && _)
+            val joined = groupVars.foldLeft(a.df.join(b.df, cond, "inner"))(
+              (d, v) => d.drop(b.df(Vars.colName(v))))
+            Tail(joined, a.fields ++ b.fields.filterNot(groupVars.contains))
+          }
         }
     }
   }

@@ -28,7 +28,7 @@ object MinhashProfile {
     val cached = sigs.cache()
     time("sigs materialize")(cached.count())
     val banded = time("banding") {
-      val b = Dedup.lshBands(cached, "doc_id", "sig", 16)
+      val b = Dedup.lshBands(cached, "doc_id", "sig", 16, sigLen = 64)
       b.count(); b
     }
     time("bucket stats") {

@@ -42,6 +42,41 @@ class TopKSpec extends SparkTestBase {
       Seq(Seq("a", 1L), Seq("a", 2L), Seq("b", 1L), Seq("b", 6L), Seq("c", 0L)))
   }
 
+  test("heap top-k orders decimal and timestamp sort keys correctly") {
+    // the former putKey fallback ranked decimals/timestamps by an arbitrary
+    // equality encoding — heap top-k silently diverged from the window plan
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("g", StringType),
+      StructField("price", DecimalType(12, 2)),
+      StructField("ts", TimestampType)))
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def d(s: String) = new java.math.BigDecimal(s).setScale(2)
+    val rows = Seq(
+      Row("a", d("10.00"), ts("2024-01-03 00:00:00")),
+      Row("a", d("9.99"), ts("2024-01-01 00:00:00")),
+      Row("a", d("100.10"), ts("2024-01-02 00:00:00")),
+      Row("a", d("-2.50"), ts("2023-12-31 23:59:59")),
+      Row("b", d("7.00"), ts("2024-02-01 00:00:00")),
+      Row("b", d("70.00"), ts("2024-01-15 00:00:00")))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 3), schema)
+    // ascending by decimal: numeric order, not encoding-byte order
+    val byPrice = graft.operators.TopK.topK(df, Seq("g"), 2,
+      Seq(col("price")), Seq("price" -> col("price")))
+      .collect().map(r => (r.getString(0), r.getDecimal(1).toPlainString)).toSet
+    assert(byPrice == Set(("a", "-2.50"), ("a", "9.99"), ("b", "7.00"), ("b", "70.00")),
+      s"got $byPrice")
+    // descending by timestamp: chronological order
+    val byTs = graft.operators.TopK.topK(df, Seq("g"), 1,
+      Seq(col("ts")), Seq("ts" -> col("ts")), desc = true)
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).toString)).toSet
+    assert(byTs == Set(("a", "2024-01-03 00:00:00.0"), ("b", "2024-02-01 00:00:00.0")),
+      s"got $byTs")
+  }
+
   test("heap limit equals the window plan on real data (orders top-3 per customer)") {
     val d = "/root/testdata/sf0.001"
     def q(limit: graft.logic.LimitAgg) =
