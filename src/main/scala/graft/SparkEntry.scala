@@ -461,6 +461,14 @@ object SparkEntry {
   private def p15(s: SparkSession, d: String): DataFrame =
     graft.pipeline.Curate.curate(tbl(d, "documents")(s))
 
+  /** Hot-bucket guard exercised: minhash candidates with an adversarially
+    * small bucket cap (2), so oversize LSH buckets emit linear star edges
+    * to the bucket-min doc instead of the quadratic self-join. The oracle
+    * replicates both branches. */
+  private def p16(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashCandidates(tbl(d, "documents")(s), k = 64, bands = 16,
+      maxBucketSize = 2)
+
   /** As-of join (beyond-reference; the union+window composition —
     * operators.AsOf): every click event matched to the user's most recent
     * error event at or before it. */
@@ -558,7 +566,8 @@ object SparkEntry {
     "p12_quality_score" -> (p12 _),
     "p13_jaccard_verify" -> (p13 _),
     "p14_length_quantiles" -> (p14 _),
-    "p15_curate" -> (p15 _)
+    "p15_curate" -> (p15 _),
+    "p16_capped_candidates" -> (p16 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -913,6 +922,37 @@ object SparkEntry {
         |SELECT l.doc_id AS id_a, r.doc_id AS id_b
         |FROM banded l JOIN banded r ON l.band = r.band AND l.band_key = r.band_key
         |WHERE l.doc_id < r.doc_id GROUP BY 1, 2""".stripMargin,
+    "p16_capped_candidates" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\W+'),
+        |    x -> x != '') AS toks FROM documents),
+        |sh AS (
+        |  SELECT doc_id, (md5_number_lower(s) & 2147483647) AS base
+        |  FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s FROM tk) u),
+        |perm AS (
+        |  SELECT s.s AS s, ((md5_number_lower('ga' || s.s) & 2147483647) | 1) AS a,
+        |         (md5_number_lower('gb' || s.s) & 2147483647) AS b
+        |  FROM generate_series(0, 63) s(s)),
+        |mins AS (
+        |  SELECT doc_id, s, CAST(MIN((a * base + b) % 2305843009213693951) AS BIGINT) AS v
+        |  FROM sh, perm GROUP BY doc_id, s),
+        |sig AS (SELECT doc_id, list(v ORDER BY s) AS sig FROM mins GROUP BY doc_id),
+        |banded AS (
+        |  SELECT doc_id, b.b AS band,
+        |    array_to_string(list_slice(sig, 4*b.b + 1, 4*b.b + 4), ',') AS band_key
+        |  FROM sig, generate_series(0, 15) b(b)),
+        |sized AS (
+        |  SELECT doc_id, band, band_key,
+        |    COUNT(*) OVER (PARTITION BY band, band_key) AS bsz,
+        |    MIN(doc_id) OVER (PARTITION BY band, band_key) AS hub
+        |  FROM banded)
+        |SELECT l.doc_id AS id_a, r.doc_id AS id_b
+        |FROM sized l JOIN sized r ON l.band = r.band AND l.band_key = r.band_key
+        |WHERE l.bsz <= 2 AND l.doc_id < r.doc_id
+        |UNION
+        |SELECT hub AS id_a, doc_id AS id_b FROM sized
+        |WHERE bsz > 2 AND doc_id != hub""".stripMargin,
     "p07_simhash" ->
       """WITH tk AS (
         |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM documents),

@@ -154,10 +154,12 @@ object Dedup {
     * each; docs sharing any (band_idx, band_hash) are candidates.
     * Returns (idCol, band, band_hash) — one row per band. */
   def lshBands(df: DataFrame, idCol: String, sigCol: String, bands: Int,
-      sigLen: Int = -1): DataFrame = {
+      sigLen: Int): DataFrame = {
     val sig = col(sigCol)
-    // avoid a driver head() job when the caller knows the signature length
-    val k = if (sigLen > 0) sigLen else df.selectExpr(s"size($sigCol)").head().getInt(0)
+    // sigLen is required: a head() fallback would be a driver job inside a
+    // library function before any action the caller scheduled
+    val k = sigLen
+    require(k > 0, s"sigLen must be positive, got $sigLen")
     require(k % bands == 0, s"signature length $k not divisible by $bands bands")
     val r = k / bands
     val bandStructs = array((0 until bands).map(b =>
@@ -176,14 +178,68 @@ object Dedup {
     * false pairs. Docs with fewer than `shingleWords` tokens produce no
     * shingles and are excluded (they cannot be near-dups of anything).
     * At 100 TB the string key costs marginally more shuffle width than a
-    * 64-bit hash; swap in [[lshBands]] (xxhash64 keys) if that matters. */
+    * 64-bit hash; swap in [[lshBands]] (xxhash64 keys) if that matters.
+    *
+    * Hot-bucket guard: a degenerate band key (viral boilerplate, shared
+    * templates) would make one bucket's self-join quadratic — a single
+    * 10⁶-doc bucket is 10¹² pairs. Buckets larger than `maxBucketSize`
+    * instead emit STAR EDGES to the bucket's min id: linear in bucket
+    * size, and for the dominant case (near-identical members) the star
+    * connects the same component once pairs are verified — members far
+    * from the hub drop out at verification exactly as their full-pair
+    * edges mostly would. The guard costs one window pass over the rows
+    * the self-join was about to shuffle on the same key — no extra
+    * shuffle boundary. */
   def minhashCandidates(
       df: DataFrame,
       textCol: String = "text",
       idCol: String = "doc_id",
       k: Int = 64,
       bands: Int = 16,
-      shingleWords: Int = 3): DataFrame = {
+      shingleWords: Int = 3,
+      maxBucketSize: Int = 4096): DataFrame = {
+    require(k % bands == 0, s"signature length $k not divisible by $bands bands")
+    require(maxBucketSize >= 2, s"maxBucketSize must allow pairs, got $maxBucketSize")
+    val r = k / bands
+    val sigs = df.select(col(idCol),
+      minhashOfText(col(textCol), shingleWords, k).as("sig"))
+      .filter(col("sig")(0) =!= Long.MaxValue)
+    val bandKeys = array((0 until bands).map(b =>
+      struct(lit(b).as("band"),
+        concat_ws(",", transform(slice(col("sig"), b * r + 1, r),
+          _.cast("string"))).as("band_key"))): _*)
+    // materialize the banded+sized rows once: both sides of the self-join
+    // read them, and without the checkpoint the minhash kernel would run
+    // twice over the full corpus (the dominant cost of candidate generation)
+    val w = Window.partitionBy("band", "band_key")
+    val banded = sigs.select(col(idCol), explode(bandKeys).as("b"))
+      .select(col(idCol), col("b.band"), col("b.band_key"))
+      .withColumn("_bsz", count(lit(1)).over(w))
+      .withColumn("_hub", min(col(idCol)).over(w))
+      .localCheckpoint()
+    val small = banded.filter(col("_bsz") <= maxBucketSize)
+      .select(col(idCol), col("band"), col("band_key"))
+    val l = small.toDF("id_a", "band", "band_key")
+    val rr = small.toDF("id_b", "band", "band_key")
+    val pairs = l.join(rr, Seq("band", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+    val stars = banded.filter(col("_bsz") > maxBucketSize && col(idCol) =!= col("_hub"))
+      .select(col("_hub").as("id_a"), col(idCol).as("id_b"))
+    pairs.unionAll(stars).distinct()
+  }
+
+  /** Oversize LSH buckets (the guard's side channel): one row per capped
+    * (band, band_key) with its size — feed to monitoring; members are in
+    * near-certain duplicate families. */
+  def minhashOversizeBuckets(
+      df: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      k: Int = 64,
+      bands: Int = 16,
+      shingleWords: Int = 3,
+      maxBucketSize: Int = 4096): DataFrame = {
     require(k % bands == 0, s"signature length $k not divisible by $bands bands")
     val r = k / bands
     val sigs = df.select(col(idCol),
@@ -193,17 +249,11 @@ object Dedup {
       struct(lit(b).as("band"),
         concat_ws(",", transform(slice(col("sig"), b * r + 1, r),
           _.cast("string"))).as("band_key"))): _*)
-    // materialize the banded rows once: both sides of the self-join read
-    // them, and without the checkpoint the minhash kernel would run twice
-    // over the full corpus (the dominant cost of candidate generation)
-    val banded = sigs.select(col(idCol), explode(bandKeys).as("b"))
-      .select(col(idCol), col("b.band"), col("b.band_key"))
-      .localCheckpoint()
-    val l = banded.toDF("id_a", "band", "band_key")
-    val rr = banded.toDF("id_b", "band", "band_key")
-    l.join(rr, Seq("band", "band_key"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    sigs.select(col(idCol), explode(bandKeys).as("b"))
+      .select(col("b.band"), col("b.band_key"))
+      .groupBy("band", "band_key")
+      .agg(count(lit(1)).as("bucket_size"))
+      .filter(col("bucket_size") > maxBucketSize)
   }
 
   /** Per-doc sorted distinct w-gram shingle hashes (md5-lower-64 masked to
@@ -327,21 +377,38 @@ object Dedup {
       df: DataFrame,
       textCol: String = "text",
       idCol: String = "doc_id",
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3,
+      maxBucketSize: Int = 4096): DataFrame = {
+    require(maxBucketSize >= 2, s"maxBucketSize must allow pairs, got $maxBucketSize")
     val withSh = df.select(col(idCol), simhash(col(textCol)).as("sh"))
     val blocks = array((0 until 4).map(i =>
       struct(lit(i).as("blk"),
         shiftright(col("sh"), i * 16).bitwiseAND(0xFFFFL).as("blk_val"))): _*)
     // same self-join-recompute rule as minhashCandidates: materialize the
-    // bucketed rows so the simhash kernel runs once, not once per side
+    // bucketed rows so the simhash kernel runs once, not once per side.
+    // Same hot-bucket guard too: 16-bit blocks of boilerplate-heavy corpora
+    // collide massively (e.g. block 3 of short docs is often all-zero) —
+    // oversize buckets emit linear star edges to (min id, its simhash),
+    // still Hamming-verified, instead of a quadratic self-join.
+    val w = Window.partitionBy("blk", "blk_val")
     val bucketed = withSh.select(col(idCol), col("sh"), explode(blocks).as("b"))
       .select(col(idCol), col("sh"), col("b.blk"), col("b.blk_val"))
+      .withColumn("_bsz", count(lit(1)).over(w))
+      .withColumn("_hub", min(struct(col(idCol), col("sh"))).over(w))
       .localCheckpoint()
-    val l = bucketed.toDF("id_a", "sh_a", "blk", "blk_val")
-    val r = bucketed.toDF("id_b", "sh_b", "blk", "blk_val")
-    l.join(r, Seq("blk", "blk_val"))
+    val small = bucketed.filter(col("_bsz") <= maxBucketSize)
+      .select(col(idCol), col("sh"), col("blk"), col("blk_val"))
+    val l = small.toDF("id_a", "sh_a", "blk", "blk_val")
+    val r = small.toDF("id_b", "sh_b", "blk", "blk_val")
+    val pairs = l.join(r, Seq("blk", "blk_val"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("hamming", hammingDistance(col("sh_a"), col("sh_b")).cast("long"))
+      .select(col("id_a"), col("id_b"),
+        hammingDistance(col("sh_a"), col("sh_b")).cast("long").as("hamming"))
+    val stars = bucketed
+      .filter(col("_bsz") > maxBucketSize && col(idCol) =!= col(s"_hub.$idCol"))
+      .select(col(s"_hub.$idCol").as("id_a"), col(idCol).as("id_b"),
+        hammingDistance(col("_hub.sh"), col("sh")).cast("long").as("hamming"))
+    pairs.unionAll(stars)
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming").distinct()
   }
@@ -402,8 +469,10 @@ object Dedup {
       idCol: String = "doc_id",
       k: Int = 64,
       bands: Int = 16,
-      threshold: Double = 0.8): DataFrame = {
-    val cands = minhashCandidates(df, textCol, idCol, k, bands)
+      threshold: Double = 0.8,
+      maxBucketSize: Int = 4096): DataFrame = {
+    val cands = minhashCandidates(df, textCol, idCol, k, bands,
+      maxBucketSize = maxBucketSize)
     val verified = jaccardVerify(cands, df, textCol, idCol, threshold = threshold)
     val comp = components(verified.select("id_a", "id_b"))
     val keep = comp.groupBy("component").agg(min("id").as(idCol)).select(idCol)

@@ -38,6 +38,40 @@ class PipelineSpec extends SparkTestBase {
     assert(pairs((1L, 2L)) > 0.5 && pairs((1L, 2L)) < 1.0)
   }
 
+  test("hot-bucket guard: identical-boilerplate corpus stays linear, survivors exact") {
+    // 1000 identical docs → every LSH band is ONE bucket of 1000 rows; the
+    // uncapped self-join would emit ~500k pairs. The guard emits star edges
+    // to the bucket-min doc: exactly n-1 candidate pairs.
+    val n = 1000
+    val boiler = (1 to n).map(i =>
+      (i.toLong, "subscribe to our newsletter for the latest updates and offers every week"))
+    val distinct = Seq(
+      (5001L, "completely different content about spark query engines and shuffles"),
+      (5002L, "unrelated text mentioning databases and columnar storage formats here"))
+    val corpus = (boiler ++ distinct).toDF("doc_id", "text")
+    val cands = Dedup.minhashCandidates(corpus, k = 64, bands = 16, maxBucketSize = 64)
+    val got = cands.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.size == n - 1, s"expected ${n - 1} star edges, got ${got.size}")
+    assert(got.forall(_._1 == 1L), "all star edges must point at the bucket-min doc")
+    // survivor-set parity: end-to-end dedup keeps 1 boilerplate + 2 distinct
+    val kept = Dedup.nearDupDedup(corpus, threshold = 0.8, maxBucketSize = 64)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 5001L, 5002L), s"got $kept")
+    // side channel reports the capped buckets (one per band)
+    val over = Dedup.minhashOversizeBuckets(corpus, k = 64, bands = 16, maxBucketSize = 64)
+    assert(over.count() == 16 && over.agg(min("bucket_size")).head.getLong(0) == n)
+    // cap above every bucket size ⇒ bit-identical to the unguarded plan
+    val capped = Dedup.minhashCandidates(toyDocs, k = 64, bands = 32,
+      maxBucketSize = 1000000).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val base = Dedup.minhashCandidates(toyDocs, k = 64, bands = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == base)
+    // simhash guard: identical docs share all 4 blocks; star edges only
+    val sCands = Dedup.simhashCandidates(corpus, maxHamming = 3, maxBucketSize = 64)
+    val sGot = sCands.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sGot.size == n - 1 && sGot.forall(_._1 == 1L), s"got ${sGot.size} simhash edges")
+  }
+
   test("simhash: near-identical texts have small hamming distance") {
     val sh = toyDocs.select($"doc_id", Dedup.simhash($"text").as("sh"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

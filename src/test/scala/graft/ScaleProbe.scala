@@ -85,6 +85,22 @@ object ScaleProbe {
     time("curate pipeline @50k docs")(graft.pipeline.Curate.curate(
       spark.read.parquet(bigDocs)).count())
 
+    // adversarial hot bucket: 10⁴ identical-boilerplate docs — uncapped,
+    // each of the 16 band buckets would self-join to ~5·10⁷ pairs; the
+    // guard emits 10⁴−1 star edges and the end-to-end dedup stays linear
+    {
+      import spark.implicits._
+      val nBoiler = 10000
+      val adversarial = (1 to nBoiler).map(i => (i.toLong,
+        "subscribe to our newsletter for the latest updates and offers every week"))
+        .toDF("doc_id", "text").repartition(32).localCheckpoint()
+      time("adversarial boilerplate candidates @10k (capped)")(
+        graft.pipeline.Dedup.minhashCandidates(adversarial, maxBucketSize = 256).count())
+      time("adversarial boilerplate dedup @10k (capped)")(
+        graft.pipeline.Dedup.nearDupDedup(adversarial, threshold = 0.8,
+          maxBucketSize = 256).count())
+    }
+
     // streaming secondary-sort buffer over HUGE groups (3 groups × 2M rows):
     // the group must stream through the buffer, never materialize — memory
     // stays flat, wall scales with the external sort
