@@ -177,11 +177,12 @@ object dsl {
   }.distinct
 
   /** checkpoint* (reference cascading/operations.clj:626-632: force a
-    * temp-file job boundary mid-flow) → `df.localCheckpoint` — truncates
-    * lineage and materializes, the Spark equivalent of the reference's
-    * intermediate seqfile. */
+    * temp-file job boundary mid-flow) → [[Stage.materialize]] — truncates
+    * lineage and materializes (localCheckpoint on local[*]; reliable
+    * storage under `spark.graft.checkpoint.mode=reliable`), the Spark
+    * equivalent of the reference's intermediate seqfile. */
   def checkpointed(g: GenPred): GenPred =
-    g.copy(load = s => Planner0.bind(s, g).localCheckpoint(), fields = boundVars(g))
+    g.copy(load = s => Stage.materialize(Planner0.bind(s, g)), fields = boundVars(g))
 
   /** Reusable branch: persist a generator consumed by several queries. */
   def cached(g: GenPred): GenPred =

@@ -35,7 +35,7 @@ object Curate {
         col("_q.stopword_ratio") >= minStopwordRatio &&
         col("_lang") === lang)
       .drop("_q", "_lang")
-      .localCheckpoint()
+      .transform(graft.Stage.materialize)
     Dedup.nearDupDedup(gated, threshold = jaccardThreshold)
       .select("doc_id", "lang", "source")
   }

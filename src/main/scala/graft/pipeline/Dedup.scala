@@ -216,7 +216,7 @@ object Dedup {
       .select(col(idCol), col("b.band"), col("b.band_key"))
       .withColumn("_bsz", count(lit(1)).over(w))
       .withColumn("_hub", min(col(idCol)).over(w))
-      .localCheckpoint()
+      .transform(graft.Stage.materialize)
     val small = banded.filter(col("_bsz") <= maxBucketSize)
       .select(col(idCol), col("band"), col("band_key"))
     val l = small.toDF("id_a", "band", "band_key")
@@ -317,7 +317,7 @@ object Dedup {
       threshold: Double = 0.8): DataFrame = {
     val t = docs.select(col(idCol).as("_id"),
       shingleHashKernel(col(textCol), lit(shingleWords)).as("_sh"))
-      .localCheckpoint()
+      .transform(graft.Stage.materialize)
     candidates
       .join(t.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "sh_a"), "id_a")
       .join(t.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "sh_b"), "id_b")
@@ -395,7 +395,7 @@ object Dedup {
       .select(col(idCol), col("sh"), col("b.blk"), col("b.blk_val"))
       .withColumn("_bsz", count(lit(1)).over(w))
       .withColumn("_hub", min(struct(col(idCol), col("sh"))).over(w))
-      .localCheckpoint()
+      .transform(graft.Stage.materialize)
     val small = bucketed.filter(col("_bsz") <= maxBucketSize)
       .select(col(idCol), col("sh"), col("blk"), col("blk_val"))
     val l = small.toDF("id_a", "sh_a", "blk", "blk_val")
@@ -417,7 +417,7 @@ object Dedup {
     * clusters (the consolidation step of a dedup pipeline: candidates come
     * in as edges, every document keeps exactly one representative per
     * component). Iterative min-label propagation: label(v) ← min(label(v),
-    * min over neighbors) until fixpoint, localCheckpoint per round to keep
+    * min over neighbors) until fixpoint, a [[Stage.materialize]] checkpoint per round to keep
     * lineage flat. O(diameter) rounds — near-dup clusters are tiny, so 2-3
     * rounds in practice; `maxIter` bounds adversarial chains.
     * Returns (id, component) with component = min id in the cluster. */
@@ -429,13 +429,13 @@ object Dedup {
     // lazy: re-deriving it per iteration is two cheap scans of the
     // checkpointed edges, one job less than materializing it too.
     val fwd = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .localCheckpoint()
+      .transform(graft.Stage.materialize)
     val sym = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
     // round 0 fused into initialization: label = min(id, min neighbor) —
     // resolves all simple pairs before the loop even starts
     var labels = sym.groupBy(col("src").as("id"))
       .agg(least(min(col("dst")), col("src")).as("component"))
-      .localCheckpoint()
+      .transform(graft.Stage.materialize)
     var iter = 1
     var changed = 1L
     while (iter < maxIter && changed > 0) {
@@ -453,7 +453,7 @@ object Dedup {
           least(col("component"), coalesce(col("n_comp"), col("component")))
             .as("component"),
           (coalesce(col("n_comp"), col("component")) < col("component")).as("_chg"))
-        .localCheckpoint()
+        .transform(graft.Stage.materialize)
       changed = updated.filter(col("_chg")).count()
       labels = updated.drop("_chg")
       iter += 1
@@ -493,7 +493,7 @@ object Dedup {
       threshold: Double = 0.95): DataFrame = {
     val sigCol = Similarity.hyperplaneSignature(col(embCol), planes)
     val sigs = df.select(col(idCol), col(embCol), sigCol.as("bucket"))
-      .localCheckpoint() // self-joined: signature kernel must run once
+      .transform(graft.Stage.materialize) // self-joined: signature kernel must run once
     val l = sigs.toDF("id_a", "emb_a", "bucket")
     val r = sigs.toDF("id_b", "emb_b", "bucket")
     l.join(r, "bucket")
