@@ -440,9 +440,12 @@ object Dedup {
     var changed = 1L
     while (iter < maxIter && changed > 0) {
       // every node adopts the min component among itself and its neighbors;
-      // the convergence flag rides in the SAME materialized result, so each
-      // round costs one shuffle job plus a scan of checkpointed data (the
-      // old separate labels-vs-updated join doubled the per-round jobs)
+      // the convergence flag rides as an ACCUMULATOR bumped while the same
+      // materialization job runs — zero extra jobs per round (the old
+      // filter(_chg).count() scanned the checkpointed result again).
+      // Retries/speculation can only over-count; we only test > 0.
+      val acc = edges.sparkSession.sparkContext.longAccumulator("graft.cc.changed")
+      val flag = udf { (chg: Boolean) => if (chg) acc.add(1L); chg }
       val neighborMin = sym
         .join(labels.withColumnRenamed("id", "dst")
           .withColumnRenamed("component", "n_comp"), "dst")
@@ -452,17 +455,99 @@ object Dedup {
         .select(col("id"),
           least(col("component"), coalesce(col("n_comp"), col("component")))
             .as("component"),
-          (coalesce(col("n_comp"), col("component")) < col("component")).as("_chg"))
+          flag(coalesce(col("n_comp"), col("component")) < col("component")).as("_chg"))
         .transform(graft.Stage.materialize)
-      changed = updated.filter(col("_chg")).count()
+      changed = acc.value
       labels = updated.drop("_chg")
       iter += 1
     }
     labels
   }
 
+  /** Connected components via alternating LARGE-STAR / SMALL-STAR rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — the adversarial-graph option next to [[components]]:
+    * min-label propagation needs O(diameter) rounds (a 10⁶-long chain of
+    * near-dups = 10⁶ shuffles), star contraction converges in O(log d).
+    *
+    *  - large-star(u): every neighbor v > u re-points to
+    *    m = min(Γ(u) ∪ u)
+    *  - small-star(u): every neighbor v ≤ u (edges oriented high→low)
+    *    re-points to m
+    *
+    * Both steps are one window pass over the edge partitioning they
+    * shuffle on; change detection rides accumulators inside the same
+    * materialization jobs (no extra per-round count job). At fixpoint the
+    * edge set is a forest of stars: labels read directly off the edges.
+    * Returns (id, component) like [[components]]. */
+  def componentsStar(edges: DataFrame, maxIter: Int = 50): DataFrame =
+    componentsStarRounds(edges, maxIter)._1
+
+  /** [[componentsStar]] plus the number of alternation rounds it took —
+    * exposed so the O(log d) convergence is testable. Ids must be
+    * integral (cast to long). */
+  def componentsStarRounds(edges: DataFrame, maxIter: Int = 50): (DataFrame, Int) = {
+    val spark = edges.sparkSession
+    var cur = edges.select(col("id_a").cast("long").as("src"),
+      col("id_b").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .transform(graft.Stage.materialize)
+    var iter = 0
+    var stable = false
+    while (iter < maxIter && !stable) {
+      // LARGE-STAR: symmetrize, m(u) = min(Γ(u) ∪ u), re-point every
+      // neighbor v > u to m. The change flag rides INSIDE the m value (a
+      // nondeterministic-marked udf bumping an accumulator), evaluated
+      // after the v > u filter on surviving rows only, inside the same
+      // materialization job — no extra per-round count job, and the
+      // optimizer can neither prune nor reorder it past the filter.
+      val accL = spark.sparkContext.longAccumulator("graft.cc.star.large")
+      val mL = udf { (m: Long, u: Long) => if (m != u) accL.add(1L); m }
+        .asNondeterministic()
+      val sym = cur.unionAll(cur.select(col("dst").as("src"), col("src").as("dst")))
+      val large = sym
+        .withColumn("m", least(min(col("dst")).over(Window.partitionBy("src")), col("src")))
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), mL(col("m"), col("src")).as("dst"))
+        .distinct()
+        .transform(graft.Stage.materialize)
+      // SMALL-STAR: orient high→low, re-point the whole low neighborhood
+      // (and the high node) to m; changed iff some neighbor wasn't m yet
+      val accS = spark.sparkContext.longAccumulator("graft.cc.star.small")
+      val mS = udf { (m: Long, v: Long) => if (m != v) accS.add(1L); m }
+        .asNondeterministic()
+      val oriented = large.select(
+        greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      val small = oriented
+        .withColumn("m", min(col("dst")).over(Window.partitionBy("src")))
+        .select(col("src"), col("dst"), mS(col("m"), col("dst")).as("m"))
+        .select(explode(array(
+          struct(col("dst").as("a"), col("m").as("b")),
+          struct(col("src").as("a"), col("m").as("b")))).as("e"))
+        .select(col("e.a").as("src"), col("e.b").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+        .transform(graft.Stage.materialize)
+      stable = accL.value == 0 && accS.value == 0
+      cur = small
+      iter += 1
+    }
+    // fixpoint edge set is a forest of (member, hub) stars: members read
+    // their label off the edge, hubs label themselves
+    val labels = cur.select(col("src").as("id"), col("dst").as("component"))
+      .unionAll(cur.select(col("dst").as("id"), col("dst").as("component")))
+      .distinct()
+    (labels, iter)
+  }
+
   /** End-to-end near-dup dedup: candidates → verified pairs → components →
-    * survivors (min doc id per component + all unclustered docs). */
+    * survivors (min doc id per component + all unclustered docs).
+    * `ccAlgorithm`: "label" (min-label propagation, O(diameter) — right
+    * for the tiny clusters real near-dup graphs produce) or "star"
+    * ([[componentsStar]], O(log d) — the guard against adversarial long
+    * chains). Both produce identical (id, min id) labels. */
   def nearDupDedup(
       df: DataFrame,
       textCol: String = "text",
@@ -470,11 +555,18 @@ object Dedup {
       k: Int = 64,
       bands: Int = 16,
       threshold: Double = 0.8,
-      maxBucketSize: Int = 4096): DataFrame = {
+      maxBucketSize: Int = 4096,
+      ccAlgorithm: String = "label"): DataFrame = {
     val cands = minhashCandidates(df, textCol, idCol, k, bands,
       maxBucketSize = maxBucketSize)
     val verified = jaccardVerify(cands, df, textCol, idCol, threshold = threshold)
-    val comp = components(verified.select("id_a", "id_b"))
+    val pairs = verified.select("id_a", "id_b")
+    val comp = ccAlgorithm match {
+      case "label" => components(pairs)
+      case "star" => componentsStar(pairs)
+      case other => throw new IllegalArgumentException(
+        s"ccAlgorithm must be 'label' or 'star', got '$other'")
+    }
     val keep = comp.groupBy("component").agg(min("id").as(idCol)).select(idCol)
     val clustered = comp.select(col("id").as(idCol))
     df.join(clustered, Seq(idCol), "left_anti") // never-clustered docs

@@ -186,6 +186,31 @@ class PipelineSpec extends SparkTestBase {
     assert(sunk.head.exists(v => v != null && v.toString.contains("odd 21")))
   }
 
+  test("large-star/small-star components: O(log d) on a depth-1000 chain, parity with min-label") {
+    // the adversarial graph for min-label propagation: a 1000-long chain
+    // needs ~1000 label rounds; star contraction must converge in O(log d)
+    val chain = (1L until 1000L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (labels, rounds) = Dedup.componentsStarRounds(chain, maxIter = 30)
+    val got = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == (1L to 1000L).map(i => (i, 1L)).toSet, s"bad labels: ${got.take(5)}")
+    assert(rounds <= 15, s"chain-1000 took $rounds rounds, expected O(log d)")
+    // parity with min-label propagation on a multi-component graph
+    val rng = new scala.util.Random(42)
+    val edges = (1 to 60).map { _ =>
+      val c = rng.nextInt(5) // 5 clusters over disjoint id ranges
+      (c * 100L + rng.nextInt(8) + 1L, c * 100L + rng.nextInt(8) + 1L)
+    }.filter(p => p._1 != p._2).toDF("id_a", "id_b")
+    val star = Dedup.componentsStar(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val label = Dedup.components(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(star == label, s"star $star vs label $label")
+    // already-converged input: one round, no changes
+    val starEdges = Seq((2L, 1L), (3L, 1L), (4L, 1L)).toDF("id_a", "id_b")
+    val (_, r1) = Dedup.componentsStarRounds(starEdges)
+    assert(r1 == 1, s"stable star took $r1 rounds")
+  }
+
   test("text analysis: token counts, quality, langId, fingerprint") {
     val row = docs.select(
       TextAnalysis.tokenCount($"text"),
