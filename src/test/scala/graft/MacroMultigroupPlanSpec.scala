@@ -65,6 +65,39 @@ class MacroMultigroupPlanSpec extends SparkTestBase {
       Set(("a", 2L, 1L, 13L), ("b", 1L, 0L, 3L), ("c", 0L, 1L, 30L)))
   }
 
+  test("multigroup stays in the Dataset layer and streams huge groups") {
+    import spark.implicits._
+    val l = memDF(spark, Seq(Seq("a", 1L), Seq("a", 2L), Seq("b", 3L))).toDF("k", "x")
+    val r = memDF(spark, Seq(Seq("a", 10L), Seq("c", 30L))).toDF("k", "y")
+    val out = MultiGroup.multigroup(Seq(l, r), Seq("k"),
+      Seq("n_left", "n_right"), Seq(LongType, LongType)) { (_, gs) =>
+      Iterator.single(Seq(gs(0).size.toLong, gs(1).size.toLong))
+    }
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("ExistingRDD"), s"RDD boundary in plan:\n$p")
+    assert(p.contains("FlatMapGroups") || p.contains("MapGroups"), p)
+    // out-of-order access: read input 1 first, then input 0 — the cursor
+    // must park input 0's rows, not lose them
+    val swapped = MultiGroup.multigroupStream(Seq(l, r), Seq("k"),
+      Seq("sum_right", "sum_left"), Seq(LongType, LongType)) { (_, its) =>
+      val sumR = its(1).map(_.getLong(0)).sum
+      val sumL = its(0).map(_.getLong(0)).sum
+      Iterator.single(Seq(sumR, sumL))
+    }
+    assert(swapped.collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSet ==
+      Set(("a", 10L, 3L), ("b", 0L, 3L), ("c", 30L, 0L)))
+    // memory-flat: a 2M-row single-key group counted via the lazy iterator
+    // (the old collect_list realization materialized the whole group)
+    val big = spark.range(2000000).select(lit("k").as("k"), $"id")
+    val tiny = Seq(("k", 7L)).toDF("k", "z")
+    val counted = MultiGroup.multigroupStream(Seq(big, tiny), Seq("k"),
+      Seq("n_big", "n_tiny"), Seq(LongType, LongType)) { (_, its) =>
+      Iterator.single(Seq(its(0).size.toLong, its(1).size.toLong))
+    }
+    assert(counted.collect().map(x => (x.getLong(1), x.getLong(2))).toSet ==
+      Set((2000000L, 1L)))
+  }
+
   // ------------------------------------------------ physical plan checks
   // The 100 TB questions, asserted against the actual plans.
 
