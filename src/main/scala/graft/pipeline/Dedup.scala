@@ -208,23 +208,29 @@ object Dedup {
       struct(lit(b).as("band"),
         concat_ws(",", transform(slice(col("sig"), b * r + 1, r),
           _.cast("string"))).as("band_key"))): _*)
-    // materialize the banded+sized rows once: both sides of the self-join
-    // read them, and without the checkpoint the minhash kernel would run
-    // twice over the full corpus (the dominant cost of candidate generation)
-    val w = Window.partitionBy("band", "band_key")
+    // materialize the banded rows once: both sides of the self-join read
+    // them, and without the checkpoint the minhash kernel would run twice
+    // over the full corpus (the dominant cost of candidate generation)
     val banded = sigs.select(col(idCol), explode(bandKeys).as("b"))
       .select(col(idCol), col("b.band"), col("b.band_key"))
-      .withColumn("_bsz", count(lit(1)).over(w))
-      .withColumn("_hub", min(col(idCol)).over(w))
       .transform(graft.Stage.materialize)
-    val small = banded.filter(col("_bsz") <= maxBucketSize)
+    // the guard reads bucket stats from a map-side-combined aggregation —
+    // degenerate buckets collapse in the combine, so the shuffled stats are
+    // tiny — and the oversize set (near-empty by definition at a sane cap)
+    // broadcasts back onto the banded rows: no sort, no extra shuffle of
+    // the full banded data (a window count would sort every partition)
+    val oversize = banded.groupBy("band", "band_key")
+      .agg(count(lit(1)).as("_bsz"), min(col(idCol)).as("_hub"))
+      .filter(col("_bsz") > maxBucketSize)
+    val flagged = banded.join(broadcast(oversize), Seq("band", "band_key"), "left_outer")
+    val small = flagged.filter(col("_bsz").isNull)
       .select(col(idCol), col("band"), col("band_key"))
     val l = small.toDF("id_a", "band", "band_key")
     val rr = small.toDF("id_b", "band", "band_key")
     val pairs = l.join(rr, Seq("band", "band_key"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
-    val stars = banded.filter(col("_bsz") > maxBucketSize && col(idCol) =!= col("_hub"))
+    val stars = flagged.filter(col("_bsz").isNotNull && col(idCol) =!= col("_hub"))
       .select(col("_hub").as("id_a"), col(idCol).as("id_b"))
     pairs.unionAll(stars).distinct()
   }
@@ -389,14 +395,16 @@ object Dedup {
     // Same hot-bucket guard too: 16-bit blocks of boilerplate-heavy corpora
     // collide massively (e.g. block 3 of short docs is often all-zero) —
     // oversize buckets emit linear star edges to (min id, its simhash),
-    // still Hamming-verified, instead of a quadratic self-join.
-    val w = Window.partitionBy("blk", "blk_val")
+    // still Hamming-verified, instead of a quadratic self-join. Stats ride
+    // a map-side-combined agg + broadcast join, not a window sort.
     val bucketed = withSh.select(col(idCol), col("sh"), explode(blocks).as("b"))
       .select(col(idCol), col("sh"), col("b.blk"), col("b.blk_val"))
-      .withColumn("_bsz", count(lit(1)).over(w))
-      .withColumn("_hub", min(struct(col(idCol), col("sh"))).over(w))
       .transform(graft.Stage.materialize)
-    val small = bucketed.filter(col("_bsz") <= maxBucketSize)
+    val oversize = bucketed.groupBy("blk", "blk_val")
+      .agg(count(lit(1)).as("_bsz"), min(struct(col(idCol), col("sh"))).as("_hub"))
+      .filter(col("_bsz") > maxBucketSize)
+    val flagged = bucketed.join(broadcast(oversize), Seq("blk", "blk_val"), "left_outer")
+    val small = flagged.filter(col("_bsz").isNull)
       .select(col(idCol), col("sh"), col("blk"), col("blk_val"))
     val l = small.toDF("id_a", "sh_a", "blk", "blk_val")
     val r = small.toDF("id_b", "sh_b", "blk", "blk_val")
@@ -404,8 +412,8 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         hammingDistance(col("sh_a"), col("sh_b")).cast("long").as("hamming"))
-    val stars = bucketed
-      .filter(col("_bsz") > maxBucketSize && col(idCol) =!= col(s"_hub.$idCol"))
+    val stars = flagged
+      .filter(col("_bsz").isNotNull && col(idCol) =!= col(s"_hub.$idCol"))
       .select(col(s"_hub.$idCol").as("id_a"), col(idCol).as("id_b"),
         hammingDistance(col("_hub.sh"), col("sh")).cast("long").as("hamming"))
     pairs.unionAll(stars)

@@ -557,27 +557,48 @@ object Planner {
       })
 
     // stays a Dataset op (no RDD boundary): one deserialize → streaming
-    // group pass → serialize, all inside the same physical plan
+    // group pass → serialize, all inside the same physical plan. The output
+    // of f streams straight through (no per-group materialization — a
+    // lag-style buffer over a 2M-row group emits 2M rows without holding
+    // them), and the per-row hot path is allocation-lean: index arrays
+    // hoisted, element-wise key comparison, no throwaway Seqs.
+    val inIdxArr: Array[Int] = inIdx.toArray
     val df = arranged.mapPartitions { rows =>
       val it = rows.buffered
+      def sameKey(r: Row, key: Array[Any]): Boolean = {
+        var i = 0
+        while (i < nKey) {
+          val a = r.get(i); val b = key(i)
+          if (if (a == null) b != null else a != b) return false
+          i += 1
+        }
+        true
+      }
       new Iterator[Row] {
+        private var groupIn: Iterator[Seq[Any]] = Iterator.empty
         private var out: Iterator[Row] = Iterator.empty
         @annotation.tailrec
         private def advance(): Unit =
           if (!out.hasNext && it.hasNext) {
-            val key = (0 until nKey).map(it.head.get)
-            var more = true
-            val groupIn = new Iterator[Seq[Any]] {
-              def hasNext: Boolean = {
-                more = it.hasNext && (0 until nKey).map(it.head.get) == key
-                more
+            while (groupIn.hasNext) groupIn.next() // drain finished group
+            if (it.hasNext) {
+              val key = new Array[Any](nKey)
+              var i = 0
+              while (i < nKey) { key(i) = it.head.get(i); i += 1 }
+              val keySeq = key.toSeq
+              groupIn = new Iterator[Seq[Any]] {
+                def hasNext: Boolean = it.hasNext && sameKey(it.head, key)
+                def next(): Seq[Any] = {
+                  val r = it.next()
+                  val arr = new Array[Any](inIdxArr.length)
+                  var j = 0
+                  while (j < inIdxArr.length) { arr(j) = r.get(inIdxArr(j)); j += 1 }
+                  scala.collection.immutable.ArraySeq.unsafeWrapArray(arr)
+                }
               }
-              def next(): Seq[Any] = { val r = it.next(); inIdx.toSeq.map(r.get) }
+              out = f(groupIn).map(tuple => Row.fromSeq(keySeq ++ tuple))
+              advance()
             }
-            val produced = f(groupIn).map(tuple => Row.fromSeq(key ++ tuple)).toVector
-            while (groupIn.hasNext) groupIn.next() // drain group remainder
-            out = produced.iterator
-            advance()
           }
         def hasNext: Boolean = { advance(); out.hasNext }
         def next(): Row = { advance(); out.next() }
