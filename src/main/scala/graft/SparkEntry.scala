@@ -58,11 +58,15 @@ object SparkEntry {
       Ops.lt("?l_quantity", 3.0),
       Ops.cmap(cs => cs(0) * (lit(1.0) - cs(1)))("?ep", "?disc") :> "?revenue").toDF(s)
 
-  /** 3-way join + agg: revenue per market segment (flagship). */
+  /** 3-way join + agg: revenue per market segment (flagship). The
+    * `uniqueOn` key declarations license the planner's eager-aggregation
+    * rewrite: lineitem partially aggregates per ?ok BELOW the joins (the
+    * q32 shape — at 100 TB the join moves grouped partials, not 4× raw
+    * fact rows), provably sound because customer/orders are lookups. */
   private def q03(s: SparkSession, d: String): DataFrame =
     query("?c_mktsegment", "?revenue", "?n_items")(
-      customer(d)("?ck", "_", "_", "_", "?c_mktsegment"),
-      orders(d)("?ok", "?ck", "_", "_", "_", "_"),
+      uniqueOn(customer(d)("?ck", "_", "_", "_", "?c_mktsegment"), "?ck"),
+      uniqueOn(orders(d)("?ok", "?ck", "_", "_", "_", "_"), "?ok"),
       lineitem(d)("?ok", "_", "_", "_", "_", "?ep", "?disc", "_", "_", "_", "_"),
       Ops.cmap(cs => cs(0) * (lit(1.0) - cs(1)))("?ep", "?disc") :> "?rev",
       Ops.sumDec(28, 8)("?rev") :> "?revenue",

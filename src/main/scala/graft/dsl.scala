@@ -54,6 +54,18 @@ object dsl {
     * cascading/operations.clj:412-454). */
   def tiny(g: GenPred): GenPred = g.copy(small = true)
 
+  /** Declare a candidate key: the generator's rows are unique per the
+    * given vars (e.g. a dimension's primary key). Key metadata lets the
+    * planner prove a join is a LOOKUP and rewrite agg-above-join plans
+    * into the eager shape (partial aggregation below the join) — the plan
+    * that wins when a fact table dwarfs its dims. Declaring a non-key is
+    * the caller's soundness bug, like any wrong schema assertion. */
+  def uniqueOn(g: GenPred, vars: String*): GenPred = {
+    require(vars.nonEmpty && vars.forall(v => g.fields.contains(v)),
+      s"uniqueOn vars ${vars.mkString(",")} must all be bound by the generator")
+    g.copy(uniqueSets = g.uniqueSets :+ vars.toSet)
+  }
+
   /** Generator-as-set (reference `(src ?x :> flag)` existence predicate). */
   def exists(g: GenPred): ExistsPred = ExistsPred(g, true)
   def absent(g: GenPred): ExistsPred = ExistsPred(g, false)

@@ -26,11 +26,23 @@ final case class ColumnMapcat(numOut: Int, f: Seq[Column] => Column) extends Op
   * (logic/predicate.clj:176-180). */
 final case class ColumnFilter(f: Seq[Column] => Column) extends Op
 
+/** Two-level decomposition of an aggregator for the planner's eager
+  * (below-join) aggregation rewrite: `partial` aggregates raw inputs into
+  * one intermediate column per output; `merge` re-aggregates those
+  * intermediates into the final outputs. Lawful when
+  * `merge(partial(xs₁) ∪ partial(xs₂)) == f(xs₁ ∪ xs₂)` for any split of
+  * the group's rows — sums/counts/mins/maxes, not avg or count-distinct. */
+final case class AggDecompose(
+    partial: Seq[Column] => Seq[Column],
+    merge: Seq[Column] => Seq[Column])
+
 /** Aggregator expressed as Spark aggregate Columns — covers the reference's
   * ParallelAggregator surface (logic/def.clj:107,137-164): Catalyst gives
   * map-side partial aggregation for free. Custom monoids arrive here via
-  * `functions.udaf(Aggregator)`. */
-final case class ColumnAgg(numOut: Int, f: Seq[Column] => Seq[Column]) extends Op
+  * `functions.udaf(Aggregator)`. `decompose`, when set, licenses the eager
+  * aggregation rewrite to split this agg across a lookup join. */
+final case class ColumnAgg(numOut: Int, f: Seq[Column] => Seq[Column],
+    decompose: Option[AggDecompose] = None) extends Op
 
 /** Whole-group buffer (reference `::buffer`/`::bufferiter`,
   * logic/def.clj:33,40-41): the group's tuples — secondary-sorted when

@@ -11,11 +11,15 @@ sealed trait Pred
   * (reference generator dispatch, logic/platform.clj:45-60). `fields` may
   * contain vars, wildcards, duplicate vars (implicit equality,
   * logic/parse.clj:308-336) and constants (implicit equality filter,
-  * logic/parse.clj:565-589). `small` hints a broadcast-able side. */
+  * logic/parse.clj:565-589). `small` hints a broadcast-able side.
+  * `uniqueSets` declares candidate keys (each a set of bound vars whose
+  * values are unique per row) — key metadata the eager-aggregation rewrite
+  * needs to prove a join is a lookup. */
 final case class GenPred(
     load: SparkSession => DataFrame,
     fields: Seq[Any],
-    small: Boolean = false
+    small: Boolean = false,
+    uniqueSets: Seq[Set[String]] = Nil
 ) extends Pred
 
 /** Operation application: op over input items (vars or constants) binding
@@ -77,7 +81,7 @@ final case class Query(
   /** Human-readable predicate listing (the logical node-tree view). */
   def describe: String = {
     val ps = preds.map {
-      case GenPred(_, fields, small) =>
+      case GenPred(_, fields, small, _) =>
         s"  generator(${fields.mkString(", ")})${if (small) " [broadcast]" else ""}"
       case OpPred(op, in, out) =>
         val o = if (out.isEmpty) "" else s" :> ${out.mkString(", ")}"

@@ -113,12 +113,17 @@ object Ops {
   // logic/ops_impl.clj:11-21)
 
   /** c/count (ops.clj:160-162): zero-input aggregator. */
-  val count: ColumnAgg = ColumnAgg(1, _ => Seq(F.count(F.lit(1))))
-  val sum: ColumnAgg = ColumnAgg(-1, _.map(F.sum))
-  val min: ColumnAgg = ColumnAgg(-1, _.map(F.min))
-  val max: ColumnAgg = ColumnAgg(-1, _.map(F.max))
+  val count: ColumnAgg = ColumnAgg(1, _ => Seq(F.count(F.lit(1))),
+    Some(AggDecompose(_ => Seq(F.count(F.lit(1))), _.map(F.sum))))
+  val sum: ColumnAgg = ColumnAgg(-1, _.map(F.sum),
+    Some(AggDecompose(_.map(F.sum), _.map(F.sum))))
+  val min: ColumnAgg = ColumnAgg(-1, _.map(F.min),
+    Some(AggDecompose(_.map(F.min), _.map(F.min))))
+  val max: ColumnAgg = ColumnAgg(-1, _.map(F.max),
+    Some(AggDecompose(_.map(F.max), _.map(F.max))))
   /** !count (ops.clj:170): counts non-null values of a nullable var. */
-  val countNotNull: ColumnAgg = ColumnAgg(1, cs => Seq(F.count(cs.head)))
+  val countNotNull: ColumnAgg = ColumnAgg(1, cs => Seq(F.count(cs.head)),
+    Some(AggDecompose(cs => Seq(F.count(cs.head)), _.map(F.sum))))
   val avg: ColumnAgg = ColumnAgg(1, cs => Seq(F.avg(cs.head)))
   /** exact distinct-count (ops.clj:242-253). */
   val distinctCount: ColumnAgg =
@@ -142,7 +147,12 @@ object Ops {
     * for oracle comparison at any parallelism. */
   def sumDec(precision: Int = 18, scale: Int = 4): ColumnAgg =
     ColumnAgg(-1, _.map(c =>
-      F.sum(c.cast(DecimalType(precision, scale))).cast(DoubleType)))
+      F.sum(c.cast(DecimalType(precision, scale))).cast(DoubleType)),
+      // partials stay DECIMAL (casting to double per partial would break
+      // the hash-stability the op exists for); only the final merge casts
+      Some(AggDecompose(
+        _.map(c => F.sum(c.cast(DecimalType(precision, scale)))),
+        _.map(c => F.sum(c).cast(DoubleType)))))
 
   /** Hash-stable mean: exact decimal sum / count, divided in double. */
   def avgDec(precision: Int = 18, scale: Int = 4): ColumnAgg =

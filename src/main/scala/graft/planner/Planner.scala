@@ -23,9 +23,12 @@ object Planner {
 
   /** A query tail: a DataFrame whose columns are the bound logic vars
     * (mangled via [[Vars.colName]]), mirroring the reference TailStruct
-    * (logic/parse.clj:173). */
+    * (logic/parse.clj:173). `uniqueKeys` carries declared candidate keys
+    * (sets of vars unique per row) — set at generator binding, preserved
+    * by filters/maps, conservatively dropped by anything else. */
   final case class Tail(df: DataFrame, fields: Vector[String],
-      groundOverride: Option[Boolean] = None) {
+      groundOverride: Option[Boolean] = None,
+      uniqueKeys: Seq[Set[String]] = Nil) {
     /** Ground status drives join typing. A fresh generator tail is ground
       * iff it binds no `!!` vars; a JOINED tail is ground if ANY of its
       * inputs was ground (parse.clj:460 `(s/some? :ground? join-set)`) —
@@ -130,57 +133,72 @@ object Planner {
     var tails = mutable.ArrayBuffer(gens.map(g => bindGenerator(spark, g)): _*)
     tails = tails.map(t => fixedPoint(t, ops))
 
-    // 2. merge-tails: greedy maximal shared-var pair (parse.clj:416-432),
-    // restricted to JOINABLE tails (parse.clj:394-407): an unground tail
-    // may only join when every non-join field is unground — otherwise its
-    // `?` fields would go null on unmatched rows. Unjoinable-now pairs may
-    // become joinable after other merges widen the shared set; only when
-    // no joinable pair remains do we cross-join (our explicit extension
-    // for var-disjoint GROUND tails; the reference requires a constant
-    // join key) or throw the reference's planning error.
-    def joinable(t: Tail, joinFields: Set[String]): Boolean =
-      joinFields.subsetOf(t.fields.toSet) &&
-        (t.isGround || t.fields.filterNot(joinFields).forall(Vars.isUnground))
-    while (tails.size > 1) {
-      val pairs = for { i <- tails.indices; j <- tails.indices if i < j }
-        yield (i, j, tails(i).fields.toSet.intersect(tails(j).fields.toSet))
-      val candidates = pairs.filter { case (i, j, shared) =>
-        shared.nonEmpty && joinable(tails(i), shared) && joinable(tails(j), shared)
+    // 1.5 eager aggregation (q32 shape, automated): when every aggregator
+    // decomposes, exactly one tail carries all agg inputs, and declared
+    // keys prove every dim join is a lookup, partially aggregate the fact
+    // tail BELOW the joins and merge above them — at scale the join then
+    // moves grouped partials instead of raw fact rows.
+    val eagerTail: Option[Tail] =
+      if (aggPreds.nonEmpty && exist.isEmpty && q.options.trap.isEmpty &&
+          tails.size > 1 &&
+          !tails.exists(_.fields.exists(_.startsWith("!__trap"))))
+        tryEagerAggregate(tails.toVector, ops, aggPreds, q)
+      else None
+
+    var tail: Tail = eagerTail.map(t => fixedPoint(t, ops)).getOrElse {
+      // 2. merge-tails: greedy maximal shared-var pair (parse.clj:416-432),
+      // restricted to JOINABLE tails (parse.clj:394-407): an unground tail
+      // may only join when every non-join field is unground — otherwise its
+      // `?` fields would go null on unmatched rows. Unjoinable-now pairs may
+      // become joinable after other merges widen the shared set; only when
+      // no joinable pair remains do we cross-join (our explicit extension
+      // for var-disjoint GROUND tails; the reference requires a constant
+      // join key) or throw the reference's planning error.
+      def joinable(t: Tail, joinFields: Set[String]): Boolean =
+        joinFields.subsetOf(t.fields.toSet) &&
+          (t.isGround || t.fields.filterNot(joinFields).forall(Vars.isUnground))
+      while (tails.size > 1) {
+        val pairs = for { i <- tails.indices; j <- tails.indices if i < j }
+          yield (i, j, tails(i).fields.toSet.intersect(tails(j).fields.toSet))
+        val candidates = pairs.filter { case (i, j, shared) =>
+          shared.nonEmpty && joinable(tails(i), shared) && joinable(tails(j), shared)
+        }
+        val (i, j, shared) =
+          if (candidates.nonEmpty) candidates.maxBy(_._3.size)
+          else pairs.find { case (i, j, s) =>
+            s.isEmpty && tails(i).isGround && tails(j).isGround
+          }.getOrElse(throw new IllegalArgumentException(
+            "unable to join predicates together"))
+        val joined = joinPair(tails(i), tails(j), shared.toVector.sorted)
+        val rest = tails.zipWithIndex.collect { case (t, k) if k != i && k != j => t }
+        tails = mutable.ArrayBuffer(fixedPoint(joined, ops)) ++ rest
       }
-      val (i, j, shared) =
-        if (candidates.nonEmpty) candidates.maxBy(_._3.size)
-        else pairs.find { case (i, j, s) =>
-          s.isEmpty && tails(i).isGround && tails(j).isGround
-        }.getOrElse(throw new IllegalArgumentException(
-          "unable to join predicates together"))
-      val joined = joinPair(tails(i), tails(j), shared.toVector.sorted)
-      val rest = tails.zipWithIndex.collect { case (t, k) if k != i && k != j => t }
-      tails = mutable.ArrayBuffer(fixedPoint(joined, ops)) ++ rest
-    }
-    var tail = tails.head
+      var t0 = tails.head
 
-    // 3. existence joins against the merged tail (ExistenceNode)
-    exist.foreach { e => tail = applyExists(spark, tail, e) }
-    tail = fixedPoint(tail, ops)
+      // 3. existence joins against the merged tail (ExistenceNode)
+      exist.foreach { e => t0 = applyExists(spark, t0, e) }
+      t0 = fixedPoint(t0, ops)
 
-    // 3.5 trap diversion (reference :trap, cascading/platform.clj:311-318):
-    // trapped ops bound their error to reserved `!__trap*` vars; failing
-    // tuples are diverted BEFORE aggregation so they never count
-    val trapVars = tail.fields.filter(_.startsWith("!__trap"))
-    if (trapVars.nonEmpty) {
-      val anyErr = trapVars.map(v => tail.col(v).isNotNull).reduce(_ || _)
-      q.options.trap.foreach(sink => sink(
-        tail.df.filter(anyErr).select(tail.fields.map(v =>
-          tail.col(v).as(Vars.displayName(v))): _*)))
-      tail = Tail(
-        tail.df.filter(!anyErr).drop(trapVars.map(Vars.colName): _*),
-        tail.fields.filterNot(trapVars.contains), tail.groundOverride)
-    }
+      // 3.5 trap diversion (reference :trap, cascading/platform.clj:311-318):
+      // trapped ops bound their error to reserved `!__trap*` vars; failing
+      // tuples are diverted BEFORE aggregation so they never count
+      val trapVars = t0.fields.filter(_.startsWith("!__trap"))
+      if (trapVars.nonEmpty) {
+        val anyErr = trapVars.map(v => t0.col(v).isNotNull).reduce(_ || _)
+        q.options.trap.foreach(sink => sink(
+          t0.df.filter(anyErr).select(t0.fields.map(v =>
+            t0.col(v).as(Vars.displayName(v))): _*)))
+        t0 = Tail(
+          t0.df.filter(!anyErr).drop(trapVars.map(Vars.colName): _*),
+          t0.fields.filterNot(trapVars.contains), t0.groundOverride)
+      }
 
-    // 4. grouping / aggregation
-    if (aggPreds.nonEmpty) {
-      tail = aggregate(tail, aggPreds, q)
-      tail = fixedPoint(tail, ops) // ops over aggregator outputs
+      // 4. grouping / aggregation
+      if (aggPreds.nonEmpty) {
+        t0 = aggregate(t0, aggPreds, q)
+        t0 = fixedPoint(t0, ops) // ops over aggregator outputs
+      }
+      t0
     }
 
     require(ops.isEmpty,
@@ -233,7 +251,11 @@ object Planner {
     df = df.select(first.toSeq.map { case (v, cn) => col(cn).as(Vars.colName(v)) }: _*)
     first.keys.filter(Vars.isNonNullable)
       .foreach(v => df = df.filter(col(Vars.colName(v)).isNotNull))
-    Tail(if (g.small) broadcast(df) else df, first.keys.toVector)
+    val bound = first.keys.toVector
+    g.uniqueSets.foreach(ks => require(ks.subsetOf(bound.toSet),
+      s"declared unique key ${ks.mkString(",")} not fully bound by generator"))
+    Tail(if (g.small) broadcast(df) else df, bound,
+      uniqueKeys = g.uniqueSets)
   }
 
   // ------------------------------------------------------- op application
@@ -296,7 +318,7 @@ object Planner {
       case (const, c) => // constant in output position: equality filter
         df = df.filter(c <=> lit(const))
     }
-    Tail(df, fields, t.groundOverride)
+    Tail(df, fields, t.groundOverride, t.uniqueKeys)
   }
 
   private def applyOp(t: Tail, o: OpPred): Tail = {
@@ -317,10 +339,10 @@ object Planner {
           if (df.schema(tmp).dataType == org.apache.spark.sql.types.BooleanType)
             c <=> lit(true)
           else c.isNotNull
-        Tail(df.filter(truthy).drop(tmp), t.fields, t.groundOverride)
+        Tail(df.filter(truthy).drop(tmp), t.fields, t.groundOverride, t.uniqueKeys)
       case ColumnMap(_, f) => bindOutputs(t, o.out, f(inCols), skipNullFilter = isTrapped)
       case ColumnFilter(f) if o.out.isEmpty =>
-        Tail(t.df.filter(f(inCols)), t.fields, t.groundOverride)
+        Tail(t.df.filter(f(inCols)), t.fields, t.groundOverride, t.uniqueKeys)
       case ColumnFilter(f) => bindOutputs(t, o.out, Seq(f(inCols))) // capture bool
       case ColumnMapcat(n, f) =>
         val tmp = Vars.colName(Vars.gen())
@@ -375,6 +397,132 @@ object Planner {
       case other => sys.error(s"bad existence flag: $other")
     }
   }
+
+  // ------------------------------------------------- eager aggregation
+
+  private object EagerBail extends Exception { override def fillInStackTrace(): Throwable = this }
+
+  /** Eager aggregation rewrite (the q32 shape, automated). Preconditions,
+    * each bailing to the standard plan when unmet:
+    *  - every aggregator is a ColumnAgg with a declared [[AggDecompose]]
+    *    (sums/counts/mins/maxes — not avg/count-distinct/buffers);
+    *  - exactly one GROUND tail (the fact) binds every agg input var, and
+    *    no agg input var also lives on a dim;
+    *  - no pending scalar op reads fact vars (it would otherwise run on
+    *    the joined rows between partial and merge);
+    *  - every dim cluster (dims merged by shared-var connectivity, with
+    *    declared unique keys propagated across lookup joins) is provably
+    *    unique on its join vars with the fact — so joining multiplies no
+    *    partial.
+    * The rewrite then groups the fact by (join vars ∪ its group vars) with
+    * the partial aggregates, joins the (now pre-shrunk) fact with each dim
+    * cluster, and runs the merge aggregates through the standard
+    * columnAggregate (postFilter/HAVING semantics preserved). Sound
+    * because each fact partial row joins exactly 0 or 1 dim rows: inner
+    * lookup joins drop or keep whole partials, never multiply them —
+    * exactly the algebra q32 proves bit-identical to q03. */
+  private def tryEagerAggregate(
+      tails0: Vector[Tail],
+      ops: mutable.ArrayBuffer[OpPred],
+      aggs: Seq[OpPred],
+      q: Query): Option[Tail] =
+    try {
+      def bail(): Nothing = throw EagerBail
+      if (tails0.exists(!_.isGround)) bail()
+      val decs: Seq[AggDecompose] = aggs.map(_.op match {
+        case ColumnAgg(_, _, Some(d)) => d
+        case _ => bail()
+      })
+      def inVarsOf(o: OpPred): Seq[String] =
+        o.in.collect { case v: String if Vars.isVar(v) => v }
+      val aggInVars = aggs.flatMap(inVarsOf).toSet
+      if (aggInVars.isEmpty) bail()
+      val factIdxs = tails0.indices.filter(i => aggInVars.subsetOf(tails0(i).fields.toSet))
+      if (factIdxs.size != 1) bail()
+      val fact = tails0(factIdxs.head)
+      val dims0 = tails0.zipWithIndex.collect { case (t, i) if i != factIdxs.head => t }
+      if (dims0.isEmpty) bail()
+      if (ops.exists(o => inVarsOf(o).exists(fact.fields.contains))) bail()
+      if (dims0.exists(_.fields.exists(aggInVars.contains))) bail()
+
+      // dim clusters by shared-var connectivity (union-find)
+      val opsCopy = ops.clone()
+      val nd = dims0.size
+      val parent = Array.tabulate(nd)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      for { i <- 0 until nd; j <- (i + 1) until nd
+            if dims0(i).fields.toSet.intersect(dims0(j).fields.toSet).nonEmpty }
+        parent(find(i)) = find(j)
+      val clusters = dims0.indices.groupBy(find).values.toVector.map(_.map(dims0).toVector)
+
+      // merge each cluster, propagating declared keys across lookup joins:
+      // joining B (unique on K ⊆ shared) onto A preserves A's keys
+      val mergedClusters = clusters.map { cl =>
+        var ts = cl
+        while (ts.size > 1) {
+          val pairs = for { i <- ts.indices; j <- ts.indices if i < j }
+            yield (i, j, ts(i).fields.toSet.intersect(ts(j).fields.toSet))
+          val viable = pairs.filter(_._3.nonEmpty)
+          if (viable.isEmpty) bail()
+          val (i, j, shared) = viable.maxBy(_._3.size)
+          val (a, b) = (ts(i), ts(j))
+          val keys =
+            (if (b.uniqueKeys.exists(_.subsetOf(shared))) a.uniqueKeys else Nil) ++
+              (if (a.uniqueKeys.exists(_.subsetOf(shared))) b.uniqueKeys else Nil)
+          if (keys.isEmpty) bail()
+          val joined = fixedPoint(
+            joinPair(a, b, shared.toVector.sorted).copy(uniqueKeys = keys.distinct),
+            opsCopy)
+          ts = joined +: ts.zipWithIndex.collect { case (t, k) if k != i && k != j => t }
+        }
+        ts.head
+      }
+      // every cluster must be a lookup relative to the fact
+      mergedClusters.foreach { d =>
+        val jv = fact.fields.toSet.intersect(d.fields.toSet)
+        if (jv.isEmpty || !d.uniqueKeys.exists(_.subsetOf(jv))) bail()
+      }
+
+      val aggOutVars = aggs.flatMap(_.out).collect {
+        case v: String if Vars.isVar(v) => v
+      }.toSet
+      val allFields = (fact.fields ++ mergedClusters.flatMap(_.fields)).distinct
+      val groupVars = q.outFields.collect {
+        case v: String if Vars.isVar(v) && allFields.contains(v) && !aggOutVars(v) => v
+      }.distinct.toVector
+
+      // partial aggregation on the fact, grouped by its join vars plus any
+      // group vars it carries
+      val joinVarsAll = mergedClusters
+        .flatMap(d => fact.fields.toSet.intersect(d.fields.toSet)).toSet
+      val factGroup = fact.fields.filter(v =>
+        joinVarsAll(v) || groupVars.contains(v)).distinct
+      val partialCols = mutable.ArrayBuffer[Column]()
+      val partialVars = mutable.ArrayBuffer[String]()
+      val mergeAggs = aggs.zip(decs).map { case (o, dec) =>
+        val pcols = dec.partial(o.in.map(itemCol(fact, _)))
+        require(pcols.length == o.out.length,
+          s"decomposed aggregator emits ${pcols.length} partials for ${o.out.length} outputs")
+        val pvars = pcols.map(_ => Vars.gen())
+        partialCols ++= pcols.zip(pvars).map { case (c, v) => c.as(Vars.colName(v)) }
+        partialVars ++= pvars
+        OpPred(ColumnAgg(o.out.length, dec.merge), pvars, o.out)
+      }
+      val fdf = fact.df
+        .groupBy(factGroup.map(v => col(Vars.colName(v))): _*)
+        .agg(partialCols.head, partialCols.tail.toSeq: _*)
+      var tail = Tail(fdf, factGroup ++ partialVars)
+      mergedClusters.foreach { d =>
+        val shared = tail.fields.toSet.intersect(d.fields.toSet)
+        tail = joinPair(tail, d, shared.toVector.sorted)
+      }
+      tail = fixedPoint(tail, opsCopy) // ops spanning dim clusters
+      val out = columnAggregate(tail, mergeAggs, groupVars, q.options.reducers)
+      ops.clear()
+      ops ++= opsCopy
+      Some(out)
+    } catch { case EagerBail => None }
 
   // ------------------------------------------------------------ grouping
 
@@ -486,7 +634,7 @@ object Planner {
     val postFilters = mutable.ArrayBuffer[(String, Any)]() // fresh col <=> const
     var fields = groupVars
 
-    aggs.foreach { case OpPred(ColumnAgg(_, f), in, out) =>
+    aggs.foreach { case OpPred(ColumnAgg(_, f, _), in, out) =>
       val outCols = f(in.map(itemCol(t, _)))
       require(out.length == outCols.length,
         s"aggregator emits ${outCols.length} cols, ${out.length} bound")

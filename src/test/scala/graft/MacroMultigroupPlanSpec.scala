@@ -104,6 +104,48 @@ class MacroMultigroupPlanSpec extends SparkTestBase {
   def plan(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  test("eager aggregation: declared keys push the fact partial below the join") {
+    val d = "/root/testdata/sf0.001"
+    def q(withKeys: Boolean) = {
+      def k(g: graft.logic.GenPred, vs: String*) = if (withKeys) uniqueOn(g, vs: _*) else g
+      query("?c_mktsegment", "?revenue", "?n_items")(
+        k(parquet(s"$d/customer.parquet")("?ck", "_", "_", "_", "?c_mktsegment"), "?ck"),
+        k(parquet(s"$d/orders.parquet")("?ok", "?ck", "_", "_", "_", "_"), "?ok"),
+        parquet(s"$d/lineitem.parquet")(
+          "?ok", "_", "_", "_", "_", "?ep", "?disc", "_", "_", "_", "_"),
+        Ops.cmap(cs => cs(0) * (lit(1.0) - cs(1)))("?ep", "?disc") :> "?rev",
+        Ops.sumDec(28, 8)("?rev") :> "?revenue",
+        Ops.count() :> "?n_items").toDF(spark)
+    }
+    val base = q(withKeys = false)
+    val eager = q(withKeys = true)
+    // bit-identical results (the q32 algebra)
+    assert(base.collect().map(_.toSeq).toSet == eager.collect().map(_.toSeq).toSet)
+    // plan shape: the eager plan aggregates lineitem BELOW a join — in the
+    // top-down plan string an Aggregate must appear after the last Join
+    def planStr(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.toString
+    val ep = planStr(eager)
+    val firstJoin = ep.indexOf("Join")
+    assert(firstJoin >= 0, ep)
+    assert(ep.indexOf("Aggregate", firstJoin) > firstJoin,
+      s"no partial aggregate below the join:\n$ep")
+    // the baseline plan keeps the single agg above its joins
+    val bp = planStr(base)
+    assert(bp.indexOf("Aggregate", bp.indexOf("Join")) < 0,
+      s"unexpected eager shape without keys:\n$bp")
+    // sanity on the gates: an avg (no decomposition) with the same keys
+    // must NOT rewrite — and still answer correctly
+    val avgQ = query("?c_mktsegment", "?avg_price")(
+      uniqueOn(parquet(s"$d/customer.parquet")(
+        "?ck", "_", "_", "_", "?c_mktsegment"), "?ck"),
+      parquet(s"$d/orders.parquet")("_", "?ck", "_", "?price", "_", "_"),
+      Ops.avg("?price") :> "?avg_price").toDF(spark)
+    val ap = planStr(avgQ)
+    assert(ap.indexOf("Aggregate", ap.indexOf("Join")) < 0, ap)
+    assert(avgQ.collect().length == 5)
+  }
+
   test("filters and pruning reach the parquet scan") {
     val d = "/root/testdata/sf0.001"
     val df = query("?l_orderkey", "?q")(
