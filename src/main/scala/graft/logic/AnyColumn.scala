@@ -43,12 +43,15 @@ object AnyColumn {
         out.writeInt(k.length); out.write(k); out.writeInt(v2.length); out.write(v2)
       }
     case other =>
-      val bos = new ByteArrayOutputStream()
-      val oos = new java.io.ObjectOutputStream(bos)
-      oos.writeObject(other); oos.close()
-      val b = bos.toByteArray
+      // opaque objects ride Kryo (chill's Scala instantiator — the same
+      // registration stack the reference uses via carbonite,
+      // cascading/conf.clj:86-94); ~5-10× leaner than ObjectOutputStream
+      val b = kryoPool.toBytesWithClass(other)
       out.writeByte(7); out.writeInt(b.length); out.write(b)
   }
+
+  private lazy val kryoPool: com.twitter.chill.KryoPool =
+    com.twitter.chill.ScalaKryoInstantiator.defaultPool
 
   def encode(v: Any): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
@@ -76,7 +79,7 @@ object AnyColumn {
       }.toMap
     case 7 =>
       val b = new Array[Byte](in.readInt()); in.readFully(b)
-      new java.io.ObjectInputStream(new java.io.ByteArrayInputStream(b)).readObject()
+      kryoPool.fromBytes(b)
   }
 
   def decode(bytes: Array[Byte]): Any =
