@@ -473,6 +473,14 @@ object SparkEntry {
     Dedup.minhashCandidates(tbl(d, "documents")(s), k = 64, bands = 16,
       maxBucketSize = 2)
 
+  /** p11's end-to-end dedup via the large-star/small-star components
+    * (O(log d) contraction) — must match the same recursive-CTE oracle as
+    * min-label propagation bit-for-bit. */
+  private def p17(s: SparkSession, d: String): DataFrame =
+    Dedup.nearDupDedup(tbl(d, "documents")(s), threshold = 0.6,
+      ccAlgorithm = "star")
+      .select("doc_id", "lang", "source")
+
   /** As-of join (beyond-reference; the union+window composition —
     * operators.AsOf): every click event matched to the user's most recent
     * error event at or before it. */
@@ -571,8 +579,57 @@ object SparkEntry {
     "p13_jaccard_verify" -> (p13 _),
     "p14_length_quantiles" -> (p14 _),
     "p15_curate" -> (p15 _),
-    "p16_capped_candidates" -> (p16 _)
+    "p16_capped_candidates" -> (p16 _),
+    "p17_neardup_star" -> (p17 _)
   )
+
+  /** Shared by p11 (min-label CC) and p17 (star CC): identical output. */
+  private lazy val neardupOracleSql: String =
+    """WITH RECURSIVE tk AS (
+          |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\W+'),
+          |    x -> x != '') AS toks FROM documents),
+          |sh AS (
+          |  SELECT doc_id, (md5_number_lower(s) & 2147483647) AS base
+          |  FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
+          |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s FROM tk) u),
+          |perm AS (
+          |  SELECT s.s AS s, ((md5_number_lower('ga' || s.s) & 2147483647) | 1) AS a,
+          |         (md5_number_lower('gb' || s.s) & 2147483647) AS b
+          |  FROM generate_series(0, 63) s(s)),
+          |mins AS (
+          |  SELECT doc_id, s, CAST(MIN((a * base + b) % 2305843009213693951) AS BIGINT) AS v
+          |  FROM sh, perm GROUP BY doc_id, s),
+          |sig AS (SELECT doc_id, list(v ORDER BY s) AS sig FROM mins GROUP BY doc_id),
+          |banded AS (
+          |  SELECT doc_id, b.b AS band,
+          |    array_to_string(list_slice(sig, 4*b.b + 1, 4*b.b + 4), ',') AS band_key
+          |  FROM sig, generate_series(0, 15) b(b)),
+          |cand AS (
+          |  SELECT l.doc_id AS id_a, r.doc_id AS id_b
+          |  FROM banded l JOIN banded r ON l.band = r.band AND l.band_key = r.band_key
+          |  WHERE l.doc_id < r.doc_id GROUP BY 1, 2),
+          |shs AS (
+          |  SELECT doc_id, CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+          |    ELSE list_distinct(list_transform(generate_series(1, len(toks) - 2),
+          |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END AS sset FROM tk),
+          |verified AS (
+          |  SELECT id_a, id_b FROM cand
+          |  JOIN shs sa ON sa.doc_id = cand.id_a JOIN shs sb ON sb.doc_id = cand.id_b
+          |  WHERE (CASE WHEN len(list_distinct(sa.sset || sb.sset)) = 0 THEN 1.0
+          |    ELSE CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE)
+          |      / len(list_distinct(sa.sset || sb.sset)) END) >= 0.6),
+          |sym AS (SELECT id_a AS s, id_b AS d FROM verified
+          |        UNION ALL SELECT id_b, id_a FROM verified),
+          |reach AS (
+          |  SELECT DISTINCT s AS id, s AS lab FROM sym
+          |  UNION
+          |  SELECT sym.d AS id, reach.lab FROM reach JOIN sym ON sym.s = reach.id),
+          |comp AS (SELECT id, MIN(lab) AS component FROM reach GROUP BY id),
+          |keep AS (SELECT component, MIN(id) AS doc_id FROM comp GROUP BY component)
+          |SELECT d.doc_id, d.lang, d.source FROM documents d
+          |LEFT JOIN comp ON comp.id = d.doc_id WHERE comp.id IS NULL
+          |UNION ALL
+          |SELECT d.doc_id, d.lang, d.source FROM keep JOIN documents d ON d.doc_id = keep.doc_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_multi_agg" ->
@@ -1010,52 +1067,8 @@ object SparkEntry {
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
         |    ORDER BY cosine DESC, corpus_id) AS rn FROM scored) t
         |WHERE rn <= 10""".stripMargin,
-    "p11_neardup_dedup" ->
-      """WITH RECURSIVE tk AS (
-        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\W+'),
-        |    x -> x != '') AS toks FROM documents),
-        |sh AS (
-        |  SELECT doc_id, (md5_number_lower(s) & 2147483647) AS base
-        |  FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
-        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s FROM tk) u),
-        |perm AS (
-        |  SELECT s.s AS s, ((md5_number_lower('ga' || s.s) & 2147483647) | 1) AS a,
-        |         (md5_number_lower('gb' || s.s) & 2147483647) AS b
-        |  FROM generate_series(0, 63) s(s)),
-        |mins AS (
-        |  SELECT doc_id, s, CAST(MIN((a * base + b) % 2305843009213693951) AS BIGINT) AS v
-        |  FROM sh, perm GROUP BY doc_id, s),
-        |sig AS (SELECT doc_id, list(v ORDER BY s) AS sig FROM mins GROUP BY doc_id),
-        |banded AS (
-        |  SELECT doc_id, b.b AS band,
-        |    array_to_string(list_slice(sig, 4*b.b + 1, 4*b.b + 4), ',') AS band_key
-        |  FROM sig, generate_series(0, 15) b(b)),
-        |cand AS (
-        |  SELECT l.doc_id AS id_a, r.doc_id AS id_b
-        |  FROM banded l JOIN banded r ON l.band = r.band AND l.band_key = r.band_key
-        |  WHERE l.doc_id < r.doc_id GROUP BY 1, 2),
-        |shs AS (
-        |  SELECT doc_id, CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
-        |    ELSE list_distinct(list_transform(generate_series(1, len(toks) - 2),
-        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END AS sset FROM tk),
-        |verified AS (
-        |  SELECT id_a, id_b FROM cand
-        |  JOIN shs sa ON sa.doc_id = cand.id_a JOIN shs sb ON sb.doc_id = cand.id_b
-        |  WHERE (CASE WHEN len(list_distinct(sa.sset || sb.sset)) = 0 THEN 1.0
-        |    ELSE CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE)
-        |      / len(list_distinct(sa.sset || sb.sset)) END) >= 0.6),
-        |sym AS (SELECT id_a AS s, id_b AS d FROM verified
-        |        UNION ALL SELECT id_b, id_a FROM verified),
-        |reach AS (
-        |  SELECT DISTINCT s AS id, s AS lab FROM sym
-        |  UNION
-        |  SELECT sym.d AS id, reach.lab FROM reach JOIN sym ON sym.s = reach.id),
-        |comp AS (SELECT id, MIN(lab) AS component FROM reach GROUP BY id),
-        |keep AS (SELECT component, MIN(id) AS doc_id FROM comp GROUP BY component)
-        |SELECT d.doc_id, d.lang, d.source FROM documents d
-        |LEFT JOIN comp ON comp.id = d.doc_id WHERE comp.id IS NULL
-        |UNION ALL
-        |SELECT d.doc_id, d.lang, d.source FROM keep JOIN documents d ON d.doc_id = keep.doc_id""".stripMargin,
+    "p11_neardup_dedup" -> neardupOracleSql,
+    "p17_neardup_star" -> neardupOracleSql,
     "p10_simhash_neardup" ->
       """WITH tk AS (
         |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM documents),
