@@ -137,4 +137,9 @@ object Taps {
   /** get-sink-tuples (tap.clj:252-260): read a tap back to local tuples. */
   def sinkTuples(s: SparkSession, format: String, path: String): Seq[Seq[Any]] =
     s.read.format(format).load(path).collect().toSeq.map(_.toSeq)
+
+  /** pluck-tuple (reference cascading/tap.clj:262-268): read a single
+    * tuple from a tap — the head of the sink's tuples, None when empty. */
+  def pluckTuple(s: SparkSession, format: String, path: String): Option[Seq[Any]] =
+    s.read.format(format).load(path).head(1).headOption.map(_.toSeq)
 }

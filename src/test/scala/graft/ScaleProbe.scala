@@ -85,6 +85,33 @@ object ScaleProbe {
     time("curate pipeline @50k docs")(graft.pipeline.Curate.curate(
       spark.read.parquet(bigDocs)).count())
 
+    // eager aggregation at 10× fact volume: lineitem replicated WITHOUT
+    // offsetting orderkeys (~40 lineitems/order), so the per-orderkey
+    // partial aggregation below the join shrinks the fact 40× before any
+    // join input is built — the shape that wins when dims can't broadcast
+    val bigSame = "/tmp/graft_scale/lineitem10x_samekeys.parquet"
+    if (!new java.io.File(bigSame).exists()) {
+      val li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+      (1 to 10).map(_ => li).reduce(_ unionAll _)
+        .repartition(32).write.mode("overwrite").parquet(bigSame)
+    }
+    {
+      val sf = "/root/testdata/sf0.1"
+      def q3(li: String, withKeys: Boolean) = {
+        def k(g: graft.logic.GenPred, vs: String*) =
+          if (withKeys) uniqueOn(g, vs: _*) else g
+        query("?seg", "?revenue", "?n")(
+          k(parquet(s"$sf/customer.parquet")("?ck", "_", "_", "_", "?seg"), "?ck"),
+          k(parquet(s"$sf/orders.parquet")("?ok", "?ck", "_", "_", "_", "_"), "?ok"),
+          parquet(li)("?ok", "_", "_", "_", "_", "?ep", "?disc", "_", "_", "_", "_"),
+          Ops.cmap(cs => cs(0) * (lit(1.0) - cs(1)))("?ep", "?disc") :> "?rev",
+          Ops.sumDec(28, 8)("?rev") :> "?revenue",
+          Ops.count() :> "?n")
+      }
+      time("q03 standard plan @6M fact")(q3(bigSame, withKeys = false).toDF(spark).count())
+      time("q03 eager-agg plan @6M fact")(q3(bigSame, withKeys = true).toDF(spark).count())
+    }
+
     // adversarial hot bucket: 10⁴ identical-boilerplate docs — uncapped,
     // each of the 16 band buckets would self-join to ~5·10⁷ pairs; the
     // guard emits 10⁴−1 star edges and the end-to-end dedup stays linear

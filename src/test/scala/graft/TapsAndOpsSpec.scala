@@ -25,6 +25,8 @@ class TapsAndOpsSpec extends SparkTestBase {
     // :update appends
     Taps.fillTap(spark, Taps.parquetSink(s"$dir/p", mode = "update"), rows)
     assert(Taps.sinkTuples(spark, "parquet", s"$dir/p").size == 6)
+    // pluck-tuple (tap.clj:262-268): one tuple, Option-wrapped
+    assert(Taps.pluckTuple(spark, "parquet", s"$dir/p").exists(_.length == 2))
 
     // delimited round-trip with header
     Taps.csvSink(s"$dir/c", sep = "|", header = true)
