@@ -481,6 +481,47 @@ object SparkEntry {
       ccAlgorithm = "star")
       .select("doc_id", "lang", "source")
 
+  /** Benchmark-contamination: corpus docs sharing any word 8-gram with
+    * the probe set (docs 0-19 standing in for an eval benchmark) —
+    * distinct hit-grams and touched probe docs per contaminated doc.
+    * n=4 so the synthetic vocabulary actually collides (36 docs at
+    * sf0.01). */
+  private def p18(s: SparkSession, d: String): DataFrame = {
+    val docs = tbl(d, "documents")(s)
+    TextAnalysis.contamination(
+      docs.filter(col("doc_id") >= 20),
+      docs.filter(col("doc_id") < 20), n = 4)
+  }
+
+  /** PII scrubbing: deterministic synthetic PII (email/IP/phone built
+    * from doc_id and source) appended, then redacted + counted — the
+    * scrubbed text itself is hash-compared against the oracle. */
+  private def p19(s: SparkSession, d: String): DataFrame = {
+    val t2 = concat(col("text"),
+      lit(" contact bot"), (col("doc_id") % 100).cast("string"),
+      lit("@"), col("source"), lit(".org ip 10.0."),
+      (col("doc_id") % 256).cast("string"), lit(".7 call 555-123-4567"))
+    tbl(d, "documents")(s)
+      .select(col("doc_id"), TextAnalysis.piiScrub(t2).as("p"))
+      .select(col("doc_id"),
+        col("p.n_emails").cast("long").as("n_emails"),
+        col("p.n_ips").cast("long").as("n_ips"),
+        col("p.n_phones").cast("long").as("n_phones"),
+        col("p.scrubbed").as("scrubbed"))
+  }
+
+  /** Gopher-style repetition metrics over word bigrams (duplicate and
+    * dominant-bigram fractions quality filters threshold on). */
+  private def p20(s: SparkSession, d: String): DataFrame =
+    tbl(d, "documents")(s)
+      .select(col("doc_id"), TextAnalysis.repetitionStats(col("text")).as("r"))
+      .filter(col("r.n_2grams").isNotNull)
+      .select(col("doc_id"), col("r.n_2grams").as("n_2grams"),
+        col("r.n_distinct_2grams").as("n_distinct_2grams"),
+        col("r.top_2gram_count").as("top_2gram_count"),
+        col("r.dup_2gram_frac").as("dup_2gram_frac"),
+        col("r.top_2gram_frac").as("top_2gram_frac"))
+
   /** As-of join (beyond-reference; the union+window composition —
     * operators.AsOf): every click event matched to the user's most recent
     * error event at or before it. */
@@ -580,7 +621,10 @@ object SparkEntry {
     "p14_length_quantiles" -> (p14 _),
     "p15_curate" -> (p15 _),
     "p16_capped_candidates" -> (p16 _),
-    "p17_neardup_star" -> (p17 _)
+    "p17_neardup_star" -> (p17 _),
+    "p18_contamination" -> (p18 _),
+    "p19_pii_scrub" -> (p19 _),
+    "p20_repetition" -> (p20 _)
   )
 
   /** Shared by p11 (min-label CC) and p17 (star CC): identical output. */
@@ -1069,6 +1113,54 @@ object SparkEntry {
         |WHERE rn <= 10""".stripMargin,
     "p11_neardup_dedup" -> neardupOracleSql,
     "p17_neardup_star" -> neardupOracleSql,
+    "p18_contamination" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\W+'),
+        |    x -> x != '') AS toks FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(toks) <= 4
+        |    THEN [array_to_string(toks, ' ')]
+        |    ELSE list_distinct(list_transform(generate_series(1, len(toks) - 3),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+        |    END) AS gram FROM tk),
+        |probe AS (SELECT DISTINCT gram, doc_id AS probe_id FROM g WHERE doc_id < 20),
+        |hits AS (SELECT c.doc_id, c.gram, p.probe_id
+        |  FROM g c JOIN probe p USING (gram) WHERE c.doc_id >= 20)
+        |SELECT doc_id, COUNT(DISTINCT gram) AS n_hit_ngrams,
+        |  COUNT(DISTINCT probe_id) AS n_probe_docs
+        |FROM hits GROUP BY 1""".stripMargin,
+    "p19_pii_scrub" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    text || ' contact bot' || (doc_id % 100) || '@' || source ||
+        |    '.org ip 10.0.' || (doc_id % 256) || '.7 call 555-123-4567' AS t2
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(t2, '[a-z0-9._%+-]+@[a-z0-9-]+\.(com|org|net)')) AS n_emails,
+        |  len(regexp_extract_all(t2, '\d+\.\d+\.\d+\.\d+')) AS n_ips,
+        |  len(regexp_extract_all(t2, '\d{3}-\d{3}-\d{4}')) AS n_phones,
+        |  regexp_replace(regexp_replace(regexp_replace(t2,
+        |    '[a-z0-9._%+-]+@[a-z0-9-]+\.(com|org|net)', '<EMAIL>', 'g'),
+        |    '\d+\.\d+\.\d+\.\d+', '<IP>', 'g'),
+        |    '\d{3}-\d{3}-\d{4}', '<PHONE>', 'g') AS scrubbed
+        |FROM t""".stripMargin,
+    "p20_repetition" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\W+'),
+        |    x -> x != '') AS toks FROM documents),
+        |bg AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i+1])) AS bg
+        |  FROM tk WHERE len(toks) >= 2),
+        |c AS (SELECT doc_id, bg, COUNT(*) AS n FROM bg GROUP BY 1, 2),
+        |s AS (SELECT doc_id, SUM(n) AS total, COUNT(*) AS dist, MAX(n) AS top
+        |  FROM c GROUP BY 1)
+        |SELECT doc_id, CAST(total AS BIGINT) AS n_2grams,
+        |  CAST(dist AS BIGINT) AS n_distinct_2grams,
+        |  CAST(top AS BIGINT) AS top_2gram_count,
+        |  CAST(total - dist AS DOUBLE) / total AS dup_2gram_frac,
+        |  CAST(top AS DOUBLE) / total AS top_2gram_frac
+        |FROM s""".stripMargin,
     "p10_simhash_neardup" ->
       """WITH tk AS (
         |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM documents),

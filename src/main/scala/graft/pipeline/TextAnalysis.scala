@@ -102,4 +102,101 @@ object TextAnalysis {
       .withColumn("lang_pred", langId(t))
       .withColumn("fingerprint", fingerprint(t))
   }
+
+  // ------------------------------------------- contamination / benchmarks
+
+  /** Distinct lowercase word n-grams (the whole text as ONE gram when the
+    * doc has ≤ n tokens — mirroring the shingle fallback). */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val toks = filter(split(trim(lower(text)), "\\W+"), t => length(t) > 0)
+    when(size(toks) <= n, array(concat_ws(" ", toks)))
+      .otherwise(array_distinct(
+        transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+  }
+
+  /** Benchmark-contamination detection: for each corpus document, how
+    * many distinct word n-grams it shares with the probe (benchmark) set
+    * and how many distinct probe documents it touches. The probe side is
+    * tiny by definition (eval sets), so its (gram, probe id) pairs
+    * BROADCAST — the corpus is never shuffled for the match; only the
+    * (small) hit set shuffles for the per-doc aggregation. The standard
+    * decontamination primitive for a 100 TB pretraining pipeline. */
+  def contamination(
+      corpus: DataFrame,
+      probes: DataFrame,
+      n: Int = 8,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val probeGrams = probes.select(col(idCol).as("_probe_id"),
+      explode(wordNgrams(col(textCol), n)).as("_gram")).distinct()
+    val corpusGrams = corpus.select(col(idCol),
+      explode(wordNgrams(col(textCol), n)).as("_gram"))
+    corpusGrams.join(broadcast(probeGrams), "_gram")
+      .groupBy(idCol)
+      .agg(count_distinct(col("_gram")).as("n_hit_ngrams"),
+        count_distinct(col("_probe_id")).as("n_probe_docs"))
+  }
+
+  // --------------------------------------------------------- PII scrub
+
+  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9-]+\\.(com|org|net)"
+  private val Ipv4Re = "\\d+\\.\\d+\\.\\d+\\.\\d+"
+  private val PhoneRe = "\\d{3}-\\d{3}-\\d{4}"
+
+  /** PII scrubbing (emails, IPv4s, phone-shaped numbers): redact to
+    * typed tokens and count what was removed. Pure Column regexes —
+    * codegen'd, linear, no shuffle; patterns deliberately in the regex
+    * subset Java and RE2 dialects agree on. */
+  def piiScrub(text: Column): Column = {
+    val scrubbed = regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+    struct(
+      regexp_count(text, lit(EmailRe)).as("n_emails"),
+      regexp_count(text, lit(Ipv4Re)).as("n_ips"),
+      regexp_count(text, lit(PhoneRe)).as("n_phones"),
+      scrubbed.as("scrubbed"))
+  }
+
+  // -------------------------------------------- repetition (Gopher-style)
+
+  private val bigramStatsKernel = udf { (text: String) =>
+    val toks =
+      if (text == null) Array.empty[String]
+      else text.trim.toLowerCase.split("\\W+").filter(_.nonEmpty)
+    if (toks.length < 2) null
+    else {
+      val counts = new java.util.HashMap[String, Int]()
+      var i = 0
+      var top = 0
+      while (i < toks.length - 1) {
+        val bg = toks(i) + " " + toks(i + 1)
+        val c = counts.merge(bg, 1, Integer.sum)
+        if (c > top) top = c
+        i += 1
+      }
+      val total = toks.length - 1
+      (total.toLong, counts.size.toLong, top.toLong)
+    }
+  }
+
+  /** Gopher-style repetition metrics over word bigrams: total/distinct
+    * counts, the dominant bigram's count, and the duplicate / dominant
+    * fractions quality filters threshold on. One pass per doc, no
+    * shuffle; docs with fewer than two tokens yield null (no bigrams). */
+  def repetitionStats(text: Column): Column = {
+    val s = bigramStatsKernel(text)
+    val total = s.getField("_1")
+    val dist = s.getField("_2")
+    val top = s.getField("_3")
+    struct(
+      total.as("n_2grams"),
+      dist.as("n_distinct_2grams"),
+      top.as("top_2gram_count"),
+      ((total - dist).cast("double") / total).as("dup_2gram_frac"),
+      (top.cast("double") / total).as("top_2gram_frac"))
+  }
 }

@@ -239,6 +239,42 @@ class PipelineSpec extends SparkTestBase {
     assert(fp(1) == fp(2) && fp(1) != fp(3))
   }
 
+  test("contamination, PII scrub, repetition metrics") {
+    import org.apache.spark.sql.Row
+    // contamination: doc 10 copies probe 1's text → full n-gram overlap
+    val probes = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"), // = probe 1
+      (11L, "unrelated words entirely different content here now"),
+      (12L, "intro one two three four five outro closing")    // shares a 4-gram with probe 2
+    ).toDF("doc_id", "text")
+    val hits = TextAnalysis.contamination(corpus, probes, n = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(hits(10L) == (5L, 1L)) // 8 tokens → 5 distinct 4-grams, 1 probe
+    assert(hits(12L) == (2L, 1L)) // "one two three four", "two three four five"
+    assert(!hits.contains(11L))
+    // PII scrub
+    val pii = Seq((1L, "mail me at bob.smith@corp-x.com or 10.1.2.3 tel 555-867-5309 end"))
+      .toDF("id", "t")
+      .select(TextAnalysis.piiScrub($"t").as("p")).select("p.*").collect().head
+    assert(pii.getAs[Int]("n_emails") == 1 && pii.getAs[Int]("n_ips") == 1 &&
+      pii.getAs[Int]("n_phones") == 1)
+    assert(pii.getAs[String]("scrubbed") ==
+      "mail me at <EMAIL> or <IP> tel <PHONE> end")
+    // repetition: "a b a b a" → bigrams [a b, b a, a b, b a]: 4 total, 2 distinct
+    val rep = Seq((1L, "a b a b a"), (2L, "x"))
+      .toDF("id", "t")
+      .select($"id", TextAnalysis.repetitionStats($"t").as("r"))
+    val r1 = rep.filter($"id" === 1).select("r.*").collect().head
+    assert(r1.getAs[Long]("n_2grams") == 4L &&
+      r1.getAs[Long]("n_distinct_2grams") == 2L &&
+      r1.getAs[Long]("top_2gram_count") == 2L)
+    assert(r1.getAs[Double]("dup_2gram_frac") == 0.5)
+    assert(rep.filter($"id" === 2).filter($"r.n_2grams".isNotNull).count() == 0)
+  }
+
   test("multimodal plumbing: binary source, meta, features, frame sampling") {
     val bin = Multimodal.readBinaryFiles(spark, sf, "*.parquet")
     assert(bin.count() == 10)
