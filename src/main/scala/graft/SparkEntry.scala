@@ -510,6 +510,18 @@ object SparkEntry {
         col("p.scrubbed").as("scrubbed"))
   }
 
+  /** Deterministic mixture sampling: per-source quotas selected in
+    * md5(doc_id) order — reproducible sampling without RNG state. */
+  private def p21(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.mixtureSample(tbl(d, "documents")(s),
+      quotas = Map("src1" -> 10, "src2" -> 5, "src3" -> 40))
+      .select("doc_id", "source", "lang")
+
+  /** Token-budget sequence packing: greedy per-source bin assignment by
+    * cumulative token count (budget 256). */
+  private def p22(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.packTokens(tbl(d, "documents")(s), budget = 256L)
+
   /** Gopher-style repetition metrics over word bigrams (duplicate and
     * dominant-bigram fractions quality filters threshold on). */
   private def p20(s: SparkSession, d: String): DataFrame =
@@ -624,7 +636,9 @@ object SparkEntry {
     "p17_neardup_star" -> (p17 _),
     "p18_contamination" -> (p18 _),
     "p19_pii_scrub" -> (p19 _),
-    "p20_repetition" -> (p20 _)
+    "p20_repetition" -> (p20 _),
+    "p21_mixture_sample" -> (p21 _),
+    "p22_token_packing" -> (p22 _)
   )
 
   /** Shared by p11 (min-label CC) and p17 (star CC): identical output. */
@@ -1144,6 +1158,28 @@ object SparkEntry {
         |    '\d+\.\d+\.\d+\.\d+', '<IP>', 'g'),
         |    '\d{3}-\d{3}-\d{4}', '<PHONE>', 'g') AS scrubbed
         |FROM t""".stripMargin,
+    "p21_mixture_sample" ->
+      """WITH ranked AS (
+        |  SELECT doc_id, source, lang,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk,
+        |    CASE source WHEN 'src1' THEN 10 WHEN 'src2' THEN 5
+        |      WHEN 'src3' THEN 40 ELSE -1 END AS q
+        |  FROM documents)
+        |SELECT doc_id, source, lang FROM ranked
+        |WHERE q > 0 AND rk <= q""".stripMargin,
+    "p22_token_packing" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t)
+        |SELECT doc_id, source, n_tokens,
+        |  CAST((cum - 1) // 256 AS BIGINT) AS bin FROM c""".stripMargin,
     "p20_repetition" ->
       """WITH tk AS (
         |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\W+'),

@@ -161,6 +161,54 @@ object TextAnalysis {
       scrubbed.as("scrubbed"))
   }
 
+  // ------------------------------------------- mixture sampling / packing
+
+  /** Deterministic mixture sampling: take `quota(source)` documents per
+    * source, selected by md5(doc id) order — the reproducible-without-RNG
+    * sampling real pipelines use to hit a target source mixture (same
+    * docs on every run, any cluster, any parallelism). One window rank
+    * per source partition; at 100 TB sources are many and the rank
+    * parallelizes per source. Unquoted sources are dropped. */
+  def mixtureSample(
+      df: DataFrame,
+      quotas: Map[String, Int],
+      sourceCol: String = "source",
+      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val quotaCol = quotas.foldLeft(lit(-1)) { case (acc, (s, n)) =>
+      when(col(sourceCol) === s, lit(n)).otherwise(acc)
+    }
+    val w = Window.partitionBy(sourceCol)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("_q", quotaCol)
+      .filter(col("_q") > 0)
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= col("_q"))
+      .drop("_q", "_rk")
+  }
+
+  /** Token-budget sequence packing: assign documents to training bins of
+    * ~`budget` tokens, greedily in a deterministic per-source doc-id
+    * order (bin = how many full budgets precede the doc's cumulative
+    * token count). A doc larger than the budget gets its own bin. The
+    * running sum is one window pass per source — the packing shape
+    * sequence-packing pipelines run before tokenization at scale. */
+  def packTokens(
+      df: DataFrame,
+      budget: Long,
+      textCol: String = "text",
+      sourceCol: String = "source",
+      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(sourceCol).orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("_tok", tokenCount(col(textCol)).cast("long"))
+      .withColumn("_cum", sum(col("_tok")).over(w))
+      .select(col(idCol), col(sourceCol), col("_tok").as("n_tokens"),
+        (((col("_cum") - lit(1)) - ((col("_cum") - lit(1)) % budget)) / budget)
+          .cast("long").as("bin"))
+  }
+
   // -------------------------------------------- repetition (Gopher-style)
 
   private val bigramStatsKernel = udf { (text: String) =>

@@ -275,6 +275,29 @@ class PipelineSpec extends SparkTestBase {
     assert(rep.filter($"id" === 2).filter($"r.n_2grams".isNotNull).count() == 0)
   }
 
+  test("mixture sampling is deterministic; token packing respects budgets") {
+    val d = Seq(
+      (1L, "a b c", "s1"), (2L, "d e f", "s1"), (3L, "g h i", "s1"),
+      (4L, "j k l", "s2"), (5L, "m n o", "s2")).toDF("doc_id", "text", "source")
+    // quota 2 of s1, 5 (all) of s2, s-absent dropped; repeated runs identical
+    val pick1 = TextAnalysis.mixtureSample(d, Map("s1" -> 2, "s2" -> 5))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val pick2 = TextAnalysis.mixtureSample(d, Map("s1" -> 2, "s2" -> 5))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(pick1 == pick2 && pick1.count(_ <= 3L) == 2 && pick1.count(_ >= 4L) == 2)
+    // packing: budget 7 tokens, s1 docs of 3 tokens each -> cum 3,6,9 ->
+    // bins 0,0,1 (doc 3 straddles, lands by its end position)
+    val packed = TextAnalysis.packTokens(d, budget = 7L)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(packed(1L) == 0L && packed(2L) == 0L && packed(3L) == 1L)
+    assert(packed(4L) == 0L && packed(5L) == 0L)
+    // a doc bigger than the budget gets its own bin
+    val big = Seq((1L, ("x " * 20).trim, "s"), (2L, "y z", "s")).toDF("doc_id", "text", "source")
+    val pb = TextAnalysis.packTokens(big, budget = 7L)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(pb(1L) == 2L && pb(2L) == 3L) // 20 tokens end in bin 2; next doc bin 3
+  }
+
   test("multimodal plumbing: binary source, meta, features, frame sampling") {
     val bin = Multimodal.readBinaryFiles(spark, sf, "*.parquet")
     assert(bin.count() == 10)
