@@ -106,14 +106,32 @@ object TextAnalysis {
   // ------------------------------------------- contamination / benchmarks
 
   /** Distinct lowercase word n-grams (the whole text as ONE gram when the
-    * doc has ≤ n tokens — mirroring the shingle fallback). */
-  def wordNgrams(text: Column, n: Int): Column = {
-    val toks = filter(split(trim(lower(text)), "\\W+"), t => length(t) > 0)
-    when(size(toks) <= n, array(concat_ws(" ", toks)))
-      .otherwise(array_distinct(
-        transform(sequence(lit(0), size(toks) - n),
-          i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+    * doc has ≤ n tokens — mirroring the shingle fallback). Fused UDF
+    * kernel: the equivalent filter/transform/slice HOF pipeline is
+    * CodegenFallback (interpreted per element) and measured ~10× slower
+    * over the corpus — the same lesson as the minhash kernels. */
+  private val wordNgramsKernel = udf { (text: String, n: Int) =>
+    val toks =
+      if (text == null) Array.empty[String]
+      else text.trim.toLowerCase.split("\\W+").filter(_.nonEmpty)
+    if (toks.isEmpty) Array("")
+    else if (toks.length <= n) Array(toks.mkString(" "))
+    else {
+      val set = new java.util.LinkedHashSet[String]()
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i <= toks.length - n) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+        set.add(sb.toString)
+        i += 1
+      }
+      set.toArray(new Array[String](set.size))
+    }
   }
+
+  def wordNgrams(text: Column, n: Int): Column = wordNgramsKernel(text, lit(n))
 
   /** Benchmark-contamination detection: for each corpus document, how
     * many distinct word n-grams it shares with the probe (benchmark) set
