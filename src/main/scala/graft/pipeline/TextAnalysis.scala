@@ -205,26 +205,59 @@ object TextAnalysis {
       .drop("_q", "_rk")
   }
 
-  /** Token-budget sequence packing: assign documents to training bins of
-    * ~`budget` tokens, greedily in a deterministic per-source doc-id
-    * order (bin = how many full budgets precede the doc's cumulative
-    * token count). A doc larger than the budget gets its own bin. The
-    * running sum is one window pass per source — the packing shape
-    * sequence-packing pipelines run before tokenization at scale. */
+  /** Scale path for [[mixtureSample]]: keep a deterministic ~`rate`
+    * fraction of each source by thresholding a doc-id hash — no window,
+    * no per-source serialization, one linear codegen'd pass (the classic
+    * hash-threshold sampling every reproducible pipeline uses when exact
+    * quotas aren't required). Same doc is kept at rate r whenever it is
+    * kept at any r' < r (nested samples). */
+  def mixtureSampleByRate(
+      df: DataFrame,
+      rates: Map[String, Double],
+      sourceCol: String = "source",
+      idCol: String = "doc_id"): DataFrame = {
+    val rateCol = rates.foldLeft(lit(-1.0)) { case (acc, (s, r)) =>
+      when(col(sourceCol) === s, lit(r)).otherwise(acc)
+    }
+    val M = 1000000L
+    val bucket = pmod(xxhash64(col(idCol)), lit(M))
+    df.withColumn("_r", rateCol)
+      .filter(col("_r") > 0 && bucket < (col("_r") * M).cast("long"))
+      .drop("_r")
+  }
+
+  /** Token-budget sequence packing, stream-chunking semantics: the
+    * per-(source, shard) doc-id-ordered token stream is cut every
+    * `budget` tokens and each document lands in the bin holding its LAST
+    * token — exactly how packed pretraining batches concatenate documents
+    * across boundaries. A bin's doc-granular token sum may exceed the
+    * budget by its first doc's overhang (< that doc's length); a doc
+    * longer than the budget spans bins and is assigned to the last.
+    * One window pass per partition; with the default `shards = 1` each
+    * source is one sequential window task — fine for many-source
+    * corpora, a straggler for few-source ones — so at scale pass
+    * `shards > 1` to split every source into deterministic doc-id-hash
+    * shards packed independently (bin ids unique per (source, shard)). */
   def packTokens(
       df: DataFrame,
       budget: Long,
       textCol: String = "text",
       sourceCol: String = "source",
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id",
+      shards: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(sourceCol).orderBy(idCol)
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    val shardCol =
+      if (shards == 1) lit(0L) else pmod(xxhash64(col(idCol)), lit(shards.toLong))
+    val w = Window.partitionBy(col(sourceCol), col("_shard")).orderBy(idCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("_tok", tokenCount(col(textCol)).cast("long"))
+    val localBin = (((col("_cum") - lit(1)) - ((col("_cum") - lit(1)) % budget)) / budget)
+      .cast("long")
+    df.withColumn("_shard", shardCol)
+      .withColumn("_tok", tokenCount(col(textCol)).cast("long"))
       .withColumn("_cum", sum(col("_tok")).over(w))
       .select(col(idCol), col(sourceCol), col("_tok").as("n_tokens"),
-        (((col("_cum") - lit(1)) - ((col("_cum") - lit(1)) % budget)) / budget)
-          .cast("long").as("bin"))
+        (col("_shard") * lit(1L << 40) + localBin).as("bin"))
   }
 
   // -------------------------------------------- repetition (Gopher-style)

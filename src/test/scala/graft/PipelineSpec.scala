@@ -296,6 +296,24 @@ class PipelineSpec extends SparkTestBase {
     val pb = TextAnalysis.packTokens(big, budget = 7L)
       .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
     assert(pb(1L) == 2L && pb(2L) == 3L) // 20 tokens end in bin 2; next doc bin 3
+    // scale variants: hash-threshold sampling is deterministic and nested
+    // (rate 0.3 keeps a subset of rate 0.6); sharded packing still fills
+    // every bin to <= budget (except single oversize docs)
+    val corpus1k = (1L to 1000L).map(i => (i, "w1 w2 w3 w4 w5", s"s${i % 2}"))
+      .toDF("doc_id", "text", "source")
+    val lo = TextAnalysis.mixtureSampleByRate(corpus1k, Map("s0" -> 0.3, "s1" -> 0.3))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val hi = TextAnalysis.mixtureSampleByRate(corpus1k, Map("s0" -> 0.6, "s1" -> 0.6))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(lo.subsetOf(hi), "hash-threshold samples must nest")
+    assert(math.abs(lo.size - 300) < 80 && math.abs(hi.size - 600) < 80,
+      s"rates off: ${lo.size}, ${hi.size}")
+    val sharded = TextAnalysis.packTokens(corpus1k, budget = 16L, shards = 8)
+      .groupBy("source", "bin").agg(sum("n_tokens").as("t")).collect()
+    // stream-chunking: a bin holds <= budget tokens plus at most its
+    // first doc's overhang (docs are 5 tokens -> bound 16 + 4)
+    assert(sharded.forall(_.getAs[Long]("t") <= 20L), "a bin exceeds budget + overhang")
+    assert(sharded.length > 300) // 5 tokens/doc, 3-4 docs/bin over 1000 docs
   }
 
   test("multimodal plumbing: binary source, meta, features, frame sampling") {
