@@ -188,6 +188,23 @@ class MacroMultigroupPlanSpec extends SparkTestBase {
     assert(plan(df).contains("*(1)"), plan(df))
   }
 
+  test("contamination probes broadcast; corpus side never shuffles for the match") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val df = graft.pipeline.TextAnalysis.contamination(
+      docs.filter(col("doc_id") >= 20), docs.filter(col("doc_id") < 20), n = 4)
+    val p = plan(df)
+    // the probe side broadcasts (tiny by definition); the corpus reaches
+    // the join via scan+generate only — no SortMergeJoin, no corpus-side
+    // hash exchange between the parquet scan and the join
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the BHJ's streamed (corpus) subtree prints between the join node and
+    // its broadcast child: it must contain no hash exchange
+    val corpusSide = p.substring(p.indexOf("BroadcastHashJoin"), p.indexOf("BroadcastExchange"))
+    assert(!corpusSide.contains("Exchange hashpartitioning"),
+      s"corpus shuffled before the probe match:\n$p")
+  }
+
   test("per-group top-k plans as a single window, no group materialization") {
     val d = "/root/testdata/sf0.001"
     val df = query("?ck", "?top")(
