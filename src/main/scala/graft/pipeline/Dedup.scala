@@ -311,9 +311,13 @@ object Dedup {
     if (union == 0) 1.0 else inter.toDouble / union
   })
 
-  /** Exact n-gram Jaccard similarity for candidate pairs. Shingle sets are
-    * hashed per document once (materialized — both pair sides read them),
-    * then each pair costs a single sorted-merge intersection. */
+  /** Exact n-gram Jaccard similarity for candidate pairs. Only documents
+    * that appear in a candidate pair get their shingle sets hashed (a
+    * semi-join against the materialized candidate ids — after banding,
+    * candidate-touched docs are a small fraction of the corpus, so the
+    * kernel runs over 100× less text at scale); each surviving pair then
+    * costs a single sorted-merge intersection over the once-computed,
+    * materialized hash arrays. */
   def jaccardVerify(
       candidates: DataFrame, // (id_a, id_b)
       docs: DataFrame,
@@ -321,10 +325,16 @@ object Dedup {
       idCol: String = "doc_id",
       shingleWords: Int = 3,
       threshold: Double = 0.8): DataFrame = {
-    val t = docs.select(col(idCol).as("_id"),
-      shingleHashKernel(col(textCol), lit(shingleWords)).as("_sh"))
+    val cands = candidates.select("id_a", "id_b")
       .transform(graft.Stage.materialize)
-    candidates
+    val touched = cands.select(col("id_a").as(idCol))
+      .unionAll(cands.select(col("id_b").as(idCol)))
+      .distinct()
+    val t = docs.join(touched, Seq(idCol), "left_semi")
+      .select(col(idCol).as("_id"),
+        shingleHashKernel(col(textCol), lit(shingleWords)).as("_sh"))
+      .transform(graft.Stage.materialize)
+    cands
       .join(t.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "sh_a"), "id_a")
       .join(t.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "sh_b"), "id_b")
       .withColumn("jaccard", jaccardSortedKernel(col("sh_a"), col("sh_b")))
@@ -514,12 +524,14 @@ object Dedup {
       val mL = udf { (m: Long, u: Long) => if (m != u) accL.add(1L); m }
         .asNondeterministic()
       val sym = cur.unionAll(cur.select(col("dst").as("src"), col("src").as("dst")))
+      // large stays LAZY: its only consumer is the small-star below, so a
+      // materialization here would buy nothing and cost a job per round —
+      // the accumulator still fires inside the small-star's job
       val large = sym
         .withColumn("m", least(min(col("dst")).over(Window.partitionBy("src")), col("src")))
         .filter(col("dst") > col("src"))
         .select(col("dst").as("src"), mL(col("m"), col("src")).as("dst"))
         .distinct()
-        .transform(graft.Stage.materialize)
       // SMALL-STAR: orient high→low, re-point the whole low neighborhood
       // (and the high node) to m; changed iff some neighbor wasn't m yet
       val accS = spark.sparkContext.longAccumulator("graft.cc.star.small")
