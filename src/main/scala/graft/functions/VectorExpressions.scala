@@ -23,7 +23,10 @@ case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    if (Seq(left, right).forall(_.dataType == ArrayType(FloatType)))
+    if (Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true // element nullability irrelevant
+      case _ => false
+    }))
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
       s"$prettyName needs two array<float> inputs, got ${left.dataType} / ${right.dataType}")
@@ -77,7 +80,10 @@ case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    if (Seq(left, right).forall(_.dataType == ArrayType(FloatType)))
+    if (Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true // element nullability irrelevant
+      case _ => false
+    }))
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
       s"$prettyName needs two array<float> inputs, got ${left.dataType} / ${right.dataType}")
