@@ -316,6 +316,46 @@ class PipelineSpec extends SparkTestBase {
     assert(sharded.length > 300) // 5 tokens/doc, 3-4 docs/bin over 1000 docs
   }
 
+  test("real image decode: meta, pixel features, resize via javax.imageio") {
+    def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val df = Seq(
+      (1L, png(32, 16, 0xFF0000)), // pure red
+      (2L, png(8, 8, 0x808080)),   // mid gray
+      (3L, Array[Byte](1, 2, 3))   // not an image
+    ).toDF("id", "img")
+    // metadata from the real decoder
+    val meta = Multimodal.withImageMeta(df, "img").select("id", "meta.*").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(meta(1L).getAs[Int]("width") == 32 && meta(1L).getAs[Int]("height") == 16)
+    assert(meta(1L).getAs[Int]("channels") == 3)
+    assert(meta(3L).isNullAt(meta(3L).fieldIndex("width")) || meta(3L).anyNull)
+    // pixel features: pure red → mean R 1.0, G/B 0, zero variance/gradient
+    val f1 = Multimodal.imageFeatures(df.filter($"id" === 1), "img")
+      .select("features").head.getAs[scala.collection.Seq[Float]](0)
+    assert(math.abs(f1(0) - 1.0f) < 1e-6 && f1(1) == 0f && f1(2) == 0f)
+    assert(f1(4) == 0f && f1(7) == 0f) // constant image: no variance, no edges
+    assert(math.abs(f1(5) - 2.0f) < 1e-6) // aspect 32/16
+    // resize re-encodes a real 4x4 png whose pixels survive
+    val rz = Multimodal.resizedImage(df.filter($"id" === 2), "img", 4, 4)
+      .select("resized").head.getAs[Array[Byte]](0)
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(rz))
+    assert(back.getWidth == 4 && back.getHeight == 4)
+    assert((back.getRGB(2, 2) & 0xFFFFFF) == 0x808080) // gray survives the scale
+    // batched path produces identical features to the row path
+    val batched = Multimodal.withImageFeaturesBatched(df, "img", batchSize = 2)
+      .select("id", "features").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(batched(1L).isDefined && batched(3L).isEmpty)
+  }
+
   test("multimodal plumbing: binary source, meta, features, frame sampling") {
     val bin = Multimodal.readBinaryFiles(spark, sf, "*.parquet")
     assert(bin.count() == 10)
