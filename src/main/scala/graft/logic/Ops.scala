@@ -28,13 +28,22 @@ final case class ColumnFilter(f: Seq[Column] => Column) extends Op
 
 /** Two-level decomposition of an aggregator for the planner's eager
   * (below-join) aggregation rewrite: `partial` aggregates raw inputs into
-  * one intermediate column per output; `merge` re-aggregates those
-  * intermediates into the final outputs. Lawful when
+  * any number of intermediate columns; `merge` re-aggregates those
+  * intermediates into the final outputs (avg rides two intermediates —
+  * sum and count — merged as sum(sums)/sum(counts)). Lawful when
   * `merge(partial(xs₁) ∪ partial(xs₂)) == f(xs₁ ∪ xs₂)` for any split of
-  * the group's rows — sums/counts/mins/maxes, not avg or count-distinct. */
+  * the group's rows — sums/counts/mins/maxes/averages, not
+  * count-distinct or variance. */
+/** `exactOnFloating`: whether the split preserves bit-identical results
+  * when the partial columns are float/double. Min/max/count always do;
+  * re-summed floating sums/averages regroup additions (last-ULP drift),
+  * so the planner declines the rewrite for them unless the partials are
+  * integral/decimal (the Dec variants accumulate in decimal and stay
+  * exact by construction). */
 final case class AggDecompose(
     partial: Seq[Column] => Seq[Column],
-    merge: Seq[Column] => Seq[Column])
+    merge: Seq[Column] => Seq[Column],
+    exactOnFloating: Boolean = true)
 
 /** Aggregator expressed as Spark aggregate Columns — covers the reference's
   * ParallelAggregator surface (logic/def.clj:107,137-164): Catalyst gives

@@ -116,7 +116,7 @@ object Ops {
   val count: ColumnAgg = ColumnAgg(1, _ => Seq(F.count(F.lit(1))),
     Some(AggDecompose(_ => Seq(F.count(F.lit(1))), _.map(F.sum))))
   val sum: ColumnAgg = ColumnAgg(-1, _.map(F.sum),
-    Some(AggDecompose(_.map(F.sum), _.map(F.sum))))
+    Some(AggDecompose(_.map(F.sum), _.map(F.sum), exactOnFloating = false)))
   val min: ColumnAgg = ColumnAgg(-1, _.map(F.min),
     Some(AggDecompose(_.map(F.min), _.map(F.min))))
   val max: ColumnAgg = ColumnAgg(-1, _.map(F.max),
@@ -124,7 +124,10 @@ object Ops {
   /** !count (ops.clj:170): counts non-null values of a nullable var. */
   val countNotNull: ColumnAgg = ColumnAgg(1, cs => Seq(F.count(cs.head)),
     Some(AggDecompose(cs => Seq(F.count(cs.head)), _.map(F.sum))))
-  val avg: ColumnAgg = ColumnAgg(1, cs => Seq(F.avg(cs.head)))
+  val avg: ColumnAgg = ColumnAgg(1, cs => Seq(F.avg(cs.head)),
+    Some(AggDecompose(cs => Seq(F.sum(cs.head), F.count(cs.head)),
+      ps => Seq(F.sum(ps(0)).cast(DoubleType) / F.sum(ps(1))),
+      exactOnFloating = false)))
   /** exact distinct-count (ops.clj:242-253). */
   val distinctCount: ColumnAgg =
     ColumnAgg(1, cs => Seq(F.count_distinct(cs.head, cs.tail: _*)))
@@ -158,7 +161,10 @@ object Ops {
   def avgDec(precision: Int = 18, scale: Int = 4): ColumnAgg =
     ColumnAgg(1, cs => Seq(
       F.sum(cs.head.cast(DecimalType(precision, scale))).cast(DoubleType) /
-        F.count(cs.head)))
+        F.count(cs.head)),
+      Some(AggDecompose(
+        cs => Seq(F.sum(cs.head.cast(DecimalType(precision, scale))), F.count(cs.head)),
+        ps => Seq(F.sum(ps(0)).cast(DoubleType) / F.sum(ps(1))))))
 
   /** Non-space token runs — engine-portable tokenizer (same semantics as
     * DuckDB regexp_extract_all(text, '\S+')). */

@@ -507,9 +507,18 @@ object Planner {
       val partialCols = mutable.ArrayBuffer[Column]()
       val partialVars = mutable.ArrayBuffer[String]()
       val mergeAggs = aggs.zip(decs).map { case (o, dec) =>
+        // intermediates need not be 1:1 with outputs (avg: sum+count → 1)
         val pcols = dec.partial(o.in.map(itemCol(fact, _)))
-        require(pcols.length == o.out.length,
-          s"decomposed aggregator emits ${pcols.length} partials for ${o.out.length} outputs")
+        // floating-exactness gate: re-summing float/double partials
+        // regroups additions (last-ULP drift vs the standard plan) —
+        // decline the rewrite unless the decomposition is exact there
+        // (min/max/count) or the partials are integral/decimal (the Dec
+        // variants). Resolving the partial schema is analysis-only.
+        if (!dec.exactOnFloating) {
+          val ptypes = fact.df.groupBy().agg(pcols.head, pcols.tail: _*)
+            .schema.map(_.dataType)
+          if (ptypes.exists(t => t == DoubleType || t == FloatType)) bail()
+        }
         val pvars = pcols.map(_ => Vars.gen())
         partialCols ++= pcols.zip(pvars).map { case (c, v) => c.as(Vars.colName(v)) }
         partialVars ++= pvars

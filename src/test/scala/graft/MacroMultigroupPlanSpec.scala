@@ -134,16 +134,34 @@ class MacroMultigroupPlanSpec extends SparkTestBase {
     val bp = planStr(base)
     assert(bp.indexOf("Aggregate", bp.indexOf("Join")) < 0,
       s"unexpected eager shape without keys:\n$bp")
-    // sanity on the gates: an avg (no decomposition) with the same keys
-    // must NOT rewrite — and still answer correctly
-    val avgQ = query("?c_mktsegment", "?avg_price")(
+    // avg decomposes through two intermediates (sum + count); it rewrites
+    // for INTEGRAL inputs (exact long partials), values identical
+    def avgQ(withKeys: Boolean, priceVar: String) = {
+      def k(g: graft.logic.GenPred, vs: String*) = if (withKeys) uniqueOn(g, vs: _*) else g
+      query("?c_mktsegment", "?a")(
+        k(parquet(s"$d/customer.parquet")(
+          "?ck", "_", "_", "_", "?c_mktsegment"), "?ck"),
+        parquet(s"$d/orders.parquet")("?ok", "?ck", "_", "?price", "_", "_"),
+        Ops.avg(priceVar) :> "?a").toDF(spark)
+    }
+    val ap = planStr(avgQ(withKeys = true, "?ok"))
+    assert(ap.indexOf("Aggregate", ap.indexOf("Join")) > 0, s"avg(long) did not rewrite:\n$ap")
+    assert(avgQ(withKeys = true, "?ok").collect().map(_.toSeq).toSet ==
+      avgQ(withKeys = false, "?ok").collect().map(_.toSeq).toSet)
+    // ...but DECLINES for floating inputs: re-summed double partials
+    // would drift in the last ULP vs the standard plan
+    val apD = planStr(avgQ(withKeys = true, "?price"))
+    assert(apD.indexOf("Aggregate", apD.indexOf("Join")) < 0,
+      s"avg(double) must not rewrite:\n$apD")
+    // variance has no decomposition: same keys must NOT rewrite
+    val varQ = query("?c_mktsegment", "?var_price")(
       uniqueOn(parquet(s"$d/customer.parquet")(
         "?ck", "_", "_", "_", "?c_mktsegment"), "?ck"),
       parquet(s"$d/orders.parquet")("_", "?ck", "_", "?price", "_", "_"),
-      Ops.avg("?price") :> "?avg_price").toDF(spark)
-    val ap = planStr(avgQ)
-    assert(ap.indexOf("Aggregate", ap.indexOf("Join")) < 0, ap)
-    assert(avgQ.collect().length == 5)
+      Ops.variance("?price") :> "?var_price").toDF(spark)
+    val vp = planStr(varQ)
+    assert(vp.indexOf("Aggregate", vp.indexOf("Join")) < 0, vp)
+    assert(varQ.collect().length == 5)
   }
 
   test("filters and pruning reach the parquet scan") {
