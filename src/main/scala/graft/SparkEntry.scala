@@ -548,6 +548,20 @@ object SparkEntry {
       key = Seq("user_id"), leftTime = "us", rightTime = "last_err_us")
   }
 
+  /** Forward as-of join with tolerance: every click matched to the
+    * user's NEXT error within 10 minutes (or nulls). */
+  private def q38(s: SparkSession, d: String): DataFrame = {
+    val e = tbl(d, "events")(s).select(col("event_id"), col("user_id"),
+      expr("ts div 1000").as("us"), col("event_type"))
+    val clicks = e.filter(col("event_type") === "click").drop("event_type")
+    val errors = e.filter(col("event_type") === "error").drop("event_type")
+      .withColumnRenamed("us", "next_err_us")
+      .withColumnRenamed("event_id", "next_err_id")
+    graft.operators.AsOf.asofJoin(clicks, errors,
+      key = Seq("user_id"), leftTime = "us", rightTime = "next_err_us",
+      direction = "forward", tolerance = Some(600000000L))
+  }
+
   /** Range join (beyond-reference; binned interval join — operators.
     * RangeJoin): purchases within 30 minutes after an error event of the
     * same user. */
@@ -617,6 +631,7 @@ object SparkEntry {
     "q35_asof_join" -> (q35 _),
     "q36_range_join" -> (q36 _),
     "q37_json_destructure" -> (q37 _),
+    "q38_asof_forward" -> (q38 _),
     "p01_exact_dedup" -> (p01 _),
     "p02_token_count" -> (p02 _),
     "p03_chars_per_token" -> (p03 _),
@@ -918,6 +933,17 @@ object SparkEntry {
         |SELECT c.event_id, c.user_id, c.us, x.last_err_us, x.last_err_id
         |FROM c ASOF LEFT JOIN x
         |ON c.user_id = x.user_id AND c.us >= x.last_err_us""".stripMargin,
+    "q38_asof_forward" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us, event_type FROM events),
+        |c AS (SELECT event_id, user_id, us FROM e WHERE event_type = 'click'),
+        |x AS (SELECT event_id, user_id, us FROM e WHERE event_type = 'error')
+        |SELECT c.event_id, c.user_id, c.us,
+        |  (SELECT x.event_id FROM x WHERE x.user_id = c.user_id
+        |     AND x.us >= c.us AND x.us - c.us <= 600000000
+        |     ORDER BY x.us LIMIT 1) AS next_err_id,
+        |  (SELECT MIN(x.us) FROM x WHERE x.user_id = c.user_id
+        |     AND x.us >= c.us AND x.us - c.us <= 600000000) AS next_err_us
+        |FROM c""".stripMargin,
     "q36_range_join" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us, event_type FROM events)
         |SELECT p.event_id, p.user_id, p.us,
