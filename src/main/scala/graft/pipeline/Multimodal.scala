@@ -206,6 +206,78 @@ object Multimodal {
     }(org.apache.spark.sql.Encoders.row(schema))
   }
 
+  // -------------------------------------------- REAL audio decoding (WAV)
+  // javax.sound.sampled ships with the JDK: WAV/AIFF/AU parse without any
+  // audio device (stream decoding only — headless-safe).
+
+  /** REAL audio metadata for WAV/AIFF/AU bytes: sample rate ride in
+    * `width`, bits-per-sample in `height`, true channel count, duration
+    * from frame length / frame rate. Unparseable bytes yield null. */
+  private val audioMetaUdf = udf { (bytes: Array[Byte]) =>
+    if (bytes == null || bytes.isEmpty) null
+    else try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val f = in.getFormat
+        val durMs =
+          if (in.getFrameLength > 0 && f.getFrameRate > 0)
+            (in.getFrameLength * 1000.0 / f.getFrameRate).toLong
+          else 0L
+        MediaMeta("audio", f.getSampleRate.toInt, f.getSampleSizeInBits,
+          f.getChannels, durMs)
+      } finally in.close()
+    } catch { case _: Exception => null }
+  }
+
+  def withAudioMeta(df: DataFrame, binCol: String): DataFrame =
+    df.withColumn("meta", audioMetaUdf(col(binCol)))
+
+  /** REAL PCM features for 16-bit WAV: [RMS level, mean, peak, zero
+    * crossing rate, duration s, sample rate / 48k, channels, log10
+    * frames] — deterministic signal statistics from the decoded samples. */
+  private def audioFeaturesOf(bytes: Array[Byte]): Array[Float] = {
+    if (bytes == null || bytes.isEmpty) return null
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val f = in.getFormat
+        if (f.getSampleSizeInBits != 16) return null
+        val raw = in.readAllBytes()
+        val bb = java.nio.ByteBuffer.wrap(raw).order(
+          if (f.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+          else java.nio.ByteOrder.LITTLE_ENDIAN)
+        val n = raw.length / 2
+        if (n == 0) return null
+        var sum = 0.0; var sq = 0.0; var peak = 0.0; var zc = 0
+        var prev = 0.0
+        var i = 0
+        while (i < n) {
+          val s = bb.getShort(i * 2) / 32768.0
+          sum += s; sq += s * s
+          if (math.abs(s) > peak) peak = math.abs(s)
+          if (i > 0 && ((s >= 0) != (prev >= 0))) zc += 1
+          prev = s
+          i += 1
+        }
+        val frames = n / f.getChannels
+        Array(
+          math.sqrt(sq / n).toFloat, (sum / n).toFloat, peak.toFloat,
+          (zc.toDouble / n).toFloat,
+          (frames / f.getFrameRate.toDouble).toFloat,
+          (f.getSampleRate / 48000.0).toFloat,
+          f.getChannels.toFloat,
+          math.log10(math.max(1, frames).toDouble).toFloat)
+      } finally in.close()
+    } catch { case _: Exception => null }
+  }
+
+  private val audioFeaturesUdf = udf((b: Array[Byte]) => audioFeaturesOf(b))
+
+  def audioFeatures(df: DataFrame, binCol: String): DataFrame =
+    df.withColumn("features", audioFeaturesUdf(col(binCol)))
+
   /** Frame sampling: one output row per sampled frame index — the explode
     * pattern a video pipeline needs. Frame extraction itself is the stub
     * (byte slice); the row multiplication, index bookkeeping, and even

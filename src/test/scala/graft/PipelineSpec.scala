@@ -356,6 +356,46 @@ class PipelineSpec extends SparkTestBase {
     assert(batched(1L).isDefined && batched(3L).isEmpty)
   }
 
+  test("real audio decode: WAV meta and PCM features via javax.sound") {
+    // 440 Hz sine, 16-bit mono PCM, 8000 Hz, 0.5 s — a real WAV container
+    def wav(freq: Double, amp: Double, rate: Float = 8000f, secs: Double = 0.5): Array[Byte] = {
+      val n = (rate * secs).toInt
+      val pcm = new Array[Byte](n * 2)
+      val bb = java.nio.ByteBuffer.wrap(pcm).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      (0 until n).foreach { i =>
+        bb.putShort(i * 2, (math.sin(2 * math.Pi * freq * i / rate) * amp * 32767).toShort)
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val df = Seq(
+      (1L, wav(440.0, 0.5)),
+      (2L, wav(880.0, 0.25)),
+      (3L, Array[Byte](9, 9, 9))).toDF("id", "snd")
+    val meta = Multimodal.withAudioMeta(df, "snd").select("id", "meta.*").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(meta(1L).getAs[Int]("width") == 8000) // sample rate
+    assert(meta(1L).getAs[Int]("height") == 16)  // bits per sample
+    assert(meta(1L).getAs[Int]("channels") == 1)
+    assert(math.abs(meta(1L).getAs[Long]("duration_ms") - 500L) <= 1)
+    assert(meta(3L).anyNull)
+    val feats = Multimodal.audioFeatures(df, "snd").select("id", "features").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(
+        _.asInstanceOf[scala.collection.Seq[Float]])).toMap
+    val f1 = feats(1L).get
+    assert(math.abs(f1(0) - 0.5 / math.sqrt(2)) < 0.01, s"sine RMS: ${f1(0)}")
+    assert(math.abs(f1(1)) < 0.01) // zero mean
+    assert(math.abs(f1(2) - 0.5) < 0.01) // peak = amplitude
+    val f2 = feats(2L).get
+    assert(f2(3) > f1(3), "880 Hz must cross zero more often than 440 Hz")
+    assert(feats(3L).isEmpty)
+  }
+
   test("multimodal plumbing: binary source, meta, features, frame sampling") {
     val bin = Multimodal.readBinaryFiles(spark, sf, "*.parquet")
     assert(bin.count() == 10)
