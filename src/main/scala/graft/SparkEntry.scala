@@ -522,6 +522,16 @@ object SparkEntry {
   private def p22(s: SparkSession, d: String): DataFrame =
     TextAnalysis.packTokens(tbl(d, "documents")(s), budget = 256L)
 
+  /** Heavy hitters over corpus tokens: Misra-Gries candidates (one
+    * bounded partial agg) + exact count of candidates only — the result
+    * is exactly {token : count > n/k}, independently recomputable. */
+  private def p23(s: SparkSession, d: String): DataFrame = {
+    val toks = tbl(d, "documents")(s)
+      .select(explode(split(col("text"), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    graft.operators.FrequentItems.heavyHitters(toks, "tok", k = 64)
+  }
+
   /** Gopher-style repetition metrics over word bigrams (duplicate and
     * dominant-bigram fractions quality filters threshold on). */
   private def p20(s: SparkSession, d: String): DataFrame =
@@ -653,7 +663,8 @@ object SparkEntry {
     "p19_pii_scrub" -> (p19 _),
     "p20_repetition" -> (p20 _),
     "p21_mixture_sample" -> (p21 _),
-    "p22_token_packing" -> (p22 _)
+    "p22_token_packing" -> (p22 _),
+    "p23_heavy_hitters" -> (p23 _)
   )
 
   /** Shared by p11 (min-label CC) and p17 (star CC): identical output. */
@@ -1206,6 +1217,12 @@ object SparkEntry {
         |  FROM t)
         |SELECT doc_id, source, n_tokens,
         |  CAST((cum - 1) // 256 AS BIGINT) AS bin FROM c""".stripMargin,
+    "p23_heavy_hitters" ->
+      """WITH t AS (
+        |  SELECT unnest(regexp_extract_all(text, '\S+')) AS tok FROM documents),
+        |tot AS (SELECT COUNT(*) AS n FROM t)
+        |SELECT tok, COUNT(*) AS cnt FROM t, tot
+        |GROUP BY tok, n HAVING COUNT(*) > n // 64""".stripMargin,
     "p20_repetition" ->
       """WITH tk AS (
         |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\W+'),

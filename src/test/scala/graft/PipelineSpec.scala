@@ -316,6 +316,24 @@ class PipelineSpec extends SparkTestBase {
     assert(sharded.length > 300) // 5 tokens/doc, 3-4 docs/bin over 1000 docs
   }
 
+  test("misra-gries heavy hitters: exact thresholded set, bounded counts") {
+    // skewed universe: 'hot' 500x, 'warm' 120x, 400 singletons (n=1020)
+    val items = (Seq.fill(500)("hot") ++ Seq.fill(120)("warm") ++
+      (1 to 400).map(i => s"cold$i"))
+    val df = items.toDF("tok").repartition(16) // merge across many summaries
+    val k = 8 // threshold n/k = 127
+    val hh = graft.operators.FrequentItems.heavyHitters(df, "tok", k)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hh == Map("hot" -> 500L), s"got $hh") // warm(120) <= 127 excluded
+    // the MG guarantee directly: every item above n/k is a candidate and
+    // its reported count is within n/k of truth
+    val s = graft.operators.FrequentItems.summary(df, "tok", k)
+    assert(s.n == 1020L)
+    assert(s.counts.contains("hot"))
+    assert(s.counts("hot") <= 500L && s.counts("hot") >= 500L - s.n / k)
+    assert(s.counts.size <= k)
+  }
+
   test("real image decode: meta, pixel features, resize via javax.imageio") {
     def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(w, h,
