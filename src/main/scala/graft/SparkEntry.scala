@@ -213,6 +213,15 @@ object SparkEntry {
   private def q23(s: SparkSession, d: String): DataFrame =
     tbl(d, "lineitem")(s).sample(0.1, 42L).select("l_orderkey", "l_linenumber")
 
+  /** Deterministic ~10% sample by md5 threshold — the reproducible,
+    * engine-independent alternative to q23's RNG sampling (same rows on
+    * any cluster, any partitioning, any engine — the oracle recomputes
+    * the exact membership). */
+  private def q39(s: SparkSession, d: String): DataFrame =
+    tbl(d, "lineitem")(s)
+      .filter(md5(concat_ws("_", col("l_orderkey"), col("l_linenumber"))) < lit("1a"))
+      .select("l_orderkey", "l_linenumber")
+
   /** Subquery composition (api_test.clj:193-216): a filtered subquery used
     * as a generator in an outer join-aggregation. */
   private def q24(s: SparkSession, d: String): DataFrame = {
@@ -642,6 +651,7 @@ object SparkEntry {
     "q36_range_join" -> (q36 _),
     "q37_json_destructure" -> (q37 _),
     "q38_asof_forward" -> (q38 _),
+    "q39_sample_det" -> (q39 _),
     "p01_exact_dedup" -> (p01 _),
     "p02_token_count" -> (p02 _),
     "p03_chars_per_token" -> (p03 _),
@@ -955,6 +965,9 @@ object SparkEntry {
         |  (SELECT MIN(x.us) FROM x WHERE x.user_id = c.user_id
         |     AND x.us >= c.us AND x.us - c.us <= 600000000) AS next_err_us
         |FROM c""".stripMargin,
+    "q39_sample_det" ->
+      """SELECT l_orderkey, l_linenumber FROM lineitem
+        |WHERE md5(l_orderkey || '_' || l_linenumber) < '1a'""".stripMargin,
     "q36_range_join" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us, event_type FROM events)
         |SELECT p.event_id, p.user_id, p.us,

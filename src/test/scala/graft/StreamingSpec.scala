@@ -39,6 +39,39 @@ class StreamingSpec extends SparkTestBase {
     q.stop()
   }
 
+  test("curation ops run on streams: PII scrub + contamination vs static probes") {
+    import graft.pipeline.TextAnalysis
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val df = in.toDF().toDF("doc_id", "text")
+    // stateless column ops apply to streams as-is; the contamination
+    // probe side is a STATIC broadcast joined against the stream
+    val probes = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val probeGrams = broadcast(probes.select(
+      explode(TextAnalysis.wordNgrams(col("text"), 4)).as("_gram")).distinct())
+    val enriched = df
+      .withColumn("pii", TextAnalysis.piiScrub(col("text")))
+      .select(col("doc_id"), col("pii.n_emails").as("n_emails"),
+        col("pii.scrubbed").as("scrubbed"),
+        explode(TextAnalysis.wordNgrams(col("text"), 4)).as("_gram"))
+      .join(probeGrams, Seq("_gram"), "left_semi")
+    val q = Streams.toMemory(enriched, "curation_stream", "append")
+    in.addData(
+      (1L, "alpha beta gamma delta epsilon something else entirely here"),
+      (2L, "totally unrelated text reach me at a.b@c.com for details"))
+    q.processAllAvailable()
+    val rows = spark.table("curation_stream").collect()
+    // doc 1 shares the 4-gram "alpha beta gamma delta" (+1 more) with the probe
+    assert(rows.nonEmpty && rows.forall(_.getAs[Long]("doc_id") == 1L))
+    q.stop()
+    // and the scrub fired on the stream: run doc 2 through a plain batch
+    // of the same expression to confirm semantics carried over
+    val scrubbed = Seq((2L, "reach me at a.b@c.com now")).toDF("doc_id", "text")
+      .select(TextAnalysis.piiScrub(col("text")).as("p")).select("p.*").head
+    assert(scrubbed.getAs[Int]("n_emails") == 1 &&
+      scrubbed.getAs[String]("scrubbed") == "reach me at <EMAIL> now")
+  }
+
   test("streaming near-dup suppression via simhash within watermark") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(java.sql.Timestamp, Long, String)]
