@@ -166,21 +166,29 @@ object Proto {
     StructType(fields.map(f => StructField(f.name, f.dataType, nullable = true,
       metadata = new MetadataBuilder().putLong("pbnum", f.number.toLong).build())))
 
-  /** Column op: binary protobuf message → typed struct. */
-  def fromProto(bin: Column, spec: Seq[Field]): Column = {
+  /** Column op: binary protobuf message → typed struct. `lenient` turns
+    * malformed records into nulls (route them to a trap/side output)
+    * instead of failing the task — what a production tap over dirty data
+    * needs. */
+  def fromProto(bin: Column, spec: Seq[Field], lenient: Boolean = false): Column = {
     val schema = schemaOf(spec)
     val u = udf(new org.apache.spark.sql.api.java.UDF1[Array[Byte], Row] {
       override def call(b: Array[Byte]): Row =
-        if (b == null) null else decodeMessage(b, 0, b.length, spec, schema)
+        if (b == null) null
+        else if (lenient)
+          try decodeMessage(b, 0, b.length, spec, schema)
+          catch { case _: Exception => null }
+        else decodeMessage(b, 0, b.length, spec, schema)
     }, schema)
     u(bin)
   }
 
   /** Record tap: decode `binCol` and flatten the declared fields into
     * top-level columns (the cascalog-lzo protobuf-tap surface). */
-  def parse(df: DataFrame, binCol: String, spec: Seq[Field]): DataFrame = {
+  def parse(df: DataFrame, binCol: String, spec: Seq[Field],
+      lenient: Boolean = false): DataFrame = {
     val tmp = "_proto"
-    val withStruct = df.withColumn(tmp, fromProto(col(binCol), spec))
+    val withStruct = df.withColumn(tmp, fromProto(col(binCol), spec, lenient))
     spec.foldLeft(withStruct) { (d, f) =>
       d.withColumn(f.name, col(s"$tmp.${f.name}"))
     }.drop(tmp)

@@ -156,20 +156,29 @@ object Thrift {
     new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(values, schema)
   }
 
-  /** Column op: binary thrift struct → typed struct column. */
-  def fromThrift(bin: Column, spec: Seq[Field]): Column = {
+  private[graft] def decodeStruct2(bytes: Array[Byte], spec: Seq[Field]): Row =
+    decodeStruct(new Reader(bytes), spec, schemaOf(spec))
+
+  /** Column op: binary thrift struct → typed struct column. `lenient`
+    * nulls malformed records instead of failing the task. */
+  def fromThrift(bin: Column, spec: Seq[Field], lenient: Boolean = false): Column = {
     val schema = schemaOf(spec)
     val u = udf(new org.apache.spark.sql.api.java.UDF1[Array[Byte], Row] {
       override def call(b: Array[Byte]): Row =
-        if (b == null) null else decodeStruct(new Reader(b), spec, schema)
+        if (b == null) null
+        else if (lenient)
+          try decodeStruct(new Reader(b), spec, schema)
+          catch { case _: Exception => null }
+        else decodeStruct(new Reader(b), spec, schema)
     }, schema)
     u(bin)
   }
 
   /** Record tap: decode `binCol` and flatten declared fields to columns. */
-  def parse(df: DataFrame, binCol: String, spec: Seq[Field]): DataFrame = {
+  def parse(df: DataFrame, binCol: String, spec: Seq[Field],
+      lenient: Boolean = false): DataFrame = {
     val tmp = "_thrift"
-    val withStruct = df.withColumn(tmp, fromThrift(col(binCol), spec))
+    val withStruct = df.withColumn(tmp, fromThrift(col(binCol), spec, lenient))
     spec.foldLeft(withStruct) { (d, f) =>
       d.withColumn(f.name, col(s"$tmp.${f.name}"))
     }.drop(tmp)

@@ -79,6 +79,27 @@ class ProtoSpec extends SparkTestBase {
     assert(parsed.agg(sum("score")).head.getDouble(0) == (1 to 5).map(_ * 1.5).sum)
   }
 
+  test("lenient mode nulls malformed records; strict mode fails the task") {
+    val spec = Seq(Field(1, "id", LongType))
+    val good = Proto.encode(Seq(1 -> 5L))
+    val bad = Array[Byte](0x0A.toByte, 0x7F.toByte) // length-delim promising 127 bytes
+    val df = Seq(Tuple1(good), Tuple1(bad)).toDF("bin")
+    val lenientRows = Proto.parse(df, "bin", spec, lenient = true)
+      .select("id").collect().map(r => Option(r.get(0)))
+    assert(lenientRows.count(_.isDefined) == 1 && lenientRows.count(_.isEmpty) == 1)
+    assertThrows[org.apache.spark.SparkException] {
+      Proto.parse(df, "bin", spec).select("id").collect()
+    }
+    // thrift too
+    val tSpec = Seq(graft.sources.Thrift.Field(1, "id", LongType))
+    val tGood = graft.sources.Thrift.encode(Seq(1 -> 5L))
+    val tBad = Array[Byte](11, 0, 1, 0x7F) // string field promising a huge blob
+    val tdf = Seq(Tuple1(tGood), Tuple1(tBad)).toDF("bin")
+    val tRows = graft.sources.Thrift.parse(tdf, "bin", tSpec, lenient = true)
+      .select("id").collect().map(r => Option(r.get(0)))
+    assert(tRows.count(_.isDefined) == 1 && tRows.count(_.isEmpty) == 1)
+  }
+
   test("kryo tag round-trips nested opaque objects (chill, carbonite parity)") {
     import graft.logic.AnyColumn
     import ProtoSpec.Point
