@@ -128,6 +128,23 @@ object ScaleProbe {
           maxBucketSize = 256).count())
     }
 
+    // round-3 curation operators at 10× docs: all should scale ~linearly
+    {
+      import graft.pipeline.TextAnalysis
+      val bd = spark.read.parquet(bigDocs)
+      // replicas offset doc_id by i*10^7: probe = the base-20 docs of
+      // every replica (200 docs), corpus = the rest
+      time("contamination @50k docs")(TextAnalysis.contamination(
+        bd.filter(col("doc_id") % 10000000L >= 20),
+        bd.filter(col("doc_id") % 10000000L < 20), n = 4).count())
+      time("heavy hitters @50k docs")(graft.operators.FrequentItems.heavyHitters(
+        bd.select(explode(split(col("text"), "\\s+")).as("tok")), "tok", 64).count())
+      time("token packing @50k docs, 64 shards")(
+        TextAnalysis.packTokens(bd, budget = 2048L, shards = 64).count())
+      time("pii scrub @50k docs")(bd.select(
+        TextAnalysis.piiScrub(col("text")).as("p")).filter(col("p.n_emails") >= 0).count())
+    }
+
     // streaming secondary-sort buffer over HUGE groups (3 groups × 2M rows):
     // the group must stream through the buffer, never materialize — memory
     // stays flat, wall scales with the external sort
