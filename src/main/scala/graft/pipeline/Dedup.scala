@@ -150,6 +150,14 @@ object Dedup {
   def minhashOfText(text: Column, shingleWords: Int = 3, k: Int = 128): Column =
     minhashMd5Kernel(text, lit(shingleWords), lit(k))
 
+  /** Band b of a signature rendered as a comma-joined string — per-element
+    * `getItem` + cast, which stays inside whole-stage codegen, unlike the
+    * equivalent `transform(slice(sig), _.cast(...))`: Spark higher-order
+    * functions are CodegenFallback and would interpret the whole band-key
+    * projection (and knock the surrounding stage out of codegen). */
+  private def bandKey(sig: Column, b: Int, r: Int): Column =
+    concat_ws(",", (0 until r).map(i => sig.getItem(b * r + i).cast("string")): _*)
+
   /** LSH banding: split the k-length signature into `bands` bands and hash
     * each; docs sharing any (band_idx, band_hash) are candidates.
     * Returns (idCol, band, band_hash) — one row per band. */
@@ -205,9 +213,7 @@ object Dedup {
       minhashOfText(col(textCol), shingleWords, k).as("sig"))
       .filter(col("sig")(0) =!= Long.MaxValue)
     val bandKeys = array((0 until bands).map(b =>
-      struct(lit(b).as("band"),
-        concat_ws(",", transform(slice(col("sig"), b * r + 1, r),
-          _.cast("string"))).as("band_key"))): _*)
+      struct(lit(b).as("band"), bandKey(col("sig"), b, r).as("band_key"))): _*)
     // materialize the banded rows once: both sides of the self-join read
     // them, and without the checkpoint the minhash kernel would run twice
     // over the full corpus (the dominant cost of candidate generation)
@@ -252,9 +258,7 @@ object Dedup {
       minhashOfText(col(textCol), shingleWords, k).as("sig"))
       .filter(col("sig")(0) =!= Long.MaxValue)
     val bandKeys = array((0 until bands).map(b =>
-      struct(lit(b).as("band"),
-        concat_ws(",", transform(slice(col("sig"), b * r + 1, r),
-          _.cast("string"))).as("band_key"))): _*)
+      struct(lit(b).as("band"), bandKey(col("sig"), b, r).as("band_key"))): _*)
     sigs.select(col(idCol), explode(bandKeys).as("b"))
       .select(col("b.band"), col("b.band_key"))
       .groupBy("band", "band_key")
@@ -527,11 +531,13 @@ object Dedup {
       // large stays LAZY: its only consumer is the small-star below, so a
       // materialization here would buy nothing and cost a job per round —
       // the accumulator still fires inside the small-star's job
+      // no distinct here: duplicate edges don't change the small-star's
+      // window min, and the round's one distinct (below) dedupes the
+      // result — dropping it saves a full shuffle per round
       val large = sym
         .withColumn("m", least(min(col("dst")).over(Window.partitionBy("src")), col("src")))
         .filter(col("dst") > col("src"))
         .select(col("dst").as("src"), mL(col("m"), col("src")).as("dst"))
-        .distinct()
       // SMALL-STAR: orient high→low, re-point the whole low neighborhood
       // (and the high node) to m; changed iff some neighbor wasn't m yet
       val accS = spark.sparkContext.longAccumulator("graft.cc.star.small")
