@@ -553,6 +553,58 @@ object SparkEntry {
         col("r.dup_2gram_frac").as("dup_2gram_frac"),
         col("r.top_2gram_frac").as("top_2gram_frac"))
 
+  /** Duplicate-span statistics (substring-level dedup signals): per doc,
+    * the 6-gram starts duplicated anywhere in the corpus and the fraction
+    * of token positions covered by a duplicated span. */
+  private def p24(s: SparkSession, d: String): DataFrame =
+    Dedup.duplicateSpanStats(tbl(d, "documents")(s), n = 6)
+
+  /** KMV distinct sketch vs exact: per return flag, the k-minimum-values
+    * estimate next to the exact distinct order count — the mergeable,
+    * oracle-exact alternative to HLL approx_count_distinct. */
+  private def p25(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Sketches
+    val k = 128
+    tbl(d, "lineitem")(s)
+      .select(col("l_returnflag"),
+        Sketches.md5Hash61(col("l_orderkey").cast("string")).as("_h"),
+        col("l_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(Sketches.kmv(col("_h"), k).as("_sk"),
+        count_distinct(col("l_orderkey")).as("exact_distinct"))
+      .select(col("l_returnflag"), col("exact_distinct"),
+        size(col("_sk")).cast("long").as("kmv_size"),
+        Sketches.kmvEstimate(col("_sk"), k).as("kmv_estimate"))
+  }
+
+  /** URL canonicalization + dedup: synthetic messy URLs (host case,
+    * default port, tracking params, fragment — built from doc_id/source
+    * like p19's PII) canonicalized, then one keeper per canonical URL
+    * with dup counts and the registrable domain. */
+  private def p26(s: SparkSession, d: String): DataFrame = {
+    val url = concat(lit("HTTPS://WWW."), col("source"), lit(".Example.ORG:443/Docs/"),
+      (col("doc_id") % 100).cast("string"), lit("/?utm_source=feed&id="),
+      (col("doc_id") % 6).cast("string"), lit("&utm_campaign=x#s"),
+      (col("doc_id") % 3).cast("string"))
+    tbl(d, "documents")(s)
+      .select(col("doc_id"), TextAnalysis.canonicalizeUrl(url).as("canonical_url"))
+      .withColumn("domain", TextAnalysis.urlDomain(col("canonical_url")))
+      .groupBy("canonical_url", "domain")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
+  }
+
+  /** Incremental near-dup candidates: docs with doc_id % 5 == 0 arrive as
+    * the delta batch against the rest as corpus — only delta-touching
+    * pairs are generated (the daily-crawl path; corpus×corpus is never
+    * re-paired). */
+  private def p27(s: SparkSession, d: String): DataFrame = {
+    val docs = tbl(d, "documents")(s)
+    Dedup.incrementalCandidates(
+      docs.filter(col("doc_id") % 5 =!= 0),
+      docs.filter(col("doc_id") % 5 === 0),
+      k = 64, bands = 16)
+  }
+
   /** As-of join (beyond-reference; the union+window composition —
     * operators.AsOf): every click event matched to the user's most recent
     * error event at or before it. */
@@ -674,7 +726,11 @@ object SparkEntry {
     "p20_repetition" -> (p20 _),
     "p21_mixture_sample" -> (p21 _),
     "p22_token_packing" -> (p22 _),
-    "p23_heavy_hitters" -> (p23 _)
+    "p23_heavy_hitters" -> (p23 _),
+    "p24_span_dedup" -> (p24 _),
+    "p25_kmv_distinct" -> (p25 _),
+    "p26_url_dedup" -> (p26 _),
+    "p27_incremental_neardup" -> (p27 _)
   )
 
   /** Shared by p11 (min-label CC) and p17 (star CC): identical output. */
@@ -1236,6 +1292,102 @@ object SparkEntry {
         |tot AS (SELECT COUNT(*) AS n FROM t)
         |SELECT tok, COUNT(*) AS cnt FROM t, tot
         |GROUP BY tok, n HAVING COUNT(*) > n // 64""".stripMargin,
+    // p24: positional 6-gram hashes -> global occurrence counts -> per-doc
+    // duplicated-start and covered-position stats (span-dedup signals)
+    "p24_span_dedup" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\W+'),
+        |    x -> x != '') AS toks FROM documents),
+        |g AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |    CAST(md5_number_lower(array_to_string(list_slice(toks, i, i + 5), ' '))
+        |      & 2305843009213693951 AS BIGINT) AS gh
+        |  FROM tk, LATERAL unnest(generate_series(1, len(toks) - 5)) t(i)),
+        |dup AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(*) > 1),
+        |hit AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gh)),
+        |starts AS (SELECT doc_id, COUNT(*) AS dup_grams FROM hit GROUP BY doc_id),
+        |cov AS (SELECT doc_id, COUNT(*) AS covered_tokens FROM (
+        |    SELECT DISTINCT doc_id, pos + o AS ti
+        |    FROM hit, LATERAL unnest(generate_series(0, 5)) u(o)) q
+        |  GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+        |  COALESCE(s.dup_grams, 0) AS dup_grams,
+        |  COALESCE(c.covered_tokens, 0) AS covered_tokens,
+        |  CASE WHEN len(t.toks) > 0
+        |       THEN CAST(COALESCE(c.covered_tokens, 0) AS DOUBLE) / CAST(len(t.toks) AS DOUBLE)
+        |       ELSE 0.0 END AS dup_fraction
+        |FROM tk t LEFT JOIN starts s USING (doc_id) LEFT JOIN cov c USING (doc_id)""".stripMargin,
+    // p25: KMV k-minimum-values sketch is exact given the md5 hash — the
+    // oracle takes the 128th-smallest distinct hash per group directly
+    "p25_kmv_distinct" ->
+      """WITH h AS (
+        |  SELECT DISTINCT l_returnflag,
+        |    CAST(md5_number_lower(CAST(l_orderkey AS VARCHAR))
+        |      & 2305843009213693951 AS BIGINT) AS hv
+        |  FROM lineitem),
+        |kth AS (
+        |  SELECT l_returnflag, hv,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY hv) AS rn FROM h),
+        |agg AS (
+        |  SELECT l_returnflag, COUNT(*) AS exact_distinct,
+        |    LEAST(COUNT(*), 128) AS kmv_size
+        |  FROM h GROUP BY l_returnflag)
+        |SELECT a.l_returnflag, a.exact_distinct, CAST(a.kmv_size AS BIGINT) AS kmv_size,
+        |  CASE WHEN a.exact_distinct < 128 THEN CAST(a.exact_distinct AS DOUBLE)
+        |       ELSE CAST(127 AS DOUBLE) * CAST(2305843009213693951 AS DOUBLE)
+        |            / CAST(k.hv AS DOUBLE) END AS kmv_estimate
+        |FROM agg a LEFT JOIN (SELECT l_returnflag, hv FROM kth WHERE rn = 128) k
+        |  USING (l_returnflag)""".stripMargin,
+    // p26: the same regexp canonicalization chain, step for step (DuckDB
+    // regexp_replace needs the 'g' flag where Spark replaces all matches)
+    "p26_url_dedup" ->
+      """WITH u0 AS (SELECT doc_id,
+        |  'HTTPS://WWW.' || source || '.Example.ORG:443/Docs/'
+        |    || CAST(doc_id % 100 AS VARCHAR) || '/?utm_source=feed&id='
+        |    || CAST(doc_id % 6 AS VARCHAR) || '&utm_campaign=x#s'
+        |    || CAST(doc_id % 3 AS VARCHAR) AS url
+        |  FROM documents),
+        |u1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM u0),
+        |u2 AS (SELECT doc_id, lower(regexp_extract(u, '^[^/?#]+://[^/?#]*'))
+        |  || regexp_replace(u, '^[^/?#]+://[^/?#]*', '') AS u FROM u1),
+        |u3 AS (SELECT doc_id, regexp_replace(regexp_replace(u,
+        |  '^(https://[^/:?#]*):443([/?#]|$)', '\1\2'),
+        |  '^(http://[^/:?#]*):80([/?#]|$)', '\1\2') AS u FROM u2),
+        |u4 AS (SELECT doc_id, regexp_replace(u,
+        |  '([?&])(utm_[a-z]+|fbclid|gclid)=[^&#]*', '\1', 'g') AS u FROM u3),
+        |u5 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(u,
+        |  '\?&+', '?', 'g'), '&&+', '&', 'g'), '[?&]+$', '') AS u FROM u4),
+        |c AS (SELECT doc_id, u AS canonical_url,
+        |  regexp_extract(regexp_extract(u, '^[a-z]+://([^/:?#]*)', 1),
+        |    '[^.]+\.[^.]+$') AS domain FROM u5)
+        |SELECT canonical_url, domain, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+        |FROM c GROUP BY canonical_url, domain""".stripMargin,
+    // p27: the p06 banding pipeline restricted to pairs touching the
+    // delta (doc_id % 5 = 0) — exactly incrementalCandidates' contract
+    "p27_incremental_neardup" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\W+'),
+        |    x -> x != '') AS toks FROM documents),
+        |sh AS (
+        |  SELECT doc_id, (md5_number_lower(s) & 2147483647) AS base
+        |  FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s FROM tk) u),
+        |perm AS (
+        |  SELECT s.s AS s, ((md5_number_lower('ga' || s.s) & 2147483647) | 1) AS a,
+        |         (md5_number_lower('gb' || s.s) & 2147483647) AS b
+        |  FROM generate_series(0, 63) s(s)),
+        |mins AS (
+        |  SELECT doc_id, s, CAST(MIN((a * base + b) % 2305843009213693951) AS BIGINT) AS v
+        |  FROM sh, perm GROUP BY doc_id, s),
+        |sig AS (SELECT doc_id, list(v ORDER BY s) AS sig FROM mins GROUP BY doc_id),
+        |banded AS (
+        |  SELECT doc_id, b.b AS band,
+        |    array_to_string(list_slice(sig, 4*b.b + 1, 4*b.b + 4), ',') AS band_key
+        |  FROM sig, generate_series(0, 15) b(b))
+        |SELECT LEAST(l.doc_id, r.doc_id) AS id_a, GREATEST(l.doc_id, r.doc_id) AS id_b
+        |FROM banded l JOIN banded r ON l.band = r.band AND l.band_key = r.band_key
+        |WHERE l.doc_id != r.doc_id AND (l.doc_id % 5 = 0 OR r.doc_id % 5 = 0)
+        |GROUP BY 1, 2""".stripMargin,
     "p20_repetition" ->
       """WITH tk AS (
         |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\W+'),

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Md5
+
+/** Mergeable distinct-count sketches.
+  *
+  * KMV (k-minimum-values, Bar-Yossef et al.): keep the k smallest DISTINCT
+  * hashes of the values; with θ = kth-min / M the estimate is (k-1)/θ.
+  * Two properties make it the right sketch here:
+  *
+  *  - the buffer is a bounded monoid (merge = merge-sort two sorted arrays,
+  *    keep k), so it rides Spark's partial aggregation — map-side combine
+  *    reduces each partition to ≤ k longs before the shuffle, exactly like
+  *    `approx_count_distinct`'s HLL buffer;
+  *  - unlike HLL, the sketch is EXACT given the hash function: an
+  *    independent engine sorting the same md5-derived hashes produces the
+  *    same k minima bit-for-bit, so estimates are cross-engine checkable
+  *    (DuckDB: the hashes with `row_number() OVER (ORDER BY hv) <= k`).
+  */
+object Sketches {
+
+  /** Hash domain modulus (2^61-1): hashes are uniform in [0, M61). */
+  val M61: Long = (1L << 61) - 1
+
+  private val md5Kernel = udf { (s: String) =>
+    if (s == null) null.asInstanceOf[java.lang.Long]
+    else java.lang.Long.valueOf(Md5.lower64(Md5.newDigest(), s) & Md5.M61)
+  }
+
+  /** md5-lower-64 & (2^61-1) of a string — the cross-engine-exact value
+    * hash (DuckDB: `md5_number_lower(s) & 2305843009213693951`). */
+  def md5Hash61(c: Column): Column = md5Kernel(c)
+
+  /** KMV aggregator: sorted array of the ≤ k smallest distinct hashes. */
+  private class KmvAgg(k: Int) extends Aggregator[java.lang.Long, Array[Long], Array[Long]] {
+    def zero: Array[Long] = Array.emptyLongArray
+
+    def reduce(buf: Array[Long], h: java.lang.Long): Array[Long] = {
+      if (h == null) return buf
+      val v = h.longValue()
+      if (buf.length == k && v >= buf(buf.length - 1)) return buf // fast path
+      val idx = java.util.Arrays.binarySearch(buf, v)
+      if (idx >= 0) return buf // already present
+      val ins = -idx - 1
+      val n = math.min(buf.length + 1, k)
+      val out = new Array[Long](n)
+      System.arraycopy(buf, 0, out, 0, ins)
+      out(ins) = v
+      System.arraycopy(buf, ins, out, ins + 1, n - ins - 1)
+      out
+    }
+
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      if (a.isEmpty) return b
+      if (b.isEmpty) return a
+      val out = new Array[Long](math.min(a.length + b.length, k))
+      var i = 0; var j = 0; var n = 0
+      while (n < out.length && (i < a.length || j < b.length)) {
+        val take =
+          if (i >= a.length) { val v = b(j); j += 1; v }
+          else if (j >= b.length) { val v = a(i); i += 1; v }
+          else if (a(i) < b(j)) { val v = a(i); i += 1; v }
+          else if (a(i) > b(j)) { val v = b(j); j += 1; v }
+          else { val v = a(i); i += 1; j += 1; v } // equal: keep once
+        out(n) = take
+        n += 1
+      }
+      if (n == out.length) out else java.util.Arrays.copyOf(out, n)
+    }
+
+    def finish(r: Array[Long]): Array[Long] = r
+    def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+    def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  }
+
+  /** KMV sketch of a 61-bit hash column: `array<bigint>`, the ≤ k smallest
+    * distinct hashes, sorted ascending. Feed [[md5Hash61]] (or any uniform
+    * [0, M61) hash) as the input. */
+  def kmv(hash: Column, k: Int): Column = {
+    require(k >= 2, s"kmv needs k >= 2, got $k")
+    udaf(new KmvAgg(k), Encoders.LONG).apply(hash)
+  }
+
+  /** Distinct-count estimate from a [[kmv]] sketch: exact size when the
+    * sketch is not full (fewer than k distinct values seen), else
+    * (k-1) * M61 / kth-min. Deterministic double arithmetic — the oracle
+    * computes the identical expression. */
+  def kmvEstimate(sketch: Column, k: Int): Column =
+    when(size(sketch) < k, size(sketch).cast("double"))
+      .otherwise(lit((k - 1).toDouble) * lit(M61.toDouble) /
+        element_at(sketch, k).cast("double"))
+}

@@ -176,6 +176,30 @@ object Dedup {
       .select(col(idCol), col("b.band"), col("b.band_hash"))
   }
 
+  /** Banded minhash signatures: one (idCol, band, band_key) row per band,
+    * where band_key is the band's r signature values rendered as a string
+    * (see [[minhashCandidates]] for why values, not hashes). This is the
+    * PERSISTABLE form of a corpus's near-dup index: write it out bucketed
+    * by (band, band_key) once, and incremental batches join against it
+    * without touching the corpus text again ([[incrementalCandidates]]). */
+  def bandedSignatures(
+      df: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      k: Int = 64,
+      bands: Int = 16,
+      shingleWords: Int = 3): DataFrame = {
+    require(k % bands == 0, s"signature length $k not divisible by $bands bands")
+    val r = k / bands
+    val sigs = df.select(col(idCol),
+      minhashOfText(col(textCol), shingleWords, k).as("sig"))
+      .filter(col("sig")(0) =!= Long.MaxValue)
+    val bandKeys = array((0 until bands).map(b =>
+      struct(lit(b).as("band"), bandKey(col("sig"), b, r).as("band_key"))): _*)
+    sigs.select(col(idCol), explode(bandKeys).as("b"))
+      .select(col(idCol), col("b.band"), col("b.band_key"))
+  }
+
   /** MinHash+LSH near-dup candidate pairs: shingle → minhash → band →
     * bucket self-join. The self-join happens per (band, band_key) bucket —
     * never all-pairs. Emits (id_a, id_b) with id_a < id_b, distinct.
@@ -206,19 +230,11 @@ object Dedup {
       bands: Int = 16,
       shingleWords: Int = 3,
       maxBucketSize: Int = 4096): DataFrame = {
-    require(k % bands == 0, s"signature length $k not divisible by $bands bands")
     require(maxBucketSize >= 2, s"maxBucketSize must allow pairs, got $maxBucketSize")
-    val r = k / bands
-    val sigs = df.select(col(idCol),
-      minhashOfText(col(textCol), shingleWords, k).as("sig"))
-      .filter(col("sig")(0) =!= Long.MaxValue)
-    val bandKeys = array((0 until bands).map(b =>
-      struct(lit(b).as("band"), bandKey(col("sig"), b, r).as("band_key"))): _*)
     // materialize the banded rows once: both sides of the self-join read
     // them, and without the checkpoint the minhash kernel would run twice
     // over the full corpus (the dominant cost of candidate generation)
-    val banded = sigs.select(col(idCol), explode(bandKeys).as("b"))
-      .select(col(idCol), col("b.band"), col("b.band_key"))
+    val banded = bandedSignatures(df, textCol, idCol, k, bands, shingleWords)
       .transform(graft.Stage.materialize)
     // the guard reads bucket stats from a map-side-combined aggregation —
     // degenerate buckets collapse in the combine, so the shuffled stats are
@@ -252,18 +268,140 @@ object Dedup {
       bands: Int = 16,
       shingleWords: Int = 3,
       maxBucketSize: Int = 4096): DataFrame = {
-    require(k % bands == 0, s"signature length $k not divisible by $bands bands")
-    val r = k / bands
-    val sigs = df.select(col(idCol),
-      minhashOfText(col(textCol), shingleWords, k).as("sig"))
-      .filter(col("sig")(0) =!= Long.MaxValue)
-    val bandKeys = array((0 until bands).map(b =>
-      struct(lit(b).as("band"), bandKey(col("sig"), b, r).as("band_key"))): _*)
-    sigs.select(col(idCol), explode(bandKeys).as("b"))
-      .select(col("b.band"), col("b.band_key"))
+    bandedSignatures(df, textCol, idCol, k, bands, shingleWords)
       .groupBy("band", "band_key")
       .agg(count(lit(1)).as("bucket_size"))
       .filter(col("bucket_size") > maxBucketSize)
+  }
+
+  /** Incremental near-dup candidates: a delta batch against an existing
+    * corpus WITHOUT re-pairing the corpus against itself — the daily-crawl
+    * path at 100 TB. The corpus participates only through its banded
+    * signature table ([[bandedSignatures]]): in production that table is
+    * computed once, persisted bucketed by (band, band_key), and this
+    * operator's corpus-side work reduces to a co-located join plus a
+    * map-side-combined stats aggregation; pass `corpusBanded = true` to
+    * supply it pre-banded. Candidates are delta×corpus and delta×delta
+    * bucket pairs — corpus×corpus pairs are never generated, so the work
+    * scales with |delta|·bucket-occupancy, not |corpus|².
+    *
+    * The same hot-bucket guard as [[minhashCandidates]] applies, with
+    * sizes taken over corpus+delta: oversize buckets emit star edges from
+    * their DELTA members to the bucket's min id (only delta-touching edges
+    * are this operator's contract).
+    *
+    * Emits (id_a, id_b), id_a < id_b, distinct; with no bucket over the
+    * cap this equals the full-corpus [[minhashCandidates]] pair set
+    * restricted to pairs touching ≥ 1 delta doc. */
+  def incrementalCandidates(
+      corpus: DataFrame,
+      delta: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      k: Int = 64,
+      bands: Int = 16,
+      shingleWords: Int = 3,
+      maxBucketSize: Int = 4096,
+      corpusBanded: Boolean = false): DataFrame = {
+    require(maxBucketSize >= 2, s"maxBucketSize must allow pairs, got $maxBucketSize")
+    val cb = (if (corpusBanded) corpus
+              else bandedSignatures(corpus, textCol, idCol, k, bands, shingleWords))
+      .transform(graft.Stage.materialize)
+    val db = bandedSignatures(delta, textCol, idCol, k, bands, shingleWords)
+      .transform(graft.Stage.materialize)
+    // bucket stats over both sides (map-side combined; in production the
+    // corpus side reads from bucket stats maintained with the banded table)
+    val stats = cb.unionAll(db).groupBy("band", "band_key")
+      .agg(count(lit(1)).as("_bsz"), min(col(idCol)).as("_hub"))
+      .filter(col("_bsz") > maxBucketSize)
+    val dFlag = db.join(broadcast(stats), Seq("band", "band_key"), "left_outer")
+    val dSmall = dFlag.filter(col("_bsz").isNull)
+      .select(col(idCol), col("band"), col("band_key"))
+    val cSmall = cb.join(broadcast(stats), Seq("band", "band_key"), "left_anti")
+      .select(col(idCol), col("band"), col("band_key")) // using-cols joins reorder
+    val left = dSmall.toDF("_d", "band", "band_key")
+    val right = cSmall.toDF("_o", "band", "band_key")
+      .unionAll(dSmall.toDF("_o", "band", "band_key"))
+    val pairs = left.join(right, Seq("band", "band_key"))
+      .filter(col("_d") =!= col("_o"))
+      .select(least(col("_d"), col("_o")).as("id_a"),
+        greatest(col("_d"), col("_o")).as("id_b"))
+    val stars = dFlag.filter(col("_bsz").isNotNull && col(idCol) =!= col("_hub"))
+      .select(least(col(idCol), col("_hub")).as("id_a"),
+        greatest(col(idCol), col("_hub")).as("id_b"))
+    pairs.unionAll(stars).distinct()
+  }
+
+  /** Positional word n-gram hashes kernel: (n_tokens, [(pos, hash)]).
+    * Hash = md5-lower-64 & (2^61-1) of the space-joined lowercase gram —
+    * oracle-replicable. Docs with fewer than n tokens emit no grams
+    * (a span that never reaches length n cannot be a duplicated span). */
+  private val posGramKernel = udf { (text: String, n: Int) =>
+    val toks =
+      if (text == null) Array.empty[String]
+      else text.trim.toLowerCase.split("\\W+").filter(_.nonEmpty)
+    val grams =
+      if (toks.length < n) Array.empty[(Int, Long)]
+      else {
+        val md = Md5.newDigest()
+        val out = new Array[(Int, Long)](toks.length - n + 1)
+        val sb = new java.lang.StringBuilder
+        var i = 0
+        while (i < out.length) {
+          sb.setLength(0)
+          var j = 0
+          while (j < n) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+          out(i) = (i, Md5.lower64(md, sb.toString) & Md5.M61)
+          i += 1
+        }
+        out
+      }
+    (toks.length, grams)
+  }
+
+  /** Duplicate-SPAN statistics — the scalable core of substring-level
+    * dedup (Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better"): a token position is duplicated when it lies inside
+    * some n-token gram that occurs more than once in the whole corpus
+    * (including repeats within one document). Per document it reports the
+    * number of duplicated gram starts, the count of token positions
+    * covered by any duplicated gram, and the covered fraction — the
+    * signals span-dedup pipelines threshold on before cutting documents
+    * or excising spans.
+    *
+    * Plan shape at scale: the gram stream is n× the token stream, exploded
+    * once from a materialized kernel pass; the global occurrence count is
+    * one map-side-combined shuffle on the gram hash; duplicated grams join
+    * back hash-partitioned; coverage is a distinct on (doc, token index).
+    * Everything is linear in corpus size — no pairwise work. */
+  def duplicateSpanStats(
+      docs: DataFrame,
+      n: Int = 6,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(n >= 2, s"span length must be >= 2, got $n")
+    // kernel runs once; n_tokens and the gram stream both read from here
+    val base = docs.select(col(idCol), posGramKernel(col(textCol), lit(n)).as("_pg"))
+      .transform(graft.Stage.materialize)
+    val ntok = base.select(col(idCol), col("_pg._1").cast("long").as("n_tokens"))
+    val g = base.select(col(idCol), explode(col("_pg._2")).as("_g"))
+      .select(col(idCol), col("_g._1").as("_pos"), col("_g._2").as("_gh"))
+    val dup = g.groupBy("_gh").agg(count(lit(1)).as("_c"))
+      .filter(col("_c") > 1).select("_gh")
+    val hit = g.join(dup, "_gh")
+    val starts = hit.groupBy(idCol).agg(count(lit(1)).as("dup_grams"))
+    val cov = hit
+      .select(col(idCol), explode(sequence(col("_pos"), col("_pos") + lit(n - 1))).as("_ti"))
+      .distinct()
+      .groupBy(idCol).agg(count(lit(1)).as("covered_tokens"))
+    ntok.join(starts, Seq(idCol), "left_outer")
+      .join(cov, Seq(idCol), "left_outer")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("dup_grams"), lit(0L)).as("dup_grams"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        when(col("n_tokens") > 0,
+          coalesce(col("covered_tokens"), lit(0L)).cast("double") / col("n_tokens"))
+          .otherwise(lit(0.0)).as("dup_fraction"))
   }
 
   /** Per-doc sorted distinct w-gram shingle hashes (md5-lower-64 masked to

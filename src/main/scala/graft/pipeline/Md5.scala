@@ -13,7 +13,7 @@ import java.security.MessageDigest
   * at no design cost; the murmur/splitmix kernels remain available as the
   * `*Fast` variants where raw throughput matters more than auditability.
   */
-private[pipeline] object Md5 {
+private[graft] object Md5 {
 
   /** Mersenne-ish modulus 2^61-1 used by the affine/polynomial kernels:
     * big enough for collision resistance, small enough that every

@@ -260,6 +260,40 @@ object TextAnalysis {
         (col("_shard") * lit(1L << 40) + localBin).as("bin"))
   }
 
+  // ------------------------------------------------ URL canonicalization
+
+  /** Canonicalize a URL for dedup: strip the fragment, lowercase scheme +
+    * authority (path and query stay case-sensitive), drop default ports
+    * (https :443, http :80), remove tracking parameters (utm_*, fbclid,
+    * gclid) and repair the query separators they leave behind. Pure
+    * regexp Column expressions — codegen'd, linear, no shuffle — and every
+    * pattern is RE2-compatible (no lookarounds) so an external engine
+    * replicates the chain verbatim. */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val prefix = lower(regexp_extract(noFrag, "^[^/?#]+://[^/?#]*", 0))
+    val rest = regexp_replace(noFrag, "^[^/?#]+://[^/?#]*", "")
+    val lowered = concat(prefix, rest)
+    val noPort = regexp_replace(
+      regexp_replace(lowered, "^(https://[^/:?#]*):443([/?#]|$)", "$1$2"),
+      "^(http://[^/:?#]*):80([/?#]|$)", "$1$2")
+    val noTrack = regexp_replace(noPort,
+      "([?&])(utm_[a-z]+|fbclid|gclid)=[^&#]*", "$1")
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(noTrack, "\\?&+", "?"),
+        "&&+", "&"),
+      "[?&]+$", "")
+  }
+
+  /** Registrable-ish domain of a canonicalized URL: the last two host
+    * labels (a public-suffix list would refine this; the shape — extract
+    * host, take the registrable tail — is the production one). */
+  def urlDomain(canonicalUrl: Column): Column =
+    regexp_extract(
+      regexp_extract(canonicalUrl, "^[a-z]+://([^/:?#]*)", 1),
+      "[^.]+\\.[^.]+$", 0)
+
   // -------------------------------------------- repetition (Gopher-style)
 
   private val bigramStatsKernel = udf { (text: String) =>

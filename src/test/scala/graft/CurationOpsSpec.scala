@@ -1,0 +1,148 @@
+package graft
+
+import graft.operators.Sketches
+import graft.pipeline.{Dedup, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Round-4 curation operators: duplicate-span statistics, KMV distinct
+  * sketch, URL canonicalization, incremental near-dup candidates. */
+class CurationOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // ---------------------------------------------------------- span dedup
+
+  test("duplicateSpanStats marks shared spans and merges overlapping coverage") {
+    // docs 1 and 2 share the 6-token span "a b c d e f" twice over
+    // (positions 0 and 1 in doc 1 via "a b c d e f g": grams abcdef, bcdefg
+    // — only abcdef repeats, in doc 2 at position 2)
+    val docs = Seq(
+      (1L, "a b c d e f g"),          // grams: [abcdef]@0, [bcdefg]@1
+      (2L, "x y a b c d e f"),        // grams: [xyabcd]@0, [yabcde]@1, [abcdef]@2
+      (3L, "p q r s t u v w"),        // unique grams
+      (4L, "short text")              // < 6 tokens: no grams
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicateSpanStats(docs, n = 6)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // doc 1: 7 tokens, 1 dup gram start @0, covers tokens 0-5 (6 of 7)
+    assert(out(1L) == (7L, 1L, 6L, 6.0 / 7.0))
+    // doc 2: 8 tokens, dup gram @2 covers tokens 2-7 (6 of 8)
+    assert(out(2L) == (8L, 1L, 6L, 6.0 / 8.0))
+    assert(out(3L) == (8L, 0L, 0L, 0.0))
+    assert(out(4L) == (2L, 0L, 0L, 0.0))
+  }
+
+  test("duplicateSpanStats counts within-document repeats and merges overlap") {
+    // one doc that repeats its own 2-gram: "a b a b a" has grams
+    // ab@0, ba@1, ab@2, ba@3 — all duplicated; coverage = tokens 0..4 (all 5)
+    val docs = Seq((1L, "a b a b a")).toDF("doc_id", "text")
+    val out = Dedup.duplicateSpanStats(docs, n = 2).collect().head
+    assert((out.getLong(1), out.getLong(2), out.getLong(3), out.getDouble(4)) ==
+      (5L, 4L, 5L, 1.0))
+  }
+
+  // ----------------------------------------------------------------- KMV
+
+  test("kmv sketch is exact below k and deduplicates values") {
+    val vals = Seq("a", "b", "c", "a", "b", "a").toDF("v")
+    val sk = vals.select(Sketches.kmv(Sketches.md5Hash61(col("v")), 8).as("sk"))
+      .collect().head.getSeq[Long](0)
+    assert(sk.length == 3)
+    assert(sk == sk.sorted)
+    val est = vals.select(
+      Sketches.kmvEstimate(
+        Sketches.kmv(Sketches.md5Hash61(col("v")), 8), 8).as("e"))
+      .collect().head.getDouble(0)
+    assert(est == 3.0)
+  }
+
+  test("kmv sketch is partition-invariant (mergeable monoid)") {
+    val data = (1 to 500).map(i => s"value_$i")
+    val one = data.toDF("v").repartition(1)
+      .select(Sketches.kmv(Sketches.md5Hash61(col("v")), 32).as("sk"))
+      .collect().head.getSeq[Long](0)
+    val many = data.toDF("v").repartition(16)
+      .select(Sketches.kmv(Sketches.md5Hash61(col("v")), 32).as("sk"))
+      .collect().head.getSeq[Long](0)
+    assert(one == many)
+    assert(one.length == 32)
+    // estimate = (k-1) * M61 / kth-min, computed the same way here
+    val est = data.toDF("v")
+      .select(Sketches.kmvEstimate(
+        Sketches.kmv(Sketches.md5Hash61(col("v")), 32), 32).as("e"))
+      .collect().head.getDouble(0)
+    assert(est == 31.0 * Sketches.M61.toDouble / one.last.toDouble)
+    // ballpark sanity: within 3x of the truth for k=32 (statistical bound
+    // is much tighter; this guards against off-by-one / wrong-element bugs)
+    assert(est > 500.0 / 3 && est < 500.0 * 3, s"estimate $est far from 500")
+  }
+
+  // ----------------------------------------------------------------- URL
+
+  test("canonicalizeUrl: fragment, case, default port, tracking params") {
+    val cases = Seq(
+      ("HTTPS://WWW.Example.ORG:443/Path/X?utm_source=a&id=1&utm_campaign=b#frag",
+        "https://www.example.org/Path/X?id=1"),
+      ("http://Host.COM:80/a?fbclid=zz", "http://host.com/a"),
+      ("http://host.com:8080/a", "http://host.com:8080/a"), // non-default port kept
+      ("https://h.io/p?utm_a=1&utm_b=2&x=3", "https://h.io/p?x=3"),
+      ("https://h.io/p?utm_a=1", "https://h.io/p"),
+      ("https://h.io/UPPER/Case?Q=V", "https://h.io/UPPER/Case?Q=V") // path/query case kept
+    ).toDF("url", "want")
+    val got = cases.select(col("want"),
+      TextAnalysis.canonicalizeUrl(col("url")).as("got")).collect()
+    got.foreach(r => assert(r.getString(1) == r.getString(0),
+      s"got ${r.getString(1)}, want ${r.getString(0)}"))
+  }
+
+  test("canonicalizeUrl is idempotent; urlDomain takes the registrable tail") {
+    val urls = Seq(
+      "HTTPS://WWW.Example.ORG:443/Path?utm_source=a&id=1#f",
+      "http://sub.deep.host.co:80/x?utm_x=1&y=2"
+    ).toDF("url")
+    val once = TextAnalysis.canonicalizeUrl(col("url"))
+    val twice = TextAnalysis.canonicalizeUrl(once)
+    urls.select(once.as("a"), twice.as("b")).collect()
+      .foreach(r => assert(r.getString(0) == r.getString(1)))
+    val doms = urls.select(TextAnalysis.urlDomain(once)).as[String].collect()
+    assert(doms.toSeq == Seq("example.org", "host.co"))
+  }
+
+  // --------------------------------------------------- incremental dedup
+
+  lazy val docs001 = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("incrementalCandidates == full candidates restricted to delta-touching pairs") {
+    val corpus = docs001.filter(col("doc_id") % 4 =!= 0)
+    val delta = docs001.filter(col("doc_id") % 4 === 0)
+    val inc = Dedup.incrementalCandidates(corpus, delta, k = 64, bands = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.minhashCandidates(docs001, k = 64, bands = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = full.filter { case (a, b) => a % 4 == 0 || b % 4 == 0 }
+    assert(inc == expected,
+      s"missing=${expected -- inc}\nextra=${inc -- expected}")
+    assert(inc.nonEmpty, "test corpus should produce at least one candidate")
+    assert(inc.forall { case (a, b) => a < b })
+  }
+
+  test("incrementalCandidates accepts a pre-banded corpus and applies the bucket cap") {
+    val corpus = docs001.filter(col("doc_id") % 4 =!= 0)
+    val delta = docs001.filter(col("doc_id") % 4 === 0)
+    val banded = Dedup.bandedSignatures(corpus, k = 64, bands = 16)
+    val viaBanded = Dedup.incrementalCandidates(banded, delta,
+      k = 64, bands = 16, corpusBanded = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val direct = Dedup.incrementalCandidates(corpus, delta, k = 64, bands = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaBanded == direct)
+    // adversarial cap: every bucket oversize -> only delta->hub star edges,
+    // count stays linear in the delta's banded rows
+    val capped = Dedup.incrementalCandidates(corpus, delta,
+      k = 64, bands = 16, maxBucketSize = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(capped.length == capped.distinct.length)
+    val deltaIds = delta.select("doc_id").as[Long].collect().toSet
+    assert(capped.forall { case (a, b) => deltaIds(a) || deltaIds(b) })
+  }
+}
