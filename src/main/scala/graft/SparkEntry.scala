@@ -605,6 +605,20 @@ object SparkEntry {
       k = 64, bands = 16)
   }
 
+  /** Bloom-pruned join (beyond-reference; operators.BloomJoin): the fact
+    * side is semi-filtered by an in-plan bloom filter over the dim keys
+    * before the exact join — identical result, minus most of the fact
+    * shuffle when the dim is selective and too large (or too opaque) for
+    * the optimizer's own runtime filters. */
+  private def q40(s: SparkSession, d: String): DataFrame = {
+    val dim = tbl(d, "supplier")(s).filter(col("s_nationkey") < 5)
+      .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+    graft.operators.BloomJoin.bloomJoin(tbl(d, "lineitem")(s), dim, Seq("l_suppkey"))
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n_items"),
+        count_distinct(col("l_suppkey")).as("n_supps"))
+  }
+
   /** As-of join (beyond-reference; the union+window composition —
     * operators.AsOf): every click event matched to the user's most recent
     * error event at or before it. */
@@ -726,6 +740,7 @@ object SparkEntry {
     "p20_repetition" -> (p20 _),
     "p21_mixture_sample" -> (p21 _),
     "p22_token_packing" -> (p22 _),
+    "q40_bloom_join" -> (q40 _),
     "p23_heavy_hitters" -> (p23 _),
     "p24_span_dedup" -> (p24 _),
     "p25_kmv_distinct" -> (p25 _),
@@ -1292,6 +1307,13 @@ object SparkEntry {
         |tot AS (SELECT COUNT(*) AS n FROM t)
         |SELECT tok, COUNT(*) AS cnt FROM t, tot
         |GROUP BY tok, n HAVING COUNT(*) > n // 64""".stripMargin,
+    // q40: bloom pruning is result-invariant — the oracle is the plain join
+    "q40_bloom_join" ->
+      """SELECT s_nationkey, COUNT(*) AS n_items,
+        |  COUNT(DISTINCT l_suppkey) AS n_supps
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE s_nationkey < 5
+        |GROUP BY s_nationkey""".stripMargin,
     // p24: positional 6-gram hashes -> global occurrence counts -> per-doc
     // duplicated-start and covered-position stats (span-dedup signals)
     "p24_span_dedup" ->

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Bloom-filter join pruning: build a compact bit-array filter over the
+  * build side's join keys, semi-filter the probe side BEFORE its shuffle,
+  * then run the exact join.
+  *
+  * At 100 TB the win is shuffle bytes: when the build side is selective,
+  * the probe side's exchange shrinks by the filter's selectivity while the
+  * final join keeps the result exact — bloom false positives only cost
+  * wasted shuffle, never wrong rows. Spark's own runtime bloom filters
+  * (`spark.sql.optimizer.runtime.bloomFilter.enabled`) cover the
+  * planner-visible cases; this is the library-level form for build sides
+  * the optimizer can't see through (checkpointed stages, computed dims,
+  * filters reused across several probe-side jobs).
+  *
+  * Everything stays IN THE PLAN: the filter is a one-row DataFrame built
+  * with map-side-combinable aggregation (explode positions → distinct →
+  * per-word `bit_or` masks → dense `array<bigint>`), broadcast and tested
+  * with pure Catalyst expressions per probe row — no driver collect, no
+  * UDFs.
+  */
+object BloomJoin {
+
+  // both hashes pre-modded into [0, numBits): i·h2 then stays far below
+  // Long.MaxValue for any sane numHashes (ANSI mode would reject raw
+  // xxhash64 values in the double-hashing arithmetic)
+  private def h1(keyCols: Seq[String], numBits: Int): Column =
+    pmod(xxhash64(keyCols.map(col): _*), lit(numBits.toLong))
+  private def h2(keyCols: Seq[String], numBits: Int): Column =
+    pmod(xxhash64(lit(0x9747b28cL) +: keyCols.map(col): _*), lit(numBits.toLong))
+
+  /** Build the bloom filter over `keys`' `keyCols` as a one-row DataFrame
+    * with a single `_bloom array<bigint>` column of ceil(numBits/64)
+    * words. Double hashing: position_i = (h1 + i·h2) mod numBits. */
+  def buildFilter(
+      keys: DataFrame,
+      keyCols: Seq[String],
+      numBits: Int = 1 << 20,
+      numHashes: Int = 5): DataFrame = {
+    require(numBits >= 64, s"numBits must be >= 64, got $numBits")
+    require(numHashes >= 1, s"numHashes must be >= 1, got $numHashes")
+    val words = (numBits + 63) / 64
+    val pos = array((0 until numHashes).map(i =>
+      pmod(h1(keyCols, numBits) + lit(i.toLong) * h2(keyCols, numBits),
+        lit(numBits.toLong))): _*)
+    keys.select(explode(pos).as("_p"))
+      .distinct()
+      .select((col("_p") / 64).cast("int").as("_w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(_p % 64 AS INT))").as("_m"))
+      .groupBy("_w").agg(expr("bit_or(_m)").as("_mask"))
+      .agg(map_from_arrays(collect_list("_w"), collect_list("_mask")).as("_map"))
+      .select(transform(sequence(lit(0), lit(words - 1)),
+        i => coalesce(element_at(col("_map"), i.cast("int")), lit(0L))).as("_bloom"))
+  }
+
+  /** Keep only probe rows whose keys pass the broadcast bloom filter
+    * (supersets the rows that actually join; never drops a joining row). */
+  def prune(
+      probe: DataFrame,
+      keyCols: Seq[String],
+      bloom: DataFrame,
+      numBits: Int = 1 << 20,
+      numHashes: Int = 5): DataFrame = {
+    val checks = (0 until numHashes).map { i =>
+      s"""((shiftright(
+         |    element_at(_bloom, CAST(pmod(_h1 + $i * _h2, $numBits) / 64 AS INT) + 1),
+         |    CAST(pmod(_h1 + $i * _h2, $numBits) % 64 AS INT)) & 1) = 1)""".stripMargin
+    }.mkString(" AND ")
+    probe.crossJoin(broadcast(bloom))
+      .withColumn("_h1", h1(keyCols, numBits))
+      .withColumn("_h2", h2(keyCols, numBits))
+      .where(expr(checks))
+      .drop("_bloom", "_h1", "_h2")
+  }
+
+  /** Exact equi-join with the probe (fact) side bloom-pruned before its
+    * shuffle. `keyCols` must exist on both sides (rename the dim's keys
+    * first, as with any using-columns join). */
+  def bloomJoin(
+      fact: DataFrame,
+      dim: DataFrame,
+      keyCols: Seq[String],
+      numBits: Int = 1 << 20,
+      numHashes: Int = 5,
+      joinType: String = "inner"): DataFrame = {
+    val filt = buildFilter(dim.select(keyCols.map(col): _*), keyCols, numBits, numHashes)
+    prune(fact, keyCols, filt, numBits, numHashes).join(dim, keyCols, joinType)
+  }
+}

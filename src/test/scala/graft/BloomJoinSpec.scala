@@ -1,0 +1,49 @@
+package graft
+
+import graft.operators.BloomJoin
+import org.apache.spark.sql.functions._
+
+class BloomJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  lazy val lineitem = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+  lazy val supplier = spark.read.parquet("/root/testdata/sf0.001/supplier.parquet")
+
+  test("bloomJoin result is identical to the plain join") {
+    // sf0.001 has 10 suppliers with nationkeys 3..24; < 13 selects 4
+    val dim = supplier.filter(col("s_nationkey") < 13)
+      .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+    val viaBloom = BloomJoin.bloomJoin(lineitem, dim, Seq("l_suppkey"))
+      .groupBy("s_nationkey").count()
+      .collect().map(r => (r.getAs[Number](0).longValue(), r.getLong(1))).toSet
+    val plain = lineitem.join(dim, Seq("l_suppkey"))
+      .groupBy("s_nationkey").count()
+      .collect().map(r => (r.getAs[Number](0).longValue(), r.getLong(1))).toSet
+    assert(viaBloom == plain)
+    assert(viaBloom.nonEmpty)
+  }
+
+  test("prune keeps every joining row and actually prunes the rest") {
+    val dim = supplier.filter(col("s_nationkey") === 3)
+      .select(col("s_suppkey").as("l_suppkey"))
+    val filt = BloomJoin.buildFilter(dim, Seq("l_suppkey"))
+    val pruned = BloomJoin.prune(lineitem, Seq("l_suppkey"), filt)
+    val joining = lineitem.join(dim, Seq("l_suppkey"), "left_semi")
+    val prunedCount = pruned.count()
+    assert(prunedCount < lineitem.count(), "a selective dim must prune")
+    assert(joining.join(pruned, lineitem.columns.toSeq, "left_anti").count() == 0,
+      "pruning must never drop a joining row")
+  }
+
+  test("bloom join works on multi-column string keys and empty dims") {
+    val fact = Seq(("a", "x", 1), ("a", "y", 2), ("b", "x", 3), ("c", "z", 4))
+      .toDF("k1", "k2", "v")
+    val dim = Seq(("a", "x", 10), ("c", "z", 30)).toDF("k1", "k2", "w")
+    val got = BloomJoin.bloomJoin(fact, dim, Seq("k1", "k2"), numBits = 64)
+      .select("k1", "k2", "v", "w")
+      .collect().map(_.toSeq).toSet
+    assert(got == Set(Seq("a", "x", 1, 10), Seq("c", "z", 4, 30)))
+    val empty = dim.filter(col("w") < 0)
+    assert(BloomJoin.bloomJoin(fact, empty, Seq("k1", "k2")).count() == 0)
+  }
+}
