@@ -160,6 +160,37 @@ object ScaleProbe {
     }
     time("huge-group buffer @600k")(hugeBuffer("/root/testdata/sf0.1/lineitem.parquet").toDF(spark).count())
     time("huge-group buffer @6M")(hugeBuffer(big).toDF(spark).count())
+
+    // round-4 operators at 10× volume: all linear plan shapes
+    {
+      import graft.pipeline.Dedup
+      val sd = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      val bd = spark.read.parquet(bigDocs)
+      // span stats: gram stream is n× tokens; the replicas make every gram
+      // globally duplicated (10 copies), the worst case for the join-back
+      time("span-dedup stats @5k docs")(Dedup.duplicateSpanStats(sd, n = 6).count())
+      time("span-dedup stats @50k docs")(Dedup.duplicateSpanStats(bd, n = 6).count())
+      // incremental: last replica arrives as the delta against the other 9
+      // — corpus×corpus pairs (the quadratic bulk) are never generated
+      time("incremental candidates @45k corpus + 5k delta")(
+        Dedup.incrementalCandidates(
+          bd.filter(col("doc_id") < 100000000L),
+          bd.filter(col("doc_id") >= 100000000L)).count())
+      // KMV at 6M rows: the shuffle carries ≤ k longs per partition
+      time("kmv distinct @6M rows")(spark.read.parquet(big)
+        .groupBy("l_returnflag")
+        .agg(graft.operators.Sketches.kmv(
+          graft.operators.Sketches.md5Hash61(col("l_orderkey").cast("string")), 128))
+        .count())
+      // bloom join at 6M fact rows vs a 20-supplier dim
+      time("bloom-pruned join @6M fact")(
+        graft.operators.BloomJoin.bloomJoin(
+          spark.read.parquet(bigSame),
+          spark.read.parquet("/root/testdata/sf0.1/supplier.parquet")
+            .filter(col("s_nationkey") < 5)
+            .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey")),
+          Seq("l_suppkey")).count())
+    }
     spark.stop()
   }
 }
