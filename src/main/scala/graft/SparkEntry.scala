@@ -605,6 +605,12 @@ object SparkEntry {
       k = 64, bands = 16)
   }
 
+  /** Embedding-cosine near-dup: hyperplane-bucketed candidates, exact
+    * cosine verified within buckets — the md5-exact planes make even this
+    * oracle-checkable, completing the dedup family's oracle coverage. */
+  private def p28(s: SparkSession, d: String): DataFrame =
+    Dedup.embeddingNearDup(tbl(d, "embeddings")(s), planes = 6, threshold = 0.2)
+
   /** Bloom-pruned join (beyond-reference; operators.BloomJoin): the fact
     * side is semi-filtered by an in-plan bloom filter over the dim keys
     * before the exact join — identical result, minus most of the fact
@@ -745,7 +751,8 @@ object SparkEntry {
     "p24_span_dedup" -> (p24 _),
     "p25_kmv_distinct" -> (p25 _),
     "p26_url_dedup" -> (p26 _),
-    "p27_incremental_neardup" -> (p27 _)
+    "p27_incremental_neardup" -> (p27 _),
+    "p28_embedding_neardup" -> (p28 _)
   )
 
   /** Shared by p11 (min-label CC) and p17 (star CC): identical output. */
@@ -1307,6 +1314,30 @@ object SparkEntry {
         |tot AS (SELECT COUNT(*) AS n FROM t)
         |SELECT tok, COUNT(*) AS cnt FROM t, tot
         |GROUP BY tok, n HAVING COUNT(*) > n // 64""".stripMargin,
+    // p28: hyperplane planes are md5-derived (Similarity.planeComponents),
+    // so buckets AND exact cosines replicate — same kernels p08/p09 check
+    "p28_embedding_neardup" ->
+      """WITH c0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+        |pl AS (SELECT p.p AS p, list_transform(generate_series(0, 63),
+        |    i -> CAST(md5_number_lower('pl' || p.p || '_' || i) >> 11 AS DOUBLE)
+        |      * (1.0/4503599627370496) - 1.0) AS comp
+        |  FROM generate_series(0, 5) p(p)),
+        |sig AS (
+        |  SELECT vec_id, CAST(SUM(CASE WHEN proj >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS b
+        |  FROM (SELECT c0.vec_id, pl.p,
+        |      list_reduce(list_transform(generate_series(1, 64), i -> e[i] * comp[i]),
+        |        (x, y) -> x + y) AS proj
+        |    FROM c0, pl) t GROUP BY vec_id),
+        |pairs AS (
+        |  SELECT l.vec_id AS id_a, r.vec_id AS id_b
+        |  FROM sig l JOIN sig r ON l.b = r.b AND l.vec_id < r.vec_id),
+        |scored AS (
+        |  SELECT id_a, id_b,
+        |    list_reduce(list_transform(generate_series(1, 64), i -> a.e[i]*bb.e[i]), (x,y) -> x+y) /
+        |    (greatest(sqrt(list_reduce(list_transform(generate_series(1, 64), i -> a.e[i]*a.e[i]), (x,y) -> x+y)), 1e-12) *
+        |     greatest(sqrt(list_reduce(list_transform(generate_series(1, 64), i -> bb.e[i]*bb.e[i]), (x,y) -> x+y)), 1e-12)) AS cosine
+        |  FROM pairs JOIN c0 a ON a.vec_id = pairs.id_a JOIN c0 bb ON bb.vec_id = pairs.id_b)
+        |SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.2""".stripMargin,
     // q40: bloom pruning is result-invariant — the oracle is the plain join
     "q40_bloom_join" ->
       """SELECT s_nationkey, COUNT(*) AS n_items,
