@@ -611,6 +611,11 @@ object SparkEntry {
   private def p28(s: SparkSession, d: String): DataFrame =
     Dedup.embeddingNearDup(tbl(d, "embeddings")(s), planes = 6, threshold = 0.2)
 
+  /** Rare-token ratio: fraction of each doc's tokens with corpus frequency
+    * below 100 — the OOV/garbage quality signal. */
+  private def p29(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.rareTokenRatio(tbl(d, "documents")(s), minFreq = 100L)
+
   /** Bloom-pruned join (beyond-reference; operators.BloomJoin): the fact
     * side is semi-filtered by an in-plan bloom filter over the dim keys
     * before the exact join — identical result, minus most of the fact
@@ -752,7 +757,8 @@ object SparkEntry {
     "p25_kmv_distinct" -> (p25 _),
     "p26_url_dedup" -> (p26 _),
     "p27_incremental_neardup" -> (p27 _),
-    "p28_embedding_neardup" -> (p28 _)
+    "p28_embedding_neardup" -> (p28 _),
+    "p29_rare_tokens" -> (p29 _)
   )
 
   /** Shared by p11 (min-label CC) and p17 (star CC): identical output. */
@@ -1338,6 +1344,20 @@ object SparkEntry {
         |     greatest(sqrt(list_reduce(list_transform(generate_series(1, 64), i -> bb.e[i]*bb.e[i]), (x,y) -> x+y)), 1e-12)) AS cosine
         |  FROM pairs JOIN c0 a ON a.vec_id = pairs.id_a JOIN c0 bb ON bb.vec_id = pairs.id_b)
         |SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.2""".stripMargin,
+    "p29_rare_tokens" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\W+'),
+        |    x -> x != '')) AS tok FROM documents),
+        |freq AS (SELECT tok, COUNT(*) AS c FROM tk GROUP BY tok),
+        |j AS (SELECT tk.doc_id, COUNT(*) AS n_tokens,
+        |    CAST(SUM(CASE WHEN freq.c < 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+        |  FROM tk JOIN freq USING (tok) GROUP BY tk.doc_id)
+        |SELECT d.doc_id, COALESCE(j.n_tokens, 0) AS n_tokens,
+        |  COALESCE(j.n_rare, 0) AS n_rare,
+        |  CASE WHEN COALESCE(j.n_tokens, 0) > 0
+        |       THEN CAST(COALESCE(j.n_rare, 0) AS DOUBLE) / CAST(j.n_tokens AS DOUBLE)
+        |       ELSE 0.0 END AS rare_ratio
+        |FROM documents d LEFT JOIN j USING (doc_id)""".stripMargin,
     // q40: bloom pruning is result-invariant — the oracle is the plain join
     "q40_bloom_join" ->
       """SELECT s_nationkey, COUNT(*) AS n_items,

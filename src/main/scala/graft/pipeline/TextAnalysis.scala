@@ -260,6 +260,38 @@ object TextAnalysis {
         (col("_shard") * lit(1L << 40) + localBin).as("bin"))
   }
 
+  // ------------------------------------------------ rare-token ratio
+
+  /** Rare-token (OOV-ish) ratio: the fraction of a document's tokens whose
+    * CORPUS frequency is below `minFreq` — the standard garbage/quality
+    * signal (docs full of hapax tokens are usually mojibake, code dumps, or
+    * boilerplate IDs). Plan shape: one map-side-combined frequency
+    * aggregation over the token stream, a join back on the token (the
+    * frequency table is vocabulary-sized — AQE broadcasts it in practice),
+    * one per-doc aggregation. Linear; no pairwise work. */
+  def rareTokenRatio(
+      docs: DataFrame,
+      minFreq: Long = 100L,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(split(lower(trim(col(textCol))), "\\W+")).as("_tok"))
+      .filter(length(col("_tok")) > 0)
+      .transform(graft.Stage.materialize) // freq agg + join-back both read it
+    val freq = toks.groupBy("_tok").agg(count(lit(1)).as("_c"))
+    val j = toks.join(freq, "_tok")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("_c") < minFreq, 1L).otherwise(0L)).as("n_rare"))
+    docs.select(col(idCol)).join(j, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_rare"), lit(0L)).as("n_rare"),
+        when(coalesce(col("n_tokens"), lit(0L)) > 0,
+          coalesce(col("n_rare"), lit(0L)).cast("double") / col("n_tokens"))
+          .otherwise(lit(0.0)).as("rare_ratio"))
+  }
+
   // ------------------------------------------------ URL canonicalization
 
   /** Canonicalize a URL for dedup: strip the fragment, lowercase scheme +

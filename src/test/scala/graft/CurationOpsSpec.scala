@@ -108,6 +108,22 @@ class CurationOpsSpec extends SparkTestBase {
     assert(doms.toSeq == Seq("example.org", "host.co"))
   }
 
+  // ------------------------------------------------------ rare tokens
+
+  test("rareTokenRatio flags hapax-heavy documents, handles empty docs") {
+    val docs = Seq(
+      (1L, "common common common zxqj9"), // 1 rare of 4
+      (2L, "common common"),              // 0 rare
+      (3L, "")                            // no tokens
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.rareTokenRatio(docs, minFreq = 2L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) == (4L, 1L, 0.25)) // "common" freq 5 >= 2; "zxqj9" freq 1
+    assert(out(2L) == (2L, 0L, 0.0))
+    assert(out(3L) == (0L, 0L, 0.0))
+  }
+
   // --------------------------------------------------- incremental dedup
 
   lazy val docs001 = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
