@@ -616,6 +616,34 @@ object SparkEntry {
   private def p29(s: SparkSession, d: String): DataFrame =
     TextAnalysis.rareTokenRatio(tbl(d, "documents")(s), minFreq = 100L)
 
+  /** KMV set operations: estimated vs exact distinct-order overlap between
+    * the A and R return flags — union by monoid merge, intersection by the
+    * K-min-values threshold estimator, both oracle-exact. */
+  private def p30(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Sketches
+    val k = 128
+    val li = tbl(d, "lineitem")(s).filter(col("l_returnflag").isin("A", "R"))
+      .select(col("l_returnflag"), col("l_orderkey"))
+    // sketches materialize once; the A/R splits below must not re-run the agg
+    val sk = li
+      .select(col("l_returnflag"),
+        Sketches.md5Hash61(col("l_orderkey").cast("string")).as("_h"))
+      .groupBy("l_returnflag").agg(Sketches.kmv(col("_h"), k).as("_sk"))
+      .transform(graft.Stage.materialize)
+    val a = sk.filter(col("l_returnflag") === "A").select(col("_sk").as("_ska"))
+    val r = sk.filter(col("l_returnflag") === "R").select(col("_sk").as("_skr"))
+    val exacts = li.distinct()
+      .groupBy("l_orderkey").agg(count(lit(1)).as("_nf"))
+      .agg(count(lit(1)).as("exact_union"),
+        sum(when(col("_nf") === 2, 1L).otherwise(0L)).as("exact_intersect"))
+    a.crossJoin(r).crossJoin(exacts).select(
+      Sketches.kmvEstimate(Sketches.kmvUnion(col("_ska"), col("_skr"), k), k)
+        .as("union_est"),
+      Sketches.kmvIntersectEstimate(col("_ska"), col("_skr"), k)
+        .as("intersect_est"),
+      col("exact_union"), col("exact_intersect"))
+  }
+
   /** Bloom-pruned join (beyond-reference; operators.BloomJoin): the fact
     * side is semi-filtered by an in-plan bloom filter over the dim keys
     * before the exact join — identical result, minus most of the fact
@@ -758,7 +786,8 @@ object SparkEntry {
     "p26_url_dedup" -> (p26 _),
     "p27_incremental_neardup" -> (p27 _),
     "p28_embedding_neardup" -> (p28 _),
-    "p29_rare_tokens" -> (p29 _)
+    "p29_rare_tokens" -> (p29 _),
+    "p30_kmv_overlap" -> (p30 _)
   )
 
   /** Shared by p11 (min-label CC) and p17 (star CC): identical output. */
@@ -1358,6 +1387,32 @@ object SparkEntry {
         |       THEN CAST(COALESCE(j.n_rare, 0) AS DOUBLE) / CAST(j.n_tokens AS DOUBLE)
         |       ELSE 0.0 END AS rare_ratio
         |FROM documents d LEFT JOIN j USING (doc_id)""".stripMargin,
+    // p30: k-smallest-of-union == k-smallest-of-(kA ∪ kB), and every common
+    // hash <= θ is inside both k-sketches — so the full-set SQL below
+    // computes the identical estimate to the sketch-side kernel
+    "p30_kmv_overlap" ->
+      """WITH ha AS (SELECT DISTINCT CAST(md5_number_lower(CAST(l_orderkey AS VARCHAR))
+        |    & 2305843009213693951 AS BIGINT) AS hv FROM lineitem WHERE l_returnflag = 'A'),
+        |hr AS (SELECT DISTINCT CAST(md5_number_lower(CAST(l_orderkey AS VARCHAR))
+        |    & 2305843009213693951 AS BIGINT) AS hv FROM lineitem WHERE l_returnflag = 'R'),
+        |ua AS (SELECT hv FROM ha UNION SELECT hv FROM hr),
+        |kth AS (SELECT hv FROM ua ORDER BY hv LIMIT 1 OFFSET 127),
+        |nu AS (SELECT COUNT(*) AS nu FROM ua),
+        |inter AS (SELECT ha.hv FROM ha JOIN hr USING (hv)),
+        |c AS (SELECT COUNT(*) AS c FROM inter, kth WHERE inter.hv <= kth.hv),
+        |fl AS (SELECT l_orderkey, COUNT(DISTINCT l_returnflag) AS nf
+        |  FROM lineitem WHERE l_returnflag IN ('A', 'R') GROUP BY l_orderkey),
+        |ex AS (SELECT COUNT(*) AS eu,
+        |    CAST(SUM(CASE WHEN nf = 2 THEN 1 ELSE 0 END) AS BIGINT) AS ei FROM fl)
+        |SELECT
+        |  CASE WHEN nu.nu < 128 THEN CAST(nu.nu AS DOUBLE)
+        |       ELSE CAST(127 AS DOUBLE) * CAST(2305843009213693951 AS DOUBLE)
+        |            / CAST(kth.hv AS DOUBLE) END AS union_est,
+        |  CASE WHEN nu.nu < 128 THEN CAST((SELECT COUNT(*) FROM inter) AS DOUBLE)
+        |       ELSE CAST(c.c AS DOUBLE) * CAST(2305843009213693951 AS DOUBLE)
+        |            / CAST(kth.hv AS DOUBLE) END AS intersect_est,
+        |  ex.eu AS exact_union, ex.ei AS exact_intersect
+        |FROM nu, kth, c, ex""".stripMargin,
     // q40: bloom pruning is result-invariant — the oracle is the plain join
     "q40_bloom_join" ->
       """SELECT s_nationkey, COUNT(*) AS n_items,

@@ -94,4 +94,59 @@ object Sketches {
     when(size(sketch) < k, size(sketch).cast("double"))
       .otherwise(lit((k - 1).toDouble) * lit(M61.toDouble) /
         element_at(sketch, k).cast("double"))
+
+  private def mergeArrays(a: Array[Long], b: Array[Long], k: Int): Array[Long] = {
+    if (a.isEmpty) return if (b.length <= k) b else java.util.Arrays.copyOf(b, k)
+    if (b.isEmpty) return if (a.length <= k) a else java.util.Arrays.copyOf(a, k)
+    val out = new Array[Long](math.min(a.length + b.length, k))
+    var i = 0; var j = 0; var n = 0
+    while (n < out.length && (i < a.length || j < b.length)) {
+      val take =
+        if (i >= a.length) { val v = b(j); j += 1; v }
+        else if (j >= b.length) { val v = a(i); i += 1; v }
+        else if (a(i) < b(j)) { val v = a(i); i += 1; v }
+        else if (a(i) > b(j)) { val v = b(j); j += 1; v }
+        else { val v = a(i); i += 1; j += 1; v }
+      out(n) = take
+      n += 1
+    }
+    if (n == out.length) out else java.util.Arrays.copyOf(out, n)
+  }
+
+  private val unionKernel = udf { (a: Seq[Long], b: Seq[Long], k: Int) =>
+    mergeArrays(Option(a).map(_.toArray).getOrElse(Array.emptyLongArray),
+      Option(b).map(_.toArray).getOrElse(Array.emptyLongArray), k)
+  }
+
+  /** Union of two [[kmv]] sketches — the same monoid merge the aggregator
+    * uses, exposed for combining sketches of different datasets (e.g. two
+    * crawls' vocabularies). Estimate the union size with [[kmvEstimate]]. */
+  def kmvUnion(a: Column, b: Column, k: Int): Column = unionKernel(a, b, lit(k))
+
+  private val intersectKernel = udf { (sa: Seq[Long], sb: Seq[Long], k: Int) =>
+    val a = Option(sa).map(_.toArray).getOrElse(Array.emptyLongArray)
+    val b = Option(sb).map(_.toArray).getOrElse(Array.emptyLongArray)
+    val u = mergeArrays(a, b, k)
+    val bs = b.toSet
+    if (u.length < k) {
+      // union not full → both sketches hold their COMPLETE distinct hash
+      // sets and the intersection is exact
+      a.count(bs.contains).toDouble
+    } else {
+      // standard KMV set estimate: θ = kth-min of the union / M; count
+      // common hashes below the union threshold, scale by 1/θ
+      val theta = u(u.length - 1)
+      val c = a.count(h => h <= theta && bs.contains(h))
+      c.toDouble * M61.toDouble / theta.toDouble
+    }
+  }
+
+  /** Intersection-size estimate from two [[kmv]] sketches (Beyer et al.'s
+    * K-min-values set operations): count the common hashes below the
+    * union sketch's kth-minimum threshold and scale by the inverse
+    * threshold fraction. Exact when the union sketch is not full.
+    * Deterministic — the oracle recomputes the identical integers and the
+    * one double expression. */
+  def kmvIntersectEstimate(a: Column, b: Column, k: Int): Column =
+    intersectKernel(a, b, lit(k))
 }

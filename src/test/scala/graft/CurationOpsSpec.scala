@@ -77,6 +77,32 @@ class CurationOpsSpec extends SparkTestBase {
     assert(est > 500.0 / 3 && est < 500.0 * 3, s"estimate $est far from 500")
   }
 
+  test("kmv set operations: exact below k, threshold estimator above") {
+    import org.apache.spark.sql.DataFrame
+    def sketch(vals: Seq[String], k: Int): DataFrame =
+      vals.toDF("v").agg(Sketches.kmv(Sketches.md5Hash61(col("v")), k).as("sk"))
+    // small: A={a,b,c}, B={b,c,d} — union 4, intersection 2, both exact
+    val small = sketch(Seq("a", "b", "c"), 8).crossJoin(
+      sketch(Seq("b", "c", "d"), 8).withColumnRenamed("sk", "sk2"))
+      .select(
+        Sketches.kmvEstimate(Sketches.kmvUnion(col("sk"), col("sk2"), 8), 8).as("u"),
+        Sketches.kmvIntersectEstimate(col("sk"), col("sk2"), 8).as("i"))
+      .collect().head
+    assert((small.getDouble(0), small.getDouble(1)) == (4.0, 2.0))
+    // large overlapping sets with a full union sketch: estimates land near
+    // truth (union 750, intersection 250) — guards the threshold logic
+    val aVals = (1 to 500).map(i => s"x$i")
+    val bVals = (251 to 750).map(i => s"x$i")
+    val big = sketch(aVals, 64).crossJoin(
+      sketch(bVals, 64).withColumnRenamed("sk", "sk2"))
+      .select(
+        Sketches.kmvEstimate(Sketches.kmvUnion(col("sk"), col("sk2"), 64), 64).as("u"),
+        Sketches.kmvIntersectEstimate(col("sk"), col("sk2"), 64).as("i"))
+      .collect().head
+    assert(big.getDouble(0) > 750 / 2.0 && big.getDouble(0) < 750 * 2.0)
+    assert(big.getDouble(1) > 250 / 4.0 && big.getDouble(1) < 250 * 4.0)
+  }
+
   // ----------------------------------------------------------------- URL
 
   test("canonicalizeUrl: fragment, case, default port, tracking params") {
