@@ -36,24 +36,33 @@ object Sketches {
     * hash (DuckDB: `md5_number_lower(s) & 2305843009213693951`). */
   def md5Hash61(c: Column): Column = md5Kernel(c)
 
+  /** Fold one hash into a sorted ≤ k sketch (shared by the aggregator and
+    * the streaming state fold in [[graft.streaming.Streams]]). */
+  private[graft] def insertHash(buf: Array[Long], v: Long, k: Int): Array[Long] = {
+    if (buf.length == k && v >= buf(buf.length - 1)) return buf // fast path
+    val idx = java.util.Arrays.binarySearch(buf, v)
+    if (idx >= 0) return buf // already present
+    val ins = -idx - 1
+    val n = math.min(buf.length + 1, k)
+    val out = new Array[Long](n)
+    System.arraycopy(buf, 0, out, 0, ins)
+    out(ins) = v
+    System.arraycopy(buf, ins, out, ins + 1, n - ins - 1)
+    out
+  }
+
+  /** Estimate from a sketch ARRAY (driver/state-side twin of
+    * [[kmvEstimate]]). */
+  private[graft] def estimateFrom(sk: Array[Long], k: Int): Double =
+    if (sk.length < k) sk.length.toDouble
+    else (k - 1).toDouble * M61.toDouble / sk(k - 1).toDouble
+
   /** KMV aggregator: sorted array of the ≤ k smallest distinct hashes. */
   private class KmvAgg(k: Int) extends Aggregator[java.lang.Long, Array[Long], Array[Long]] {
     def zero: Array[Long] = Array.emptyLongArray
 
-    def reduce(buf: Array[Long], h: java.lang.Long): Array[Long] = {
-      if (h == null) return buf
-      val v = h.longValue()
-      if (buf.length == k && v >= buf(buf.length - 1)) return buf // fast path
-      val idx = java.util.Arrays.binarySearch(buf, v)
-      if (idx >= 0) return buf // already present
-      val ins = -idx - 1
-      val n = math.min(buf.length + 1, k)
-      val out = new Array[Long](n)
-      System.arraycopy(buf, 0, out, 0, ins)
-      out(ins) = v
-      System.arraycopy(buf, ins, out, ins + 1, n - ins - 1)
-      out
-    }
+    def reduce(buf: Array[Long], h: java.lang.Long): Array[Long] =
+      if (h == null) buf else insertHash(buf, h.longValue(), k)
 
     def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
       if (a.isEmpty) return b

@@ -56,6 +56,29 @@ object Streams {
   final case class SessionState(start: Long, end: Long, events: Long)
   final case class SessionOut(key: Long, startMs: Long, endMs: Long, events: Long)
 
+  /** Per-key RUNNING distinct-count estimate with the KMV monoid as stream
+    * state ((key, hash) in → (key, sketch size, estimate) per update):
+    * each micro-batch folds its hashes into the key's ≤ k-long sorted
+    * sketch, so state stays BOUNDED — k longs per key — no matter how many
+    * distinct values flow past. The streaming face of
+    * [[graft.operators.Sketches.kmv]]; because the sketch is a monoid, the
+    * final streaming state equals the batch aggregate of the same rows. */
+  def streamingKmvDistinct(
+      rows: Dataset[(String, Long)],
+      k: Int): Dataset[(String, Long, Double)] = {
+    import rows.sparkSession.implicits._
+    import graft.operators.Sketches
+    rows.groupByKey(_._1)
+      .mapGroupsWithState[Array[Long], (String, Long, Double)](
+        GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[(String, Long)], state: GroupState[Array[Long]]) =>
+          var sk = state.getOption.getOrElse(Array.emptyLongArray)
+          it.foreach { case (_, h) => sk = Sketches.insertHash(sk, h, k) }
+          state.update(sk)
+          (key, sk.length.toLong, Sketches.estimateFrom(sk, k))
+      }
+  }
+
   /** Sessionization via mapGroupsWithState (processing-time timeout) —
     * the KeyValueGroupedDataset custom-state surface. Input rows:
     * (user_id, ts_ms). Emits the running session per user each batch. */

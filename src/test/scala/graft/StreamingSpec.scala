@@ -127,4 +127,41 @@ class StreamingSpec extends SparkTestBase {
     assert(s2.events == 1L && s2.startMs == 100000L)
     q.stop()
   }
+
+  test("streaming KMV distinct: bounded state, monoid-equal to batch") {
+    import graft.operators.Sketches
+    implicit val sqlCtx = spark.sqlContext
+    val k = 8
+    val in = MemoryStream[(String, Long)]
+    val out = Streams.streamingKmvDistinct(in.toDS(), k)
+    val q = Streams.toMemory(out.toDF().toDF("key", "sk_size", "est"), "kmv_out")
+    def h(s: String): Long = {
+      // the same md5-lower-61 the batch kmv consumes
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val d = md.digest(s.getBytes("UTF-8"))
+      var x = 0L; var i = 15
+      while (i >= 8) { x = (x << 8) | (d(i) & 0xFFL); i -= 1 }
+      x & ((1L << 61) - 1)
+    }
+    val batch1 = (1 to 5).map(i => ("a", h(s"v$i")))
+    val batch2 = (3 to 20).map(i => ("a", h(s"v$i"))) :+ (("b", h("only")))
+    in.addData(batch1: _*)
+    q.processAllAvailable()
+    in.addData(batch2: _*)
+    q.processAllAvailable()
+    val rows = spark.table("kmv_out").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    // latest update per key
+    val aFinal = rows.filter(_._1 == "a").last
+    val bFinal = rows.filter(_._1 == "b").last
+    assert(aFinal._2 == k, "state must cap at k entries (20 distinct seen)")
+    assert(bFinal == ("b", 1L, 1.0))
+    // monoid property: streaming end-state estimate == batch kmv estimate
+    // over the union of all rows for key a
+    val batchEst = (1 to 20).map(i => h(s"v$i")).toDF("h")
+      .agg(Sketches.kmvEstimate(Sketches.kmv(col("h"), k), k))
+      .collect().head.getDouble(0)
+    assert(aFinal._3 == batchEst)
+    q.stop()
+  }
 }
