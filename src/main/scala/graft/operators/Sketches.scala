@@ -64,23 +64,7 @@ object Sketches {
     def reduce(buf: Array[Long], h: java.lang.Long): Array[Long] =
       if (h == null) buf else insertHash(buf, h.longValue(), k)
 
-    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
-      if (a.isEmpty) return b
-      if (b.isEmpty) return a
-      val out = new Array[Long](math.min(a.length + b.length, k))
-      var i = 0; var j = 0; var n = 0
-      while (n < out.length && (i < a.length || j < b.length)) {
-        val take =
-          if (i >= a.length) { val v = b(j); j += 1; v }
-          else if (j >= b.length) { val v = a(i); i += 1; v }
-          else if (a(i) < b(j)) { val v = a(i); i += 1; v }
-          else if (a(i) > b(j)) { val v = b(j); j += 1; v }
-          else { val v = a(i); i += 1; j += 1; v } // equal: keep once
-        out(n) = take
-        n += 1
-      }
-      if (n == out.length) out else java.util.Arrays.copyOf(out, n)
-    }
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = mergeSketches(a, b, k)
 
     def finish(r: Array[Long]): Array[Long] = r
     def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
@@ -104,7 +88,9 @@ object Sketches {
       .otherwise(lit((k - 1).toDouble) * lit(M61.toDouble) /
         element_at(sketch, k).cast("double"))
 
-  private def mergeArrays(a: Array[Long], b: Array[Long], k: Int): Array[Long] = {
+  /** Merge two sorted ≤ k sketches — the monoid operation (one pass,
+    * duplicates collapse, keep k). */
+  private[graft] def mergeSketches(a: Array[Long], b: Array[Long], k: Int): Array[Long] = {
     if (a.isEmpty) return if (b.length <= k) b else java.util.Arrays.copyOf(b, k)
     if (b.isEmpty) return if (a.length <= k) a else java.util.Arrays.copyOf(a, k)
     val out = new Array[Long](math.min(a.length + b.length, k))
@@ -123,7 +109,7 @@ object Sketches {
   }
 
   private val unionKernel = udf { (a: Seq[Long], b: Seq[Long], k: Int) =>
-    mergeArrays(Option(a).map(_.toArray).getOrElse(Array.emptyLongArray),
+    mergeSketches(Option(a).map(_.toArray).getOrElse(Array.emptyLongArray),
       Option(b).map(_.toArray).getOrElse(Array.emptyLongArray), k)
   }
 
@@ -135,7 +121,7 @@ object Sketches {
   private val intersectKernel = udf { (sa: Seq[Long], sb: Seq[Long], k: Int) =>
     val a = Option(sa).map(_.toArray).getOrElse(Array.emptyLongArray)
     val b = Option(sb).map(_.toArray).getOrElse(Array.emptyLongArray)
-    val u = mergeArrays(a, b, k)
+    val u = mergeSketches(a, b, k)
     val bs = b.toSet
     if (u.length < k) {
       // union not full → both sketches hold their COMPLETE distinct hash

@@ -304,6 +304,12 @@ object Dedup {
       maxBucketSize: Int = 4096,
       corpusBanded: Boolean = false): DataFrame = {
     require(maxBucketSize >= 2, s"maxBucketSize must allow pairs, got $maxBucketSize")
+    if (corpusBanded) {
+      val need = Seq(idCol, "band", "band_key")
+      require(need.forall(corpus.columns.contains),
+        s"corpusBanded=true expects bandedSignatures output columns $need, " +
+          s"got ${corpus.columns.toSeq}")
+    }
     val cb = (if (corpusBanded) corpus
               else bandedSignatures(corpus, textCol, idCol, k, bands, shingleWords))
       .transform(graft.Stage.materialize)
