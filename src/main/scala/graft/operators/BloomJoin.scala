@@ -51,10 +51,19 @@ object BloomJoin {
       .select((col("_p") / 64).cast("int").as("_w"),
         expr("shiftleft(CAST(1 AS BIGINT), CAST(_p % 64 AS INT))").as("_m"))
       .groupBy("_w").agg(expr("bit_or(_m)").as("_mask"))
-      .agg(map_from_arrays(collect_list("_w"), collect_list("_mask")).as("_map"))
-      .select(transform(sequence(lit(0), lit(words - 1)),
-        i => coalesce(element_at(col("_map"), i.cast("int")), lit(0L))).as("_bloom"))
+      .agg(collect_list(struct(col("_w"), col("_mask"))).as("_wm"))
+      .select(densifyKernel(col("_wm"), lit(words)).as("_bloom"))
   }
+
+  /** Scatter sparse (word, mask) rows into the dense word array — one UDF
+    * call on the single filter row (a `transform(sequence(...))` with a
+    * map lookup per element would be interpreted AND O(words²)). */
+  private val densifyKernel =
+    udf { (wm: Seq[org.apache.spark.sql.Row], words: Int) =>
+      val bits = new Array[Long](words)
+      wm.foreach(r => bits(r.getInt(0)) = r.getLong(1))
+      bits
+    }
 
   /** Keep only probe rows whose keys pass the broadcast bloom filter
     * (supersets the rows that actually join; never drops a joining row). */
