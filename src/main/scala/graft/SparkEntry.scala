@@ -644,6 +644,12 @@ object SparkEntry {
       col("exact_union"), col("exact_intersect"))
   }
 
+  /** Duplicate-span excision: every duplicated 6-gram keeps its canonical
+    * first occurrence corpus-wide; covered positions elsewhere are removed
+    * and the text rebuilt — the hash-compared transform behind p24. */
+  private def p31(s: SparkSession, d: String): DataFrame =
+    Dedup.exciseDuplicateSpans(tbl(d, "documents")(s), n = 6)
+
   /** Bloom-pruned join (beyond-reference; operators.BloomJoin): the fact
     * side is semi-filtered by an in-plan bloom filter over the dim keys
     * before the exact join — identical result, minus most of the fact
@@ -787,7 +793,8 @@ object SparkEntry {
     "p27_incremental_neardup" -> (p27 _),
     "p28_embedding_neardup" -> (p28 _),
     "p29_rare_tokens" -> (p29 _),
-    "p30_kmv_overlap" -> (p30 _)
+    "p30_kmv_overlap" -> (p30 _),
+    "p31_span_excise" -> (p31 _)
   )
 
   /** Shared by p11 (min-label CC) and p17 (star CC): identical output. */
@@ -1413,6 +1420,32 @@ object SparkEntry {
         |            / CAST(kth.hv AS DOUBLE) END AS intersect_est,
         |  ex.eu AS exact_union, ex.ei AS exact_intersect
         |FROM nu, kth, c, ex""".stripMargin,
+    // p31: canonical = row_number 1 over (doc, pos) per duplicated gram;
+    // rebuilt text compared verbatim (COALESCE: array_to_string([]) is
+    // NULL in DuckDB, the engine emits '')
+    "p31_span_excise" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\W+'),
+        |    x -> x != '') AS toks FROM documents),
+        |g AS (SELECT doc_id, i - 1 AS pos,
+        |    CAST(md5_number_lower(array_to_string(list_slice(toks, i, i + 5), ' '))
+        |      & 2305843009213693951 AS BIGINT) AS gh
+        |  FROM tk, LATERAL unnest(generate_series(1, len(toks) - 5)) t(i)),
+        |dup AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(*) > 1),
+        |dg AS (SELECT g.* FROM g JOIN dup USING (gh)),
+        |canon AS (SELECT gh, doc_id AS cdoc, pos AS cpos FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY gh ORDER BY doc_id, pos) AS rn
+        |    FROM dg) t WHERE rn = 1),
+        |noncanon AS (SELECT dg.doc_id, dg.pos FROM dg JOIN canon USING (gh)
+        |  WHERE NOT (dg.doc_id = canon.cdoc AND dg.pos = canon.cpos)),
+        |rm AS (SELECT doc_id, list_sort(list(DISTINCT pos + o)) AS rm
+        |  FROM noncanon, LATERAL unnest(generate_series(0, 5)) u(o) GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+        |  CAST(COALESCE(len(rm.rm), 0) AS BIGINT) AS n_removed,
+        |  COALESCE(array_to_string(list_filter(t.toks,
+        |    (x, i) -> rm.rm IS NULL OR NOT list_contains(rm.rm, i - 1)), ' '), '')
+        |    AS text_clean
+        |FROM tk t LEFT JOIN rm USING (doc_id)""".stripMargin,
     // q40: bloom pruning is result-invariant — the oracle is the plain join
     "q40_bloom_join" ->
       """SELECT s_nationkey, COUNT(*) AS n_items,

@@ -745,6 +745,66 @@ object Dedup {
       .join(df, Seq(idCol))
   }
 
+  /** Rebuild a doc's text dropping the tokens at `removed` positions. */
+  private val rebuildKernel = udf { (text: String, removed: Seq[Int]) =>
+    val toks =
+      if (text == null) Array.empty[String]
+      else text.trim.toLowerCase.split("\\W+").filter(_.nonEmpty)
+    val rm = removed.toSet
+    val keep = toks.iterator.zipWithIndex.collect {
+      case (t, i) if !rm.contains(i) => t
+    }
+    keep.mkString(" ")
+  }
+
+  /** Duplicate-span EXCISION — the transform behind [[duplicateSpanStats]]
+    * (Lee et al.): every duplicated n-gram keeps exactly its CANONICAL
+    * occurrence (the lexicographically first (doc, pos) corpus-wide);
+    * token positions covered by any non-canonical occurrence are removed
+    * and the text is rebuilt from the surviving tokens (whitespace-
+    * normalized, lowercase — the tokenizer's view).
+    *
+    * Returns (idCol, n_tokens, n_removed, text_clean). Same linear plan
+    * family as the stats operator: gram stream → global counts → one
+    * window pass to pick canonicals → covered-position distinct →
+    * per-doc rebuild. No pairwise work. */
+  def exciseDuplicateSpans(
+      docs: DataFrame,
+      n: Int = 6,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(n >= 2, s"span length must be >= 2, got $n")
+    val base = docs.select(col(idCol), col(textCol),
+      posGramKernel(col(textCol), lit(n)).as("_pg"))
+      .transform(graft.Stage.materialize)
+    val g = base.select(col(idCol), explode(col("_pg._2")).as("_g"))
+      .select(col(idCol), col("_g._1").as("_pos"), col("_g._2").as("_gh"))
+    val dup = g.groupBy("_gh").agg(count(lit(1)).as("_c"))
+      .filter(col("_c") > 1).select("_gh")
+    // canonical occurrence per duplicated gram = min (doc, pos); every
+    // other occurrence is excised. One aggregation, no window sort.
+    val canon = g.join(dup, "_gh")
+      .groupBy("_gh")
+      .agg(min(struct(col(idCol), col("_pos"))).as("_first"))
+    val nonCanon = g.join(dup, "_gh")
+      .join(canon, "_gh")
+      .filter(!(col(idCol) === col(s"_first.$idCol") &&
+        col("_pos") === col("_first._pos")))
+      .select(col(idCol), col("_pos"))
+    val removed = nonCanon
+      .select(col(idCol),
+        explode(sequence(col("_pos"), col("_pos") + lit(n - 1))).as("_ti"))
+      .distinct()
+      .groupBy(idCol)
+      .agg(sort_array(collect_list(col("_ti"))).as("_rm"))
+    base.join(removed, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        col("_pg._1").cast("long").as("n_tokens"),
+        coalesce(size(col("_rm")), lit(0)).cast("long").as("n_removed"),
+        rebuildKernel(col(textCol),
+          coalesce(col("_rm"), array().cast("array<int>"))).as("text_clean"))
+  }
+
   /** Embedding cosine near-dup: LSH-bucket by random-hyperplane signs
     * (deterministic seeded planes), verify exact cosine within buckets. */
   def embeddingNearDup(

@@ -41,6 +41,25 @@ class CurationOpsSpec extends SparkTestBase {
       (5L, 4L, 5L, 1.0))
   }
 
+  test("exciseDuplicateSpans keeps the canonical occurrence, removes the rest") {
+    val docs = Seq(
+      (1L, "a b c d e f g"),   // canonical home of abcdef (doc 1, pos 0)
+      (2L, "x y a b c d e f"), // non-canonical abcdef @2 → tokens 2-7 removed
+      (3L, "p q r s t u")      // unique
+    ).toDF("doc_id", "text")
+    val out = Dedup.exciseDuplicateSpans(docs, n = 6)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(1L) == (7L, 0L, "a b c d e f g"))
+    assert(out(2L) == (8L, 6L, "x y"))
+    assert(out(3L) == (6L, 0L, "p q r s t u"))
+    // within-doc repeats: "a b a b a" with n=2 — ab@0, ba@1 canonical;
+    // ab@2 covers {2,3}, ba@3 covers {3,4} → clean "a b"
+    val self = Dedup.exciseDuplicateSpans(
+      Seq((9L, "a b a b a")).toDF("doc_id", "text"), n = 2).collect().head
+    assert((self.getLong(1), self.getLong(2), self.getString(3)) == (5L, 3L, "a b"))
+  }
+
   // ----------------------------------------------------------------- KMV
 
   test("kmv sketch is exact below k and deduplicates values") {
