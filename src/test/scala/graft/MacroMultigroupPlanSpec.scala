@@ -232,4 +232,44 @@ class MacroMultigroupPlanSpec extends SparkTestBase {
     assert(p.contains("RunningWindowFunction") || p.contains("Window"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("KMV sketch aggregation runs with map-side partials") {
+    import graft.operators.Sketches
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val df = li.groupBy("l_returnflag")
+      .agg(Sketches.kmv(Sketches.md5Hash61(col("l_orderkey").cast("string")), 32))
+    val p = plan(df)
+    // partial + final ObjectHashAggregate: each partition collapses to
+    // <=k longs per group BEFORE the exchange — the HLL-class profile
+    assert("ObjectHashAggregate".r.findAllIn(p).size == 2, p)
+    assert(p.contains("partial_kmvagg") || p.toLowerCase.contains("partial"), p)
+  }
+
+  test("bloom join: fact side is filtered before its first exchange") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val sup = spark.read.parquet("/root/testdata/sf0.001/supplier.parquet")
+      .filter(col("s_nationkey") < 13)
+      .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+    val pruned = graft.operators.BloomJoin.prune(li, Seq("l_suppkey"),
+      graft.operators.BloomJoin.buildFilter(sup.select("l_suppkey"), Seq("l_suppkey")))
+    val p = plan(pruned)
+    // the pruned fact reaches the membership test through a broadcast of
+    // the one-row filter — never a fact-side hash exchange. The fact-side
+    // subtree prints between the BNLJ node and its BroadcastExchange
+    // child; exchanges INSIDE the bloom-build subtree are expected.
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    val factSide = p.substring(
+      p.indexOf("BroadcastNestedLoopJoin"), p.indexOf("BroadcastExchange"))
+    assert(!factSide.contains("Exchange hashpartitioning"),
+      s"fact shuffled before bloom pruning:\n$p")
+  }
+
+  test("duplicate-span gram counts aggregate with map-side partials") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val df = graft.pipeline.Dedup.duplicateSpanStats(docs, n = 6)
+    val p = plan(df)
+    // the gram-occurrence count (the only corpus-scale aggregation) must
+    // combine map-side: partial HashAggregates appear before exchanges
+    assert(p.contains("partial_count"), p)
+  }
 }
