@@ -650,6 +650,12 @@ object SparkEntry {
   private def p31(s: SparkSession, d: String): DataFrame =
     Dedup.exciseDuplicateSpans(tbl(d, "documents")(s), n = 6)
 
+  /** Context-window chunking: 16-token chunks, 4-token overlap, tail
+    * fragments under 4 tokens dropped — the pre-packing split. */
+  private def p32(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.chunkTokens(tbl(d, "documents")(s),
+      size = 16, overlap = 4, minTokens = 4)
+
   /** Bloom-pruned join (beyond-reference; operators.BloomJoin): the fact
     * side is semi-filtered by an in-plan bloom filter over the dim keys
     * before the exact join — identical result, minus most of the fact
@@ -794,7 +800,8 @@ object SparkEntry {
     "p28_embedding_neardup" -> (p28 _),
     "p29_rare_tokens" -> (p29 _),
     "p30_kmv_overlap" -> (p30 _),
-    "p31_span_excise" -> (p31 _)
+    "p31_span_excise" -> (p31 _),
+    "p32_chunking" -> (p32 _)
   )
 
   /** Shared by p11 (min-label CC) and p17 (star CC): identical output. */
@@ -1446,6 +1453,18 @@ object SparkEntry {
         |    (x, i) -> rm.rm IS NULL OR NOT list_contains(rm.rm, i - 1)), ' '), '')
         |    AS text_clean
         |FROM tk t LEFT JOIN rm USING (doc_id)""".stripMargin,
+    // p32: stride 12 = size 16 − overlap 4; only tail windows can fall
+    // under minTokens, so emitted ordinal == window ordinal
+    "p32_chunking" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\W+'),
+        |    x -> x != '') AS toks FROM documents),
+        |ch AS (SELECT doc_id, CAST((s.s - 1) // 12 AS BIGINT) AS chunk_idx,
+        |    list_slice(toks, s.s, least(s.s + 15, len(toks))) AS ctoks
+        |  FROM tk, LATERAL unnest(generate_series(1, len(toks), 12)) s(s))
+        |SELECT doc_id, chunk_idx, CAST(len(ctoks) AS BIGINT) AS n_chunk_tokens,
+        |  array_to_string(ctoks, ' ') AS chunk_text
+        |FROM ch WHERE len(ctoks) >= 4""".stripMargin,
     // q40: bloom pruning is result-invariant — the oracle is the plain join
     "q40_bloom_join" ->
       """SELECT s_nationkey, COUNT(*) AS n_items,

@@ -260,6 +260,55 @@ object TextAnalysis {
         (col("_shard") * lit(1L << 40) + localBin).as("bin"))
   }
 
+  // ------------------------------------------------ chunking
+
+  /** Token-window chunks kernel: starts every (size-overlap) tokens, each
+    * chunk `size` tokens (the tail shorter); chunks under minTokens drop. */
+  private val chunkKernel = udf { (text: String, size: Int, overlap: Int, minTokens: Int) =>
+    val toks =
+      if (text == null) Array.empty[String]
+      else text.trim.toLowerCase.split("\\W+").filter(_.nonEmpty)
+    val stride = size - overlap
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String)]
+    var s = 0
+    var idx = 0
+    while (s < toks.length) {
+      val e = math.min(s + size, toks.length)
+      if (e - s >= minTokens) {
+        out += ((idx, e - s, toks.slice(s, e).mkString(" ")))
+        idx += 1
+      }
+      s += stride
+    }
+    out.toSeq
+  }
+
+  /** Split documents into fixed-size token chunks with overlap — the
+    * context-window chunking step a pretraining pipeline runs before
+    * sequence packing ([[packTokens]]) and tokenization. Stride =
+    * size − overlap; tail chunks shorter than `minTokens` are dropped.
+    * Linear mapcat over the corpus, no shuffle; chunk output is ~
+    * size/(size−overlap) × the token volume (the standard overlap cost).
+    * Returns (idCol, chunk_idx, n_chunk_tokens, chunk_text). */
+  def chunkTokens(
+      docs: DataFrame,
+      size: Int = 128,
+      overlap: Int = 32,
+      minTokens: Int = 16,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(size > overlap && overlap >= 0,
+      s"need size > overlap >= 0, got size=$size overlap=$overlap")
+    require(minTokens >= 1, s"minTokens must be >= 1, got $minTokens")
+    docs.select(col(idCol),
+      explode(chunkKernel(col(textCol), lit(size), lit(overlap), lit(minTokens)))
+        .as("_c"))
+      .select(col(idCol),
+        col("_c._1").cast("long").as("chunk_idx"),
+        col("_c._2").cast("long").as("n_chunk_tokens"),
+        col("_c._3").as("chunk_text"))
+  }
+
   // ------------------------------------------------ rare-token ratio
 
   /** Rare-token (OOV-ish) ratio: the fraction of a document's tokens whose

@@ -153,6 +153,22 @@ class CurationOpsSpec extends SparkTestBase {
     assert(doms.toSeq == Seq("example.org", "host.co"))
   }
 
+  test("chunkTokens: overlapping windows, tail fragment handling") {
+    val docs = Seq(
+      (1L, (1 to 20).map(i => s"t$i").mkString(" ")), // 20 tokens
+      (2L, "a b c"),                                  // 3 < minTokens: dropped
+      (3L, "")                                        // no tokens
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkTokens(docs, size = 16, overlap = 4, minTokens = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    // stride 12: window 0 = tokens 1..16, window 1 = tokens 13..20 (8 toks)
+    assert(d1.length == 2)
+    assert(d1(0)._3 == 16L && d1(0)._4.startsWith("t1 t2") && d1(0)._4.endsWith("t16"))
+    assert(d1(1)._3 == 8L && d1(1)._4 == (13 to 20).map(i => s"t$i").mkString(" "))
+    assert(!out.exists(_._1 == 2L) && !out.exists(_._1 == 3L))
+  }
+
   // ------------------------------------------------------ rare tokens
 
   test("rareTokenRatio flags hapax-heavy documents, handles empty docs") {
