@@ -650,6 +650,12 @@ object SparkEntry {
   private def p31(s: SparkSession, d: String): DataFrame =
     Dedup.exciseDuplicateSpans(tbl(d, "documents")(s), n = 6)
 
+  /** Temperature-weighted mixture quotas (alpha = 0.5): per-source target
+    * counts for a 100-doc budget — the reweighting that feeds p21's
+    * quota sampler. */
+  private def p33(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.mixtureWeights(tbl(d, "documents")(s), alpha = 0.5, total = 100L)
+
   /** Context-window chunking: 16-token chunks, 4-token overlap, tail
     * fragments under 4 tokens dropped — the pre-packing split. */
   private def p32(s: SparkSession, d: String): DataFrame =
@@ -801,7 +807,8 @@ object SparkEntry {
     "p29_rare_tokens" -> (p29 _),
     "p30_kmv_overlap" -> (p30 _),
     "p31_span_excise" -> (p31 _),
-    "p32_chunking" -> (p32 _)
+    "p32_chunking" -> (p32 _),
+    "p33_mixture_weights" -> (p33 _)
   )
 
   /** Shared by p11 (min-label CC) and p17 (star CC): identical output. */
@@ -1453,6 +1460,17 @@ object SparkEntry {
         |    (x, i) -> rm.rm IS NULL OR NOT list_contains(rm.rm, i - 1)), ' '), '')
         |    AS text_clean
         |FROM tk t LEFT JOIN rm USING (doc_id)""".stripMargin,
+    // p33: sqrt weights (alpha 0.5) summed in DECIMAL — order-free, so the
+    // quota division is the identical double expression in both engines
+    "p33_mixture_weights" ->
+      """WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+        |w AS (SELECT source, n_docs,
+        |    CAST(sqrt(CAST(n_docs AS DOUBLE)) AS DECIMAL(18,8)) AS w FROM c),
+        |t AS (SELECT SUM(w) AS t FROM w)
+        |SELECT source, n_docs,
+        |  CAST(FLOOR(CAST(100 AS DOUBLE) * CAST(w AS DOUBLE) / CAST(t.t AS DOUBLE))
+        |    AS BIGINT) AS quota
+        |FROM w, t""".stripMargin,
     // p32: stride 12 = size 16 − overlap 4; only tail windows can fall
     // under minTokens, so emitted ordinal == window ordinal
     "p32_chunking" ->

@@ -260,6 +260,35 @@ object TextAnalysis {
         (col("_shard") * lit(1L << 40) + localBin).as("bin"))
   }
 
+  // ------------------------------------------------ mixture weighting
+
+  /** Temperature-weighted mixture quotas: per-source target counts
+    * proportional to count^alpha (alpha < 1 upsamples small sources — the
+    * standard multilingual/pretraining reweighting; alpha = 1 is
+    * proportional, alpha = 0 uniform). Quotas feed [[mixtureSample]].
+    * The weight sum accumulates in DECIMAL (order-free) so results are
+    * parallelism-independent; alpha = 0.5 uses sqrt (IEEE-exact in every
+    * engine, so the oracle replicates quotas bit-for-bit — generic pow
+    * is not guaranteed cross-engine-identical in the last ulp). */
+  def mixtureWeights(
+      docs: DataFrame,
+      alpha: Double = 0.5,
+      total: Long = 100L,
+      sourceCol: String = "source"): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val cnt = docs.groupBy(sourceCol).agg(count(lit(1)).as("n_docs"))
+    val wRaw =
+      if (alpha == 0.5) sqrt(col("n_docs").cast("double"))
+      else if (alpha == 1.0) col("n_docs").cast("double")
+      else pow(col("n_docs").cast("double"), lit(alpha))
+    val withW = cnt.withColumn("_w", wRaw.cast(DecimalType(18, 8)))
+    val tot = withW.agg(sum(col("_w")).as("_t"))
+    withW.crossJoin(broadcast(tot))
+      .select(col(sourceCol), col("n_docs"),
+        floor(lit(total.toDouble) * col("_w").cast("double") / col("_t").cast("double"))
+          .cast("long").as("quota"))
+  }
+
   // ------------------------------------------------ chunking
 
   /** Token-window chunks kernel: starts every (size-overlap) tokens, each

@@ -169,6 +169,22 @@ class CurationOpsSpec extends SparkTestBase {
     assert(!out.exists(_._1 == 2L) && !out.exists(_._1 == 3L))
   }
 
+  test("mixtureWeights: alpha dampens large sources; quotas bounded by total") {
+    val docs = (1 to 90).map(i => (i.toLong, "x", "big")) ++
+      (91 to 100).map(i => (i.toLong, "x", "small"))
+    val df = docs.toDF("doc_id", "text", "source")
+    val q05 = TextAnalysis.mixtureWeights(df, alpha = 0.5, total = 100L)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // sqrt(90)/(sqrt(90)+sqrt(10)) = 3/4; the decimal(18,8)-rounded weights
+    // put the small share a hair under 25 -> floor 24 (deterministically)
+    assert(q05("big") == (90L, 75L) && q05("small") == (10L, 24L))
+    val q1 = TextAnalysis.mixtureWeights(df, alpha = 1.0, total = 100L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(q1("big") == 90L && q1("small") == 10L) // proportional at alpha=1
+    // alpha=0.5 gives the small source a larger share than proportional
+    assert(q05("small")._2 > q1("small"))
+  }
+
   // ------------------------------------------------------ rare tokens
 
   test("rareTokenRatio flags hapax-heavy documents, handles empty docs") {
