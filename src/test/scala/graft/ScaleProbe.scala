@@ -182,6 +182,10 @@ object ScaleProbe {
         .agg(graft.operators.Sketches.kmv(
           graft.operators.Sketches.md5Hash61(col("l_orderkey").cast("string")), 128))
         .count())
+      // span excision and chunking at 10× docs: linear mapcat/join shapes
+      time("span excision @50k docs")(Dedup.exciseDuplicateSpans(bd, n = 6).count())
+      time("chunking @50k docs")(graft.pipeline.TextAnalysis.chunkTokens(
+        bd, size = 16, overlap = 4, minTokens = 4).count())
       // bloom join at 6M fact rows vs a 20-supplier dim
       time("bloom-pruned join @6M fact")(
         graft.operators.BloomJoin.bloomJoin(
