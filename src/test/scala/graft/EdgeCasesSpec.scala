@@ -1,0 +1,99 @@
+package graft
+
+import graft.operators.Sketches
+import graft.pipeline.{Dedup, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Edge inputs the synthetic test corpus never produces: null text,
+  * empty corpora, single documents. A library operator must degrade to
+  * empty/zero results — never throw, never emit phantom rows. */
+class EdgeCasesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val withNulls = Seq(
+    (1L, "some real text here with several words to work on"),
+    (2L, null.asInstanceOf[String]),
+    (3L, ""),
+    (4L, "   "),
+    (5L, "some real text here with several words to work on") // dup of 1
+  ).toDF("doc_id", "text")
+
+  private lazy val empty = withNulls.filter(col("doc_id") < 0)
+
+  test("dedup operators survive null/blank text") {
+    // exact: null and blank hash like any value; dup pair 1/5 collapses
+    val ex = Dedup.exact(withNulls)
+    assert(ex.count() == 4)
+    assert(Dedup.exactRows(withNulls).count() == 4)
+    val cands = Dedup.minhashCandidates(withNulls, k = 64, bands = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands == Set((1L, 5L))) // null/empty docs emit no signatures
+    val survivors = Dedup.nearDupDedup(withNulls, threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors == Set(1L, 2L, 3L, 4L))
+    val stats = Dedup.duplicateSpanStats(withNulls, n = 6)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(stats(2L) == (0L, 0L) && stats(3L) == (0L, 0L))
+    assert(stats(1L)._2 > 0) // the duplicated doc is fully covered
+    val excised = Dedup.exciseDuplicateSpans(withNulls, n = 6)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(excised(2L) == "" && excised(3L) == "")
+    assert(excised(1L).nonEmpty && excised(5L).isEmpty) // canonical kept, copy excised
+  }
+
+  test("dedup operators survive an empty corpus") {
+    assert(Dedup.exact(empty).count() == 0)
+    assert(Dedup.minhashCandidates(empty).count() == 0)
+    assert(Dedup.nearDupDedup(empty).count() == 0)
+    assert(Dedup.duplicateSpanStats(empty).count() == 0)
+    assert(Dedup.exciseDuplicateSpans(empty).count() == 0)
+    assert(Dedup.incrementalCandidates(empty, empty).count() == 0)
+    assert(Dedup.components(
+      empty.select(col("doc_id").as("id_a"), col("doc_id").as("id_b"))).count() == 0)
+    assert(Dedup.componentsStar(
+      empty.select(col("doc_id").as("id_a"), col("doc_id").as("id_b"))).count() == 0)
+  }
+
+  test("incremental candidates with empty delta or empty corpus") {
+    val corpus = withNulls.filter(col("doc_id") <= 4)
+    val delta = withNulls.filter(col("doc_id") === 5)
+    assert(Dedup.incrementalCandidates(corpus, empty).count() == 0)
+    val onlyDelta = Dedup.incrementalCandidates(empty, withNulls)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(onlyDelta == Set((1L, 5L))) // delta-delta pairs still found
+    val cross = Dedup.incrementalCandidates(corpus, delta)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cross == Set((1L, 5L)))
+  }
+
+  test("text analysis operators survive null/blank text and empty corpora") {
+    val rr = TextAnalysis.rareTokenRatio(withNulls, minFreq = 2L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    assert(rr(2L) == (0L, 0.0) && rr(3L) == (0L, 0.0) && rr(4L) == (0L, 0.0))
+    assert(TextAnalysis.rareTokenRatio(empty).count() == 0)
+    val ch = TextAnalysis.chunkTokens(withNulls, size = 4, overlap = 1, minTokens = 2)
+    assert(!ch.select("doc_id").as[Long].collect().exists(Set(2L, 3L, 4L)))
+    assert(TextAnalysis.chunkTokens(empty).count() == 0)
+    assert(TextAnalysis.mixtureWeights(
+      empty.withColumn("source", lit("s"))).count() == 0)
+    // canonicalizeUrl propagates null rather than throwing
+    val u = Seq((1L, null.asInstanceOf[String])).toDF("id", "url")
+      .select(TextAnalysis.canonicalizeUrl(col("url"))).collect().head
+    assert(u.isNullAt(0))
+  }
+
+  test("sketches survive empty input and null hashes") {
+    val sk = empty.agg(Sketches.kmv(Sketches.md5Hash61(col("text")), 8))
+      .collect().head.getSeq[Long](0)
+    assert(sk.isEmpty)
+    val est = empty
+      .agg(Sketches.kmvEstimate(Sketches.kmv(Sketches.md5Hash61(col("text")), 8), 8))
+      .collect().head.getDouble(0)
+    assert(est == 0.0)
+    // null text hashes to null and is skipped, not counted
+    val withNull = withNulls
+      .agg(Sketches.kmv(Sketches.md5Hash61(col("text")), 8))
+      .collect().head.getSeq[Long](0)
+    assert(withNull.length == 3) // "", "   " -> "" after trim? distinct non-null texts
+  }
+}
