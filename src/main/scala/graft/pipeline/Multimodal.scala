@@ -9,10 +9,13 @@ import org.apache.spark.sql.types._
   * batch iteration, partition sizing, frame-sample explode — is real and
   * tested. IMAGES decode for real through `javax.imageio` (in the JDK:
   * PNG/JPEG/BMP/GIF — [[withImageMeta]], [[imageFeatures]],
-  * [[resizedImage]]); audio/video codec calls remain STUBBED with
-  * deterministic fakes (no ffmpeg in this container) behind the same
-  * plumbing — swap the `...Stub` internals for real bindings in a
-  * production image.
+  * [[resizedImage]]), WAV/AIFF/AU audio through `javax.sound`
+  * ([[withAudioMeta]], [[audioFeatures]]), and multi-frame animated GIFs
+  * through ImageIO's sequence reader ([[withAnimationMeta]],
+  * [[gifFrameSample]] — real frame-accurate sampling). Only true video
+  * codecs (h264/vp9; no ffmpeg in this container) remain STUBBED with
+  * deterministic fakes behind the same plumbing — swap the `...Stub`
+  * internals for real bindings in a production image.
   */
 object Multimodal {
 
@@ -277,6 +280,75 @@ object Multimodal {
 
   def audioFeatures(df: DataFrame, binCol: String): DataFrame =
     df.withColumn("features", audioFeaturesUdf(col(binCol)))
+
+  // ------------------------- REAL animation decoding (multi-frame GIF)
+  // ImageIO's GIF plugin (in the JDK) exposes every frame of an animated
+  // GIF plus its per-frame GraphicControlExtension delay — the frame
+  // sampling path is REAL end-to-end for this container. True video
+  // codecs (h264/vp9) still need external bindings and stay stubbed.
+
+  private def withGifReader[A](bytes: Array[Byte])(
+      f: (javax.imageio.ImageReader, Int) => A): A = {
+    if (bytes == null || bytes.isEmpty) return null.asInstanceOf[A]
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return null.asInstanceOf[A]
+      val reader = readers.next()
+      reader.setInput(iis)
+      try f(reader, reader.getNumImages(true))
+      finally { reader.dispose(); iis.close() }
+    } catch { case _: Exception => null.asInstanceOf[A] }
+  }
+
+  /** REAL animation metadata: frame count rides in the `channels` slot,
+    * first-frame dimensions in width/height, and duration_ms sums each
+    * frame's GIF delay (centiseconds → ms). Unparseable bytes → null. */
+  private val animMetaUdf = udf { (bytes: Array[Byte]) =>
+    withGifReader(bytes) { (reader, n) =>
+      val first = reader.read(0)
+      var durMs = 0L
+      var i = 0
+      while (i < n) {
+        val tree = reader.getImageMetadata(i)
+          .getAsTree("javax_imageio_gif_image_1.0")
+          .asInstanceOf[org.w3c.dom.Element]
+        val gce = tree.getElementsByTagName("GraphicControlExtension")
+        if (gce.getLength > 0) {
+          val d = gce.item(0).asInstanceOf[org.w3c.dom.Element]
+            .getAttribute("delayTime")
+          if (d.nonEmpty) durMs += d.toLong * 10L
+        }
+        i += 1
+      }
+      MediaMeta("animation", first.getWidth, first.getHeight, n, durMs)
+    }
+  }
+
+  def withAnimationMeta(df: DataFrame, binCol: String): DataFrame =
+    df.withColumn("meta", animMetaUdf(col(binCol)))
+
+  /** REAL frame sampling over animated GIFs: one row per sampled frame,
+    * each re-encoded as PNG with its true dimensions. Frames are the raw
+    * stored patches (GIF inter-frame patches are not composited — fine
+    * for dedup/feature use; compositing is a renderer concern). */
+  private val gifFramesUdf = udf { (bytes: Array[Byte], everyNth: Int) =>
+    withGifReader(bytes) { (reader, n) =>
+      (0 until n by math.max(1, everyNth)).map { i =>
+        val img = reader.read(i)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        (i, bos.toByteArray, img.getWidth, img.getHeight)
+      }
+    }
+  }
+
+  def gifFrameSample(df: DataFrame, binCol: String, everyNthFrame: Int = 1): DataFrame =
+    df.withColumn("_f", explode(gifFramesUdf(col(binCol), lit(everyNthFrame))))
+      .select(df.columns.map(col) :+ col("_f._1").as("frame_idx")
+        :+ col("_f._2").as("frame_png") :+ col("_f._3").as("frame_w")
+        :+ col("_f._4").as("frame_h"): _*)
 
   /** Frame sampling: one output row per sampled frame index — the explode
     * pattern a video pipeline needs. Frame extraction itself is the stub

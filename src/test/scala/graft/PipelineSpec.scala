@@ -374,6 +374,44 @@ class PipelineSpec extends SparkTestBase {
     assert(batched(1L).isDefined && batched(3L).isEmpty)
   }
 
+  test("real animation decode: multi-frame GIF meta and frame sampling") {
+    // build a genuine 3-frame animated GIF through ImageIO's sequence writer
+    def frame(rgb: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(10, 6,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < 6) { var x = 0; while (x < 10) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+      img
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersBySuffix("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    Seq(0xFF0000, 0x00FF00, 0x0000FF).foreach { c =>
+      writer.writeToSequence(new javax.imageio.IIOImage(frame(c), null, null), null)
+    }
+    writer.endWriteSequence(); writer.dispose(); ios.close()
+    val df = Seq((1L, bos.toByteArray), (2L, Array[Byte](9, 9))).toDF("id", "gif")
+    val meta = Multimodal.withAnimationMeta(df, "gif").select("id", "meta.*")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(meta(1L).getAs[String]("media_type") == "animation")
+    assert(meta(1L).getAs[Int]("width") == 10 && meta(1L).getAs[Int]("height") == 6)
+    assert(meta(1L).getAs[Int]("channels") == 3) // 3 frames
+    assert(meta(2L).anyNull) // garbage bytes -> null meta
+    // sample every 2nd frame: indices 0 and 2, each a real decodable PNG
+    val frames = Multimodal.gifFrameSample(df.filter($"id" === 1), "gif",
+      everyNthFrame = 2).select("frame_idx", "frame_png", "frame_w", "frame_h")
+      .collect()
+    assert(frames.map(_.getInt(0)).toSeq == Seq(0, 2))
+    frames.foreach { r =>
+      assert(r.getInt(2) == 10 && r.getInt(3) == 6)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+      assert(img.getWidth == 10 && img.getHeight == 6)
+    }
+  }
+
   test("real audio decode: WAV meta and PCM features via javax.sound") {
     // 440 Hz sine, 16-bit mono PCM, 8000 Hz, 0.5 s — a real WAV container
     def wav(freq: Double, amp: Double, rate: Float = 8000f, secs: Double = 0.5): Array[Byte] = {
