@@ -80,6 +80,29 @@ object Demo {
     println("plan contains Exchange: " +
       bj.queryExecution.executedPlan.toString.contains("Exchange"))
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    println("== round-4 curation operators ==")
+    println("-- duplicate-span stats (top coverage) --")
+    Dedup.duplicateSpanStats(docs, n = 6)
+      .orderBy(col("dup_fraction").desc).show(3, truncate = false)
+    println("-- KMV distinct vs exact (per source) --")
+    import graft.operators.Sketches
+    docs.select(col("source"), Sketches.md5Hash61(col("text")).as("h"))
+      .groupBy("source")
+      .agg(Sketches.kmvEstimate(Sketches.kmv(col("h"), 64), 64).as("kmv_est"),
+        count_distinct(col("h")).as("exact"))
+      .orderBy("source").show(3)
+    println("-- bloom-pruned join --")
+    val sup = spark.read.parquet(s"$sf/supplier.parquet")
+      .filter(col("s_nationkey") < 13)
+      .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    println("fact rows: " + li.count() + "  bloom-join rows: " +
+      graft.operators.BloomJoin.bloomJoin(li, sup, Seq("l_suppkey")).count())
+    println("-- context chunking --")
+    graft.pipeline.TextAnalysis.chunkTokens(docs, size = 16, overlap = 4, minTokens = 4)
+      .groupBy().agg(count(lit(1)).as("chunks"), avg("n_chunk_tokens").as("avg_len"))
+      .show()
     spark.stop()
   }
 }
