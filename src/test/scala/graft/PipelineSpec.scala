@@ -412,6 +412,42 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("composition: animation near-dup via frames -> pixel features -> embedding dedup") {
+    def gif(colors: Seq[Int]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val writer = javax.imageio.ImageIO.getImageWritersBySuffix("gif").next()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios); writer.prepareWriteSequence(null)
+      colors.foreach { c =>
+        val img = new java.awt.image.BufferedImage(8, 8,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < 8) { var x = 0; while (x < 8) { img.setRGB(x, y, c); x += 1 }; y += 1 }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence(); writer.dispose(); ios.close()
+      bos.toByteArray
+    }
+    val anims = Seq(
+      (1L, gif(Seq(0xCC1010, 0xC81414, 0xD00C0C))), // red-ish animation
+      (2L, gif(Seq(0xCB1111, 0xC91313, 0xCF0D0D))), // near-dup of 1
+      (3L, gif(Seq(0x1010CC, 0x1414C8, 0x0C0CD0))) // blue: different
+    ).toDF("vec_id", "gif")
+    // frames -> real pixel features -> mean-pool per animation = embedding
+    val frameFeats = Multimodal.imageFeatures(
+      Multimodal.gifFrameSample(anims, "gif"), "frame_png")
+    val pooled = frameFeats
+      .select(col("vec_id"), posexplode(col("features")).as(Seq("dim", "v")))
+      .groupBy("vec_id", "dim").agg(avg("v").as("m"))
+      .groupBy("vec_id")
+      .agg(sort_array(collect_list(struct(col("dim"), col("m")))).as("s"))
+      .select(col("vec_id"),
+        expr("transform(s, x -> CAST(x.m AS FLOAT))").as("embedding"))
+    val pairs = Dedup.embeddingNearDup(pooled, planes = 2, threshold = 0.999)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+  }
+
   test("real audio decode: WAV meta and PCM features via javax.sound") {
     // 440 Hz sine, 16-bit mono PCM, 8000 Hz, 0.5 s — a real WAV container
     def wav(freq: Double, amp: Double, rate: Float = 8000f, secs: Double = 0.5): Array[Byte] = {
