@@ -1,5 +1,7 @@
 package graft
 
+import scala.language.implicitConversions
+
 import graft.logic._
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions.{broadcast => bcast, _}

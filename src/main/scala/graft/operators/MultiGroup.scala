@@ -47,7 +47,7 @@ object MultiGroup {
       val valueCols = df.columns.filterNot(keys.contains)
       val payload =
         if (valueCols.isEmpty) struct(lit(0).as("_empty"))
-        else struct(valueCols.map(col): _*)
+        else struct(valueCols.toIndexedSeq.map(col): _*)
       df.select(
         keys.zipWithIndex.map { case (k, ki) =>
           col(k).cast(keySchema(ki).dataType).as(k) } ++

@@ -1,5 +1,7 @@
 package graft.operators
 
+import scala.language.reflectiveCalls
+
 import graft.logic.ColumnMap
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._

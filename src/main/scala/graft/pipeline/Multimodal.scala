@@ -346,7 +346,7 @@ object Multimodal {
 
   def gifFrameSample(df: DataFrame, binCol: String, everyNthFrame: Int = 1): DataFrame =
     df.withColumn("_f", explode(gifFramesUdf(col(binCol), lit(everyNthFrame))))
-      .select(df.columns.map(col) :+ col("_f._1").as("frame_idx")
+      .select(df.columns.toIndexedSeq.map(col) :+ col("_f._1").as("frame_idx")
         :+ col("_f._2").as("frame_png") :+ col("_f._3").as("frame_w")
         :+ col("_f._4").as("frame_h"): _*)
 
