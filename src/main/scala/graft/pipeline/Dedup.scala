@@ -627,6 +627,11 @@ object Dedup {
       labels = updated.drop("_chg")
       iter += 1
     }
+    if (changed > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"components: min-label propagation hit maxIter=$maxIter while still " +
+          s"changing — labels may span unconverged chains; raise maxIter or " +
+          s"use componentsStar (O(log d)) for long-chain graphs")
     labels
   }
 
@@ -704,6 +709,11 @@ object Dedup {
       cur = small
       iter += 1
     }
+    if (!stable)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"componentsStar: star contraction hit maxIter=$maxIter before the " +
+          s"fixpoint — labels may be incomplete; raise maxIter (O(log d) " +
+          s"rounds suffice for any graph)")
     // fixpoint edge set is a forest of (member, hub) stars: members read
     // their label off the edge, hubs label themselves
     val labels = cur.select(col("src").as("id"), col("dst").as("component"))
