@@ -1430,7 +1430,8 @@ object SparkEntry {
         |       ELSE CAST(127 AS DOUBLE) * CAST(2305843009213693951 AS DOUBLE)
         |            / CAST(kth.hv AS DOUBLE) END AS union_est,
         |  CASE WHEN nu.nu < 128 THEN CAST((SELECT COUNT(*) FROM inter) AS DOUBLE)
-        |       ELSE CAST(c.c AS DOUBLE) * CAST(2305843009213693951 AS DOUBLE)
+        |       ELSE CAST(c.c AS DOUBLE) * CAST(127 AS DOUBLE) / CAST(128 AS DOUBLE)
+        |            * CAST(2305843009213693951 AS DOUBLE)
         |            / CAST(kth.hv AS DOUBLE) END AS intersect_est,
         |  ex.eu AS exact_union, ex.ei AS exact_intersect
         |FROM nu, kth, c, ex""".stripMargin,

@@ -85,9 +85,19 @@ object BloomJoin {
       .drop("_bloom", "_h1", "_h2")
   }
 
+  /** Join types for which dropping non-matching FACT (left) rows cannot
+    * change the result: every fact row the join would emit must match a
+    * dim key, so a superset filter on dim keys is result-preserving.
+    * left_outer/full_outer keep unmatched fact rows and left_anti returns
+    * exactly the rows the bloom removes — pruning those would be wrong. */
+  private val pruneSafeJoinTypes =
+    Set("inner", "left_semi", "leftsemi", "semi", "right", "right_outer", "rightouter")
+
   /** Exact equi-join with the probe (fact) side bloom-pruned before its
     * shuffle. `keyCols` must exist on both sides (rename the dim's keys
-    * first, as with any using-columns join). */
+    * first, as with any using-columns join). For join types where pruning
+    * the fact side could drop result rows (left/full outer, left_anti),
+    * falls back to the plain join — still exact, just unpruned. */
   def bloomJoin(
       fact: DataFrame,
       dim: DataFrame,
@@ -95,7 +105,12 @@ object BloomJoin {
       numBits: Int = 1 << 20,
       numHashes: Int = 5,
       joinType: String = "inner"): DataFrame = {
-    val filt = buildFilter(dim.select(keyCols.map(col): _*), keyCols, numBits, numHashes)
-    prune(fact, keyCols, filt, numBits, numHashes).join(dim, keyCols, joinType)
+    val normalized = joinType.toLowerCase.replace("_", "")
+    if (!pruneSafeJoinTypes.map(_.replace("_", "")).contains(normalized)) {
+      fact.join(dim, keyCols, joinType)
+    } else {
+      val filt = buildFilter(dim.select(keyCols.map(col): _*), keyCols, numBits, numHashes)
+      prune(fact, keyCols, filt, numBits, numHashes).join(dim, keyCols, joinType)
+    }
   }
 }

@@ -128,20 +128,23 @@ object Sketches {
       // sets and the intersection is exact
       a.count(bs.contains).toDouble
     } else {
-      // standard KMV set estimate: θ = kth-min of the union / M; count
-      // common hashes below the union threshold, scale by 1/θ
+      // Beyer et al. K-min-values set estimate: the union sketch estimates
+      // |A ∪ B| as (k-1)·M/θ with θ = its kth-min; the Jaccard fraction is
+      // c/k over the k union minima, giving |A ∩ B| ≈ (c/k)·(k-1)·M/θ —
+      // the same (k-1) convention as kmvEstimate, so union and
+      // intersection estimates are internally consistent
       val theta = u(u.length - 1)
       val c = a.count(h => h <= theta && bs.contains(h))
-      c.toDouble * M61.toDouble / theta.toDouble
+      c.toDouble * (k - 1).toDouble / k.toDouble * M61.toDouble / theta.toDouble
     }
   }
 
   /** Intersection-size estimate from two [[kmv]] sketches (Beyer et al.'s
-    * K-min-values set operations): count the common hashes below the
-    * union sketch's kth-minimum threshold and scale by the inverse
-    * threshold fraction. Exact when the union sketch is not full.
-    * Deterministic — the oracle recomputes the identical integers and the
-    * one double expression. */
+    * K-min-values set operations): count the common hashes among the union
+    * sketch's k minima, take c/k as the Jaccard estimate, and scale by the
+    * union's (k-1)·M/θ size estimate. Exact when the union sketch is not
+    * full. Deterministic — the oracle recomputes the identical integers
+    * and the one double expression. */
   def kmvIntersectEstimate(a: Column, b: Column, k: Int): Column =
     intersectKernel(a, b, lit(k))
 }

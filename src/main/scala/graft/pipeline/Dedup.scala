@@ -310,7 +310,10 @@ object Dedup {
         s"corpusBanded=true expects bandedSignatures output columns $need, " +
           s"got ${corpus.columns.toSeq}")
     }
-    val cb = (if (corpusBanded) corpus
+    // select by NAME before the positional unionAll below — a pre-banded
+    // table with the same columns in a different order would otherwise
+    // union positionally and silently corrupt the bucket stats
+    val cb = (if (corpusBanded) corpus.select(col(idCol), col("band"), col("band_key"))
               else bandedSignatures(corpus, textCol, idCol, k, bands, shingleWords))
       .transform(graft.Stage.materialize)
     val db = bandedSignatures(delta, textCol, idCol, k, bands, shingleWords)
@@ -585,7 +588,12 @@ object Dedup {
     * component). Iterative min-label propagation: label(v) ← min(label(v),
     * min over neighbors) until fixpoint, a [[Stage.materialize]] checkpoint per round to keep
     * lineage flat. O(diameter) rounds — near-dup clusters are tiny, so 2-3
-    * rounds in practice; `maxIter` bounds adversarial chains.
+    * rounds in practice; `maxIter` bounds adversarial chains — and when
+    * the loop exits UNCONVERGED (a chain longer than maxIter), the result
+    * is not merely slow, it is wrong, so for integral ids this falls back
+    * to [[componentsStar]] (O(log d), identical fixpoint labels) instead
+    * of returning partial labels. Non-integral ids (no star fallback —
+    * it casts to long) keep the loud warning.
     * Returns (id, component) with component = min id in the cluster. */
   def components(edges: DataFrame, maxIter: Int = 10): DataFrame = {
     // undirected: both directions. Materialize the FORWARD edges once —
@@ -627,11 +635,26 @@ object Dedup {
       labels = updated.drop("_chg")
       iter += 1
     }
-    if (changed > 0)
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"components: min-label propagation hit maxIter=$maxIter while still " +
-          s"changing — labels may span unconverged chains; raise maxIter or " +
-          s"use componentsStar (O(log d)) for long-chain graphs")
+    if (changed > 0) {
+      val log = org.slf4j.LoggerFactory.getLogger(getClass)
+      val integral = fwd.schema("src").dataType match {
+        case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+        case _ => false
+      }
+      if (integral) {
+        // a warned wrong answer is still wrong: rerun via star contraction,
+        // which converges in O(log d) rounds for any diameter and produces
+        // the identical (id, min id) fixpoint
+        log.warn(s"components: min-label propagation hit maxIter=$maxIter while " +
+          s"still changing — falling back to componentsStar (O(log d))")
+        return componentsStar(
+          fwd.select(col("src").as("id_a"), col("dst").as("id_b")))
+      }
+      log.warn(s"components: min-label propagation hit maxIter=$maxIter while still " +
+        s"changing — labels may span unconverged chains; raise maxIter or " +
+        s"use componentsStar (O(log d)) for long-chain graphs")
+    }
     labels
   }
 
@@ -816,22 +839,50 @@ object Dedup {
   }
 
   /** Embedding cosine near-dup: LSH-bucket by random-hyperplane signs
-    * (deterministic seeded planes), verify exact cosine within buckets. */
+    * (deterministic seeded planes), verify exact cosine within buckets.
+    *
+    * Hot-bucket guard (same shape as [[minhashCandidates]] /
+    * [[simhashNearDup]]): a corpus heavy in near-identical embeddings —
+    * exactly what a near-dup pass processes, e.g. re-encoded duplicate
+    * images — collapses into one signature bucket and the unguarded
+    * self-join goes quadratic. Buckets larger than `maxBucketSize`
+    * instead emit STAR EDGES from the bucket's min-id member (the hub) to
+    * every other member, cosine-verified like any pair: linear in bucket
+    * size, and the verified star connects the same duplicate component.
+    * Bucket stats come from a map-side-combined aggregation (degenerate
+    * buckets collapse in the combine) and the near-empty oversize set
+    * broadcasts back — no window sort, no extra shuffle of the vectors. */
   def embeddingNearDup(
       df: DataFrame,
       embCol: String = "embedding",
       idCol: String = "vec_id",
       planes: Int = 12,
-      threshold: Double = 0.95): DataFrame = {
+      threshold: Double = 0.95,
+      maxBucketSize: Int = 4096): DataFrame = {
+    require(maxBucketSize >= 2, s"maxBucketSize must allow pairs, got $maxBucketSize")
+    val cosineOf = (a: Column, b: Column) =>
+      graft.functions.VectorExpressions.cosine(df.sparkSession, a, b)
     val sigCol = Similarity.hyperplaneSignature(col(embCol), planes)
     val sigs = df.select(col(idCol), col(embCol), sigCol.as("bucket"))
       .transform(graft.Stage.materialize) // self-joined: signature kernel must run once
-    val l = sigs.toDF("id_a", "emb_a", "bucket")
-    val r = sigs.toDF("id_b", "emb_b", "bucket")
-    l.join(r, "bucket")
+    val oversize = sigs.groupBy("bucket")
+      .agg(count(lit(1)).as("_bsz"), min(struct(col(idCol), col(embCol))).as("_hub"))
+      .filter(col("_bsz") > maxBucketSize)
+    val flagged = sigs.join(broadcast(oversize), Seq("bucket"), "left_outer")
+    val small = flagged.filter(col("_bsz").isNull)
+      .select(col(idCol), col(embCol), col("bucket"))
+    val l = small.toDF("id_a", "emb_a", "bucket")
+    val r = small.toDF("id_b", "emb_b", "bucket")
+    val pairs = l.join(r, "bucket")
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", graft.functions.VectorExpressions.cosine(
-        df.sparkSession, col("emb_a"), col("emb_b")))
+      .select(col("id_a"), col("id_b"),
+        cosineOf(col("emb_a"), col("emb_b")).as("cosine"))
+    // hub = bucket min id, so id_a < id_b holds on star edges too
+    val stars = flagged
+      .filter(col("_bsz").isNotNull && col(idCol) =!= col(s"_hub.$idCol"))
+      .select(col(s"_hub.$idCol").as("id_a"), col(idCol).as("id_b"),
+        cosineOf(col(s"_hub.$embCol"), col(embCol)).as("cosine"))
+    pairs.unionAll(stars)
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine").distinct()
   }

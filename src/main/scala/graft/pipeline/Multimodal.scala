@@ -293,12 +293,16 @@ object Multimodal {
     try {
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
-      val readers = javax.imageio.ImageIO.getImageReaders(iis)
-      if (!readers.hasNext) return null.asInstanceOf[A]
-      val reader = readers.next()
-      reader.setInput(iis)
-      try f(reader, reader.getNumImages(true))
-      finally { reader.dispose(); iis.close() }
+      try {
+        // the no-reader return must still close iis (per-row UDF calls on
+        // non-image bytes would otherwise accumulate stream/cache leaks)
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return null.asInstanceOf[A]
+        val reader = readers.next()
+        reader.setInput(iis)
+        try f(reader, reader.getNumImages(true))
+        finally reader.dispose()
+      } finally iis.close()
     } catch { case _: Exception => null.asInstanceOf[A] }
   }
 

@@ -35,6 +35,31 @@ class BloomJoinSpec extends SparkTestBase {
       "pruning must never drop a joining row")
   }
 
+  test("unsafe join types skip the prune and stay exact") {
+    val fact = Seq(("a", 1), ("b", 2), ("d", 4)).toDF("k", "v")
+    val dim = Seq(("a", 10), ("c", 30)).toDF("k", "w")
+    // left_anti: the rows bloom-pruning would remove are EXACTLY the
+    // result — a pruned anti-join would return nothing
+    val anti = BloomJoin.bloomJoin(fact, dim, Seq("k"), joinType = "left_anti")
+      .select("k").collect().map(_.getString(0)).toSet
+    assert(anti == Set("b", "d"))
+    // left_outer keeps unmatched fact rows
+    val louter = BloomJoin.bloomJoin(fact, dim, Seq("k"), joinType = "left_outer")
+      .select("k", "w").collect().map(r => (r.getString(0), Option(r.get(1)))).toSet
+    assert(louter == Set(("a", Some(10)), ("b", None), ("d", None)))
+    // full_outer keeps both sides' unmatched rows
+    val fouter = BloomJoin.bloomJoin(fact, dim, Seq("k"), joinType = "full_outer")
+      .select("k").collect().map(_.getString(0)).toSet
+    assert(fouter == Set("a", "b", "c", "d"))
+    // prune-safe types still match the plain join
+    val semi = BloomJoin.bloomJoin(fact, dim, Seq("k"), joinType = "left_semi")
+      .select("k").collect().map(_.getString(0)).toSet
+    assert(semi == Set("a"))
+    val router = BloomJoin.bloomJoin(fact, dim, Seq("k"), joinType = "right_outer")
+      .select("k").collect().map(_.getString(0)).toSet
+    assert(router == Set("a", "c"))
+  }
+
   test("bloom join works on multi-column string keys and empty dims") {
     val fact = Seq(("a", "x", 1), ("a", "y", 2), ("b", "x", 3), ("c", "z", 4))
       .toDF("k1", "k2", "v")

@@ -139,6 +139,42 @@ class PipelineSpec extends SparkTestBase {
     (0L until 5L).foreach(i => assert(near.contains((i, i + 1000L)), s"missing ($i,${i + 1000L})"))
   }
 
+  test("embedding hot-bucket guard: identical vectors stay linear, cap-off parity") {
+    // 300 copies of one embedding → one hyperplane bucket; the unguarded
+    // self-join would emit ~45k pairs. Guard: exactly n-1 star edges from
+    // the min-id copy, all cosine 1.
+    val n = 300
+    val one = embeddings.filter($"vec_id" === 0L).select($"embedding")
+      .collect().head.getSeq[Float](0)
+    val dup = (1 to n).map(i => (i.toLong, one)).toDF("vec_id", "embedding")
+    val others = embeddings.filter($"vec_id" >= 10L && $"vec_id" < 15L)
+      .select(($"vec_id" + 9000L).as("vec_id"), $"embedding")
+    val corpus = dup.unionAll(others)
+    val near = Dedup.embeddingNearDup(corpus, threshold = 0.999, maxBucketSize = 32)
+    val got = near.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.size == n - 1, s"expected ${n - 1} star edges, got ${got.size}")
+    assert(got.forall(_._1 == 1L), "all star edges must point at the bucket-min vector")
+    // cap above every bucket size ⇒ identical to the unguarded pair set
+    val sample = embeddings.limit(50)
+      .unionAll(embeddings.limit(5).withColumn("vec_id", $"vec_id" + 1000L))
+    val capped = Dedup.embeddingNearDup(sample, threshold = 0.999, maxBucketSize = 1000000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val base = Dedup.embeddingNearDup(sample, threshold = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == base)
+  }
+
+  test("components falls back to star contraction when maxIter can't converge") {
+    // depth-50 chain: min-label needs ~50 rounds; maxIter=5 exits
+    // unconverged and must hand off to componentsStar rather than return
+    // partial labels
+    val chain = (1 until 50).map(i => (i.toLong, (i + 1).toLong)).toDF("id_a", "id_b")
+    val comp = Dedup.components(chain, maxIter = 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.size == 50 && comp.values.forall(_ == 1L),
+      s"expected one component labeled 1, got ${comp.values.toSet}")
+  }
+
   test("connected components and end-to-end near-dup dedup") {
     // chain 1-2-3, pair 4-5, isolated 6 never appears in edges
     val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")

@@ -128,6 +128,22 @@ object ScaleProbe {
           maxBucketSize = 256).count())
     }
 
+    // adversarial embedding hot bucket: 10⁴ identical embeddings (the
+    // re-encoded-duplicate-image shape) — uncapped, one hyperplane bucket
+    // would self-join to ~5·10⁷ pairs; the guard emits 10⁴−1 star edges
+    {
+      import spark.implicits._
+      val one = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+        .filter(col("vec_id") === 0L).select(col("embedding"))
+        .collect().head.getSeq[Float](0)
+      val nVec = 10000
+      val identical = (1 to nVec).map(i => (i.toLong, one))
+        .toDF("vec_id", "embedding").repartition(32).localCheckpoint()
+      time("adversarial embedding near-dup @10k identical (capped)")(
+        graft.pipeline.Dedup.embeddingNearDup(identical, threshold = 0.999,
+          maxBucketSize = 256).count())
+    }
+
     // round-3 curation operators at 10× docs: all should scale ~linearly
     {
       import graft.pipeline.TextAnalysis
