@@ -408,6 +408,20 @@ object SparkEntry {
       k = 10, planes = 4)
   }
 
+  /** IVF knn at FULL nProbe (= cells): the k-means codebook routes every
+    * probe through all 16 cells, so the candidate set is the whole corpus
+    * and the result must equal exact brute force — which the DuckDB oracle
+    * recomputes independently. This pins the routing join, scoring, and
+    * rank plumbing to an external engine; the approximate regime
+    * (nProbe < cells) is covered by the recall/determinism/self-match
+    * spec (PipelineSpec "ivf knn"). */
+  private def p34(s: SparkSession, d: String): DataFrame = {
+    val emb = tbl(d, "embeddings")(s)
+    Similarity.ivfKnn(emb,
+      emb.filter(col("vec_id") < 6).select(col("vec_id").as("probe_id"), col("embedding")),
+      k = 8, cells = 16, nProbe = 16)
+  }
+
   private def p10(s: SparkSession, d: String): DataFrame =
     Dedup.simhashCandidates(tbl(d, "documents")(s), maxHamming = 10)
 
@@ -806,6 +820,7 @@ object SparkEntry {
     "p28_embedding_neardup" -> (p28 _),
     "p29_rare_tokens" -> (p29 _),
     "p30_kmv_overlap" -> (p30 _),
+    "p34_ivf_knn" -> (p34 _),
     "p31_span_excise" -> (p31 _),
     "p32_chunking" -> (p32 _),
     "p33_mixture_weights" -> (p33 _)
@@ -1282,6 +1297,22 @@ object SparkEntry {
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
         |    ORDER BY cosine DESC, corpus_id) AS rn FROM scored) t
         |WHERE rn <= 10""".stripMargin,
+    // p34: nProbe = cells ⇒ IVF routing reaches every cell, the candidate
+    // set is the full corpus, and the result is definitionally equal to
+    // exact brute-force top-k — which the SQL below recomputes
+    "p34_ivf_knn" ->
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+        |p AS (SELECT vec_id AS probe_id, e AS pe FROM c WHERE vec_id < 6),
+        |scored AS (
+        |  SELECT p.probe_id, c.vec_id AS corpus_id,
+        |    list_reduce(list_transform(generate_series(1, 64), i -> e[i]*pe[i]), (x,y) -> x+y) /
+        |    (greatest(sqrt(list_reduce(list_transform(generate_series(1, 64), i -> e[i]*e[i]), (x,y) -> x+y)), 1e-12) *
+        |     greatest(sqrt(list_reduce(list_transform(generate_series(1, 64), i -> pe[i]*pe[i]), (x,y) -> x+y)), 1e-12)) AS cosine
+        |  FROM c, p)
+        |SELECT probe_id, corpus_id, cosine, CAST(rn AS INTEGER) AS rank FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+        |    ORDER BY cosine DESC, corpus_id) AS rn FROM scored) t
+        |WHERE rn <= 8""".stripMargin,
     "p09_knn_lsh" ->
       """WITH c0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
         |pl AS (SELECT p.p AS p, list_transform(generate_series(0, 63),

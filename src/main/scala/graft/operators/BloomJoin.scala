@@ -46,8 +46,10 @@ object BloomJoin {
     val pos = array((0 until numHashes).map(i =>
       pmod(h1(keyCols, numBits) + lit(i.toLong) * h2(keyCols, numBits),
         lit(numBits.toLong))): _*)
+    // no distinct() on positions: bit_or is idempotent, duplicate positions
+    // collapse in its map-side partial — a distinct here costs a whole
+    // extra exchange for nothing
     keys.select(explode(pos).as("_p"))
-      .distinct()
       .select((col("_p") / 64).cast("int").as("_w"),
         expr("shiftleft(CAST(1 AS BIGINT), CAST(_p % 64 AS INT))").as("_m"))
       .groupBy("_w").agg(expr("bit_or(_m)").as("_mask"))
@@ -65,24 +67,30 @@ object BloomJoin {
       bits
     }
 
-  /** Keep only probe rows whose keys pass the broadcast bloom filter
-    * (supersets the rows that actually join; never drops a joining row). */
+  /** Keep only probe rows whose keys pass the bloom filter (supersets the
+    * rows that actually join; never drops a joining row).
+    *
+    * The filter rides in as a SCALAR SUBQUERY consumed by ONE native
+    * expression ([[graft.functions.BloomMightContain]]): Catalyst executes
+    * the one-row build plan once and embeds the word array as a literal in
+    * the probe stage's codegen, and the membership loop runs fused with an
+    * early exit. Two earlier forms measured slower at sf0.1: a
+    * crossJoin(broadcast(...)) dragged the KB–MB array through every probe
+    * row's joined output (~6× warm), and numHashes AND'ed SQL conjuncts
+    * each re-referenced the subquery — 10 subquery sites in the plan. This
+    * is the execution shape of Spark's own runtime bloom filters
+    * (BloomFilterMightContain over a ScalarSubquery build), for our
+    * cross-engine-checkable filter layout. */
   def prune(
       probe: DataFrame,
       keyCols: Seq[String],
       bloom: DataFrame,
       numBits: Int = 1 << 20,
       numHashes: Int = 5): DataFrame = {
-    val checks = (0 until numHashes).map { i =>
-      s"""((shiftright(
-         |    element_at(_bloom, CAST(pmod(_h1 + $i * _h2, $numBits) / 64 AS INT) + 1),
-         |    CAST(pmod(_h1 + $i * _h2, $numBits) % 64 AS INT)) & 1) = 1)""".stripMargin
-    }.mkString(" AND ")
-    probe.crossJoin(broadcast(bloom))
-      .withColumn("_h1", h1(keyCols, numBits))
-      .withColumn("_h2", h2(keyCols, numBits))
-      .where(expr(checks))
-      .drop("_bloom", "_h1", "_h2")
+    val check = graft.functions.BloomExpressions.mightContain(
+      probe.sparkSession, bloom.scalar(),
+      h1(keyCols, numBits), h2(keyCols, numBits), numBits.toLong, numHashes)
+    probe.where(check)
   }
 
   /** Join types for which dropping non-matching FACT (left) rows cannot

@@ -60,6 +60,27 @@ class BloomJoinSpec extends SparkTestBase {
     assert(router == Set("a", "c"))
   }
 
+  test("membership expression: interpreted eval matches codegen") {
+    // the codegen-off cross-check axis in miniature: graft_bloom_check's
+    // eval() path must agree with its doGenCode() path
+    val dim = supplier.filter(col("s_nationkey") < 13)
+      .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+    val expected = BloomJoin.bloomJoin(lineitem, dim, Seq("l_suppkey"))
+      .groupBy("s_nationkey").count()
+      .collect().map(r => (r.getAs[Number](0).longValue(), r.getLong(1))).toSet
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interpreted = BloomJoin.bloomJoin(lineitem, dim, Seq("l_suppkey"))
+        .groupBy("s_nationkey").count()
+        .collect().map(r => (r.getAs[Number](0).longValue(), r.getLong(1))).toSet
+      assert(interpreted == expected)
+    } finally {
+      spark.conf.unset("spark.sql.codegen.wholeStage")
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
   test("bloom join works on multi-column string keys and empty dims") {
     val fact = Seq(("a", "x", 1), ("a", "y", 2), ("b", "x", 3), ("c", "z", 4))
       .toDF("k1", "k2", "v")

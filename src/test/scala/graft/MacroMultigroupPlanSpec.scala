@@ -253,15 +253,42 @@ class MacroMultigroupPlanSpec extends SparkTestBase {
     val pruned = graft.operators.BloomJoin.prune(li, Seq("l_suppkey"),
       graft.operators.BloomJoin.buildFilter(sup.select("l_suppkey"), Seq("l_suppkey")))
     val p = plan(pruned)
-    // the pruned fact reaches the membership test through a broadcast of
-    // the one-row filter — never a fact-side hash exchange. The fact-side
-    // subtree prints between the BNLJ node and its BroadcastExchange
-    // child; exchanges INSIDE the bloom-build subtree are expected.
-    assert(p.contains("BroadcastNestedLoopJoin"), p)
-    val factSide = p.substring(
-      p.indexOf("BroadcastNestedLoopJoin"), p.indexOf("BroadcastExchange"))
-    assert(!factSide.contains("Exchange hashpartitioning"),
+    // the membership test is ONE native expression over a scalar subquery:
+    // the filter sits directly on the fact scan — no join dragging the
+    // word array through every row (the old BNLJ form), no fact-side
+    // exchange, and a single subquery reference in the filter condition
+    // (the AND'ed-conjuncts form re-referenced the subquery per conjunct)
+    assert(p.contains("graft_bloom_check"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"bloom filter must ride a scalar subquery, not a join:\n$p")
+    val mainPlan = p.split("Subquery", 2)(0) // fact stage prints first
+    assert(!mainPlan.contains("Exchange hashpartitioning"),
       s"fact shuffled before bloom pruning:\n$p")
+    assert("graft_bloom_check".r.findAllIn(mainPlan).size == 1,
+      s"membership test must appear exactly once on the fact side:\n$p")
+  }
+
+  test("hot-bucket guards: stats via partial agg + broadcast join, never a window sort") {
+    // the guard's plan contract on BOTH LSH families: bucket sizes come
+    // from a map-side-combined aggregation (degenerate buckets collapse in
+    // the combine) and the oversize set broadcasts back onto the banded
+    // rows — a Window count instead would sort every partition of the
+    // full banded data
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val pm = plan(graft.pipeline.Dedup.minhashCandidates(docs, maxBucketSize = 64))
+    assert(!pm.contains("Window"), s"minhash guard must not window-sort:\n$pm")
+    assert(pm.contains("BroadcastHashJoin"),
+      s"minhash oversize set must broadcast onto banded rows:\n$pm")
+    assert(pm.contains("partial_count"),
+      s"minhash bucket stats must combine map-side:\n$pm")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val pe = plan(graft.pipeline.Dedup.embeddingNearDup(
+      emb, planes = 6, threshold = 0.2, maxBucketSize = 64))
+    assert(!pe.contains("Window"), s"embedding guard must not window-sort:\n$pe")
+    assert(pe.contains("BroadcastHashJoin"),
+      s"embedding oversize set must broadcast onto bucketed vectors:\n$pe")
+    assert(pe.contains("partial_count"),
+      s"embedding bucket stats must combine map-side:\n$pe")
   }
 
   test("duplicate-span gram counts aggregate with map-side partials") {
