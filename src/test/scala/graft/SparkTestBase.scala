@@ -36,14 +36,51 @@ trait SparkTestBase extends AnyFunSuite with BeforeAndAfterAll {
   def assertProduces(q: logic.Query, expected: Seq[Seq[Any]]): Unit =
     assertProduces(q.toDF(spark), expected)
 
-  /** `produces-some` (midje-cascalog/src/midje/cascalog.clj:6-37):
-    * every expected tuple appears in the result (subset, bag-wise). */
-  def assertProducesSome(df: DataFrame, expected: Seq[Seq[Any]]): Unit = {
-    val got = bag(df.collect().toSeq.map(_.toSeq))
-    val want = bag(expected)
-    val missing = want.filter { case (row, n) => got.getOrElse(row, 0) < n }
-    assert(missing.isEmpty, s"missing tuples: $missing\n got: $got")
+  /** `produces` with `:in-order` (midje-cascalog/src/midje/cascalog.clj,
+    * test battery midje/cascalog_test.clj:83-86): exact tuples, exact
+    * collected order — meaningful for sorted queries. */
+  def assertProducesInOrder(df: DataFrame, expected: Seq[Seq[Any]]): Unit = {
+    val got = df.collect().toSeq.map(_.toSeq.map(doublify))
+    assert(got == expected.map(_.map(doublify)),
+      s"ordered mismatch:\nexpected: $expected\n     got: $got")
   }
+
+  def assertProducesInOrder(q: logic.Query, expected: Seq[Seq[Any]]): Unit =
+    assertProducesInOrder(q.toDF(spark), expected)
+
+  /** `produces-some` (midje-cascalog/src/midje/cascalog.clj:6-37;
+    * semantics from midje/cascalog_test.clj:88-96): every expected tuple
+    * appears in the result. Default is bag-wise subset; `inOrder = true`
+    * requires the expected tuples as a SUBSEQUENCE of the collected order
+    * (gaps allowed); `noGaps = true` additionally requires them
+    * CONTIGUOUS. `noGaps` without `inOrder` has no effect, as in the
+    * reference. */
+  def assertProducesSome(df: DataFrame, expected: Seq[Seq[Any]],
+      inOrder: Boolean = false, noGaps: Boolean = false): Unit = {
+    val gotRows = df.collect().toSeq.map(_.toSeq.map(doublify))
+    val want = expected.map(_.map(doublify))
+    if (!inOrder) {
+      val got = bag(gotRows)
+      val missing = bag(want).filter { case (row, n) => got.getOrElse(row, 0) < n }
+      assert(missing.isEmpty, s"missing tuples: $missing\n got: $got")
+    } else if (noGaps) {
+      assert(want.isEmpty || gotRows.containsSlice(want),
+        s"expected contiguous run $want\n got: $gotRows")
+    } else {
+      // greedy subsequence match
+      var rest = gotRows
+      val ok = want.forall { w =>
+        rest.indexOf(w) match {
+          case -1 => false
+          case i => rest = rest.drop(i + 1); true
+        }
+      }
+      assert(ok, s"expected subsequence $want\n got: $gotRows")
+    }
+  }
+
+  def assertProducesSome(q: logic.Query, expected: Seq[Seq[Any]]): Unit =
+    assertProducesSome(q.toDF(spark), expected)
 
   /** `produces-prefix` / `produces-suffix` with :in-order — against the
     * result's collected order (meaningful for sorted buffers/limits). */
