@@ -32,6 +32,40 @@ object BloomJoin {
   private def h2(keyCols: Seq[String], numBits: Int): Column =
     pmod(xxhash64(lit(0x9747b28cL) +: keyCols.map(col): _*), lit(numBits.toLong))
 
+  /** One-pass dense bloom build: each partition folds its rows' bit
+    * positions into a local word array (the partial), partials OR together
+    * word-wise (the merge) — Spark's own BloomFilterAggregate shape. ONE
+    * exchange of ≤ words longs per partition, no explode/regroup/densify
+    * stages: the previous explode → bit_or-per-word → collect_list → UDF
+    * pipeline planned two extra stages and paid for their codegen on every
+    * cold run. Buffer is numBits/8 bytes per partition (128 KiB at the
+    * 2^20 default) — size numBits to the executor, not the data. */
+  private class BloomAgg(words: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[Array[Long], Array[Long], Array[Long]] {
+    def zero: Array[Long] = new Array[Long](words)
+    def reduce(buf: Array[Long], positions: Array[Long]): Array[Long] = {
+      if (positions != null) {
+        var i = 0
+        while (i < positions.length) {
+          val p = positions(i)
+          buf((p >>> 6).toInt) |= 1L << (p & 63L).toInt
+          i += 1
+        }
+      }
+      buf
+    }
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) |= b(i); i += 1 }
+      a
+    }
+    def finish(r: Array[Long]): Array[Long] = r
+    def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    def outputEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
   /** Build the bloom filter over `keys`' `keyCols` as a one-row DataFrame
     * with a single `_bloom array<bigint>` column of ceil(numBits/64)
     * words. Double hashing: position_i = (h1 + i·h2) mod numBits. */
@@ -46,26 +80,10 @@ object BloomJoin {
     val pos = array((0 until numHashes).map(i =>
       pmod(h1(keyCols, numBits) + lit(i.toLong) * h2(keyCols, numBits),
         lit(numBits.toLong))): _*)
-    // no distinct() on positions: bit_or is idempotent, duplicate positions
-    // collapse in its map-side partial — a distinct here costs a whole
-    // extra exchange for nothing
-    keys.select(explode(pos).as("_p"))
-      .select((col("_p") / 64).cast("int").as("_w"),
-        expr("shiftleft(CAST(1 AS BIGINT), CAST(_p % 64 AS INT))").as("_m"))
-      .groupBy("_w").agg(expr("bit_or(_m)").as("_mask"))
-      .agg(collect_list(struct(col("_w"), col("_mask"))).as("_wm"))
-      .select(densifyKernel(col("_wm"), lit(words)).as("_bloom"))
+    val agg = udaf(new BloomAgg(words),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]())
+    keys.select(pos.as("_p")).agg(agg(col("_p")).as("_bloom"))
   }
-
-  /** Scatter sparse (word, mask) rows into the dense word array — one UDF
-    * call on the single filter row (a `transform(sequence(...))` with a
-    * map lookup per element would be interpreted AND O(words²)). */
-  private val densifyKernel =
-    udf { (wm: Seq[org.apache.spark.sql.Row], words: Int) =>
-      val bits = new Array[Long](words)
-      wm.foreach(r => bits(r.getInt(0)) = r.getLong(1))
-      bits
-    }
 
   /** Keep only probe rows whose keys pass the bloom filter (supersets the
     * rows that actually join; never drops a joining row).
