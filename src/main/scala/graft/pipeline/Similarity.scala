@@ -194,11 +194,53 @@ object Similarity {
     ds.sorted.take(nProbe).map(_._2).toArray
   }
 
+  /** The PERSISTABLE half of IVF: corpus rows with their assigned cell
+    * (`corpus_id`, `c_emb`, `cell`). In production this is computed once
+    * per corpus build, written out bucketed/partitioned by `cell`
+    * ([[graft.sources.Taps]] bucketed sinks), and every probe batch joins
+    * against it without touching the codebook build again — the same
+    * split Faiss makes between training the index and querying it. */
+  def ivfIndex(
+      corpus: DataFrame,
+      centroids: Array[Array[Double]],
+      corpusId: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val assignU = udf((emb: Seq[Float]) => nearestCell(centroids, emb))
+    corpus.select(col(corpusId).as("corpus_id"), col(embCol).as("c_emb"),
+      assignU(col(embCol)).as("cell"))
+  }
+
+  /** Query a pre-built [[ivfIndex]] with an existing codebook: probes
+    * route to their `nProbe` nearest cells, only those cells' vectors are
+    * scored. The per-probe-batch cost at 100 TB — the codebook build and
+    * corpus assignment are NOT in this plan. */
+  def ivfKnnWithIndex(
+      index: DataFrame,
+      centroids: Array[Array[Double]],
+      probes: DataFrame,
+      k: Int = 10,
+      nProbe: Int = 4,
+      probeId: String = "probe_id",
+      embCol: String = "embedding"): DataFrame = {
+    val routeU = udf((emb: Seq[Float]) => nearestCells(centroids, emb, nProbe))
+    val p = probes.select(col(probeId).as("probe_id"), col(embCol).as("p_emb"),
+      explode(routeU(col(embCol))).as("cell"))
+    val scored = index.join(broadcast(p), "cell")
+      .withColumn("cosine", graft.functions.VectorExpressions.cosine(
+        index.sparkSession, col("c_emb"), col("p_emb")))
+    val w = Window.partitionBy("probe_id").orderBy(col("cosine").desc, col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("probe_id", "corpus_id", "cosine", "rank")
+  }
+
   /** True IVF approximate top-k: a k-means codebook routes each probe to its
     * `nProbe` nearest cells and only those cells' vectors are scored —
     * per-probe work drops from |corpus| to nProbe/cells of it. The scale
     * path: cells grow with data (√N rule), cell lists are a bucketed join,
-    * the codebook stays kilobytes. */
+    * the codebook stays kilobytes. One-shot form of
+    * [[ivfIndex]] + [[ivfKnnWithIndex]] — use the split when the corpus
+    * index is reused across probe batches. */
   def ivfKnn(
       corpus: DataFrame,
       probes: DataFrame,
@@ -210,18 +252,7 @@ object Similarity {
       probeId: String = "probe_id",
       embCol: String = "embedding"): DataFrame = {
     val centroids = kmeansCentroids(corpus, cells, iters, corpusId, embCol)
-    val assignU = udf((emb: Seq[Float]) => nearestCell(centroids, emb))
-    val routeU = udf((emb: Seq[Float]) => nearestCells(centroids, emb, nProbe))
-    val c = corpus.select(col(corpusId).as("corpus_id"), col(embCol).as("c_emb"),
-      assignU(col(embCol)).as("cell"))
-    val p = probes.select(col(probeId).as("probe_id"), col(embCol).as("p_emb"),
-      explode(routeU(col(embCol))).as("cell"))
-    val scored = c.join(p, "cell")
-      .withColumn("cosine", graft.functions.VectorExpressions.cosine(
-        corpus.sparkSession, col("c_emb"), col("p_emb")))
-    val w = Window.partitionBy("probe_id").orderBy(col("cosine").desc, col("corpus_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("probe_id", "corpus_id", "cosine", "rank")
+    ivfKnnWithIndex(ivfIndex(corpus, centroids, corpusId, embCol),
+      centroids, probes, k, nProbe, probeId, embCol)
   }
 }

@@ -124,6 +124,60 @@ object Streams {
       }
   }
 
+  /** Streaming MinHash+LSH near-dup candidates — the LSH tier of the
+    * batch pipeline ([[graft.pipeline.Dedup.minhashCandidates]]) over an
+    * unbounded doc stream. Each doc's banded signature keys it into
+    * (band, band_key) buckets; per-bucket state holds the member ids seen
+    * so far and every arrival emits candidate pairs against them.
+    *
+    * State is BOUNDED by the same hot-bucket rule as batch: a bucket
+    * stores at most `maxBucketSize` member ids (KBs per bucket); arrivals
+    * beyond the cap emit a single STAR EDGE to the bucket's min-id member
+    * instead of a clique — the connected component is identical, the
+    * state and output stay linear. Pairs may repeat when docs share
+    * several bands (batch applies a final distinct; streams dedupe
+    * downstream with `dropDuplicatesWithinWatermark` or at the sink).
+    * For docs all arriving under the cap, the emitted pair set equals the
+    * batch candidate set — asserted in StreamingSpec. */
+  def streamingMinhashCandidates(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 64,
+      bands: Int = 16,
+      shingleWords: Int = 3,
+      maxBucketSize: Int = 4096): Dataset[(Long, Long)] = {
+    import docs.sparkSession.implicits._
+    require(maxBucketSize >= 2, s"maxBucketSize must allow pairs, got $maxBucketSize")
+    val banded = graft.pipeline.Dedup
+      .bandedSignatures(docs, textCol, idCol, k, bands, shingleWords)
+      .select(col(idCol).cast("long"), col("band").cast("int"), col("band_key"))
+      .as[(Long, Int, String)]
+    banded.groupByKey(r => (r._2, r._3))
+      .flatMapGroupsWithState[Array[Long], (Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (Int, String), rows: Iterator[(Long, Int, String)],
+         state: GroupState[Array[Long]]) =>
+          var members = state.getOption.getOrElse(Array.emptyLongArray)
+          val out = Vector.newBuilder[(Long, Long)]
+          // deterministic within a micro-batch: process ids ascending
+          rows.map(_._1).toArray.sorted.foreach { id =>
+            if (!members.contains(id)) {
+              if (members.length >= maxBucketSize) {
+                val hub = members.min
+                out += ((math.min(hub, id), math.max(hub, id)))
+                // state stays capped — the doc links via the star edge
+              } else {
+                members.foreach(m => out += ((math.min(m, id), math.max(m, id))))
+                members = members :+ id
+              }
+            }
+          }
+          state.update(members)
+          out.result().iterator
+      }
+  }
+
   /** Run a streaming query to a memory sink (testing/inspection). */
   def toMemory(df: DataFrame, name: String, outputMode: String = "update"): StreamingQuery =
     df.writeStream.format("memory").queryName(name)

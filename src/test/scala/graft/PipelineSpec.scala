@@ -131,6 +131,23 @@ class PipelineSpec extends SparkTestBase {
     assert(ivf == again)
   }
 
+  test("ivf split API: persisted index + codebook reproduce the one-shot result") {
+    // production shape: codebook + cell assignments built once, probe
+    // batches query the index — must equal the one-shot ivfKnn exactly
+    val probes = embeddings.filter($"vec_id" < 5).select($"vec_id".as("probe_id"), $"embedding")
+    val oneShot = Similarity.ivfKnn(embeddings, probes, k = 5, cells = 16, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val codebook = Similarity.kmeansCentroids(embeddings, cells = 16)
+    val index = Similarity.ivfIndex(embeddings, codebook)
+    // round-trip the index through parquet — the persistable claim
+    val dir = s"/tmp/graft-ivf-index-${java.util.UUID.randomUUID()}"
+    index.write.parquet(dir)
+    val reloaded = spark.read.parquet(dir)
+    val split = Similarity.ivfKnnWithIndex(reloaded, codebook, probes, k = 5, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(split == oneShot)
+  }
+
   test("embedding near-dup finds self-similar pairs deterministically") {
     val dupped = embeddings.limit(50)
       .unionAll(embeddings.limit(5).withColumn("vec_id", $"vec_id" + 1000L))

@@ -128,6 +128,50 @@ class StreamingSpec extends SparkTestBase {
     q.stop()
   }
 
+  test("streaming minhash candidates: batch parity and capped-bucket star edges") {
+    implicit val sqlCtx = spark.sqlContext
+    val a = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val docs = Seq(
+      (1L, a),
+      (2L, a.replace("today", "tonight")), // near-dup of 1
+      (3L, "completely different content about spark query engines and shuffles"),
+      (4L, a), // exact dup of 1
+      (5L, "unrelated text mentioning databases and columnar storage formats here"))
+    // batch truth
+    val batch = graft.pipeline.Dedup.minhashCandidates(
+      docs.toDF("doc_id", "text"), k = 64, bands = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // stream the same docs across two micro-batches
+    val in = MemoryStream[(Long, String)]
+    val cands = Streams.streamingMinhashCandidates(
+      in.toDF().toDF("doc_id", "text"), k = 64, bands = 32)
+    val q = Streams.toMemory(cands.toDF().toDF("id_a", "id_b"), "stream_cands", "append")
+    in.addData(docs.take(2): _*)
+    q.processAllAvailable()
+    in.addData(docs.drop(2): _*)
+    q.processAllAvailable()
+    val streamed = spark.table("stream_cands").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch, s"stream $streamed != batch $batch")
+    q.stop()
+
+    // capped bucket: 50 identical docs through cap 8 → state stays at 8
+    // members; later arrivals emit exactly one star edge to the hub (doc 1)
+    val in2 = MemoryStream[(Long, String)]
+    val capped = Streams.streamingMinhashCandidates(
+      in2.toDF().toDF("doc_id", "text"), k = 64, bands = 16, maxBucketSize = 8)
+    val q2 = Streams.toMemory(capped.toDF().toDF("id_a", "id_b"), "stream_capped", "append")
+    in2.addData((1 to 50).map(i => (i.toLong, a)): _*)
+    q2.processAllAvailable()
+    val pairs = spark.table("stream_capped").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // clique among the first 8 arrivals + star edges 1->(9..50): all docs
+    // land in one connected component and pair volume is linear, not n^2
+    assert((9 to 50).forall(i => pairs.contains((1L, i.toLong))))
+    assert(pairs.size == 8 * 7 / 2 + 42, s"expected linear pair volume, got ${pairs.size}")
+    q2.stop()
+  }
+
   test("streaming KMV distinct: bounded state, monoid-equal to batch") {
     import graft.operators.Sketches
     implicit val sqlCtx = spark.sqlContext
