@@ -103,6 +103,21 @@ object Demo {
     graft.pipeline.TextAnalysis.chunkTokens(docs, size = 16, overlap = 4, minTokens = 4)
       .groupBy().agg(count(lit(1)).as("chunks"), avg("n_chunk_tokens").as("avg_len"))
       .show()
+
+    println("== round-5 operators ==")
+    println("-- IVF split index (persist once, query per batch) --")
+    val codebook = Similarity.kmeansCentroids(emb, cells = 8)
+    val ivfIdx = Similarity.ivfIndex(emb, codebook)
+    Similarity.ivfKnnWithIndex(ivfIdx, codebook, probes, k = 3, nProbe = 3)
+      .show(3)
+    println("-- embedding near-dup with hot-bucket guard --")
+    println("pairs: " + Dedup.embeddingNearDup(
+      emb, planes = 6, threshold = 0.2, maxBucketSize = 64).count())
+    println("-- components auto-fallback (depth-40 chain, maxIter 5) --")
+    import spark.implicits._
+    val chain = (1 until 40).map(i => (i.toLong, (i + 1).toLong)).toDF("id_a", "id_b")
+    println("components: " + Dedup.components(chain, maxIter = 5)
+      .select("component").distinct().count() + " (expect 1)")
     spark.stop()
   }
 }
