@@ -50,23 +50,29 @@ object Similarity {
     })
 
   /** Random-hyperplane LSH signature: `planes` sign bits packed in a long.
-    * Tight-loop kernel (HOF lambdas are interpreted; see BASELINE.md). */
+    * Tight-loop kernel (HOF lambdas are interpreted; see BASELINE.md).
+    * Null embeddings signature to null — a null bucket joins to nothing,
+    * so null-embedding rows silently drop out of candidate generation
+    * (the dedup-operator convention for null text). */
   private val hyperplaneKernel = udf((emb: Seq[Float], planes: Int) => {
-    val comp = planeComponents(planes, emb.length)
-    var sig = 0L
-    var p = 0
-    while (p < planes) {
-      val c = comp(p)
-      var proj = 0.0
-      var i = 0
-      while (i < emb.length) {
-        proj += emb(i) * c(i)
-        i += 1
+    if (emb == null) null.asInstanceOf[java.lang.Long]
+    else {
+      val comp = planeComponents(planes, emb.length)
+      var sig = 0L
+      var p = 0
+      while (p < planes) {
+        val c = comp(p)
+        var proj = 0.0
+        var i = 0
+        while (i < emb.length) {
+          proj += emb(i) * c(i)
+          i += 1
+        }
+        if (proj >= 0) sig |= (1L << p)
+        p += 1
       }
-      if (proj >= 0) sig |= (1L << p)
-      p += 1
+      java.lang.Long.valueOf(sig)
     }
-    sig
   })
 
   def hyperplaneSignature(emb: Column, planes: Int = 12): Column =
@@ -144,7 +150,9 @@ object Similarity {
       iters: Int = 3,
       corpusId: String = "vec_id",
       embCol: String = "embedding"): Array[Array[Double]] = {
-    val seed = corpus.select(col(corpusId), col(embCol))
+    // null embeddings can't vote for or seed a centroid
+    val clean = corpus.filter(col(embCol).isNotNull)
+    val seed = clean.select(col(corpusId), col(embCol))
       .orderBy(col(corpusId)).limit(cells).collect()
       .map(_.getSeq[Float](1).map(_.toDouble).toArray)
     var centroids = seed
@@ -152,7 +160,7 @@ object Similarity {
     while (it < iters) {
       val cs = centroids // stable reference for the closure
       val assignU = udf((emb: Seq[Float]) => nearestCell(cs, emb))
-      val means = corpus
+      val means = clean
         .select(assignU(col(embCol)).as("cell"), col(embCol))
         .select(col("cell"), posexplode(col(embCol)).as(Seq("dim", "v")))
         .groupBy("cell", "dim").agg(avg(col("v")).as("m"))
@@ -205,7 +213,9 @@ object Similarity {
       centroids: Array[Array[Double]],
       corpusId: String = "vec_id",
       embCol: String = "embedding"): DataFrame = {
-    val assignU = udf((emb: Seq[Float]) => nearestCell(centroids, emb))
+    val assignU = udf((emb: Seq[Float]) =>
+      if (emb == null) null.asInstanceOf[java.lang.Integer]
+      else java.lang.Integer.valueOf(nearestCell(centroids, emb)))
     corpus.select(col(corpusId).as("corpus_id"), col(embCol).as("c_emb"),
       assignU(col(embCol)).as("cell"))
   }
@@ -222,7 +232,8 @@ object Similarity {
       nProbe: Int = 4,
       probeId: String = "probe_id",
       embCol: String = "embedding"): DataFrame = {
-    val routeU = udf((emb: Seq[Float]) => nearestCells(centroids, emb, nProbe))
+    val routeU = udf((emb: Seq[Float]) =>
+      if (emb == null) null else nearestCells(centroids, emb, nProbe))
     val p = probes.select(col(probeId).as("probe_id"), col(embCol).as("p_emb"),
       explode(routeU(col(embCol))).as("cell"))
     val scored = index.join(broadcast(p), "cell")

@@ -66,6 +66,29 @@ class EdgeCasesSpec extends SparkTestBase {
     assert(cross == Set((1L, 5L)))
   }
 
+  test("embedding near-dup survives empty and null-embedding inputs") {
+    import graft.pipeline.Similarity
+    val emptyEmb = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    assert(Dedup.embeddingNearDup(emptyEmb).count() == 0)
+    // null embeddings: signature kernel nulls out, bucket null joins to
+    // nothing via the inner self-join — no pairs, no throw
+    val someNull = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, Seq(1.0f, 0.0f, 0.0f)),
+      (3L, null.asInstanceOf[Seq[Float]])).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDup(someNull, planes = 4, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+    // IVF split on a tiny corpus: fewer rows than cells — seed centroids
+    // cap at |corpus|, self-match still rank 1
+    val tiny = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val cb = Similarity.kmeansCentroids(tiny, cells = 8)
+    val knn = Similarity.ivfKnnWithIndex(Similarity.ivfIndex(tiny, cb), cb,
+      tiny.select(col("vec_id").as("probe_id"), col("embedding")), k = 1, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(knn == Set((1L, 1L), (2L, 2L)))
+  }
+
   test("text analysis operators survive null/blank text and empty corpora") {
     val rr = TextAnalysis.rareTokenRatio(withNulls, minFreq = 2L)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
