@@ -293,6 +293,16 @@ object Dedup {
     * Emits (id_a, id_b), id_a < id_b, distinct; with no bucket over the
     * cap this equals the full-corpus [[minhashCandidates]] pair set
     * restricted to pairs touching ≥ 1 delta doc. */
+  /** Per-bucket statistics of a [[bandedSignatures]] table:
+    * (band, band_key, bucket_size, hub). Persist NEXT TO the banded corpus
+    * index and hand to [[incrementalCandidates]]' `corpusStats` so delta
+    * batches never re-aggregate the corpus — the stats table is the
+    * map-side-combined rollup computed once per corpus build, KBs–MBs at
+    * any corpus size. Mergeable: sizes add, hubs take the min. */
+  def bandBucketStats(banded: DataFrame, idCol: String = "doc_id"): DataFrame =
+    banded.groupBy("band", "band_key")
+      .agg(count(lit(1)).as("bucket_size"), min(col(idCol)).as("hub"))
+
   def incrementalCandidates(
       corpus: DataFrame,
       delta: DataFrame,
@@ -302,13 +312,22 @@ object Dedup {
       bands: Int = 16,
       shingleWords: Int = 3,
       maxBucketSize: Int = 4096,
-      corpusBanded: Boolean = false): DataFrame = {
+      corpusBanded: Boolean = false,
+      corpusStats: Option[DataFrame] = None): DataFrame = {
     require(maxBucketSize >= 2, s"maxBucketSize must allow pairs, got $maxBucketSize")
     if (corpusBanded) {
       val need = Seq(idCol, "band", "band_key")
       require(need.forall(corpus.columns.contains),
         s"corpusBanded=true expects bandedSignatures output columns $need, " +
           s"got ${corpus.columns.toSeq}")
+    }
+    require(corpusStats.isEmpty || corpusBanded,
+      "corpusStats implies corpusBanded=true: the stats must describe the " +
+        "same persisted banded table the candidates join against")
+    corpusStats.foreach { st =>
+      val need = Seq("band", "band_key", "bucket_size", "hub")
+      require(need.forall(st.columns.contains),
+        s"corpusStats expects bandBucketStats columns $need, got ${st.columns.toSeq}")
     }
     // select by NAME before the positional unionAll below — a pre-banded
     // table with the same columns in a different order would otherwise
@@ -318,11 +337,28 @@ object Dedup {
       .transform(graft.Stage.materialize)
     val db = bandedSignatures(delta, textCol, idCol, k, bands, shingleWords)
       .transform(graft.Stage.materialize)
-    // bucket stats over both sides (map-side combined; in production the
-    // corpus side reads from bucket stats maintained with the banded table)
-    val stats = cb.unionAll(db).groupBy("band", "band_key")
-      .agg(count(lit(1)).as("_bsz"), min(col(idCol)).as("_hub"))
-      .filter(col("_bsz") > maxBucketSize)
+    // bucket stats over both sides. With a persisted corpus stats table
+    // (bandBucketStats, maintained with the banded index) the corpus is
+    // NOT re-aggregated per delta batch: delta stats merge monoid-wise
+    // (sizes add, hubs min) into the precomputed rollup, so the only
+    // corpus-wide work left in this operator is the co-located candidate
+    // join itself.
+    val stats = corpusStats match {
+      case Some(st) =>
+        val ds = db.groupBy("band", "band_key")
+          .agg(count(lit(1)).as("_dsz"), min(col(idCol)).as("_dhub"))
+        st.select(col("band"), col("band_key"),
+            col("bucket_size").as("_csz"), col("hub").as("_chub"))
+          .join(ds, Seq("band", "band_key"), "full_outer")
+          .select(col("band"), col("band_key"),
+            (coalesce(col("_csz"), lit(0L)) + coalesce(col("_dsz"), lit(0L))).as("_bsz"),
+            least(col("_chub"), col("_dhub")).as("_hub")) // least skips nulls
+          .filter(col("_bsz") > maxBucketSize)
+      case None =>
+        cb.unionAll(db).groupBy("band", "band_key")
+          .agg(count(lit(1)).as("_bsz"), min(col(idCol)).as("_hub"))
+          .filter(col("_bsz") > maxBucketSize)
+    }
     val dFlag = db.join(broadcast(stats), Seq("band", "band_key"), "left_outer")
     val dSmall = dFlag.filter(col("_bsz").isNull)
       .select(col(idCol), col("band"), col("band_key"))

@@ -238,4 +238,32 @@ class CurationOpsSpec extends SparkTestBase {
     val deltaIds = delta.select("doc_id").as[Long].collect().toSet
     assert(capped.forall { case (a, b) => deltaIds(a) || deltaIds(b) })
   }
+
+  test("incrementalCandidates with persisted bucket stats skips the corpus re-aggregation") {
+    val corpus = docs001.filter(col("doc_id") % 4 =!= 0)
+    val delta = docs001.filter(col("doc_id") % 4 === 0)
+    val banded = Dedup.bandedSignatures(corpus, k = 64, bands = 16)
+      .transform(graft.Stage.materialize) // "persisted" index
+    val stats = Dedup.bandBucketStats(banded) // "persisted" rollup next to it
+    val viaStats = Dedup.incrementalCandidates(banded, delta,
+      k = 64, bands = 16, corpusBanded = true, corpusStats = Some(stats))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val direct = Dedup.incrementalCandidates(corpus, delta, k = 64, bands = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaStats == direct)
+    // and with an adversarial cap the merged (corpus+delta) sizes drive the
+    // guard identically to the recomputed path
+    val cappedStats = Dedup.incrementalCandidates(banded, delta,
+      k = 64, bands = 16, maxBucketSize = 2, corpusBanded = true,
+      corpusStats = Some(stats))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cappedDirect = Dedup.incrementalCandidates(corpus, delta,
+      k = 64, bands = 16, maxBucketSize = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cappedStats == cappedDirect)
+    // stats without a pre-banded corpus is a contract error
+    intercept[IllegalArgumentException] {
+      Dedup.incrementalCandidates(corpus, delta, corpusStats = Some(stats))
+    }
+  }
 }
