@@ -630,6 +630,13 @@ object SparkEntry {
   private def p29(s: SparkSession, d: String): DataFrame =
     TextAnalysis.rareTokenRatio(tbl(d, "documents")(s), minFreq = 100L)
 
+  /** End-to-end embedding dedup (p28's verified pairs → connected
+    * components → min-id survivors), the embedding face of p11 — oracle
+    * replicates pairs + recursive-CTE components + survivor selection. */
+  private def p35(s: SparkSession, d: String): DataFrame =
+    Dedup.embeddingDedup(tbl(d, "embeddings")(s), planes = 6, threshold = 0.2)
+      .select("vec_id")
+
   /** KMV set operations: estimated vs exact distinct-order overlap between
     * the A and R return flags — union by monoid merge, intersection by the
     * K-min-values threshold estimator, both oracle-exact. */
@@ -821,6 +828,7 @@ object SparkEntry {
     "p29_rare_tokens" -> (p29 _),
     "p30_kmv_overlap" -> (p30 _),
     "p34_ivf_knn" -> (p34 _),
+    "p35_embedding_dedup" -> (p35 _),
     "p31_span_excise" -> (p31 _),
     "p32_chunking" -> (p32 _),
     "p33_mixture_weights" -> (p33 _)
@@ -1425,6 +1433,43 @@ object SparkEntry {
         |     greatest(sqrt(list_reduce(list_transform(generate_series(1, 64), i -> bb.e[i]*bb.e[i]), (x,y) -> x+y)), 1e-12)) AS cosine
         |  FROM pairs JOIN c0 a ON a.vec_id = pairs.id_a JOIN c0 bb ON bb.vec_id = pairs.id_b)
         |SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.2""".stripMargin,
+    // p35: p28's verified pair set fed through the same recursive-CTE
+    // label propagation the p11 oracle uses, then min-id survivors
+    "p35_embedding_dedup" ->
+      """WITH RECURSIVE c0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+        |pl AS (SELECT p.p AS p, list_transform(generate_series(0, 63),
+        |    i -> CAST(md5_number_lower('pl' || p.p || '_' || i) >> 11 AS DOUBLE)
+        |      * (1.0/4503599627370496) - 1.0) AS comp
+        |  FROM generate_series(0, 5) p(p)),
+        |sig AS (
+        |  SELECT vec_id, CAST(SUM(CASE WHEN proj >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS b
+        |  FROM (SELECT c0.vec_id, pl.p,
+        |      list_reduce(list_transform(generate_series(1, 64), i -> e[i] * comp[i]),
+        |        (x, y) -> x + y) AS proj
+        |    FROM c0, pl) t GROUP BY vec_id),
+        |pairs AS (
+        |  SELECT l.vec_id AS id_a, r.vec_id AS id_b
+        |  FROM sig l JOIN sig r ON l.b = r.b AND l.vec_id < r.vec_id),
+        |verified AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT id_a, id_b,
+        |      list_reduce(list_transform(generate_series(1, 64), i -> a.e[i]*bb.e[i]), (x,y) -> x+y) /
+        |      (greatest(sqrt(list_reduce(list_transform(generate_series(1, 64), i -> a.e[i]*a.e[i]), (x,y) -> x+y)), 1e-12) *
+        |       greatest(sqrt(list_reduce(list_transform(generate_series(1, 64), i -> bb.e[i]*bb.e[i]), (x,y) -> x+y)), 1e-12)) AS cosine
+        |    FROM pairs JOIN c0 a ON a.vec_id = pairs.id_a JOIN c0 bb ON bb.vec_id = pairs.id_b) t
+        |  WHERE cosine >= 0.2),
+        |sym AS (SELECT id_a AS s, id_b AS d FROM verified
+        |        UNION ALL SELECT id_b, id_a FROM verified),
+        |reach AS (
+        |  SELECT DISTINCT s AS id, s AS lab FROM sym
+        |  UNION
+        |  SELECT sym.d AS id, reach.lab FROM reach JOIN sym ON sym.s = reach.id),
+        |comp AS (SELECT id, MIN(lab) AS component FROM reach GROUP BY id),
+        |keep AS (SELECT component, MIN(id) AS vec_id FROM comp GROUP BY component)
+        |SELECT e.vec_id FROM embeddings e
+        |LEFT JOIN comp ON comp.id = e.vec_id WHERE comp.id IS NULL
+        |UNION ALL
+        |SELECT vec_id FROM keep""".stripMargin,
     "p29_rare_tokens" ->
       """WITH tk AS (
         |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\W+'),

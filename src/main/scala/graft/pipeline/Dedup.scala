@@ -799,7 +799,30 @@ object Dedup {
     val cands = minhashCandidates(df, textCol, idCol, k, bands,
       maxBucketSize = maxBucketSize)
     val verified = jaccardVerify(cands, df, textCol, idCol, threshold = threshold)
-    val pairs = verified.select("id_a", "id_b")
+    survivors(df, idCol, verified.select("id_a", "id_b"), ccAlgorithm)
+  }
+
+  /** End-to-end embedding near-dup dedup: hyperplane-bucketed candidates
+    * → exact-cosine-verified pairs → components → one representative (min
+    * id) per duplicate cluster plus every unclustered row. The embedding
+    * face of [[nearDupDedup]] — re-encoded duplicate media collapses the
+    * same way boilerplate text does. */
+  def embeddingDedup(
+      df: DataFrame,
+      embCol: String = "embedding",
+      idCol: String = "vec_id",
+      planes: Int = 12,
+      threshold: Double = 0.95,
+      maxBucketSize: Int = 4096,
+      ccAlgorithm: String = "label"): DataFrame = {
+    val pairs = embeddingNearDup(df, embCol, idCol, planes, threshold, maxBucketSize)
+    survivors(df, idCol, pairs.select("id_a", "id_b"), ccAlgorithm)
+  }
+
+  /** Shared consolidation tail of the end-to-end dedups: cluster the
+    * verified pairs, keep min id per component + all unclustered rows. */
+  private def survivors(df: DataFrame, idCol: String, pairs: DataFrame,
+      ccAlgorithm: String): DataFrame = {
     val comp = ccAlgorithm match {
       case "label" => components(pairs)
       case "star" => componentsStar(pairs)
@@ -808,7 +831,7 @@ object Dedup {
     }
     val keep = comp.groupBy("component").agg(min("id").as(idCol)).select(idCol)
     val clustered = comp.select(col("id").as(idCol))
-    df.join(clustered, Seq(idCol), "left_anti") // never-clustered docs
+    df.join(clustered, Seq(idCol), "left_anti") // never-clustered rows
       .select(col(idCol))
       .unionAll(keep) // plus one representative per cluster
       .join(df, Seq(idCol))

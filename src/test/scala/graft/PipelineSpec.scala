@@ -192,6 +192,20 @@ class PipelineSpec extends SparkTestBase {
       s"expected one component labeled 1, got ${comp.values.toSet}")
   }
 
+  test("end-to-end embedding dedup keeps one representative per duplicate cluster") {
+    // vectors 0-49 plus re-encoded copies of 0-4 under new ids: the copies
+    // must collapse onto their originals, everything else survives
+    val dupped = embeddings.limit(50)
+      .unionAll(embeddings.limit(5).withColumn("vec_id", $"vec_id" + 1000L))
+    val kept = Dedup.embeddingDedup(dupped, threshold = 0.999)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == (0L until 50L).toSet, s"got $kept")
+    // star CC produces the identical survivor set
+    val keptStar = Dedup.embeddingDedup(dupped, threshold = 0.999, ccAlgorithm = "star")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(keptStar == kept)
+  }
+
   test("connected components and end-to-end near-dup dedup") {
     // chain 1-2-3, pair 4-5, isolated 6 never appears in edges
     val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
