@@ -648,7 +648,10 @@ object Dedup {
       .transform(graft.Stage.materialize)
     var iter = 1
     var changed = 1L
-    while (iter < maxIter && changed > 0) {
+    // at least one verification round always runs — with maxIter = 1 the
+    // round-0 init may already BE the fixpoint, but without a round that
+    // observes zero changes we could not tell it from an unconverged exit
+    while (iter < math.max(2, maxIter) && changed > 0) {
       // every node adopts the min component among itself and its neighbors;
       // the convergence flag rides as an ACCUMULATOR bumped while the same
       // materialization job runs — zero extra jobs per round (the old
@@ -681,11 +684,21 @@ object Dedup {
       if (integral) {
         // a warned wrong answer is still wrong: rerun via star contraction,
         // which converges in O(log d) rounds for any diameter and produces
-        // the identical (id, min id) fixpoint
+        // the identical (id, min id) fixpoint. Two result-compatibility
+        // fixes on the fallback: cast star output back to the caller's id
+        // type (componentsStar widens to long), and re-attach nodes whose
+        // only edge was a self-loop (star contraction filters src = dst;
+        // label propagation keeps them as their own component).
         log.warn(s"components: min-label propagation hit maxIter=$maxIter while " +
           s"still changing — falling back to componentsStar (O(log d))")
-        return componentsStar(
+        val idType = fwd.schema("src").dataType
+        val star = componentsStar(
           fwd.select(col("src").as("id_a"), col("dst").as("id_b")))
+          .select(col("id").cast(idType).as("id"),
+            col("component").cast(idType).as("component"))
+        val selfOnly = labels.join(star, Seq("id"), "left_anti")
+          .select(col("id"), col("id").as("component"))
+        return star.unionAll(selfOnly)
       }
       log.warn(s"components: min-label propagation hit maxIter=$maxIter while still " +
         s"changing — labels may span unconverged chains; raise maxIter or " +
