@@ -1,7 +1,8 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import scala.collection.mutable
 
-/** Headline benchmark: one JSON line the driver records as BENCH_rN.
+/** Headline benchmark: JSON lines the driver records as BENCH_rN.
   *
   * Methodology (matches BASELINE.md's round-4 re-record so numbers are
   * comparable across rounds BY CONSTRUCTION): run the full suite once as
@@ -10,8 +11,19 @@ import org.apache.spark.sql.SparkSession
   * shape — then report the per-query MIN over two timed passes in the
   * same JVM. Single-shot numbers swung 1.4× round-over-round on host/JIT
   * noise alone (VERDICT r4 found 12 spurious >2× entries); min-of-2 after
-  * a full warmup measures the plans. First-run cold totals stay visible
-  * in the same JSON under "first_run". */
+  * a full warmup measures the plans.
+  *
+  * Output layout (VERDICT r5 finding #1): the driver's stdout capture
+  * keeps only the LAST ~2000 chars, and round 5's single fat
+  * full-precision line lost its head — including the steady map — to
+  * that window. So: full-precision first-run and steady maps print FIRST
+  * as auxiliary lines (the log keeps them), and the LAST line is a
+  * compact headline (2-decimal seconds, sf basename) sized to fit the
+  * capture window whole. Field order puts "errors" BEFORE "queries" so
+  * if an error message ever inflates the line past the window, what
+  * truncation eats is the head, never the steady map at the end.
+  * "timing":"min_warm2" tags the methodology so cross-round tooling can
+  * tell warm min-of-2 from pre-r5 cold single-shot numbers (ADVICE r5). */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -30,27 +42,46 @@ object Bench {
       case Some(s) => SparkEntry.queries.filter { case (n, _) => s(n) }
       case None => SparkEntry.queries
     }
-    def timeOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // A failing query must not report a healthy time (VERDICT r5 #3):
+    // record the error message and let the headline carry an errors map.
+    val errors = mutable.LinkedHashMap.empty[String, String]
+    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      try { fn(spark, sfDir).count() } catch {
+        case t: Throwable =>
+          errors(name) = (t.getClass.getSimpleName + ": " + String.valueOf(t.getMessage)).take(120)
+      }
       (System.nanoTime() - t0) / 1e9
     }
     // pass 0: warmup — also the honest "cold driver" number, reported
-    val firstRun = selected.map { case (name, fn) => name -> timeOne(fn) }
-    // passes 1..2: steady state, min per query
-    val timedPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
+    val firstRun = selected.map { case (name, fn) => name -> timeOne(name, fn) }
+    // passes 1..N: steady state, min per query. Clamp to >=1 — 0 passes
+    // would leave the steady map empty after paying for the warmup
+    // (ADVICE r5); non-numeric falls back to the default.
+    val timedPasses = math.max(1,
+      sys.env.get("SPARK_GRAFT_BENCH_PASSES").flatMap(_.toIntOption).getOrElse(2))
     val steady = (1 to timedPasses).foldLeft(Map.empty[String, Double]) { (acc, _) =>
       selected.foldLeft(acc) { case (a, (name, fn)) =>
-        val t = timeOne(fn)
+        val t = timeOne(name, fn)
         a.updated(name, math.min(t, a.getOrElse(name, Double.MaxValue)))
       }
     }
     val results = selected.keys.map(n => n -> steady(n)).toSeq
-    def jsonMap(m: Iterable[(String, Double)]): String =
-      m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def fmt(v: Double, decimals: Int): String =
+      s"%.${decimals}f".formatLocal(java.util.Locale.ROOT, v)
+    def jsonMap(m: Iterable[(String, Double)], decimals: Int): String =
+      m.map { case (k, v) => "\"" + k + "\":" + fmt(v, decimals) }.mkString("{", ",", "}")
+    def jsonStrMap(m: Iterable[(String, String)]): String =
+      m.map { case (k, v) => "\"" + k + "\":\"" + v.replaceAll("[\"\\\\\\n\\r\\t]", " ") + "\"" }
+        .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val firstTotal = firstRun.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results)},"first_run":${jsonMap(firstRun)},"first_run_total":$firstTotal,"sf":"$sfDir"}""")
+    // auxiliary full-precision lines first: truncation may eat these
+    println(s"""{"first_run":${jsonMap(firstRun, 3)},"first_run_total":${fmt(firstTotal, 3)},"sf":"$sfDir"}""")
+    println(s"""{"steady_full":${jsonMap(results, 3)},"steady_total":${fmt(total, 3)},"sf":"$sfDir"}""")
+    // headline LAST and compact: must fit the driver's capture window
+    val sfName = new java.io.File(sfDir).getName
+    println(s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","timing":"min_warm2","first_run_total":${fmt(firstTotal, 1)},"errors":${jsonStrMap(errors)},"sf":"$sfName","queries":${jsonMap(results, 2)}}""")
     spark.stop()
   }
 }
