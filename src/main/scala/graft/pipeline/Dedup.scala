@@ -626,10 +626,15 @@ object Dedup {
     * lineage flat. O(diameter) rounds — near-dup clusters are tiny, so 2-3
     * rounds in practice; `maxIter` bounds adversarial chains — and when
     * the loop exits UNCONVERGED (a chain longer than maxIter), the result
-    * is not merely slow, it is wrong, so for integral ids this falls back
-    * to [[componentsStar]] (O(log d), identical fixpoint labels) instead
-    * of returning partial labels. Non-integral ids (no star fallback —
-    * it casts to long) keep the loud warning.
+    * is not merely slow, it is wrong, so it falls back to
+    * [[componentsStar]] (O(log d), identical fixpoint labels) instead of
+    * returning partial labels. Integral ids go to the star loop directly;
+    * any other id type (string URLs/hashes are the common corpus keys)
+    * goes through a surrogate-id mapping — distinct nodes get
+    * `monotonically_increasing_id` longs, the star loop runs on those,
+    * and labels come back as min ORIGINAL id per component (one extra
+    * groupBy: surrogate order is arbitrary, so the min surrogate's
+    * original id is NOT the min original id).
     * Returns (id, component) with component = min id in the cluster. */
   def components(edges: DataFrame, maxIter: Int = 10): DataFrame = {
     // undirected: both directions. Materialize the FORWARD edges once —
@@ -681,28 +686,51 @@ object Dedup {
              org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
         case _ => false
       }
-      if (integral) {
-        // a warned wrong answer is still wrong: rerun via star contraction,
-        // which converges in O(log d) rounds for any diameter and produces
-        // the identical (id, min id) fixpoint. Two result-compatibility
-        // fixes on the fallback: cast star output back to the caller's id
-        // type (componentsStar widens to long), and re-attach nodes whose
-        // only edge was a self-loop (star contraction filters src = dst;
-        // label propagation keeps them as their own component).
-        log.warn(s"components: min-label propagation hit maxIter=$maxIter while " +
-          s"still changing — falling back to componentsStar (O(log d))")
-        val idType = fwd.schema("src").dataType
-        val star = componentsStar(
-          fwd.select(col("src").as("id_a"), col("dst").as("id_b")))
-          .select(col("id").cast(idType).as("id"),
-            col("component").cast(idType).as("component"))
-        val selfOnly = labels.join(star, Seq("id"), "left_anti")
-          .select(col("id"), col("id").as("component"))
-        return star.unionAll(selfOnly)
-      }
-      log.warn(s"components: min-label propagation hit maxIter=$maxIter while still " +
-        s"changing — labels may span unconverged chains; raise maxIter or " +
-        s"use componentsStar (O(log d)) for long-chain graphs")
+      // a warned wrong answer is still wrong: rerun via star contraction,
+      // which converges in O(log d) rounds for any diameter and produces
+      // the identical (id, min id) fixpoint. Two result-compatibility
+      // fixes on the fallback: star output comes back in the caller's id
+      // type/space, and nodes whose only edge was a self-loop re-attach
+      // (star contraction filters src = dst; label propagation keeps them
+      // as their own component).
+      log.warn(s"components: min-label propagation hit maxIter=$maxIter while " +
+        s"still changing — falling back to componentsStar (O(log d))")
+      val idType = fwd.schema("src").dataType
+      val star =
+        if (integral) {
+          // longs natively: cast the star output back to the caller's width
+          componentsStar(fwd.select(col("src").as("id_a"), col("dst").as("id_b")))
+            .select(col("id").cast(idType).as("id"),
+              col("component").cast(idType).as("component"))
+        } else {
+          // arbitrary id types (string URLs/hashes, dates, …): star
+          // contraction needs longs, so map distinct nodes to surrogate
+          // longs. Materialized — monotonically_increasing_id is
+          // nondeterministic under recomputation, and the mapping is read
+          // on both sides of the edge join plus the label join-back.
+          val nodes = fwd.select(col("src").as("orig"))
+            .unionAll(fwd.select(col("dst").as("orig")))
+            .distinct()
+            .withColumn("sid", monotonically_increasing_id())
+            .transform(graft.Stage.materialize)
+          val sEdges = fwd
+            .join(nodes.select(col("orig").as("src"), col("sid").as("id_a")), "src")
+            .join(nodes.select(col("orig").as("dst"), col("sid").as("id_b")), "dst")
+            .select("id_a", "id_b")
+          // star labels live in surrogate space; the contract label is the
+          // min ORIGINAL id per component. Surrogate assignment is
+          // arbitrary, so re-derive: group by surrogate component, take
+          // min(orig), join back onto the members.
+          val sLabels = componentsStar(sEdges)
+            .join(nodes.select(col("sid").as("id"), col("orig")), "id")
+          val compLabel = sLabels.groupBy(col("component"))
+            .agg(min(col("orig")).as("comp_orig"))
+          sLabels.join(compLabel, "component")
+            .select(col("orig").as("id"), col("comp_orig").as("component"))
+        }
+      val selfOnly = labels.join(star, Seq("id"), "left_anti")
+        .select(col("id"), col("id").as("component"))
+      return star.unionAll(selfOnly)
     }
     labels
   }

@@ -192,6 +192,28 @@ class PipelineSpec extends SparkTestBase {
       s"expected one component labeled 1, got ${comp.values.toSet}")
   }
 
+  test("components star fallback handles non-integral (string) ids via surrogates") {
+    // real corpora key on URL/hash strings; the unconverged exit must
+    // produce the same min-ORIGINAL-id labels through the surrogate-long
+    // mapping, not partial labels. Depth-50 chain + a separate pair + a
+    // self-loop-only node exercise the join-back and re-attach paths.
+    def d(i: Int) = f"doc$i%03d"
+    val chain = (1 until 50).map(i => (d(i), d(i + 1)))
+    val extra = Seq((d(900), d(901)), (d(950), d(950)))
+    val edges = (chain ++ extra).toDF("id_a", "id_b")
+    val comp = Dedup.components(edges, maxIter = 5).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val expected =
+      (1 to 50).map(i => d(i) -> d(1)).toMap ++
+        Map(d(900) -> d(900), d(901) -> d(900), d(950) -> d(950))
+    assert(comp == expected, s"got $comp")
+    // converged runs on string ids stay on the label-propagation path
+    // and must agree with the fallback's labels
+    val conv = Dedup.components(edges, maxIter = 60).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(conv == expected)
+  }
+
   test("end-to-end embedding dedup keeps one representative per duplicate cluster") {
     // vectors 0-49 plus re-encoded copies of 0-4 under new ids: the copies
     // must collapse onto their originals, everything else survives
