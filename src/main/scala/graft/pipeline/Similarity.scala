@@ -223,7 +223,16 @@ object Similarity {
   /** Query a pre-built [[ivfIndex]] with an existing codebook: probes
     * route to their `nProbe` nearest cells, only those cells' vectors are
     * scored. The per-probe-batch cost at 100 TB — the codebook build and
-    * corpus assignment are NOT in this plan. */
+    * corpus assignment are NOT in this plan.
+    *
+    * `broadcastProbes` (default true) hints the exploded probe side —
+    * probes × nProbe rows, each carrying the full embedding — for a
+    * broadcast join, the right call for the documented per-probe-batch
+    * usage (a query batch is small next to the corpus). For a
+    * corpus-scale probe set (knn-based semantic dedup, corpus-vs-corpus
+    * scoring) pass false: the plan degrades to an optimizer-chosen
+    * shuffle join on `cell` instead of OOMing the driver on an
+    * over-limit broadcast. */
   def ivfKnnWithIndex(
       index: DataFrame,
       centroids: Array[Array[Double]],
@@ -231,12 +240,14 @@ object Similarity {
       k: Int = 10,
       nProbe: Int = 4,
       probeId: String = "probe_id",
-      embCol: String = "embedding"): DataFrame = {
+      embCol: String = "embedding",
+      broadcastProbes: Boolean = true): DataFrame = {
     val routeU = udf((emb: Seq[Float]) =>
       if (emb == null) null else nearestCells(centroids, emb, nProbe))
     val p = probes.select(col(probeId).as("probe_id"), col(embCol).as("p_emb"),
       explode(routeU(col(embCol))).as("cell"))
-    val scored = index.join(broadcast(p), "cell")
+    val pSide = if (broadcastProbes) broadcast(p) else p
+    val scored = index.join(pSide, "cell")
       .withColumn("cosine", graft.functions.VectorExpressions.cosine(
         index.sparkSession, col("c_emb"), col("p_emb")))
     val w = Window.partitionBy("probe_id").orderBy(col("cosine").desc, col("corpus_id"))

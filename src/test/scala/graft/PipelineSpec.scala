@@ -148,6 +148,36 @@ class PipelineSpec extends SparkTestBase {
     assert(split == oneShot)
   }
 
+  test("ivf broadcastProbes=false: identical results, no broadcast on probe side") {
+    // corpus-scale probe batches must be able to degrade to a shuffle
+    // join instead of OOMing the driver on a forced broadcast
+    val probes = embeddings.filter($"vec_id" < 5).select($"vec_id".as("probe_id"), $"embedding")
+    val codebook = Similarity.kmeansCentroids(embeddings, cells = 16)
+    val index = Similarity.ivfIndex(embeddings, codebook)
+    val hinted = Similarity.ivfKnnWithIndex(index, codebook, probes, k = 5, nProbe = 8)
+    val unhinted = Similarity.ivfKnnWithIndex(index, codebook, probes, k = 5, nProbe = 8,
+      broadcastProbes = false)
+    assert(unhinted.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet ==
+      hinted.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet)
+    // the hint is in the logical plan only when asked for: with
+    // broadcastProbes=false AND auto-broadcast disabled, the physical
+    // plan must contain no BroadcastHashJoin (AQE may still pick one for
+    // a genuinely small side when auto-broadcast is on — that's the
+    // optimizer choosing, which is the point)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val phys = Similarity.ivfKnnWithIndex(index, codebook, probes, k = 5, nProbe = 8,
+        broadcastProbes = false)
+        .queryExecution.executedPlan.toString
+      assert(!phys.contains("BroadcastHashJoin"), s"unexpected broadcast:\n$phys")
+      val hintedPhys = Similarity.ivfKnnWithIndex(index, codebook, probes, k = 5, nProbe = 8)
+        .queryExecution.executedPlan.toString
+      assert(hintedPhys.contains("BroadcastHashJoin"),
+        s"hint should force broadcast even with auto-broadcast off:\n$hintedPhys")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("embedding near-dup finds self-similar pairs deterministically") {
     val dupped = embeddings.limit(50)
       .unionAll(embeddings.limit(5).withColumn("vec_id", $"vec_id" + 1000L))
