@@ -131,14 +131,24 @@ object Streams {
     * so far and every arrival emits candidate pairs against them.
     *
     * State is BOUNDED by the same hot-bucket rule as batch: a bucket
-    * stores at most `maxBucketSize` member ids (KBs per bucket); arrivals
-    * beyond the cap emit a single STAR EDGE to the bucket's min-id member
-    * instead of a clique — the connected component is identical, the
-    * state and output stay linear. Pairs may repeat when docs share
-    * several bands (batch applies a final distinct; streams dedupe
-    * downstream with `dropDuplicatesWithinWatermark` or at the sink).
-    * For docs all arriving under the cap, the emitted pair set equals the
-    * batch candidate set — asserted in StreamingSpec. */
+    * stores at most `maxBucketSize` member ids (KBs per bucket, kept
+    * SORTED so membership is a binary search — O(log n) per arrival
+    * instead of a linear scan, which at the 4096 cap was worst-case ~16M
+    * comparisons per hot bucket per micro-batch); arrivals beyond the cap
+    * emit a single STAR EDGE to the bucket's min-id member instead of a
+    * clique — the connected component is identical, the state and output
+    * stay linear. Pairs may repeat when docs share several bands (batch
+    * applies a final distinct; streams dedupe downstream with
+    * `dropDuplicatesWithinWatermark` or at the sink). Re-delivery
+    * asymmetry, by design: an UNDER-cap doc re-delivered in a later
+    * micro-batch is deduped against the stored members and emits nothing,
+    * but an OVER-cap doc is deliberately NOT stored (bounded state is the
+    * whole point of the cap — remembering every over-cap id would grow
+    * state without bound), so each re-delivery re-emits its star edge.
+    * That edge is idempotent under the documented downstream dedup, like
+    * the multi-band repeats. Within one micro-batch both cases are
+    * deduped. For docs all arriving under the cap, the emitted pair set
+    * equals the batch candidate set — asserted in StreamingSpec. */
   def streamingMinhashCandidates(
       docs: DataFrame,
       idCol: String = "doc_id",
@@ -158,18 +168,28 @@ object Streams {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_: (Int, String), rows: Iterator[(Long, Int, String)],
          state: GroupState[Array[Long]]) =>
+          // state invariant: sorted ascending — membership is a binary
+          // search and the star hub (min member) reads off index 0
           var members = state.getOption.getOrElse(Array.emptyLongArray)
           val out = Vector.newBuilder[(Long, Long)]
-          // deterministic within a micro-batch: process ids ascending
-          rows.map(_._1).toArray.sorted.foreach { id =>
-            if (!members.contains(id)) {
+          // deterministic within a micro-batch: process ids ascending;
+          // distinct dedupes same-batch re-deliveries of over-cap ids
+          // (under-cap ones the membership check catches)
+          rows.map(_._1).toArray.distinct.sorted.foreach { id =>
+            val pos = java.util.Arrays.binarySearch(members, id)
+            if (pos < 0) {
               if (members.length >= maxBucketSize) {
-                val hub = members.min
+                val hub = members(0)
                 out += ((math.min(hub, id), math.max(hub, id)))
                 // state stays capped — the doc links via the star edge
               } else {
                 members.foreach(m => out += ((math.min(m, id), math.max(m, id))))
-                members = members :+ id
+                val ins = -(pos + 1)
+                val next = new Array[Long](members.length + 1)
+                System.arraycopy(members, 0, next, 0, ins)
+                next(ins) = id
+                System.arraycopy(members, ins, next, ins + 1, members.length - ins)
+                members = next
               }
             }
           }

@@ -211,6 +211,33 @@ object ScaleProbe {
             .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey")),
           Seq("l_suppkey")).count())
     }
+
+    // streaming LSH hot bucket at the FULL default cap (4096): batch 1
+    // fills one bucket to the cap (clique emission — the one-time n²/2
+    // cost the cap bounds), batch 2 sends 4096 over-cap arrivals (each a
+    // binary-search miss + one star edge; the old linear contains() made
+    // this 4096×4096 ≈ 16M comparisons), batch 3 re-delivers the members
+    // (binary-search hits, zero output). Noop sink — pair volume must not
+    // accumulate on the driver.
+    {
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val boiler = "subscribe to our newsletter for the latest updates and offers"
+      val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+      val cands = graft.streaming.Streams.streamingMinhashCandidates(
+        in.toDF().toDF("doc_id", "text"), k = 16, bands = 1, maxBucketSize = 4096)
+      val q = cands.toDF().writeStream.format("noop").outputMode("append").start()
+      def feed(label: String, ids: Range): Unit = {
+        val t0 = System.nanoTime()
+        in.addData(ids.map(i => (i.toLong, boiler)))
+        q.processAllAvailable()
+        println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      feed("streaming hot bucket: fill to cap 4096 (clique)", 1 to 4096)
+      feed("streaming hot bucket: 4096 over-cap arrivals (star)", 4097 to 8192)
+      feed("streaming hot bucket: re-deliver 4096 members (no-op)", 1 to 4096)
+      q.stop()
+    }
     spark.stop()
   }
 }

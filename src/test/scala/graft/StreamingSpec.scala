@@ -169,6 +169,23 @@ class StreamingSpec extends SparkTestBase {
     // land in one connected component and pair volume is linear, not n^2
     assert((9 to 50).forall(i => pairs.contains((1L, i.toLong))))
     assert(pairs.size == 8 * 7 / 2 + 42, s"expected linear pair volume, got ${pairs.size}")
+    // re-delivery semantics (documented asymmetry): an under-cap member
+    // re-delivered later is deduped against stored state and emits
+    // nothing; an over-cap doc is not stored, so each re-delivery
+    // re-emits its star edge once per band (16 here) — idempotent under
+    // the downstream dedup
+    val before = spark.table("stream_capped").count()
+    in2.addData((2L, a))
+    q2.processAllAvailable()
+    assert(spark.table("stream_capped").count() == before,
+      "under-cap re-delivery must emit nothing")
+    in2.addData((50L, a))
+    q2.processAllAvailable()
+    val after = spark.table("stream_capped").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(after.length == before + 16,
+      s"over-cap re-delivery should re-emit one star edge per band, got ${after.length - before}")
+    assert(after.count(_ == (1L, 50L)) == 32, "re-emitted edges are copies of the star edge")
     q2.stop()
   }
 
