@@ -10,6 +10,21 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Sentinel default for the `maxBucketSize` hot-bucket guard caps:
+    * "use the session conf". Resolution order: explicit per-call value →
+    * `spark.graft.maxBucketSize` → 4096. One auditable production knob
+    * across all guard families (minhash, simhash, embedding, incremental,
+    * streaming), the same pattern as `spark.graft.eagerAgg`. */
+  val SessionBucketCap: Int = -1
+
+  private[graft] def resolveBucketCap(df: DataFrame, cap: Int): Int = {
+    val resolved =
+      if (cap != SessionBucketCap) cap
+      else df.sparkSession.conf.get("spark.graft.maxBucketSize", "4096").toInt
+    require(resolved >= 2, s"maxBucketSize must allow pairs, got $resolved")
+    resolved
+  }
+
   /** Exact dedup: keep the smallest id per exact content hash. One shuffle
     * on the 128-bit content hash; no window over the full data. */
   def exact(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
@@ -229,8 +244,8 @@ object Dedup {
       k: Int = 64,
       bands: Int = 16,
       shingleWords: Int = 3,
-      maxBucketSize: Int = 4096): DataFrame = {
-    require(maxBucketSize >= 2, s"maxBucketSize must allow pairs, got $maxBucketSize")
+      maxBucketSize: Int = SessionBucketCap): DataFrame = {
+    val cap = resolveBucketCap(df, maxBucketSize)
     // materialize the banded rows once: both sides of the self-join read
     // them, and without the checkpoint the minhash kernel would run twice
     // over the full corpus (the dominant cost of candidate generation)
@@ -243,7 +258,7 @@ object Dedup {
     // the full banded data (a window count would sort every partition)
     val oversize = banded.groupBy("band", "band_key")
       .agg(count(lit(1)).as("_bsz"), min(col(idCol)).as("_hub"))
-      .filter(col("_bsz") > maxBucketSize)
+      .filter(col("_bsz") > cap)
     val flagged = banded.join(broadcast(oversize), Seq("band", "band_key"), "left_outer")
     val small = flagged.filter(col("_bsz").isNull)
       .select(col(idCol), col("band"), col("band_key"))
@@ -267,11 +282,12 @@ object Dedup {
       k: Int = 64,
       bands: Int = 16,
       shingleWords: Int = 3,
-      maxBucketSize: Int = 4096): DataFrame = {
+      maxBucketSize: Int = SessionBucketCap): DataFrame = {
+    val cap = resolveBucketCap(df, maxBucketSize)
     bandedSignatures(df, textCol, idCol, k, bands, shingleWords)
       .groupBy("band", "band_key")
       .agg(count(lit(1)).as("bucket_size"))
-      .filter(col("bucket_size") > maxBucketSize)
+      .filter(col("bucket_size") > cap)
   }
 
   /** Incremental near-dup candidates: a delta batch against an existing
@@ -311,10 +327,10 @@ object Dedup {
       k: Int = 64,
       bands: Int = 16,
       shingleWords: Int = 3,
-      maxBucketSize: Int = 4096,
+      maxBucketSize: Int = SessionBucketCap,
       corpusBanded: Boolean = false,
       corpusStats: Option[DataFrame] = None): DataFrame = {
-    require(maxBucketSize >= 2, s"maxBucketSize must allow pairs, got $maxBucketSize")
+    val cap = resolveBucketCap(delta, maxBucketSize)
     if (corpusBanded) {
       val need = Seq(idCol, "band", "band_key")
       require(need.forall(corpus.columns.contains),
@@ -353,11 +369,11 @@ object Dedup {
           .select(col("band"), col("band_key"),
             (coalesce(col("_csz"), lit(0L)) + coalesce(col("_dsz"), lit(0L))).as("_bsz"),
             least(col("_chub"), col("_dhub")).as("_hub")) // least skips nulls
-          .filter(col("_bsz") > maxBucketSize)
+          .filter(col("_bsz") > cap)
       case None =>
         cb.unionAll(db).groupBy("band", "band_key")
           .agg(count(lit(1)).as("_bsz"), min(col(idCol)).as("_hub"))
-          .filter(col("_bsz") > maxBucketSize)
+          .filter(col("_bsz") > cap)
     }
     val dFlag = db.join(broadcast(stats), Seq("band", "band_key"), "left_outer")
     val dSmall = dFlag.filter(col("_bsz").isNull)
@@ -581,8 +597,8 @@ object Dedup {
       textCol: String = "text",
       idCol: String = "doc_id",
       maxHamming: Int = 3,
-      maxBucketSize: Int = 4096): DataFrame = {
-    require(maxBucketSize >= 2, s"maxBucketSize must allow pairs, got $maxBucketSize")
+      maxBucketSize: Int = SessionBucketCap): DataFrame = {
+    val cap = resolveBucketCap(df, maxBucketSize)
     val withSh = df.select(col(idCol), simhash(col(textCol)).as("sh"))
     val blocks = array((0 until 4).map(i =>
       struct(lit(i).as("blk"),
@@ -599,7 +615,7 @@ object Dedup {
       .transform(graft.Stage.materialize)
     val oversize = bucketed.groupBy("blk", "blk_val")
       .agg(count(lit(1)).as("_bsz"), min(struct(col(idCol), col("sh"))).as("_hub"))
-      .filter(col("_bsz") > maxBucketSize)
+      .filter(col("_bsz") > cap)
     val flagged = bucketed.join(broadcast(oversize), Seq("blk", "blk_val"), "left_outer")
     val small = flagged.filter(col("_bsz").isNull)
       .select(col(idCol), col("sh"), col("blk"), col("blk_val"))
@@ -835,7 +851,7 @@ object Dedup {
       k: Int = 64,
       bands: Int = 16,
       threshold: Double = 0.8,
-      maxBucketSize: Int = 4096,
+      maxBucketSize: Int = SessionBucketCap,
       ccAlgorithm: String = "label"): DataFrame = {
     val cands = minhashCandidates(df, textCol, idCol, k, bands,
       maxBucketSize = maxBucketSize)
@@ -854,7 +870,7 @@ object Dedup {
       idCol: String = "vec_id",
       planes: Int = 12,
       threshold: Double = 0.95,
-      maxBucketSize: Int = 4096,
+      maxBucketSize: Int = SessionBucketCap,
       ccAlgorithm: String = "label"): DataFrame = {
     val pairs = embeddingNearDup(df, embCol, idCol, planes, threshold, maxBucketSize)
     survivors(df, idCol, pairs.select("id_a", "id_b"), ccAlgorithm)
@@ -958,8 +974,8 @@ object Dedup {
       idCol: String = "vec_id",
       planes: Int = 12,
       threshold: Double = 0.95,
-      maxBucketSize: Int = 4096): DataFrame = {
-    require(maxBucketSize >= 2, s"maxBucketSize must allow pairs, got $maxBucketSize")
+      maxBucketSize: Int = SessionBucketCap): DataFrame = {
+    val cap = resolveBucketCap(df, maxBucketSize)
     val cosineOf = (a: Column, b: Column) =>
       graft.functions.VectorExpressions.cosine(df.sparkSession, a, b)
     val sigCol = Similarity.hyperplaneSignature(col(embCol), planes)
@@ -967,7 +983,7 @@ object Dedup {
       .transform(graft.Stage.materialize) // self-joined: signature kernel must run once
     val oversize = sigs.groupBy("bucket")
       .agg(count(lit(1)).as("_bsz"), min(struct(col(idCol), col(embCol))).as("_hub"))
-      .filter(col("_bsz") > maxBucketSize)
+      .filter(col("_bsz") > cap)
     val flagged = sigs.join(broadcast(oversize), Seq("bucket"), "left_outer")
     val small = flagged.filter(col("_bsz").isNull)
       .select(col(idCol), col(embCol), col("bucket"))

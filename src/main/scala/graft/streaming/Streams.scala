@@ -156,9 +156,9 @@ object Streams {
       k: Int = 64,
       bands: Int = 16,
       shingleWords: Int = 3,
-      maxBucketSize: Int = 4096): Dataset[(Long, Long)] = {
+      maxBucketSize: Int = graft.pipeline.Dedup.SessionBucketCap): Dataset[(Long, Long)] = {
     import docs.sparkSession.implicits._
-    require(maxBucketSize >= 2, s"maxBucketSize must allow pairs, got $maxBucketSize")
+    val cap = graft.pipeline.Dedup.resolveBucketCap(docs, maxBucketSize)
     val banded = graft.pipeline.Dedup
       .bandedSignatures(docs, textCol, idCol, k, bands, shingleWords)
       .select(col(idCol).cast("long"), col("band").cast("int"), col("band_key"))
@@ -178,7 +178,7 @@ object Streams {
           rows.map(_._1).toArray.distinct.sorted.foreach { id =>
             val pos = java.util.Arrays.binarySearch(members, id)
             if (pos < 0) {
-              if (members.length >= maxBucketSize) {
+              if (members.length >= cap) {
                 val hub = members(0)
                 out += ((math.min(hub, id), math.max(hub, id)))
                 // state stays capped — the doc links via the star edge

@@ -222,6 +222,31 @@ class PipelineSpec extends SparkTestBase {
       s"expected one component labeled 1, got ${comp.values.toSet}")
   }
 
+  test("spark.graft.maxBucketSize conf drives guard caps when no per-call value given") {
+    // 10 identical docs: under a cap they collapse to 9 star edges from
+    // the min id; over a cap (or at the 4096 default) they emit the full
+    // 45-pair clique
+    val docs = (1 to 10).map(i =>
+      (i.toLong, "identical boilerplate content repeated across every document here"))
+      .toDF("doc_id", "text")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    try {
+      spark.conf.set("spark.graft.maxBucketSize", "4")
+      val starred = pairs(Dedup.minhashCandidates(docs))
+      assert(starred == (2 to 10).map(i => (1L, i.toLong)).toSet,
+        s"conf cap 4 should star-collapse, got $starred")
+      // explicit per-call value overrides the conf
+      val explicit = pairs(Dedup.minhashCandidates(docs, maxBucketSize = 1000000))
+      assert(explicit.size == 45, s"explicit cap should win over conf, got ${explicit.size}")
+      // invalid conf value fails loudly at plan build
+      spark.conf.set("spark.graft.maxBucketSize", "1")
+      intercept[IllegalArgumentException](Dedup.minhashCandidates(docs))
+    } finally spark.conf.unset("spark.graft.maxBucketSize")
+    // unset → built-in 4096 default: full clique
+    assert(pairs(Dedup.minhashCandidates(docs)).size == 45)
+  }
+
   test("components star fallback handles non-integral (string) ids via surrogates") {
     // real corpora key on URL/hash strings; the unconverged exit must
     // produce the same min-ORIGINAL-id labels through the surrogate-long
