@@ -81,7 +81,9 @@ object Bench {
     println(s"""{"steady_full":${jsonMap(results, 3)},"steady_total":${fmt(total, 3)},"sf":"$sfDir"}""")
     // headline LAST and compact: must fit the driver's capture window
     val sfName = new java.io.File(sfDir).getName
-    println(s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","timing":"min_warm2","first_run_total":${fmt(firstTotal, 1)},"errors":${jsonStrMap(errors)},"sf":"$sfName","queries":${jsonMap(results, 2)}}""")
+    // (first_run_total lives on the auxiliary line only: every headline
+    // byte counts against the ~2000-char capture window)
+    println(s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","timing":"min_warm2","errors":${jsonStrMap(errors)},"sf":"$sfName","queries":${jsonMap(results, 2)}}""")
     spark.stop()
   }
 }

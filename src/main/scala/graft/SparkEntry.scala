@@ -637,6 +637,19 @@ object SparkEntry {
     Dedup.embeddingDedup(tbl(d, "embeddings")(s), planes = 6, threshold = 0.2)
       .select("vec_id")
 
+  /** SemDeDup-style semantic dedup: IVF-cell clustering → within-cell
+    * cosine pairs → components → min-id survivors. The codebook here is
+    * the SEED codebook (iters = 0: centroids are the 8 lowest-id
+    * vectors) so the DuckDB oracle can replicate the cell-assignment
+    * argmin bit-for-bit; the trained-codebook path (Lloyd iterations)
+    * is covered by PipelineSpec, where duplicates collapse identically
+    * under any codebook since identical vectors share a cell. */
+  private def p36(s: SparkSession, d: String): DataFrame = {
+    val emb = tbl(d, "embeddings")(s)
+    val centroids = Similarity.kmeansCentroids(emb, cells = 8, iters = 0)
+    Dedup.semanticDedup(emb, centroids, threshold = 0.2).select("vec_id")
+  }
+
   /** KMV set operations: estimated vs exact distinct-order overlap between
     * the A and R return flags — union by monoid merge, intersection by the
     * K-min-values threshold estimator, both oracle-exact. */
@@ -829,6 +842,7 @@ object SparkEntry {
     "p30_kmv_overlap" -> (p30 _),
     "p34_ivf_knn" -> (p34 _),
     "p35_embedding_dedup" -> (p35 _),
+    "p36_semantic_dedup" -> (p36 _),
     "p31_span_excise" -> (p31 _),
     "p32_chunking" -> (p32 _),
     "p33_mixture_weights" -> (p33 _)
@@ -1450,6 +1464,38 @@ object SparkEntry {
         |pairs AS (
         |  SELECT l.vec_id AS id_a, r.vec_id AS id_b
         |  FROM sig l JOIN sig r ON l.b = r.b AND l.vec_id < r.vec_id),
+        |verified AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT id_a, id_b,
+        |      list_reduce(list_transform(generate_series(1, 64), i -> a.e[i]*bb.e[i]), (x,y) -> x+y) /
+        |      (greatest(sqrt(list_reduce(list_transform(generate_series(1, 64), i -> a.e[i]*a.e[i]), (x,y) -> x+y)), 1e-12) *
+        |       greatest(sqrt(list_reduce(list_transform(generate_series(1, 64), i -> bb.e[i]*bb.e[i]), (x,y) -> x+y)), 1e-12)) AS cosine
+        |    FROM pairs JOIN c0 a ON a.vec_id = pairs.id_a JOIN c0 bb ON bb.vec_id = pairs.id_b) t
+        |  WHERE cosine >= 0.2),
+        |sym AS (SELECT id_a AS s, id_b AS d FROM verified
+        |        UNION ALL SELECT id_b, id_a FROM verified),
+        |reach AS (
+        |  SELECT DISTINCT s AS id, s AS lab FROM sym
+        |  UNION
+        |  SELECT sym.d AS id, reach.lab FROM reach JOIN sym ON sym.s = reach.id),
+        |comp AS (SELECT id, MIN(lab) AS component FROM reach GROUP BY id),
+        |keep AS (SELECT component, MIN(id) AS vec_id FROM comp GROUP BY component)
+        |SELECT e.vec_id FROM embeddings e
+        |LEFT JOIN comp ON comp.id = e.vec_id WHERE comp.id IS NULL
+        |UNION ALL
+        |SELECT vec_id FROM keep""".stripMargin,
+    "p36_semantic_dedup" ->
+      """WITH RECURSIVE c0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+        |seeds AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, e AS s
+        |  FROM (SELECT vec_id, e FROM c0 WHERE e IS NOT NULL ORDER BY vec_id LIMIT 8) t),
+        |dist AS (SELECT c0.vec_id, seeds.cell,
+        |    list_reduce(list_transform(generate_series(1, 64), i -> (e[i]-s[i])*(e[i]-s[i])), (x,y) -> x+y) AS d
+        |  FROM c0, seeds WHERE c0.e IS NOT NULL),
+        |assign AS (SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+        |    FROM dist) t WHERE rn = 1),
+        |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id),
         |verified AS (
         |  SELECT id_a, id_b FROM (
         |    SELECT id_a, id_b,

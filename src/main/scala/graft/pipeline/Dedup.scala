@@ -976,11 +976,24 @@ object Dedup {
       threshold: Double = 0.95,
       maxBucketSize: Int = SessionBucketCap): DataFrame = {
     val cap = resolveBucketCap(df, maxBucketSize)
-    val cosineOf = (a: Column, b: Column) =>
-      graft.functions.VectorExpressions.cosine(df.sparkSession, a, b)
     val sigCol = Similarity.hyperplaneSignature(col(embCol), planes)
-    val sigs = df.select(col(idCol), col(embCol), sigCol.as("bucket"))
-      .transform(graft.Stage.materialize) // self-joined: signature kernel must run once
+    bucketedCosinePairs(df.select(col(idCol), col(embCol), sigCol.as("bucket")),
+      idCol, embCol, cap, threshold)
+  }
+
+  /** Guarded within-bucket exact-cosine pair generation — the shared
+    * engine of [[embeddingNearDup]] (hyperplane buckets) and
+    * [[semanticPairs]] (IVF cells). `sigs0` carries (idCol, embCol,
+    * bucket); buckets larger than `cap` emit cosine-verified STAR EDGES
+    * from the bucket-min member instead of a quadratic self-join, with
+    * bucket stats from a map-side-combined aggregation broadcast back
+    * (no window sort, no extra shuffle of the vectors). */
+  private def bucketedCosinePairs(sigs0: DataFrame, idCol: String,
+      embCol: String, cap: Int, threshold: Double): DataFrame = {
+    val cosineOf = (a: Column, b: Column) =>
+      graft.functions.VectorExpressions.cosine(sigs0.sparkSession, a, b)
+    // self-joined: the signature/assignment kernel must run once
+    val sigs = sigs0.transform(graft.Stage.materialize)
     val oversize = sigs.groupBy("bucket")
       .agg(count(lit(1)).as("_bsz"), min(struct(col(idCol), col(embCol))).as("_hub"))
       .filter(col("_bsz") > cap)
@@ -1001,5 +1014,50 @@ object Dedup {
     pairs.unionAll(stars)
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine").distinct()
+  }
+
+  /** SemDeDup-style semantic near-dup pairs (Abbas et al., "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication", 2023): embeddings cluster into k-means cells via the
+    * persistable IVF codebook ([[Similarity.kmeansCentroids]] /
+    * [[Similarity.ivfIndex]]) and exact cosine runs only WITHIN a cell.
+    * Complementary to [[embeddingNearDup]]: hyperplane buckets are
+    * data-oblivious (a near-dup pair straddling one plane is missed),
+    * k-means cells adapt to the data, catching bucket-boundary near-misses
+    * at the cost of the codebook build. Same hot-bucket guard — a
+    * degenerate cell (all-duplicate corpora route everything to one
+    * centroid) emits linear cosine-verified star edges, never a quadratic
+    * self-join. Rows with null embeddings get no cell and produce no
+    * pairs. Returns (id_a, id_b, cosine), id_a < id_b, distinct. */
+  def semanticPairs(
+      df: DataFrame,
+      centroids: Array[Array[Double]],
+      embCol: String = "embedding",
+      idCol: String = "vec_id",
+      threshold: Double = 0.95,
+      maxBucketSize: Int = SessionBucketCap): DataFrame = {
+    val cap = resolveBucketCap(df, maxBucketSize)
+    val sigs = Similarity.ivfIndex(df, centroids, idCol, embCol)
+      .filter(col("cell").isNotNull)
+      .select(col("corpus_id").as(idCol), col("c_emb").as(embCol),
+        col("cell").as("bucket"))
+    bucketedCosinePairs(sigs, idCol, embCol, cap, threshold)
+  }
+
+  /** End-to-end SemDeDup: [[semanticPairs]] → connected components → one
+    * min-id representative per semantic-duplicate cluster plus every
+    * unclustered row — the same consolidation tail as [[nearDupDedup]] /
+    * [[embeddingDedup]]. Train the codebook once per corpus with
+    * [[Similarity.kmeansCentroids]] and reuse it across batches. */
+  def semanticDedup(
+      df: DataFrame,
+      centroids: Array[Array[Double]],
+      embCol: String = "embedding",
+      idCol: String = "vec_id",
+      threshold: Double = 0.95,
+      maxBucketSize: Int = SessionBucketCap,
+      ccAlgorithm: String = "label"): DataFrame = {
+    val pairs = semanticPairs(df, centroids, embCol, idCol, threshold, maxBucketSize)
+    survivors(df, idCol, pairs.select("id_a", "id_b"), ccAlgorithm)
   }
 }

@@ -283,6 +283,38 @@ class PipelineSpec extends SparkTestBase {
     assert(keptStar == kept)
   }
 
+  test("semantic dedup: trained codebook collapses duplicates, hot-cell guard stays linear") {
+    // SemDeDup path with REAL Lloyd iterations (the oracle covers the
+    // seed-codebook path): re-encoded copies of vectors 0-4 must collapse
+    // onto their originals under any codebook, since identical vectors
+    // share a cell
+    val dupped = embeddings.limit(50)
+      .unionAll(embeddings.limit(5).withColumn("vec_id", $"vec_id" + 1000L))
+    val codebook = Similarity.kmeansCentroids(dupped, cells = 4, iters = 3)
+    val kept = Dedup.semanticDedup(dupped, codebook, threshold = 0.999)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == (0L until 50L).toSet, s"got $kept")
+    // star CC parity
+    val keptStar = Dedup.semanticDedup(dupped, codebook, threshold = 0.999,
+      ccAlgorithm = "star").select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(keptStar == kept)
+    // hot cell: 300 copies of one embedding all route to one cell; the
+    // guard emits exactly n-1 star edges from the min-id copy
+    val one = embeddings.filter($"vec_id" === 0L).select($"embedding")
+      .collect().head.getSeq[Float](0)
+    val n = 300
+    val identical = (1 to n).map(i => (i.toLong, one)).toDF("vec_id", "embedding")
+    val cb2 = Similarity.kmeansCentroids(identical, cells = 4, iters = 1)
+    val pairs = Dedup.semanticPairs(identical, cb2, threshold = 0.999,
+      maxBucketSize = 32).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.size == n - 1, s"expected ${n - 1} star edges, got ${pairs.size}")
+    assert(pairs.forall(_._1 == 1L), "star edges must point at the cell-min vector")
+    // and the end-to-end dedup keeps exactly one representative
+    val surv = Dedup.semanticDedup(identical, cb2, threshold = 0.999,
+      maxBucketSize = 32).select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(surv == Set(1L), s"got $surv")
+  }
+
   test("connected components and end-to-end near-dup dedup") {
     // chain 1-2-3, pair 4-5, isolated 6 never appears in edges
     val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")

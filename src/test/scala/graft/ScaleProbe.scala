@@ -142,6 +142,13 @@ object ScaleProbe {
       time("adversarial embedding near-dup @10k identical (capped)")(
         graft.pipeline.Dedup.embeddingNearDup(identical, threshold = 0.999,
           maxBucketSize = 256).count())
+      // SemDeDup hot cell: identical vectors make every centroid identical
+      // and route all 10⁴ rows to cell 0 — the degenerate-cell worst case;
+      // the guard must keep it linear (star edges), never a 5·10⁷ self-join
+      val cb = graft.pipeline.Similarity.kmeansCentroids(identical, cells = 4, iters = 1)
+      time("adversarial semantic dedup @10k identical (capped)")(
+        graft.pipeline.Dedup.semanticDedup(identical, cb, threshold = 0.999,
+          maxBucketSize = 256).count())
     }
 
     // round-3 curation operators at 10× docs: all should scale ~linearly
