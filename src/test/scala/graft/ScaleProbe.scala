@@ -219,6 +219,50 @@ object ScaleProbe {
           Seq("l_suppkey")).count())
     }
 
+    // p06 drift A/B (round 6): VERDICT flagged p06_minhash_pairs at 1.26×
+    // its baseline — is that the hot-bucket stats agg (the documented
+    // skew-safety price) or the string band-key shuffle width (~80 chars
+    // of rendered minhash values vs 8 bytes of xxhash64)? Four plans,
+    // run twice each (cold + warm), sf0.1 docs — the p06 input.
+    {
+      import graft.pipeline.Dedup
+      import org.apache.spark.sql.DataFrame
+      val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      def banded() = Dedup.bandedSignatures(docs, "text", "doc_id", 64, 16, 3)
+      def hashKeys(b: DataFrame) =
+        b.withColumn("band_key", xxhash64(col("band"), col("band_key")))
+      def pairsOf(b: DataFrame, guard: Boolean): Long = {
+        val bb = b.transform(graft.Stage.materialize)
+        val base = if (guard) {
+          val oversize = bb.groupBy("band", "band_key")
+            .agg(count(lit(1)).as("_bsz"), min(col("doc_id")).as("_hub"))
+            .filter(col("_bsz") > 4096)
+          val flagged = bb.join(broadcast(oversize), Seq("band", "band_key"), "left_outer")
+          val small = flagged.filter(col("_bsz").isNull)
+            .select(col("doc_id"), col("band"), col("band_key"))
+          val l = small.toDF("id_a", "band", "band_key")
+          val r = small.toDF("id_b", "band", "band_key")
+          val pairs = l.join(r, Seq("band", "band_key"))
+            .filter(col("id_a") < col("id_b")).select("id_a", "id_b")
+          val stars = flagged.filter(col("_bsz").isNotNull && col("doc_id") =!= col("_hub"))
+            .select(col("_hub").as("id_a"), col("doc_id").as("id_b"))
+          pairs.unionAll(stars)
+        } else {
+          val l = bb.select(col("doc_id").as("id_a"), col("band"), col("band_key"))
+          val r = bb.select(col("doc_id").as("id_b"), col("band"), col("band_key"))
+          l.join(r, Seq("band", "band_key"))
+            .filter(col("id_a") < col("id_b")).select("id_a", "id_b")
+        }
+        base.distinct().count()
+      }
+      for (round <- 1 to 2) {
+        time(s"p06 A/B guarded string keys (shipped) r$round")(pairsOf(banded(), guard = true))
+        time(s"p06 A/B unguarded string keys r$round")(pairsOf(banded(), guard = false))
+        time(s"p06 A/B guarded xxhash64 keys r$round")(pairsOf(hashKeys(banded()), guard = true))
+        time(s"p06 A/B unguarded xxhash64 keys r$round")(pairsOf(hashKeys(banded()), guard = false))
+      }
+    }
+
     // streaming LSH hot bucket at the FULL default cap (4096): batch 1
     // fills one bucket to the cap (clique emission — the one-time n²/2
     // cost the cap bounds), batch 2 sends 4096 over-cap arrivals (each a
