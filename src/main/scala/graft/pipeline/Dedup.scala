@@ -1060,4 +1060,91 @@ object Dedup {
     val pairs = semanticPairs(df, centroids, embCol, idCol, threshold, maxBucketSize)
     survivors(df, idCol, pairs.select("id_a", "id_b"), ccAlgorithm)
   }
+
+  /** Per-cell rollup of a persisted [[Similarity.ivfIndex]] — the
+    * semantic analog of [[bandBucketStats]]: one row per cell with its
+    * size and min-id (id, emb) hub. Maintain it with the index build and
+    * hand it to [[incrementalSemanticPairs]] so delta batches never
+    * re-aggregate the corpus. Mergeable: sizes add, hubs take the min. */
+  def semanticCellStats(index: DataFrame): DataFrame =
+    index.filter(col("cell").isNotNull).groupBy("cell")
+      .agg(count(lit(1)).as("cell_size"),
+        min(struct(col("corpus_id").as("id"), col("c_emb").as("emb"))).as("hub"))
+
+  /** Incremental SemDeDup: a delta batch of embeddings against a
+    * PERSISTED corpus IVF index ([[Similarity.ivfIndex]] output:
+    * corpus_id, c_emb, cell) WITHOUT re-pairing the corpus against
+    * itself — the daily-crawl path, mirroring [[incrementalCandidates]].
+    * Delta rows route to cells through the same codebook, then pair
+    * delta×corpus and delta×delta within each cell, cosine-verified;
+    * corpus×corpus (the quadratic bulk, already resolved when the corpus
+    * was built) is never generated. Hot cells — merged corpus+delta size
+    * above the cap — emit verified star edges from each delta member to
+    * the merged cell hub; corpus members of hot cells emit nothing new.
+    * Pass `corpusCellStats` ([[semanticCellStats]], persisted alongside
+    * the index) to skip the per-batch corpus aggregation: delta stats
+    * merge monoid-wise into the rollup. Returns (id_a, id_b, cosine),
+    * id_a < id_b, distinct. */
+  def incrementalSemanticPairs(
+      corpusIndex: DataFrame,
+      delta: DataFrame,
+      centroids: Array[Array[Double]],
+      embCol: String = "embedding",
+      idCol: String = "vec_id",
+      threshold: Double = 0.95,
+      maxBucketSize: Int = SessionBucketCap,
+      corpusCellStats: Option[DataFrame] = None): DataFrame = {
+    val cap = resolveBucketCap(delta, maxBucketSize)
+    val cosineOf = (a: Column, b: Column) =>
+      graft.functions.VectorExpressions.cosine(delta.sparkSession, a, b)
+    corpusCellStats.foreach { st =>
+      val need = Seq("cell", "cell_size", "hub")
+      require(need.forall(st.columns.contains),
+        s"corpusCellStats expects semanticCellStats columns $need, got ${st.columns.toSeq}")
+    }
+    // the corpus index is typically a bucketed parquet read: no
+    // materialization (with the stats rollup it is scanned exactly once,
+    // by the pair join). The delta assignment kernel IS materialized —
+    // its rows feed the stats merge and both sides of the pair join.
+    val ci = corpusIndex.filter(col("cell").isNotNull)
+      .select(col("corpus_id"), col("c_emb"), col("cell"))
+    val di = Similarity.ivfIndex(delta, centroids, idCol, embCol)
+      .filter(col("cell").isNotNull)
+      .transform(graft.Stage.materialize)
+    val ds = di.groupBy("cell")
+      .agg(count(lit(1)).as("_dsz"),
+        min(struct(col("corpus_id").as("id"), col("c_emb").as("emb"))).as("_dhub"))
+    val stats = (corpusCellStats match {
+        case Some(st) => st.select(col("cell"),
+          col("cell_size").as("_csz"), col("hub").as("_chub"))
+        case None => ci.groupBy("cell")
+          .agg(count(lit(1)).as("_csz"),
+            min(struct(col("corpus_id").as("id"), col("c_emb").as("emb"))).as("_chub"))
+      })
+      .join(ds, Seq("cell"), "full_outer")
+      .select(col("cell"),
+        (coalesce(col("_csz"), lit(0L)) + coalesce(col("_dsz"), lit(0L))).as("_bsz"),
+        least(col("_chub"), col("_dhub")).as("_hub")) // least skips nulls
+      .filter(col("_bsz") > cap)
+    val dFlag = di.join(broadcast(stats), Seq("cell"), "left_outer")
+    val dSmall = dFlag.filter(col("_bsz").isNull)
+      .select(col("corpus_id"), col("c_emb"), col("cell"))
+    val cSmall = ci.join(broadcast(stats), Seq("cell"), "left_anti")
+      .select(col("corpus_id"), col("c_emb"), col("cell")) // using-cols joins reorder
+    val left = dSmall.toDF("_did", "_demb", "cell")
+    val right = cSmall.toDF("_oid", "_oemb", "cell")
+      .unionAll(dSmall.toDF("_oid", "_oemb", "cell"))
+    val pairs = left.join(right, "cell")
+      .filter(col("_did") =!= col("_oid"))
+      .select(least(col("_did"), col("_oid")).as("id_a"),
+        greatest(col("_did"), col("_oid")).as("id_b"),
+        cosineOf(col("_demb"), col("_oemb")).as("cosine"))
+    val stars = dFlag.filter(col("_bsz").isNotNull && col("corpus_id") =!= col("_hub.id"))
+      .select(least(col("corpus_id"), col("_hub.id")).as("id_a"),
+        greatest(col("corpus_id"), col("_hub.id")).as("id_b"),
+        cosineOf(col("c_emb"), col("_hub.emb")).as("cosine"))
+    pairs.unionAll(stars)
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine").distinct()
+  }
 }

@@ -289,6 +289,16 @@ class MacroMultigroupPlanSpec extends SparkTestBase {
       s"embedding oversize set must broadcast onto bucketed vectors:\n$pe")
     assert(pe.contains("partial_count"),
       s"embedding bucket stats must combine map-side:\n$pe")
+    // SemDeDup cells ride the same shared guard (bucketedCosinePairs) —
+    // assert the shape anyway so a future split can't silently lose it
+    val cb = graft.pipeline.Similarity.kmeansCentroids(emb, cells = 4, iters = 1)
+    val ps = plan(graft.pipeline.Dedup.semanticPairs(
+      emb, cb, threshold = 0.2, maxBucketSize = 64))
+    assert(!ps.contains("Window"), s"semantic guard must not window-sort:\n$ps")
+    assert(ps.contains("BroadcastHashJoin"),
+      s"semantic oversize set must broadcast onto cell-assigned vectors:\n$ps")
+    assert(ps.contains("partial_count"),
+      s"semantic cell stats must combine map-side:\n$ps")
   }
 
   test("duplicate-span gram counts aggregate with map-side partials") {

@@ -315,6 +315,48 @@ class PipelineSpec extends SparkTestBase {
     assert(surv == Set(1L), s"got $surv")
   }
 
+  test("incremental semantic pairs: delta vs persisted index, stats parity, hot cell") {
+    // corpus 0-49; delta = copies of 0-4 under 1000+ ids, plus two fresh
+    // copies of vector 10 (2000, 2001) — a delta×delta duplicate pair
+    val corpus = embeddings.limit(50).select("vec_id", "embedding")
+    val ten = embeddings.filter($"vec_id" === 10L).select($"embedding")
+      .collect().head.getSeq[Float](0)
+    val delta = embeddings.limit(5).select("vec_id", "embedding")
+      .withColumn("vec_id", $"vec_id" + 1000L)
+      .unionAll(Seq((2000L, ten), (2001L, ten)).toDF("vec_id", "embedding"))
+    val cb = Similarity.kmeansCentroids(corpus, cells = 4, iters = 2)
+    val index = Similarity.ivfIndex(corpus, cb)
+    def collectPairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0 to 4).map(i => (i.toLong, 1000L + i)).toSet ++
+      Set((10L, 2000L), (10L, 2001L), (2000L, 2001L))
+    val inc = collectPairs(Dedup.incrementalSemanticPairs(index, delta, cb,
+      threshold = 0.999))
+    assert(inc == expected, s"got $inc")
+    // full-batch parity: at this threshold the corpus has no internal
+    // pairs, so batch semanticPairs over corpus+delta equals the
+    // incremental set exactly
+    val full = collectPairs(Dedup.semanticPairs(corpus.unionAll(delta), cb,
+      threshold = 0.999))
+    assert(full == inc)
+    // persisted stats rollup (parquet round trip) gives identical pairs
+    // without re-aggregating the corpus
+    val dir = s"/tmp/graft-cellstats-${java.util.UUID.randomUUID()}"
+    Dedup.semanticCellStats(index).write.parquet(dir)
+    val viaStats = collectPairs(Dedup.incrementalSemanticPairs(index, delta, cb,
+      threshold = 0.999, corpusCellStats = Some(spark.read.parquet(dir))))
+    assert(viaStats == inc)
+    // hot cell: 100 delta copies of corpus vector 0 blow the merged cell
+    // past cap 32 → each delta member star-links to the merged hub
+    // (corpus id 0); corpus members of the hot cell emit nothing new
+    val hotDelta = (1 to 100).map(i => (3000L + i,
+      embeddings.filter($"vec_id" === 0L).select($"embedding")
+        .collect().head.getSeq[Float](0))).toDF("vec_id", "embedding")
+    val hot = collectPairs(Dedup.incrementalSemanticPairs(index, hotDelta, cb,
+      threshold = 0.999, maxBucketSize = 32))
+    assert(hot == (1 to 100).map(i => (0L, 3000L + i)).toSet, s"got ${hot.size} pairs")
+  }
+
   test("connected components and end-to-end near-dup dedup") {
     // chain 1-2-3, pair 4-5, isolated 6 never appears in edges
     val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")

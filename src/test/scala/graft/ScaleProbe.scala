@@ -219,6 +219,34 @@ object ScaleProbe {
           Seq("l_suppkey")).count())
     }
 
+    // incremental semantic pairs at 45k corpus + 5k delta (replicated
+    // embeddings: every delta vector has 9 corpus twins, the adversarial
+    // direction for pair volume): work is delta-proportional, the corpus
+    // participates only through the persisted index + cell-stats rollup,
+    // corpus×corpus is never generated
+    {
+      val bigEmb = "/tmp/graft_scale/embeddings10x.parquet"
+      if (!new java.io.File(bigEmb).exists()) {
+        val e = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+          .select("vec_id", "embedding")
+        (1 to 10).map(i => e.withColumn("vec_id", col("vec_id") + lit(i * 10000000L)))
+          .reduce(_ unionAll _)
+          .repartition(32).write.mode("overwrite").parquet(bigEmb)
+      }
+      val all = spark.read.parquet(bigEmb)
+      val corpus = all.filter(col("vec_id") < 100000000L)
+      val delta = all.filter(col("vec_id") >= 100000000L)
+      val cb = graft.pipeline.Similarity.kmeansCentroids(corpus, cells = 64, iters = 2)
+      val idxDir = "/tmp/graft_scale/ivf_index_45k.parquet"
+      graft.pipeline.Similarity.ivfIndex(corpus, cb)
+        .write.mode("overwrite").parquet(idxDir)
+      val idx = spark.read.parquet(idxDir)
+      val stats = graft.pipeline.Dedup.semanticCellStats(idx).localCheckpoint()
+      time("incremental semantic pairs @45k corpus + 5k delta")(
+        graft.pipeline.Dedup.incrementalSemanticPairs(idx, delta, cb,
+          threshold = 0.999, corpusCellStats = Some(stats)).count())
+    }
+
     // p06 drift A/B (round 6): VERDICT flagged p06_minhash_pairs at 1.26×
     // its baseline — is that the hot-bucket stats agg (the documented
     // skew-safety price) or the string band-key shuffle width (~80 chars
