@@ -159,11 +159,51 @@ object Streams {
       maxBucketSize: Int = graft.pipeline.Dedup.SessionBucketCap): Dataset[(Long, Long)] = {
     import docs.sparkSession.implicits._
     val cap = graft.pipeline.Dedup.resolveBucketCap(docs, maxBucketSize)
-    val banded = graft.pipeline.Dedup
+    val keyed = graft.pipeline.Dedup
       .bandedSignatures(docs, textCol, idCol, k, bands, shingleWords)
       .select(col(idCol).cast("long"), col("band").cast("int"), col("band_key"))
       .as[(Long, Int, String)]
-    banded.groupByKey(r => (r._2, r._3))
+    streamingBucketCandidates(keyed, cap)
+  }
+
+  /** Streaming embedding near-dup candidates — the vector face of
+    * [[streamingMinhashCandidates]]: each arrival's hyperplane signature
+    * ([[graft.pipeline.Similarity.hyperplaneSignature]], the same
+    * md5-seeded planes as batch [[graft.pipeline.Dedup.embeddingNearDup]])
+    * keys it into one bucket; the shared capped-state machinery emits the
+    * candidate pairs. Candidates are UNVERIFIED, exactly like the batch
+    * candidate tier and the minhash stream — join the pair stream against
+    * a vector store (or buffer micro-batches) for the exact-cosine verify.
+    * Null embeddings produce no signature and silently drop, matching
+    * batch. For rows all arriving under the cap, the pair set equals the
+    * batch bucket pairs (embeddingNearDup at threshold -1) — asserted in
+    * StreamingSpec. */
+  def streamingEmbeddingCandidates(
+      vecs: DataFrame,
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+      planes: Int = 12,
+      maxBucketSize: Int = graft.pipeline.Dedup.SessionBucketCap): Dataset[(Long, Long)] = {
+    import vecs.sparkSession.implicits._
+    val cap = graft.pipeline.Dedup.resolveBucketCap(vecs, maxBucketSize)
+    val sig = graft.pipeline.Similarity.hyperplaneSignature(col(embCol), planes)
+    val keyed = vecs
+      .select(col(idCol).cast("long"), lit(0).as("band"), sig.cast("string").as("band_key"))
+      .filter(col("band_key").isNotNull)
+      .as[(Long, Int, String)]
+    streamingBucketCandidates(keyed, cap)
+  }
+
+  /** The shared stateful core of the streaming LSH candidate operators:
+    * rows arrive keyed as (id, band, band_key); per-(band, band_key)
+    * state is the SORTED member-id array capped at `cap` (binary-search
+    * membership, star hub at index 0); under-cap arrivals pair against
+    * every stored member, over-cap arrivals emit one star edge to the
+    * hub. `cap` is pre-resolved by the public faces. */
+  private def streamingBucketCandidates(
+      keyed: Dataset[(Long, Int, String)], cap: Int): Dataset[(Long, Long)] = {
+    import keyed.sparkSession.implicits._
+    keyed.groupByKey(r => (r._2, r._3))
       .flatMapGroupsWithState[Array[Long], (Long, Long)](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_: (Int, String), rows: Iterator[(Long, Int, String)],

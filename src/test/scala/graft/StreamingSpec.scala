@@ -189,6 +189,44 @@ class StreamingSpec extends SparkTestBase {
     q2.stop()
   }
 
+  test("streaming embedding candidates: batch parity and capped star edges") {
+    implicit val sqlCtx = spark.sqlContext
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val rows = emb.collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    // batch truth: the unverified bucket-pair tier = embeddingNearDup with
+    // the threshold disabled (cosine >= -1 keeps every within-bucket pair)
+    val batch = graft.pipeline.Dedup.embeddingNearDup(emb, planes = 4, threshold = -1.0)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val in = MemoryStream[(Long, Seq[Float])]
+    val cands = Streams.streamingEmbeddingCandidates(
+      in.toDF().toDF("vec_id", "embedding"), planes = 4)
+    val q = Streams.toMemory(cands.toDF().toDF("id_a", "id_b"), "stream_emb", "append")
+    in.addData(rows.take(20): _*)
+    q.processAllAvailable()
+    in.addData(rows.drop(20): _*)
+    q.processAllAvailable()
+    val streamed = spark.table("stream_emb").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch, s"stream ${streamed.size} pairs != batch ${batch.size}")
+    q.stop()
+
+    // capped: identical vectors share one signature bucket; past cap 8
+    // every arrival star-links to the min-id member
+    val one = rows.head._2
+    val in2 = MemoryStream[(Long, Seq[Float])]
+    val capped = Streams.streamingEmbeddingCandidates(
+      in2.toDF().toDF("vec_id", "embedding"), planes = 4, maxBucketSize = 8)
+    val q2 = Streams.toMemory(capped.toDF().toDF("id_a", "id_b"), "stream_emb_capped", "append")
+    in2.addData((1 to 40).map(i => (i.toLong, one)): _*)
+    q2.processAllAvailable()
+    val pairs = spark.table("stream_emb_capped").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((9 to 40).forall(i => pairs.contains((1L, i.toLong))))
+    assert(pairs.size == 8 * 7 / 2 + 32, s"expected linear pair volume, got ${pairs.size}")
+    q2.stop()
+  }
+
   test("streaming KMV distinct: bounded state, monoid-equal to batch") {
     import graft.operators.Sketches
     implicit val sqlCtx = spark.sqlContext
