@@ -650,6 +650,21 @@ object SparkEntry {
     Dedup.semanticDedup(emb, centroids, threshold = 0.2).select("vec_id")
   }
 
+  /** Incremental SemDeDup pairs: vectors ≥400 arrive as the delta against
+    * a persisted index of the first 400 — delta×corpus and delta×delta
+    * pairs only, corpus×corpus never generated, with the per-cell stats
+    * rollup standing in for the corpus aggregation. Seed codebook
+    * (iters = 0) for the same oracle-replicability as p36. */
+  private def p37(s: SparkSession, d: String): DataFrame = {
+    val emb = tbl(d, "embeddings")(s).select(col("vec_id"), col("embedding"))
+    val corpus = emb.filter(col("vec_id") < 400)
+    val delta = emb.filter(col("vec_id") >= 400)
+    val cb = Similarity.kmeansCentroids(corpus, cells = 8, iters = 0)
+    val index = Similarity.ivfIndex(corpus, cb)
+    Dedup.incrementalSemanticPairs(index, delta, cb, threshold = 0.2,
+      corpusCellStats = Some(Dedup.semanticCellStats(index)))
+  }
+
   /** KMV set operations: estimated vs exact distinct-order overlap between
     * the A and R return flags — union by monoid merge, intersection by the
     * K-min-values threshold estimator, both oracle-exact. */
@@ -843,6 +858,7 @@ object SparkEntry {
     "p34_ivf_knn" -> (p34 _),
     "p35_embedding_dedup" -> (p35 _),
     "p36_semantic_dedup" -> (p36 _),
+    "p37_incr_semantic" -> (p37 _),
     "p31_span_excise" -> (p31 _),
     "p32_chunking" -> (p32 _),
     "p33_mixture_weights" -> (p33 _)
@@ -1516,6 +1532,27 @@ object SparkEntry {
         |LEFT JOIN comp ON comp.id = e.vec_id WHERE comp.id IS NULL
         |UNION ALL
         |SELECT vec_id FROM keep""".stripMargin,
+    "p37_incr_semantic" ->
+      """WITH c0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+        |seeds AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, e AS s
+        |  FROM (SELECT vec_id, e FROM c0 WHERE e IS NOT NULL AND vec_id < 400
+        |        ORDER BY vec_id LIMIT 8) t),
+        |dist AS (SELECT c0.vec_id, seeds.cell,
+        |    list_reduce(list_transform(generate_series(1, 64), i -> (e[i]-s[i])*(e[i]-s[i])), (x,y) -> x+y) AS d
+        |  FROM c0, seeds WHERE c0.e IS NOT NULL),
+        |assign AS (SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+        |    FROM dist) t WHERE rn = 1),
+        |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  WHERE NOT (a.vec_id < 400 AND b.vec_id < 400))
+        |SELECT id_a, id_b, cosine FROM (
+        |  SELECT id_a, id_b,
+        |    list_reduce(list_transform(generate_series(1, 64), i -> a.e[i]*bb.e[i]), (x,y) -> x+y) /
+        |    (greatest(sqrt(list_reduce(list_transform(generate_series(1, 64), i -> a.e[i]*a.e[i]), (x,y) -> x+y)), 1e-12) *
+        |     greatest(sqrt(list_reduce(list_transform(generate_series(1, 64), i -> bb.e[i]*bb.e[i]), (x,y) -> x+y)), 1e-12)) AS cosine
+        |  FROM pairs JOIN c0 a ON a.vec_id = pairs.id_a JOIN c0 bb ON bb.vec_id = pairs.id_b) t
+        |WHERE cosine >= 0.2""".stripMargin,
     "p29_rare_tokens" ->
       """WITH tk AS (
         |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\W+'),
