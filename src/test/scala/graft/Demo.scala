@@ -118,6 +118,23 @@ object Demo {
     val chain = (1 until 40).map(i => (i.toLong, (i + 1).toLong)).toDF("id_a", "id_b")
     println("components: " + Dedup.components(chain, maxIter = 5)
       .select("component").distinct().count() + " (expect 1)")
+
+    println("== round-6 operators ==")
+    println("-- SemDeDup: within-cell cosine dedup over the IVF codebook --")
+    println("survivors: " + Dedup.semanticDedup(
+      emb.select("vec_id", "embedding"), codebook, threshold = 0.2).count())
+    println("-- incremental semantic pairs (delta vs persisted index + stats) --")
+    val corpus6 = emb.select("vec_id", "embedding").filter(col("vec_id") < 400)
+    val delta6 = emb.select("vec_id", "embedding").filter(col("vec_id") >= 400)
+    val cb6 = Similarity.kmeansCentroids(corpus6, cells = 8)
+    val idx6 = Similarity.ivfIndex(corpus6, cb6)
+    println("delta pairs: " + Dedup.incrementalSemanticPairs(
+      idx6, delta6, cb6, threshold = 0.2,
+      corpusCellStats = Some(Dedup.semanticCellStats(idx6))).count())
+    println("-- string-id components (surrogate star fallback) --")
+    val schain = (1 until 40).map(i => (f"u$i%03d", f"u${i + 1}%03d")).toDF("id_a", "id_b")
+    println("components: " + Dedup.components(schain, maxIter = 5)
+      .select("component").distinct().count() + " (expect 1)")
     spark.stop()
   }
 }
