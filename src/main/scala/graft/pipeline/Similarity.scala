@@ -1,7 +1,8 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Row}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 
 /** Similarity search over embedding columns (`array<float>`).
@@ -156,24 +157,61 @@ object Similarity {
       .orderBy(col(corpusId)).limit(cells).collect()
       .map(_.getSeq[Float](1).map(_.toDouble).toArray)
     var centroids = seed
+    val vecSum = udaf(new VecSumAgg, ExpressionEncoder[Seq[Float]]())
     var it = 0
     while (it < iters) {
       val cs = centroids // stable reference for the closure
       val assignU = udf((emb: Seq[Float]) => nearestCell(cs, emb))
+      // update step as ONE map-side-combined aggregation: per-cell
+      // (count, vector-sum) partials — ≤cells buffers cross the wire.
+      // The previous posexplode form shuffled N×dims rows per iteration,
+      // a 64× amplification of the corpus at scale.
       val means = clean
         .select(assignU(col(embCol)).as("cell"), col(embCol))
-        .select(col("cell"), posexplode(col(embCol)).as(Seq("dim", "v")))
-        .groupBy("cell", "dim").agg(avg(col("v")).as("m"))
-        .groupBy("cell").agg(sort_array(collect_list(struct(col("dim"), col("m"))))
-          .as("dims"))
+        .groupBy("cell").agg(vecSum(col(embCol)).as("s"))
         .collect()
-        .map(r => r.getInt(0) ->
-          r.getSeq[Row](1).map(_.getDouble(1)).toArray).toMap
+        .map { r =>
+          val s = r.getStruct(1)
+          val n = s.getLong(0).toDouble
+          r.getInt(0) -> s.getSeq[Double](1).map(_ / n).toArray
+        }.toMap
       // empty cells keep their previous centroid
       centroids = centroids.indices.map(i => means.getOrElse(i, centroids(i))).toArray
       it += 1
     }
     centroids
+  }
+
+  /** Per-cell (count, vector-sum) — the k-means update step as a typed
+    * Aggregator so partial sums combine map-side and only ≤cells small
+    * buffers shuffle, instead of posexploding every vector into N×dims
+    * rows per Lloyd iteration. */
+  private class VecSumAgg
+      extends Aggregator[Seq[Float], (Long, Array[Double]), (Long, Array[Double])] {
+    def zero: (Long, Array[Double]) = (0L, Array.emptyDoubleArray)
+    def reduce(b: (Long, Array[Double]), v: Seq[Float]): (Long, Array[Double]) =
+      if (v == null) b
+      else {
+        val sums = if (b._2.isEmpty) new Array[Double](v.length) else b._2
+        var i = 0
+        val n = math.min(sums.length, v.length)
+        while (i < n) { sums(i) += v(i); i += 1 }
+        (b._1 + 1L, sums)
+      }
+    def merge(a: (Long, Array[Double]), b: (Long, Array[Double])): (Long, Array[Double]) =
+      if (a._2.isEmpty) b
+      else if (b._2.isEmpty) a
+      else {
+        var i = 0
+        val n = math.min(a._2.length, b._2.length)
+        while (i < n) { a._2(i) += b._2(i); i += 1 }
+        (a._1 + b._1, a._2)
+      }
+    def finish(r: (Long, Array[Double])): (Long, Array[Double]) = r
+    def bufferEncoder: Encoder[(Long, Array[Double])] =
+      ExpressionEncoder[(Long, Array[Double])]()
+    def outputEncoder: Encoder[(Long, Array[Double])] =
+      ExpressionEncoder[(Long, Array[Double])]()
   }
 
   private def nearestCell(centroids: Array[Array[Double]], emb: Seq[Float]): Int = {
