@@ -665,6 +665,20 @@ object SparkEntry {
       corpusCellStats = Some(Dedup.semanticCellStats(index)))
   }
 
+  /** Product-quantization ADC knn: the byte-code compression tier of the
+    * ANN stack. Seed codebooks (iters = 0, like p36/p37) so the DuckDB
+    * oracle replicates subspace assignment, the per-probe distance
+    * tables, the ascending-subspace ADC fold, and the rank window —
+    * bit-for-bit. The trained path and the zero-quantization-error
+    * exactness guarantee are spec-covered. */
+  private def p38(s: SparkSession, d: String): DataFrame = {
+    val emb = tbl(d, "embeddings")(s).select(col("vec_id"), col("embedding"))
+    val books = Similarity.pqTrain(emb, m = 8, codes = 8, iters = 0)
+    val probes = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("probe_id"), col("embedding"))
+    Similarity.pqKnn(Similarity.pqIndex(emb, books), books, probes, k = 8)
+  }
+
   /** KMV set operations: estimated vs exact distinct-order overlap between
     * the A and R return flags — union by monoid merge, intersection by the
     * K-min-values threshold estimator, both oracle-exact. */
@@ -859,6 +873,7 @@ object SparkEntry {
     "p35_embedding_dedup" -> (p35 _),
     "p36_semantic_dedup" -> (p36 _),
     "p37_incr_semantic" -> (p37 _),
+    "p38_pq_knn" -> (p38 _),
     "p31_span_excise" -> (p31 _),
     "p32_chunking" -> (p32 _),
     "p33_mixture_weights" -> (p33 _)
@@ -1553,6 +1568,30 @@ object SparkEntry {
         |     greatest(sqrt(list_reduce(list_transform(generate_series(1, 64), i -> bb.e[i]*bb.e[i]), (x,y) -> x+y)), 1e-12)) AS cosine
         |  FROM pairs JOIN c0 a ON a.vec_id = pairs.id_a JOIN c0 bb ON bb.vec_id = pairs.id_b) t
         |WHERE cosine >= 0.2""".stripMargin,
+    // dl is the probe's 64-entry (j, code)-ordered distance table; the ADC
+    // fold runs ascending j exactly like the Scala kernel, so doubles match
+    "p38_pq_knn" ->
+      """WITH c0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+        |seeds AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code, e AS s
+        |  FROM (SELECT vec_id, e FROM c0 WHERE e IS NOT NULL ORDER BY vec_id LIMIT 8) t),
+        |js AS (SELECT j FROM generate_series(0, 7) g(j)),
+        |dist AS (SELECT c0.vec_id, js.j, seeds.code,
+        |    list_reduce(list_transform(generate_series(1, 8),
+        |      i -> (e[js.j*8+i]-s[js.j*8+i])*(e[js.j*8+i]-s[js.j*8+i])), (x,y) -> x+y) AS d
+        |  FROM c0, js, seeds WHERE c0.e IS NOT NULL),
+        |assign AS (SELECT vec_id, j, code FROM (
+        |    SELECT vec_id, j, code, ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, code) AS rn
+        |    FROM dist) t WHERE rn = 1),
+        |al AS (SELECT vec_id, list(code ORDER BY j) AS cl FROM assign GROUP BY vec_id),
+        |dtl AS (SELECT vec_id AS probe_id, list(d ORDER BY j, code) AS dl
+        |  FROM dist WHERE vec_id < 4 GROUP BY vec_id),
+        |scored AS (SELECT probe_id, al.vec_id AS corpus_id,
+        |    list_reduce(list_transform(generate_series(1, 8), j -> dl[(j-1)*8 + cl[j] + 1]), (x,y) -> x+y) AS adist
+        |  FROM dtl, al)
+        |SELECT probe_id, corpus_id, adist, CAST(rn AS INTEGER) AS rank FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY adist, corpus_id) AS rn
+        |  FROM scored) t
+        |WHERE rn <= 8""".stripMargin,
     "p29_rare_tokens" ->
       """WITH tk AS (
         |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\W+'),

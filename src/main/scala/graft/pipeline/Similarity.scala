@@ -182,6 +182,143 @@ object Similarity {
     centroids
   }
 
+  // ---------------------------------------------------------------- PQ
+
+  /** Product-quantization codebooks: `m` subspaces × `codes` centroids ×
+    * (dims/m) dims each — the byte-code compression tier of the ANN
+    * stack (Jégou et al., "Product Quantization for Nearest Neighbor
+    * Search", TPAMI 2011). A 64-float embedding compresses to `m` bytes
+    * (m=8: 32× smaller), and asymmetric-distance scoring replaces the
+    * float dot product with m table lookups — at 100 TB the PQ index of
+    * the corpus fits where the raw vectors never would. Training mirrors
+    * [[kmeansCentroids]]: deterministic seeds (the `codes` lowest-id
+    * vectors' subvectors), fixed Lloyd iterations, per-(subspace, code)
+    * means through the same map-side-combined vector-sum Aggregator.
+    * Requires dims divisible by m. */
+  def pqTrain(
+      corpus: DataFrame,
+      m: Int = 8,
+      codes: Int = 16,
+      iters: Int = 3,
+      corpusId: String = "vec_id",
+      embCol: String = "embedding"): Array[Array[Array[Double]]] = {
+    val clean = corpus.filter(col(embCol).isNotNull)
+    val seedRows = clean.select(col(corpusId), col(embCol))
+      .orderBy(col(corpusId)).limit(codes).collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    require(seedRows.nonEmpty, "pqTrain needs a non-empty corpus")
+    val dims = seedRows.head.length
+    require(dims % m == 0, s"pqTrain needs dims % m == 0, got dims=$dims m=$m")
+    val dsub = dims / m
+    // codebooks(j)(c) = seed vector c's j-th subvector
+    var books: Array[Array[Array[Double]]] = Array.tabulate(m, seedRows.length) {
+      (j, c) => java.util.Arrays.copyOfRange(seedRows(c), j * dsub, (j + 1) * dsub)
+    }
+    val vecSum = udaf(new VecSumAgg, ExpressionEncoder[Seq[Float]]())
+    var it = 0
+    while (it < iters) {
+      val bs = books
+      // one exploded row per (vector, subspace) — dsub floats each, so
+      // the shuffle stays corpus-sized; sums combine map-side per
+      // (subspace, code)
+      val assignU = udf((emb: Seq[Float]) =>
+        Array.tabulate(m)(j => (j, pqAssignSub(bs(j), emb, j * dsub),
+          Array.tabulate(dsub)(i => emb(j * dsub + i)))))
+      val means = clean
+        .select(explode(assignU(col(embCol))).as("a"))
+        .select(col("a._1").as("j"), col("a._2").as("c"), col("a._3").as("sub"))
+        .groupBy("j", "c").agg(vecSum(col("sub")).as("s"))
+        .collect()
+        .map { r =>
+          val s = r.getStruct(2)
+          val n = s.getLong(0).toDouble
+          (r.getInt(0), r.getInt(1)) -> s.getSeq[Double](1).map(_ / n).toArray
+        }.toMap
+      books = Array.tabulate(m, books(0).length) { (j, c) =>
+        means.getOrElse((j, c), books(j)(c)) // empty codes keep centroids
+      }
+      it += 1
+    }
+    books
+  }
+
+  /** Nearest centroid of one subspace: argmin L2², lowest code on ties.
+    * `off` is the subvector's offset into the full embedding. */
+  private def pqAssignSub(book: Array[Array[Double]], emb: Seq[Float], off: Int): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < book.length) {
+      val ctr = book(c)
+      var d = 0.0; var i = 0
+      while (i < ctr.length) { val diff = emb(off + i) - ctr(i); d += diff * diff; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** The PERSISTABLE PQ index: (`corpus_id`, `code` array<int> of length
+    * m) — m small ints per vector instead of dims floats. Build once per
+    * corpus, write bucketed/partitioned, reuse across probe batches —
+    * the same split as [[ivfIndex]]. */
+  def pqIndex(
+      corpus: DataFrame,
+      codebooks: Array[Array[Array[Double]]],
+      corpusId: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val m = codebooks.length
+    val dsub = codebooks(0)(0).length
+    val encodeU = udf((emb: Seq[Float]) =>
+      if (emb == null) null
+      else Array.tabulate(m)(j => pqAssignSub(codebooks(j), emb, j * dsub)))
+    corpus.select(col(corpusId).as("corpus_id"), encodeU(col(embCol)).as("code"))
+  }
+
+  /** Asymmetric-distance (ADC) knn over a PQ index: each probe builds its
+    * m×codes distance table ONCE (L2² from its subvectors to every
+    * centroid), then every corpus row scores with m table lookups —
+    * no float dot product, no raw corpus vectors in the plan. Returns
+    * (probe_id, corpus_id, adist, rank), adist = quantized L2², ranked
+    * ascending with corpus_id tie-break. Exact when quantization error is
+    * zero (spec pins this); approximate otherwise, like any PQ system.
+    * Probes broadcast (they are the small side); the distance-table
+    * column is consumed in the same projection, so only the narrow
+    * (probe, corpus, adist) rows reach the top-k shuffle. */
+  def pqKnn(
+      index: DataFrame,
+      codebooks: Array[Array[Array[Double]]],
+      probes: DataFrame,
+      k: Int = 10,
+      probeId: String = "probe_id",
+      embCol: String = "embedding"): DataFrame = {
+    val m = codebooks.length
+    val dsub = codebooks(0)(0).length
+    val tableU = udf((emb: Seq[Float]) =>
+      if (emb == null) null
+      else Array.tabulate(m, codebooks(0).length) { (j, c) =>
+        val ctr = codebooks(j)(c)
+        var d = 0.0; var i = 0
+        while (i < dsub) { val diff = emb(j * dsub + i) - ctr(i); d += diff * diff; i += 1 }
+        d
+      })
+    val adcU = udf((dt: Seq[Seq[Double]], code: Seq[Int]) =>
+      if (dt == null || code == null) null
+      else {
+        var s = 0.0; var j = 0
+        while (j < code.length) { s += dt(j)(code(j)); j += 1 }
+        java.lang.Double.valueOf(s)
+      })
+    val p = probes.select(col(probeId).as("probe_id"), tableU(col(embCol)).as("_dt"))
+    val scored = index.join(broadcast(p))
+      .select(col("probe_id"), col("corpus_id"),
+        adcU(col("_dt"), col("code")).as("adist"))
+      .filter(col("adist").isNotNull)
+    val w = Window.partitionBy("probe_id").orderBy(col("adist").asc, col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("probe_id", "corpus_id", "adist", "rank")
+  }
+
   /** Per-cell (count, vector-sum) — the k-means update step as a typed
     * Aggregator so partial sums combine map-side and only ≤cells small
     * buffers shuffle, instead of posexploding every vector into N×dims

@@ -148,6 +148,52 @@ class PipelineSpec extends SparkTestBase {
     assert(split == oneShot)
   }
 
+  test("product quantization: m-int codes, exact under zero quantization error") {
+    // corpus == seeds (16 distinct vectors, codes = 16): every subvector
+    // is its own centroid, quantization error is zero, so ADC distance is
+    // the exact L2² and PQ top-k must equal brute-force L2 top-k
+    val corpus = embeddings.limit(16).select("vec_id", "embedding")
+    val books = Similarity.pqTrain(corpus, m = 8, codes = 16, iters = 2)
+    assert(books.length == 8 && books(0).length == 16 && books(0)(0).length == 8)
+    val index = Similarity.pqIndex(corpus, books)
+    assert(index.select(size($"code")).distinct().collect().map(_.getInt(0)).toSeq == Seq(8),
+      "codes must be m ints (the 32x compression claim)")
+    // persistable: parquet round trip
+    val dir = s"/tmp/graft-pq-${java.util.UUID.randomUUID()}"
+    index.write.parquet(dir)
+    val probes = corpus.filter($"vec_id" < 4)
+      .select($"vec_id".as("probe_id"), $"embedding")
+    val got = Similarity.pqKnn(spark.read.parquet(dir), books, probes, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    // exact L2² reference, summed per-subspace like the kernel
+    val vecs = corpus.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    def l2(a: Seq[Float], b: Seq[Float]): Double =
+      (0 until 8).map { j =>
+        var d = 0.0
+        (0 until 8).foreach { i =>
+          val diff = a(j * 8 + i).toDouble - b(j * 8 + i).toDouble; d += diff * diff
+        }
+        d
+      }.sum
+    (0L until 4L).foreach { p =>
+      val expect = vecs.keys.toSeq
+        .map(v => (v, l2(vecs(p), vecs(v))))
+        .sortBy { case (v, dist) => (dist, v) }.take(5)
+      val mine = got.filter(_._1 == p).sortBy(_._4)
+      assert(mine.map(_._2).toSeq == expect.map(_._1),
+        s"probe $p: got ${mine.toSeq} expected $expect")
+      mine.zip(expect).foreach { case ((_, _, adist, _), (_, dist)) =>
+        assert(math.abs(adist - dist) <= 1e-9 * math.max(1.0, dist),
+          s"probe $p adist $adist != exact $dist")
+      }
+      // self-match at distance zero, rank 1
+      assert(mine.head._2 == p && mine.head._3 == 0.0)
+    }
+    // deterministic training: identical codebooks on a re-run
+    val again = Similarity.pqTrain(corpus, m = 8, codes = 16, iters = 2)
+    assert(books.flatten.flatten.toSeq == again.flatten.flatten.toSeq)
+  }
+
   test("ivf broadcastProbes=false: identical results, no broadcast on probe side") {
     // corpus-scale probe batches must be able to degrade to a shuffle
     // join instead of OOMing the driver on a forced broadcast

@@ -236,7 +236,9 @@ object ScaleProbe {
       val all = spark.read.parquet(bigEmb)
       val corpus = all.filter(col("vec_id") < 100000000L)
       val delta = all.filter(col("vec_id") >= 100000000L)
+      val t0 = System.nanoTime()
       val cb = graft.pipeline.Similarity.kmeansCentroids(corpus, cells = 64, iters = 2)
+      println(f"codebook train @45k vectors (64 cells, 2 iters): ${(System.nanoTime() - t0) / 1e9}%.2f s")
       val idxDir = "/tmp/graft_scale/ivf_index_45k.parquet"
       graft.pipeline.Similarity.ivfIndex(corpus, cb)
         .write.mode("overwrite").parquet(idxDir)
