@@ -679,6 +679,27 @@ object SparkEntry {
     Similarity.pqKnn(Similarity.pqIndex(emb, books), books, probes, k = 8)
   }
 
+  /** IVFADC knn: coarse IVF routing (nProbe = 2 of 8 cells) + ADC over
+    * PQ codes of the RESIDUAL — the full Jégou composition and the
+    * billion-vector index shape. Seed centroids AND seed residual
+    * codebooks (iters = 0, like p36/p38) make every stage — cell argmin,
+    * residual subtraction, per-(probe, cell) distance tables, the
+    * ascending-subspace fold, the rank window — DuckDB-replicable
+    * bit-for-bit. Centroids seed from vec_id ≥ 100 so they are DISJOINT
+    * from the book-seed rows (vec_id < 8): seeding both from the same
+    * rows would make every book seed a zero residual and the ADC
+    * degenerate. The trained path is spec-covered. */
+  private def p39(s: SparkSession, d: String): DataFrame = {
+    val emb = tbl(d, "embeddings")(s).select(col("vec_id"), col("embedding"))
+    val cb = Similarity.kmeansCentroids(
+      emb.filter(col("vec_id") >= 100), cells = 8, iters = 0)
+    val books = Similarity.ivfPqTrain(emb, cb, m = 8, codes = 8, iters = 0)
+    val probes = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("probe_id"), col("embedding"))
+    Similarity.ivfPqKnn(Similarity.ivfPqIndex(emb, cb, books), cb, books,
+      probes, k = 8, nProbe = 2)
+  }
+
   /** KMV set operations: estimated vs exact distinct-order overlap between
     * the A and R return flags — union by monoid merge, intersection by the
     * K-min-values threshold estimator, both oracle-exact. */
@@ -874,6 +895,7 @@ object SparkEntry {
     "p36_semantic_dedup" -> (p36 _),
     "p37_incr_semantic" -> (p37 _),
     "p38_pq_knn" -> (p38 _),
+    "p39_ivfpq_knn" -> (p39 _),
     "p31_span_excise" -> (p31 _),
     "p32_chunking" -> (p32 _),
     "p33_mixture_weights" -> (p33 _)
@@ -1588,6 +1610,57 @@ object SparkEntry {
         |scored AS (SELECT probe_id, al.vec_id AS corpus_id,
         |    list_reduce(list_transform(generate_series(1, 8), j -> dl[(j-1)*8 + cl[j] + 1]), (x,y) -> x+y) AS adist
         |  FROM dtl, al)
+        |SELECT probe_id, corpus_id, adist, CAST(rn AS INTEGER) AS rank FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY adist, corpus_id) AS rn
+        |  FROM scored) t
+        |WHERE rn <= 8""".stripMargin,
+    // p39: IVFADC — seed centroids (8 lowest vectors with vec_id ≥ 100,
+    // disjoint from book seeds), corpus cells by L2² argmin, residuals vs
+    // the assigned centroid, seed residual codebooks (8 lowest-id
+    // residuals), per-(vec, subspace) code argmin, probes routed to their
+    // 2 nearest cells with per-cell residual distance tables,
+    // ascending-subspace ADC fold, rank window
+    "p39_ivfpq_knn" ->
+      """WITH c0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+        |seeds AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, e AS s
+        |  FROM (SELECT vec_id, e FROM c0 WHERE e IS NOT NULL AND vec_id >= 100
+        |        ORDER BY vec_id LIMIT 8) t),
+        |cdist AS (SELECT c0.vec_id, seeds.cell,
+        |    list_reduce(list_transform(generate_series(1, 64), i -> (e[i]-s[i])*(e[i]-s[i])), (x,y) -> x+y) AS d
+        |  FROM c0, seeds WHERE c0.e IS NOT NULL),
+        |asg AS (SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+        |    FROM cdist) t WHERE rn = 1),
+        |res AS (SELECT c0.vec_id, asg.cell,
+        |    list_transform(generate_series(1, 64), i -> c0.e[i] - seeds.s[i]) AS r
+        |  FROM c0 JOIN asg USING (vec_id) JOIN seeds ON seeds.cell = asg.cell),
+        |bseeds AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code, r AS bs
+        |  FROM (SELECT vec_id, r FROM res ORDER BY vec_id LIMIT 8) t),
+        |js AS (SELECT j FROM generate_series(0, 7) g(j)),
+        |bdist AS (SELECT res.vec_id, js.j, bseeds.code,
+        |    list_reduce(list_transform(generate_series(1, 8),
+        |      i -> (r[js.j*8+i]-bs[js.j*8+i])*(r[js.j*8+i]-bs[js.j*8+i])), (x,y) -> x+y) AS d
+        |  FROM res, js, bseeds),
+        |al AS (SELECT b.vec_id, asg.cell, list(code ORDER BY j) AS cl
+        |  FROM (SELECT vec_id, j, code FROM (
+        |      SELECT vec_id, j, code, ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, code) AS rn
+        |      FROM bdist) t WHERE rn = 1) b
+        |  JOIN asg ON asg.vec_id = b.vec_id GROUP BY b.vec_id, asg.cell),
+        |proute AS (SELECT vec_id AS probe_id, cell FROM (
+        |    SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+        |    FROM cdist WHERE vec_id < 4) t WHERE rn <= 2),
+        |pres AS (SELECT p.probe_id, p.cell,
+        |    list_transform(generate_series(1, 64), i -> c0.e[i] - seeds.s[i]) AS pr
+        |  FROM proute p JOIN c0 ON c0.vec_id = p.probe_id JOIN seeds ON seeds.cell = p.cell),
+        |pdt0 AS (SELECT pres.probe_id, pres.cell, js.j, bseeds.code,
+        |    list_reduce(list_transform(generate_series(1, 8),
+        |      i -> (pr[js.j*8+i]-bs[js.j*8+i])*(pr[js.j*8+i]-bs[js.j*8+i])), (x,y) -> x+y) AS d
+        |  FROM pres, js, bseeds),
+        |pdt AS (SELECT probe_id, cell, list(d ORDER BY j, code) AS dl
+        |  FROM pdt0 GROUP BY probe_id, cell),
+        |scored AS (SELECT pdt.probe_id, al.vec_id AS corpus_id,
+        |    list_reduce(list_transform(generate_series(1, 8), j -> dl[(j-1)*8 + cl[j] + 1]), (x,y) -> x+y) AS adist
+        |  FROM pdt JOIN al ON al.cell = pdt.cell)
         |SELECT probe_id, corpus_id, adist, CAST(rn AS INTEGER) AS rank FROM (
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY adist, corpus_id) AS rn
         |  FROM scored) t

@@ -157,7 +157,7 @@ object Similarity {
       .orderBy(col(corpusId)).limit(cells).collect()
       .map(_.getSeq[Float](1).map(_.toDouble).toArray)
     var centroids = seed
-    val vecSum = udaf(new VecSumAgg, ExpressionEncoder[Seq[Float]]())
+    val vecSum = udaf(new VecSumAgg, ExpressionEncoder[Seq[Double]]())
     var it = 0
     while (it < iters) {
       val cs = centroids // stable reference for the closure
@@ -167,8 +167,9 @@ object Similarity {
       // The previous posexplode form shuffled N×dims rows per iteration,
       // a 64× amplification of the corpus at scale.
       val means = clean
-        .select(assignU(col(embCol)).as("cell"), col(embCol))
-        .groupBy("cell").agg(vecSum(col(embCol)).as("s"))
+        .select(assignU(col(embCol)).as("cell"),
+          col(embCol).cast("array<double>").as("_v"))
+        .groupBy("cell").agg(vecSum(col("_v")).as("s"))
         .collect()
         .map { r =>
           val s = r.getStruct(1)
@@ -202,30 +203,41 @@ object Similarity {
       iters: Int = 3,
       corpusId: String = "vec_id",
       embCol: String = "embedding"): Array[Array[Array[Double]]] = {
+    // float→double cast is exact widening: bit-identical to training on
+    // the float column directly (the pre-refactor form)
     val clean = corpus.filter(col(embCol).isNotNull)
-    val seedRows = clean.select(col(corpusId), col(embCol))
-      .orderBy(col(corpusId)).limit(codes).collect()
-      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
-    require(seedRows.nonEmpty, "pqTrain needs a non-empty corpus")
+      .select(col(corpusId).as("_id"), col(embCol).cast("array<double>").as("_v"))
+    pqLloyd(clean, m, codes, iters)
+  }
+
+  /** The PQ Lloyd loop, shared by [[pqTrain]] (raw subvectors) and
+    * [[ivfPqTrain]] (IVF residuals). `clean` must be (`_id`, `_v`:
+    * non-null array<double>). Seeds are the `codes` lowest-`_id` rows'
+    * subvectors; fixed iterations keep runs reproducible. */
+  private def pqLloyd(
+      clean: DataFrame, m: Int, codes: Int, iters: Int): Array[Array[Array[Double]]] = {
+    val seedRows = clean.orderBy(col("_id")).limit(codes).collect()
+      .map(_.getSeq[Double](1).toArray)
+    require(seedRows.nonEmpty, "PQ training needs a non-empty corpus")
     val dims = seedRows.head.length
-    require(dims % m == 0, s"pqTrain needs dims % m == 0, got dims=$dims m=$m")
+    require(dims % m == 0, s"PQ training needs dims % m == 0, got dims=$dims m=$m")
     val dsub = dims / m
     // codebooks(j)(c) = seed vector c's j-th subvector
     var books: Array[Array[Array[Double]]] = Array.tabulate(m, seedRows.length) {
       (j, c) => java.util.Arrays.copyOfRange(seedRows(c), j * dsub, (j + 1) * dsub)
     }
-    val vecSum = udaf(new VecSumAgg, ExpressionEncoder[Seq[Float]]())
+    val vecSum = udaf(new VecSumAgg, ExpressionEncoder[Seq[Double]]())
     var it = 0
     while (it < iters) {
       val bs = books
-      // one exploded row per (vector, subspace) — dsub floats each, so
+      // one exploded row per (vector, subspace) — dsub doubles each, so
       // the shuffle stays corpus-sized; sums combine map-side per
       // (subspace, code)
-      val assignU = udf((emb: Seq[Float]) =>
-        Array.tabulate(m)(j => (j, pqAssignSub(bs(j), emb, j * dsub),
-          Array.tabulate(dsub)(i => emb(j * dsub + i)))))
+      val assignU = udf((v: Seq[Double]) =>
+        Array.tabulate(m)(j => (j, pqAssignSubD(bs(j), v, j * dsub),
+          Array.tabulate(dsub)(i => v(j * dsub + i)))))
       val means = clean
-        .select(explode(assignU(col(embCol))).as("a"))
+        .select(explode(assignU(col("_v"))).as("a"))
         .select(col("a._1").as("j"), col("a._2").as("c"), col("a._3").as("sub"))
         .groupBy("j", "c").agg(vecSum(col("sub")).as("s"))
         .collect()
@@ -251,6 +263,21 @@ object Similarity {
       val ctr = book(c)
       var d = 0.0; var i = 0
       while (i < ctr.length) { val diff = emb(off + i) - ctr(i); d += diff * diff; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** [[pqAssignSub]] over a double vector (the residual path) — same
+    * argmin, same lowest-code tie-break, same ascending-i fold. */
+  private def pqAssignSubD(book: Array[Array[Double]], v: Seq[Double], off: Int): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < book.length) {
+      val ctr = book(c)
+      var d = 0.0; var i = 0
+      while (i < ctr.length) { val diff = v(off + i) - ctr(i); d += diff * diff; i += 1 }
       if (d < bestD) { bestD = d; best = c }
       c += 1
     }
@@ -319,14 +346,15 @@ object Similarity {
       .select("probe_id", "corpus_id", "adist", "rank")
   }
 
-  /** Per-cell (count, vector-sum) — the k-means update step as a typed
+  /** Per-cell (count, vector-sum) — the k-means/PQ update step as a typed
     * Aggregator so partial sums combine map-side and only ≤cells small
     * buffers shuffle, instead of posexploding every vector into N×dims
-    * rows per Lloyd iteration. */
+    * rows per Lloyd iteration. Input is array<double> (float callers cast
+    * — exact widening). */
   private class VecSumAgg
-      extends Aggregator[Seq[Float], (Long, Array[Double]), (Long, Array[Double])] {
+      extends Aggregator[Seq[Double], (Long, Array[Double]), (Long, Array[Double])] {
     def zero: (Long, Array[Double]) = (0L, Array.emptyDoubleArray)
-    def reduce(b: (Long, Array[Double]), v: Seq[Float]): (Long, Array[Double]) =
+    def reduce(b: (Long, Array[Double]), v: Seq[Double]): (Long, Array[Double]) =
       if (v == null) b
       else {
         val sums = if (b._2.isEmpty) new Array[Double](v.length) else b._2
@@ -451,5 +479,130 @@ object Similarity {
     val centroids = kmeansCentroids(corpus, cells, iters, corpusId, embCol)
     ivfKnnWithIndex(ivfIndex(corpus, centroids, corpusId, embCol),
       centroids, probes, k, nProbe, probeId, embCol)
+  }
+
+  // ------------------------------------------------------------ IVF-PQ
+
+  /** Residual of `emb` w.r.t. a centroid, in double (float elements widen
+    * exactly) — the quantity IVFADC encodes and scores. */
+  private def residualOf(ctr: Array[Double], emb: Seq[Float]): Array[Double] = {
+    val r = new Array[Double](emb.length)
+    var i = 0
+    while (i < r.length) { r(i) = emb(i) - ctr(i); i += 1 }
+    r
+  }
+
+  /** PQ codebooks trained on IVF RESIDUALS (emb − nearest centroid) — the
+    * IVFADC composition (Jégou et al., TPAMI 2011, §IV): the coarse
+    * quantizer removes the cell mean, the product quantizer encodes what
+    * remains, so the same byte budget captures finer detail than
+    * raw-vector PQ. Deterministic like [[pqTrain]]: seeds are the `codes`
+    * lowest-id rows' residual subvectors, fixed Lloyd iterations, the
+    * same map-side-combined update aggregation. */
+  def ivfPqTrain(
+      corpus: DataFrame,
+      centroids: Array[Array[Double]],
+      m: Int = 8,
+      codes: Int = 16,
+      iters: Int = 3,
+      corpusId: String = "vec_id",
+      embCol: String = "embedding"): Array[Array[Array[Double]]] = {
+    val resU = udf((emb: Seq[Float]) =>
+      if (emb == null) null
+      else residualOf(centroids(nearestCell(centroids, emb)), emb))
+    val clean = corpus.filter(col(embCol).isNotNull)
+      .select(col(corpusId).as("_id"), resU(col(embCol)).as("_v"))
+    pqLloyd(clean, m, codes, iters)
+  }
+
+  /** The PERSISTABLE IVFADC index: (`corpus_id`, `cell`, `code`) — the
+    * coarse cell plus m small ints encoding the residual. Written
+    * bucketed/partitioned by `cell`, a 100 TB corpus's searchable form
+    * shrinks to ~(id + m bytes) per row with NO raw vectors in the scan
+    * path — the tier where the index fits in cluster memory long after
+    * the float corpus doesn't. Null embeddings index as null cell/code
+    * and drop out of the cell join, like [[ivfIndex]]. */
+  def ivfPqIndex(
+      corpus: DataFrame,
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
+      corpusId: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val m = codebooks.length
+    val dsub = codebooks(0)(0).length
+    val encodeU = udf((emb: Seq[Float]) =>
+      if (emb == null) null
+      else {
+        val cell = nearestCell(centroids, emb)
+        val res = residualOf(centroids(cell), emb)
+        (cell, Array.tabulate(m)(j => pqAssignSubD(codebooks(j), res, j * dsub)))
+      })
+    corpus.select(col(corpusId).as("corpus_id"), encodeU(col(embCol)).as("_e"))
+      .select(col("corpus_id"), col("_e._1").as("cell"), col("_e._2").as("code"))
+  }
+
+  /** IVFADC knn over a pre-built [[ivfPqIndex]]: probes route to their
+    * `nProbe` nearest cells; within each routed cell the probe builds its
+    * residual ADC table (per cell — the probe's residual differs per
+    * cell) and every indexed row in the cell scores with m table lookups
+    * on its byte code. Neither raw corpus vectors nor float dot products
+    * appear in the plan: the scan side is the byte-code index, the join
+    * is an equi-join on `cell` (bucket the index on `cell` and it is
+    * exchange-free). Returns (probe_id, corpus_id, adist, rank) like
+    * [[pqKnn]]; a corpus row lives in exactly one cell, so multi-cell
+    * routing cannot duplicate pairs. `broadcastProbes` as in
+    * [[ivfKnnWithIndex]] — pass false for corpus-scale probe sets. */
+  def ivfPqKnn(
+      index: DataFrame,
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
+      probes: DataFrame,
+      k: Int = 10,
+      nProbe: Int = 4,
+      probeId: String = "probe_id",
+      embCol: String = "embedding",
+      broadcastProbes: Boolean = true): DataFrame = {
+    val m = codebooks.length
+    val codes = codebooks(0).length
+    val dsub = codebooks(0)(0).length
+    val routeU = udf((emb: Seq[Float]) =>
+      if (emb == null) null
+      else nearestCells(centroids, emb, nProbe).map { cell =>
+        val res = residualOf(centroids(cell), emb)
+        val dt = new Array[Double](m * codes)
+        var j = 0
+        while (j < m) {
+          var c = 0
+          while (c < codes) {
+            val ctr = codebooks(j)(c)
+            var d = 0.0; var i = 0
+            while (i < dsub) { val diff = res(j * dsub + i) - ctr(i); d += diff * diff; i += 1 }
+            dt(j * codes + c) = d
+            c += 1
+          }
+          j += 1
+        }
+        (cell, dt)
+      })
+    // ascending-j fold, like pqKnn's ADC — keeps the oracle replicable
+    val adcU = udf((dt: Seq[Double], code: Seq[Int]) =>
+      if (dt == null || code == null) null
+      else {
+        var s = 0.0; var j = 0
+        while (j < code.length) { s += dt(j * codes + code(j)); j += 1 }
+        java.lang.Double.valueOf(s)
+      })
+    val p = probes.select(col(probeId).as("probe_id"),
+        explode(routeU(col(embCol))).as("_r"))
+      .select(col("probe_id"), col("_r._1").as("cell"), col("_r._2").as("_dt"))
+    val pSide = if (broadcastProbes) broadcast(p) else p
+    val scored = index.join(pSide, "cell")
+      .select(col("probe_id"), col("corpus_id"),
+        adcU(col("_dt"), col("code")).as("adist"))
+      .filter(col("adist").isNotNull)
+    val w = Window.partitionBy("probe_id").orderBy(col("adist").asc, col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("probe_id", "corpus_id", "adist", "rank")
   }
 }

@@ -194,6 +194,56 @@ class PipelineSpec extends SparkTestBase {
     assert(books.flatten.flatten.toSeq == again.flatten.flatten.toSeq)
   }
 
+  test("ivf-pq (IVFADC): residual codes, exact under zero quantization error") {
+    // corpus == book seeds (16 distinct vectors, codes = 16): every
+    // residual is its own centroid, quantization error is zero, and the
+    // residual identity  adist(p,c) = L2²((p−ctr[cell(c)]) − res_c)
+    // = L2²(p−c)  makes IVFADC at full nProbe equal exact L2 top-k
+    val corpus = embeddings.limit(16).select("vec_id", "embedding")
+    val cb = Similarity.kmeansCentroids(corpus, cells = 4, iters = 1)
+    val books = Similarity.ivfPqTrain(corpus, cb, m = 8, codes = 16, iters = 2)
+    assert(books.length == 8 && books(0).length == 16 && books(0)(0).length == 8)
+    val index = Similarity.ivfPqIndex(corpus, cb, books)
+    assert(index.columns.toSeq == Seq("corpus_id", "cell", "code"))
+    // persistable: (cell, m-int code) rows round-trip through parquet
+    val dir = s"/tmp/graft-ivfpq-${java.util.UUID.randomUUID()}"
+    index.write.parquet(dir)
+    val probes = corpus.filter($"vec_id" < 4)
+      .select($"vec_id".as("probe_id"), $"embedding")
+    val got = Similarity.ivfPqKnn(spark.read.parquet(dir), cb, books, probes,
+        k = 5, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val vecs = corpus.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    def l2(a: Seq[Float], b: Seq[Float]): Double = {
+      var d = 0.0
+      (0 until 64).foreach { i =>
+        val diff = a(i).toDouble - b(i).toDouble; d += diff * diff
+      }
+      d
+    }
+    (0L until 4L).foreach { p =>
+      val expect = vecs.keys.toSeq
+        .map(v => (v, l2(vecs(p), vecs(v))))
+        .sortBy { case (v, dist) => (dist, v) }.take(5)
+      val mine = got.filter(_._1 == p).sortBy(_._4)
+      assert(mine.map(_._2).toSeq == expect.map(_._1),
+        s"probe $p: got ${mine.toSeq} expected $expect")
+      // the residual subtraction reassociates the arithmetic, so exact-
+      // L2 agreement is up to FP noise — except self-distance, which is
+      // identical doubles subtracted: exactly zero
+      mine.zip(expect).foreach { case ((_, _, adist, _), (_, dist)) =>
+        assert(math.abs(adist - dist) <= 1e-9 * math.max(1.0, dist),
+          s"probe $p adist $adist != exact $dist")
+      }
+      assert(mine.head._2 == p && mine.head._3 == 0.0)
+    }
+    // corpus-scale probe batches: broadcast off must change nothing
+    val off = Similarity.ivfPqKnn(spark.read.parquet(dir), cb, books, probes,
+        k = 5, nProbe = 4, broadcastProbes = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(off == got.map(t => (t._1, t._2, t._4)).toSet)
+  }
+
   test("ivf broadcastProbes=false: identical results, no broadcast on probe side") {
     // corpus-scale probe batches must be able to degrade to a shuffle
     // join instead of OOMing the driver on a forced broadcast
