@@ -700,6 +700,20 @@ object SparkEntry {
       probes, k = 8, nProbe = 2)
   }
 
+  /** ANN recall@10: LSH knn (p09's exact config) scored against
+    * brute-force ground truth (p08's) through [[Similarity.recallAtK]] —
+    * the index-tuning evaluation job, per-probe hits / truth_k / recall.
+    * Both knn legs and the truth-driven left-join recall aggregation are
+    * replicated independently by the DuckDB oracle. */
+  private def p40(s: SparkSession, d: String): DataFrame = {
+    val emb = tbl(d, "embeddings")(s)
+    val probes = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("probe_id"), col("embedding"))
+    Similarity.recallAtK(
+      Similarity.lshKnn(emb, probes, k = 10, planes = 4),
+      Similarity.bruteForceKnn(emb, probes, k = 10), k = 10)
+  }
+
   /** KMV set operations: estimated vs exact distinct-order overlap between
     * the A and R return flags — union by monoid merge, intersection by the
     * K-min-values threshold estimator, both oracle-exact. */
@@ -896,6 +910,7 @@ object SparkEntry {
     "p37_incr_semantic" -> (p37 _),
     "p38_pq_knn" -> (p38 _),
     "p39_ivfpq_knn" -> (p39 _),
+    "p40_ann_recall" -> (p40 _),
     "p31_span_excise" -> (p31 _),
     "p32_chunking" -> (p32 _),
     "p33_mixture_weights" -> (p33 _)
@@ -1665,6 +1680,51 @@ object SparkEntry {
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY adist, corpus_id) AS rn
         |  FROM scored) t
         |WHERE rn <= 8""".stripMargin,
+    // p40: ANN recall@10 — brute-force truth (p08 replica) LEFT JOIN LSH
+    // approx top-k (p09 replica) on (probe, corpus); truth drives the
+    // grouping so index-missed probes report recall 0
+    "p40_ann_recall" ->
+      """WITH c0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+        |p AS (SELECT vec_id AS probe_id, e AS pe FROM c0 WHERE vec_id < 8),
+        |bscore AS (
+        |  SELECT p.probe_id, c0.vec_id AS corpus_id,
+        |    list_reduce(list_transform(generate_series(1, 64), i -> e[i]*pe[i]), (x,y) -> x+y) /
+        |    (greatest(sqrt(list_reduce(list_transform(generate_series(1, 64), i -> e[i]*e[i]), (x,y) -> x+y)), 1e-12) *
+        |     greatest(sqrt(list_reduce(list_transform(generate_series(1, 64), i -> pe[i]*pe[i]), (x,y) -> x+y)), 1e-12)) AS cosine
+        |  FROM c0, p),
+        |bt AS (SELECT probe_id, corpus_id FROM (
+        |  SELECT probe_id, corpus_id, ROW_NUMBER() OVER (PARTITION BY probe_id
+        |    ORDER BY cosine DESC, corpus_id) AS rn FROM bscore) t WHERE rn <= 10),
+        |pl AS (SELECT p.p AS p, list_transform(generate_series(0, 63),
+        |    i -> CAST(md5_number_lower('pl' || p.p || '_' || i) >> 11 AS DOUBLE)
+        |      * (1.0/4503599627370496) - 1.0) AS comp
+        |  FROM generate_series(0, 3) p(p)),
+        |sig AS (
+        |  SELECT vec_id, CAST(SUM(CASE WHEN proj >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS b
+        |  FROM (SELECT c0.vec_id, pl.p,
+        |      list_reduce(list_transform(generate_series(1, 64), i -> e[i] * comp[i]),
+        |        (x, y) -> x + y) AS proj
+        |    FROM c0, pl) t GROUP BY vec_id),
+        |pbuck AS (SELECT vec_id AS probe_id, unnest([b, xor(b, 1), xor(b, 2), xor(b, 4), xor(b, 8)]) AS b
+        |  FROM sig WHERE vec_id < 8),
+        |cand AS (SELECT DISTINCT pbuck.probe_id, sig.vec_id AS corpus_id
+        |  FROM sig JOIN pbuck USING (b)),
+        |ascore AS (
+        |  SELECT cand.probe_id, cand.corpus_id,
+        |    list_reduce(list_transform(generate_series(1, 64), i -> ce.e[i]*pe.e[i]), (x,y) -> x+y) /
+        |    (greatest(sqrt(list_reduce(list_transform(generate_series(1, 64), i -> ce.e[i]*ce.e[i]), (x,y) -> x+y)), 1e-12) *
+        |     greatest(sqrt(list_reduce(list_transform(generate_series(1, 64), i -> pe.e[i]*pe.e[i]), (x,y) -> x+y)), 1e-12)) AS cosine
+        |  FROM cand JOIN c0 ce ON ce.vec_id = cand.corpus_id
+        |            JOIN c0 pe ON pe.vec_id = cand.probe_id),
+        |ap AS (SELECT probe_id, corpus_id FROM (
+        |  SELECT probe_id, corpus_id, ROW_NUMBER() OVER (PARTITION BY probe_id
+        |    ORDER BY cosine DESC, corpus_id) AS rn FROM ascore) t WHERE rn <= 10)
+        |SELECT bt.probe_id,
+        |  CAST(COUNT(ap.corpus_id) AS BIGINT) AS hits,
+        |  CAST(COUNT(*) AS BIGINT) AS truth_k,
+        |  CAST(COUNT(ap.corpus_id) AS DOUBLE) / COUNT(*) AS recall
+        |FROM bt LEFT JOIN ap ON ap.probe_id = bt.probe_id AND ap.corpus_id = bt.corpus_id
+        |GROUP BY bt.probe_id""".stripMargin,
     "p29_rare_tokens" ->
       """WITH tk AS (
         |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\W+'),

@@ -481,6 +481,36 @@ object Similarity {
       centroids, probes, k, nProbe, probeId, embCol)
   }
 
+  // --------------------------------------------------------- evaluation
+
+  /** Recall@k of an approximate knn result against exact ground truth —
+    * the metric that tunes every index in this family (LSH `planes`, IVF
+    * `nProbe`, PQ `m`×`codes`). Both inputs are knn-shaped
+    * (`probe_id`, `corpus_id`, …, `rank`); rows at rank ≤ k join on
+    * (probe, corpus) and per-probe recall = hits / |truth@k|. Truth drives
+    * the grouping, so a probe the approximate index missed entirely (empty
+    * LSH bucket) still reports recall 0 instead of vanishing; a corpus
+    * smaller than k divides by the actual truth count. Output:
+    * (`probe_id`, `hits`, `truth_k`, `recall`), one row per probe. At
+    * scale both sides are (probes × k) rows — negligible next to the knn
+    * jobs that produced them; one shuffle on the probe key. */
+  def recallAtK(
+      approx: DataFrame,
+      truth: DataFrame,
+      k: Int,
+      probeCol: String = "probe_id",
+      corpusCol: String = "corpus_id",
+      rankCol: String = "rank"): DataFrame = {
+    val a = approx.filter(col(rankCol) <= k)
+      .select(col(probeCol), col(corpusCol)).withColumn("_hit", lit(1L))
+    val t = truth.filter(col(rankCol) <= k).select(col(probeCol), col(corpusCol))
+    t.join(a, Seq(probeCol, corpusCol), "left")
+      .groupBy(col(probeCol))
+      .agg(sum(coalesce(col("_hit"), lit(0L))).as("hits"),
+        count(lit(1)).as("truth_k"))
+      .withColumn("recall", col("hits").cast("double") / col("truth_k"))
+  }
+
   // ------------------------------------------------------------ IVF-PQ
 
   /** Residual of `emb` w.r.t. a centroid, in double (float elements widen

@@ -244,6 +244,30 @@ class PipelineSpec extends SparkTestBase {
     assert(off == got.map(t => (t._1, t._2, t._4)).toSet)
   }
 
+  test("ann recall@k: truth-driven join, missed probes report 0") {
+    import spark.implicits._
+    val truth = Seq(
+      (0L, 10L, 1), (0L, 11L, 2), (0L, 12L, 3),
+      (1L, 20L, 1), (1L, 21L, 2), (1L, 22L, 3),
+      (2L, 30L, 1), (2L, 31L, 2) // corpus smaller than k: truth_k = 2
+    ).toDF("probe_id", "corpus_id", "rank")
+    val approx = Seq(
+      (0L, 10L, 1), (0L, 99L, 2), (0L, 12L, 3), // 2 of 3 hit
+      (0L, 11L, 4),                             // past k: must NOT count
+      (2L, 31L, 1), (2L, 98L, 2)                // 1 of 2; probe 1 missing
+    ).toDF("probe_id", "corpus_id", "rank")
+    val got = Similarity.recallAtK(approx, truth, k = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == Map(
+      0L -> ((2L, 3L, 2.0 / 3)),
+      1L -> ((0L, 3L, 0.0)),     // index missed the probe entirely
+      2L -> ((1L, 2L, 0.5))))    // divides by actual truth size, not k
+    // recall of the exact result against itself is 1.0 everywhere
+    val self = Similarity.recallAtK(truth, truth, k = 3)
+      .collect().map(_.getDouble(3))
+    assert(self.length == 3 && self.forall(_ == 1.0))
+  }
+
   test("ivf broadcastProbes=false: identical results, no broadcast on probe side") {
     // corpus-scale probe batches must be able to degrade to a shuffle
     // join instead of OOMing the driver on a forced broadcast
