@@ -135,6 +135,24 @@ object Demo {
     val schain = (1 until 40).map(i => (f"u$i%03d", f"u${i + 1}%03d")).toDF("id_a", "id_b")
     println("components: " + Dedup.components(schain, maxIter = 5)
       .select("component").distinct().count() + " (expect 1)")
+    println("-- PQ codes (32x compression) + ADC knn --")
+    val corpusE = emb.select("vec_id", "embedding")
+    val books = Similarity.pqTrain(corpusE, m = 8, codes = 16, iters = 2)
+    Similarity.pqKnn(Similarity.pqIndex(corpusE, books), books, probes, k = 3).show(3)
+    println("-- IVFADC: IVF routing + PQ-of-residual ADC --")
+    val rbooks = Similarity.ivfPqTrain(corpusE, codebook, m = 8, codes = 16, iters = 2)
+    Similarity.ivfPqKnn(Similarity.ivfPqIndex(corpusE, codebook, rbooks),
+      codebook, rbooks, probes, k = 3, nProbe = 3).show(3)
+    println("-- recall@k: score each index against brute-force truth --")
+    val truth = Similarity.bruteForceKnn(emb, probes, k = 5)
+    Seq(
+      "lsh" -> Similarity.lshKnn(emb, probes, k = 5, planes = 4),
+      "ivf" -> Similarity.ivfKnn(emb, probes, k = 5, cells = 8, nProbe = 3)
+    ).foreach { case (name, approx) =>
+      val r = Similarity.recallAtK(approx, truth, k = 5)
+        .agg(avg("recall").as("mean_recall")).head.getDouble(0)
+      println(f"$name%-4s mean recall@5 = $r%.2f")
+    }
     spark.stop()
   }
 }
