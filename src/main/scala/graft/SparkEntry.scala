@@ -714,6 +714,20 @@ object SparkEntry {
       Similarity.bruteForceKnn(emb, probes, k = 10), k = 10)
   }
 
+  /** SQ8 scalar-quantized knn: per-dim (min, max) trained on the corpus,
+    * int8 codes (4× compression), asymmetric L2² against bin midpoints —
+    * training extrema, encoding, dequantization, the ascending-dim fold,
+    * and the rank window all exact double arithmetic the DuckDB oracle
+    * replicates bit-for-bit. */
+  private def p41(s: SparkSession, d: String): DataFrame = {
+    val emb = tbl(d, "embeddings")(s).select(col("vec_id"), col("embedding"))
+    val (mins, maxs) = Similarity.sqTrain(emb)
+    val probes = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("probe_id"), col("embedding"))
+    Similarity.sqKnn(Similarity.sqIndex(emb, mins, maxs), mins, maxs,
+      probes, k = 8)
+  }
+
   /** KMV set operations: estimated vs exact distinct-order overlap between
     * the A and R return flags — union by monoid merge, intersection by the
     * K-min-values threshold estimator, both oracle-exact. */
@@ -911,6 +925,7 @@ object SparkEntry {
     "p38_pq_knn" -> (p38 _),
     "p39_ivfpq_knn" -> (p39 _),
     "p40_ann_recall" -> (p40 _),
+    "p41_sq_knn" -> (p41 _),
     "p31_span_excise" -> (p31 _),
     "p32_chunking" -> (p32 _),
     "p33_mixture_weights" -> (p33 _)
@@ -1725,6 +1740,35 @@ object SparkEntry {
         |  CAST(COUNT(ap.corpus_id) AS DOUBLE) / COUNT(*) AS recall
         |FROM bt LEFT JOIN ap ON ap.probe_id = bt.probe_id AND ap.corpus_id = bt.corpus_id
         |GROUP BY bt.probe_id""".stripMargin,
+    // p41: SQ8 — per-dim min/max over the corpus, int8 codes
+    // clamp(floor((v-mn)·(255/span))), asymmetric L2² against bin
+    // midpoints mn + (code+0.5)·(span/255); constant dims code 0 and
+    // dequantize to mn. Arithmetic order mirrors the Scala exactly.
+    "p41_sq_knn" ->
+      """WITH c0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+        |js AS (SELECT j FROM generate_series(1, 64) g(j)),
+        |mm AS (SELECT j, MIN(e[j]) AS mn, MAX(e[j]) AS mx
+        |  FROM c0, js WHERE e IS NOT NULL GROUP BY j),
+        |mma AS (SELECT list(mn ORDER BY j) AS mn, list(mx ORDER BY j) AS mx FROM mm),
+        |codes AS (SELECT vec_id, list_transform(generate_series(1, 64), i ->
+        |    CASE WHEN mx[i] = mn[i] THEN 0
+        |      ELSE CAST(least(greatest(floor((e[i] - mn[i]) * (255.0/(mx[i] - mn[i]))), 0), 255) AS INTEGER)
+        |    END) AS code
+        |  FROM c0, mma WHERE e IS NOT NULL),
+        |deq AS (SELECT vec_id, list_transform(generate_series(1, 64), i ->
+        |    CASE WHEN mx[i] = mn[i] THEN mn[i]
+        |      ELSE mn[i] + (code[i] + 0.5) * ((mx[i] - mn[i])/255.0)
+        |    END) AS dq
+        |  FROM codes, mma),
+        |p AS (SELECT vec_id AS probe_id, e AS pe FROM c0 WHERE vec_id < 4),
+        |scored AS (SELECT p.probe_id, deq.vec_id AS corpus_id,
+        |    list_reduce(list_transform(generate_series(1, 64),
+        |      i -> (pe[i] - dq[i]) * (pe[i] - dq[i])), (x,y) -> x+y) AS sqdist
+        |  FROM p, deq)
+        |SELECT probe_id, corpus_id, sqdist, CAST(rn AS INTEGER) AS rank FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+        |    ORDER BY sqdist, corpus_id) AS rn FROM scored) t
+        |WHERE rn <= 8""".stripMargin,
     "p29_rare_tokens" ->
       """WITH tk AS (
         |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\W+'),

@@ -635,4 +635,125 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("probe_id", "corpus_id", "adist", "rank")
   }
+
+  // ------------------------------------------------- scalar quantization
+
+  /** SQ8 training: per-dimension (min, max) over the corpus — one typed
+    * Aggregator pass, so partial extrema combine map-side and a single
+    * 2×dims buffer reaches the driver regardless of corpus size. The
+    * affine int8 quantizer these bounds define is the storage tier
+    * BETWEEN raw floats and PQ: 4× smaller than float32 at far higher
+    * fidelity than m-byte PQ codes (Faiss SQ8). */
+  def sqTrain(
+      corpus: DataFrame,
+      embCol: String = "embedding"): (Array[Double], Array[Double]) = {
+    val mm = udaf(new MinMaxAgg, ExpressionEncoder[Seq[Double]]())
+    val r = corpus.filter(col(embCol).isNotNull)
+      .select(col(embCol).cast("array<double>").as("_v"))
+      .agg(mm(col("_v")).as("mm")).head.getStruct(0)
+    (r.getSeq[Double](0).toArray, r.getSeq[Double](1).toArray)
+  }
+
+  /** The PERSISTABLE SQ8 index: (`corpus_id`, `code` array<int> with
+    * values 0..255) — `code_i = clamp(floor((v_i − min_i) · 255/span_i))`,
+    * constant dimensions (span 0) code as 0. Null embeddings index as
+    * null code and drop out of [[sqKnn]] scoring, like the PQ/IVF
+    * indexes. All arithmetic is exact double ops in a fixed order so an
+    * external engine replicates codes bit-for-bit. */
+  def sqIndex(
+      corpus: DataFrame,
+      mins: Array[Double],
+      maxs: Array[Double],
+      corpusId: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val encodeU = udf((emb: Seq[Float]) =>
+      if (emb == null) null
+      else Array.tabulate(mins.length) { i =>
+        val span = maxs(i) - mins(i)
+        if (span == 0.0) 0
+        else {
+          val c = math.floor((emb(i) - mins(i)) * (255.0 / span))
+          if (c < 0.0) 0 else if (c > 255.0) 255 else c.toInt
+        }
+      })
+    corpus.select(col(corpusId).as("corpus_id"), encodeU(col(embCol)).as("code"))
+  }
+
+  /** Asymmetric SQ8 knn: raw probe vs dequantized corpus codes
+    * (`deq_i = min_i + (code_i + 0.5) · span_i/255` — bin midpoint), L2²
+    * distance, ascending-i fold. No routing — SQ is a COMPRESSION tier,
+    * so the scan shape is brute force over codes: right when the
+    * quantized corpus fits memory the float corpus doesn't, or composed
+    * under IVF routing for the scan-bound case. `broadcastProbes` as in
+    * [[ivfPqKnn]]. Returns (probe_id, corpus_id, sqdist, rank). */
+  def sqKnn(
+      index: DataFrame,
+      mins: Array[Double],
+      maxs: Array[Double],
+      probes: DataFrame,
+      k: Int = 10,
+      probeId: String = "probe_id",
+      embCol: String = "embedding",
+      broadcastProbes: Boolean = true): DataFrame = {
+    val distU = udf((pe: Seq[Float], code: Seq[Int]) =>
+      if (pe == null || code == null) null
+      else {
+        var s = 0.0; var i = 0
+        while (i < code.length) {
+          val span = maxs(i) - mins(i)
+          val deq = if (span == 0.0) mins(i)
+            else mins(i) + (code(i) + 0.5) * (span / 255.0)
+          val d = pe(i) - deq
+          s += d * d; i += 1
+        }
+        java.lang.Double.valueOf(s)
+      })
+    val p = probes.select(col(probeId).as("probe_id"), col(embCol).as("_pe"))
+    val pSide = if (broadcastProbes) broadcast(p) else p
+    val scored = index.crossJoin(pSide)
+      .select(col("probe_id"), col("corpus_id"),
+        distU(col("_pe"), col("code")).as("sqdist"))
+      .filter(col("sqdist").isNotNull)
+    val w = Window.partitionBy("probe_id").orderBy(col("sqdist").asc, col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("probe_id", "corpus_id", "sqdist", "rank")
+  }
+
+  /** Per-dimension (min, max) as a typed Aggregator — bounded 2×dims
+    * buffers, map-side combined (the [[sqTrain]] pass). */
+  private class MinMaxAgg
+      extends Aggregator[Seq[Double], (Array[Double], Array[Double]), (Array[Double], Array[Double])] {
+    def zero: (Array[Double], Array[Double]) =
+      (Array.emptyDoubleArray, Array.emptyDoubleArray)
+    def reduce(b: (Array[Double], Array[Double]), v: Seq[Double]): (Array[Double], Array[Double]) =
+      if (v == null) b
+      else if (b._1.isEmpty) (v.toArray, v.toArray)
+      else {
+        var i = 0
+        while (i < v.length) {
+          if (v(i) < b._1(i)) b._1(i) = v(i)
+          if (v(i) > b._2(i)) b._2(i) = v(i)
+          i += 1
+        }
+        b
+      }
+    def merge(a: (Array[Double], Array[Double]), b: (Array[Double], Array[Double])): (Array[Double], Array[Double]) =
+      if (a._1.isEmpty) b
+      else if (b._1.isEmpty) a
+      else {
+        var i = 0
+        while (i < a._1.length) {
+          if (b._1(i) < a._1(i)) a._1(i) = b._1(i)
+          if (b._2(i) > a._2(i)) a._2(i) = b._2(i)
+          i += 1
+        }
+        a
+      }
+    def finish(r: (Array[Double], Array[Double])): (Array[Double], Array[Double]) = r
+    def bufferEncoder: Encoder[(Array[Double], Array[Double])] =
+      ExpressionEncoder[(Array[Double], Array[Double])]()
+    def outputEncoder: Encoder[(Array[Double], Array[Double])] =
+      ExpressionEncoder[(Array[Double], Array[Double])]()
+  }
 }

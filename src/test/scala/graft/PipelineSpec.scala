@@ -244,6 +244,74 @@ class PipelineSpec extends SparkTestBase {
     assert(off == got.map(t => (t._1, t._2, t._4)).toSet)
   }
 
+  test("sq8: codes match local reference, knn exact parity, high recall") {
+    val corpus = embeddings.limit(64).select("vec_id", "embedding")
+    val (mins, maxs) = Similarity.sqTrain(corpus)
+    val vecs = corpus.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    // trained extrema == plain per-dim min/max over the collected corpus
+    (0 until 64).foreach { i =>
+      val col = vecs.values.map(_(i).toDouble)
+      assert(mins(i) == col.min && maxs(i) == col.max)
+    }
+    // codes: distributed encoding == local reference arithmetic; round-trip
+    def codeOf(v: Seq[Float]): Seq[Int] = (0 until 64).map { i =>
+      val span = maxs(i) - mins(i)
+      if (span == 0.0) 0
+      else {
+        val c = math.floor((v(i) - mins(i)) * (255.0 / span))
+        if (c < 0.0) 0 else if (c > 255.0) 255 else c.toInt
+      }
+    }
+    val dir = s"/tmp/graft-sq-${java.util.UUID.randomUUID()}"
+    Similarity.sqIndex(corpus, mins, maxs).write.parquet(dir)
+    val codes = spark.read.parquet(dir).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes.size == 64)
+    codes.foreach { case (id, code) =>
+      assert(code.forall(c => c >= 0 && c <= 255))
+      assert(code == codeOf(vecs(id)), s"vec $id")
+    }
+    // knn == local reference over dequantized midpoints
+    val probes = corpus.filter($"vec_id" < 4)
+      .select($"vec_id".as("probe_id"), $"embedding")
+    val got = Similarity.sqKnn(spark.read.parquet(dir), mins, maxs, probes, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    def sqdist(p: Seq[Float], code: Seq[Int]): Double = {
+      var s = 0.0
+      (0 until 64).foreach { i =>
+        val span = maxs(i) - mins(i)
+        val deq = if (span == 0.0) mins(i) else mins(i) + (code(i) + 0.5) * (span / 255.0)
+        val d = p(i) - deq
+        s += d * d
+      }
+      s
+    }
+    (0L until 4L).foreach { p =>
+      val expect = codes.toSeq.map { case (id, c) => (id, sqdist(vecs(p), c)) }
+        .sortBy { case (id, dist) => (dist, id) }.take(5)
+      val mine = got.filter(_._1 == p).sortBy(_._4)
+      assert(mine.map(t => (t._2, t._3)).toSeq == expect, s"probe $p")
+    }
+    // int8 error ≪ inter-vector distance: SQ top-5 ≈ exact L2 top-5
+    import spark.implicits._
+    def l2(a: Seq[Float], b: Seq[Float]): Double = {
+      var s = 0.0
+      (0 until 64).foreach { i => val d = a(i).toDouble - b(i).toDouble; s += d * d }
+      s
+    }
+    val truth = (0L until 4L).flatMap { p =>
+      vecs.toSeq.map { case (id, v) => (id, l2(vecs(p), v)) }
+        .sortBy { case (id, d) => (d, id) }.take(5).zipWithIndex
+        .map { case ((id, _), r) => (p, id, r + 1) }
+    }.toDF("probe_id", "corpus_id", "rank")
+    val recall = Similarity.recallAtK(
+        Similarity.sqKnn(spark.read.parquet(dir), mins, maxs, probes, k = 5,
+          broadcastProbes = false),
+        truth, k = 5)
+      .agg(org.apache.spark.sql.functions.avg("recall")).head.getDouble(0)
+    assert(recall >= 0.8, s"sq8 recall@5 = $recall")
+  }
+
   test("ann recall@k: truth-driven join, missed probes report 0") {
     import spark.implicits._
     val truth = Seq(
