@@ -120,6 +120,62 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Squared L2 distance between an `array<float>` (probe embedding) and an
+  * `array<double>` (dequantized SQ8 corpus row), same construction — the
+  * [[graft.pipeline.Similarity.sqKnn]] hot loop. Fold order matches the
+  * reference arithmetic exactly: ascending i, `s += d*d` from 0.0, floats
+  * widened per element — so swapping the scalar UDF for this expression
+  * changes no output bit. */
+case class L2SqDist(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName needs (array<float>, array<double>), got $l / $r")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_l2sq"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = x.getFloat(i).toDouble - y.getDouble(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = (double) $x.getFloat($i) - $y.getDouble($i);
+         |  $s += $d * $d;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): L2SqDist =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Registration: exposes the native expressions as SQL functions so they
   * are reachable from `call_function` / `expr` without private Column
   * constructors (SparkSessionExtensions-style, applied per session). */
@@ -133,6 +189,8 @@ object VectorExpressions {
       exprs => CosineSim(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_dot",
       exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_l2sq",
+      exprs => L2SqDist(exprs(0), exprs(1)), "built-in")
     registered += key
   }
 
@@ -144,5 +202,10 @@ object VectorExpressions {
   def dot(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark)
     org.apache.spark.sql.functions.call_function("graft_dot", a, b)
+  }
+
+  def l2sq(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("graft_l2sq", a, b)
   }
 }

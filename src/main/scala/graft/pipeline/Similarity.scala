@@ -684,7 +684,11 @@ object Similarity {
     * distance, ascending-i fold. No routing — SQ is a COMPRESSION tier,
     * so the scan shape is brute force over codes: right when the
     * quantized corpus fits memory the float corpus doesn't, or composed
-    * under IVF routing for the scan-bound case. `broadcastProbes` as in
+    * under IVF routing for the scan-bound case. Dequantization runs ONCE
+    * per corpus row (n rows, not n×probes pairs); the per-pair hot loop
+    * is the native codegen [[graft.functions.L2SqDist]] expression with
+    * bit-identical arithmetic, so the scan stays inside whole-stage
+    * codegen like [[bruteForceKnn]]'s. `broadcastProbes` as in
     * [[ivfPqKnn]]. Returns (probe_id, corpus_id, sqdist, rank). */
   def sqKnn(
       index: DataFrame,
@@ -695,25 +699,30 @@ object Similarity {
       probeId: String = "probe_id",
       embCol: String = "embedding",
       broadcastProbes: Boolean = true): DataFrame = {
-    val distU = udf((pe: Seq[Float], code: Seq[Int]) =>
-      if (pe == null || code == null) null
+    // bin-midpoint lookup per (dim, code) — 256×dims doubles, built once
+    // on the driver, closed over by the per-ROW dequantize UDF
+    val deqTable: Array[Array[Double]] = Array.tabulate(mins.length) { i =>
+      val span = maxs(i) - mins(i)
+      if (span == 0.0) Array.fill(256)(mins(i))
+      else Array.tabulate(256)(c => mins(i) + (c + 0.5) * (span / 255.0))
+    }
+    val deqU = udf((code: Seq[Int]) =>
+      if (code == null) null
       else {
-        var s = 0.0; var i = 0
-        while (i < code.length) {
-          val span = maxs(i) - mins(i)
-          val deq = if (span == 0.0) mins(i)
-            else mins(i) + (code(i) + 0.5) * (span / 255.0)
-          val d = pe(i) - deq
-          s += d * d; i += 1
-        }
-        java.lang.Double.valueOf(s)
+        val out = new Array[Double](code.length)
+        var i = 0
+        while (i < out.length) { out(i) = deqTable(i)(code(i)); i += 1 }
+        out
       })
+    val spark = index.sparkSession
+    val deq = index.select(col("corpus_id"), deqU(col("code")).as("_dq"))
+      .filter(col("_dq").isNotNull)
     val p = probes.select(col(probeId).as("probe_id"), col(embCol).as("_pe"))
+      .filter(col("_pe").isNotNull)
     val pSide = if (broadcastProbes) broadcast(p) else p
-    val scored = index.crossJoin(pSide)
+    val scored = deq.crossJoin(pSide)
       .select(col("probe_id"), col("corpus_id"),
-        distU(col("_pe"), col("code")).as("sqdist"))
-      .filter(col("sqdist").isNotNull)
+        graft.functions.VectorExpressions.l2sq(spark, col("_pe"), col("_dq")).as("sqdist"))
     val w = Window.partitionBy("probe_id").orderBy(col("sqdist").asc, col("corpus_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -319,6 +319,41 @@ object ScaleProbe {
       feed("streaming hot bucket: re-deliver 4096 members (no-op)", 1 to 4096)
       q.stop()
     }
+
+    // quantization tiers @50k vectors (round 6): the same 64 probes
+    // through raw floats (brute force), SQ8 codes (4× smaller scan), and
+    // IVFADC (cell-routed byte codes — the only sub-linear scan). Corpus
+    // = sf0.1 embeddings replicated 10× with id offsets.
+    {
+      import graft.pipeline.Similarity
+      val emb0 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+        .select("vec_id", "embedding")
+      val corpus = (0 until 10).map(i =>
+          emb0.withColumn("vec_id", col("vec_id") + lit(i * 1000000L)))
+        .reduce(_ unionAll _).transform(graft.Stage.materialize)
+      val n = corpus.count()
+      val probes = emb0.filter(col("vec_id") < 64)
+        .select(col("vec_id").as("probe_id"), col("embedding"))
+      time(s"brute-force knn raw floats @$n x 64 probes")(
+        Similarity.bruteForceKnn(corpus, probes, k = 10).count())
+      val t0 = System.nanoTime()
+      val (mins, maxs) = Similarity.sqTrain(corpus)
+      println(f"sqTrain one-pass extrema @$n: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      val sqDir = "/tmp/graft_scale/sq_index_50k.parquet"
+      Similarity.sqIndex(corpus, mins, maxs).write.mode("overwrite").parquet(sqDir)
+      val sqIdx = spark.read.parquet(sqDir)
+      time(s"SQ8 knn over int8 codes @$n x 64 probes")(
+        Similarity.sqKnn(sqIdx, mins, maxs, probes, k = 10).count())
+      val t1 = System.nanoTime()
+      val cb = Similarity.kmeansCentroids(corpus, cells = 64, iters = 1)
+      val books = Similarity.ivfPqTrain(corpus, cb, m = 8, codes = 16, iters = 1)
+      println(f"IVFADC train (64 cells + residual books) @$n: ${(System.nanoTime() - t1) / 1e9}%.2f s")
+      val pqDir = "/tmp/graft_scale/ivfpq_index_50k.parquet"
+      Similarity.ivfPqIndex(corpus, cb, books).write.mode("overwrite").parquet(pqDir)
+      val pqIdx = spark.read.parquet(pqDir)
+      time(s"IVFADC knn nProbe=8/64 @$n x 64 probes")(
+        Similarity.ivfPqKnn(pqIdx, cb, books, probes, k = 10, nProbe = 8).count())
+    }
     spark.stop()
   }
 }
