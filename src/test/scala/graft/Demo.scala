@@ -143,6 +143,10 @@ object Demo {
     val rbooks = Similarity.ivfPqTrain(corpusE, codebook, m = 8, codes = 16, iters = 2)
     Similarity.ivfPqKnn(Similarity.ivfPqIndex(corpusE, codebook, rbooks),
       codebook, rbooks, probes, k = 3, nProbe = 3).show(3)
+    println("-- SQ8: int8 codes (4x compression), asymmetric L2 knn --")
+    val (mins, maxs) = Similarity.sqTrain(corpusE)
+    Similarity.sqKnn(Similarity.sqIndex(corpusE, mins, maxs), mins, maxs,
+      probes, k = 3).show(3)
     println("-- recall@k: score each index against brute-force truth --")
     val truth = Similarity.bruteForceKnn(emb, probes, k = 5)
     Seq(
