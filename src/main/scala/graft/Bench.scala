@@ -83,7 +83,9 @@ object Bench {
     val sfName = new java.io.File(sfDir).getName
     // (first_run_total lives on the auxiliary line only: every headline
     // byte counts against the ~2000-char capture window)
-    println(s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","timing":"min_warm2","errors":${jsonStrMap(errors)},"sf":"$sfName","queries":${jsonMap(results, 2)}}""")
+    // tag derives from the actual pass count so an SPARK_GRAFT_BENCH_PASSES
+    // override cannot mislabel the methodology
+    println(s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","timing":"min_warm$timedPasses","errors":${jsonStrMap(errors)},"sf":"$sfName","queries":${jsonMap(results, 2)}}""")
     spark.stop()
   }
 }

@@ -254,23 +254,44 @@ object Similarity {
     books
   }
 
-  /** Nearest centroid of one subspace: argmin L2², lowest code on ties.
-    * `off` is the subvector's offset into the full embedding. */
-  private def pqAssignSub(book: Array[Array[Double]], emb: Seq[Float], off: Int): Int = {
-    var best = 0; var bestD = Double.MaxValue
-    var c = 0
-    while (c < book.length) {
-      val ctr = book(c)
-      var d = 0.0; var i = 0
-      while (i < ctr.length) { val diff = emb(off + i) - ctr(i); d += diff * diff; i += 1 }
-      if (d < bestD) { bestD = d; best = c }
-      c += 1
-    }
-    best
+  /** Exact float→double widening of an embedding — one allocation per
+    * row, shared by every per-subspace/per-cell call that follows. */
+  private def widen(emb: Seq[Float]): Array[Double] = {
+    val v = new Array[Double](emb.length)
+    var i = 0
+    while (i < v.length) { v(i) = emb(i).toDouble; i += 1 }
+    v
   }
 
-  /** [[pqAssignSub]] over a double vector (the residual path) — same
-    * argmin, same lowest-code tie-break, same ascending-i fold. */
+  /** Flattened m×codes ADC distance table for one (possibly residual)
+    * probe vector: entry `j·codes + c` = L2² of subvector j to centroid
+    * c, ascending-i fold — THE arithmetic the p38/p39 oracles replicate;
+    * [[pqKnn]] and [[ivfPqKnn]] must share it so a tie-break or fold
+    * change cannot silently diverge between them. */
+  private def adcTable(
+      codebooks: Array[Array[Array[Double]]], v: Seq[Double]): Array[Double] = {
+    val m = codebooks.length
+    val codes = codebooks(0).length
+    val dsub = codebooks(0)(0).length
+    val dt = new Array[Double](m * codes)
+    var j = 0
+    while (j < m) {
+      var c = 0
+      while (c < codes) {
+        val ctr = codebooks(j)(c)
+        var d = 0.0; var i = 0
+        while (i < dsub) { val diff = v(j * dsub + i) - ctr(i); d += diff * diff; i += 1 }
+        dt(j * codes + c) = d
+        c += 1
+      }
+      j += 1
+    }
+    dt
+  }
+
+  /** Subspace code argmin over a double vector (raw subvectors widen
+    * exactly from float; residuals are native double) — lowest-code
+    * tie-break, ascending-i fold. */
   private def pqAssignSubD(book: Array[Array[Double]], v: Seq[Double], off: Int): Int = {
     var best = 0; var bestD = Double.MaxValue
     var c = 0
@@ -297,7 +318,10 @@ object Similarity {
     val dsub = codebooks(0)(0).length
     val encodeU = udf((emb: Seq[Float]) =>
       if (emb == null) null
-      else Array.tabulate(m)(j => pqAssignSub(codebooks(j), emb, j * dsub)))
+      else {
+        val v = widen(emb)
+        Array.tabulate(m)(j => pqAssignSubD(codebooks(j), v, j * dsub))
+      })
     corpus.select(col(corpusId).as("corpus_id"), encodeU(col(embCol)).as("code"))
   }
 
@@ -317,26 +341,24 @@ object Similarity {
       probes: DataFrame,
       k: Int = 10,
       probeId: String = "probe_id",
-      embCol: String = "embedding"): DataFrame = {
-    val m = codebooks.length
-    val dsub = codebooks(0)(0).length
+      embCol: String = "embedding",
+      broadcastProbes: Boolean = true): DataFrame = {
+    val codes = codebooks(0).length
     val tableU = udf((emb: Seq[Float]) =>
-      if (emb == null) null
-      else Array.tabulate(m, codebooks(0).length) { (j, c) =>
-        val ctr = codebooks(j)(c)
-        var d = 0.0; var i = 0
-        while (i < dsub) { val diff = emb(j * dsub + i) - ctr(i); d += diff * diff; i += 1 }
-        d
-      })
-    val adcU = udf((dt: Seq[Seq[Double]], code: Seq[Int]) =>
+      if (emb == null) null else adcTable(codebooks, widen(emb)))
+    val adcU = udf((dt: Seq[Double], code: Seq[Int]) =>
       if (dt == null || code == null) null
       else {
         var s = 0.0; var j = 0
-        while (j < code.length) { s += dt(j)(code(j)); j += 1 }
+        while (j < code.length) { s += dt(j * codes + code(j)); j += 1 }
         java.lang.Double.valueOf(s)
       })
+    // null-embedding probes must drop BEFORE the corpus-wide join, not
+    // score the whole index into discarded nulls
     val p = probes.select(col(probeId).as("probe_id"), tableU(col(embCol)).as("_dt"))
-    val scored = index.join(broadcast(p))
+      .filter(col("_dt").isNotNull)
+    val pSide = if (broadcastProbes) broadcast(p) else p
+    val scored = index.join(pSide)
       .select(col("probe_id"), col("corpus_id"),
         adcU(col("_dt"), col("code")).as("adist"))
       .filter(col("adist").isNotNull)
@@ -358,18 +380,22 @@ object Similarity {
       if (v == null) b
       else {
         val sums = if (b._2.isEmpty) new Array[Double](v.length) else b._2
+        // ragged input must fail loudly: silently truncating while still
+        // counting the row would skew the centroid means
+        require(sums.length == v.length,
+          s"vector length mismatch in centroid training: ${v.length} vs ${sums.length}")
         var i = 0
-        val n = math.min(sums.length, v.length)
-        while (i < n) { sums(i) += v(i); i += 1 }
+        while (i < sums.length) { sums(i) += v(i); i += 1 }
         (b._1 + 1L, sums)
       }
     def merge(a: (Long, Array[Double]), b: (Long, Array[Double])): (Long, Array[Double]) =
       if (a._2.isEmpty) b
       else if (b._2.isEmpty) a
       else {
+        require(a._2.length == b._2.length,
+          s"vector length mismatch in centroid training: ${b._2.length} vs ${a._2.length}")
         var i = 0
-        val n = math.min(a._2.length, b._2.length)
-        while (i < n) { a._2(i) += b._2(i); i += 1 }
+        while (i < a._2.length) { a._2(i) += b._2(i); i += 1 }
         (a._1 + b._1, a._2)
       }
     def finish(r: (Long, Array[Double])): (Long, Array[Double]) = r
@@ -592,27 +618,11 @@ object Similarity {
       probeId: String = "probe_id",
       embCol: String = "embedding",
       broadcastProbes: Boolean = true): DataFrame = {
-    val m = codebooks.length
     val codes = codebooks(0).length
-    val dsub = codebooks(0)(0).length
     val routeU = udf((emb: Seq[Float]) =>
       if (emb == null) null
       else nearestCells(centroids, emb, nProbe).map { cell =>
-        val res = residualOf(centroids(cell), emb)
-        val dt = new Array[Double](m * codes)
-        var j = 0
-        while (j < m) {
-          var c = 0
-          while (c < codes) {
-            val ctr = codebooks(j)(c)
-            var d = 0.0; var i = 0
-            while (i < dsub) { val diff = res(j * dsub + i) - ctr(i); d += diff * diff; i += 1 }
-            dt(j * codes + c) = d
-            c += 1
-          }
-          j += 1
-        }
-        (cell, dt)
+        (cell, adcTable(codebooks, residualOf(centroids(cell), emb)))
       })
     // ascending-j fold, like pqKnn's ADC — keeps the oracle replicable
     val adcU = udf((dt: Seq[Double], code: Seq[Int]) =>
@@ -651,7 +661,11 @@ object Similarity {
     val r = corpus.filter(col(embCol).isNotNull)
       .select(col(embCol).cast("array<double>").as("_v"))
       .agg(mm(col("_v")).as("mm")).head.getStruct(0)
-    (r.getSeq[Double](0).toArray, r.getSeq[Double](1).toArray)
+    val bounds = (r.getSeq[Double](0).toArray, r.getSeq[Double](1).toArray)
+    // zero rows aggregate to the empty buffer; empty bounds would make
+    // every downstream code empty and every distance 0.0 — fail loudly
+    require(bounds._1.nonEmpty, "sqTrain needs a non-empty corpus")
+    bounds
   }
 
   /** The PERSISTABLE SQ8 index: (`corpus_id`, `code` array<int> with
@@ -739,6 +753,10 @@ object Similarity {
       if (v == null) b
       else if (b._1.isEmpty) (v.toArray, v.toArray)
       else {
+        // ragged input fails loudly — truncated extrema would silently
+        // mis-scale every SQ8 code (same policy as the training sums)
+        require(v.length == b._1.length,
+          s"vector length mismatch in sqTrain: ${v.length} vs ${b._1.length}")
         var i = 0
         while (i < v.length) {
           if (v(i) < b._1(i)) b._1(i) = v(i)
@@ -751,6 +769,8 @@ object Similarity {
       if (a._1.isEmpty) b
       else if (b._1.isEmpty) a
       else {
+        require(a._1.length == b._1.length,
+          s"vector length mismatch in sqTrain: ${b._1.length} vs ${a._1.length}")
         var i = 0
         while (i < a._1.length) {
           if (b._1(i) < a._1(i)) a._1(i) = b._1(i)

@@ -209,8 +209,22 @@ object Streams {
         (_: (Int, String), rows: Iterator[(Long, Int, String)],
          state: GroupState[Array[Long]]) =>
           // state invariant: sorted ascending — membership is a binary
-          // search and the star hub (min member) reads off index 0
+          // search and the star hub (min member) reads off index 0.
+          // Defensive sort-on-load: a checkpoint written by the pre-sort
+          // implementation stored members in arrival order; binary search
+          // over it would silently mis-report membership (lost pairs,
+          // duplicate star edges). One O(n log n) pass on first touch
+          // restores the invariant; already-sorted state costs one scan.
           var members = state.getOption.getOrElse(Array.emptyLongArray)
+          if (members.length > 1) {
+            var i = 1
+            var sorted = true
+            while (sorted && i < members.length) {
+              if (members(i - 1) > members(i)) sorted = false
+              i += 1
+            }
+            if (!sorted) { members = members.clone(); java.util.Arrays.sort(members) }
+          }
           val out = Vector.newBuilder[(Long, Long)]
           // deterministic within a micro-batch: process ids ascending;
           // distinct dedupes same-batch re-deliveries of over-cap ids
