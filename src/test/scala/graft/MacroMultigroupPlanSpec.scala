@@ -301,6 +301,35 @@ class MacroMultigroupPlanSpec extends SparkTestBase {
       s"semantic cell stats must combine map-side:\n$ps")
   }
 
+  test("quantization knn plans: broadcast probes, codegen scoring, cell equi-join") {
+    import graft.pipeline.Similarity
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val probes = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("probe_id"), col("embedding"))
+    // SQ8 is a full scan BY DESIGN (no join key): the probe side must
+    // broadcast into a nested-loop join and the per-pair scoring must be
+    // the native graft_l2sq expression, not an interpreted HOF/UDF
+    val (mins, maxs) = Similarity.sqTrain(emb)
+    val psq = plan(Similarity.sqKnn(
+      Similarity.sqIndex(emb, mins, maxs), mins, maxs, probes, k = 3))
+    assert(psq.contains("BroadcastNestedLoopJoin"),
+      s"sq scan must broadcast probes into a nested-loop join:\n$psq")
+    assert(psq.contains("graft_l2sq"),
+      s"sq scoring must be the native codegen expression:\n$psq")
+    // IVFADC routes on cell: the index-probe join must be a broadcast
+    // HASH join on the cell key — a cartesian here would re-create the
+    // all-pairs scan the routing exists to avoid
+    val cb = Similarity.kmeansCentroids(emb, cells = 4, iters = 0)
+    val books = Similarity.ivfPqTrain(emb, cb, m = 8, codes = 8, iters = 0)
+    val pq = plan(Similarity.ivfPqKnn(
+      Similarity.ivfPqIndex(emb, cb, books), cb, books, probes, k = 3, nProbe = 2))
+    assert(pq.contains("BroadcastHashJoin"),
+      s"ivfpq cell join must broadcast-hash on cell:\n$pq")
+    assert(!pq.contains("CartesianProduct") && !pq.contains("BroadcastNestedLoopJoin"),
+      s"ivfpq must never degrade to an unkeyed join:\n$pq")
+  }
+
   test("duplicate-span gram counts aggregate with map-side partials") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val df = graft.pipeline.Dedup.duplicateSpanStats(docs, n = 6)

@@ -312,6 +312,30 @@ class PipelineSpec extends SparkTestBase {
     assert(recall >= 0.8, s"sq8 recall@5 = $recall")
   }
 
+  test("quantization guards: empty corpus fails loudly, null probes drop, pq broadcast-off parity") {
+    import spark.implicits._
+    // sqTrain on zero usable rows must throw, not return empty bounds
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] { Similarity.sqTrain(empty) }
+    val allNull = Seq((1L, null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] { Similarity.sqTrain(allNull) }
+    // pqKnn: a null-embedding probe contributes no rows (and no corpus
+    // scan); broadcast off returns identical results
+    val corpus = embeddings.limit(16).select("vec_id", "embedding")
+    val books = Similarity.pqTrain(corpus, m = 8, codes = 16, iters = 1)
+    val idx = Similarity.pqIndex(corpus, books)
+    val probes = corpus.filter($"vec_id" < 3)
+      .select($"vec_id".as("probe_id"), $"embedding")
+      .unionAll(Seq((99L, null.asInstanceOf[Array[Float]]))
+        .toDF("probe_id", "embedding"))
+    val on = Similarity.pqKnn(idx, books, probes, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    assert(on.nonEmpty && !on.exists(_._1 == 99L))
+    val off = Similarity.pqKnn(idx, books, probes, k = 4, broadcastProbes = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    assert(on.toSet == off.toSet)
+  }
+
   test("ann recall@k: truth-driven join, missed probes report 0") {
     import spark.implicits._
     val truth = Seq(
