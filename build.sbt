@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked runMain output goes to raw stdout, NOT through sbt's logger —
+// the "[info] " prefix the logger adds is what kept every BENCH_rN
+// artifact's JSON headline unparseable (the driver's capture retains sbt
+// stdout verbatim and its parser sees "[info] {...}", never bare JSON).
+run / outputStrategy := Some(StdoutOutput)
+Compile / run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
