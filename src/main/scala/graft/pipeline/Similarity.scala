@@ -681,17 +681,33 @@ object Similarity {
       corpusId: String = "vec_id",
       embCol: String = "embedding"): DataFrame = {
     val encodeU = udf((emb: Seq[Float]) =>
-      if (emb == null) null
-      else Array.tabulate(mins.length) { i =>
-        val span = maxs(i) - mins(i)
-        if (span == 0.0) 0
-        else {
-          val c = math.floor((emb(i) - mins(i)) * (255.0 / span))
-          if (c < 0.0) 0 else if (c > 255.0) 255 else c.toInt
-        }
-      })
+      if (emb == null) null else sqEncode(mins, maxs, emb))
     corpus.select(col(corpusId).as("corpus_id"), encodeU(col(embCol)).as("code"))
   }
+
+  /** The SQ8 encode kernel — pure so its invariants property-check
+    * (QuantizationPropSpec): codes in [0,255], bin-midpoint error ≤
+    * span/510 per dim, monotone in the value, constant dims → 0. */
+  private[graft] def sqEncode(
+      mins: Array[Double], maxs: Array[Double], emb: Seq[Float]): Array[Int] =
+    Array.tabulate(mins.length) { i =>
+      val span = maxs(i) - mins(i)
+      if (span == 0.0) 0
+      else {
+        val c = math.floor((emb(i) - mins(i)) * (255.0 / span))
+        if (c < 0.0) 0 else if (c > 255.0) 255 else c.toInt
+      }
+    }
+
+  /** Bin-midpoint dequantization table, (dim → code → value) — the
+    * [[sqKnn]] scoring reference, pure for the same reason. */
+  private[graft] def sqDeqTable(
+      mins: Array[Double], maxs: Array[Double]): Array[Array[Double]] =
+    Array.tabulate(mins.length) { i =>
+      val span = maxs(i) - mins(i)
+      if (span == 0.0) Array.fill(256)(mins(i))
+      else Array.tabulate(256)(c => mins(i) + (c + 0.5) * (span / 255.0))
+    }
 
   /** Asymmetric SQ8 knn: raw probe vs dequantized corpus codes
     * (`deq_i = min_i + (code_i + 0.5) · span_i/255` — bin midpoint), L2²
@@ -715,11 +731,7 @@ object Similarity {
       broadcastProbes: Boolean = true): DataFrame = {
     // bin-midpoint lookup per (dim, code) — 256×dims doubles, built once
     // on the driver, closed over by the per-ROW dequantize UDF
-    val deqTable: Array[Array[Double]] = Array.tabulate(mins.length) { i =>
-      val span = maxs(i) - mins(i)
-      if (span == 0.0) Array.fill(256)(mins(i))
-      else Array.tabulate(256)(c => mins(i) + (c + 0.5) * (span / 255.0))
-    }
+    val deqTable = sqDeqTable(mins, maxs)
     val deqU = udf((code: Seq[Int]) =>
       if (code == null) null
       else {
