@@ -36,7 +36,7 @@ case class CosineSim(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = VectorExpressions.checkedLen(prettyName, x.numElements(), y.numElements())
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
@@ -58,7 +58,8 @@ case class CosineSim(left: Expression, right: Expression)
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |int $n = graft.functions.VectorExpressions.checkedLen(
+         |  "$prettyName", $x.numElements(), $y.numElements());
          |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  double $xi = (double) $x.getFloat($i);
@@ -93,7 +94,7 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = VectorExpressions.checkedLen(prettyName, x.numElements(), y.numElements())
     var dot = 0.0
     var i = 0
     while (i < n) { dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
@@ -106,7 +107,8 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val dot = ctx.freshName("dot")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |int $n = graft.functions.VectorExpressions.checkedLen(
+         |  "$prettyName", $x.numElements(), $y.numElements());
          |double $dot = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $dot += (double) $x.getFloat($i) * (double) $y.getFloat($i);
@@ -143,7 +145,7 @@ case class L2SqDist(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = VectorExpressions.checkedLen(prettyName, x.numElements(), y.numElements())
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -161,7 +163,8 @@ case class L2SqDist(left: Expression, right: Expression)
       val s = ctx.freshName("s")
       val d = ctx.freshName("d")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |int $n = graft.functions.VectorExpressions.checkedLen(
+         |  "$prettyName", $x.numElements(), $y.numElements());
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  double $d = (double) $x.getFloat($i) - $y.getDouble($i);
@@ -180,6 +183,18 @@ case class L2SqDist(left: Expression, right: Expression)
   * are reachable from `call_function` / `expr` without private Column
   * constructors (SparkSessionExtensions-style, applied per session). */
 object VectorExpressions {
+  /** Shared ragged-input guard for the three kernels (called from both
+    * interpreted eval and generated code): a probe/index dimension
+    * mismatch FAILS instead of silently min-truncating into
+    * plausible-but-wrong distances (ADVICE r6 — the same fail-loudly
+    * policy as the training aggregators and routing kernels). */
+  def checkedLen(name: String, nx: Int, ny: Int): Int = {
+    if (nx != ny)
+      throw new IllegalArgumentException(
+        s"$name: vector length mismatch: $nx vs $ny")
+    nx
+  }
+
   @volatile private var registered = Set.empty[String]
 
   def register(spark: SparkSession): Unit = synchronized {

@@ -405,14 +405,23 @@ object Similarity {
       ExpressionEncoder[(Long, Array[Double])]()
   }
 
+  /** Ragged-input policy, unified (ADVICE r6): every routing kernel
+    * REQUIRES the embedding's dims to match the codebook's — silent
+    * min-truncation mis-routed ragged vectors in some quantization paths
+    * while residualOf/sqEncode threw in others. Same fail-loudly policy
+    * as the training aggregators and the native distance expressions. */
+  private def requireDims(ctr: Array[Double], emb: Seq[Float]): Unit =
+    require(ctr.length == emb.length,
+      s"vector length mismatch in cell routing: ${emb.length} vs ${ctr.length}")
+
   private def nearestCell(centroids: Array[Array[Double]], emb: Seq[Float]): Int = {
     var best = 0; var bestD = Double.MaxValue
     var c = 0
     while (c < centroids.length) {
       val ctr = centroids(c)
+      requireDims(ctr, emb)
       var d = 0.0; var i = 0
-      val n = math.min(ctr.length, emb.length)
-      while (i < n) { val diff = emb(i) - ctr(i); d += diff * diff; i += 1 }
+      while (i < ctr.length) { val diff = emb(i) - ctr(i); d += diff * diff; i += 1 }
       if (d < bestD) { bestD = d; best = c }
       c += 1
     }
@@ -423,9 +432,9 @@ object Similarity {
       nProbe: Int): Array[Int] = {
     val ds = centroids.indices.map { c =>
       val ctr = centroids(c)
+      requireDims(ctr, emb)
       var d = 0.0; var i = 0
-      val n = math.min(ctr.length, emb.length)
-      while (i < n) { val diff = emb(i) - ctr(i); d += diff * diff; i += 1 }
+      while (i < ctr.length) { val diff = emb(i) - ctr(i); d += diff * diff; i += 1 }
       (d, c)
     }
     ds.sorted.take(nProbe).map(_._2).toArray
@@ -527,9 +536,15 @@ object Similarity {
       probeCol: String = "probe_id",
       corpusCol: String = "corpus_id",
       rankCol: String = "rank"): DataFrame = {
+    // dropDuplicates guards the PUBLIC api: every in-repo knn emits
+    // distinct (probe, corpus) pairs, but an external approx result with
+    // duplicate pairs at rank<=k would fan out truth rows in the join and
+    // inflate hits/truth_k past 1.0 (ADVICE r6). Cheap at probes×k scale.
     val a = approx.filter(col(rankCol) <= k)
-      .select(col(probeCol), col(corpusCol)).withColumn("_hit", lit(1L))
+      .select(col(probeCol), col(corpusCol)).dropDuplicates(probeCol, corpusCol)
+      .withColumn("_hit", lit(1L))
     val t = truth.filter(col(rankCol) <= k).select(col(probeCol), col(corpusCol))
+      .dropDuplicates(probeCol, corpusCol) // same guard on the truth leg
     t.join(a, Seq(probeCol, corpusCol), "left")
       .groupBy(col(probeCol))
       .agg(sum(coalesce(col("_hit"), lit(0L))).as("hits"),

@@ -360,6 +360,47 @@ class PipelineSpec extends SparkTestBase {
     assert(self.length == 3 && self.forall(_ == 1.0))
   }
 
+  test("recall@k guards duplicate pairs in an external approx result") {
+    import spark.implicits._
+    val truth = Seq((0L, 10L, 1), (0L, 11L, 2)).toDF("probe_id", "corpus_id", "rank")
+    // a non-graft producer emitting the same hit at two ranks <= k must
+    // not fan out the truth join: recall stays <= 1 (ADVICE r6)
+    val approx = Seq((0L, 10L, 1), (0L, 10L, 2), (0L, 10L, 3))
+      .toDF("probe_id", "corpus_id", "rank")
+    val got = Similarity.recallAtK(approx, truth, k = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((1L, 2L, 0.5)), s"got ${got.toSeq}")
+  }
+
+  test("ragged vectors fail loudly in distance kernels and cell routing") {
+    import spark.implicits._
+    val a = Seq((1L, Array(1f, 2f, 3f))).toDF("id", "x")
+      .crossJoin(Seq(Tuple1(Array(1f, 2f))).toDF("y"))
+    // codegen path
+    val eCos = intercept[Exception] {
+      a.select(graft.functions.VectorExpressions.cosine(spark, $"x", $"y")).collect()
+    }
+    assert(eCos.getMessage.contains("length mismatch")
+      || eCos.getCause != null && eCos.getCause.getMessage.contains("length mismatch"))
+    val eL2 = intercept[Exception] {
+      a.select(graft.functions.VectorExpressions.l2sq(
+        spark, $"x", $"y".cast("array<double>"))).collect()
+    }
+    assert(eL2.getMessage.contains("length mismatch")
+      || eL2.getCause != null && eL2.getCause.getMessage.contains("length mismatch"))
+    // routing kernels: a 2-dim probe against a 3-dim codebook throws
+    // instead of silently mis-routing (unified ragged policy, ADVICE r6)
+    val centroids = Array(Array(0.0, 0.0, 0.0), Array(1.0, 1.0, 1.0))
+    val probes = Seq((7L, Array(1f, 2f))).toDF("probe_id", "embedding")
+    val corpus3 = Seq((1L, Array(0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val eRoute = intercept[Exception] {
+      Similarity.ivfKnnWithIndex(
+        Similarity.ivfIndex(corpus3, centroids), centroids, probes, k = 1).collect()
+    }
+    assert(eRoute.getMessage.contains("mismatch")
+      || eRoute.getCause != null && eRoute.getCause.getMessage.contains("mismatch"))
+  }
+
   test("ivf broadcastProbes=false: identical results, no broadcast on probe side") {
     // corpus-scale probe batches must be able to degrade to a shuffle
     // join instead of OOMing the driver on a forced broadcast
