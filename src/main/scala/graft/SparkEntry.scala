@@ -728,6 +728,24 @@ object SparkEntry {
       probes, k = 8)
   }
 
+  /** IVFADC + exact re-rank (Jégou et al. 2011 §V, the IVFADC+R
+    * refinement): p39's exact setup shortlists r=16 candidates per probe
+    * by ADC distance, then only those pairs re-score exactly against the
+    * raw vectors and the final top-8 ranks on exact L2². Seed centroids
+    * and seed residual codebooks (iters = 0) as in p39, so the DuckDB
+    * oracle replicates every stage — including the exact-distance fold
+    * and both rank windows — bit-for-bit. */
+  private def p42(s: SparkSession, d: String): DataFrame = {
+    val emb = tbl(d, "embeddings")(s).select(col("vec_id"), col("embedding"))
+    val cb = Similarity.kmeansCentroids(
+      emb.filter(col("vec_id") >= 100), cells = 8, iters = 0)
+    val books = Similarity.ivfPqTrain(emb, cb, m = 8, codes = 8, iters = 0)
+    val probes = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("probe_id"), col("embedding"))
+    Similarity.ivfPqKnnRefine(Similarity.ivfPqIndex(emb, cb, books), cb, books,
+      emb, probes, k = 8, r = 16, nProbe = 2)
+  }
+
   /** KMV set operations: estimated vs exact distinct-order overlap between
     * the A and R return flags — union by monoid merge, intersection by the
     * K-min-values threshold estimator, both oracle-exact. */
@@ -926,6 +944,7 @@ object SparkEntry {
     "p39_ivfpq_knn" -> (p39 _),
     "p40_ann_recall" -> (p40 _),
     "p41_sq_knn" -> (p41 _),
+    "p42_ivfpq_refine" -> (p42 _),
     "p31_span_excise" -> (p31 _),
     "p32_chunking" -> (p32 _),
     "p33_mixture_weights" -> (p33 _)
@@ -1768,6 +1787,62 @@ object SparkEntry {
         |SELECT probe_id, corpus_id, sqdist, CAST(rn AS INTEGER) AS rank FROM (
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
         |    ORDER BY sqdist, corpus_id) AS rn FROM scored) t
+        |WHERE rn <= 8""".stripMargin,
+    // p42: IVFADC+R — p39's chain up to the ADC scores, shortlist rn<=16,
+    // exact L2² on the raw (double-cast) vectors for the shortlisted
+    // pairs only, final rank window on the exact distance
+    "p42_ivfpq_refine" ->
+      """WITH c0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+        |seeds AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, e AS s
+        |  FROM (SELECT vec_id, e FROM c0 WHERE e IS NOT NULL AND vec_id >= 100
+        |        ORDER BY vec_id LIMIT 8) t),
+        |cdist AS (SELECT c0.vec_id, seeds.cell,
+        |    list_reduce(list_transform(generate_series(1, 64), i -> (e[i]-s[i])*(e[i]-s[i])), (x,y) -> x+y) AS d
+        |  FROM c0, seeds WHERE c0.e IS NOT NULL),
+        |asg AS (SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+        |    FROM cdist) t WHERE rn = 1),
+        |res AS (SELECT c0.vec_id, asg.cell,
+        |    list_transform(generate_series(1, 64), i -> c0.e[i] - seeds.s[i]) AS r
+        |  FROM c0 JOIN asg USING (vec_id) JOIN seeds ON seeds.cell = asg.cell),
+        |bseeds AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code, r AS bs
+        |  FROM (SELECT vec_id, r FROM res ORDER BY vec_id LIMIT 8) t),
+        |js AS (SELECT j FROM generate_series(0, 7) g(j)),
+        |bdist AS (SELECT res.vec_id, js.j, bseeds.code,
+        |    list_reduce(list_transform(generate_series(1, 8),
+        |      i -> (r[js.j*8+i]-bs[js.j*8+i])*(r[js.j*8+i]-bs[js.j*8+i])), (x,y) -> x+y) AS d
+        |  FROM res, js, bseeds),
+        |al AS (SELECT b.vec_id, asg.cell, list(code ORDER BY j) AS cl
+        |  FROM (SELECT vec_id, j, code FROM (
+        |      SELECT vec_id, j, code, ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, code) AS rn
+        |      FROM bdist) t WHERE rn = 1) b
+        |  JOIN asg ON asg.vec_id = b.vec_id GROUP BY b.vec_id, asg.cell),
+        |proute AS (SELECT vec_id AS probe_id, cell FROM (
+        |    SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+        |    FROM cdist WHERE vec_id < 4) t WHERE rn <= 2),
+        |pres AS (SELECT p.probe_id, p.cell,
+        |    list_transform(generate_series(1, 64), i -> c0.e[i] - seeds.s[i]) AS pr
+        |  FROM proute p JOIN c0 ON c0.vec_id = p.probe_id JOIN seeds ON seeds.cell = p.cell),
+        |pdt0 AS (SELECT pres.probe_id, pres.cell, js.j, bseeds.code,
+        |    list_reduce(list_transform(generate_series(1, 8),
+        |      i -> (pr[js.j*8+i]-bs[js.j*8+i])*(pr[js.j*8+i]-bs[js.j*8+i])), (x,y) -> x+y) AS d
+        |  FROM pres, js, bseeds),
+        |pdt AS (SELECT probe_id, cell, list(d ORDER BY j, code) AS dl
+        |  FROM pdt0 GROUP BY probe_id, cell),
+        |scored AS (SELECT pdt.probe_id, al.vec_id AS corpus_id,
+        |    list_reduce(list_transform(generate_series(1, 8), j -> dl[(j-1)*8 + cl[j] + 1]), (x,y) -> x+y) AS adist
+        |  FROM pdt JOIN al ON al.cell = pdt.cell),
+        |cands AS (SELECT probe_id, corpus_id FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY adist, corpus_id) AS rn
+        |  FROM scored) t WHERE rn <= 16),
+        |ex AS (SELECT cands.probe_id, cands.corpus_id,
+        |    list_reduce(list_transform(generate_series(1, 64),
+        |      i -> (pe.e[i]-ce.e[i])*(pe.e[i]-ce.e[i])), (x,y) -> x+y) AS dist
+        |  FROM cands JOIN c0 pe ON pe.vec_id = cands.probe_id
+        |             JOIN c0 ce ON ce.vec_id = cands.corpus_id)
+        |SELECT probe_id, corpus_id, dist, CAST(rn AS INTEGER) AS rank FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY dist, corpus_id) AS rn
+        |  FROM ex) t
         |WHERE rn <= 8""".stripMargin,
     "p29_rare_tokens" ->
       """WITH tk AS (

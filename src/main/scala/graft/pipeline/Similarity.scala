@@ -700,6 +700,51 @@ object Similarity {
       .select("probe_id", "corpus_id", "adist", "rank")
   }
 
+  /** IVFADC with exact re-ranking — the IVFADC+R refinement from the
+    * same Jégou et al. 2011 paper (§V): the byte-code index shortlists
+    * the top `r` candidates per probe by ADC distance, then ONLY those
+    * `probes × r` rows re-score exactly (L2² on the raw float vectors,
+    * the codegen [[graft.functions.L2SqDist]] kernel) and the final
+    * top-k ranks on the exact distance. Recovers the recall that
+    * quantization error costs at fixed nProbe for the price of `r` raw
+    * lookups per probe: the corpus SCAN still never touches raw vectors
+    * — the shortlist join broadcasts the (probe_id, corpus_id) pairs
+    * into the raw table, a semi-join-shaped probe of `corpus`, so at
+    * 100 TB the raw vectors are read only where the shortlist lands.
+    * Returns (probe_id, corpus_id, dist, rank), dist = exact L2². */
+  def ivfPqKnnRefine(
+      index: DataFrame,
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
+      corpus: DataFrame,
+      probes: DataFrame,
+      k: Int = 10,
+      r: Int = 30,
+      nProbe: Int = 4,
+      corpusId: String = "vec_id",
+      probeId: String = "probe_id",
+      embCol: String = "embedding",
+      broadcastProbes: Option[Boolean] = None): DataFrame = {
+    require(r >= k, s"refine depth r=$r must be >= k=$k")
+    val spark = index.sparkSession
+    val shortlist = ivfPqKnn(index, centroids, codebooks, probes, r, nProbe,
+      probeId, embCol, broadcastProbes)
+      .select("probe_id", "corpus_id")
+    // probes × r pairs — KBs; broadcast them INTO the raw-vector table so
+    // the exact re-score reads only shortlisted corpus rows
+    val c = corpus.select(col(corpusId).as("corpus_id"),
+      col(embCol).cast("array<double>").as("_ce")) // exact widening
+    val p = probes.select(col(probeId).as("probe_id"), col(embCol).as("_pe"))
+    val exact = c.join(broadcast(shortlist), "corpus_id")
+      .join(broadcast(p), "probe_id")
+      .select(col("probe_id"), col("corpus_id"),
+        graft.functions.VectorExpressions.l2sq(spark, col("_pe"), col("_ce")).as("dist"))
+    val w = Window.partitionBy("probe_id").orderBy(col("dist").asc, col("corpus_id"))
+    exact.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("probe_id", "corpus_id", "dist", "rank")
+  }
+
   // ------------------------------------------------- scalar quantization
 
   /** SQ8 training: per-dimension (min, max) over the corpus — one typed
