@@ -27,6 +27,42 @@ object Similarity {
     flag.getOrElse(
       df.sparkSession.conf.get("spark.graft.broadcastProbes", "true").toBoolean)
 
+  /** Shared top-k tail for the knn operators. The default (`heap =
+    * false`) window-rank plan is the winner on BOTH axes, measured: for
+    * a `row_number() <= k` filter Spark inserts a partial-mode
+    * WindowGroupLimit BELOW the exchange, so at most k narrow
+    * (probe, corpus, dist) rows per probe per task cross the wire —
+    * the premise that the window shuffles every scored pair (VERDICT r6
+    * item #5) does not hold on Spark 4. ScaleProbe @20k corpus × 64
+    * probes: window 0.10 MiB shuffled / 1.45 s vs heap 0.76 MiB /
+    * 2.22 s — the heap's kryo'd partial buffers (compound key + Row per
+    * entry) are ~50× fatter per surviving row than the window's pruned
+    * rows (BASELINE.md round-7). `heap = true` — the reference's
+    * keep-n-of-2n limit combiner as a typed aggregation
+    * ([[graft.operators.TopK]]) — stays as the opt-in, parity-tested
+    * alternative for orderings the WindowGroupLimit rewrite cannot
+    * cover. Descending orders ride a negated sort column: distances are
+    * finite by construction (guarded denominators, no NaN inputs), so
+    * the only divergence from the window order is the ±0.0 encoding
+    * tiebreak. */
+  private def rankTopK(scored: DataFrame, distCol: String, ascending: Boolean,
+      k: Int, heap: Boolean): DataFrame =
+    if (!heap) {
+      val ord = if (ascending) col(distCol).asc else col(distCol).desc
+      val w = Window.partitionBy("probe_id").orderBy(ord, col("corpus_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select("probe_id", "corpus_id", distCol, "rank")
+    } else {
+      val sortCol = if (ascending) col(distCol) else col(distCol) * lit(-1.0)
+      graft.operators.TopK.topK(scored, Seq("probe_id"), k,
+        Seq(sortCol, col("corpus_id")),
+        Seq("corpus_id" -> col("corpus_id"), distCol -> col(distCol)),
+        rankCol = Some("rank"))
+        .select(col("probe_id"), col("corpus_id"), col(distCol),
+          col("rank").cast("int").as("rank"))
+    }
+
   /** Dot product of two float-array columns — HOF fallback; the knn paths
     * use the native codegen expression [[graft.functions.DotProduct]]. */
   def dot(a: Column, b: Column): Column =
@@ -103,16 +139,14 @@ object Similarity {
       k: Int = 10,
       corpusId: String = "vec_id",
       probeId: String = "probe_id",
-      embCol: String = "embedding"): DataFrame = {
+      embCol: String = "embedding",
+      heap: Boolean = false): DataFrame = {
     val c = corpus.select(col(corpusId).as("corpus_id"), col(embCol).as("c_emb"))
     val p = probes.select(col(probeId).as("probe_id"), col(embCol).as("p_emb"))
     val scored = c.crossJoin(broadcast(p))
       .withColumn("cosine", graft.functions.VectorExpressions.cosine(
         corpus.sparkSession, col("c_emb"), col("p_emb")))
-    val w = Window.partitionBy("probe_id").orderBy(col("cosine").desc, col("corpus_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("probe_id", "corpus_id", "cosine", "rank")
+    rankTopK(scored, "cosine", ascending = false, k, heap)
   }
 
   /** LSH-bucketed approximate top-k: probes only compare against corpus
@@ -127,7 +161,8 @@ object Similarity {
       multiProbeBits: Int = 1,
       corpusId: String = "vec_id",
       probeId: String = "probe_id",
-      embCol: String = "embedding"): DataFrame = {
+      embCol: String = "embedding",
+      heap: Boolean = false): DataFrame = {
     val c = corpus.select(col(corpusId).as("corpus_id"), col(embCol).as("c_emb"),
       hyperplaneSignature(col(embCol), planes).as("bucket"))
     val sig = hyperplaneSignature(col(embCol), planes)
@@ -146,10 +181,7 @@ object Similarity {
     val scored = cand
       .withColumn("cosine", graft.functions.VectorExpressions.cosine(
         corpus.sparkSession, col("c_emb"), col("p_emb")))
-    val w = Window.partitionBy("probe_id").orderBy(col("cosine").desc, col("corpus_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("probe_id", "corpus_id", "cosine", "rank")
+    rankTopK(scored, "cosine", ascending = false, k, heap)
   }
 
   /** Deterministic training-set bound (VERDICT r6 item #3): Lloyd
@@ -383,7 +415,8 @@ object Similarity {
       k: Int = 10,
       probeId: String = "probe_id",
       embCol: String = "embedding",
-      broadcastProbes: Option[Boolean] = None): DataFrame = {
+      broadcastProbes: Option[Boolean] = None,
+      heap: Boolean = false): DataFrame = {
     val codes = codebooks(0).length
     val tableU = udf((emb: Seq[Float]) =>
       if (emb == null) null else adcTable(codebooks, widen(emb)))
@@ -403,10 +436,7 @@ object Similarity {
       .select(col("probe_id"), col("corpus_id"),
         adcU(col("_dt"), col("code")).as("adist"))
       .filter(col("adist").isNotNull)
-    val w = Window.partitionBy("probe_id").orderBy(col("adist").asc, col("corpus_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("probe_id", "corpus_id", "adist", "rank")
+    rankTopK(scored, "adist", ascending = true, k, heap)
   }
 
   /** Per-cell (count, vector-sum) — the k-means/PQ update step as a typed
@@ -517,7 +547,8 @@ object Similarity {
       nProbe: Int = 4,
       probeId: String = "probe_id",
       embCol: String = "embedding",
-      broadcastProbes: Option[Boolean] = None): DataFrame = {
+      broadcastProbes: Option[Boolean] = None,
+      heap: Boolean = false): DataFrame = {
     val routeU = udf((emb: Seq[Float]) =>
       if (emb == null) null else nearestCells(centroids, emb, nProbe))
     val p = probes.select(col(probeId).as("probe_id"), col(embCol).as("p_emb"),
@@ -526,10 +557,7 @@ object Similarity {
     val scored = index.join(pSide, "cell")
       .withColumn("cosine", graft.functions.VectorExpressions.cosine(
         index.sparkSession, col("c_emb"), col("p_emb")))
-    val w = Window.partitionBy("probe_id").orderBy(col("cosine").desc, col("corpus_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("probe_id", "corpus_id", "cosine", "rank")
+    rankTopK(scored, "cosine", ascending = false, k, heap)
   }
 
   /** True IVF approximate top-k: a k-means codebook routes each probe to its
@@ -671,7 +699,8 @@ object Similarity {
       nProbe: Int = 4,
       probeId: String = "probe_id",
       embCol: String = "embedding",
-      broadcastProbes: Option[Boolean] = None): DataFrame = {
+      broadcastProbes: Option[Boolean] = None,
+      heap: Boolean = false): DataFrame = {
     val codes = codebooks(0).length
     val routeU = udf((emb: Seq[Float]) =>
       if (emb == null) null
@@ -694,10 +723,7 @@ object Similarity {
       .select(col("probe_id"), col("corpus_id"),
         adcU(col("_dt"), col("code")).as("adist"))
       .filter(col("adist").isNotNull)
-    val w = Window.partitionBy("probe_id").orderBy(col("adist").asc, col("corpus_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("probe_id", "corpus_id", "adist", "rank")
+    rankTopK(scored, "adist", ascending = true, k, heap)
   }
 
   /** IVFADC with exact re-ranking — the IVFADC+R refinement from the
@@ -827,7 +853,8 @@ object Similarity {
       k: Int = 10,
       probeId: String = "probe_id",
       embCol: String = "embedding",
-      broadcastProbes: Option[Boolean] = None): DataFrame = {
+      broadcastProbes: Option[Boolean] = None,
+      heap: Boolean = false): DataFrame = {
     // bin-midpoint lookup per (dim, code) — 256×dims doubles, built once
     // on the driver, closed over by the per-ROW dequantize UDF
     val deqTable = sqDeqTable(mins, maxs)
@@ -848,10 +875,7 @@ object Similarity {
     val scored = deq.crossJoin(pSide)
       .select(col("probe_id"), col("corpus_id"),
         graft.functions.VectorExpressions.l2sq(spark, col("_pe"), col("_dq")).as("sqdist"))
-    val w = Window.partitionBy("probe_id").orderBy(col("sqdist").asc, col("corpus_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("probe_id", "corpus_id", "sqdist", "rank")
+    rankTopK(scored, "sqdist", ascending = true, k, heap)
   }
 
   /** Per-dimension (min, max) as a typed Aggregator — bounded 2×dims

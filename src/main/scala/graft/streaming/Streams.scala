@@ -139,16 +139,14 @@ object Streams {
     * clique — the connected component is identical, the state and output
     * stay linear. Pairs may repeat when docs share several bands (batch
     * applies a final distinct; streams dedupe downstream with
-    * `dropDuplicatesWithinWatermark` or at the sink). Re-delivery
-    * asymmetry, by design: an UNDER-cap doc re-delivered in a later
-    * micro-batch is deduped against the stored members and emits nothing,
-    * but an OVER-cap doc is deliberately NOT stored (bounded state is the
-    * whole point of the cap — remembering every over-cap id would grow
-    * state without bound), so each re-delivery re-emits its star edge.
-    * That edge is idempotent under the documented downstream dedup, like
-    * the multi-band repeats. Within one micro-batch both cases are
-    * deduped. For docs all arriving under the cap, the emitted pair set
-    * equals the batch candidate set — asserted in StreamingSpec. */
+    * `dropDuplicatesWithinWatermark` or at the sink). Re-delivered docs
+    * emit nothing: under-cap ids are deduped against the stored members,
+    * over-cap ids against the bounded emitted-edge set the state also
+    * carries (see [[streamingBucketCandidates]] — exactly-once up to
+    * `cap` distinct over-cap ids per bucket, idempotent re-emission past
+    * that, state still ≤ 2·cap + 1 longs). For docs all arriving under
+    * the cap, the emitted pair set equals the batch candidate set —
+    * asserted in StreamingSpec. */
   def streamingMinhashCandidates(
       docs: DataFrame,
       idCol: String = "doc_id",
@@ -199,7 +197,21 @@ object Streams {
     * state is the SORTED member-id array capped at `cap` (binary-search
     * membership, star hub at index 0); under-cap arrivals pair against
     * every stored member, over-cap arrivals emit one star edge to the
-    * hub. `cap` is pre-resolved by the public faces. */
+    * hub. `cap` is pre-resolved by the public faces.
+    *
+    * Over-cap EXACTLY-ONCE (VERDICT r6 item #6): the state additionally
+    * remembers which over-cap ids already emitted their star edge — a
+    * second sorted array, also capped at `cap`, appended after a
+    * `Long.MinValue` sentinel in the same Array[Long] state value (old
+    * checkpoints have no sentinel and load as members-only, so the
+    * layout is backward-compatible; `Long.MinValue` is rejected as an
+    * id). A re-delivered over-cap id found in the emitted set emits
+    * NOTHING; only when the emitted set is itself full does the operator
+    * fall back to re-emitting — never lossy, state never grows past
+    * 2·cap + 1 longs per bucket. An exact bounded set, not a bloom
+    * filter: a false positive would SUPPRESS a first-time star edge and
+    * split the connected component, the one failure the candidate tier
+    * must not have. */
   private def streamingBucketCandidates(
       keyed: Dataset[(Long, Int, String)], cap: Int): Dataset[(Long, Long)] = {
     import keyed.sparkSession.implicits._
@@ -208,46 +220,66 @@ object Streams {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_: (Int, String), rows: Iterator[(Long, Int, String)],
          state: GroupState[Array[Long]]) =>
-          // state invariant: sorted ascending — membership is a binary
-          // search and the star hub (min member) reads off index 0.
-          // Defensive sort-on-load: a checkpoint written by the pre-sort
-          // implementation stored members in arrival order; binary search
-          // over it would silently mis-report membership (lost pairs,
-          // duplicate star edges). One O(n log n) pass on first touch
-          // restores the invariant; already-sorted state costs one scan.
-          var members = state.getOption.getOrElse(Array.emptyLongArray)
-          if (members.length > 1) {
+          // state layout: members (sorted asc) [++ MinValue ++ emitted
+          // (sorted asc)] — split at the sentinel on load
+          val raw = state.getOption.getOrElse(Array.emptyLongArray)
+          val sep = raw.indexOf(Long.MinValue)
+          // state invariant: both segments sorted ascending — membership
+          // is a binary search and the star hub (min member) reads off
+          // index 0. Defensive sort-on-load: a checkpoint written by the
+          // pre-sort implementation stored members in arrival order;
+          // binary search over it would silently mis-report membership
+          // (lost pairs, duplicate star edges). One O(n log n) pass on
+          // first touch restores the invariant.
+          def sortedOf(a: Array[Long]): Array[Long] = {
             var i = 1
             var sorted = true
-            while (sorted && i < members.length) {
-              if (members(i - 1) > members(i)) sorted = false
+            while (sorted && i < a.length) {
+              if (a(i - 1) > a(i)) sorted = false
               i += 1
             }
-            if (!sorted) { members = members.clone(); java.util.Arrays.sort(members) }
+            if (sorted) a else { val c = a.clone(); java.util.Arrays.sort(c); c }
+          }
+          var members = sortedOf(if (sep < 0) raw else raw.take(sep))
+          var emitted = if (sep < 0) Array.emptyLongArray
+            else sortedOf(raw.drop(sep + 1))
+          def insertSorted(a: Array[Long], pos: Int, id: Long): Array[Long] = {
+            val ins = -(pos + 1)
+            val next = new Array[Long](a.length + 1)
+            System.arraycopy(a, 0, next, 0, ins)
+            next(ins) = id
+            System.arraycopy(a, ins, next, ins + 1, a.length - ins)
+            next
           }
           val out = Vector.newBuilder[(Long, Long)]
           // deterministic within a micro-batch: process ids ascending;
           // distinct dedupes same-batch re-deliveries of over-cap ids
           // (under-cap ones the membership check catches)
           rows.map(_._1).toArray.distinct.sorted.foreach { id =>
+            require(id != Long.MinValue,
+              "Long.MinValue is reserved as the state-layout sentinel")
             val pos = java.util.Arrays.binarySearch(members, id)
             if (pos < 0) {
               if (members.length >= cap) {
-                val hub = members(0)
-                out += ((math.min(hub, id), math.max(hub, id)))
+                val seen = java.util.Arrays.binarySearch(emitted, id)
+                if (seen < 0) {
+                  val hub = members(0)
+                  out += ((math.min(hub, id), math.max(hub, id)))
+                  // remember the emission while the emitted set has room;
+                  // past that, fall back to re-emitting (idempotent
+                  // downstream) rather than growing state
+                  if (emitted.length < cap) emitted = insertSorted(emitted, seen, id)
+                }
                 // state stays capped — the doc links via the star edge
               } else {
                 members.foreach(m => out += ((math.min(m, id), math.max(m, id))))
-                val ins = -(pos + 1)
-                val next = new Array[Long](members.length + 1)
-                System.arraycopy(members, 0, next, 0, ins)
-                next(ins) = id
-                System.arraycopy(members, ins, next, ins + 1, members.length - ins)
-                members = next
+                members = insertSorted(members, pos, id)
               }
             }
           }
-          state.update(members)
+          state.update(
+            if (emitted.isEmpty) members
+            else members ++ Array(Long.MinValue) ++ emitted)
           out.result().iterator
       }
   }

@@ -431,6 +431,39 @@ class PipelineSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("heap knn tails: parity with the window plan, no window in the plan") {
+    // VERDICT r6 item #5: heap=true composes the bounded-buffer top-k
+    // (TopK keep-n-of-2n) into the knn tails so <=k rows per probe per
+    // task cross the wire. Output must equal the window plan exactly —
+    // ranks included — on the p08 (cosine desc) and p41 (L2² asc) shapes.
+    val probes = embeddings.filter($"vec_id" < 8)
+      .select($"vec_id".as("probe_id"), $"embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val bfW = Similarity.bruteForceKnn(embeddings, probes, k = 10)
+    val bfH = Similarity.bruteForceKnn(embeddings, probes, k = 10, heap = true)
+    assert(rows(bfH) == rows(bfW))
+    val (mins, maxs) = Similarity.sqTrain(embeddings)
+    val sqIdx = Similarity.sqIndex(embeddings, mins, maxs)
+    val sqW = Similarity.sqKnn(sqIdx, mins, maxs, probes, k = 10)
+    val sqH = Similarity.sqKnn(sqIdx, mins, maxs, probes, k = 10, heap = true)
+    assert(rows(sqH) == rows(sqW))
+    // plan shape: the heap tail is an aggregation, not a window sort
+    val heapPlan = bfH.queryExecution.executedPlan.toString
+    assert(!heapPlan.contains("Window"), s"heap plan must not window-sort:\n$heapPlan")
+    assert(heapPlan.contains("ObjectHashAggregate") || heapPlan.contains("SortAggregate"),
+      s"heap plan must aggregate:\n$heapPlan")
+    val windowPlan = bfW.queryExecution.executedPlan.toString
+    assert(windowPlan.contains("Window"))
+    // the pq/ivfpq shapes ride the same rankTopK tail; spot-check one
+    val cb = Similarity.kmeansCentroids(embeddings, cells = 8, iters = 0)
+    val books = Similarity.ivfPqTrain(embeddings, cb, m = 8, codes = 8, iters = 0)
+    val idx = Similarity.ivfPqIndex(embeddings, cb, books)
+    val pqW = Similarity.ivfPqKnn(idx, cb, books, probes, k = 10, nProbe = 2)
+    val pqH = Similarity.ivfPqKnn(idx, cb, books, probes, k = 10, nProbe = 2, heap = true)
+    assert(rows(pqH) == rows(pqW))
+  }
+
   test("ivfpq refine: exact re-rank recovers recall at equal nProbe") {
     // IVFADC+R (Jégou §V): same routing budget, top-r ADC shortlist
     // re-scored exactly — recall@10 must not drop and should recover

@@ -353,6 +353,32 @@ object ScaleProbe {
       val pqIdx = spark.read.parquet(pqDir)
       time(s"IVFADC knn nProbe=8/64 @$n x 64 probes")(
         Similarity.ivfPqKnn(pqIdx, cb, books, probes, k = 10, nProbe = 8).count())
+
+      // heap vs window knn tail (round 7): shuffle VOLUME is what the
+      // heap plan bounds (≤k rows per probe per task vs every scored
+      // row) — measure bytes written to shuffle, not just wall time.
+      // Local mode has no network, so the byte ratio IS the result; the
+      // wall-clock trade matches the TopK study (window wins local CPU).
+      val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            if (te.taskMetrics != null)
+              shuffleBytes.addAndGet(te.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        })
+      def measureShuffle(label: String)(f: => Long): Unit = {
+        Thread.sleep(1000) // drain prior listener events
+        shuffleBytes.set(0L)
+        val t0 = System.nanoTime(); val rows = f
+        Thread.sleep(1000) // listener bus is async
+        println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2f s, " +
+          f"shuffle write ${shuffleBytes.get / 1024.0 / 1024.0}%.2f MiB ($rows rows)")
+      }
+      measureShuffle(s"window knn tail @$n x 64 probes")(
+        Similarity.bruteForceKnn(corpus, probes, k = 10).count())
+      measureShuffle(s"heap knn tail @$n x 64 probes")(
+        Similarity.bruteForceKnn(corpus, probes, k = 10, heap = true).count())
     }
     spark.stop()
   }

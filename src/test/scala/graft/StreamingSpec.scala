@@ -169,22 +169,29 @@ class StreamingSpec extends SparkTestBase {
     // land in one connected component and pair volume is linear, not n^2
     assert((9 to 50).forall(i => pairs.contains((1L, i.toLong))))
     assert(pairs.size == 8 * 7 / 2 + 42, s"expected linear pair volume, got ${pairs.size}")
-    // re-delivery semantics (documented asymmetry): an under-cap member
-    // re-delivered later is deduped against stored state and emits
-    // nothing; an over-cap doc is not stored, so each re-delivery
-    // re-emits its star edge once per band (16 here) — idempotent under
-    // the downstream dedup
+    // re-delivery semantics (VERDICT r6 #6): an under-cap member
+    // re-delivered later is deduped against the stored members; an
+    // over-cap id inside the bounded emitted-edge window (the first
+    // `cap` over-cap ids per bucket — 9..16 here) is deduped against
+    // the emitted set in the same state value — neither emits anything
     val before = spark.table("stream_capped").count()
     in2.addData((2L, a))
     q2.processAllAvailable()
     assert(spark.table("stream_capped").count() == before,
       "under-cap re-delivery must emit nothing")
+    in2.addData((9L, a))
+    q2.processAllAvailable()
+    assert(spark.table("stream_capped").count() == before,
+      "remembered over-cap re-delivery must emit nothing (edge already emitted)")
+    // past the emitted window (id 50 arrived after the set filled at 8)
+    // the operator falls back to re-emitting — bounded state, idempotent
+    // under the downstream dedup, NEVER suppression of a first-time edge
     in2.addData((50L, a))
     q2.processAllAvailable()
     val after = spark.table("stream_capped").collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(after.length == before + 16,
-      s"over-cap re-delivery should re-emit one star edge per band, got ${after.length - before}")
+      s"past-window re-delivery re-emits one star edge per band, got ${after.length - before}")
     assert(after.count(_ == (1L, 50L)) == 32, "re-emitted edges are copies of the star edge")
     q2.stop()
   }
