@@ -488,6 +488,13 @@ class PipelineSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       Similarity.ivfPqKnnRefine(index, cb, books, embeddings, probes, k = 10, r = 5)
     }
+    // plan shape: the shortlist and probe joins must broadcast-hash into
+    // the raw table — never a cartesian — so the corpus scan reads raw
+    // vectors only where the shortlist lands
+    val plan = Similarity.ivfPqKnnRefine(index, cb, books, embeddings, probes,
+      k = 10, r = 50, nProbe = 2).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"refine must broadcast-hash:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"refine must never cartesian:\n$plan")
     info(s"recall@10: unrefined $unrefined -> refined $refined")
   }
 
