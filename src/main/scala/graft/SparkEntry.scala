@@ -746,6 +746,19 @@ object SparkEntry {
       emb, probes, k = 8, r = 16, nProbe = 2)
   }
 
+  /** Classifier-based quality gate ([[TextAnalysis.classifierScore]]):
+    * a fixed externally-trained linear model over the p12 feature set,
+    * logit + keep decision per doc. The logit is a fixed-order fold of
+    * exact double arithmetic and the keep flag an exact compare, both
+    * DuckDB-replicable bit-for-bit; the sigmoid lives outside the
+    * hash-checked surface (libm ulps). */
+  private def p43(s: SparkSession, d: String): DataFrame = {
+    val w = Array(0.001, 0.01, -8.0, 6.0, 0.2, -4.0)
+    tbl(d, "documents")(s)
+      .withColumn("_c", TextAnalysis.classifierScore(col("text"), w, bias = -2.0))
+      .select(col("doc_id"), col("_c.logit").as("logit"), col("_c.keep").as("keep"))
+  }
+
   /** KMV set operations: estimated vs exact distinct-order overlap between
     * the A and R return flags — union by monoid merge, intersection by the
     * K-min-values threshold estimator, both oracle-exact. */
@@ -945,6 +958,7 @@ object SparkEntry {
     "p40_ann_recall" -> (p40 _),
     "p41_sq_knn" -> (p41 _),
     "p42_ivfpq_refine" -> (p42 _),
+    "p43_clf_gate" -> (p43 _),
     "p31_span_excise" -> (p31 _),
     "p32_chunking" -> (p32 _),
     "p33_mixture_weights" -> (p33 _)
@@ -1844,6 +1858,27 @@ object SparkEntry {
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY dist, corpus_id) AS rn
         |  FROM ex) t
         |WHERE rn <= 8""".stripMargin,
+    // p43: classifier gate — the p12 feature expressions feed a fixed
+    // linear model; logit = left-assoc fold matching the Spark Column
+    // tree exactly; keep = exact compare. Sigmoid excluded (libm ulps).
+    "p43_clf_gate" ->
+      """WITH t AS (SELECT doc_id, text,
+        |  regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM documents),
+        |f AS (SELECT doc_id,
+        |  CAST(length(text) AS DOUBLE) AS f1,
+        |  CAST(len(toks) AS DOUBLE) AS f2,
+        |  CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
+        |    / greatest(length(text), 1) AS f3,
+        |  CAST(len(list_intersect(toks, ['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','was','at','by'])) AS DOUBLE)
+        |    / greatest(len(toks), 1) AS f4,
+        |  (CAST(length(text) AS DOUBLE) - len(toks) + 1) / greatest(len(toks), 1) AS f5,
+        |  CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE)
+        |    / greatest(length(text), 1) AS f6
+        |FROM t)
+        |SELECT doc_id, logit, logit >= 0.0 AS keep FROM (
+        |  SELECT doc_id,
+        |    -2.0 + 0.001*f1 + 0.01*f2 + (-8.0)*f3 + 6.0*f4 + 0.2*f5 + (-4.0)*f6 AS logit
+        |  FROM f) s""".stripMargin,
     "p29_rare_tokens" ->
       """WITH tk AS (
         |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\W+'),

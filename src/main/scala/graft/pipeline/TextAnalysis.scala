@@ -44,6 +44,43 @@ object TextAnalysis {
         greatest(length(text), lit(1))).as("upper_ratio"))
   }
 
+  /** Classifier-based quality filtering — the fastText/DCLM-style gate
+    * every large-scale curation pipeline runs: an EXTERNALLY-trained
+    * linear model applied at corpus scale. The engine's job is
+    * application, not training — `weights` (one per [[qualityScore]]
+    * feature, struct order: n_chars, n_tokens, punct_ratio,
+    * stopword_ratio, mean_word_len, upper_ratio) and `bias` are KBs
+    * riding the expression tree. Emits a struct:
+    *   - `logit` = bias + Σ wᵢ·fᵢ, a FIXED left-associative fold of
+    *     exact double arithmetic — bit-replicable by an external engine
+    *     (the p43 oracle hash-checks it);
+    *   - `keep`  = logit ≥ threshold — sigmoid is monotone, so this IS
+    *     the probability gate (`prob ≥ σ(threshold)`) in exact math;
+    *   - `prob`  = σ(logit), for humans and sampling weights —
+    *     deliberately NOT part of the hash-checked surface, since libm
+    *     `exp` may differ by ulps across engines.
+    * Pure Column expressions: linear scan, no shuffle, no UDF. */
+  def classifierScore(text: Column, weights: Array[Double], bias: Double,
+      threshold: Double = 0.0): Column = {
+    val q = qualityScore(text)
+    val feats = Seq(
+      q.getField("n_chars").cast("double"),
+      q.getField("n_tokens").cast("double"),
+      q.getField("punct_ratio"),
+      q.getField("stopword_ratio"),
+      q.getField("mean_word_len"),
+      q.getField("upper_ratio"))
+    require(weights.length == feats.length,
+      s"classifierScore needs ${feats.length} weights (qualityScore order), got ${weights.length}")
+    val logit = feats.zip(weights).foldLeft(lit(bias)) {
+      case (acc, (f, w)) => acc + lit(w) * f
+    }
+    struct(
+      logit.as("logit"),
+      (logit >= lit(threshold)).as("keep"),
+      (lit(1.0) / (lit(1.0) + exp(-logit))).as("prob"))
+  }
+
   private val langStopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "was"),
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "sie", "auf"),

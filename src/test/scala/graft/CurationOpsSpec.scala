@@ -169,6 +169,35 @@ class CurationOpsSpec extends SparkTestBase {
     assert(!out.exists(_._1 == 2L) && !out.exists(_._1 == 3L))
   }
 
+  test("classifierScore: linear gate applies an external model, threshold = sigmoid gate") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat and it was a good day for all of them"),
+      (2L, "!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))"),
+      (3L, "SHOUTING IN ALL CAPS ABOUT THINGS"),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val w = Array(0.001, 0.01, -8.0, 6.0, 0.2, -4.0)
+    val out = docs.withColumn("_c", TextAnalysis.classifierScore($"text", w, bias = -2.0))
+      .select($"doc_id", $"_c.logit", $"_c.keep", $"_c.prob")
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2), r.getDouble(3)))).toMap
+    // stopword-rich prose scores above the punctuation/caps garbage
+    assert(out(1L)._1 > out(2L)._1 && out(1L)._1 > out(3L)._1)
+    // keep == logit >= threshold == prob >= sigmoid(threshold), exactly
+    out.values.foreach { case (logit, keep, prob) =>
+      assert(keep == (logit >= 0.0))
+      assert(math.abs(prob - 1.0 / (1.0 + math.exp(-logit))) < 1e-12)
+    }
+    // a nonzero threshold moves the gate monotonically
+    val strict = docs.withColumn("_c",
+        TextAnalysis.classifierScore($"text", w, bias = -2.0, threshold = 5.0))
+      .select($"_c.keep").collect().map(_.getBoolean(0))
+    assert(strict.count(identity) <= out.values.count(_._2))
+    // model arity is checked loudly
+    intercept[IllegalArgumentException] {
+      TextAnalysis.classifierScore($"text", Array(1.0, 2.0), bias = 0.0)
+    }
+  }
+
   test("mixtureWeights: alpha dampens large sources; quotas bounded by total") {
     val docs = (1 to 90).map(i => (i.toLong, "x", "big")) ++
       (91 to 100).map(i => (i.toLong, "x", "small"))
