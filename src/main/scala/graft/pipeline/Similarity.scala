@@ -184,27 +184,40 @@ object Similarity {
     rankTopK(scored, "cosine", ascending = false, k, heap)
   }
 
+  /** Sentinel default for the trainers' `maxTrainRows`: "use the
+    * session conf". Resolution: explicit per-call value (> 0 caps, 0
+    * disables) → `spark.graft.maxTrainRows` → 0 (full input). The same
+    * one-auditable-production-knob pattern as
+    * `spark.graft.maxBucketSize` and `spark.graft.broadcastProbes`. */
+  val SessionTrainCap: Long = -1L
+
+  private def resolveTrainCap(df: DataFrame, cap: Long): Long =
+    if (cap != SessionTrainCap) cap
+    else df.sparkSession.conf.get("spark.graft.maxTrainRows", "0").toLong
+
   /** Deterministic training-set bound (VERDICT r6 item #3): Lloyd
     * training scans its input `iters` times to fit a KB-sized codebook —
     * at 100 TB that is `iters` full-corpus passes a sample fits
     * identically well (codebooks are means; a uniform sample's means
-    * converge at O(1/√n)). `maxTrainRows <= 0` keeps the full input;
+    * converge at O(1/√n)). A resolved cap of 0 keeps the full input;
     * otherwise one count() sizes a hash-threshold filter (the
     * [[TextAnalysis.mixtureSampleByRate]] idiom: keep rows with
     * `xxhash64(id) mod 10^6 < rate·10^6`) so training is O(sample) BY
     * CONSTRUCTION — every Lloyd pass reads the filtered plan, seeds
     * included, and the same rows are kept on every run and engine. */
-  private def trainSample(clean: DataFrame, idCol: Column, maxTrainRows: Long): DataFrame =
-    if (maxTrainRows <= 0L) clean
+  private def trainSample(clean: DataFrame, idCol: Column, maxTrainRows: Long): DataFrame = {
+    val cap = resolveTrainCap(clean, maxTrainRows)
+    if (cap <= 0L) clean
     else {
       val n = clean.count()
-      if (n <= maxTrainRows) clean
+      if (n <= cap) clean
       else {
         val M = 1000000L
-        val cut = math.max(1L, (maxTrainRows.toDouble / n * M).toLong)
+        val cut = math.max(1L, (cap.toDouble / n * M).toLong)
         clean.filter(pmod(xxhash64(idCol), lit(M)) < lit(cut))
       }
     }
+  }
 
   /** Deterministic Lloyd's k-means codebook for IVF routing. Centroids
     * live on the driver (k × dims doubles — tiny; the same layout Spark
@@ -221,7 +234,7 @@ object Similarity {
       iters: Int = 3,
       corpusId: String = "vec_id",
       embCol: String = "embedding",
-      maxTrainRows: Long = 0L): Array[Array[Double]] = {
+      maxTrainRows: Long = SessionTrainCap): Array[Array[Double]] = {
     // null embeddings can't vote for or seed a centroid
     val clean = trainSample(
       corpus.filter(col(embCol).isNotNull), col(corpusId), maxTrainRows)
@@ -275,7 +288,7 @@ object Similarity {
       iters: Int = 3,
       corpusId: String = "vec_id",
       embCol: String = "embedding",
-      maxTrainRows: Long = 0L): Array[Array[Array[Double]]] = {
+      maxTrainRows: Long = SessionTrainCap): Array[Array[Array[Double]]] = {
     // float→double cast is exact widening: bit-identical to training on
     // the float column directly (the pre-refactor form)
     val clean = trainSample(corpus.filter(col(embCol).isNotNull), col(corpusId), maxTrainRows)
@@ -644,7 +657,7 @@ object Similarity {
       iters: Int = 3,
       corpusId: String = "vec_id",
       embCol: String = "embedding",
-      maxTrainRows: Long = 0L): Array[Array[Array[Double]]] = {
+      maxTrainRows: Long = SessionTrainCap): Array[Array[Array[Double]]] = {
     val resU = udf((emb: Seq[Float]) =>
       if (emb == null) null
       else residualOf(centroids(nearestCell(centroids, emb)), emb))

@@ -536,6 +536,18 @@ class PipelineSpec extends SparkTestBase {
     val pqS = Similarity.pqTrain(embeddings, m = 8, codes = 8, maxTrainRows = 200L)
     val pqS2 = Similarity.pqTrain(embeddings, m = 8, codes = 8, maxTrainRows = 200L)
     assert(pqS.map(_.map(_.toSeq).toSeq).toSeq == pqS2.map(_.map(_.toSeq).toSeq).toSeq)
+    // session conf drives the default (the maxBucketSize pattern);
+    // an explicit per-call value still wins over it
+    try {
+      spark.conf.set("spark.graft.maxTrainRows", "250")
+      val viaConf = Similarity.kmeansCentroids(embeddings, cells = 8, iters = 3)
+      assert(viaConf.map(_.toSeq).toSeq == sampled.map(_.toSeq).toSeq,
+        "unset maxTrainRows must resolve through spark.graft.maxTrainRows")
+      val explicit = Similarity.kmeansCentroids(embeddings, cells = 8, iters = 3,
+        maxTrainRows = 0L)
+      assert(explicit.map(_.toSeq).toSeq == full.map(_.toSeq).toSeq,
+        "explicit 0 (full input) must override the conf")
+    } finally spark.conf.unset("spark.graft.maxTrainRows")
   }
 
   test("spark.graft.broadcastProbes conf drives all indexed knn paths") {

@@ -70,6 +70,27 @@ class StreamingSpec extends SparkTestBase {
       .select(TextAnalysis.piiScrub(col("text")).as("p")).select("p.*").head
     assert(scrubbed.getAs[Int]("n_emails") == 1 &&
       scrubbed.getAs[String]("scrubbed") == "reach me at <EMAIL> now")
+    // the classifier gate is pure Column arithmetic, so it streams too:
+    // same docs, same model, same keeps as batch
+    val in2 = MemoryStream[(Long, String)]
+    val w = Array(0.001, 0.01, -8.0, 6.0, 0.2, -4.0)
+    val gated = in2.toDF().toDF("doc_id", "text")
+      .withColumn("_c", TextAnalysis.classifierScore(col("text"), w, bias = -2.0))
+      .select(col("doc_id"), col("_c.keep").as("keep"))
+    val q2 = Streams.toMemory(gated, "clf_stream", "append")
+    val batchDocs = Seq(
+      (1L, "the cat sat on the mat and it was a good day for all of them"),
+      (2L, "!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))"))
+    in2.addData(batchDocs: _*)
+    q2.processAllAvailable()
+    val streamKeeps = spark.table("clf_stream").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val batchKeeps = batchDocs.toDF("doc_id", "text")
+      .withColumn("_c", TextAnalysis.classifierScore(col("text"), w, bias = -2.0))
+      .select(col("doc_id"), col("_c.keep")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(streamKeeps == batchKeeps)
+    q2.stop()
   }
 
   test("streaming near-dup suppression via simhash within watermark") {
