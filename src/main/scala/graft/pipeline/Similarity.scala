@@ -769,13 +769,18 @@ object Similarity {
     val shortlist = ivfPqKnn(index, centroids, codebooks, probes, r, nProbe,
       probeId, embCol, broadcastProbes)
       .select("probe_id", "corpus_id")
-    // probes × r pairs — KBs; broadcast them INTO the raw-vector table so
-    // the exact re-score reads only shortlisted corpus rows
+    // probes × r pairs — KBs for a probe batch; broadcast them INTO the
+    // raw-vector table so the exact re-score reads only shortlisted
+    // corpus rows. broadcastProbes=false (per call or session conf)
+    // drops the hints on BOTH outer joins too: for corpus-scale probe
+    // sets the shortlist is probes-sized and must shuffle-join, not OOM
+    // the driver
+    val bcast = resolveBroadcastProbes(probes, broadcastProbes)
     val c = corpus.select(col(corpusId).as("corpus_id"),
       col(embCol).cast("array<double>").as("_ce")) // exact widening
     val p = probes.select(col(probeId).as("probe_id"), col(embCol).as("_pe"))
-    val exact = c.join(broadcast(shortlist), "corpus_id")
-      .join(broadcast(p), "probe_id")
+    val exact = c.join(if (bcast) broadcast(shortlist) else shortlist, "corpus_id")
+      .join(if (bcast) broadcast(p) else p, "probe_id")
       .select(col("probe_id"), col("corpus_id"),
         graft.functions.VectorExpressions.l2sq(spark, col("_pe"), col("_ce")).as("dist"))
     val w = Window.partitionBy("probe_id").orderBy(col("dist").asc, col("corpus_id"))

@@ -495,6 +495,23 @@ class PipelineSpec extends SparkTestBase {
       k = 10, r = 50, nProbe = 2).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"refine must broadcast-hash:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"refine must never cartesian:\n$plan")
+    // corpus-scale probe sets: broadcast-off drops the hints on the
+    // outer joins too (shuffle join instead of driver OOM) — results
+    // identical
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val offRefined = Similarity.ivfPqKnnRefine(index, cb, books, embeddings, probes,
+      k = 10, r = 50, nProbe = 2, broadcastProbes = Some(false))
+    assert(pairs(offRefined) == pairs(Similarity.ivfPqKnnRefine(
+      index, cb, books, embeddings, probes, k = 10, r = 50, nProbe = 2)))
+    val prevAuto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val offPlan = Similarity.ivfPqKnnRefine(index, cb, books, embeddings, probes,
+        k = 10, r = 50, nProbe = 2, broadcastProbes = Some(false))
+        .queryExecution.executedPlan.toString
+      assert(!offPlan.contains("Broadcast"), s"broadcast-off refine must not broadcast:\n$offPlan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevAuto)
     info(s"recall@10: unrefined $unrefined -> refined $refined")
   }
 
