@@ -759,6 +759,15 @@ object SparkEntry {
       .select(col("doc_id"), col("_c.logit").as("logit"), col("_c.keep").as("keep"))
   }
 
+  /** Bigram-LM fluency gate ([[TextAnalysis.lmGate]]): add-1 bigram LM
+    * trained on the corpus scores every doc's mean bigram probability —
+    * the CCNet-perplexity-filter role in hash-exact arithmetic (per-
+    * bigram probabilities floored to 1e-9 quanta so the per-doc
+    * aggregate is an exact integer sum; see the lmScore scaladoc for
+    * why Σ log p is deliberately NOT the checked surface). */
+  private def p44(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.lmGate(tbl(d, "documents")(s))
+
   /** KMV set operations: estimated vs exact distinct-order overlap between
     * the A and R return flags — union by monoid merge, intersection by the
     * K-min-values threshold estimator, both oracle-exact. */
@@ -959,6 +968,7 @@ object SparkEntry {
     "p41_sq_knn" -> (p41 _),
     "p42_ivfpq_refine" -> (p42 _),
     "p43_clf_gate" -> (p43 _),
+    "p44_lm_score" -> (p44 _),
     "p31_span_excise" -> (p31 _),
     "p32_chunking" -> (p32 _),
     "p33_mixture_weights" -> (p33 _)
@@ -1879,6 +1889,29 @@ object SparkEntry {
         |  SELECT doc_id,
         |    -2.0 + 0.001*f1 + 0.01*f2 + (-8.0)*f3 + 6.0*f4 + 0.2*f5 + (-4.0)*f6 AS logit
         |  FROM f) s""".stripMargin,
+    // p44: bigram-LM fluency gate — add-1 bigram LM self-trained on the
+    // corpus; per-bigram probability floored to 1e-9 quanta (exact
+    // scalar double ops on <2^53 integers both engines round alike),
+    // per-doc aggregate = exact BIGINT sum, final mean one double
+    // division. Σ log p is deliberately not checked (libm ulps).
+    "p44_lm_score" ->
+      """WITH tk AS (SELECT doc_id, list_filter(
+        |    regexp_split_to_array(lower(trim(text)), '\W+'), x -> x != '') AS toks
+        |  FROM documents),
+        |bg AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+        |  FROM tk, unnest(generate_series(1, len(toks)-1)) AS u(i)
+        |  WHERE len(toks) >= 2),
+        |c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+        |v AS (SELECT COUNT(DISTINCT t) AS vs FROM (SELECT unnest(toks) AS t FROM tk)),
+        |term AS (SELECT bg.doc_id, CAST(floor(1.0e9 *
+        |    (CAST(c12.c12 + 1 AS DOUBLE) / CAST(c1.c1 + v.vs AS DOUBLE))) AS BIGINT) AS scaled
+        |  FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v),
+        |sc AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+        |    CAST(SUM(scaled) AS BIGINT) AS sum_scaled FROM term GROUP BY 1)
+        |SELECT tk.doc_id, COALESCE(sc.n_bigrams, 0) AS n_bigrams,
+        |  CAST(sc.sum_scaled AS DOUBLE) / (CAST(sc.n_bigrams AS DOUBLE) * 1.0e9) AS lm_score
+        |FROM tk LEFT JOIN sc USING (doc_id)""".stripMargin,
     "p29_rare_tokens" ->
       """WITH tk AS (
         |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\W+'),

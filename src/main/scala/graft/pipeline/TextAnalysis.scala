@@ -479,4 +479,109 @@ object TextAnalysis {
       ((total - dist).cast("double") / total).as("dup_2gram_frac"),
       (top.cast("double") / total).as("top_2gram_frac"))
   }
+
+  // ------------------------------------------ n-gram LM fluency gate
+
+  /** Probability quantum for [[lmScore]]: each bigram probability is
+    * floored to a multiple of 1e-9 so the per-doc aggregation is an
+    * EXACT integer sum (order-independent, engine-independent). 1e9
+    * keeps per-doc sums exact in a double up to ~9M bigrams/doc. */
+  private val LmScale = 1.0e9
+
+  /** A trained bigram LM: two count tables + the vocabulary size.
+    * Both DataFrames are plain relations — persist them with any sink
+    * and reload to score future batches without retraining (the same
+    * persistable-index contract as the MinHash/IVF indexes).
+    *   - `bigrams`  : (w1, w2, c12) — one row per bigram TYPE;
+    *   - `contexts` : (w1, c1)      — Σ_w2 c12, one row per vocab word. */
+  final case class LmModel(bigrams: DataFrame, contexts: DataFrame,
+      vocabSize: Long)
+
+  /** Tokenization shared by train and score: lowercase `\W+` split,
+    * empties dropped — the p13/p29 corpus convention, replicated by the
+    * oracle as `list_filter(regexp_split_to_array(...), x -> x != '')`. */
+  private def lmTokens(text: Column): Column =
+    filter(split(lower(trim(text)), "\\W+"), t => length(t) > 0)
+
+  /** Bigram array of a token array: (toks[i], toks[i+1]) structs,
+    * 1-based `element_at` matching the oracle's 1-based list index.
+    * Guarded — Spark's `sequence(1, 0)` counts DOWN, so size<2 must
+    * short-circuit to an empty array, not extract a reversed bigram. */
+  private def lmBigrams(toks: Column): Column =
+    when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1), i =>
+        struct(element_at(toks, i).as("w1"), element_at(toks, i + 1).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+
+  private def lmExplode(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), explode(lmBigrams(lmTokens(col(textCol)))).as("_bg"))
+      .select(col(idCol), col("_bg.w1").as("w1"), col("_bg.w2").as("w2"))
+
+  /** Train a bigram add-1 language model on a corpus — the CCNet-style
+    * fluency model behind perplexity filtering, in the engine's exact
+    * arithmetic. One shuffle on (w1, w2) builds the bigram-type counts;
+    * the context counts derive from the TYPE table (vocab²-bounded,
+    * orders of magnitude smaller than the corpus), not a second corpus
+    * pass. `vocabSize` is a scalar (the one driver-side value — KBs of
+    * metadata, same contract as the IVF codebooks). */
+  def lmTrain(docs: DataFrame, textCol: String = "text"): LmModel = {
+    val toks = docs.select(explode(lmTokens(col(textCol))).as("_tok"))
+    val vocab = toks.agg(countDistinct(col("_tok"))).head().getLong(0)
+    val bg = docs.select(explode(lmBigrams(lmTokens(col(textCol)))).as("_bg"))
+      .select(col("_bg.w1").as("w1"), col("_bg.w2").as("w2"))
+    val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .transform(graft.Stage.materialize) // contexts derive from it
+    val c1 = c12.groupBy("w1").agg(sum(col("c12")).as("c1"))
+    LmModel(c12, c1, vocab)
+  }
+
+  /** Score documents against a trained [[LmModel]]: per-doc mean add-1
+    * bigram probability, quantized to [[LmScale]] so the result is
+    * hash-exact across engines (the p44 oracle replicates the whole
+    * fold bit-for-bit in DuckDB):
+    *
+    *   scaled(b)  = floor(1e9 · (c12(b)+1) / (c1(w1)+V))   — exact
+    *                scalar double ops on <2^53 integers, then an exact
+    *                integer SUM per doc (float-sum order sensitivity is
+    *                the reason perplexity's Σ log p is NOT the checked
+    *                surface — libm log differs by ulps across engines;
+    *                the quantized arithmetic mean is monotone in the
+    *                same per-bigram probabilities);
+    *   lm_score   = Σ scaled / (n_bigrams · 1e9).
+    *
+    * Unseen bigrams/contexts coalesce to 0 counts (pure add-1 backoff).
+    * Docs with <2 tokens keep a row: n_bigrams 0, lm_score null.
+    *
+    * Scale: the doc→bigram explode is linear; the two joins are shuffle
+    * equi-joins of the corpus stream against TYPE tables keyed by token
+    * — unique join keys on the build side, so skewed contexts ("the")
+    * hash-join cleanly and AQE splits any hot partition. Nothing is
+    * broadcast (at 100 TB the bigram-type table is GBs); nothing beyond
+    * `vocabSize` touches the driver. */
+  def lmScore(model: LmModel, docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val bg = lmExplode(docs, idCol, textCol)
+    val scored = bg
+      .join(model.bigrams, Seq("w1", "w2"), "left_outer")
+      .join(model.contexts, Seq("w1"), "left_outer")
+      .select(col(idCol),
+        floor(lit(LmScale) *
+          ((coalesce(col("c12"), lit(0L)) + 1L).cast("double") /
+            (coalesce(col("c1"), lit(0L)) + model.vocabSize).cast("double")))
+          .cast("long").as("_scaled"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("_scaled")).as("_sum"))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        (col("_sum").cast("double") /
+          (col("n_bigrams").cast("double") * lit(LmScale))).as("lm_score"))
+  }
+
+  /** Self-trained convenience: train on `docs`, score `docs` — the
+    * single-corpus fluency-outlier pass (gibberish and boilerplate land
+    * in the tails of `lm_score`). */
+  def lmGate(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    lmScore(lmTrain(docs, textCol), docs, idCol, textCol)
 }

@@ -198,6 +198,56 @@ class CurationOpsSpec extends SparkTestBase {
     }
   }
 
+  test("lmGate: corpus-trained bigram LM ranks fluent text above gibberish") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat and the dog sat on the mat"),
+      (2L, "the cat sat on the rug and the dog sat on the rug"),
+      (3L, "the cat sat on the mat and the cat sat on the mat"),
+      (4L, "zq xv qqj wpt zq bnl xv kkr wpt qqj bnl kkr zq"), // gibberish: every bigram unique
+      (5L, "word"),                                           // 1 token -> no bigrams
+      (6L, "")                                                // no tokens
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.lmGate(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) Double.NaN else r.getDouble(2)))).toMap
+    // common-phrase docs score well above the all-unique-bigram doc
+    assert(out(1L)._2 > out(4L)._2 && out(2L)._2 > out(4L)._2 && out(3L)._2 > out(4L)._2)
+    // scores are mean probabilities: in (0, 1]
+    Seq(1L, 2L, 3L, 4L).foreach { id =>
+      assert(out(id)._2 > 0.0 && out(id)._2 <= 1.0) }
+    // short docs keep their row with no bigrams and a null score
+    assert(out(5L)._1 == 0L && out(5L)._2.isNaN)
+    assert(out(6L)._1 == 0L && out(6L)._2.isNaN)
+  }
+
+  test("lmScore: a trained model scores a delta batch without retraining; unseen backs off") {
+    val corpus = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog sat on the mat"),
+      (3L, "the cat ran to the dog")
+    ).toDF("doc_id", "text")
+    val model = TextAnalysis.lmTrain(corpus)
+    assert(model.vocabSize == 8) // the cat sat on mat dog ran to
+    // the model tables are plain relations: round-trip them like any index
+    val delta = Seq(
+      (10L, "the cat sat on the mat"),        // all bigrams seen
+      (11L, "the zebra jumped over the moon") // unseen words -> add-1 floor
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.lmScore(model, delta).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(10L) > out(11L), s"seen phrases must outscore unseen: $out")
+    // hand-checked add-1 fold: "the zebra"/"the moon" back off in the
+    // SEEN context "the" (c1=6) -> (0+1)/(6+8); the three bigrams with
+    // unseen contexts hit the (0+1)/(0+8) floor; all quantized to 1e-9
+    val expected = (2 * math.floor(1e9 * (1.0 / 14)) +
+      3 * math.floor(1e9 * (1.0 / 8))) / (5 * 1e9)
+    assert(out(11L) == expected, s"add-1 backoff fold: ${out(11L)} vs $expected")
+    // and the in-corpus doc scores identically whether scored solo or in the batch
+    val solo = TextAnalysis.lmScore(model, delta.filter($"doc_id" === 10L))
+      .collect().head.getDouble(2)
+    assert(solo == out(10L))
+  }
+
   test("mixtureWeights: alpha dampens large sources; quotas bounded by total") {
     val docs = (1 to 90).map(i => (i.toLong, "x", "big")) ++
       (91 to 100).map(i => (i.toLong, "x", "small"))
