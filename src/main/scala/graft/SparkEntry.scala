@@ -768,6 +768,15 @@ object SparkEntry {
   private def p44(s: SparkSession, d: String): DataFrame =
     TextAnalysis.lmGate(tbl(d, "documents")(s))
 
+  /** Deterministic shuffle-to-shards ([[TextAnalysis.shuffleShards]]):
+    * md5 shard assignment + md5-hex within-shard positions, every value
+    * a pure function of (seed, doc_id) — the oracle reproduces the full
+    * (shard, pos) layout, proving the "reshuffle reproducibly on any
+    * engine" contract. */
+  private def p45(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.shuffleShards(tbl(d, "documents")(s), shards = 8, seed = "g7")
+      .select(col("doc_id"), col("shard"), col("pos"))
+
   /** KMV set operations: estimated vs exact distinct-order overlap between
     * the A and R return flags — union by monoid merge, intersection by the
     * K-min-values threshold estimator, both oracle-exact. */
@@ -969,6 +978,7 @@ object SparkEntry {
     "p42_ivfpq_refine" -> (p42 _),
     "p43_clf_gate" -> (p43 _),
     "p44_lm_score" -> (p44 _),
+    "p45_shuffle_shards" -> (p45 _),
     "p31_span_excise" -> (p31 _),
     "p32_chunking" -> (p32 _),
     "p33_mixture_weights" -> (p33 _)
@@ -1912,6 +1922,18 @@ object SparkEntry {
         |SELECT tk.doc_id, COALESCE(sc.n_bigrams, 0) AS n_bigrams,
         |  CAST(sc.sum_scaled AS DOUBLE) / (CAST(sc.n_bigrams AS DOUBLE) * 1.0e9) AS lm_score
         |FROM tk LEFT JOIN sc USING (doc_id)""".stripMargin,
+    // p45: deterministic shuffle-to-shards — shard = md5-lower64&M61 mod 8,
+    // pos = rank of the md5 HEX string within the shard (ties by id);
+    // every value a pure function of ('g7', doc_id) on both engines.
+    "p45_shuffle_shards" ->
+      """WITH h AS (SELECT doc_id,
+        |    md5(concat('g7:', CAST(doc_id AS VARCHAR))) AS hx,
+        |    CAST((md5_number_lower(concat('g7:', CAST(doc_id AS VARCHAR)))
+        |      & 2305843009213693951) % 8 AS INT) AS shard
+        |  FROM documents)
+        |SELECT doc_id, shard,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY hx, doc_id) AS BIGINT) AS pos
+        |FROM h""".stripMargin,
     "p29_rare_tokens" ->
       """WITH tk AS (
         |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\W+'),

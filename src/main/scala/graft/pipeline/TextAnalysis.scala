@@ -584,4 +584,52 @@ object TextAnalysis {
   def lmGate(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame =
     lmScore(lmTrain(docs, textCol), docs, idCol, textCol)
+
+  // --------------------------------- deterministic shuffle + sharding
+
+  /** Deterministic global shuffle into training shards — the last step
+    * of every curation pipeline: break corpus order (crawl/source
+    * locality) into a reproducible pseudorandom order and split into
+    * `shards` roughly equal files. Shard = md5-hash mod `shards`,
+    * within-shard order = md5-hex sort (ties broken by id) — both pure
+    * functions of (seed, id), so re-runs, engines, and resumed jobs
+    * agree byte-for-byte (the p45 oracle replicates shard AND position).
+    *
+    * Adds `shard` (int) and `pos` (1-based long, dense within shard).
+    * The positions come from a shard-partitioned window: one task sorts
+    * each shard, so size `shards` to keep corpus/`shards` within a
+    * task's spill budget (at 100 TB with 10k shards that is ~10 GB of
+    * SORTED spill per task — workable but the window is the cost; when
+    * positions aren't needed, [[shuffleForWrite]] gets the same order
+    * with ONE exchange and no window). */
+  def shuffleShards(docs: DataFrame, shards: Int, idCol: String = "doc_id",
+      seed: String = "shuffle"): DataFrame = {
+    require(shards > 0, s"shards must be positive, got $shards")
+    import org.apache.spark.sql.expressions.Window
+    val key = concat_ws(":", lit(seed), col(idCol).cast("string"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("_hx"), col(idCol))
+    docs.withColumn("_hx", md5(key))
+      .withColumn("shard",
+        (graft.operators.Sketches.md5Hash61(key) % shards).cast("int"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("_hx")
+  }
+
+  /** Write-path twin of [[shuffleShards]]: same shard assignment and
+    * same within-shard order, materialized as PHYSICAL row order instead
+    * of a `pos` column — `repartition(shard)` + `sortWithinPartitions`,
+    * i.e. one hash exchange and a per-partition (spillable) sort, no
+    * window. Feed straight to `df.write.partitionBy("shard")`; readers
+    * see the shuffled order as file order. */
+  def shuffleForWrite(docs: DataFrame, shards: Int, idCol: String = "doc_id",
+      seed: String = "shuffle"): DataFrame = {
+    require(shards > 0, s"shards must be positive, got $shards")
+    val key = concat_ws(":", lit(seed), col(idCol).cast("string"))
+    docs.withColumn("_hx", md5(key))
+      .withColumn("shard",
+        (graft.operators.Sketches.md5Hash61(key) % shards).cast("int"))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("_hx"), col(idCol))
+      .drop("_hx")
+  }
 }

@@ -248,6 +248,42 @@ class CurationOpsSpec extends SparkTestBase {
     assert(solo == out(10L))
   }
 
+  test("shuffleShards: deterministic, balanced, and write-path order matches pos order") {
+    val docs = (1L to 400L).map(i => (i, s"doc number $i")).toDF("doc_id", "text")
+    val sharded = TextAnalysis.shuffleShards(docs, shards = 8, seed = "s1")
+    val rows = sharded.select($"doc_id", $"shard", $"pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // every doc kept exactly once; positions dense 1..n within each shard
+    assert(rows.map(_._1).toSet == (1L to 400L).toSet)
+    rows.groupBy(_._2).foreach { case (_, g) =>
+      assert(g.map(_._3).sorted.toSeq == (1L to g.length).toSeq) }
+    // hash sharding is roughly balanced (expected 50/shard)
+    val sizes = rows.groupBy(_._2).values.map(_.length)
+    assert(sizes.size == 8 && sizes.min > 25 && sizes.max < 75, s"skewed: $sizes")
+    // rerun = identical layout; different seed = different order
+    val rows2 = TextAnalysis.shuffleShards(docs, shards = 8, seed = "s1")
+      .select($"doc_id", $"shard", $"pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rows2.toSet == rows.toSet)
+    val other = TextAnalysis.shuffleShards(docs, shards = 8, seed = "s2")
+      .select($"doc_id", $"shard", $"pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(other.toSet != rows.toSet)
+    // shuffleForWrite: physical row order within each shard partition ==
+    // the pos order, with one exchange and NO window in the plan
+    val write = TextAnalysis.shuffleForWrite(docs, shards = 8, seed = "s1")
+    val plan = write.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"write path must not window:\n$plan")
+    val byShard = rows.groupBy(_._2).map { case (s, g) =>
+      s -> g.sortBy(_._3).map(_._1).toSeq }
+    write.select($"shard", $"doc_id").rdd
+      .mapPartitions(it => Iterator(it.map(r => (r.getInt(0), r.getLong(1))).toSeq))
+      .collect().filter(_.nonEmpty).foreach { part =>
+        part.map(_._1).distinct.foreach { s =>
+          assert(part.filter(_._1 == s).map(_._2) == byShard(s),
+            s"file order must equal pos order for shard $s") } }
+  }
+
   test("mixtureWeights: alpha dampens large sources; quotas bounded by total") {
     val docs = (1 to 90).map(i => (i.toLong, "x", "big")) ++
       (91 to 100).map(i => (i.toLong, "x", "small"))
