@@ -777,6 +777,19 @@ object SparkEntry {
     TextAnalysis.shuffleShards(tbl(d, "documents")(s), shards = 8, seed = "g7")
       .select(col("doc_id"), col("shard"), col("pos"))
 
+  /** DSIR-style importance resampling ([[TextAnalysis.importanceSample]]):
+    * keep-probability = the doc's stopword ratio (the p12 quality
+    * feature standing in for an importance weight) — acceptance is an
+    * exact md5-threshold compare the oracle replicates decision-for-
+    * decision. */
+  private def p46(s: SparkSession, d: String): DataFrame = {
+    val docs = tbl(d, "documents")(s)
+      .withColumn("weight",
+        TextAnalysis.qualityScore(col("text")).getField("stopword_ratio"))
+    TextAnalysis.importanceSample(docs, col("weight"), seed = "g7")
+      .select(col("doc_id"), col("weight"))
+  }
+
   /** KMV set operations: estimated vs exact distinct-order overlap between
     * the A and R return flags — union by monoid merge, intersection by the
     * K-min-values threshold estimator, both oracle-exact. */
@@ -979,6 +992,7 @@ object SparkEntry {
     "p43_clf_gate" -> (p43 _),
     "p44_lm_score" -> (p44 _),
     "p45_shuffle_shards" -> (p45 _),
+    "p46_importance_sample" -> (p46 _),
     "p31_span_excise" -> (p31 _),
     "p32_chunking" -> (p32 _),
     "p33_mixture_weights" -> (p33 _)
@@ -1934,6 +1948,19 @@ object SparkEntry {
         |SELECT doc_id, shard,
         |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY hx, doc_id) AS BIGINT) AS pos
         |FROM h""".stripMargin,
+    // p46: DSIR importance resampling — weight = p12 stopword_ratio,
+    // accept iff CAST(hash61 AS DOUBLE) < clamp(w)·CAST(M61 AS DOUBLE);
+    // long→double rounds IEEE-nearest identically on both engines.
+    "p46_importance_sample" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(len(list_intersect(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |    ['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','was','at','by'])) AS DOUBLE)
+        |    / greatest(len(regexp_split_to_array(lower(trim(text)), '\s+')), 1) AS weight
+        |  FROM documents)
+        |SELECT doc_id, weight FROM t
+        |WHERE CAST((md5_number_lower(concat('g7:', CAST(doc_id AS VARCHAR)))
+        |    & 2305843009213693951) AS DOUBLE)
+        |  < least(greatest(weight, 0.0), 1.0) * CAST(2305843009213693951 AS DOUBLE)""".stripMargin,
     "p29_rare_tokens" ->
       """WITH tk AS (
         |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\W+'),

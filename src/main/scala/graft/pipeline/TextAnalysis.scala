@@ -585,6 +585,26 @@ object TextAnalysis {
       textCol: String = "text"): DataFrame =
     lmScore(lmTrain(docs, textCol), docs, idCol, textCol)
 
+  // ------------------------------ importance resampling (DSIR-style)
+
+  /** DSIR-style importance resampling (Xie et al. 2023 shape): keep each
+    * doc with probability = its importance weight, deterministically —
+    * accept iff md5-hash(seed:id) < weight·(2^61-1). One codegen'd
+    * compare per row, no shuffle, no RNG state: re-runs and engines
+    * agree row-for-row (the p46 oracle replicates the decision), and the
+    * samples NEST — a doc kept at weight w is kept at every w' > w, so
+    * tightening a selection never resurrects discarded docs. Weights
+    * outside [0, 1] clamp (≥1 always keeps, ≤0 always drops); the
+    * long→double cast of the hash rounds identically (IEEE
+    * nearest) on any engine. */
+  def importanceSample(docs: DataFrame, weight: Column,
+      idCol: String = "doc_id", seed: String = "dsir"): DataFrame = {
+    val h = graft.operators.Sketches
+      .md5Hash61(concat_ws(":", lit(seed), col(idCol).cast("string")))
+    val w = least(greatest(weight, lit(0.0)), lit(1.0))
+    docs.filter(h.cast("double") < w * lit(Md5.M61.toDouble))
+  }
+
   // --------------------------------- deterministic shuffle + sharding
 
   /** Deterministic global shuffle into training shards — the last step

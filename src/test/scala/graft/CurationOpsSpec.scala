@@ -248,6 +248,26 @@ class CurationOpsSpec extends SparkTestBase {
     assert(solo == out(10L))
   }
 
+  test("importanceSample: rate tracks weight, samples nest, clamps, deterministic") {
+    val docs = (1L to 2000L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    def kept(w: Double) = TextAnalysis.importanceSample(docs, lit(w))
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val k30 = kept(0.3); val k60 = kept(0.6)
+    // acceptance rate ≈ weight (md5 uniformity; ±5pp at n=2000)
+    assert(math.abs(k30.size / 2000.0 - 0.3) < 0.05, s"rate ${k30.size / 2000.0}")
+    assert(math.abs(k60.size / 2000.0 - 0.6) < 0.05, s"rate ${k60.size / 2000.0}")
+    // nesting: every doc kept at 0.3 is kept at 0.6
+    assert(k30.subsetOf(k60))
+    // clamping: >=1 keeps all, <=0 keeps none
+    assert(kept(1.5).size == 2000 && kept(-0.5).isEmpty)
+    // deterministic rerun; per-row weights select per-row
+    assert(kept(0.3) == k30)
+    val perRow = TextAnalysis.importanceSample(
+      docs, when($"doc_id" <= 1000L, 1.0).otherwise(0.0))
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(perRow == (1L to 1000L).toSet)
+  }
+
   test("shuffleShards: deterministic, balanced, and write-path order matches pos order") {
     val docs = (1L to 400L).map(i => (i, s"doc number $i")).toDF("doc_id", "text")
     val sharded = TextAnalysis.shuffleShards(docs, shards = 8, seed = "s1")
