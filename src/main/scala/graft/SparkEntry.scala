@@ -3,7 +3,7 @@ package graft
 import graft.dsl._
 import graft.logic.Query
 import graft.ops.Ops
-import graft.pipeline.{Dedup, Similarity, TextAnalysis}
+import graft.pipeline.{Bpe, Dedup, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -790,6 +790,23 @@ object SparkEntry {
       .select(col("doc_id"), col("weight"))
   }
 
+  /** BPE encoding with a pinned merge list ([[Bpe.encode]]): the
+    * "tokenize the corpus with the trained tokenizer" pass. The oracle
+    * replays the identical merge sequence in SQL (recursive CTE over
+    * merge rank, `list_reduce` left-to-right fold within each pass) —
+    * an independent implementation of the Sennrich encode, compared on
+    * the FULL token string per doc. Training itself is argmax-iterative
+    * (BpeSpec pins it on hand-derived corpora); the pinned list keeps
+    * the oracle sf-independent. */
+  private val P47Merges = Seq("t" -> "h", "th" -> "e", "i" -> "n",
+    "a" -> "n", "e" -> "r", "o" -> "n", "r" -> "e", "an" -> "d")
+  private def p47(s: SparkSession, d: String): DataFrame =
+    tbl(d, "documents")(s)
+      .select(col("doc_id"), Bpe.encode(P47Merges, col("text")).as("_t"))
+      .filter(size(col("_t")) > 0)
+      .select(col("doc_id"), size(col("_t")).cast("long").as("n_bpe"),
+        concat_ws(" ", col("_t")).as("enc"))
+
   /** KMV set operations: estimated vs exact distinct-order overlap between
     * the A and R return flags — union by monoid merge, intersection by the
     * K-min-values threshold estimator, both oracle-exact. */
@@ -993,6 +1010,7 @@ object SparkEntry {
     "p44_lm_score" -> (p44 _),
     "p45_shuffle_shards" -> (p45 _),
     "p46_importance_sample" -> (p46 _),
+    "p47_bpe_encode" -> (p47 _),
     "p31_span_excise" -> (p31 _),
     "p32_chunking" -> (p32 _),
     "p33_mixture_weights" -> (p33 _)
@@ -1961,6 +1979,39 @@ object SparkEntry {
         |WHERE CAST((md5_number_lower(concat('g7:', CAST(doc_id AS VARCHAR)))
         |    & 2305843009213693951) AS DOUBLE)
         |  < least(greatest(weight, 0.0), 1.0) * CAST(2305843009213693951 AS DOUBLE)""".stripMargin,
+    // p47: BPE encode with the pinned 8-merge list — recursive CTE walks
+    // the merge ranks; within each rank a list_reduce folds the word's
+    // symbol string left-to-right, merging non-overlapping (a,b)
+    // occurrences exactly like Bpe.mergePass ('§' sentinel seeds the
+    // fold, '·' delimits symbols; \W+ tokens can contain neither).
+    "p47_bpe_encode" ->
+      """WITH RECURSIVE merges(rank, a, b) AS (
+        |  VALUES (1,'t','h'),(2,'th','e'),(3,'i','n'),(4,'a','n'),
+        |         (5,'e','r'),(6,'o','n'),(7,'r','e'),(8,'an','d')),
+        |nm AS (SELECT COUNT(*) AS n FROM merges),
+        |words AS (
+        |  SELECT doc_id, u.wi AS wi, toks[u.wi] AS w
+        |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\W+'),
+        |          x -> x != '') AS toks FROM documents) t,
+        |       unnest(generate_series(1, len(toks))) AS u(wi)),
+        |enc AS (
+        |  SELECT doc_id, wi, 0 AS step,
+        |    '§' || list_reduce(list_prepend('', list_transform(generate_series(1, length(w)), i -> w[i])),
+        |      (acc, x) -> acc || '·' || x) AS s
+        |  FROM words
+        |  UNION ALL
+        |  SELECT e.doc_id, e.wi, e.step + 1,
+        |    list_reduce(list_prepend('§', list_filter(string_split(e.s, '·'), y -> y != '§')),
+        |      (acc, x) -> CASE WHEN ends_with(acc, '·' || m.a) AND x = m.b
+        |        THEN left(acc, length(acc) - length(m.a) - 1) || '·' || m.a || m.b
+        |        ELSE acc || '·' || x END) AS s
+        |  FROM enc e JOIN merges m ON m.rank = e.step + 1),
+        |fin AS (SELECT doc_id, wi, replace(substr(s, 3), '·', ' ') AS toks
+        |        FROM enc, nm WHERE step = nm.n)
+        |SELECT doc_id,
+        |  CAST(SUM(len(string_split(toks, ' '))) AS BIGINT) AS n_bpe,
+        |  string_agg(toks, ' ' ORDER BY wi) AS enc
+        |FROM fin GROUP BY doc_id""".stripMargin,
     "p29_rare_tokens" ->
       """WITH tk AS (
         |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\W+'),

@@ -1,0 +1,140 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer training and application (Sennrich et
+  * al. 2016 shape) — the "train a tokenizer on the corpus, then encode
+  * the corpus" step of an LLM data pipeline, built Spark-first:
+  *
+  *  - TRAINING runs on the word-TYPE table (distinct words weighted by
+  *    frequency), so the corpus is touched ONCE; every Lloyd-style merge
+  *    iteration is a groupBy over types (vocab-bounded — millions of
+  *    rows at 100 TB, not the corpus), and only the single argmax pair
+  *    (one Row) ever reaches the driver per iteration. The type table is
+  *    re-materialized each step so the plan stays O(1) deep instead of
+  *    accreting `numMerges` nested projections.
+  *  - The learned model is `numMerges` (a, b) pairs — KBs, the same
+  *    driver-side-model contract as the IVF/PQ codebooks.
+  *  - ENCODING is a linear codegen-adjacent pass: one UDF application
+  *    per doc with a per-executor word→tokens memo (Zipf makes the memo
+  *    hit rate extreme), no shuffle, no state.
+  *
+  * Determinism: ties in pair frequency break lexicographically on
+  * (a, b), so training is reproducible run-to-run and engine-to-engine;
+  * encoding applies merges in learned order with left-to-right
+  * non-overlapping occurrence merging per pass — the p47 oracle replays
+  * the identical fold in SQL (recursive CTE over merge rank +
+  * `list_reduce` within each pass) against a pinned merge list. */
+object Bpe {
+
+  /** Lowercase `\W+` word-type table: (w, n) = distinct word,
+    * occurrence count. The ONE corpus-wide pass of training. */
+  def wordTypes(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(explode(split(lower(trim(col(textCol))), "\\W+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("n"))
+
+  /** One left-to-right merge pass: every non-overlapping adjacent
+    * (a, b) becomes the single symbol a+b. Shared by training (per
+    * type, each iteration) and encoding (per word, each merge). */
+  private[pipeline] def mergePass(syms: Array[String], a: String, b: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  private val mergeUdf = udf { (syms: Seq[String], a: String, b: String) =>
+    mergePass(syms.toArray, a, b).toSeq
+  }
+
+  /** Learn `numMerges` BPE merges from a corpus. Stops early when no
+    * adjacent pair reaches `minPairFreq`. `maxTrainRows` > 0 samples
+    * the corpus deterministically first (md5-threshold, the p21/
+    * `maxTrainRows` idiom) so training cost is O(sample). */
+  def train(docs: DataFrame, numMerges: Int, textCol: String = "text",
+      minPairFreq: Long = 2L, maxTrainRows: Long = 0L,
+      idCol: String = "doc_id"): Seq[(String, String)] = {
+    require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
+    val base =
+      if (maxTrainRows <= 0L) docs
+      else {
+        val total = docs.count()
+        if (total <= maxTrainRows) docs
+        else docs.filter(
+          graft.operators.Sketches.md5Hash61(
+            concat_ws(":", lit("bpe"), col(idCol).cast("string")))
+            .cast("double") < lit(maxTrainRows.toDouble / total) * lit(Md5.M61.toDouble))
+      }
+    // symbol sequences per word TYPE; all iterations run on this table
+    var types = wordTypes(base, textCol)
+      .select(split(col("w"), "").as("syms"), col("n"))
+      .transform(graft.Stage.materialize)
+    val merges = Seq.newBuilder[(String, String)]
+    var step = 0
+    var done = false
+    while (step < numMerges && !done) {
+      val top = types
+        .select(posexplode(col("syms")).as(Seq("i", "a")), col("syms"), col("n"))
+        .filter(col("i") < size(col("syms")) - 1)
+        .select(col("a"), element_at(col("syms"), col("i") + 2).as("b"), col("n"))
+        .groupBy("a", "b").agg(sum(col("n")).as("c"))
+        .orderBy(col("c").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty || top(0).getLong(2) < minPairFreq) done = true
+      else {
+        val (a, b) = (top(0).getString(0), top(0).getString(1))
+        merges += ((a, b))
+        // re-materialize: keeps the plan one projection deep per the
+        // current table instead of numMerges nested UDF applications
+        types = types
+          .select(mergeUdf(col("syms"), lit(a), lit(b)).as("syms"), col("n"))
+          .transform(graft.Stage.materialize)
+        step += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** Encode text with a learned merge list: per word, start from
+    * characters and apply every merge in order (the Sennrich encode).
+    * Per-executor memo keyed on (model identity, word) — Zipf's law
+    * makes the hit rate extreme, so the pass is effectively one array
+    * fold per DISTINCT word per executor. Returns the token ARRAY
+    * (space-join it for storage, `size` it for budgeting). */
+  def encode(merges: Seq[(String, String)], text: Column): Column =
+    encodeUdf(merges)(text)
+
+  private def encodeUdf(merges: Seq[(String, String)]) = {
+    val model = merges.toArray // serialized into the closure once
+    udf { (text: String) =>
+      if (text == null) Seq.empty[String]
+      else {
+        val memo = Bpe.memoFor(model)
+        text.trim.toLowerCase.split("\\W+").iterator.filter(_.nonEmpty)
+          .flatMap { w =>
+            var toks = memo.get(w)
+            if (toks == null) {
+              toks = model.foldLeft(w.split("")) { case (s, (a, b)) => mergePass(s, a, b) }
+              memo.putIfAbsent(w, toks)
+            }
+            toks.iterator
+          }.toSeq
+      }
+    }
+  }
+
+  // per-executor encode memos, keyed on model identity (the closure
+  // array deserializes once per executor, so identity is stable there)
+  private val memos =
+    new java.util.concurrent.ConcurrentHashMap[AnyRef,
+      java.util.concurrent.ConcurrentHashMap[String, Array[String]]]()
+  private def memoFor(model: AnyRef) =
+    memos.computeIfAbsent(model,
+      _ => new java.util.concurrent.ConcurrentHashMap[String, Array[String]]())
+}

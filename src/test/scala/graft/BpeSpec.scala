@@ -1,0 +1,62 @@
+package graft
+
+import graft.pipeline.Bpe
+import org.apache.spark.sql.functions._
+
+class BpeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("train learns the hand-derived merge sequence and stops when pairs dry up") {
+    // types: aaab ×3, ab ×1. Pair counts (all adjacent positions,
+    // weighted by word freq):
+    //   round 1: (a,a)=6 (two positions × 3), (a,b)=4       -> merge (a,a)
+    //            aaab -> [aa,a,b] (left-to-right non-overlap), ab -> [a,b]
+    //   round 2: (aa,a)=3, (a,b)=3+1=4                      -> merge (a,b)
+    //            aaab -> [aa,ab], ab -> [ab]
+    //   round 3: (aa,ab)=3                                  -> merge (aa,ab)
+    //   round 4: no adjacent pairs anywhere                  -> early stop
+    val docs = Seq((1L, "aaab aaab"), (2L, "aaab ab")).toDF("doc_id", "text")
+    val merges = Bpe.train(docs, numMerges = 10, minPairFreq = 1L)
+    assert(merges == Seq("a" -> "a", "a" -> "b", "aa" -> "ab"), s"got $merges")
+  }
+
+  test("train breaks frequency ties lexicographically; minPairFreq gates") {
+    val docs = Seq((1L, "xy yx")).toDF("doc_id", "text")
+    // (x,y) and (y,x) both appear once -> lexicographic tie-break
+    assert(Bpe.train(docs, numMerges = 1, minPairFreq = 1L).head == ("x" -> "y"))
+    // below the default minPairFreq=2 nothing merges at all
+    assert(Bpe.train(docs, numMerges = 5).isEmpty)
+  }
+
+  test("encode applies merges in order; unseen words fall back to characters") {
+    val merges = Seq("a" -> "a", "a" -> "b", "aa" -> "ab")
+    val out = Seq((1L, "aaabab zq Aaab"), (2L, ""), (3L, "ab"))
+      .toDF("doc_id", "text")
+      .select($"doc_id", Bpe.encode(merges, $"text").as("toks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    // aaabab: a,a,a,b,a,b -(a,a)-> aa,a,b,a,b -(a,b)-> aa,ab,ab -(aa,ab)-> aaab,ab
+    // "Aaab" lowercases to aaab -> single token; zq has no merges -> chars
+    assert(out(1L) == Seq("aaab", "ab", "z", "q", "aaab"), s"got ${out(1L)}")
+    assert(out(2L).isEmpty)
+    assert(out(3L) == Seq("ab"))
+    // token concatenation always reconstructs the normalized words
+    assert(out(1L).mkString == "aaababzqaaab")
+  }
+
+  test("trained model encodes its own corpus consistently; sampled training runs") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val merges = Bpe.train(docs, numMerges = 12)
+    assert(merges.length == 12)
+    val enc = docs.select($"doc_id", Bpe.encode(merges, $"text").as("toks"))
+      .select($"doc_id", size($"toks").as("n"))
+    // merges only ever shrink the token count vs raw characters, and at
+    // 12 merges it must sit strictly below the character count
+    val nBpe = enc.agg(sum($"n")).head().getLong(0)
+    val nChars = docs.select(sum(length(regexp_replace(lower(trim($"text")), "\\W+", "")))).head().getLong(0)
+    assert(nBpe < nChars, s"bpe tokens $nBpe must undercut char count $nChars")
+    // deterministic: retrain = same merges
+    assert(Bpe.train(docs, numMerges = 12) == merges)
+    // sampled training (maxTrainRows) still yields a full-length model
+    assert(Bpe.train(docs, numMerges = 5, maxTrainRows = 100L).length == 5)
+  }
+}
