@@ -37,7 +37,9 @@ import scala.collection.mutable
   * steady line carries the "timing" methodology tag at its END so the
   * window slice before the headline shows it), and the LAST line is a
   * compact headline — seconds at ≤2 significant-ish decimals (see
-  * fmtC), sf basename — sized so headline + epilogue fit the 2000-char
+  * fmtC), sf basename, query keys shortened to their unique qNN/pNN
+  * prefix (87 full names alone overflow the window; full names stay on
+  * the aux lines) — sized so headline + epilogue fit the 2000-char
   * window whole; if a host-slow round still inflates it past the
   * budget, the formatter tightens one notch at a time before printing.
   * Field order puts "errors" BEFORE "queries" so if an error message
@@ -167,9 +169,21 @@ object Bench {
     // parses. The empty errors map lives on the aux line; it joins the
     // headline only when there is something to report.
     val sfName = new java.io.File(sfDir).getName
+    // Headline query keys are the unique qNN/pNN prefix ("p16", "q01"):
+    // at 87 queries the full names alone (~24 chars each) overflow the
+    // 2000-char capture window at ANY precision, and the suite keeps
+    // growing. Full names ride the full-precision aux lines; BASELINE.md
+    // documents the key scheme. A prefix that ever collided would fall
+    // back to the full name (correct, if over-budget — visible, never
+    // ambiguous).
+    val shortKey: String => String = {
+      val pref = results.map { case (n, _) => n -> n.takeWhile(_ != '_') }.toMap
+      val counts = pref.values.groupBy(identity).map { case (k, v) => k -> v.size }
+      n => if (counts.getOrElse(pref(n), 0) == 1) pref(n) else n
+    }
     def headline(cut: Double): String = {
       def jm(m: Iterable[(String, Double)]): String =
-        m.map { case (k, v) => "\"" + k + "\":" + fmtC(v, cut) }.mkString("{", ",", "}")
+        m.map { case (k, v) => "\"" + shortKey(k) + "\":" + fmtC(v, cut) }.mkString("{", ",", "}")
       val errField = if (errors.isEmpty) "" else s""""errors":${jsonStrMap(errors)},"""
       val calField =
         if (calFull.size < 2) ""

@@ -506,7 +506,11 @@ object TextAnalysis {
   /** Bigram array of a token array: (toks[i], toks[i+1]) structs,
     * 1-based `element_at` matching the oracle's 1-based list index.
     * Guarded — Spark's `sequence(1, 0)` counts DOWN, so size<2 must
-    * short-circuit to an empty array, not extract a reversed bigram. */
+    * short-circuit to an empty array, not extract a reversed bigram.
+    * `toks` MUST be a projected attribute, not the tokenizer
+    * expression inline: Catalyst does not CSE through the lambda, so an
+    * inline `filter(split(...))` re-tokenizes the doc once per
+    * `element_at` — measured 3× the whole explode cost (LmProbe). */
   private def lmBigrams(toks: Column): Column =
     when(size(toks) >= 2,
       transform(sequence(lit(1), size(toks) - 1), i =>
@@ -514,7 +518,8 @@ object TextAnalysis {
       .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
 
   private def lmExplode(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol), explode(lmBigrams(lmTokens(col(textCol)))).as("_bg"))
+    docs.select(col(idCol), lmTokens(col(textCol)).as("_toks"))
+      .select(col(idCol), explode(lmBigrams(col("_toks"))).as("_bg"))
       .select(col(idCol), col("_bg.w1").as("w1"), col("_bg.w2").as("w2"))
 
   /** Train a bigram add-1 language model on a corpus — the CCNet-style
@@ -527,8 +532,16 @@ object TextAnalysis {
   def lmTrain(docs: DataFrame, textCol: String = "text"): LmModel = {
     val toks = docs.select(explode(lmTokens(col(textCol))).as("_tok"))
     val vocab = toks.agg(countDistinct(col("_tok"))).head().getLong(0)
-    val bg = docs.select(explode(lmBigrams(lmTokens(col(textCol)))).as("_bg"))
+    val bg = docs.select(lmTokens(col(textCol)).as("_toks"))
+      .select(explode(lmBigrams(col("_toks"))).as("_bg"))
       .select(col("_bg.w1").as("w1"), col("_bg.w2").as("w2"))
+    lmModelFrom(bg, vocab)
+  }
+
+  /** Counts → model (shared by [[lmTrain]] and the fused [[lmGate]]):
+    * bigram-type counts from the exploded stream, context counts from
+    * the TYPE table (vocab²-bounded — never a second corpus pass). */
+  private def lmModelFrom(bg: DataFrame, vocab: Long): LmModel = {
     val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
       .transform(graft.Stage.materialize) // contexts derive from it
     val c1 = c12.groupBy("w1").agg(sum(col("c12")).as("c1"))
@@ -559,8 +572,11 @@ object TextAnalysis {
     * broadcast (at 100 TB the bigram-type table is GBs); nothing beyond
     * `vocabSize` touches the driver. */
   def lmScore(model: LmModel, docs: DataFrame,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val bg = lmExplode(docs, idCol, textCol)
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    lmScoreOnBigrams(model, docs, lmExplode(docs, idCol, textCol), idCol)
+
+  private def lmScoreOnBigrams(model: LmModel, docs: DataFrame,
+      bg: DataFrame, idCol: String): DataFrame = {
     val scored = bg
       .join(model.bigrams, Seq("w1", "w2"), "left_outer")
       .join(model.contexts, Seq("w1"), "left_outer")
@@ -580,10 +596,19 @@ object TextAnalysis {
 
   /** Self-trained convenience: train on `docs`, score `docs` — the
     * single-corpus fluency-outlier pass (gibberish and boilerplate land
-    * in the tails of `lm_score`). */
+    * in the tails of `lm_score`). Fused: the doc→bigram explode is
+    * materialized ONCE and feeds both the count tables and the scoring
+    * joins (the unfused train-then-score path tokenizes the corpus
+    * three times; at 100 TB the explode is the dominant scan). The
+    * vocab count still needs its own token pass — single-token docs and
+    * word-final tokens never enter the bigram stream. */
   def lmGate(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame =
-    lmScore(lmTrain(docs, textCol), docs, idCol, textCol)
+      textCol: String = "text"): DataFrame = {
+    val vocab = docs.select(explode(lmTokens(col(textCol))).as("_tok"))
+      .agg(countDistinct(col("_tok"))).head().getLong(0)
+    val bg = lmExplode(docs, idCol, textCol).transform(graft.Stage.materialize)
+    lmScoreOnBigrams(lmModelFrom(bg.select("w1", "w2"), vocab), docs, bg, idCol)
+  }
 
   // ------------------------------ importance resampling (DSIR-style)
 

@@ -380,6 +380,33 @@ object ScaleProbe {
       measureShuffle(s"heap knn tail @$n x 64 probes")(
         Similarity.bruteForceKnn(corpus, probes, k = 10, heap = true).count())
     }
+
+    // round-7 curation additions @1x (5k docs) vs @10x (50k docs):
+    // lmGate is two type-table joins + explode (expect ~linear); the
+    // shuffle-shards window vs write-path shows the no-window saving;
+    // BPE training cost follows the word-TYPE table (sub-linear in
+    // docs), not the corpus — the design claim, measured.
+    {
+      import graft.pipeline.{Bpe, TextAnalysis}
+      val d1 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      val d10 = spark.read.parquet(bigDocs)
+      time("lmGate (train+score) @5k docs")(TextAnalysis.lmGate(d1).count())
+      time("lmGate (train+score) @50k docs")(TextAnalysis.lmGate(d10).count())
+      time("shuffleShards window @50k")(
+        TextAnalysis.shuffleShards(d10, shards = 64).count())
+      time("shuffleForWrite (no window) @50k")(
+        TextAnalysis.shuffleForWrite(d10, shards = 64).count())
+      time("importanceSample @50k")(
+        TextAnalysis.importanceSample(d10, lit(0.5)).count())
+      def nTypes(df: org.apache.spark.sql.DataFrame) = Bpe.wordTypes(df).count()
+      println(s"word types: @5k=${nTypes(d1)} @50k=${nTypes(d10)}")
+      time("bpe train 8 merges @5k docs")(Bpe.train(d1, 8).length.toLong)
+      time("bpe train 8 merges @50k docs")(Bpe.train(d10, 8).length.toLong)
+      time("bpe encode @50k docs") {
+        val m = Bpe.train(d1, 8)
+        d10.select(size(Bpe.encode(m, col("text"))).as("n")).agg(sum("n")).count()
+      }
+    }
     spark.stop()
   }
 }
