@@ -39,20 +39,24 @@ object Dedup {
     df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
   }
 
-  /** Character shingles of length n as a distinct array (Column-only). */
+  /** Character shingles of length n as a distinct array (Column-only).
+    * The normalized text is LET-BOUND via a one-element `transform`
+    * before the index lambda references it — Catalyst does not CSE
+    * through lambdas, so an inline capture would re-run the regex once
+    * per shingle INDEX (the minhashKernel lesson, same trap). */
   def charShingles(text: Column, n: Int = 5): Column = {
     val norm = regexp_replace(lower(text), "\\s+", " ")
-    array_distinct(
-      transform(sequence(lit(0), greatest(length(norm) - n, lit(0))),
-        i => norm.substr(i + 1, lit(n))))
+    array_distinct(flatten(transform(array(norm), nm =>
+      transform(sequence(lit(0), greatest(length(nm) - n, lit(0))),
+        i => nm.substr(i + 1, lit(n))))))
   }
 
-  /** Word shingles (w-grams) as a distinct array. */
+  /** Word shingles (w-grams) as a distinct array (same let-binding). */
   def wordShingles(text: Column, w: Int = 3): Column = {
     val toks = split(trim(lower(text)), "\\W+")
-    array_distinct(
-      transform(sequence(lit(0), greatest(size(toks) - w, lit(0))),
-        i => concat_ws(" ", slice(toks, i + 1, lit(w)))))
+    array_distinct(flatten(transform(array(toks), ts =>
+      transform(sequence(lit(0), greatest(size(ts) - w, lit(0))),
+        i => concat_ws(" ", slice(ts, i + 1, lit(w)))))))
   }
 
   /** splitmix64 finalizer — a strong, cheap 64-bit mix. */
