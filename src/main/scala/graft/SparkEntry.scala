@@ -807,6 +807,17 @@ object SparkEntry {
       .select(col("doc_id"), size(col("_t")).cast("long").as("n_bpe"),
         concat_ws(" ", col("_t")).as("enc"))
 
+  /** Modern curation stack end-to-end ([[Curate.curateModern]]):
+    * classifier gate → LM-fluency gate (LM trained on the gate's OWN
+    * survivors) → exact dedup → shuffle-to-shards. The oracle chains
+    * the p43/p44/p01/p45 replicas over the same survivor sets, so the
+    * full composition — who survives and where each doc lands in the
+    * training order — hash-checks end-to-end. */
+  private def p48(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.Curate.curateModern(tbl(d, "documents")(s),
+      clfWeights = Array(0.001, 0.01, -8.0, 6.0, 0.2, -4.0), clfBias = -2.0,
+      lmThreshold = 0.02, shards = 4, seed = "g7")
+
   /** KMV set operations: estimated vs exact distinct-order overlap between
     * the A and R return flags — union by monoid merge, intersection by the
     * K-min-values threshold estimator, both oracle-exact. */
@@ -1011,6 +1022,7 @@ object SparkEntry {
     "p45_shuffle_shards" -> (p45 _),
     "p46_importance_sample" -> (p46 _),
     "p47_bpe_encode" -> (p47 _),
+    "p48_curate_modern" -> (p48 _),
     "p31_span_excise" -> (p31 _),
     "p32_chunking" -> (p32 _),
     "p33_mixture_weights" -> (p33 _)
@@ -2012,6 +2024,52 @@ object SparkEntry {
         |  CAST(SUM(len(string_split(toks, ' '))) AS BIGINT) AS n_bpe,
         |  string_agg(toks, ' ' ORDER BY wi) AS enc
         |FROM fin GROUP BY doc_id""".stripMargin,
+    // p48: modern curation end-to-end — the p43 gate, the p44 LM (its
+    // counts trained on the gate's survivors), the p01 dedup window,
+    // and the p45 shard layout, chained over the SAME survivor sets.
+    "p48_curate_modern" ->
+      """WITH t0 AS (SELECT doc_id, text,
+        |  regexp_split_to_array(lower(trim(text)), '\s+') AS stoks FROM documents),
+        |clf AS (
+        |  SELECT doc_id, text FROM (
+        |    SELECT doc_id, text,
+        |      -2.0 + 0.001*CAST(length(text) AS DOUBLE)
+        |           + 0.01*CAST(len(stoks) AS DOUBLE)
+        |           + (-8.0)*(CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE) / greatest(length(text), 1))
+        |           + 6.0*(CAST(len(list_intersect(stoks, ['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','was','at','by'])) AS DOUBLE) / greatest(len(stoks), 1))
+        |           + 0.2*((CAST(length(text) AS DOUBLE) - len(stoks) + 1) / greatest(len(stoks), 1))
+        |           + (-4.0)*(CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE) / greatest(length(text), 1)) AS logit
+        |    FROM t0) s WHERE logit >= 0.0),
+        |tk AS (SELECT doc_id, text, list_filter(
+        |    regexp_split_to_array(lower(trim(text)), '\W+'), x -> x != '') AS toks FROM clf),
+        |bg AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+        |  FROM tk, unnest(generate_series(1, len(toks)-1)) AS u(i) WHERE len(toks) >= 2),
+        |c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+        |v AS (SELECT COUNT(DISTINCT t) AS vs FROM (SELECT unnest(toks) AS t FROM tk)),
+        |term AS (SELECT bg.doc_id, CAST(floor(1.0e9 *
+        |    (CAST(c12.c12 + 1 AS DOUBLE) / CAST(c1.c1 + v.vs AS DOUBLE))) AS BIGINT) AS scaled
+        |  FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v),
+        |sc AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+        |    CAST(SUM(scaled) AS BIGINT) AS sum_scaled FROM term GROUP BY 1),
+        |fluent AS (
+        |  SELECT tk.doc_id, tk.text,
+        |    CAST(sc.sum_scaled AS DOUBLE) / (CAST(sc.n_bigrams AS DOUBLE) * 1.0e9) AS lm_score
+        |  FROM tk JOIN sc USING (doc_id)
+        |  WHERE CAST(sc.sum_scaled AS DOUBLE) / (CAST(sc.n_bigrams AS DOUBLE) * 1.0e9) >= 0.02),
+        |uniq AS (
+        |  SELECT doc_id, lm_score FROM (
+        |    SELECT doc_id, lm_score, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |    FROM fluent) q WHERE rn = 1),
+        |sh AS (SELECT doc_id, lm_score,
+        |    md5(concat('g7:', CAST(doc_id AS VARCHAR))) AS hx,
+        |    CAST((md5_number_lower(concat('g7:', CAST(doc_id AS VARCHAR)))
+        |      & 2305843009213693951) % 4 AS INT) AS shard
+        |  FROM uniq)
+        |SELECT doc_id, shard,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY hx, doc_id) AS BIGINT) AS pos,
+        |  lm_score
+        |FROM sh""".stripMargin,
     "p29_rare_tokens" ->
       """WITH tk AS (
         |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\W+'),

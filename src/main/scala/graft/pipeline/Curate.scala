@@ -39,4 +39,37 @@ object Curate {
     Dedup.nearDupDedup(gated, threshold = jaccardThreshold)
       .select("doc_id", "lang", "source")
   }
+
+  /** The round-7 "modern stack" composition: classifier quality gate →
+    * bigram-LM fluency gate → exact dedup → deterministic
+    * shuffle-to-shards. Every stage is hash-exact
+    * ([[TextAnalysis.classifierScore]] logit fold,
+    * [[TextAnalysis.lmGate]] quantized mean, md5 dedup,
+    * [[TextAnalysis.shuffleShards]] layout), so the END-TO-END output —
+    * which docs survive AND where each lands in the training order — is
+    * replicated by the p48 oracle. Stage boundaries materialize where a
+    * production run would persist: after the scalar gates (the LM gate
+    * re-reads the gated corpus to train counts) and after dedup (the
+    * shard window re-reads survivors). Returns
+    * (doc_id, shard, pos, lm_score). */
+  def curateModern(
+      docs: DataFrame,
+      clfWeights: Array[Double],
+      clfBias: Double,
+      lmThreshold: Double,
+      shards: Int,
+      seed: String = "curate"): DataFrame = {
+    val gated = docs
+      .withColumn("_c", TextAnalysis.classifierScore(col("text"), clfWeights, clfBias))
+      .filter(col("_c.keep")).drop("_c")
+      .transform(graft.Stage.materialize)
+    val fluent = TextAnalysis.lmGate(gated)
+      .filter(col("lm_score") >= lmThreshold)
+      .select(col("doc_id"), col("lm_score"))
+      .join(gated, "doc_id") // re-attach text for the dedup hash
+    val unique = Dedup.exactRows(fluent)
+      .transform(graft.Stage.materialize)
+    TextAnalysis.shuffleShards(unique, shards, seed = seed)
+      .select(col("doc_id"), col("shard"), col("pos"), col("lm_score"))
+  }
 }

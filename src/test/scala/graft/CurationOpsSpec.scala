@@ -248,6 +248,32 @@ class CurationOpsSpec extends SparkTestBase {
     assert(solo == out(10L))
   }
 
+  test("curateModern: gate -> LM -> dedup -> shards composes end-to-end") {
+    import graft.pipeline.Curate
+    val docs = Seq(
+      (1L, "the cat sat on the mat and it was a good day for all of them"),
+      (2L, "the cat sat on the mat and it was a good day for all of them"), // exact dup of 1
+      (3L, "!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))"),                     // classifier-gated
+      (4L, "the dog ran to the park and it was a fine day for both of us"),
+      (5L, "a")                                                            // 1 token: no bigrams -> LM drops
+    ).toDF("doc_id", "text")
+    val w = Array(0.001, 0.01, -8.0, 6.0, 0.2, -4.0)
+    val out = Curate.curateModern(docs, w, clfBias = -2.0,
+      lmThreshold = 0.0, shards = 2, seed = "s")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // survivors: 1 (dup 2 collapsed onto it), 4; 3 gated, 5 has no LM score
+    assert(out.map(_._1).toSet == Set(1L, 4L), s"got $out")
+    // positions dense within each shard; scores are the LM gate's
+    out.groupBy(_._2).values.foreach { g =>
+      assert(g.map(_._3).sorted.toSeq == (1L to g.length).toSeq) }
+    out.foreach { case (_, _, _, s) => assert(s > 0.0 && s <= 1.0) }
+    // deterministic end to end
+    val again = Curate.curateModern(docs, w, clfBias = -2.0,
+      lmThreshold = 0.0, shards = 2, seed = "s")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(again.toSet == out.toSet)
+  }
+
   test("importanceSample: rate tracks weight, samples nest, clamps, deterministic") {
     val docs = (1L to 2000L).map(i => (i, s"d$i")).toDF("doc_id", "text")
     def kept(w: Double) = TextAnalysis.importanceSample(docs, lit(w))
