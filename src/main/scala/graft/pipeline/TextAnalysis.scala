@@ -570,7 +570,14 @@ object TextAnalysis {
     * — unique join keys on the build side, so skewed contexts ("the")
     * hash-join cleanly and AQE splits any hot partition. Nothing is
     * broadcast (at 100 TB the bigram-type table is GBs); nothing beyond
-    * `vocabSize` touches the driver. */
+    * `vocabSize` touches the driver.
+    *
+    * Streaming note: this shape (per-doc shuffle agg + doc-side joins)
+    * is a BATCH plan. To score a stream, prune the model to a bounded
+    * vocabulary and apply it as a broadcast map inside a UDF — the
+    * standard streaming-gate pattern ([[importanceSample]] and
+    * [[classifierScore]] stream as-is; they are stateless row
+    * expressions). */
   def lmScore(model: LmModel, docs: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     lmScoreOnBigrams(model, docs, lmExplode(docs, idCol, textCol), idCol)

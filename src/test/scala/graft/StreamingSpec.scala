@@ -91,6 +91,21 @@ class StreamingSpec extends SparkTestBase {
       .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
     assert(streamKeeps == batchKeeps)
     q2.stop()
+    // importanceSample is a stateless md5-threshold filter, so it
+    // streams as-is: same keeps as batch, decision-for-decision
+    val in3 = MemoryStream[(Long, String)]
+    val sampled = TextAnalysis.importanceSample(
+      in3.toDF().toDF("doc_id", "text"), lit(0.5), seed = "st")
+    val q3 = Streams.toMemory(sampled, "dsir_stream", "append")
+    val manyDocs = (1L to 200L).map(i => (i, s"doc $i"))
+    in3.addData(manyDocs: _*)
+    q3.processAllAvailable()
+    val streamIds = spark.table("dsir_stream").collect().map(_.getLong(0)).toSet
+    val batchIds = TextAnalysis.importanceSample(
+        manyDocs.toDF("doc_id", "text"), lit(0.5), seed = "st")
+      .collect().map(_.getLong(0)).toSet
+    assert(streamIds == batchIds && streamIds.nonEmpty)
+    q3.stop()
   }
 
   test("streaming near-dup suppression via simhash within watermark") {
