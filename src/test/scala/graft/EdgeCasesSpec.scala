@@ -105,6 +105,43 @@ class EdgeCasesSpec extends SparkTestBase {
     assert(u.isNullAt(0))
   }
 
+  test("round-7 curation ops survive null/blank text and empty corpora") {
+    import graft.pipeline.Bpe
+    // LM gate: null/blank docs keep their row with no bigrams and a
+    // null score; real text scores; empty corpus -> empty result
+    val lm = TextAnalysis.lmGate(withNulls).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lm.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    assert(lm(2L) == 0L && lm(3L) == 0L && lm(4L) == 0L && lm(1L) > 0L)
+    assert(TextAnalysis.lmGate(empty).count() == 0)
+    // a model trained on null-ridden docs still scores a clean batch
+    val model = TextAnalysis.lmTrain(withNulls)
+    assert(TextAnalysis.lmScore(model,
+      Seq((9L, "some words")).toDF("doc_id", "text")).count() == 1)
+    // shuffle-to-shards: nulls shard like any doc (hash of the id, not
+    // the text); positions stay dense; empty corpus -> empty
+    val sh = TextAnalysis.shuffleShards(withNulls, shards = 4).collect()
+    assert(sh.length == 5)
+    assert(TextAnalysis.shuffleShards(empty, shards = 4).count() == 0)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.shuffleShards(withNulls, shards = 0) }
+    // importance sampling: null weight never keeps; empty corpus ok
+    val kept = TextAnalysis.importanceSample(
+      withNulls, when(col("doc_id") === 2L, lit(null)).otherwise(lit(1.0)))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 4L, 5L))
+    assert(TextAnalysis.importanceSample(empty, lit(1.0)).count() == 0)
+    // BPE: null/blank text encodes to an empty token array; training on
+    // null-ridden docs uses only the real tokens; empty corpus -> no merges
+    val enc = withNulls.select(col("doc_id"),
+        Bpe.encode(Seq("s" -> "o"), col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(enc(2L).isEmpty && enc(3L).isEmpty && enc(4L).isEmpty)
+    assert(enc(1L).contains("so"))
+    assert(Bpe.train(withNulls, numMerges = 2).nonEmpty)
+    assert(Bpe.train(empty, numMerges = 2).isEmpty)
+  }
+
   test("sketches survive empty input and null hashes") {
     val sk = empty.agg(Sketches.kmv(Sketches.md5Hash61(col("text")), 8))
       .collect().head.getSeq[Long](0)
