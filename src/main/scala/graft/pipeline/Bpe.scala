@@ -38,7 +38,7 @@ object Bpe {
   /** One left-to-right merge pass: every non-overlapping adjacent
     * (a, b) becomes the single symbol a+b. Shared by training (per
     * type, each iteration) and encoding (per word, each merge). */
-  private[pipeline] def mergePass(syms: Array[String], a: String, b: String): Array[String] = {
+  private[graft] def mergePass(syms: Array[String], a: String, b: String): Array[String] = {
     val out = Array.newBuilder[String]
     var i = 0
     while (i < syms.length) {
