@@ -818,6 +818,14 @@ object SparkEntry {
       clfWeights = Array(0.001, 0.01, -8.0, 6.0, 0.2, -4.0), clfBias = -2.0,
       lmThreshold = 0.02, shards = 4, seed = "g7")
 
+  /** Interpolated Kneser-Ney fluency scoring ([[TextAnalysis.knGate]]):
+    * the stronger standard LM filter — discount arithmetic is RATIONAL
+    * (d = 0.75, continuation probabilities are type-count ratios), so
+    * unlike log-space perplexity the whole smoothing formula
+    * hash-checks under the same 1e-9 quantization as p44. */
+  private def p49(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.knGate(tbl(d, "documents")(s))
+
   /** KMV set operations: estimated vs exact distinct-order overlap between
     * the A and R return flags — union by monoid merge, intersection by the
     * K-min-values threshold estimator, both oracle-exact. */
@@ -1023,6 +1031,7 @@ object SparkEntry {
     "p46_importance_sample" -> (p46 _),
     "p47_bpe_encode" -> (p47 _),
     "p48_curate_modern" -> (p48 _),
+    "p49_kn_score" -> (p49 _),
     "p31_span_excise" -> (p31 _),
     "p32_chunking" -> (p32 _),
     "p33_mixture_weights" -> (p33 _)
@@ -2070,6 +2079,34 @@ object SparkEntry {
         |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY hx, doc_id) AS BIGINT) AS pos,
         |  lm_score
         |FROM sh""".stripMargin,
+    // p49: interpolated Kneser-Ney bigram scoring — all statistics fold
+    // from the bigram TYPE table; p(w2|w1) = (max(c12-0.75,0) +
+    // 0.75*nf(w1)*(nb(w2)/nAll)) / c1(w1), quantized like p44. Self-
+    // trained, so every bigram/context is seen (inner joins).
+    "p49_kn_score" ->
+      """WITH tk AS (SELECT doc_id, list_filter(
+        |    regexp_split_to_array(lower(trim(text)), '\W+'), x -> x != '') AS toks
+        |  FROM documents),
+        |bg AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+        |  FROM tk, unnest(generate_series(1, len(toks)-1)) AS u(i)
+        |  WHERE len(toks) >= 2),
+        |c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+        |ctx AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1, COUNT(*) AS nf
+        |  FROM c12 GROUP BY 1),
+        |cont AS (SELECT w2, COUNT(*) AS nb FROM c12 GROUP BY 1),
+        |na AS (SELECT COUNT(*) AS nall FROM c12),
+        |term AS (SELECT bg.doc_id, CAST(floor(1.0e9 * (
+        |    (greatest(CAST(c12.c12 AS DOUBLE) - 0.75, 0.0)
+        |     + 0.75 * CAST(ctx.nf AS DOUBLE)
+        |       * (CAST(cont.nb AS DOUBLE) / CAST(na.nall AS DOUBLE)))
+        |    / CAST(ctx.c1 AS DOUBLE))) AS BIGINT) AS scaled
+        |  FROM bg JOIN c12 USING (w1, w2) JOIN ctx USING (w1)
+        |       JOIN cont USING (w2) CROSS JOIN na),
+        |sc AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+        |    CAST(SUM(scaled) AS BIGINT) AS sum_scaled FROM term GROUP BY 1)
+        |SELECT tk.doc_id, COALESCE(sc.n_bigrams, 0) AS n_bigrams,
+        |  CAST(sc.sum_scaled AS DOUBLE) / (CAST(sc.n_bigrams AS DOUBLE) * 1.0e9) AS kn_score
+        |FROM tk LEFT JOIN sc USING (doc_id)""".stripMargin,
     "p29_rare_tokens" ->
       """WITH tk AS (
         |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\W+'),

@@ -617,6 +617,79 @@ object TextAnalysis {
     lmScoreOnBigrams(lmModelFrom(bg.select("w1", "w2"), vocab), docs, bg, idCol)
   }
 
+  // ------------------------------------- Kneser-Ney smoothed bigram LM
+
+  /** An interpolated Kneser-Ney bigram model — every statistic derives
+    * from the bigram TYPE table (no extra corpus pass):
+    *   - `bigrams`       : (w1, w2, c12)
+    *   - `contexts`      : (w1, c1 = Σc12, nf = |{w2 : c12>0}|)
+    *   - `continuations` : (w2, nb = |{w1 : c12>0}|)
+    *   - `nAll`          : total bigram types (scalar). */
+  final case class KnModel(bigrams: DataFrame, contexts: DataFrame,
+      continuations: DataFrame, nAll: Long)
+
+  /** Fixed KN absolute discount (Chen & Goodman's 0.75) — a rational
+    * constant, so the whole smoothing formula stays transcendental-free
+    * and the p49 oracle replicates it bit-for-bit. */
+  private val KnDiscount = 0.75
+
+  /** Train an interpolated Kneser-Ney bigram model (Kneser & Ney 1995;
+    * Chen & Goodman 1999 interpolated form with fixed discount). One
+    * corpus pass builds the bigram TYPE counts; contexts, continuation
+    * counts, and the type total all fold from that table. */
+  def knTrain(docs: DataFrame, textCol: String = "text"): KnModel = {
+    val bg = docs.select(lmTokens(col(textCol)).as("_toks"))
+      .select(explode(lmBigrams(col("_toks"))).as("_bg"))
+      .select(col("_bg.w1").as("w1"), col("_bg.w2").as("w2"))
+    val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .transform(graft.Stage.materialize) // three derivations read it
+    val ctx = c12.groupBy("w1")
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("nf"))
+    val cont = c12.groupBy("w2").agg(count(lit(1)).as("nb"))
+    val nAll = c12.count()
+    KnModel(c12, ctx, cont, nAll)
+  }
+
+  /** Score documents with interpolated KN:
+    *
+    *   p(w2|w1) = (max(c12 − d, 0) + d·nf(w1)·(nb(w2)/nAll)) / c1(w1)
+    *   unseen context (c1 = 0): back off to nb(w2)/nAll
+    *
+    * quantized to [[LmScale]] exactly like [[lmScore]] (same reason: the
+    * per-doc aggregate must be an exact integer sum; every scalar step
+    * above is plain IEEE double arithmetic both engines round alike —
+    * KN's discount math is RATIONAL, which is why this model can be
+    * hash-checked while a log-space perplexity cannot). Output:
+    * (idCol, n_bigrams, kn_score); docs with <2 tokens keep a null-score
+    * row. Same join shape and scale story as [[lmScore]]. */
+  def knScore(model: KnModel, docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val bg = lmExplode(docs, idCol, textCol)
+    val d = lit(KnDiscount)
+    val pCont = coalesce(col("nb"), lit(0L)).cast("double") / lit(model.nAll.toDouble)
+    val seen = (greatest(coalesce(col("c12"), lit(0L)).cast("double") - d, lit(0.0)) +
+      d * coalesce(col("nf"), lit(0L)).cast("double") * pCont) /
+      col("c1").cast("double")
+    val p = when(col("c1").isNull, pCont).otherwise(seen)
+    val scored = bg
+      .join(model.bigrams, Seq("w1", "w2"), "left_outer")
+      .join(model.contexts, Seq("w1"), "left_outer")
+      .join(model.continuations, Seq("w2"), "left_outer")
+      .select(col(idCol), floor(lit(LmScale) * p).cast("long").as("_scaled"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("_scaled")).as("_sum"))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        (col("_sum").cast("double") /
+          (col("n_bigrams").cast("double") * lit(LmScale))).as("kn_score"))
+  }
+
+  /** Self-trained KN convenience (the [[lmGate]] of the KN model). */
+  def knGate(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    knScore(knTrain(docs, textCol), docs, idCol, textCol)
+
   // ------------------------------ importance resampling (DSIR-style)
 
   /** DSIR-style importance resampling (Xie et al. 2023 shape): keep each

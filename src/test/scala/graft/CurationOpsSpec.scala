@@ -248,6 +248,36 @@ class CurationOpsSpec extends SparkTestBase {
     assert(solo == out(10L))
   }
 
+  test("knScore: hand-computed interpolated Kneser-Ney fold; unseen backs off to continuation") {
+    // corpus "the cat sat the cat ran": c12 = {the-cat:2, cat-sat:1,
+    // sat-the:1, cat-ran:1}; c1 = {the:2, cat:2, sat:1}; nf = {the:1,
+    // cat:2, sat:1}; nb = {cat:1, sat:1, the:1, ran:1}; nAll = 4
+    val corpus = Seq((1L, "the cat sat the cat ran")).toDF("doc_id", "text")
+    val model = TextAnalysis.knTrain(corpus)
+    assert(model.nAll == 4L)
+    val probes = Seq(
+      (10L, "the cat"),      // p = (max(2-.75,0) + .75*1*(1/4)) / 2 = 0.71875
+      (11L, "the cat sat"),  // + cat-sat: (0.25 + .75*2*(1/4)) / 2 = 0.3125
+      (12L, "dog cat"),      // unseen context -> p_cont(cat) = 1/4
+      (13L, "dog zebra")     // unseen everything -> 0
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.knScore(model, probes).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(10L) == 0.71875, s"got ${out(10L)}")
+    assert(out(11L) == (0.71875 + 0.3125) / 2, s"got ${out(11L)}")
+    assert(out(12L) == 0.25, s"got ${out(12L)}")
+    assert(out(13L) == 0.0, s"got ${out(13L)}")
+    // self-trained gate ranks repeated fluent phrasing above gibberish,
+    // like the add-1 LM but with type-aware smoothing
+    val mixed = Seq(
+      (1L, "the cat sat on the mat and the dog sat on the mat"),
+      (2L, "zq xv qqj wpt zq bnl xv kkr wpt qqj bnl kkr zq")
+    ).toDF("doc_id", "text")
+    val g = TextAnalysis.knGate(mixed).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(g(1L) > g(2L), s"fluent must outscore gibberish: $g")
+  }
+
   test("curateModern: gate -> LM -> dedup -> shards composes end-to-end") {
     import graft.pipeline.Curate
     val docs = Seq(
