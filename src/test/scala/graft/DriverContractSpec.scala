@@ -22,4 +22,12 @@ class DriverContractSpec extends SparkTestBase {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
+
+  test("every query is oracle-keyed except the by-design RNG exception") {
+    // q23's Bernoulli sample is engine-RNG-specific (rows-only by
+    // design, VERDICT r4+). Anything else missing here means a new
+    // query shipped without its correctness gate.
+    val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(unoracled == Set("q23_sample"), s"queries without oracle: $unoracled")
+  }
 }
