@@ -392,6 +392,11 @@ object ScaleProbe {
       val d10 = spark.read.parquet(bigDocs)
       time("lmGate (train+score) @5k docs")(TextAnalysis.lmGate(d1).count())
       time("lmGate (train+score) @50k docs")(TextAnalysis.lmGate(d10).count())
+      time("knGate (train+score) @50k docs")(TextAnalysis.knGate(d10).count())
+      time("curateModern end-to-end @50k docs")(
+        graft.pipeline.Curate.curateModern(d10,
+          Array(0.001, 0.01, -8.0, 6.0, 0.2, -4.0), clfBias = -2.0,
+          lmThreshold = 0.02, shards = 16).count())
       time("shuffleShards window @50k")(
         TextAnalysis.shuffleShards(d10, shards = 64).count())
       time("shuffleForWrite (no window) @50k")(
