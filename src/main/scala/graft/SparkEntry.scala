@@ -826,6 +826,17 @@ object SparkEntry {
   private def p49(s: SparkSession, d: String): DataFrame =
     TextAnalysis.knGate(tbl(d, "documents")(s))
 
+  /** BPE id-encoding ([[Bpe.encodeIds]]): the pinned p47 merges, a
+    * deterministic lexicographic-rank vocabulary, and the corpus
+    * tokenized to id sequences — the format a training run consumes.
+    * The oracle rebuilds the vocabulary and the full id sequence per
+    * doc on top of the p47 encode replay. */
+  private def p50(s: SparkSession, d: String): DataFrame = {
+    val docs = tbl(d, "documents")(s)
+    val vocab = Bpe.vocabulary(P47Merges, docs)
+    Bpe.encodeIds(P47Merges, vocab, docs)
+  }
+
   /** KMV set operations: estimated vs exact distinct-order overlap between
     * the A and R return flags — union by monoid merge, intersection by the
     * K-min-values threshold estimator, both oracle-exact. */
@@ -1032,6 +1043,7 @@ object SparkEntry {
     "p47_bpe_encode" -> (p47 _),
     "p48_curate_modern" -> (p48 _),
     "p49_kn_score" -> (p49 _),
+    "p50_bpe_ids" -> (p50 _),
     "p31_span_excise" -> (p31 _),
     "p32_chunking" -> (p32 _),
     "p33_mixture_weights" -> (p33 _)
@@ -2107,6 +2119,41 @@ object SparkEntry {
         |SELECT tk.doc_id, COALESCE(sc.n_bigrams, 0) AS n_bigrams,
         |  CAST(sc.sum_scaled AS DOUBLE) / (CAST(sc.n_bigrams AS DOUBLE) * 1.0e9) AS kn_score
         |FROM tk LEFT JOIN sc USING (doc_id)""".stripMargin,
+    // p50: BPE id-encoding — the p47 encode replay, then a lexicographic
+    // rank vocabulary over the distinct emitted tokens and the per-doc
+    // id sequence ordered by (word index, token index).
+    "p50_bpe_ids" ->
+      """WITH RECURSIVE merges(rank, a, b) AS (
+        |  VALUES (1,'t','h'),(2,'th','e'),(3,'i','n'),(4,'a','n'),
+        |         (5,'e','r'),(6,'o','n'),(7,'r','e'),(8,'an','d')),
+        |nm AS (SELECT COUNT(*) AS n FROM merges),
+        |words AS (
+        |  SELECT doc_id, u.wi AS wi, toks[u.wi] AS w
+        |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\W+'),
+        |          x -> x != '') AS toks FROM documents) t,
+        |       unnest(generate_series(1, len(toks))) AS u(wi)),
+        |enc AS (
+        |  SELECT doc_id, wi, 0 AS step,
+        |    '§' || list_reduce(list_prepend('', list_transform(generate_series(1, length(w)), i -> w[i])),
+        |      (acc, x) -> acc || '·' || x) AS s
+        |  FROM words
+        |  UNION ALL
+        |  SELECT e.doc_id, e.wi, e.step + 1,
+        |    list_reduce(list_prepend('§', list_filter(string_split(e.s, '·'), y -> y != '§')),
+        |      (acc, x) -> CASE WHEN ends_with(acc, '·' || m.a) AND x = m.b
+        |        THEN left(acc, length(acc) - length(m.a) - 1) || '·' || m.a || m.b
+        |        ELSE acc || '·' || x END) AS s
+        |  FROM enc e JOIN merges m ON m.rank = e.step + 1),
+        |fin AS (SELECT doc_id, wi, string_split(substr(s, 3), '·') AS wtoks
+        |        FROM enc, nm WHERE step = nm.n),
+        |tok AS (SELECT doc_id, wi, u.i AS i, wtoks[u.i] AS token
+        |        FROM fin, unnest(generate_series(1, len(wtoks))) AS u(i)),
+        |vocab AS (SELECT token, CAST(ROW_NUMBER() OVER (ORDER BY token) AS BIGINT) AS id
+        |          FROM (SELECT DISTINCT token FROM tok)),
+        |ids AS (SELECT t.doc_id, t.wi, t.i, v.id FROM tok t JOIN vocab v USING (token))
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ids,
+        |  string_agg(CAST(id AS VARCHAR), ' ' ORDER BY wi, i) AS ids
+        |FROM ids GROUP BY doc_id""".stripMargin,
     "p29_rare_tokens" ->
       """WITH tk AS (
         |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\W+'),

@@ -137,4 +137,39 @@ object Bpe {
   private def memoFor(model: AnyRef) =
     memos.computeIfAbsent(model,
       _ => new java.util.concurrent.ConcurrentHashMap[String, Array[String]]())
+
+  /** Deterministic token-id table for a merge list over a corpus:
+    * every token the encoder emits on this corpus, id = 1-based
+    * lexicographic rank. Built from the word-TYPE table (corpus touched
+    * once); the ranking window runs over the VOCAB-sized distinct-token
+    * table (KBs–MBs at any corpus scale), not the corpus. */
+  def vocabulary(merges: Seq[(String, String)], docs: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    wordTypes(docs, textCol)
+      .select(explode(encode(merges, col("w"))).as("token"))
+      .distinct()
+      .withColumn("id", row_number().over(Window.orderBy(col("token"))).cast("long"))
+  }
+
+  /** Encode text to token IDS against a vocabulary table — the
+    * "tokenize the corpus for training" output format. Join-based (the
+    * id lookup is a shuffle equi-join against the vocab TYPE table, no
+    * driver-side map), order restored per doc by token position.
+    * Tokens outside the vocabulary resolve to -1 (a vocabulary built by
+    * [[vocabulary]] on the same corpus covers everything the encoder
+    * can emit there). Returns (idCol, n_ids, ids) with `ids` the
+    * space-joined id sequence. */
+  def encodeIds(merges: Seq[(String, String)], vocab: DataFrame,
+      docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = docs
+      .select(col(idCol), posexplode(encode(merges, col(textCol))).as(Seq("pos", "token")))
+    toks.join(vocab, Seq("token"), "left_outer")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_ids"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), coalesce(col("id"), lit(-1L)).as("id")))),
+          s => s.getField("id").cast("string"))).as("ids"))
+  }
 }

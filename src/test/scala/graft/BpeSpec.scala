@@ -43,6 +43,23 @@ class BpeSpec extends SparkTestBase {
     assert(out(1L).mkString == "aaababzqaaab")
   }
 
+  test("vocabulary ids are lexicographic ranks; encodeIds round-trips and flags OOV") {
+    val merges = Seq("a" -> "a", "a" -> "b", "aa" -> "ab")
+    val docs = Seq((1L, "aaabab ab"), (2L, "ab aaabab")).toDF("doc_id", "text")
+    val vocab = Bpe.vocabulary(merges, docs)
+    val v = vocab.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // emitted tokens across the corpus: aaab, ab -> ranks 1, 2
+    assert(v == Map("aaab" -> 1L, "ab" -> 2L), s"got $v")
+    val ids = Bpe.encodeIds(merges, vocab, docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(ids(1L) == ((3L, "1 2 2")), s"got ${ids(1L)}") // aaab ab | ab
+    assert(ids(2L) == ((3L, "2 1 2")), s"got ${ids(2L)}")
+    // a token the vocab has never seen resolves to -1, position intact
+    val oov = Bpe.encodeIds(merges, vocab, Seq((9L, "ab zz ab")).toDF("doc_id", "text"))
+      .collect().head
+    assert(oov.getString(2) == "2 -1 -1 2") // zz falls back to chars z,z
+  }
+
   test("trained model encodes its own corpus consistently; sampled training runs") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val merges = Bpe.train(docs, numMerges = 12)
