@@ -129,14 +129,21 @@ object Bpe {
     }
   }
 
-  // per-executor encode memos, keyed on model identity (the closure
-  // array deserializes once per executor, so identity is stable there)
-  private val memos =
-    new java.util.concurrent.ConcurrentHashMap[AnyRef,
-      java.util.concurrent.ConcurrentHashMap[String, Array[String]]]()
-  private def memoFor(model: AnyRef) =
-    memos.computeIfAbsent(model,
-      _ => new java.util.concurrent.ConcurrentHashMap[String, Array[String]]())
+  // per-executor encode memos, keyed WEAKLY on model identity (the
+  // closure array deserializes once per executor, so identity is
+  // stable there; weak keys let a long-lived JVM drop a memo once its
+  // query's closure is collected instead of accumulating models)
+  private val memos = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[AnyRef,
+      java.util.concurrent.ConcurrentHashMap[String, Array[String]]]())
+  private def memoFor(model: AnyRef) = memos.synchronized {
+    var m = memos.get(model)
+    if (m == null) {
+      m = new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
+      memos.put(model, m)
+    }
+    m
+  }
 
   /** Deterministic token-id table for a merge list over a corpus:
     * every token the encoder emits on this corpus, id = 1-based
