@@ -837,6 +837,14 @@ object SparkEntry {
     Bpe.encodeIds(P47Merges, vocab, docs)
   }
 
+  /** Boilerplate-hub centrality ([[graft.pipeline.Graph.similarityRank]]):
+    * integer-exact PageRank over the symmetrized p06 MinHash candidate
+    * graph — dense template/near-dup families accumulate rank. Five
+    * iterations, every one an exact integer fold the oracle unrolls
+    * CTE-for-CTE (the SQL is generated by the same iteration loop). */
+  private def p51(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.Graph.similarityRank(tbl(d, "documents")(s), iters = 5)
+
   /** KMV set operations: estimated vs exact distinct-order overlap between
     * the A and R return flags — union by monoid merge, intersection by the
     * K-min-values threshold estimator, both oracle-exact. */
@@ -1044,6 +1052,7 @@ object SparkEntry {
     "p48_curate_modern" -> (p48 _),
     "p49_kn_score" -> (p49 _),
     "p50_bpe_ids" -> (p50 _),
+    "p51_similarity_rank" -> (p51 _),
     "p31_span_excise" -> (p31 _),
     "p32_chunking" -> (p32 _),
     "p33_mixture_weights" -> (p33 _)
@@ -2154,6 +2163,56 @@ object SparkEntry {
         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ids,
         |  string_agg(CAST(id AS VARCHAR), ' ' ORDER BY wi, i) AS ids
         |FROM ids GROUP BY doc_id""".stripMargin,
+    // p51: integer-exact PageRank over the symmetrized p06 candidate
+    // graph. r0 = S//N; each step: per-edge contribution rank//outdeg
+    // (exact BIGINT), per-node SUM, damped via (85*s)//100 plus the
+    // integer base (S*15)//(100*N). The five iteration CTEs below are
+    // GENERATED by the same loop the Spark operator runs — fixed
+    // iteration count makes the recursion unrollable.
+    "p51_similarity_rank" -> {
+      val prefix =
+        """WITH tk AS (
+          |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\W+'),
+          |    x -> x != '') AS toks FROM documents),
+          |sh AS (
+          |  SELECT doc_id, (md5_number_lower(s) & 2147483647) AS base
+          |  FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
+          |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s FROM tk) u),
+          |perm AS (
+          |  SELECT s.s AS s, ((md5_number_lower('ga' || s.s) & 2147483647) | 1) AS a,
+          |         (md5_number_lower('gb' || s.s) & 2147483647) AS b
+          |  FROM generate_series(0, 63) s(s)),
+          |mins AS (
+          |  SELECT doc_id, s, CAST(MIN((a * base + b) % 2305843009213693951) AS BIGINT) AS v
+          |  FROM sh, perm GROUP BY doc_id, s),
+          |sig AS (SELECT doc_id, list(v ORDER BY s) AS sig FROM mins GROUP BY doc_id),
+          |banded AS (
+          |  SELECT doc_id, b.b AS band,
+          |    array_to_string(list_slice(sig, 4*b.b + 1, 4*b.b + 4), ',') AS band_key
+          |  FROM sig, generate_series(0, 15) b(b)),
+          |pairs AS (
+          |  SELECT l.doc_id AS id_a, r.doc_id AS id_b
+          |  FROM banded l JOIN banded r ON l.band = r.band AND l.band_key = r.band_key
+          |  WHERE l.doc_id < r.doc_id GROUP BY 1, 2),
+          |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          |          UNION ALL SELECT id_b, id_a FROM pairs),
+          |nodes AS (SELECT doc_id AS id FROM documents),
+          |nn AS (SELECT COUNT(*) AS n FROM nodes),
+          |od AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY 1),
+          |r0 AS (SELECT id, (1000000000000 // nn.n) AS rank FROM nodes CROSS JOIN nn)""".stripMargin
+      val steps = (1 to 5).map { i =>
+        s"""c$i AS (SELECT e.dst AS id, (r.rank // od.outdeg) AS c
+           |  FROM edges e JOIN r${i - 1} r ON r.id = e.src JOIN od ON od.src = e.src),
+           |r$i AS (SELECT nodes.id,
+           |    ((1000000000000 * 15) // (100 * nn.n))
+           |      + ((85 * COALESCE(s.s, 0)) // 100) AS rank
+           |  FROM nodes CROSS JOIN nn LEFT JOIN
+           |    (SELECT id, CAST(SUM(c) AS BIGINT) AS s FROM c$i GROUP BY 1) s
+           |    ON s.id = nodes.id)""".stripMargin
+      }
+      prefix + ",\n" + steps.mkString(",\n") +
+        "\nSELECT id AS doc_id, rank FROM r5"
+    },
     "p29_rare_tokens" ->
       """WITH tk AS (
         |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\W+'),

@@ -248,6 +248,36 @@ class CurationOpsSpec extends SparkTestBase {
     assert(solo == out(10L))
   }
 
+  test("pageRankInt: hand-computed integer iteration; hubs outrank leaves") {
+    import graft.pipeline.Graph
+    // star 1-2, 1-3 symmetrized, plus isolated node 4; scale 1000,
+    // damping 1/2 for hand arithmetic: r0 = 250, base = 1000//8 = 125
+    //   iter1: sums 1:500 2:125 3:125 -> r1 = 375/187/187/125
+    //   iter2: sums 1:374 2:187 3:187 -> r2 = 312/218/218/125
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L)).toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("id")
+    def ranks(iters: Int) = Graph.pageRankInt(edges, nodes, iters,
+      scale = 1000L, dampNum = 1L, dampDen = 2L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ranks(1) == Map(1L -> 375L, 2L -> 187L, 3L -> 187L, 4L -> 125L))
+    assert(ranks(2) == Map(1L -> 312L, 2L -> 218L, 3L -> 218L, 4L -> 125L))
+    // similarityRank: a near-dup family accumulates rank above the
+    // unrelated singles (boilerplate-hub shortlist semantics)
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+      (3L, "completely different content about spark query engines and shuffles"),
+      (4L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (5L, "unrelated text mentioning databases and columnar storage formats here")
+    ).toDF("doc_id", "text")
+    val sr = graft.pipeline.Graph.similarityRank(docs, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sr(1L) > sr(3L) && sr(2L) > sr(5L), s"dup family must outrank singles: $sr")
+    // the default run is deterministic
+    assert(graft.pipeline.Graph.similarityRank(docs, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == sr)
+  }
+
   test("knScore: hand-computed interpolated Kneser-Ney fold; unseen backs off to continuation") {
     // corpus "the cat sat the cat ran": c12 = {the-cat:2, cat-sat:1,
     // sat-the:1, cat-ran:1}; c1 = {the:2, cat:2, sat:1}; nf = {the:1,
