@@ -393,6 +393,8 @@ object ScaleProbe {
       time("lmGate (train+score) @5k docs")(TextAnalysis.lmGate(d1).count())
       time("lmGate (train+score) @50k docs")(TextAnalysis.lmGate(d10).count())
       time("knGate (train+score) @50k docs")(TextAnalysis.knGate(d10).count())
+      time("similarityRank 5 iters @50k docs")(
+        graft.pipeline.Graph.similarityRank(d10, iters = 5).count())
       time("curateModern end-to-end @50k docs")(
         graft.pipeline.Curate.curateModern(d10,
           Array(0.001, 0.01, -8.0, 6.0, 0.2, -4.0), clfBias = -2.0,
