@@ -145,6 +145,20 @@ object Bpe {
     m
   }
 
+  /** Merge list as a relation (rank, a, b) — persist with any sink;
+    * [[mergesFromDF]] restores training order from the rank column. */
+  def mergesToDF(merges: Seq[(String, String)],
+      spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    merges.zipWithIndex
+      .map { case ((a, b), i) => (i + 1, a, b) }.toDF("rank", "a", "b")
+  }
+
+  /** Restore a merge list from its relation form (ordered by rank). */
+  def mergesFromDF(df: DataFrame): Seq[(String, String)] =
+    df.orderBy(col("rank")).collect()
+      .map(r => (r.getAs[String]("a"), r.getAs[String]("b"))).toSeq
+
   /** Deterministic token-id table for a merge list over a corpus:
     * every token the encoder emits on this corpus, id = 1-based
     * lexicographic rank. Built from the word-TYPE table (corpus touched

@@ -248,6 +248,41 @@ class CurationOpsSpec extends SparkTestBase {
     assert(solo == out(10L))
   }
 
+  test("LM/KN models and BPE merges round-trip through parquet") {
+    import graft.pipeline.Bpe
+    val corpus = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog ran to the mat")
+    ).toDF("doc_id", "text")
+    val probe = Seq((9L, "the cat ran")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_models").toString
+    // bigram LM: the two count relations + the vocab scalar restore a
+    // model that scores identically
+    val lm = TextAnalysis.lmTrain(corpus)
+    lm.bigrams.write.parquet(s"$dir/lm_bigrams")
+    lm.contexts.write.parquet(s"$dir/lm_contexts")
+    val lm2 = TextAnalysis.LmModel(
+      spark.read.parquet(s"$dir/lm_bigrams"),
+      spark.read.parquet(s"$dir/lm_contexts"), lm.vocabSize)
+    assert(TextAnalysis.lmScore(lm2, probe).collect().toSeq ==
+      TextAnalysis.lmScore(lm, probe).collect().toSeq)
+    // KN model: three relations + the type total
+    val kn = TextAnalysis.knTrain(corpus)
+    kn.bigrams.write.parquet(s"$dir/kn_bigrams")
+    kn.contexts.write.parquet(s"$dir/kn_contexts")
+    kn.continuations.write.parquet(s"$dir/kn_continuations")
+    val kn2 = TextAnalysis.KnModel(
+      spark.read.parquet(s"$dir/kn_bigrams"),
+      spark.read.parquet(s"$dir/kn_contexts"),
+      spark.read.parquet(s"$dir/kn_continuations"), kn.nAll)
+    assert(TextAnalysis.knScore(kn2, probe).collect().toSeq ==
+      TextAnalysis.knScore(kn, probe).collect().toSeq)
+    // BPE merges: relation form preserves training order exactly
+    val merges = Seq("t" -> "h", "th" -> "e", "a" -> "t")
+    Bpe.mergesToDF(merges, spark).write.parquet(s"$dir/merges")
+    assert(Bpe.mergesFromDF(spark.read.parquet(s"$dir/merges")) == merges)
+  }
+
   test("pageRankInt: hand-computed integer iteration; hubs outrank leaves") {
     import graft.pipeline.Graph
     // star 1-2, 1-3 symmetrized, plus isolated node 4; scale 1000,
