@@ -757,4 +757,53 @@ object TextAnalysis {
       .sortWithinPartitions(col("shard"), col("_hx"), col(idCol))
       .drop("_hx")
   }
+
+  /** Per-shard integrity summary: row count + an ORDER-INDEPENDENT id
+    * fold (exact DECIMAL sum of the 61-bit id hashes — commutative, so
+    * it is insensitive to file and task order, and overflow-free at any
+    * row count). Computable identically from the pre-write stream and
+    * from the files on disk — which is the whole point. */
+  private def shardManifest(df: DataFrame, idCol: String, seed: String): DataFrame =
+    df.groupBy("shard").agg(
+      count(lit(1)).as("rows"),
+      sum(graft.operators.Sketches.md5Hash61(
+        concat_ws(":", lit(seed), col(idCol).cast("string")))
+        .cast("decimal(38,0)")).as("id_fold"))
+
+  /** Write a corpus as deterministic training shards WITH an integrity
+    * manifest: [[shuffleForWrite]] order → `partitionBy(shard)` files,
+    * plus `_manifest` (underscore-prefixed: invisible to Spark readers
+    * of the data directory) holding each shard's row count and id fold.
+    * Returns the manifest. [[verifyShards]] re-derives the same summary
+    * from the files and diffs — the missing-file / double-write check
+    * every long-running pipeline wants before it points a trainer at a
+    * directory. */
+  def writeShards(docs: DataFrame, dir: String, shards: Int,
+      idCol: String = "doc_id", seed: String = "shuffle"): DataFrame = {
+    val prepared = shuffleForWrite(docs, shards, idCol, seed)
+      .transform(graft.Stage.materialize) // files + manifest read it once
+    prepared.write.mode("overwrite").partitionBy("shard").parquet(dir)
+    val manifest = shardManifest(prepared, idCol, seed)
+    manifest.write.mode("overwrite").parquet(s"$dir/_manifest")
+    manifest
+  }
+
+  /** Diff the stored manifest against a fresh fold of the data files.
+    * Returns the mismatching shards (empty = intact): shard, the stored
+    * (rows, id_fold), and the observed pair — a shard missing from disk
+    * shows null observed values, an extra/duplicated shard null stored
+    * ones. */
+  def verifyShards(spark: org.apache.spark.sql.SparkSession, dir: String,
+      idCol: String = "doc_id", seed: String = "shuffle"): DataFrame = {
+    val stored = spark.read.parquet(s"$dir/_manifest")
+      .select(col("shard"), col("rows").as("rows_stored"),
+        col("id_fold").as("fold_stored"))
+    val observed = shardManifest(spark.read.parquet(dir), idCol, seed)
+      .select(col("shard"), col("rows").as("rows_seen"),
+        col("id_fold").as("fold_seen"))
+    stored.join(observed, Seq("shard"), "full_outer")
+      .filter(col("rows_stored").isNull || col("rows_seen").isNull ||
+        col("rows_stored") =!= col("rows_seen") ||
+        col("fold_stored") =!= col("fold_seen"))
+  }
 }

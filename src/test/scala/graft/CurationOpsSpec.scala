@@ -248,6 +248,24 @@ class CurationOpsSpec extends SparkTestBase {
     assert(solo == out(10L))
   }
 
+  test("writeShards: manifest matches disk; verifyShards flags a lost shard") {
+    val docs = (1L to 300L).map(i => (i, s"doc body $i")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards").toString + "/out"
+    val manifest = TextAnalysis.writeShards(docs, dir, shards = 4, seed = "m1")
+    val m = manifest.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(m.keySet == Set(0, 1, 2, 3) && m.values.sum == 300L)
+    // intact directory verifies clean
+    assert(TextAnalysis.verifyShards(spark, dir, seed = "m1").count() == 0)
+    // reading the data dir does NOT see the manifest rows (underscore dir)
+    assert(spark.read.parquet(dir).count() == 300L)
+    // simulate a lost shard: remove shard=2's directory
+    val shardDir = new java.io.File(s"$dir/shard=2")
+    shardDir.listFiles().foreach(_.delete()); shardDir.delete()
+    val bad = TextAnalysis.verifyShards(spark, dir, seed = "m1")
+      .collect().map(r => r.getInt(0)).toSet
+    assert(bad == Set(2), s"must flag exactly the lost shard: $bad")
+  }
+
   test("LM/KN models and BPE merges round-trip through parquet") {
     import graft.pipeline.Bpe
     val corpus = Seq(
