@@ -845,6 +845,13 @@ object SparkEntry {
   private def p51(s: SparkSession, d: String): DataFrame =
     graft.pipeline.Graph.similarityRank(tbl(d, "documents")(s), iters = 5)
 
+  /** Trigram-KN fluency ([[TextAnalysis.knGate3]]): the top of the LM
+    * ladder (add-1 bigram → bigram KN → trigram KN over a bigram-KN
+    * backoff). Self-trained, so every trigram/bigram is seen and the
+    * oracle's inner-join seen-branch replica is total. */
+  private def p52(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.knGate3(tbl(d, "documents")(s))
+
   /** KMV set operations: estimated vs exact distinct-order overlap between
     * the A and R return flags — union by monoid merge, intersection by the
     * K-min-values threshold estimator, both oracle-exact. */
@@ -1053,6 +1060,7 @@ object SparkEntry {
     "p49_kn_score" -> (p49 _),
     "p50_bpe_ids" -> (p50 _),
     "p51_similarity_rank" -> (p51 _),
+    "p52_kn3_score" -> (p52 _),
     "p31_span_excise" -> (p31 _),
     "p32_chunking" -> (p32 _),
     "p33_mixture_weights" -> (p33 _)
@@ -2213,6 +2221,46 @@ object SparkEntry {
       prefix + ",\n" + steps.mkString(",\n") +
         "\nSELECT id AS doc_id, rank FROM r5"
     },
+    // p52: trigram KN over the bigram-KN backoff — self-trained, so
+    // every level is seen and the seen-branch formula is total; the
+    // nested p2 expression is the p49 replica verbatim, composed inside
+    // the trigram fold with explicit parenthesization.
+    "p52_kn3_score" ->
+      """WITH tk AS (SELECT doc_id, list_filter(
+        |    regexp_split_to_array(lower(trim(text)), '\W+'), x -> x != '') AS toks
+        |  FROM documents),
+        |bg AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+        |  FROM tk, unnest(generate_series(1, len(toks)-1)) AS u(i)
+        |  WHERE len(toks) >= 2),
+        |c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+        |ctx AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1, COUNT(*) AS nf
+        |  FROM c12 GROUP BY 1),
+        |cont AS (SELECT w2, COUNT(*) AS nb FROM c12 GROUP BY 1),
+        |na AS (SELECT COUNT(*) AS nall FROM c12),
+        |tg AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2, toks[i+2] AS w3
+        |  FROM tk, unnest(generate_series(1, len(toks)-2)) AS u(i)
+        |  WHERE len(toks) >= 3),
+        |c123 AS (SELECT w1, w2, w3, COUNT(*) AS c123 FROM tg GROUP BY 1, 2, 3),
+        |tctx AS (SELECT w1, w2, CAST(SUM(c123) AS BIGINT) AS c12t, COUNT(*) AS nf12
+        |  FROM c123 GROUP BY 1, 2),
+        |term AS (SELECT tg.doc_id, CAST(floor(1.0e9 * (
+        |    (greatest(CAST(c123.c123 AS DOUBLE) - 0.75, 0.0)
+        |     + (0.75 * CAST(tctx.nf12 AS DOUBLE))
+        |       * ((greatest(CAST(b.c12 AS DOUBLE) - 0.75, 0.0)
+        |           + 0.75 * CAST(x.nf AS DOUBLE)
+        |             * (CAST(c.nb AS DOUBLE) / CAST(na.nall AS DOUBLE)))
+        |          / CAST(x.c1 AS DOUBLE)))
+        |    / CAST(tctx.c12t AS DOUBLE))) AS BIGINT) AS scaled
+        |  FROM tg JOIN c123 USING (w1, w2, w3) JOIN tctx USING (w1, w2)
+        |       JOIN c12 b ON b.w1 = tg.w2 AND b.w2 = tg.w3
+        |       JOIN ctx x ON x.w1 = tg.w2
+        |       JOIN cont c ON c.w2 = tg.w3
+        |       CROSS JOIN na),
+        |sc AS (SELECT doc_id, COUNT(*) AS n_trigrams,
+        |    CAST(SUM(scaled) AS BIGINT) AS sum_scaled FROM term GROUP BY 1)
+        |SELECT tk.doc_id, COALESCE(sc.n_trigrams, 0) AS n_trigrams,
+        |  CAST(sc.sum_scaled AS DOUBLE) / (CAST(sc.n_trigrams AS DOUBLE) * 1.0e9) AS kn3_score
+        |FROM tk LEFT JOIN sc USING (doc_id)""".stripMargin,
     "p29_rare_tokens" ->
       """WITH tk AS (
         |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\W+'),

@@ -690,6 +690,86 @@ object TextAnalysis {
       textCol: String = "text"): DataFrame =
     knScore(knTrain(docs, textCol), docs, idCol, textCol)
 
+  /** Trigram KN: the trigram TYPE counts + contexts over a bigram
+    * [[KnModel]] as the backoff distribution. */
+  final case class Kn3Model(trigrams: DataFrame, triContexts: DataFrame,
+      bigram: KnModel)
+
+  /** Trigram array of a token array — same projected-attribute contract
+    * as [[lmBigrams]] (Catalyst does not CSE through the lambda). */
+  private def lmTrigrams(toks: Column): Column =
+    when(size(toks) >= 3,
+      transform(sequence(lit(1), size(toks) - 2), i =>
+        struct(element_at(toks, i).as("w1"), element_at(toks, i + 1).as("w2"),
+          element_at(toks, i + 2).as("w3"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string,w3:string>>"))
+
+  /** Train the trigram tier on top of [[knTrain]]'s bigram model: one
+    * extra explode builds the trigram TYPE table; the (w1, w2) context
+    * totals and distinct-continuation counts fold from it. */
+  def knTrain3(docs: DataFrame, textCol: String = "text"): Kn3Model = {
+    val tg = docs.select(lmTokens(col(textCol)).as("_toks"))
+      .select(explode(lmTrigrams(col("_toks"))).as("_tg"))
+      .select(col("_tg.w1").as("w1"), col("_tg.w2").as("w2"), col("_tg.w3").as("w3"))
+    val c123 = tg.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c123"))
+      .transform(graft.Stage.materialize)
+    val tctx = c123.groupBy("w1", "w2")
+      .agg(sum(col("c123")).as("c12t"), count(lit(1)).as("nf12"))
+    Kn3Model(c123, tctx, knTrain(docs, textCol))
+  }
+
+  /** Score with interpolated trigram KN, lower order = the
+    * [[knScore]] bigram distribution on raw counts (the common
+    * implementation simplification; documented deviation from
+    * continuation-count lower orders):
+    *
+    *   p3(w3|w1w2) = (max(c123−d,0) + (d·nf12)·p2(w3|w2)) / c12t
+    *   unseen (w1,w2) trigram context: back off to p2(w3|w2)
+    *
+    * with p2 the exact expression from [[knScore]]. The whole
+    * composition is rational scalar double arithmetic, quantized once
+    * at the trigram level — the p52 oracle replays it bit-for-bit.
+    * Docs with <3 tokens keep a null-score row. One more type-table
+    * join family than [[knScore]]; same scale story. */
+  def knScore3(model: Kn3Model, docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val d = lit(KnDiscount)
+    val tg = docs.select(col(idCol), lmTokens(col(textCol)).as("_toks"))
+      .select(col(idCol), explode(lmTrigrams(col("_toks"))).as("_tg"))
+      .select(col(idCol), col("_tg.w1").as("w1"), col("_tg.w2").as("w2"),
+        col("_tg.w3").as("w3"))
+    val bi = model.bigram
+    // p2(w3|w2): the knScore expression over (w2, w3)
+    val pCont = coalesce(col("nb"), lit(0L)).cast("double") / lit(bi.nAll.toDouble)
+    val p2seen = (greatest(coalesce(col("c12"), lit(0L)).cast("double") - d, lit(0.0)) +
+      d * coalesce(col("nf"), lit(0L)).cast("double") * pCont) /
+      col("c1").cast("double")
+    val p2 = when(col("c1").isNull, pCont).otherwise(p2seen)
+    val p3seen = (greatest(coalesce(col("c123"), lit(0L)).cast("double") - d, lit(0.0)) +
+      (d * coalesce(col("nf12"), lit(0L)).cast("double")) * p2) /
+      col("c12t").cast("double")
+    val p3 = when(col("c12t").isNull, p2).otherwise(p3seen)
+    val scored = tg
+      .join(model.trigrams, Seq("w1", "w2", "w3"), "left_outer")
+      .join(model.triContexts, Seq("w1", "w2"), "left_outer")
+      .join(bi.bigrams.toDF("w2", "w3", "c12"), Seq("w2", "w3"), "left_outer")
+      .join(bi.contexts.toDF("w2", "c1", "nf"), Seq("w2"), "left_outer")
+      .join(bi.continuations.toDF("w3", "nb"), Seq("w3"), "left_outer")
+      .select(col(idCol), floor(lit(LmScale) * p3).cast("long").as("_scaled"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_trigrams"), sum(col("_scaled")).as("_sum"))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        (col("_sum").cast("double") /
+          (col("n_trigrams").cast("double") * lit(LmScale))).as("kn3_score"))
+  }
+
+  /** Self-trained trigram-KN convenience. */
+  def knGate3(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    knScore3(knTrain3(docs, textCol), docs, idCol, textCol)
+
   // ------------------------------ importance resampling (DSIR-style)
 
   /** DSIR-style importance resampling (Xie et al. 2023 shape): keep each

@@ -361,6 +361,26 @@ class CurationOpsSpec extends SparkTestBase {
     assert(g(1L) > g(2L), s"fluent must outscore gibberish: $g")
   }
 
+  test("knScore3: hand-computed trigram fold over the bigram backoff") {
+    // corpus "the cat sat the cat ran": trigram (the,cat,sat) has
+    // c123 = 1, context (the,cat) c12t = 2 / nf12 = 2; the bigram
+    // backoff p2(sat|cat) = 0.3125 (knScore test above). So
+    // p3 = (max(1-.75,0) + (.75*2)*0.3125) / 2 = 0.359375.
+    val corpus = Seq((1L, "the cat sat the cat ran")).toDF("doc_id", "text")
+    val model = TextAnalysis.knTrain3(corpus)
+    val probes = Seq(
+      (10L, "the cat sat"),  // exactly the hand fold above
+      (11L, "dog cat sat"),  // unseen trigram context -> backoff p2(sat|cat)
+      (12L, "to the")        // <3 tokens -> null
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.knScore3(model, probes).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) Double.NaN else r.getDouble(2)))).toMap
+    assert(out(10L)._2 == 0.359375, s"got ${out(10L)}")
+    assert(out(11L)._2 == 0.3125, s"unseen context must back off to p2: ${out(11L)}")
+    assert(out(12L)._1 == 0L && out(12L)._2.isNaN)
+  }
+
   test("curateModern: gate -> LM -> dedup -> shards composes end-to-end") {
     import graft.pipeline.Curate
     val docs = Seq(
