@@ -852,6 +852,24 @@ object SparkEntry {
   private def p52(s: SparkSession, d: String): DataFrame =
     TextAnalysis.knGate3(tbl(d, "documents")(s))
 
+  /** Line-level boilerplate dedup ([[Dedup.dedupLines]]): docs get line
+    * structure from the chunking operator (aligned 10-token chunks as
+    * lines — the corpus has no newlines of its own), then any line
+    * recurring in >= 2 distinct docs — the aligned spans near-dup
+    * families share — is removed everywhere and the text rebuilt. */
+  private def p53(s: SparkSession, d: String): DataFrame = {
+    val chunked = TextAnalysis.chunkTokens(tbl(d, "documents")(s),
+      size = 10, overlap = 0, minTokens = 1)
+    val lined = chunked.groupBy("doc_id").agg(
+      array_join(
+        transform(
+          array_sort(collect_list(struct(col("chunk_idx").as("i"),
+            col("chunk_text").as("t")))),
+          x => x.getField("t")),
+        "\n").as("text"))
+    Dedup.dedupLines(lined, minDocs = 2)
+  }
+
   /** KMV set operations: estimated vs exact distinct-order overlap between
     * the A and R return flags — union by monoid merge, intersection by the
     * K-min-values threshold estimator, both oracle-exact. */
@@ -1061,6 +1079,7 @@ object SparkEntry {
     "p50_bpe_ids" -> (p50 _),
     "p51_similarity_rank" -> (p51 _),
     "p52_kn3_score" -> (p52 _),
+    "p53_line_dedup" -> (p53 _),
     "p31_span_excise" -> (p31 _),
     "p32_chunking" -> (p32 _),
     "p33_mixture_weights" -> (p33 _)
@@ -2261,6 +2280,34 @@ object SparkEntry {
         |SELECT tk.doc_id, COALESCE(sc.n_trigrams, 0) AS n_trigrams,
         |  CAST(sc.sum_scaled AS DOUBLE) / (CAST(sc.n_trigrams AS DOUBLE) * 1.0e9) AS kn3_score
         |FROM tk LEFT JOIN sc USING (doc_id)""".stripMargin,
+    // p53: the lined-docs construction is the p32 chunk replica (size 10,
+    // overlap 0, minTokens 1) re-joined by \n in chunk order; then the
+    // line-dedup pass — trimmed-line keys counted by DISTINCT doc, keys in
+    // >= 2 docs removed everywhere, text rebuilt from survivors in
+    // position order (string_agg skips the removed lines' NULLs; a doc of
+    // only boilerplate COALESCEs to '').
+    "p53_line_dedup" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\W+'),
+        |    x -> x != '') AS toks FROM documents),
+        |lined AS (SELECT doc_id,
+        |    string_agg(array_to_string(list_slice(toks, s.s, least(s.s + 9, len(toks))), ' '),
+        |      chr(10) ORDER BY s.s) AS text
+        |  FROM tk, LATERAL unnest(generate_series(1, len(toks), 10)) s(s)
+        |  GROUP BY doc_id),
+        |l AS (SELECT doc_id, i - 1 AS pos, list_extract(ls, i) AS ln
+        |  FROM (SELECT doc_id, string_split(COALESCE(text, ''), chr(10)) AS ls FROM lined),
+        |  LATERAL unnest(generate_series(1, len(ls))) t(i)),
+        |k AS (SELECT doc_id, pos, ln, trim(ln) AS key FROM l),
+        |common AS (SELECT key FROM k WHERE len(key) > 0
+        |  GROUP BY key HAVING COUNT(DISTINCT doc_id) >= 2),
+        |m AS (SELECT k.doc_id, k.pos, k.ln, c.key IS NOT NULL AS rm
+        |  FROM k LEFT JOIN common c ON k.key = c.key)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |  CAST(COALESCE(SUM(CASE WHEN rm THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_removed,
+        |  COALESCE(string_agg(CASE WHEN NOT rm THEN ln END, chr(10) ORDER BY pos), '')
+        |    AS text_clean
+        |FROM m GROUP BY doc_id""".stripMargin,
     "p29_rare_tokens" ->
       """WITH tk AS (
         |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\W+'),

@@ -958,6 +958,60 @@ object Dedup {
           coalesce(col("_rm"), array().cast("array<int>"))).as("text_clean"))
   }
 
+  /** Line-level corpus dedup — the "remove duplicated lines" boilerplate
+    * pass of RefinedWeb / MassiveText-style curation (Penedo et al. 2023;
+    * Rae et al. 2021): a line whose TRIMMED content occurs in at least
+    * `minDocs` DISTINCT documents is boilerplate (nav menus, cookie
+    * banners, license headers) and is removed from EVERY document it
+    * appears in; blank lines are never counted and never removed. The
+    * complement to [[exciseDuplicateSpans]]: that operator keeps one
+    * canonical occurrence of a duplicated token span, this one drops ALL
+    * occurrences of a corpus-common line.
+    *
+    * Returns (idCol, n_lines, n_removed, text_clean) with `text_clean`
+    * the surviving lines re-joined by `\n` in original order (a doc whose
+    * every line is boilerplate yields `""`). Null text reads as one blank
+    * line, so it survives as `""` too.
+    *
+    * Plan shape, all linear: one posexplode of the line stream; one
+    * map-side-combined distinct-doc count per line key (two-phase
+    * `countDistinct`, no pairwise work); the common-line table — bounded
+    * by the BOILERPLATE vocabulary, tiny next to the corpus, broadcast by
+    * AQE in practice — joins back on the key (a corpus-wide hot line is
+    * aggregation-then-join skew, which AQE's skew-join split handles);
+    * one per-doc rebuild aggregation whose state is doc-sized. At 100 TB
+    * the only all-corpus shuffle is the line-key count, and it combines
+    * map-side. */
+  def dedupLines(
+      docs: DataFrame,
+      minDocs: Int = 3,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val lines = docs
+      .select(col(idCol),
+        posexplode(split(coalesce(col(textCol), lit("")), "\n"))
+          .as(Seq("_pos", "_ln")))
+      .withColumn("_key", trim(col("_ln")))
+      .transform(graft.Stage.materialize) // key count + rebuild both read it
+    val common = lines.filter(length(col("_key")) > 0)
+      .groupBy("_key")
+      .agg(countDistinct(col(idCol)).as("_d"))
+      .filter(col("_d") >= minDocs)
+      .select(col("_key"), lit(true).as("_rm"))
+    lines.join(common, Seq("_key"), "left_outer")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        count(col("_rm")).as("n_removed"), // true-or-null: count = removed
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("_rm").isNull,
+              struct(col("_pos").as("p"), col("_ln").as("l"))))),
+            x => x.getField("l")),
+          "\n").as("text_clean"))
+  }
+
   /** Embedding cosine near-dup: LSH-bucket by random-hyperplane signs
     * (deterministic seeded planes), verify exact cosine within buckets.
     *

@@ -41,6 +41,53 @@ class CurationOpsSpec extends SparkTestBase {
       (5L, 4L, 5L, 1.0))
   }
 
+  test("dedupLines removes corpus-common lines, keeps blanks and rare lines") {
+    val banner = "accept our cookies"
+    val docs = Seq(
+      (1L, s"$banner\nreal content one\n\nmore of doc one"),
+      (2L, s"intro two\n$banner\nreal content two"),
+      (3L, s"$banner\nreal content three"),
+      (4L, "  accept our cookies  \nonly line kept is blank\n"),
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupLines(docs, minDocs = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // the banner is in 4 distinct docs (doc 4 via trim) → removed everywhere
+    assert(out(1L) == (4L, 1L, "real content one\n\nmore of doc one"))
+    assert(out(2L) == (3L, 1L, "intro two\nreal content two"))
+    assert(out(3L) == (2L, 1L, "real content three"))
+    // doc 4: trailing \n yields a final empty line; blanks always survive
+    assert(out(4L) == (3L, 1L, "only line kept is blank\n"))
+    // null text reads as one blank line
+    assert(out(5L) == (1L, 0L, ""))
+    // "real content ..." lines differ per doc → below minDocs, all kept
+  }
+
+  test("dedupLines minDocs threshold and the all-boilerplate doc") {
+    val docs = Seq(
+      (1L, "shared pair\nunique a"),
+      (2L, "shared pair\nunique b"),
+      (3L, "shared pair")
+    ).toDF("doc_id", "text")
+    // minDocs = 4: nothing reaches the threshold
+    val keep = Dedup.dedupLines(docs, minDocs = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(keep == Map(1L -> 0L, 2L -> 0L, 3L -> 0L))
+    // minDocs = 2: the shared line goes; doc 3 becomes empty text
+    val out = Dedup.dedupLines(docs, minDocs = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(1L) == (2L, 1L, "unique a"))
+    assert(out(2L) == (2L, 1L, "unique b"))
+    assert(out(3L) == (1L, 1L, ""))
+    // repeats WITHIN one doc don't count toward distinct-doc threshold
+    val within = Dedup.dedupLines(
+      Seq((7L, "again\nagain\nagain"), (8L, "other")).toDF("doc_id", "text"),
+      minDocs = 2).collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(within == Map(7L -> 0L, 8L -> 0L))
+  }
+
   test("exciseDuplicateSpans keeps the canonical occurrence, removes the rest") {
     val docs = Seq(
       (1L, "a b c d e f g"),   // canonical home of abcdef (doc 1, pos 0)
