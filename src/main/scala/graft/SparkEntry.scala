@@ -870,6 +870,14 @@ object SparkEntry {
     Dedup.dedupLines(lined, minDocs = 2)
   }
 
+  /** Triangle census of the near-dup candidate graph
+    * ([[Graph.similarityTriangles]]): degree-ordered orientation counts
+    * each triangle exactly once; the clustering coefficient separates
+    * genuine duplicate families (closed neighborhoods) from collision
+    * hubs. */
+  private def p54(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.Graph.similarityTriangles(tbl(d, "documents")(s))
+
   /** KMV set operations: estimated vs exact distinct-order overlap between
     * the A and R return flags — union by monoid merge, intersection by the
     * K-min-values threshold estimator, both oracle-exact. */
@@ -1080,6 +1088,7 @@ object SparkEntry {
     "p51_similarity_rank" -> (p51 _),
     "p52_kn3_score" -> (p52 _),
     "p53_line_dedup" -> (p53 _),
+    "p54_similarity_triangles" -> (p54 _),
     "p31_span_excise" -> (p31 _),
     "p32_chunking" -> (p32 _),
     "p33_mixture_weights" -> (p33 _)
@@ -1132,6 +1141,36 @@ object SparkEntry {
           |LEFT JOIN comp ON comp.id = d.doc_id WHERE comp.id IS NULL
           |UNION ALL
           |SELECT d.doc_id, d.lang, d.source FROM keep JOIN documents d ON d.doc_id = keep.doc_id""".stripMargin
+
+  /** Shared oracle CTE chain replicating [[Dedup.minhashCandidates]]
+    * (k=64, bands=16, 3-word shingles) over `documents`: ends at `pairs`
+    * (distinct id_a < id_b) and `nodes` — the similarity-graph base the
+    * p51 (PageRank) and p54 (triangles) oracles both build on. */
+  private val MinhashGraphCte: String =
+    """WITH tk AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\W+'),
+      |    x -> x != '') AS toks FROM documents),
+      |sh AS (
+      |  SELECT doc_id, (md5_number_lower(s) & 2147483647) AS base
+      |  FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
+      |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s FROM tk) u),
+      |perm AS (
+      |  SELECT s.s AS s, ((md5_number_lower('ga' || s.s) & 2147483647) | 1) AS a,
+      |         (md5_number_lower('gb' || s.s) & 2147483647) AS b
+      |  FROM generate_series(0, 63) s(s)),
+      |mins AS (
+      |  SELECT doc_id, s, CAST(MIN((a * base + b) % 2305843009213693951) AS BIGINT) AS v
+      |  FROM sh, perm GROUP BY doc_id, s),
+      |sig AS (SELECT doc_id, list(v ORDER BY s) AS sig FROM mins GROUP BY doc_id),
+      |banded AS (
+      |  SELECT doc_id, b.b AS band,
+      |    array_to_string(list_slice(sig, 4*b.b + 1, 4*b.b + 4), ',') AS band_key
+      |  FROM sig, generate_series(0, 15) b(b)),
+      |pairs AS (
+      |  SELECT l.doc_id AS id_a, r.doc_id AS id_b
+      |  FROM banded l JOIN banded r ON l.band = r.band AND l.band_key = r.band_key
+      |  WHERE l.doc_id < r.doc_id GROUP BY 1, 2),
+      |nodes AS (SELECT doc_id AS id FROM documents)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_multi_agg" ->
@@ -2197,33 +2236,10 @@ object SparkEntry {
     // GENERATED by the same loop the Spark operator runs — fixed
     // iteration count makes the recursion unrollable.
     "p51_similarity_rank" -> {
-      val prefix =
-        """WITH tk AS (
-          |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\W+'),
-          |    x -> x != '') AS toks FROM documents),
-          |sh AS (
-          |  SELECT doc_id, (md5_number_lower(s) & 2147483647) AS base
-          |  FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
-          |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s FROM tk) u),
-          |perm AS (
-          |  SELECT s.s AS s, ((md5_number_lower('ga' || s.s) & 2147483647) | 1) AS a,
-          |         (md5_number_lower('gb' || s.s) & 2147483647) AS b
-          |  FROM generate_series(0, 63) s(s)),
-          |mins AS (
-          |  SELECT doc_id, s, CAST(MIN((a * base + b) % 2305843009213693951) AS BIGINT) AS v
-          |  FROM sh, perm GROUP BY doc_id, s),
-          |sig AS (SELECT doc_id, list(v ORDER BY s) AS sig FROM mins GROUP BY doc_id),
-          |banded AS (
-          |  SELECT doc_id, b.b AS band,
-          |    array_to_string(list_slice(sig, 4*b.b + 1, 4*b.b + 4), ',') AS band_key
-          |  FROM sig, generate_series(0, 15) b(b)),
-          |pairs AS (
-          |  SELECT l.doc_id AS id_a, r.doc_id AS id_b
-          |  FROM banded l JOIN banded r ON l.band = r.band AND l.band_key = r.band_key
-          |  WHERE l.doc_id < r.doc_id GROUP BY 1, 2),
+      val prefix = MinhashGraphCte +
+        """,
           |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
           |          UNION ALL SELECT id_b, id_a FROM pairs),
-          |nodes AS (SELECT doc_id AS id FROM documents),
           |nn AS (SELECT COUNT(*) AS n FROM nodes),
           |od AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY 1),
           |r0 AS (SELECT id, (1000000000000 // nn.n) AS rank FROM nodes CROSS JOIN nn)""".stripMargin
@@ -2240,6 +2256,35 @@ object SparkEntry {
       prefix + ",\n" + steps.mkString(",\n") +
         "\nSELECT id AS doc_id, rank FROM r5"
     },
+    // p54: same pairs CTE as p51; orientation by the (deg, id) total
+    // order, wedges only at each triangle's lowest-order apex, closing
+    // join = every triangle exactly once (Suri & Vassilvitskii 2011).
+    // The coefficient is the single IEEE division 2T/(d(d-1)) on both
+    // engines.
+    "p54_similarity_triangles" -> (MinhashGraphCte +
+      """,
+        |dg AS (SELECT id, COUNT(*) AS deg FROM (
+        |    SELECT id_a AS id FROM pairs UNION ALL SELECT id_b FROM pairs)
+        |  GROUP BY 1),
+        |o AS (SELECT
+        |    CASE WHEN (da.deg, p.id_a) < (db.deg, p.id_b) THEN p.id_a ELSE p.id_b END AS u,
+        |    CASE WHEN (da.deg, p.id_a) < (db.deg, p.id_b) THEN p.id_b ELSE p.id_a END AS v,
+        |    CASE WHEN (da.deg, p.id_a) < (db.deg, p.id_b) THEN db.deg ELSE da.deg END AS dv
+        |  FROM pairs p JOIN dg da ON da.id = p.id_a JOIN dg db ON db.id = p.id_b),
+        |w AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM o e1 JOIN o e2 ON e1.u = e2.u AND (e1.dv, e1.v) < (e2.dv, e2.v)),
+        |tri AS (SELECT a, b, c FROM w JOIN o ON o.u = w.b AND o.v = w.c),
+        |pn AS (SELECT id, COUNT(*) AS t FROM (
+        |    SELECT a AS id FROM tri UNION ALL SELECT b FROM tri
+        |    UNION ALL SELECT c FROM tri) GROUP BY 1)
+        |SELECT n.id AS doc_id, COALESCE(dg.deg, 0) AS degree,
+        |  COALESCE(pn.t, 0) AS n_triangles,
+        |  CASE WHEN COALESCE(dg.deg, 0) >= 2
+        |       THEN 2.0 * CAST(COALESCE(pn.t, 0) AS DOUBLE)
+        |            / CAST(dg.deg * (dg.deg - 1) AS DOUBLE)
+        |       ELSE 0.0 END AS clustering
+        |FROM nodes n LEFT JOIN dg ON dg.id = n.id
+        |LEFT JOIN pn ON pn.id = n.id""".stripMargin),
     // p52: trigram KN over the bigram-KN backoff — self-trained, so
     // every level is seen and the seen-branch formula is total; the
     // nested p2 expression is the p49 replica verbatim, composed inside

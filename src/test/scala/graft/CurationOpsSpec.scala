@@ -378,6 +378,46 @@ class CurationOpsSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == sr)
   }
 
+  test("triangleCounts: K4, open wedges, isolated nodes, dup families") {
+    import graft.pipeline.Graph
+    // K4 on {1,2,3,4}: C(4,3) = 4 triangles, each node in 3 of them,
+    // degree 3 everywhere -> clustering 2*3/(3*2) = 1. Node 5 hangs off
+    // node 1 (degree 1, no triangle, drops 1's clustering: deg 4, still
+    // 3 triangles -> 6/12 = 0.5). Node 6 isolated. Path 7-8-9 is an
+    // open wedge: degrees 1/2/1, zero triangles, clustering 0.
+    val pairs = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (1L, 5L), (7L, 8L), (8L, 9L)).toDF("id_a", "id_b")
+    val nodes = (1L to 9L).toDF("id")
+    val out = Graph.triangleCounts(pairs, nodes)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) == (4L, 3L, 0.5))
+    assert(out(2L) == (3L, 3L, 1.0))
+    assert(out(3L) == (3L, 3L, 1.0))
+    assert(out(4L) == (3L, 3L, 1.0))
+    assert(out(5L) == (1L, 0L, 0.0))
+    assert(out(6L) == (0L, 0L, 0.0))
+    assert(out(7L) == (1L, 0L, 0.0))
+    assert(out(8L) == (2L, 0L, 0.0))
+    assert(out(9L) == (1L, 0L, 0.0))
+    // similarityTriangles: an exact-dup family of three closes its
+    // triangle (clustering 1.0 at every member); the unrelated doc sits
+    // at zero
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (3L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (4L, "completely different content about spark query engines and shuffles")
+    ).toDF("doc_id", "text")
+    val st = Graph.similarityTriangles(docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(st(1L) == (2L, 1L, 1.0) && st(2L) == (2L, 1L, 1.0) &&
+      st(3L) == (2L, 1L, 1.0), s"family must close its triangle: $st")
+    assert(st(4L) == (0L, 0L, 0.0))
+  }
+
   test("knScore: hand-computed interpolated Kneser-Ney fold; unseen backs off to continuation") {
     // corpus "the cat sat the cat ran": c12 = {the-cat:2, cat-sat:1,
     // sat-the:1, cat-ran:1}; c1 = {the:2, cat:2, sat:1}; nf = {the:1,
