@@ -878,6 +878,13 @@ object SparkEntry {
   private def p54(s: SparkSession, d: String): DataFrame =
     graft.pipeline.Graph.similarityTriangles(tbl(d, "documents")(s))
 
+  /** Template-family communities ([[Graph.similarityCommunities]]):
+    * deterministic synchronous label propagation on the candidate
+    * graph — majority vote with min-label ties, four unrollable
+    * rounds. */
+  private def p55(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.Graph.similarityCommunities(tbl(d, "documents")(s))
+
   /** KMV set operations: estimated vs exact distinct-order overlap between
     * the A and R return flags — union by monoid merge, intersection by the
     * K-min-values threshold estimator, both oracle-exact. */
@@ -1089,6 +1096,7 @@ object SparkEntry {
     "p52_kn3_score" -> (p52 _),
     "p53_line_dedup" -> (p53 _),
     "p54_similarity_triangles" -> (p54 _),
+    "p55_similarity_communities" -> (p55 _),
     "p31_span_excise" -> (p31 _),
     "p32_chunking" -> (p32 _),
     "p33_mixture_weights" -> (p33 _)
@@ -2285,6 +2293,29 @@ object SparkEntry {
         |       ELSE 0.0 END AS clustering
         |FROM nodes n LEFT JOIN dg ON dg.id = n.id
         |LEFT JOIN pn ON pn.id = n.id""".stripMargin),
+    // p55: deterministic synchronous LPA, unrolled like p51 — per round:
+    // neighbor label votes, max count per node, MIN label among the
+    // tied winners, no-in-edge nodes keep their own id. The four round
+    // CTEs are generated by the same loop the operator runs.
+    "p55_similarity_communities" -> {
+      val prefix = MinhashGraphCte +
+        """,
+          |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          |          UNION ALL SELECT id_b, id_a FROM pairs),
+          |l0 AS (SELECT id, id AS label FROM nodes)""".stripMargin
+      val steps = (1 to 4).map { i =>
+        s"""v$i AS (SELECT e.dst AS id, l.label, COUNT(*) AS c
+           |  FROM edges e JOIN l${i - 1} l ON l.id = e.src GROUP BY 1, 2),
+           |b$i AS (SELECT id, MAX(c) AS m FROM v$i GROUP BY 1),
+           |l$i AS (SELECT nodes.id, COALESCE(p.label, nodes.id) AS label
+           |  FROM nodes LEFT JOIN (
+           |    SELECT v$i.id, MIN(v$i.label) AS label
+           |    FROM v$i JOIN b$i ON b$i.id = v$i.id AND v$i.c = b$i.m
+           |    GROUP BY 1) p ON p.id = nodes.id)""".stripMargin
+      }
+      prefix + ",\n" + steps.mkString(",\n") +
+        "\nSELECT id AS doc_id, label AS community FROM l4"
+    },
     // p52: trigram KN over the bigram-KN backoff — self-trained, so
     // every level is seen and the seen-branch formula is total; the
     // nested p2 expression is the p49 replica verbatim, composed inside

@@ -418,6 +418,39 @@ class CurationOpsSpec extends SparkTestBase {
     assert(st(4L) == (0L, 0L, 0.0))
   }
 
+  test("labelPropagate: majority vote, min-label ties, bridge loses to the family") {
+    import graft.pipeline.Graph
+    // two triangles {1,2,3} and {10,11,12} bridged by 3-10; node 99 isolated
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (3L, 10L)).toDF("id_a", "id_b")
+    val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val nodes = Seq(1L, 2L, 3L, 10L, 11L, 12L, 99L).toDF("id")
+    def run(it: Int) = Graph.labelPropagate(sym, nodes, it)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // hand-traced round 1: every vote is a 1-count tie -> min neighbor id
+    assert(run(1) == Map(1L -> 2L, 2L -> 1L, 3L -> 1L,
+      10L -> 3L, 11L -> 10L, 12L -> 10L, 99L -> 99L))
+    // round 4 (stable): TWO communities despite the bridge — the single
+    // cross-edge vote loses to each triangle's majority, where connected
+    // components would merge everything into one
+    val l4 = run(4)
+    assert(Set(1L, 2L, 3L).map(l4) == Set(1L), s"family A: $l4")
+    assert(Set(10L, 11L, 12L).map(l4) == Set(3L), s"family B: $l4")
+    assert(l4(99L) == 99L)
+    // similarityCommunities: a dup family lands in one community
+    val docs = Seq(
+      (5L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (6L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (7L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (8L, "completely different content about spark query engines and shuffles")
+    ).toDF("doc_id", "text")
+    val sc = Graph.similarityCommunities(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sc(5L) == sc(6L) && sc(6L) == sc(7L), s"family community: $sc")
+    assert(sc(8L) == 8L)
+  }
+
   test("knScore: hand-computed interpolated Kneser-Ney fold; unseen backs off to continuation") {
     // corpus "the cat sat the cat ran": c12 = {the-cat:2, cat-sat:1,
     // sat-the:1, cat-ran:1}; c1 = {the:2, cat:2, sat:1}; nf = {the:1,
