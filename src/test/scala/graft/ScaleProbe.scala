@@ -405,6 +405,15 @@ object ScaleProbe {
         TextAnalysis.shuffleForWrite(d10, shards = 64).count())
       time("importanceSample @50k")(
         TextAnalysis.importanceSample(d10, lit(0.5)).count())
+      // round-7 additions: line dedup is linear explode+count+join;
+      // triangles/LPA ride the candidate graph (edge volume dominates
+      // at 10× docs — 121× pairs per the replica structure)
+      time("dedupLines minDocs=2 @50k docs")(
+        graft.pipeline.Dedup.dedupLines(d10, minDocs = 2).count())
+      time("similarityTriangles @50k docs")(
+        graft.pipeline.Graph.similarityTriangles(d10).count())
+      time("similarityCommunities 4 rounds @50k docs")(
+        graft.pipeline.Graph.similarityCommunities(d10).count())
       def nTypes(df: org.apache.spark.sql.DataFrame) = Bpe.wordTypes(df).count()
       println(s"word types: @5k=${nTypes(d1)} @50k=${nTypes(d10)}")
       time("bpe train 8 merges @5k docs")(Bpe.train(d1, 8).length.toLong)
