@@ -885,6 +885,13 @@ object SparkEntry {
   private def p55(s: SparkSession, d: String): DataFrame =
     graft.pipeline.Graph.similarityCommunities(tbl(d, "documents")(s))
 
+  /** Per-source token-length percentiles ([[TextAnalysis.groupPercentiles]]):
+    * exact nearest-rank selection off the histogram — threshold
+    * calibration without sorting the corpus. */
+  private def p56(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.groupPercentiles(tbl(d, "documents")(s), "source",
+      size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).cast("long"))
+
   /** KMV set operations: estimated vs exact distinct-order overlap between
     * the A and R return flags — union by monoid merge, intersection by the
     * K-min-values threshold estimator, both oracle-exact. */
@@ -1097,6 +1104,7 @@ object SparkEntry {
     "p53_line_dedup" -> (p53 _),
     "p54_similarity_triangles" -> (p54 _),
     "p55_similarity_communities" -> (p55 _),
+    "p56_length_percentiles" -> (p56 _),
     "p31_span_excise" -> (p31 _),
     "p32_chunking" -> (p32 _),
     "p33_mixture_weights" -> (p33 _)
@@ -2316,6 +2324,23 @@ object SparkEntry {
       prefix + ",\n" + steps.mkString(",\n") +
         "\nSELECT id AS doc_id, label AS community FROM l4"
     },
+    // p56: histogram-first exact nearest-rank percentiles — the
+    // interpolation-free rule (min v with cum >= floor(q*(n-1))+1) both
+    // engines compute identically; the p02 token-count kernel supplies
+    // the value
+    "p56_length_percentiles" ->
+      """WITH h AS (SELECT source,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS v,
+        |    COUNT(*) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |cum AS (SELECT source, v, c,
+        |    SUM(c) OVER (PARTITION BY source ORDER BY v) AS cum,
+        |    SUM(c) OVER (PARTITION BY source) AS n FROM h),
+        |e AS (SELECT source, v, cum, n, q.q AS q
+        |  FROM cum, unnest([0.25, 0.5, 0.75, 0.9, 0.99]) q(q))
+        |SELECT source, q, MIN(v) AS value, CAST(MAX(n) AS BIGINT) AS n
+        |FROM e WHERE cum >= floor(q * (n - 1)) + 1
+        |GROUP BY 1, 2""".stripMargin,
     // p52: trigram KN over the bigram-KN backoff — self-trained, so
     // every level is seen and the seen-branch formula is total; the
     // nested p2 expression is the p49 replica verbatim, composed inside

@@ -349,6 +349,41 @@ object TextAnalysis {
     out.toSeq
   }
 
+  /** Exact nearest-rank percentiles of an (integer-valued) expression per
+    * group, computed HISTOGRAM-FIRST: one map-side-combined
+    * (group, value) count collapses the corpus to its distinct-value
+    * table — thousands of rows where the data has billions — and the
+    * cumulative walk + rank selection run THERE, so no full sort of the
+    * data ever happens (what a naive percentile window would do, and the
+    * reason Spark's exact `percentile` aggregate buffers whole groups in
+    * memory). The rule is nearest-rank: r_q = floor(q·(n−1)) + 1,
+    * value_q = min v with cum(v) >= r_q — interpolation-free, so engines
+    * agree bit-for-bit (Spark `percentile` and DuckDB `quantile_cont`
+    * interpolate differently; this sidesteps the class). The curation
+    * use: per-source token-length / quality-score threshold calibration.
+    *
+    * Returns (groupCol, q, value, n) — one row per group × quantile. */
+  def groupPercentiles(
+      df: DataFrame,
+      groupCol: String,
+      value: Column,
+      qs: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.9, 0.99)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      s"quantiles must lie in [0, 1], got $qs")
+    val h = df.select(col(groupCol), value.as("_v"))
+      .groupBy(groupCol, "_v").agg(count(lit(1)).as("_c"))
+    val cum = h
+      .withColumn("_cum",
+        sum(col("_c")).over(Window.partitionBy(groupCol).orderBy("_v")))
+      .withColumn("_n", sum(col("_c")).over(Window.partitionBy(groupCol)))
+    cum.select(col(groupCol), col("_v"), col("_cum"), col("_n"),
+        explode(array(qs.map(lit): _*)).as("q"))
+      .filter(col("_cum") >= floor(col("q") * (col("_n") - 1)) + 1)
+      .groupBy(col(groupCol), col("q"))
+      .agg(min(col("_v")).as("value"), max(col("_n")).as("n"))
+  }
+
   /** Split documents into fixed-size token chunks with overlap — the
     * context-window chunking step a pretraining pipeline runs before
     * sequence packing ([[packTokens]]) and tokenization. Stride =

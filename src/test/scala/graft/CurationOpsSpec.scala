@@ -418,6 +418,26 @@ class CurationOpsSpec extends SparkTestBase {
     assert(st(4L) == (0L, 0L, 0.0))
   }
 
+  test("groupPercentiles: hand-computed nearest-rank selection off the histogram") {
+    val df = Seq(("a", 10L), ("a", 20L), ("a", 30L), ("a", 40L),
+      ("b", 5L), ("b", 5L), ("b", 5L), ("b", 7L), ("c", 99L))
+      .toDF("source", "v")
+    val out = TextAnalysis.groupPercentiles(df, "source", col("v"),
+      Seq(0.0, 0.25, 0.5, 0.75, 1.0))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // a = [10,20,30,40]: r_q = floor(q*3)+1 -> ranks 1,1,2,3,4
+    assert(out(("a", 0.0)) == (10L, 4L) && out(("a", 0.25)) == (10L, 4L))
+    assert(out(("a", 0.5)) == (20L, 4L) && out(("a", 0.75)) == (30L, 4L))
+    assert(out(("a", 1.0)) == (40L, 4L))
+    // duplicates collapse into one histogram row but keep their mass
+    assert(out(("b", 0.5)) == (5L, 4L) && out(("b", 0.75)) == (5L, 4L))
+    assert(out(("b", 1.0)) == (7L, 4L))
+    // singleton group: every quantile is the value
+    assert(out(("c", 0.0)) == (99L, 1L) && out(("c", 1.0)) == (99L, 1L))
+    assert(out.size == 15)
+  }
+
   test("labelPropagate: majority vote, min-label ties, bridge loses to the family") {
     import graft.pipeline.Graph
     // two triangles {1,2,3} and {10,11,12} bridged by 3-10; node 99 isolated
