@@ -892,6 +892,18 @@ object SparkEntry {
     TextAnalysis.groupPercentiles(tbl(d, "documents")(s), "source",
       size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).cast("long"))
 
+  /** Benchmark decontamination ([[Dedup.decontaminate]]): src0/src1
+    * play the held-out eval suite; train docs whose bands collide with
+    * an eval doc and verify at jaccard >= 0.8 are scrubbed; survivors
+    * come back schema-intact. */
+  private def p57(s: SparkSession, d: String): DataFrame = {
+    val docs = tbl(d, "documents")(s)
+    Dedup.decontaminate(
+      docs.filter(!col("source").isin("src0", "src1")),
+      docs.filter(col("source").isin("src0", "src1")),
+      threshold = 0.8)
+  }
+
   /** KMV set operations: estimated vs exact distinct-order overlap between
     * the A and R return flags — union by monoid merge, intersection by the
     * K-min-values threshold estimator, both oracle-exact. */
@@ -1105,6 +1117,7 @@ object SparkEntry {
     "p54_similarity_triangles" -> (p54 _),
     "p55_similarity_communities" -> (p55 _),
     "p56_length_percentiles" -> (p56 _),
+    "p57_decontaminate" -> (p57 _),
     "p31_span_excise" -> (p31 _),
     "p32_chunking" -> (p32 _),
     "p33_mixture_weights" -> (p33 _)
@@ -2341,6 +2354,35 @@ object SparkEntry {
         |SELECT source, q, MIN(v) AS value, CAST(MAX(n) AS BIGINT) AS n
         |FROM e WHERE cum >= floor(q * (n - 1)) + 1
         |GROUP BY 1, 2""".stripMargin,
+    // p57: signatures are per-doc, so banding ALL documents then
+    // side-filtering the collision join equals banding each side; the
+    // jaccard verify is the p13 shingle-set replica at 0.8; survivors
+    // are the train rows minus the contaminated id set, full schema
+    "p57_decontaminate" -> (MinhashGraphCte +
+      """,
+        |cand AS (
+        |  SELECT t.doc_id AS train_id, e.doc_id AS eval_id
+        |  FROM banded t JOIN banded e ON t.band = e.band AND t.band_key = e.band_key
+        |  JOIN documents dt ON dt.doc_id = t.doc_id
+        |  JOIN documents de ON de.doc_id = e.doc_id
+        |  WHERE dt.source NOT IN ('src0', 'src1')
+        |    AND de.source IN ('src0', 'src1')
+        |  GROUP BY 1, 2),
+        |shs AS (
+        |  SELECT doc_id, CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+        |    ELSE list_distinct(list_transform(generate_series(1, len(toks) - 2),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END AS sset
+        |  FROM tk),
+        |bad AS (
+        |  SELECT DISTINCT train_id FROM cand
+        |  JOIN shs sa ON sa.doc_id = cand.train_id
+        |  JOIN shs sb ON sb.doc_id = cand.eval_id
+        |  WHERE (CASE WHEN len(list_distinct(sa.sset || sb.sset)) = 0 THEN 1.0
+        |    ELSE CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE)
+        |      / len(list_distinct(sa.sset || sb.sset)) END) >= 0.8)
+        |SELECT d.* FROM documents d
+        |WHERE d.source NOT IN ('src0', 'src1')
+        |  AND d.doc_id NOT IN (SELECT train_id FROM bad)""".stripMargin),
     // p52: trigram KN over the bigram-KN backoff — self-trained, so
     // every level is seen and the seen-branch formula is total; the
     // nested p2 expression is the p49 replica verbatim, composed inside

@@ -1012,6 +1012,56 @@ object Dedup {
           "\n").as("text_clean"))
   }
 
+  /** Cross-corpus near-dup DECONTAMINATION: drop from `train` every doc
+    * whose MinHash bands collide with an `evalDocs` doc AND whose shingle
+    * Jaccard clears `threshold` — the fuzzy form of the benchmark
+    * train-test overlap scrub (Brown et al. 2020 App. C; Dodge et al.
+    * 2021), run as a relational pass. The band join is TRAIN × EVAL
+    * only — never train×train — so its cost is the collision count, and
+    * the eval side (a benchmark suite, tiny next to the corpus)
+    * broadcasts under `broadcastEval` (default): the 100 TB train side
+    * streams map-side against it with no corpus shuffle; the verify pass
+    * then touches only collision-hit train docs via a semi-join. The two
+    * corpora may share id values — every join is side-tagged
+    * (train_id / eval_id), ids never mix.
+    *
+    * Returns the surviving `train` rows unchanged (schema preserved). */
+  def decontaminate(
+      train: DataFrame,
+      evalDocs: DataFrame,
+      threshold: Double = 0.8,
+      k: Int = 64,
+      bands: Int = 16,
+      shingleWords: Int = 3,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      broadcastEval: Boolean = true): DataFrame = {
+    val bt = bandedSignatures(train, textCol, idCol, k, bands, shingleWords)
+    val be0 = bandedSignatures(evalDocs, textCol, idCol, k, bands, shingleWords)
+      .select(col(idCol).as("eval_id"), col("band"), col("band_key"))
+    val be = if (broadcastEval) broadcast(be0) else be0
+    val cands = bt.join(be, Seq("band", "band_key"))
+      .select(col(idCol).as("train_id"), col("eval_id"))
+      .distinct()
+      .transform(graft.Stage.materialize) // both shingle semi-joins read it
+    val ts = train
+      .join(cands.select(col("train_id").as(idCol)), Seq(idCol), "left_semi")
+      .select(col(idCol).as("train_id"),
+        shingleHashKernel(col(textCol), lit(shingleWords)).as("_sht"))
+    val es0 = evalDocs
+      .join(cands.select(col("eval_id").as(idCol)), Seq(idCol), "left_semi")
+      .select(col(idCol).as("eval_id"),
+        shingleHashKernel(col(textCol), lit(shingleWords)).as("_she"))
+    val es = if (broadcastEval) broadcast(es0) else es0
+    val bad = cands
+      .join(ts, "train_id")
+      .join(es, "eval_id")
+      .filter(jaccardSortedKernel(col("_sht"), col("_she")) >= threshold)
+      .select(col("train_id").as(idCol))
+      .distinct()
+    train.join(bad, Seq(idCol), "left_anti")
+  }
+
   /** Embedding cosine near-dup: LSH-bucket by random-hyperplane signs
     * (deterministic seeded planes), verify exact cosine within buckets.
     *

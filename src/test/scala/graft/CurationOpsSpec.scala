@@ -418,6 +418,39 @@ class CurationOpsSpec extends SparkTestBase {
     assert(st(4L) == (0L, 0L, 0.0))
   }
 
+  test("decontaminate: scrubs eval near-dups from train, side-tags ids, broadcast parity") {
+    val evalSuite = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "benchmark question about integer arithmetic and modular inverses here")
+    ).toDF("doc_id", "text")
+    val train = Seq(
+      // exact copy of eval doc 1 -> scrubbed
+      (10L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      // near-dup of eval doc 1 (one word changed) -> scrubbed at 0.5
+      (11L, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+      // unrelated -> kept. NOTE doc_id 1 collides with an EVAL id on
+      // purpose: side-tagged joins must not scrub it for that reason
+      (1L, "completely different content about spark query engines and shuffles"),
+      (12L, "another unrelated training document mentioning columnar storage")
+    ).toDF("doc_id", "text")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getLong(0)).toSet
+    val out = Dedup.decontaminate(train, evalSuite, threshold = 0.5)
+    assert(ids(out) == Set(1L, 12L), "copy and near-dup scrubbed, id collision kept")
+    // schema preserved
+    assert(out.columns.toSeq == Seq("doc_id", "text"))
+    // tight threshold keeps the one-word near-dup, still scrubs the copy
+    assert(ids(Dedup.decontaminate(train, evalSuite, threshold = 0.95)) ==
+      Set(1L, 11L, 12L))
+    // broadcast-off parity
+    assert(ids(Dedup.decontaminate(train, evalSuite, threshold = 0.5,
+      broadcastEval = false)) == Set(1L, 12L))
+    // empty eval suite scrubs nothing
+    assert(ids(Dedup.decontaminate(train,
+      evalSuite.filter(col("doc_id") < 0), threshold = 0.5)) ==
+      Set(1L, 10L, 11L, 12L))
+  }
+
   test("groupPercentiles: hand-computed nearest-rank selection off the histogram") {
     val df = Seq(("a", 10L), ("a", 20L), ("a", 30L), ("a", 40L),
       ("b", 5L), ("b", 5L), ("b", 5L), ("b", 7L), ("c", 99L))
