@@ -35,6 +35,19 @@ object SparkEntry {
     source(tbl(d, "region"))(fields: _*)
   private def events(d: String)(fields: Any*) =
     source(tbl(d, "events"))(fields: _*)
+
+  /** events.ts as epoch MICROS, robust to the two physical layouts the
+    * driver's generator has shipped: BIGINT nanoseconds (read as long via
+    * legacy nanosAsLong → integer-div to micros) and native timestamp[us]
+    * (→ unix_micros). Both equal DuckDB's `epoch_us(ts)` on the same file. */
+  private def tsUs(df: DataFrame): org.apache.spark.sql.Column =
+    df.schema("ts").dataType match {
+      case LongType => expr("ts div 1000")
+      // NTZ carries a wall-clock; sessions pin spark.sql.session.timeZone
+      // to UTC, so the LTZ cast is the identity DuckDB applies natively
+      case TimestampNTZType => unix_micros(col("ts").cast(TimestampType))
+      case _ => unix_micros(col("ts"))
+    }
   private def documents(d: String)(fields: Any*) =
     source(tbl(d, "documents"))(fields: _*)
 
@@ -468,11 +481,8 @@ object SparkEntry {
     val gapUs = 1800000000L // 30 min
     val w = Window.partitionBy("user_id").orderBy(col("us").asc, col("event_id").asc)
     val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // events.ts arrives as BIGINT nanoseconds (legacy nanosAsLong read);
-    // integer-div to micros — the same truncation DuckDB applies reading
-    // the nanos column as TIMESTAMP
-    tbl(d, "events")(s)
-      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("us"))
+    val ev = tbl(d, "events")(s)
+    ev.select(col("user_id"), col("event_id"), tsUs(ev).as("us"))
       .withColumn("new_s",
         when(lag(col("us"), 1).over(w).isNull ||
           col("us") - lag(col("us"), 1).over(w) > gapUs, 1L).otherwise(0L))
@@ -968,8 +978,9 @@ object SparkEntry {
     * operators.AsOf): every click event matched to the user's most recent
     * error event at or before it. */
   private def q35(s: SparkSession, d: String): DataFrame = {
-    val e = tbl(d, "events")(s).select(col("event_id"), col("user_id"),
-      expr("ts div 1000").as("us"), col("event_type"))
+    val ev = tbl(d, "events")(s)
+    val e = ev.select(col("event_id"), col("user_id"),
+      tsUs(ev).as("us"), col("event_type"))
     val clicks = e.filter(col("event_type") === "click").drop("event_type")
     val errors = e.filter(col("event_type") === "error").drop("event_type")
       .withColumnRenamed("us", "last_err_us")
@@ -981,8 +992,9 @@ object SparkEntry {
   /** Forward as-of join with tolerance: every click matched to the
     * user's NEXT error within 10 minutes (or nulls). */
   private def q38(s: SparkSession, d: String): DataFrame = {
-    val e = tbl(d, "events")(s).select(col("event_id"), col("user_id"),
-      expr("ts div 1000").as("us"), col("event_type"))
+    val ev = tbl(d, "events")(s)
+    val e = ev.select(col("event_id"), col("user_id"),
+      tsUs(ev).as("us"), col("event_type"))
     val clicks = e.filter(col("event_type") === "click").drop("event_type")
     val errors = e.filter(col("event_type") === "error").drop("event_type")
       .withColumnRenamed("us", "next_err_us")
@@ -997,8 +1009,9 @@ object SparkEntry {
     * same user. */
   private def q36(s: SparkSession, d: String): DataFrame = {
     val gapUs = 1800000000L
-    val e = tbl(d, "events")(s).select(col("event_id"), col("user_id"),
-      expr("ts div 1000").as("us"), col("event_type"))
+    val ev = tbl(d, "events")(s)
+    val e = ev.select(col("event_id"), col("user_id"),
+      tsUs(ev).as("us"), col("event_type"))
     val purchases = e.filter(col("event_type") === "purchase").drop("event_type")
     val errors = e.filter(col("event_type") === "error")
       .select(col("event_id").as("err_id"), col("user_id"),
