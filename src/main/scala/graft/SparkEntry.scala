@@ -974,6 +974,23 @@ object SparkEntry {
         count_distinct(col("l_suppkey")).as("n_supps"))
   }
 
+  /** Salted skew join (beyond-reference; operators.SkewJoin): hot
+    * l_suppkey values spread over 4 salts before the shuffle, the dim
+    * side replicated per salt — result identical to the plain join (the
+    * oracle IS the plain join), task sizes bounded under key skew. The
+    * low threshold forces most suppliers down the salted path while the
+    * rest exercise the salt-0 fast path. */
+  private def q41(s: SparkSession, d: String): DataFrame = {
+    val dim = tbl(d, "supplier")(s)
+      .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+    graft.operators.SkewJoin.saltedJoin(
+        tbl(d, "lineitem")(s).select("l_suppkey"),
+        dim, Seq("l_suppkey"), salts = 4, hotKeyThreshold = 500)
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n_items"),
+        count_distinct(col("l_suppkey")).as("n_supps"))
+  }
+
   /** As-of join (beyond-reference; the union+window composition —
     * operators.AsOf): every click event matched to the user's most recent
     * error event at or before it. */
@@ -1099,6 +1116,7 @@ object SparkEntry {
     "p21_mixture_sample" -> (p21 _),
     "p22_token_packing" -> (p22 _),
     "q40_bloom_join" -> (q40 _),
+    "q41_salted_join" -> (q41 _),
     "p23_heavy_hitters" -> (p23 _),
     "p24_span_dedup" -> (p24 _),
     "p25_kmv_distinct" -> (p25 _),
@@ -2560,6 +2578,12 @@ object SparkEntry {
         |  COUNT(DISTINCT l_suppkey) AS n_supps
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |WHERE s_nationkey < 5
+        |GROUP BY s_nationkey""".stripMargin,
+    // q41: salting is result-invariant — the oracle is the plain join
+    "q41_salted_join" ->
+      """SELECT s_nationkey, COUNT(*) AS n_items,
+        |  COUNT(DISTINCT l_suppkey) AS n_supps
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_nationkey""".stripMargin,
     // p24: positional 6-gram hashes -> global occurrence counts -> per-doc
     // duplicated-start and covered-position stats (span-dedup signals)

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Explicit hot-key salting for skewed joins — the deterministic
+  * complement to AQE's runtime skew-join split (which only rewrites
+  * sort-merge joins and only after a stage materializes its skew). At
+  * 100 TB a handful of viral keys (a bot user_id, an empty-string URL
+  * host, a default partition value) can hold one reducer for hours while
+  * the other 999 executors idle; salting spreads each hot key's rows
+  * over `salts` sub-partitions BEFORE the shuffle, bounding any single
+  * task at roughly `hot_rows / salts`.
+  *
+  * Mechanics: hot keys are found with one map-side-combined count over
+  * the left (skewed) input — or supplied by the caller from prior stats —
+  * and broadcast to both sides. Left rows of a hot key take a
+  * deterministic row-hash salt in `[0, salts)`; right rows of a hot key
+  * replicate once per salt; everything else keeps salt 0 and pays
+  * nothing. The join then runs on `keys :+ salt`, so its result is
+  * row-for-row the plain join's (the oracle checks exactly that).
+  *
+  * Left-preserving join types only (inner / left_outer / left_semi /
+  * left_anti): each left row still appears exactly once per match (or
+  * once, for outer/semi/anti), while right rows are replicated and
+  * therefore must not be preserved unmatched. Null join keys never match
+  * and are left at salt 0 on both sides.
+  *
+  * Pass the SKEWED side as `left`; `hotKeyThreshold` is rows-per-key in
+  * that input (at scale, derive the hot set from a sample or persisted
+  * key stats and pass it via `hot` to skip the counting pass). */
+object SkewJoin {
+
+  /** Keys of `df` whose exact row count exceeds `threshold` — one
+    * map-side-combined aggregation, output is broadcast-sized by the
+    * definition of "hot" (few keys can exceed a large threshold). */
+  def hotKeys(df: DataFrame, keys: Seq[String], threshold: Long): DataFrame =
+    df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("_n"))
+      .filter(col("_n") > threshold)
+      .select(keys.map(col): _*)
+
+  def saltedJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      joinType: String = "inner",
+      salts: Int = 16,
+      hotKeyThreshold: Long = 1000000L,
+      hot: Option[DataFrame] = None): DataFrame = {
+    require(salts > 1, s"salts must be > 1, got $salts")
+    val normalized = joinType.toLowerCase.replace("_", "")
+    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti")(normalized),
+      s"saltedJoin supports left-preserving join types only, got '$joinType' " +
+        "(right/full outer would preserve replicated right rows)")
+    val hotDf = hot.getOrElse(hotKeys(left, keys, hotKeyThreshold))
+      .select(keys.map(col): _*).distinct()
+      .withColumn("_hot", lit(true))
+    // row-hash salt over every left column: deterministic across retries,
+    // spreads a hot key's rows evenly without any ordering assumption
+    val lt = left.join(broadcast(hotDf), keys, "left_outer")
+      .withColumn("_salt",
+        when(col("_hot"),
+          pmod(xxhash64(left.columns.map(col): _*), lit(salts.toLong)).cast("int"))
+          .otherwise(lit(0)))
+      .drop("_hot")
+    val rt = right.join(broadcast(hotDf), keys, "left_outer")
+      .withColumn("_salt",
+        explode(when(col("_hot"), sequence(lit(0), lit(salts - 1)))
+          .otherwise(array(lit(0)))))
+      .drop("_hot")
+    lt.join(rt, keys :+ "_salt", joinType).drop("_salt")
+  }
+}

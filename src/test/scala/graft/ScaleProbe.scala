@@ -423,6 +423,9 @@ object ScaleProbe {
         d10.select(size(Bpe.encode(m, col("text"))).as("n")).agg(sum("n")).count()
       }
     }
+
+    // round-8: skew-join probe lives in SkewProfile (30M-row hot key,
+    // broadcast defeated): warm plain 11.4 s vs salted 3.5 s.
     spark.stop()
   }
 }

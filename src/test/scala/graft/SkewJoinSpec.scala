@@ -1,0 +1,60 @@
+package graft
+
+import graft.operators.SkewJoin
+import org.apache.spark.sql.functions._
+
+class SkewJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // 1000 rows of hot key 7, a sprinkle of cold keys; right has multi-row
+  // keys so per-row multiplicity must survive salting exactly
+  lazy val fact = ((1 to 1000).map(i => (java.lang.Long.valueOf(7L), s"h$i")) ++
+    (1 to 50).map(i => (java.lang.Long.valueOf(i.toLong % 5), s"c$i")) ++
+    Seq((null: java.lang.Long, "n1"), (java.lang.Long.valueOf(99L), "lonely")))
+    .toDF("k", "v")
+  lazy val dim = Seq((7L, "hot-a"), (7L, "hot-b"), (0L, "zero"), (1L, "one"),
+    (2L, "two"), (42L, "unmatched")).toDF("k", "w")
+
+  private def canon(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+
+  test("salted inner/left_outer/left_semi/left_anti equal the plain joins") {
+    for (jt <- Seq("inner", "left_outer", "left_semi", "left_anti")) {
+      val salted = SkewJoin.saltedJoin(fact, dim, Seq("k"), jt,
+        salts = 4, hotKeyThreshold = 100)
+      val plain = fact.join(dim, Seq("k"), jt)
+      assert(canon(salted) == canon(plain), s"join type $jt diverged")
+      assert(plain.count() > 0)
+    }
+  }
+
+  test("hot key rows actually spread over multiple salts") {
+    val hot = SkewJoin.hotKeys(fact, Seq("k"), 100)
+    assert(canon(hot) == Seq("7"))
+    // replicate the operator's salt expression on the hot rows
+    val spread = fact.filter(col("k") === 7)
+      .withColumn("_salt", pmod(xxhash64(col("k"), col("v")), lit(4L)))
+      .select("_salt").distinct().count()
+    assert(spread > 1, "1000 distinct rows must land in >1 of 4 salts")
+  }
+
+  test("caller-provided hot set skips detection and stays exact") {
+    val salted = SkewJoin.saltedJoin(fact, dim, Seq("k"), "inner",
+      salts = 8, hot = Some(Seq(Tuple1(7L)).toDF("k")))
+    assert(canon(salted) == canon(fact.join(dim, Seq("k"))))
+  }
+
+  test("right/full outer join types are rejected") {
+    for (jt <- Seq("right", "right_outer", "full", "full_outer", "cross"))
+      assertThrows[IllegalArgumentException] {
+        SkewJoin.saltedJoin(fact, dim, Seq("k"), jt)
+      }
+  }
+
+  test("null keys never match and survive left_outer exactly once") {
+    val salted = SkewJoin.saltedJoin(fact, dim, Seq("k"), "left_outer",
+      salts = 4, hotKeyThreshold = 100)
+    assert(salted.filter(col("k").isNull).count() == 1)
+    assert(salted.filter(col("k").isNull && col("w").isNotNull).count() == 0)
+  }
+}
