@@ -914,6 +914,43 @@ object SparkEntry {
       threshold = 0.8)
   }
 
+  /** Z-order layout math over events (sources.ZOrder): user_id × time
+    * bucketed to 16 bits each and Morton-interleaved; ntile(16) over the
+    * tie-broken total z-order is the oracle-shaped form of the bucketing
+    * (production [[graft.sources.ZOrder.zorderBy]] swaps it for a range
+    * partition — no global sort). Per-bucket min/max spans are the
+    * data-skipping claim made checkable: every bucket is tight on BOTH
+    * columns. */
+  private def p58(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.sources.ZOrder
+    val ev = tbl(d, "events")(s)
+    val e = ev.select(col("event_id"), col("user_id"), tsUs(ev).as("us"))
+    val st = e.agg(min("user_id").as("mnu"), max("user_id").as("mxu"),
+      min("us").as("mnt"), max("us").as("mxt"))
+    val z = e.crossJoin(broadcast(st)).select(col("event_id"),
+      col("user_id"), col("us"),
+      ZOrder.zValue(
+        ZOrder.bucket16(col("user_id"), col("mnu"), col("mxu")),
+        ZOrder.bucket16(col("us"), col("mnt"), col("mxt"))).as("zv"))
+    z.withColumn("bucket", ntile(16).over(
+        Window.orderBy(col("zv"), col("user_id"), col("us"), col("event_id")))
+        .cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        min("user_id").as("u_min"), max("user_id").as("u_max"),
+        min("us").as("t_min"), max("us").as("t_max"))
+  }
+
+  /** Stratified 80/10/10 split ([[TextAnalysis.stratifiedSplit]]): exact
+    * floor-quantile proportions per source in md5(doc_id) order; the
+    * oracle replays the SAME double additions (`0.8::DOUBLE +
+    * 0.1::DOUBLE`), so the floor boundaries are IEEE-identical. */
+  private def p59(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.stratifiedSplit(
+      tbl(d, "documents")(s).select("doc_id", "source"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+
   /** KMV set operations: estimated vs exact distinct-order overlap between
     * the A and R return flags — union by monoid merge, intersection by the
     * K-min-values threshold estimator, both oracle-exact. */
@@ -1149,6 +1186,8 @@ object SparkEntry {
     "p55_similarity_communities" -> (p55 _),
     "p56_length_percentiles" -> (p56 _),
     "p57_decontaminate" -> (p57 _),
+    "p58_zorder_layout" -> (p58 _),
+    "p59_stratified_split" -> (p59 _),
     "p31_span_excise" -> (p31 _),
     "p32_chunking" -> (p32 _),
     "p33_mixture_weights" -> (p33 _)
@@ -2414,6 +2453,48 @@ object SparkEntry {
         |SELECT d.* FROM documents d
         |WHERE d.source NOT IN ('src0', 'src1')
         |  AND d.doc_id NOT IN (SELECT train_id FROM bad)""".stripMargin),
+    // p58: the Morton mask ladder replicated in integer SQL (`//` = the
+    // engine's integral div, same masks), ntile over the tie-broken
+    // total z-order, per-bucket two-column min/max spans
+    "p58_zorder_layout" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events),
+        |st AS (SELECT min(user_id) AS mnu, max(user_id) AS mxu,
+        |              min(us) AS mnt, max(us) AS mxt FROM e),
+        |bk AS (SELECT event_id, user_id, us,
+        |  (user_id - mnu) // (((mxu - mnu) // 65536) + 1) AS ba,
+        |  (us - mnt) // (((mxt - mnt) // 65536) + 1) AS bb FROM e, st),
+        |s1 AS (SELECT event_id, user_id, us,
+        |  (ba | (ba << 8)) & 16711935 AS xa,
+        |  (bb | (bb << 8)) & 16711935 AS xb FROM bk),
+        |s2 AS (SELECT event_id, user_id, us,
+        |  (xa | (xa << 4)) & 252645135 AS xa,
+        |  (xb | (xb << 4)) & 252645135 AS xb FROM s1),
+        |s3 AS (SELECT event_id, user_id, us,
+        |  (xa | (xa << 2)) & 858993459 AS xa,
+        |  (xb | (xb << 2)) & 858993459 AS xb FROM s2),
+        |s4 AS (SELECT event_id, user_id, us,
+        |  (xa | (xa << 1)) & 1431655765 AS xa,
+        |  (xb | (xb << 1)) & 1431655765 AS xb FROM s3),
+        |z AS (SELECT event_id, user_id, us, xa | (xb << 1) AS zv FROM s4),
+        |nt AS (SELECT user_id, us,
+        |  ntile(16) OVER (ORDER BY zv, user_id, us, event_id) AS bucket FROM z)
+        |SELECT bucket, COUNT(*) AS n,
+        |  MIN(user_id) AS u_min, MAX(user_id) AS u_max,
+        |  MIN(us) AS t_min, MAX(us) AS t_max
+        |FROM nt GROUP BY bucket""".stripMargin,
+    // p59: cumulative weights built by the SAME double additions the
+    // Scala side folds, so every floor boundary is IEEE-identical
+    "p59_stratified_split" ->
+      """WITH rk AS (SELECT doc_id, source,
+        |  row_number() OVER (PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk,
+        |  count(*) OVER (PARTITION BY source) AS n
+        |  FROM documents)
+        |SELECT doc_id, source, CASE
+        |  WHEN rk <= floor(n * (0.8::DOUBLE)) THEN 'train'
+        |  WHEN rk <= floor(n * (0.8::DOUBLE + 0.1::DOUBLE)) THEN 'val'
+        |  ELSE 'test' END AS split
+        |FROM rk""".stripMargin,
     // p52: trigram KN over the bigram-KN backoff — self-trained, so
     // every level is seen and the seen-branch formula is total; the
     // nested p2 expression is the p49 replica verbatim, composed inside

@@ -242,6 +242,41 @@ object TextAnalysis {
       .drop("_q", "_rk")
   }
 
+  /** Deterministic stratified split: label every row train/val/test (any
+    * named splits) with EXACT floor-quantile proportions per stratum,
+    * ordered by md5(id) — the reproducible-without-RNG split: same
+    * assignment on every run, any cluster, any parallelism, and the same
+    * expression replays in the oracle engine (p59). The last split
+    * absorbs rounding remainders, so labeling is total even when the
+    * weights sum to 1 only approximately. One window rank per stratum
+    * (the [[mixtureSample]] scaling argument: strata are many and
+    * independent); when exact proportions aren't required, the
+    * [[mixtureSampleByRate]] hash-threshold idiom is the window-free
+    * scale path. */
+  def stratifiedSplit(
+      df: DataFrame,
+      splits: Seq[(String, Double)],
+      strataCol: String = "source",
+      idCol: String = "doc_id"): DataFrame = {
+    require(splits.nonEmpty, "need at least one split")
+    require(splits.map(_._2).forall(_ > 0), "split weights must be positive")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-6,
+      s"split weights must sum to 1, got ${splits.map(_._2).sum}")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(strataCol)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    val cums = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    val label = splits.init.zip(cums.init).reverse
+      .foldLeft(lit(splits.last._1)) { case (acc, ((name, _), cum)) =>
+        when(col("_rk") <= floor(col("_n") * lit(cum)), lit(name))
+          .otherwise(acc)
+      }
+    df.withColumn("_rk", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(strataCol)))
+      .withColumn("split", label)
+      .drop("_rk", "_n")
+  }
+
   /** Scale path for [[mixtureSample]]: keep a deterministic ~`rate`
     * fraction of each source by thresholding a doc-id hash — no window,
     * no per-source serialization, one linear codegen'd pass (the classic

@@ -923,6 +923,29 @@ class PipelineSpec extends SparkTestBase {
     assert(rep.filter($"id" === 2).filter($"r.n_2grams".isNotNull).count() == 0)
   }
 
+  test("stratified split: exact per-stratum proportions, total, deterministic") {
+    val corpus = (1L to 1000L).map(i => (i, s"s${i % 4}"))
+      .toDF("doc_id", "source") // 4 strata x 250 docs
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val lab = TextAnalysis.stratifiedSplit(corpus, splits)
+    // exact floor boundaries per stratum: 200 / 25 / 25
+    val counts = lab.groupBy("source", "split").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    for (s <- Seq("s0", "s1", "s2", "s3")) {
+      assert(counts((s, "train")) == 200L, s"$s train")
+      assert(counts((s, "val")) == 25L && counts((s, "test")) == 25L, s"$s tail")
+    }
+    // total: every row labeled, even with weights summing approximately
+    val approx = TextAnalysis.stratifiedSplit(corpus,
+      Seq("a" -> 0.3, "b" -> 0.3, "c" -> (0.4 - 1e-9)))
+    assert(approx.filter(col("split").isNull).count() == 0)
+    assert(approx.count() == 1000)
+    // deterministic under repartitioning
+    val again = TextAnalysis.stratifiedSplit(corpus.repartition(17), splits)
+    assert(lab.unionAll(again).groupBy("doc_id", "source", "split").count()
+      .filter($"count" =!= 2).count() == 0)
+  }
+
   test("mixture sampling is deterministic; token packing respects budgets") {
     val d = Seq(
       (1L, "a b c", "s1"), (2L, "d e f", "s1"), (3L, "g h i", "s1"),

@@ -1,0 +1,69 @@
+package graft
+
+import graft.sources.ZOrder
+import org.apache.spark.sql.functions._
+
+class ZOrderSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** bit-by-bit reference interleave */
+  private def refZ(a: Int, b: Int): Long =
+    (0 until 16).foldLeft(0L) { (acc, i) =>
+      acc | (((a >> i) & 1).toLong << (2 * i)) |
+        (((b >> i) & 1).toLong << (2 * i + 1))
+    }
+
+  test("zValue matches the bit-by-bit reference on random 16-bit pairs") {
+    val rnd = new scala.util.Random(42)
+    val pairs = Seq.fill(200)((rnd.nextInt(65536), rnd.nextInt(65536))) ++
+      Seq((0, 0), (65535, 65535), (0, 65535), (65535, 0))
+    val got = pairs.toDF("a", "b")
+      .select(ZOrder.zValue(col("a").cast("long"), col("b").cast("long")))
+      .collect().map(_.getLong(0))
+    assert(got.toSeq == pairs.map { case (a, b) => refZ(a, b) })
+  }
+
+  test("bucket16 stays within [0, 65535] and is monotone") {
+    val df = spark.range(100000L).select((col("id") * 379L).as("v"))
+    val st = df.agg(min("v").as("mn"), max("v").as("mx"))
+    val buckets = df.crossJoin(broadcast(st))
+      .select(ZOrder.bucket16(col("v"), col("mn"), col("mx")).as("b"),
+        col("v"))
+    val Array(mn, mx) = buckets.agg(min("b"), max("b")).collect()(0)
+      .toSeq.map(_.asInstanceOf[Long]).toArray
+    assert(mn == 0L && mx <= 65535L)
+    // monotone: bucket ordering never inverts value ordering
+    val inversions = buckets
+      .withColumn("pb", lag("b", 1).over(
+        org.apache.spark.sql.expressions.Window.orderBy("v")))
+      .filter(col("pb") > col("b")).count()
+    assert(inversions == 0)
+  }
+
+  test("zorderBy preserves the row multiset") {
+    val df = (1 to 5000).map(i => (i % 97, i % 61, s"r$i")).toDF("a", "b", "s")
+    val z = ZOrder.zorderBy(df, "a", "b", 8)
+    assert(z.schema == df.schema)
+    assert(z.unionAll(df).groupBy("a", "b", "s").count()
+      .filter(col("count") =!= 2).count() == 0)
+    assert(z.count() == 5000)
+  }
+
+  test("z-order layout tightens per-partition spans on BOTH columns") {
+    // 256x256 uniform grid; 16 range partitions
+    val grid = spark.range(65536L).select(
+      (col("id") % 256L).as("a"), (col("id") / 256L).cast("long").as("b"))
+    def spans(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("p", spark_partition_id())
+      .groupBy("p")
+      .agg((max("a") - min("a")).as("sa"), (max("b") - min("b")).as("sb"))
+      .agg(avg("sa"), avg("sb")).collect()(0)
+    val z = spans(ZOrder.zorderBy(grid, "a", "b", 16))
+    val bySingleCol = spans(grid.repartitionByRange(16, col("a")))
+    // single-column sort: a is tight but b spans the full 255
+    assert(bySingleCol.getDouble(1) > 200.0)
+    // z-order: BOTH columns well under half the global span
+    assert(z.getDouble(0) < 128.0, s"a span ${z.getDouble(0)}")
+    assert(z.getDouble(1) < 128.0, s"b span ${z.getDouble(1)}")
+  }
+}
