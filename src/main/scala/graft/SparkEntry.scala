@@ -951,6 +951,24 @@ object SparkEntry {
       tbl(d, "documents")(s).select("doc_id", "source"),
       Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
 
+  /** Keyed snapshot upsert ([[graft.operators.Snapshot.upsert]]): orders
+    * as the v0 snapshot, a derived delta (every 10th key re-annotated at
+    * v1, every 170th tombstoned) merged in one max_by aggregation —
+    * updates win, stale rows lose, deletes drop. */
+  private def p60(s: SparkSession, d: String): DataFrame = {
+    val base = tbl(d, "orders")(s)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+    val snapshot = base
+      .withColumn("version", lit(0L)).withColumn("deleted", lit(false))
+    val delta = base.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_orderpriority", lit("UPDATED"))
+      .withColumn("version", lit(1L))
+      .withColumn("deleted", col("o_orderkey") % 170 === 0)
+    graft.operators.Snapshot.upsert(snapshot, delta, Seq("o_orderkey"),
+      "version", tombstoneCol = Some("deleted"))
+      .drop("deleted")
+  }
+
   /** KMV set operations: estimated vs exact distinct-order overlap between
     * the A and R return flags — union by monoid merge, intersection by the
     * K-min-values threshold estimator, both oracle-exact. */
@@ -1188,6 +1206,7 @@ object SparkEntry {
     "p57_decontaminate" -> (p57 _),
     "p58_zorder_layout" -> (p58 _),
     "p59_stratified_split" -> (p59 _),
+    "p60_snapshot_upsert" -> (p60 _),
     "p31_span_excise" -> (p31 _),
     "p32_chunking" -> (p32 _),
     "p33_mixture_weights" -> (p33 _)
@@ -2495,6 +2514,23 @@ object SparkEntry {
         |  WHEN rk <= floor(n * (0.8::DOUBLE + 0.1::DOUBLE)) THEN 'val'
         |  ELSE 'test' END AS split
         |FROM rk""".stripMargin,
+    // p60: merge is latest-(version, delta-wins) per key minus
+    // tombstones — replayed as a window rank (the agg and the rank agree
+    // because (key, version) is unique within each input)
+    "p60_snapshot_upsert" ->
+      """WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice,
+        |    o_orderpriority FROM orders),
+        |snap AS (SELECT *, 0::BIGINT AS version, false AS deleted,
+        |    0 AS _src FROM base),
+        |delta AS (SELECT o_orderkey, o_custkey, o_totalprice,
+        |    'UPDATED' AS o_orderpriority, 1::BIGINT AS version,
+        |    (o_orderkey % 170 = 0) AS deleted, 1 AS _src
+        |  FROM base WHERE o_orderkey % 10 = 0),
+        |u AS (SELECT * FROM snap UNION ALL SELECT * FROM delta),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey
+        |    ORDER BY version DESC, _src DESC) AS rn FROM u)
+        |SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority, version
+        |FROM r WHERE rn = 1 AND NOT deleted""".stripMargin,
     // p52: trigram KN over the bigram-KN backoff — self-trained, so
     // every level is seen and the seen-branch formula is total; the
     // nested p2 expression is the p49 replica verbatim, composed inside

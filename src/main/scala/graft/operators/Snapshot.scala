@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Keyed snapshot maintenance — the MERGE/upsert half of running a
+  * living corpus (recrawls, re-annotations, takedown deletes) without a
+  * table format: `upsert(snapshot, delta)` keeps, per key, the row with
+  * the highest (version, delta-wins) order and drops keys whose winning
+  * row is a tombstone.
+  *
+  * One hash aggregation on the key — `max_by` over the full row struct —
+  * so the merge is a single shuffle with map-side partial combine (each
+  * task forwards at most one candidate row per key), not a window sort.
+  * At 100 TB: write the result partitioned/bucketed by the same key and
+  * successive deltas merge against co-located files.
+  *
+  * Determinism contract: (key, version) is unique within each input —
+  * the usual snapshot invariant. Equal versions across inputs resolve
+  * delta-wins; the oracle replays the same (version DESC, src DESC)
+  * order. */
+object Snapshot {
+
+  def upsert(
+      snapshot: DataFrame,
+      delta: DataFrame,
+      keys: Seq[String],
+      versionCol: String,
+      tombstoneCol: Option[String] = None): DataFrame = {
+    val cols = snapshot.columns
+    require(delta.columns.sorted.sameElements(cols.sorted),
+      s"snapshot/delta schemas differ: ${cols.mkString(",")} vs ${delta.columns.mkString(",")}")
+    val u = snapshot.withColumn("_src", lit(0))
+      .unionByName(delta.withColumn("_src", lit(1)))
+    val payload = struct((cols :+ "_src").map(col): _*)
+    val latest = u.groupBy(keys.map(col): _*)
+      .agg(max_by(payload, struct(col(versionCol), col("_src"))).as("_row"))
+      .select(col("_row.*"))
+      .drop("_src")
+    tombstoneCol.map(t => latest.filter(!col(t))).getOrElse(latest)
+  }
+}
