@@ -969,6 +969,23 @@ object SparkEntry {
       .drop("deleted")
   }
 
+  /** Snapshot diff ([[graft.operators.Snapshot.diff]]): corpus-version
+    * audit — every 13th key removed, every 10th surviving key
+    * re-annotated, every 100th re-keyed in as new; the diff emits only
+    * the added/removed/changed keys via one full-outer join with
+    * null-safe payload comparison. */
+  private def p61(s: SparkSession, d: String): DataFrame = {
+    val base = tbl(d, "orders")(s)
+      .select("o_orderkey", "o_custkey", "o_orderpriority")
+    val neu = base.filter(col("o_orderkey") % 13 =!= 0)
+      .withColumn("o_orderpriority",
+        when(col("o_orderkey") % 10 === 0, lit("UPDATED"))
+          .otherwise(col("o_orderpriority")))
+      .unionByName(base.filter(col("o_orderkey") % 100 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+    graft.operators.Snapshot.diff(base, neu, Seq("o_orderkey"))
+  }
+
   /** KMV set operations: estimated vs exact distinct-order overlap between
     * the A and R return flags — union by monoid merge, intersection by the
     * K-min-values threshold estimator, both oracle-exact. */
@@ -1207,6 +1224,7 @@ object SparkEntry {
     "p58_zorder_layout" -> (p58 _),
     "p59_stratified_split" -> (p59 _),
     "p60_snapshot_upsert" -> (p60 _),
+    "p61_snapshot_diff" -> (p61 _),
     "p31_span_excise" -> (p31 _),
     "p32_chunking" -> (p32 _),
     "p33_mixture_weights" -> (p33 _)
@@ -2531,6 +2549,27 @@ object SparkEntry {
         |    ORDER BY version DESC, _src DESC) AS rn FROM u)
         |SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority, version
         |FROM r WHERE rn = 1 AND NOT deleted""".stripMargin,
+    // p61: full-outer key join, null-safe payload compare, changes only
+    "p61_snapshot_diff" ->
+      """WITH base AS (SELECT o_orderkey, o_custkey, o_orderpriority
+        |    FROM orders),
+        |neu AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey % 10 = 0 THEN 'UPDATED'
+        |         ELSE o_orderpriority END AS o_orderpriority
+        |  FROM base WHERE o_orderkey % 13 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_custkey, o_orderpriority
+        |  FROM base WHERE o_orderkey % 100 = 0),
+        |j AS (SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |  CASE WHEN o.o_orderkey IS NULL THEN 'added'
+        |       WHEN n.o_orderkey IS NULL THEN 'removed'
+        |       WHEN NOT (o.o_custkey IS NOT DISTINCT FROM n.o_custkey
+        |         AND o.o_orderpriority IS NOT DISTINCT FROM n.o_orderpriority)
+        |         THEN 'changed'
+        |       ELSE 'unchanged' END AS change
+        |  FROM base o FULL JOIN neu n ON o.o_orderkey = n.o_orderkey)
+        |SELECT o_orderkey, change FROM j WHERE change <> 'unchanged'""".stripMargin,
     // p52: trigram KN over the bigram-KN backoff — self-trained, so
     // every level is seen and the seen-branch formula is total; the
     // nested p2 expression is the p49 replica verbatim, composed inside

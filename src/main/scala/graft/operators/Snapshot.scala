@@ -39,4 +39,29 @@ object Snapshot {
       .drop("_src")
     tombstoneCol.map(t => latest.filter(!col(t))).getOrElse(latest)
   }
+
+  /** Row-level diff of two keyed snapshots — the audit half of snapshot
+    * maintenance: which keys were added, removed, or changed between two
+    * corpus versions. One full-outer shuffle join on the key; payloads
+    * compare column-by-column with null-safe equality (no engine-private
+    * hash, so the oracle replays it as `IS NOT DISTINCT FROM`).
+    * Unchanged keys are dropped — at 100 TB the diff is change-sized,
+    * not corpus-sized, the moment it leaves the join. */
+  def diff(old: DataFrame, neu: DataFrame, keys: Seq[String]): DataFrame = {
+    require(neu.columns.sorted.sameElements(old.columns.sorted),
+      s"snapshot schemas differ: ${old.columns.mkString(",")} vs ${neu.columns.mkString(",")}")
+    val payload = old.columns.filterNot(keys.contains).sorted
+    val o = old.select(keys.map(col) ++
+      Seq(lit(true).as("_po"), struct(payload.map(col): _*).as("_o")): _*)
+    val n = neu.select(keys.map(col) ++
+      Seq(lit(true).as("_pn"), struct(payload.map(col): _*).as("_n")): _*)
+    o.join(n, keys, "full_outer")
+      .withColumn("change",
+        when(col("_po").isNull, lit("added"))
+          .when(col("_pn").isNull, lit("removed"))
+          .when(!(col("_o") <=> col("_n")), lit("changed"))
+          .otherwise(lit("unchanged")))
+      .filter(col("change") =!= "unchanged")
+      .select(keys.map(col) :+ col("change"): _*)
+  }
 }

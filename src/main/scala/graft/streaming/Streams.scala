@@ -79,6 +79,34 @@ object Streams {
       }
   }
 
+  /** Streaming face of [[graft.operators.Snapshot.upsert]]: per-key
+    * LATEST-(version) row as running state — (key, version, deleted,
+    * payload) in, the key's current winner out on every update. State is
+    * ONE row per key, bounded regardless of delta volume. Max-by-version
+    * is a semilattice, so the final streaming state equals the batch
+    * `Snapshot.upsert` fold of the same rows in ANY arrival order (spec
+    * asserts parity); on EQUAL versions the later ARRIVAL wins (the
+    * stream's notion of "delta-wins" — batch order is _src, stream order
+    * is time). Tombstones win like any version and emit deleted=true so
+    * a downstream sink drops the key. */
+  def streamingUpsert(
+      rows: Dataset[(String, Long, Boolean, String)])
+      : Dataset[(String, Long, Boolean, String)] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_._1)
+      .mapGroupsWithState[(Long, Boolean, String), (String, Long, Boolean, String)](
+        GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[(String, Long, Boolean, String)],
+            state: GroupState[(Long, Boolean, String)]) =>
+          var best = state.getOption.getOrElse((Long.MinValue, false, null: String))
+          it.foreach { case (_, v, del, payload) =>
+            if (v >= best._1) best = (v, del, payload)
+          }
+          state.update(best)
+          (key, best._1, best._2, best._3)
+      }
+  }
+
   /** Sessionization via mapGroupsWithState (processing-time timeout) —
     * the KeyValueGroupedDataset custom-state surface. Input rows:
     * (user_id, ts_ms). Emits the running session per user each batch. */

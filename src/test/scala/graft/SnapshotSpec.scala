@@ -44,6 +44,17 @@ class SnapshotSpec extends SparkTestBase {
     assert(!plan.contains("Window"), "upsert must not plan a window sort")
   }
 
+  test("diff classifies added/removed/changed and drops unchanged") {
+    val old = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0),
+      (4L, null.asInstanceOf[String], 4.0)).toDF("k", "v", "x")
+    val neu = Seq((2L, "b", 2.0), (3L, "C", 3.0),
+      (4L, null.asInstanceOf[String], 4.0), (5L, "e", 5.0)).toDF("k", "v", "x")
+    val d = Snapshot.diff(old, neu, Seq("k"))
+      .as[(Long, String)].collect().toMap
+    // 1 removed, 3 changed, 5 added; 2 and 4 (null==null payload) dropped
+    assert(d == Map(1L -> "removed", 3L -> "changed", 5L -> "added"))
+  }
+
   test("schema mismatch fails loudly") {
     assertThrows[IllegalArgumentException] {
       Snapshot.upsert(snap, snap.drop("v"), Seq("k"), "version")

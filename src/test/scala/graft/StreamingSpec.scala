@@ -25,6 +25,40 @@ class StreamingSpec extends SparkTestBase {
     q.stop()
   }
 
+  test("streaming upsert: latest version per key, batch-parity end state") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Long, Boolean, String)]
+    val out = Streams.streamingUpsert(in.toDS())
+    val q = Streams.toMemory(out.toDF().toDF("k", "version", "deleted", "v"),
+      "ups_out", "update")
+    in.addData(("a", 0L, false, "a0"), ("b", 0L, false, "b0"))
+    q.processAllAvailable()
+    in.addData(("a", 2L, false, "a2"), ("b", 1L, true, "xx"),
+      ("a", 1L, false, "stale"))
+    q.processAllAvailable()
+    // the key's final state = its max-version emission (each batch emits
+    // the running winner, so the highest version IS the latest emission)
+    val last = spark.table("ups_out").groupBy("k")
+      .agg(max_by(struct(col("version"), col("deleted"), col("v")),
+        col("version")).as("w"))
+      .select(col("k"), col("w.*"))
+    val st = last.collect().map(r => r.getString(0) ->
+      ((r.getLong(1), r.getBoolean(2), r.getString(3)))).toMap
+    assert(st("a") == ((2L, false, "a2")), st.toString) // stale v1 lost to v2
+    assert(st("b") == ((1L, true, "xx"))) // tombstone wins, flagged
+    // batch parity: survivors after dropping tombstones = Snapshot.upsert
+    val allRows = Seq(("a", 0L, false, "a0"), ("b", 0L, false, "b0"),
+      ("a", 2L, false, "a2"), ("b", 1L, true, "xx"), ("a", 1L, false, "stale"))
+    val batch = graft.operators.Snapshot.upsert(
+      allRows.take(2).toDF("k", "version", "deleted", "v"),
+      allRows.drop(2).toDF("k", "version", "deleted", "v"),
+      Seq("k"), "version", Some("deleted"))
+      .select("k", "v").as[(String, String)].collect().toMap
+    val streamSurvivors = st.collect { case (k, (_, false, v)) => k -> v }
+    assert(streamSurvivors == batch)
+    q.stop()
+  }
+
   test("streaming dedup within watermark") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(java.sql.Timestamp, Long)]

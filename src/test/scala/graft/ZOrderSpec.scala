@@ -49,6 +49,29 @@ class ZOrderSpec extends SparkTestBase {
     assert(z.count() == 5000)
   }
 
+  test("written z-order layout actually SKIPS row groups on the second column") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    val grid = spark.range(65536L).select(
+      (col("id") % 256L).as("a"), (col("id") / 256L).cast("long").as("b"))
+    ZOrder.zorderBy(grid, "a", "b", 16).write.mode("overwrite")
+      .parquet(s"$dir/zorder")
+    grid.repartitionByRange(16, col("a")).sortWithinPartitions("a")
+      .write.mode("overwrite").parquet(s"$dir/bya")
+    // filter on b ONLY: the a-sorted layout has full-span b stats in every
+    // file, so parquet can skip nothing; the z-ordered layout reads only
+    // the row groups whose b-range covers the predicate
+    def scannedRows(path: String): Long = {
+      val df = spark.read.parquet(path).filter(col("b") === 5L)
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves()
+        .map(_.metrics("numOutputRows").value).sum
+    }
+    val viaZ = scannedRows(s"$dir/zorder")
+    val viaA = scannedRows(s"$dir/bya")
+    assert(viaA >= 65536L / 2, s"a-sorted layout should scan ~everything, got $viaA")
+    assert(viaZ * 3 < viaA, s"z-order must skip most row groups: $viaZ vs $viaA")
+  }
+
   test("z-order layout tightens per-partition spans on BOTH columns") {
     // 256x256 uniform grid; 16 range partitions
     val grid = spark.range(65536L).select(
