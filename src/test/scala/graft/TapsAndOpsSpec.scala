@@ -54,6 +54,17 @@ class TapsAndOpsSpec extends SparkTestBase {
       Seq(Seq("k1", "v1"), Seq("k2", "v2")))
   }
 
+  test("orc round-trips through the generic hfs tap (columnar alt-format)") {
+    val dir = tmp()
+    val rows = Seq(Seq("a", 1L), Seq("b", 2L), Seq("c", 3L))
+    memDF(spark, rows).toDF("k", "v").write.orc(s"$dir/o")
+    assertProduces(query("?k", "?v")(Taps.hfs("orc", s"$dir/o")("?k", "?v")), rows)
+    // predicate pushdown reaches the ORC scan like parquet
+    val plan = spark.read.orc(s"$dir/o").filter(col("v") > 1L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(v), GreaterThan(v,1)]"), plan)
+  }
+
   test("bucketed tables: co-located equi-join with NO shuffle exchange") {
     // the 100 TB recurring-join path: both sides bucketed on the key with
     // the same bucket count -> later joins need no Exchange at all
