@@ -426,6 +426,30 @@ object ScaleProbe {
 
     // round-8: skew-join probe lives in SkewProfile (30M-row hot key,
     // broadcast defeated): warm plain 11.4 s vs salted 3.5 s.
+
+    // round-8 snapshot/layout ops @6M rows (10x lineitem): zorderBy is
+    // stats + one range exchange + in-partition sort; upsert is one
+    // max_by hash agg; diff is one full-outer join — all single-shuffle
+    // shapes that scale with the data, no windows, no driver loops.
+    {
+      import graft.operators.Snapshot
+      import graft.sources.ZOrder
+      val li = spark.read.parquet(big)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_quantity"))
+      time("zorderBy (okey x suppkey) @6M")(
+        ZOrder.zorderBy(li, "l_orderkey", "l_suppkey", 32).count())
+      val snap = li.withColumn("version", lit(0L))
+        .withColumn("deleted", lit(false)).localCheckpoint()
+      val delta = snap.filter(col("l_orderkey") % 10 === 0)
+        .withColumn("version", lit(1L))
+        .withColumn("deleted", col("l_orderkey") % 170 === 0)
+      time("snapshot upsert @6M + 0.6M delta")(
+        Snapshot.upsert(snap, delta, Seq("l_orderkey", "l_suppkey"),
+          "version", Some("deleted")).count())
+      val neu = snap.filter(col("l_orderkey") % 13 =!= 0)
+      time("snapshot diff @6M vs 5.5M")(
+        Snapshot.diff(snap, neu, Seq("l_orderkey", "l_suppkey")).count())
+    }
     spark.stop()
   }
 }

@@ -51,6 +51,29 @@ class SkewJoinSpec extends SparkTestBase {
       }
   }
 
+  test("randomized: salted == plain for every join type, shape, and salt count") {
+    val rnd = new scala.util.Random(8)
+    for (it <- 1 to 8) {
+      val nKeys = 1 + rnd.nextInt(6)
+      val hot = rnd.nextInt(nKeys).toLong
+      val l = (1 to 30 + rnd.nextInt(200)).map { i =>
+        val k = if (rnd.nextDouble() < 0.6) hot else rnd.nextInt(nKeys).toLong
+        (java.lang.Long.valueOf(k), s"l$i")
+      } ++ (if (rnd.nextBoolean()) Seq((null: java.lang.Long, "ln")) else Nil)
+      val r = (1 to 1 + rnd.nextInt(12)).map { i =>
+        (java.lang.Long.valueOf(rnd.nextInt(nKeys + 2).toLong), s"r$i")
+      }
+      val lf = l.toDF("k", "v"); val rf = r.toDF("k", "w")
+      val salts = 2 + rnd.nextInt(7)
+      val thr = 1L + rnd.nextInt(40)
+      for (jt <- Seq("inner", "left_outer", "left_semi", "left_anti")) {
+        val s = SkewJoin.saltedJoin(lf, rf, Seq("k"), jt, salts, thr)
+        assert(canon(s) == canon(lf.join(rf, Seq("k"), jt)),
+          s"iter $it jt=$jt salts=$salts thr=$thr")
+      }
+    }
+  }
+
   test("null keys never match and survive left_outer exactly once") {
     val salted = SkewJoin.saltedJoin(fact, dim, Seq("k"), "left_outer",
       salts = 4, hotKeyThreshold = 100)

@@ -55,6 +55,33 @@ class SnapshotSpec extends SparkTestBase {
     assert(d == Map(1L -> "removed", 3L -> "changed", 5L -> "added"))
   }
 
+  test("randomized: upsert equals the per-key max-(version, delta-wins) model") {
+    val rnd = new scala.util.Random(8)
+    for (it <- 1 to 10) {
+      def side(src: Int) = {
+        // unique (key, version) within a side — the documented invariant
+        val pairs = rnd.shuffle(
+          (for (k <- 0 to rnd.nextInt(8); v <- 0 to rnd.nextInt(5)) yield (k, v))
+            .toList).take(1 + rnd.nextInt(20))
+        pairs.map { case (k, v) =>
+          (k.toLong, s"$src:$k:$v", v.toLong, rnd.nextDouble() < 0.2)
+        }
+      }
+      val s0 = side(0); val s1 = side(1)
+      val model = (s0.map(r => (r._1, r._3, 0, r._2, r._4)) ++
+        s1.map(r => (r._1, r._3, 1, r._2, r._4)))
+        .groupBy(_._1).map { case (k, rows) =>
+          val w = rows.maxBy(r => (r._2, r._3)); (k, w._4, w._5)
+        }.filterNot(_._3).map(w => w._1 -> w._2).toMap
+      val got = Snapshot.upsert(
+        s0.toDF("k", "v", "version", "deleted"),
+        s1.toDF("k", "v", "version", "deleted"),
+        Seq("k"), "version", Some("deleted"))
+        .select("k", "v").as[(Long, String)].collect().toMap
+      assert(got == model, s"iter $it")
+    }
+  }
+
   test("schema mismatch fails loudly") {
     assertThrows[IllegalArgumentException] {
       Snapshot.upsert(snap, snap.drop("v"), Seq("k"), "version")
