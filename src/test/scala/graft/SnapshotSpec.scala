@@ -55,6 +55,30 @@ class SnapshotSpec extends SparkTestBase {
     assert(d == Map(1L -> "removed", 3L -> "changed", 5L -> "added"))
   }
 
+  test("diff over bucketed snapshots plans with NO shuffle exchange") {
+    // the 100 TB repeated-diff path: corpus versions written bucketed on
+    // the key -> each audit is a co-located full-outer join, no shuffle
+    import graft.sources.Taps
+    val v1 = (1 to 300).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    val v2 = (3 to 305).map(i => (i.toLong, if (i % 7 == 0) "CH" else s"v$i"))
+      .toDF("k", "v")
+    Taps.bucketSink(v1, "t_snap_v1", Seq("k"), 4, sortCols = Seq("k"))
+    Taps.bucketSink(v2, "t_snap_v2", Seq("k"), 4, sortCols = Seq("k"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val d = Snapshot.diff(spark.table("t_snap_v1"), spark.table("t_snap_v2"),
+        Seq("k"))
+      val byChange = d.groupBy("change").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(byChange("added") == 5 && byChange("removed") == 2)
+      assert(byChange("changed") == (3 to 300).count(_ % 7 == 0))
+      val plan = d.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed diff should be shuffle-free, got:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("randomized: upsert equals the per-key max-(version, delta-wins) model") {
     val rnd = new scala.util.Random(8)
     for (it <- 1 to 10) {

@@ -65,6 +65,18 @@ class TapsAndOpsSpec extends SparkTestBase {
     assert(plan.contains("PushedFilters: [IsNotNull(v), GreaterThan(v,1)]"), plan)
   }
 
+  test("schema evolution: mergeSchema unions columns across parquet drops") {
+    val dir = tmp()
+    memDF(spark, Seq(Seq("a", 1L))).toDF("k", "v").write.parquet(s"$dir/e/d1")
+    memDF(spark, Seq(Seq("b", 2L, "extra"))).toDF("k", "v", "w")
+      .write.parquet(s"$dir/e/d2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(s"$dir/e/*")
+    assert(merged.columns.sorted.toSeq == Seq("k", "v", "w"))
+    val rows = merged.collect().map(r =>
+      (r.getAs[String]("k"), r.getAs[Long]("v"), r.getAs[String]("w"))).toSet
+    assert(rows == Set(("a", 1L, null), ("b", 2L, "extra")))
+  }
+
   test("bucketed tables: co-located equi-join with NO shuffle exchange") {
     // the 100 TB recurring-join path: both sides bucketed on the key with
     // the same bucket count -> later joins need no Exchange at all
