@@ -986,6 +986,16 @@ object SparkEntry {
     graft.operators.Snapshot.diff(base, neu, Seq("o_orderkey"))
   }
 
+  /** Text normalization ([[TextAnalysis.normalizeText]]): NFC + control
+    * strip + whitespace collapse over every document, with before/after
+    * length deltas — the standard first curation stage, hash-compared
+    * string-for-string against the oracle's own NFC implementation. */
+  private def p62(s: SparkSession, d: String): DataFrame =
+    tbl(d, "documents")(s).select(col("doc_id"),
+      TextAnalysis.normalizeText(col("text")).as("text_norm"),
+      (length(col("text")) -
+        length(TextAnalysis.normalizeText(col("text")))).cast("long").as("delta"))
+
   /** KMV set operations: estimated vs exact distinct-order overlap between
     * the A and R return flags — union by monoid merge, intersection by the
     * K-min-values threshold estimator, both oracle-exact. */
@@ -1225,6 +1235,7 @@ object SparkEntry {
     "p59_stratified_split" -> (p59 _),
     "p60_snapshot_upsert" -> (p60 _),
     "p61_snapshot_diff" -> (p61 _),
+    "p62_normalize_text" -> (p62 _),
     "p31_span_excise" -> (p31 _),
     "p32_chunking" -> (p32 _),
     "p33_mixture_weights" -> (p33 _)
@@ -2570,6 +2581,18 @@ object SparkEntry {
         |       ELSE 'unchanged' END AS change
         |  FROM base o FULL JOIN neu n ON o.o_orderkey = n.o_orderkey)
         |SELECT o_orderkey, change FROM j WHERE change <> 'unchanged'""".stripMargin,
+    // p62: same Unicode-standard NFC on both engines, same RE2-safe
+    // regex subset ('g' = replace-all, Spark's default)
+    "p62_normalize_text" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(nfc_normalize(text),
+        |    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+        |    '[ \t]+', ' ', 'g')) AS text_norm,
+        |  length(text) - length(trim(regexp_replace(regexp_replace(
+        |    nfc_normalize(text),
+        |    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+        |    '[ \t]+', ' ', 'g'))) AS delta
+        |FROM documents""".stripMargin,
     // p52: trigram KN over the bigram-KN backoff — self-trained, so
     // every level is seen and the seen-branch formula is total; the
     // nested p2 expression is the p49 replica verbatim, composed inside

@@ -195,6 +195,28 @@ object TextAnalysis {
 
   // --------------------------------------------------------- PII scrub
 
+  // ------------------------------------------------- text normalization
+
+  private val nfcKernel = udf { (s: String) =>
+    if (s == null) null
+    else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+  }
+
+  /** Unicode NFC canonical composition — both engines implement the same
+    * Unicode standard algorithm (DuckDB: `nfc_normalize`), so normalized
+    * text hash-matches across them. */
+  def nfc(text: Column): Column = nfcKernel(text)
+
+  /** The standard first curation stage: NFC-compose, strip C0/DEL control
+    * characters (newline and tab survive), collapse space/tab runs, trim.
+    * Pure per-row column expressions after the NFC kernel — linear, no
+    * shuffle; the regex subset is one Java and RE2 agree on. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(nfc(text),
+        "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""),
+      "[ \\t]+", " "))
+
   private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9-]+\\.(com|org|net)"
   private val Ipv4Re = "\\d+\\.\\d+\\.\\d+\\.\\d+"
   private val PhoneRe = "\\d{3}-\\d{3}-\\d{4}"

@@ -923,6 +923,20 @@ class PipelineSpec extends SparkTestBase {
     assert(rep.filter($"id" === 2).filter($"r.n_2grams".isNotNull).count() == 0)
   }
 
+  test("normalizeText: NFC composition, control strip, space collapse") {
+    val decomposed = "Cafe\u0301" // e + combining acute
+    val composed = "Caf\u00e9"    // precomposed e-acute
+    val rows = Seq((1L, decomposed), (2L, "a\u0007b\u0000c"),
+      (3L, "x  \t y\nz"), (4L, null.asInstanceOf[String]))
+      .toDF("id", "t")
+      .select($"id", TextAnalysis.normalizeText($"t").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows(1L) == composed && rows(1L).length == 4)
+    assert(rows(2L) == "abc")
+    assert(rows(3L) == "x y\nz") // newline survives, space/tab runs collapse
+    assert(rows(4L) == null)
+  }
+
   test("stratified split: exact per-stratum proportions, total, deterministic") {
     val corpus = (1L to 1000L).map(i => (i, s"s${i % 4}"))
       .toDF("doc_id", "source") // 4 strata x 250 docs
