@@ -477,19 +477,10 @@ object SparkEntry {
     * gap-based session assignment via lag + running sum, then per-session
     * rollup — all window functions, no state store needed in batch. */
   private def q34(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val gapUs = 1800000000L // 30 min
-    val w = Window.partitionBy("user_id").orderBy(col("us").asc, col("event_id").asc)
-    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val ev = tbl(d, "events")(s)
-    ev.select(col("user_id"), col("event_id"), tsUs(ev).as("us"))
-      .withColumn("new_s",
-        when(lag(col("us"), 1).over(w).isNull ||
-          col("us") - lag(col("us"), 1).over(w) > gapUs, 1L).otherwise(0L))
-      .withColumn("session_id", sum(col("new_s")).over(run))
-      .groupBy("user_id", "session_id")
-      .agg(count(lit(1)).as("n_events"),
-        min(col("us")).as("start_us"), max(col("us")).as("end_us"))
+    graft.operators.Sessionize.sessions(
+      ev.select(col("user_id"), col("event_id"), tsUs(ev).as("us")),
+      "user_id", "us", gap = 1800000000L, tieBreak = Seq(col("event_id")))
   }
 
   /** End-to-end curation: quality gate → language gate → near-dup dedup,
