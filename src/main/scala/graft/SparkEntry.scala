@@ -372,6 +372,30 @@ object SparkEntry {
       .agg(sum(col("l_quantity").cast(DecimalType(18, 4))).cast("double").as("sum_qty"),
         count(lit(1)).as("cnt"))
 
+  /** Moving RANGE-frame window (§2.7 surface): per event, how many of the
+    * same user's events landed in the preceding 10 minutes (inclusive),
+    * and when that window started. RANGE frames include all peers of an
+    * equal timestamp, so the result is tie-order-independent. */
+  private def q42(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = tbl(d, "events")(s)
+    val w = Window.partitionBy("user_id").orderBy(col("us"))
+      .rangeBetween(-600000000L, 0L)
+    ev.select(col("event_id"), col("user_id"), tsUs(ev).as("us"))
+      .withColumn("n_win", count(lit(1)).over(w))
+      .withColumn("win_start", min(col("us")).over(w))
+  }
+
+  /** CUBE with grouping markers (beyond q33's rollup): all four
+    * aggregation levels in one pass, grouping_id disambiguating
+    * cube-nulls — the standard-SQL bit encoding both engines share. */
+  private def q43(s: SparkSession, d: String): DataFrame =
+    tbl(d, "lineitem")(s)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().cast("long").as("gid"),
+        sum(col("l_quantity").cast(DecimalType(18, 4))).cast("double").as("sum_qty"),
+        count(lit(1)).as("cnt"))
+
   // ----------------------------------------------------- pipeline queries
 
   private def p01(s: SparkSession, d: String): DataFrame =
@@ -1190,6 +1214,8 @@ object SparkEntry {
     "p22_token_packing" -> (p22 _),
     "q40_bloom_join" -> (q40 _),
     "q41_salted_join" -> (q41 _),
+    "q42_moving_window" -> (q42 _),
+    "q43_cube" -> (q43 _),
     "p23_heavy_hitters" -> (p23 _),
     "p24_span_dedup" -> (p24 _),
     "p25_kmv_distinct" -> (p25 _),
@@ -2749,6 +2775,22 @@ object SparkEntry {
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |WHERE s_nationkey < 5
         |GROUP BY s_nationkey""".stripMargin,
+    // q42: RANGE frame — peer-inclusive, so tie-order-independent
+    "q42_moving_window" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events)
+        |SELECT event_id, user_id, us,
+        |  COUNT(*) OVER (PARTITION BY user_id ORDER BY us
+        |    RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW) AS n_win,
+        |  MIN(us) OVER (PARTITION BY user_id ORDER BY us
+        |    RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW) AS win_start
+        |FROM e""".stripMargin,
+    // q43: standard-SQL GROUPING bit encoding (first arg = MSB)
+    "q43_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS cnt
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
     // q41: salting is result-invariant — the oracle is the plain join
     "q41_salted_join" ->
       """SELECT s_nationkey, COUNT(*) AS n_items,

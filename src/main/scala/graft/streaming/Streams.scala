@@ -79,6 +79,29 @@ object Streams {
       }
   }
 
+  /** Event-time stream-stream interval join — both sides watermarked so
+    * the state store can evict rows that can no longer match: a right row
+    * joins a left row of the same key when `rightTs` lands in
+    * `[leftTs - before, leftTs + after]`. The streaming face of
+    * [[graft.operators.RangeJoin]] (there: bins + equi-join over data at
+    * rest; here: Spark's watermark-bounded symmetric hash join). The two
+    * time columns must be distinctly named — the range condition lives in
+    * the joined frame. */
+  def intervalJoin(
+      left: DataFrame, right: DataFrame, key: Seq[String],
+      leftTs: String, rightTs: String, watermark: String,
+      before: String, after: String): DataFrame = {
+    require(leftTs != rightTs, "time columns must be distinctly named")
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    val keyCond = key.map(k => l(k) === r(k)).reduce(_ && _)
+    val cond = keyCond &&
+      col(rightTs) >= col(leftTs) - expr(s"INTERVAL $before") &&
+      col(rightTs) <= col(leftTs) + expr(s"INTERVAL $after")
+    // inner join on equal keys: keep one copy (the left's)
+    key.foldLeft(l.join(r, cond, "inner"))((df, k) => df.drop(r(k)))
+  }
+
   /** Streaming face of [[graft.operators.Snapshot.upsert]]: per-key
     * LATEST-(version) row as running state — (key, version, deleted,
     * payload) in, the key's current winner out on every update. State is

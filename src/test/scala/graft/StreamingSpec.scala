@@ -25,6 +25,29 @@ class StreamingSpec extends SparkTestBase {
     q.stop()
   }
 
+  test("stream-stream interval join within event-time bounds") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val errs = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val joined = Streams.intervalJoin(
+      clicks.toDF().toDF("cts", "uid", "click"),
+      errs.toDF().toDF("ets", "uid", "err"),
+      Seq("uid"), "cts", "ets", watermark = "1 hour",
+      before = "0 seconds", after = "10 minutes")
+    val q = Streams.toMemory(joined.select("uid", "click", "err"), "ij_out", "append")
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:${m}%02d:00")
+    clicks.addData((ts(0), 1L, "c1"), (ts(30), 1L, "c2"), (ts(5), 2L, "c3"))
+    errs.addData((ts(4), 1L, "e1"),   // 4 min after c1 -> joins c1 only
+      (ts(31), 1L, "e2"),             // joins c2 only (31 > 0+10)
+      (ts(4), 2L, "e3"),              // BEFORE c3 -> excluded (before=0)
+      (ts(20), 3L, "e4"))             // no such key
+    q.processAllAvailable()
+    val got = spark.table("ij_out").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set((1L, "c1", "e1"), (1L, "c2", "e2")))
+    q.stop()
+  }
+
   test("streaming upsert: latest version per key, batch-parity end state") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(String, Long, Boolean, String)]
