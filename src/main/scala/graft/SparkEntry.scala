@@ -1011,6 +1011,17 @@ object SparkEntry {
       (length(col("text")) -
         length(TextAnalysis.normalizeText(col("text")))).cast("long").as("delta"))
 
+  /** Time-series resample + forward fill ([[graft.operators.Resample]]):
+    * events snapped to a per-user 1-hour grid between first and last
+    * observation, gaps carrying the latest preceding value with an
+    * observed flag. */
+  private def p63(s: SparkSession, d: String): DataFrame = {
+    val ev = tbl(d, "events")(s)
+    graft.operators.Resample.gridFill(
+      ev.select(col("user_id"), tsUs(ev).as("us"), col("value")),
+      "user_id", "us", "value", step = 3600000000L)
+  }
+
   /** KMV set operations: estimated vs exact distinct-order overlap between
     * the A and R return flags — union by monoid merge, intersection by the
     * K-min-values threshold estimator, both oracle-exact. */
@@ -1253,6 +1264,7 @@ object SparkEntry {
     "p60_snapshot_upsert" -> (p60 _),
     "p61_snapshot_diff" -> (p61 _),
     "p62_normalize_text" -> (p62 _),
+    "p63_resample_ffill" -> (p63 _),
     "p31_span_excise" -> (p31 _),
     "p32_chunking" -> (p32 _),
     "p33_mixture_weights" -> (p33 _)
@@ -2610,6 +2622,23 @@ object SparkEntry {
         |    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
         |    '[ \t]+', ' ', 'g'))) AS delta
         |FROM documents""".stripMargin,
+    // p63: grid = per-key generate_series over slot bounds; fill = the
+    // same IGNORE-NULLS running last; values are copied, never summed
+    "p63_resample_ffill" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 3600000000 AS slot,
+        |    value FROM events),
+        |obs AS (SELECT user_id, slot, max(value) AS v FROM e GROUP BY 1, 2),
+        |b AS (SELECT user_id, min(slot) AS lo, max(slot) AS hi
+        |  FROM e GROUP BY 1),
+        |grid AS (SELECT user_id, gs.slot
+        |  FROM b, LATERAL unnest(generate_series(lo, hi)) gs(slot)),
+        |j AS (SELECT g.user_id, g.slot, o.v, o.v IS NOT NULL AS observed
+        |  FROM grid g LEFT JOIN obs o USING (user_id, slot))
+        |SELECT user_id, slot, observed,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY slot ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS value
+        |FROM j""".stripMargin,
     // p52: trigram KN over the bigram-KN backoff — self-trained, so
     // every level is seen and the seen-branch formula is total; the
     // nested p2 expression is the p49 replica verbatim, composed inside
