@@ -22,6 +22,19 @@ class ResampleSpec extends SparkTestBase {
     assert(out.size == 5)
   }
 
+  test("edge shapes: empty input, single observation, negative times") {
+    val empty = Seq.empty[(Long, Long, Double)].toDF("k", "t", "v")
+    assert(Resample.gridFill(empty, "k", "t", "v", 10L).count() == 0)
+    val one = Seq((1L, 7L, 2.5)).toDF("k", "t", "v")
+    val o = Resample.gridFill(one, "k", "t", "v", 10L).collect()
+    assert(o.length == 1 && o(0).getDouble(3) == 2.5 && o(0).getBoolean(2))
+    // negative times: integral div floors toward -inf in SQL `div`?
+    // document actual behavior: slots just need to be CONSISTENT
+    val neg = Seq((1L, -15L, 1.0), (1L, 15L, 2.0)).toDF("k", "t", "v")
+    val n = Resample.gridFill(neg, "k", "t", "v", 10L)
+    assert(n.count() >= 3 && n.filter($"observed").count() == 2)
+  }
+
   test("no gaps -> pure snap; duplicates in a slot reduce by max") {
     val obs = Seq((1L, 0L, 3.0), (1L, 1L, 1.0), (1L, 12L, 7.0)).toDF("k", "t", "v")
     val out = Resample.gridFill(obs, "k", "t", "v", step = 10L)

@@ -74,6 +74,19 @@ class SkewJoinSpec extends SparkTestBase {
     }
   }
 
+  test("edge shapes: empty sides, all-hot, salts exceeding rows") {
+    val empty = Seq.empty[(Long, String)].toDF("k", "v")
+    val one = Seq((1L, "x")).toDF("k", "v")
+    assert(SkewJoin.saltedJoin(empty, dim.withColumnRenamed("w", "v"),
+      Seq("k"), "inner", 4, 1).count() == 0)
+    assert(SkewJoin.saltedJoin(fact, empty.withColumnRenamed("v", "w"),
+      Seq("k"), "left_outer", 4, 100).count() == fact.count())
+    // every key hot (threshold 0), salts >> rows: still exact
+    val s = SkewJoin.saltedJoin(one, dim, Seq("k"), "inner",
+      salts = 64, hotKeyThreshold = 0)
+    assert(canon(s) == canon(one.join(dim, Seq("k"))))
+  }
+
   test("null keys never match and survive left_outer exactly once") {
     val salted = SkewJoin.saltedJoin(fact, dim, Seq("k"), "left_outer",
       salts = 4, hotKeyThreshold = 100)

@@ -79,6 +79,21 @@ class SnapshotSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("edge shapes: empty delta, empty snapshot, all-tombstone delta") {
+    val empty = snap.limit(0)
+    assert(Snapshot.upsert(snap, empty, Seq("k"), "version", Some("deleted"))
+      .count() == snap.count())
+    assert(Snapshot.upsert(empty, snap, Seq("k"), "version", Some("deleted"))
+      .count() == snap.count())
+    val allDel = snap.withColumn("deleted", lit(true))
+      .withColumn("version", lit(99L))
+    assert(Snapshot.upsert(snap, allDel, Seq("k"), "version", Some("deleted"))
+      .count() == 0)
+    assert(Snapshot.diff(snap, snap, Seq("k")).count() == 0)
+    assert(Snapshot.diff(empty, snap, Seq("k"))
+      .filter($"change" === "added").count() == snap.count())
+  }
+
   test("randomized: upsert equals the per-key max-(version, delta-wins) model") {
     val rnd = new scala.util.Random(8)
     for (it <- 1 to 10) {

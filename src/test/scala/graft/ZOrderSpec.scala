@@ -40,6 +40,21 @@ class ZOrderSpec extends SparkTestBase {
     assert(inversions == 0)
   }
 
+  test("edge shapes: constant column, negative values, single row") {
+    // constant column: every bucket 0, layout degrades to the other column
+    val const = (1 to 100).map(i => (5L, i.toLong)).toDF("a", "b")
+    assert(ZOrder.zorderBy(const, "a", "b", 4).count() == 100)
+    // negative values: c - min stays non-negative, kernel in range
+    val neg = (-50 to 49).map(i => (i.toLong, (-i).toLong)).toDF("a", "b")
+    val st = neg.agg(min("a").as("mn"), max("a").as("mx"))
+    val bounds = neg.crossJoin(broadcast(st))
+      .select(ZOrder.bucket16(col("a"), col("mn"), col("mx")).as("k"))
+      .agg(min("k"), max("k")).collect()(0)
+    assert(bounds.getLong(0) == 0L && bounds.getLong(1) <= 65535L)
+    assert(ZOrder.zorderBy(neg, "a", "b", 4).count() == 100)
+    assert(ZOrder.zorderBy(Seq((1L, 2L)).toDF("a", "b"), "a", "b", 4).count() == 1)
+  }
+
   test("zorderBy preserves the row multiset") {
     val df = (1 to 5000).map(i => (i % 97, i % 61, s"r$i")).toDF("a", "b", "s")
     val z = ZOrder.zorderBy(df, "a", "b", 8)
