@@ -28,8 +28,9 @@ class ResampleSpec extends SparkTestBase {
     val one = Seq((1L, 7L, 2.5)).toDF("k", "t", "v")
     val o = Resample.gridFill(one, "k", "t", "v", 10L).collect()
     assert(o.length == 1 && o(0).getDouble(3) == 2.5 && o(0).getBoolean(2))
-    // negative times: integral div floors toward -inf in SQL `div`?
-    // document actual behavior: slots just need to be CONSISTENT
+    // negative times: Spark `div` and DuckDB `//` both TRUNCATE toward
+    // zero ((-15) div 10 = -1 on each), so slot assignment stays
+    // engine-consistent below zero too
     val neg = Seq((1L, -15L, 1.0), (1L, 15L, 2.0)).toDF("k", "t", "v")
     val n = Resample.gridFill(neg, "k", "t", "v", 10L)
     assert(n.count() >= 3 && n.filter($"observed").count() == 2)
