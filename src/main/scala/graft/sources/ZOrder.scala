@@ -42,11 +42,30 @@ object ZOrder {
   /** Map an integral column with known [mn, mx] onto [0, 65535] with
     * integer cell division — exact in Spark and DuckDB alike (`div` /
     * `//`), no float boundary drift. Cell width (span div 65536) + 1
-    * keeps the quotient ≤ 65535 without overflow for any long span. */
+    * keeps the quotient ≤ 65535 for any span that fits in a signed
+    * Long. Spans that DON'T fit (mn < 0 ≤ mx with mx − mn overflowing —
+    * the column covers more than half the 64-bit range) would corrupt the
+    * clustering (or, under ANSI mode, throw an opaque mid-job overflow);
+    * [[zorderBy]] rejects them loudly on the stats row before any
+    * per-row work. */
   def bucket16(c: Column, mn: Column, mx: Column): Column = {
     val cell = call_function("div", mx - mn, lit(65536L)) + lit(1L)
     call_function("div", c - mn, cell)
   }
+
+  /** Overflow guard for [[bucket16]]'s span arithmetic, applied to the
+    * single stats row: a mixed-sign span that wraps Long means the column
+    * covers >2⁶³ distinct values — clustering on it is degenerate and the
+    * wrapped z-values would be silently wrong, so fail loudly instead. */
+  private def checkedMax(mn: Column, mx: Column, name: String): Column =
+    // try_subtract: NULL exactly when mx - mn overflows (ANSI mode would
+    // throw Spark's opaque ARITHMETIC_OVERFLOW before a sign check ran)
+    when(mx.isNotNull && mn.isNotNull && try_subtract(mx, mn).isNull,
+      raise_error(lit(s"ZOrder.zorderBy: column $name spans more than " +
+        "Long.MaxValue (min<0, max>=0, span overflows) — z-ordering a " +
+        "near-full-range column is degenerate; pre-bucket it first"))
+        .cast("long"))
+      .otherwise(mx)
 
   /** Z-order `df` by two integral columns: one stats pass for min/max
     * (single-row broadcast), bucket + interleave, then range-partition
@@ -58,7 +77,9 @@ object ZOrder {
     require(partitions > 0, s"partitions must be positive, got $partitions")
     val a = col(colA).cast("long"); val b = col(colB).cast("long")
     val st = df.agg(min(a).as("_mna"), max(a).as("_mxa"),
-      min(b).as("_mnb"), max(b).as("_mxb"))
+        min(b).as("_mnb"), max(b).as("_mxb"))
+      .select(col("_mna"), checkedMax(col("_mna"), col("_mxa"), colA).as("_mxa"),
+        col("_mnb"), checkedMax(col("_mnb"), col("_mxb"), colB).as("_mxb"))
     df.crossJoin(broadcast(st))
       .withColumn("_zv", zValue(
         bucket16(a, col("_mna"), col("_mxa")),

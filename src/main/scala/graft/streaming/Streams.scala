@@ -108,10 +108,15 @@ object Streams {
     * ONE row per key, bounded regardless of delta volume. Max-by-version
     * is a semilattice, so the final streaming state equals the batch
     * `Snapshot.upsert` fold of the same rows in ANY arrival order (spec
-    * asserts parity); on EQUAL versions the later ARRIVAL wins (the
-    * stream's notion of "delta-wins" — batch order is _src, stream order
-    * is time). Tombstones win like any version and emit deleted=true so
-    * a downstream sink drops the key. */
+    * asserts parity); on EQUAL versions a later BATCH wins (the stream's
+    * notion of "delta-wins" — batch order is _src, stream order is
+    * time). WITHIN a micro-batch there is no arrival order to honor —
+    * the per-group iterator order after the shuffle is not the source
+    * order — so equal-version rows of one batch resolve by a
+    * deterministic total order instead (tombstone over live, then max
+    * payload): the winner is a pure function of the batch's row SET,
+    * independent of partitioning (ADVICE r8). Tombstones win like any
+    * version and emit deleted=true so a downstream sink drops the key. */
   def streamingUpsert(
       rows: Dataset[(String, Long, Boolean, String)])
       : Dataset[(String, Long, Boolean, String)] = {
@@ -121,11 +126,23 @@ object Streams {
         GroupStateTimeout.NoTimeout) {
         (key: String, it: Iterator[(String, Long, Boolean, String)],
             state: GroupState[(Long, Boolean, String)]) =>
-          var best = state.getOption.getOrElse((Long.MinValue, false, null: String))
-          it.foreach { case (_, v, del, payload) =>
-            if (v >= best._1) best = (v, del, payload)
+          // best carries a fromState marker: an equal-version row of THIS
+          // batch always beats carried state (later batch wins), while two
+          // rows of this batch at the same version compare by the
+          // deterministic (deleted, payload) order
+          var best = state.getOption match {
+            case Some((v, del, p)) => (v, del, p, true)
+            case None => (Long.MinValue, false, null: String, true)
           }
-          state.update(best)
+          def rowBeats(del: Boolean, payload: String): Boolean =
+            best._4 || (del != best._2 && del) ||
+              (del == best._2 &&
+                Ordering[String].compare(String.valueOf(payload), String.valueOf(best._3)) > 0)
+          it.foreach { case (_, v, del, payload) =>
+            if (v > best._1 || (v == best._1 && rowBeats(del, payload)))
+              best = (v, del, payload, false)
+          }
+          state.update((best._1, best._2, best._3))
           (key, best._1, best._2, best._3)
       }
   }

@@ -36,6 +36,25 @@ class ResampleSpec extends SparkTestBase {
     assert(n.count() >= 3 && n.filter($"observed").count() == 2)
   }
 
+  test("outlier span fails loudly, naming the key — not an opaque explode") {
+    // one epoch-0 row against a modern-epoch key: span/step is ~170M
+    // slots, far past the default guard — must raise a message naming
+    // the key, not Spark's sequence-length error or an OOM
+    val outlier = Seq((7L, 0L, 1.0), (7L, 1700000000000L, 2.0)).toDF("k", "t", "v")
+    val e = intercept[Exception] {
+      Resample.gridFill(outlier, "k", "t", "v", step = 1000L).count()
+    }
+    def msgs(t: Throwable): List[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) :: msgs(t.getCause)
+    val all = msgs(e).mkString(" | ")
+    assert(all.contains("maxSlotsPerKey"), s"wrong error: $all")
+    assert(all.contains("key 7"), s"error must name the key: $all")
+    // explicit cap override keeps wide-but-intended grids usable
+    val wide = Resample.gridFill(outlier, "k", "t", "v",
+      step = 100000000000L, maxSlotsPerKey = 100L)
+    assert(wide.count() == 18)
+  }
+
   test("no gaps -> pure snap; duplicates in a slot reduce by max") {
     val obs = Seq((1L, 0L, 3.0), (1L, 1L, 1.0), (1L, 12L, 7.0)).toDF("k", "t", "v")
     val out = Resample.gridFill(obs, "k", "t", "v", step = 10L)

@@ -82,6 +82,36 @@ class StreamingSpec extends SparkTestBase {
     q.stop()
   }
 
+  test("streaming upsert: equal-version ties are deterministic in-batch, later batch wins across") {
+    implicit val sqlCtx = spark.sqlContext
+    // same row SET in two different orders must yield the same winner —
+    // the per-group iterator order after the shuffle is not arrival
+    // order, so the tie-break is (deleted desc, payload desc), not order
+    def run(name: String, batch1: Seq[(String, Long, Boolean, String)],
+        batch2: Seq[(String, Long, Boolean, String)]): Map[String, (Long, Boolean, String)] = {
+      val in = MemoryStream[(String, Long, Boolean, String)]
+      val q = Streams.toMemory(Streams.streamingUpsert(in.toDS()).toDF()
+        .toDF("k", "version", "deleted", "v"), name, "update")
+      in.addData(batch1: _*); q.processAllAvailable()
+      if (batch2.nonEmpty) { in.addData(batch2: _*); q.processAllAvailable() }
+      val st = spark.table(name).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2), r.getString(3))))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.last._2 }
+      q.stop(); st
+    }
+    val rows = Seq(("a", 5L, false, "p1"), ("a", 5L, false, "p2"))
+    assert(run("tie1", rows, Nil)("a") == ((5L, false, "p2")))
+    assert(run("tie2", rows.reverse, Nil)("a") == ((5L, false, "p2")))
+    // tombstone beats live at equal version regardless of payload order
+    val tomb = Seq(("a", 5L, true, "aaa"), ("a", 5L, false, "zzz"))
+    assert(run("tie3", tomb, Nil)("a") == ((5L, true, "aaa")))
+    assert(run("tie4", tomb.reverse, Nil)("a") == ((5L, true, "aaa")))
+    // across batches: equal version in a LATER batch replaces state even
+    // when the deterministic order ranks it lower
+    assert(run("tie5", Seq(("a", 5L, false, "zzz")),
+      Seq(("a", 5L, false, "aaa")))("a") == ((5L, false, "aaa")))
+  }
+
   test("streaming dedup within watermark") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(java.sql.Timestamp, Long)]

