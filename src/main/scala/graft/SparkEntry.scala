@@ -1087,13 +1087,18 @@ object SparkEntry {
     * side replicated per salt — result identical to the plain join (the
     * oracle IS the plain join), task sizes bounded under key skew. The
     * low threshold forces most suppliers down the salted path while the
-    * rest exercise the salt-0 fast path. */
+    * rest exercise the salt-0 fast path. The left keeps l_orderkey as the
+    * `saltBy` disambiguator so the content-salting path (not the
+    * positional fallback) is what the oracle exercises — a key-only
+    * projection would put a hot key's identical rows on one salt
+    * (ADVICE r8). */
   private def q41(s: SparkSession, d: String): DataFrame = {
     val dim = tbl(d, "supplier")(s)
       .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
     graft.operators.SkewJoin.saltedJoin(
-        tbl(d, "lineitem")(s).select("l_suppkey"),
-        dim, Seq("l_suppkey"), salts = 4, hotKeyThreshold = 500)
+        tbl(d, "lineitem")(s).select("l_suppkey", "l_orderkey"),
+        dim, Seq("l_suppkey"), salts = 4, hotKeyThreshold = 500,
+        saltBy = Seq("l_suppkey", "l_orderkey"))
       .groupBy("s_nationkey")
       .agg(count(lit(1)).as("n_items"),
         count_distinct(col("l_suppkey")).as("n_supps"))

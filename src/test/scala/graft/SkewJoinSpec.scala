@@ -31,11 +31,50 @@ class SkewJoinSpec extends SparkTestBase {
   test("hot key rows actually spread over multiple salts") {
     val hot = SkewJoin.hotKeys(fact, Seq("k"), 100)
     assert(canon(hot) == Seq("7"))
-    // replicate the operator's salt expression on the hot rows
+    // the operator's own salt expressions (saltBasis/saltExpr), not a replica
     val spread = fact.filter(col("k") === 7)
-      .withColumn("_salt", pmod(xxhash64(col("k"), col("v")), lit(4L)))
+      .withColumn("_salt",
+        SkewJoin.saltExpr(SkewJoin.saltBasis(fact.columns, Seq("v")), 4))
       .select("_salt").distinct().count()
     assert(spread > 1, "1000 distinct rows must land in >1 of 4 salts")
+  }
+
+  test("IDENTICAL rows of a hot key still spread (key-only projection)") {
+    // the ADVICE-r8 failure case: a pure content hash sends all 1000
+    // identical rows to ONE salt, recreating the skew — the default
+    // basis mixes in a positional id so duplicates spread too
+    val keyOnly = fact.select("k").filter(col("k") === 7) // 1000 identical rows
+    val spread = keyOnly
+      .withColumn("_salt",
+        SkewJoin.saltExpr(SkewJoin.saltBasis(keyOnly.columns, Seq.empty), 4))
+      .select("_salt").distinct().count()
+    assert(spread > 1, "1000 identical rows must land in >1 of 4 salts")
+    // and the join result through the operator stays exact on duplicates
+    val salted = SkewJoin.saltedJoin(keyOnly, dim, Seq("k"), "inner",
+      salts = 4, hotKeyThreshold = 100)
+    assert(canon(salted) == canon(keyOnly.join(dim, Seq("k"))))
+    // caller-named unique column: pure row function, also spreads
+    val byCol = fact.filter(col("k") === 7)
+      .withColumn("_salt",
+        SkewJoin.saltExpr(SkewJoin.saltBasis(fact.columns, Seq("v")), 4))
+      .select("_salt").distinct().count()
+    assert(byCol > 1)
+  }
+
+  test("persisted key-stats tap: hot set without re-scanning the input") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_keystats").toString
+    SkewJoin.writeKeyStats(fact, Seq("k"), dir)
+    val hot = SkewJoin.hotFromStats(spark, dir, Seq("k"), 100)
+    assert(canon(hot) == Seq("7"))
+    val salted = SkewJoin.saltedJoin(fact, dim, Seq("k"), "inner",
+      salts = 4, hot = Some(hot), saltBy = Seq("v"))
+    assert(canon(salted) == canon(fact.join(dim, Seq("k"))))
+    // the counting pass over `fact` is skipped: the salted plan reads the
+    // stats parquet, and no count aggregate (hotKeys' signature) appears —
+    // the only remaining Aggregate is the tiny dedup over the stats tap
+    val plan = salted.queryExecution.optimizedPlan.toString
+    assert(plan.contains("parquet"), plan.takeRight(500))
+    assert(!plan.contains("count(1)"), "stats tap must replace the counting pass")
   }
 
   test("caller-provided hot set skips detection and stays exact") {

@@ -38,6 +38,15 @@ object SkewProfile {
         SkewJoin.saltedJoin(fact, dim, Seq("k"), salts = 16,
           hotKeyThreshold = 100000L).agg(sum("w")).count())
     }
+    // persisted stats tap: counting pass paid once at write, every later
+    // join reads the tiny stats table instead of re-scanning 30M rows
+    val statsDir = java.nio.file.Files.createTempDirectory("skew_stats").toString
+    time("writeKeyStats (one-time counting pass) @30.3M")(
+      { SkewJoin.writeKeyStats(fact, Seq("k"), statsDir); 1L })
+    val hot = SkewJoin.hotFromStats(spark, statsDir, Seq("k"), 100000L)
+    time("salted join via stats tap (no counting pass) @30.3M")(
+      SkewJoin.saltedJoin(fact, dim, Seq("k"), salts = 16,
+        hot = Some(hot), saltBy = Seq("v")).agg(sum("w")).count())
     spark.stop()
   }
 }

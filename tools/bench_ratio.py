@@ -99,7 +99,10 @@ def recheck(flagged, sf_name, ref_norm):
         print("\n".join(proc.stderr.splitlines()[-5:]))
         return
     s, e, cal = host_legs(headline)
-    hf = statistics.mean([s, e])  # short run: flat factor suffices
+    # conservative: the SMALLER leg (fastest host) yields the LARGEST
+    # normalized time, so a noisy canary leg can't falsely exonerate a
+    # real regression
+    hf = min(s, e)
     print(f"recheck host factor {hf:.2f} (cal={cal}, legs {s:.2f}/{e:.2f})")
     drift_free = 0
     for q in flagged:
