@@ -1427,11 +1427,18 @@ object SparkEntry {
       """SELECT COUNT(*) AS cnt,
         |CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
         |MAX(l_shipdate) AS max_ship FROM lineitem""".stripMargin,
+    // q21: the DECIMAL(28,8) sum exceeds 2^53 units at sf>=0.1, so its
+    // double conversion rounds. Spark's cast is correctly rounded
+    // (BigDecimal.doubleValue); DuckDB's direct decimal->double is off by
+    // an ulp on some values (measured at sf0.1), so the oracle routes the
+    // conversion through VARCHAR — decimal->string is exact and
+    // string->double correctly rounded in both engines — making the
+    // contract "correctly rounded" rather than "whatever the engine does"
     "q21_variance" ->
       """SELECT c_mktsegment, a - m*m AS var_bal FROM
         |(SELECT c_mktsegment,
-        |  CAST(SUM(CAST(c_acctbal*c_acctbal AS DECIMAL(28,8))) AS DOUBLE)/COUNT(*) AS a,
-        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)/COUNT(*) AS m
+        |  CAST(CAST(SUM(CAST(c_acctbal*c_acctbal AS DECIMAL(28,8))) AS VARCHAR) AS DOUBLE)/COUNT(*) AS a,
+        |  CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)/COUNT(*) AS m
         | FROM customer GROUP BY c_mktsegment) t""".stripMargin,
     "q22_events_agg" ->
       """SELECT event_type, COUNT(*) AS cnt,
