@@ -56,11 +56,30 @@ object Bpe {
   /** Learn `numMerges` BPE merges from a corpus. Stops early when no
     * adjacent pair reaches `minPairFreq`. `maxTrainRows` > 0 samples
     * the corpus deterministically first (md5-threshold, the p21/
-    * `maxTrainRows` idiom) so training cost is O(sample). */
+    * `maxTrainRows` idiom) so training cost is O(sample).
+    *
+    * `batchMerges` (VERDICT r8 #4): sequential BPE is one count job +
+    * one merge job PER merge — at a production 32k–50k vocab the
+    * latency is driver round trips, not data. With `batchMerges` = M,
+    * each counting round accepts up to M pairs, taken in descending
+    * (count, a, b) order and SYMBOL-DISJOINT: a pair is accepted only
+    * if neither member nor its concatenation collides with a
+    * higher-ranked accepted pair's members or product. Disjoint pairs'
+    * counts are invariant under each other's merges (a merge only
+    * touches adjacencies involving its own symbols), so every accepted
+    * pair's count is its true count at acceptance time. The one
+    * divergence from sequential greedy: a NEW pair created by merge i
+    * (count bounded by merge i's count) can in principle out-rank a
+    * later accepted pair; sequential would interleave it, batched
+    * defers it to the next round. M = 1 (the default) is bit-exact
+    * sequential semantics — the p47/p50 oracles pin it; batched mode is
+    * the documented scale path (driver rounds ~numMerges/M, BpeSpec
+    * asserts list equality on separated-count corpora). */
   def train(docs: DataFrame, numMerges: Int, textCol: String = "text",
       minPairFreq: Long = 2L, maxTrainRows: Long = 0L,
-      idCol: String = "doc_id"): Seq[(String, String)] = {
+      idCol: String = "doc_id", batchMerges: Int = 1): Seq[(String, String)] = {
     require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
+    require(batchMerges >= 1, s"batchMerges must be >= 1, got $batchMerges")
     val base =
       if (maxTrainRows <= 0L) docs
       else {
@@ -79,23 +98,48 @@ object Bpe {
     var step = 0
     var done = false
     while (step < numMerges && !done) {
+      val want = math.min(batchMerges, numMerges - step)
+      // over-fetch so conflict rejections still usually fill the batch;
+      // an under-filled batch just means one extra counting round
+      val fetch = if (want == 1) 1 else math.max(4 * want, 16)
       val top = types
         .select(posexplode(col("syms")).as(Seq("i", "a")), col("syms"), col("n"))
         .filter(col("i") < size(col("syms")) - 1)
         .select(col("a"), element_at(col("syms"), col("i") + 2).as("b"), col("n"))
         .groupBy("a", "b").agg(sum(col("n")).as("c"))
+        .filter(col("c") >= minPairFreq)
         .orderBy(col("c").desc, col("a"), col("b"))
-        .limit(1).collect()
-      if (top.isEmpty || top(0).getLong(2) < minPairFreq) done = true
+        .limit(fetch).collect()
+      if (top.isEmpty) done = true
       else {
-        val (a, b) = (top(0).getString(0), top(0).getString(1))
-        merges += ((a, b))
-        // re-materialize: keeps the plan one projection deep per the
-        // current table instead of numMerges nested UDF applications
+        // accept symbol-disjoint pairs in rank order: members AND the
+        // merged product must be untouched by higher-ranked acceptances
+        // (a pair involving an accepted pair's product would gain new
+        // occurrences from that merge — its count here is stale)
+        val used = scala.collection.mutable.Set.empty[String]
+        val accepted = Seq.newBuilder[(String, String)]
+        var k = 0
+        var taken = 0
+        while (k < top.length && taken < want) {
+          val (a, b) = (top(k).getString(0), top(k).getString(1))
+          if (!used(a) && !used(b) && !used(a + b)) {
+            accepted += ((a, b)); used ++= Seq(a, b, a + b); taken += 1
+          }
+          k += 1
+        }
+        val batch = accepted.result()
+        merges ++= batch
+        // one UDF pass applies the whole batch in rank order;
+        // re-materialize keeps the plan one projection deep per round
+        // instead of numMerges nested UDF applications
+        val batchArr = batch.toArray
+        val batchUdf = udf { (syms: Seq[String]) =>
+          batchArr.foldLeft(syms.toArray) { case (s, (a, b)) => mergePass(s, a, b) }.toSeq
+        }
         types = types
-          .select(mergeUdf(col("syms"), lit(a), lit(b)).as("syms"), col("n"))
+          .select(batchUdf(col("syms")).as("syms"), col("n"))
           .transform(graft.Stage.materialize)
-        step += 1
+        step += batch.length
       }
     }
     merges.result()

@@ -28,6 +28,27 @@ class BpeSpec extends SparkTestBase {
     assert(Bpe.train(docs, numMerges = 5).isEmpty)
   }
 
+  test("batched training: M=1-equal lists on separated counts; conflicts defer") {
+    // distinct-letter words with well-separated pair counts: every top-M
+    // batch is symbol-disjoint and no new-symbol pair can out-rank the
+    // batch, so batched == sequential exactly
+    val docs = Seq((1L, ("ab " * 9) + ("cd " * 7) + ("ef " * 5) + ("gh " * 3)))
+      .toDF("doc_id", "text")
+    val seqList = Bpe.train(docs, numMerges = 4, minPairFreq = 1L)
+    assert(seqList == Seq("a" -> "b", "c" -> "d", "e" -> "f", "g" -> "h"))
+    for (m <- Seq(2, 3, 8))
+      assert(Bpe.train(docs, numMerges = 4, minPairFreq = 1L, batchMerges = m)
+        == seqList, s"batchMerges=$m diverged")
+    // conflicting pairs share a symbol: (a,a) then (a,b) both touch 'a',
+    // so a batch accepts only the first and defers the rest to the next
+    // counting round — same final list as sequential on this corpus
+    val overlap = Seq((1L, "aaab aaab"), (2L, "aaab ab")).toDF("doc_id", "text")
+    assert(Bpe.train(overlap, numMerges = 10, minPairFreq = 1L, batchMerges = 4)
+      == Bpe.train(overlap, numMerges = 10, minPairFreq = 1L))
+    // batch cap respected: numMerges bounds total accepted merges
+    assert(Bpe.train(docs, numMerges = 3, minPairFreq = 1L, batchMerges = 8).length == 3)
+  }
+
   test("encode applies merges in order; unseen words fall back to characters") {
     val merges = Seq("a" -> "a", "a" -> "b", "aa" -> "ab")
     val out = Seq((1L, "aaabab zq Aaab"), (2L, ""), (3L, "ab"))

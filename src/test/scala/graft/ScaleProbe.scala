@@ -450,6 +450,68 @@ object ScaleProbe {
       time("snapshot diff @6M vs 5.5M")(
         Snapshot.diff(snap, neu, Seq("l_orderkey", "l_suppkey")).count())
     }
+
+    // round-9: the remaining round-8 ops at 10x — resample (post-guard),
+    // sessionize, RANGE-frame window, CUBE. Shapes: all one-shuffle keyed
+    // windows/aggs whose per-key work is span-bounded, so 10x keys at
+    // constant per-key size should scale ~linearly.
+    {
+      import graft.operators.{Resample, Sessionize}
+      import org.apache.spark.sql.expressions.Window
+      // keyed sparse time series: K keys x 120 observations, every 3rd
+      // slot present -> grid ~3x the input rows (output-proportional)
+      def series(keys: Int) = spark.range(keys * 120L).select(
+        (col("id") % keys).as("k"),
+        (call_function("div", col("id"), lit(keys.toLong)) * 30L
+          + (col("id") % 7) * 10L).as("t"),
+        (col("id") % 100).cast("double").as("v")).localCheckpoint()
+      val s1 = series(5000); val s10 = series(50000)
+      time("resample gridFill @600k obs")(
+        Resample.gridFill(s1, "k", "t", "v", step = 10L).count())
+      time("resample gridFill @6M obs")(
+        Resample.gridFill(s10, "k", "t", "v", step = 10L).count())
+      time("sessionize @600k events")(
+        Sessionize.sessions(s1, "k", "t", gap = 25L).count())
+      time("sessionize @6M events")(
+        Sessionize.sessions(s10, "k", "t", gap = 25L).count())
+      def rangeWin(df: org.apache.spark.sql.DataFrame) = {
+        val w = Window.partitionBy("k").orderBy(col("t")).rangeBetween(-300L, 0L)
+        df.withColumn("n_win", count(lit(1)).over(w))
+          .withColumn("win_min", min(col("v")).over(w))
+      }
+      time("RANGE-frame window @600k")(rangeWin(s1).count())
+      time("RANGE-frame window @6M")(rangeWin(s10).count())
+      def cubeShape(src: String) = spark.read.parquet(src)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().as("gid"), sum("l_quantity").as("s"), count(lit(1)).as("c"))
+      time("CUBE @600k")(cubeShape("/root/testdata/sf0.1/lineitem.parquet").count())
+      time("CUBE @6M")(cubeShape(big).count())
+    }
+
+    // round-9: batched BPE training — driver ROUNDS (and Spark jobs) drop
+    // ~M-fold at the same merge count; the per-round counting job is the
+    // same shape either way, so wall-clock follows rounds.
+    {
+      import graft.pipeline.Bpe
+      val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      val jobs = new java.util.concurrent.atomic.AtomicLong(0)
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            jobs.incrementAndGet()
+        })
+      def jobCount(label: String)(f: => Long): Unit = {
+        Thread.sleep(500); jobs.set(0)
+        val t0 = System.nanoTime(); val n = f
+        Thread.sleep(500)
+        println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2f s, " +
+          f"${jobs.get} driver jobs ($n merges)")
+      }
+      jobCount("bpe train 100 merges sequential (M=1)")(
+        Bpe.train(docs, 100, minPairFreq = 1L).length.toLong)
+      jobCount("bpe train 100 merges batched (M=25)")(
+        Bpe.train(docs, 100, minPairFreq = 1L, batchMerges = 25).length.toLong)
+    }
     spark.stop()
   }
 }
