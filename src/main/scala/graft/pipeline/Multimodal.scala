@@ -36,6 +36,16 @@ object Multimodal {
       glob: String = "*"): DataFrame =
     spark.read.format("binaryFile").option("pathGlobFilter", glob).load(path)
 
+  /** Every stub-backed entry point routes through this loud gate: the
+    * deterministic fakes exist to exercise the Spark-side plumbing
+    * (schema, batching, explode shapes) where no codec library can, and
+    * must never be mistaken for decoding — callers opt in with
+    * `stub = true` or get pointed at the real path. */
+  private def requireStub(stub: Boolean, method: String, real: String): Unit =
+    require(stub,
+      s"Multimodal.$method is STUB-backed (deterministic fake, no real " +
+        s"decoding); pass stub = true to opt in, or use the real path: $real")
+
   // ------------------------------------------------------------ STUBS
   // Deterministic fakes: metadata derived from a stable hash of the bytes,
   // so tests are reproducible and the pipeline shape is real.
@@ -67,21 +77,37 @@ object Multimodal {
   private val decodeMetaUdf = udf((b: Array[Byte], mt: String) =>
     if (b == null) null else decodeMetaStub(b, mt))
 
-  /** Attach decoded metadata struct to a binary column. */
-  def withMeta(df: DataFrame, binCol: String, mediaType: String): DataFrame =
+  /** Attach decoded metadata struct to a binary column. STUB-backed:
+    * requires the explicit `stub = true` opt-in; the real paths are
+    * [[withImageMeta]], [[withAudioMeta]], [[withAnimationMeta]],
+    * [[withVideoMeta]]. */
+  def withMeta(df: DataFrame, binCol: String, mediaType: String,
+      stub: Boolean = false): DataFrame = {
+    requireStub(stub, "withMeta",
+      "withImageMeta / withAudioMeta / withAnimationMeta / withVideoMeta")
     df.withColumn("meta", decodeMetaUdf(col(binCol), lit(mediaType)))
+  }
 
   private val featuresUdf = udf((b: Array[Byte]) => featuresStub(b))
 
-  /** Attach an embedding-like feature vector (array<float>). */
-  def withFeatures(df: DataFrame, binCol: String): DataFrame =
+  /** Attach an embedding-like feature vector (array<float>).
+    * STUB-backed (explicit opt-in); real paths: [[imageFeatures]],
+    * [[audioFeatures]]. */
+  def withFeatures(df: DataFrame, binCol: String,
+      stub: Boolean = false): DataFrame = {
+    requireStub(stub, "withFeatures", "imageFeatures / audioFeatures")
     df.withColumn("features", featuresUdf(col(binCol)))
+  }
 
   private val resizeUdf = udf((b: Array[Byte], w: Int, h: Int) => resizeStub(b, w, h))
 
-  /** Resize/thumbnail a binary image column. */
-  def resized(df: DataFrame, binCol: String, w: Int, h: Int): DataFrame =
+  /** Resize/thumbnail a binary column. STUB-backed (explicit opt-in);
+    * real path: [[resizedImage]]. */
+  def resized(df: DataFrame, binCol: String, w: Int, h: Int,
+      stub: Boolean = false): DataFrame = {
+    requireStub(stub, "resized", "resizedImage")
     df.withColumn("resized", resizeUdf(col(binCol), lit(w), lit(h)))
+  }
 
   /** Batched feature extraction — the Scala analog of a Pandas UDF over
     * `mapInPandas`: the expensive codec/model is initialized ONCE per
@@ -90,7 +116,8 @@ object Multimodal {
     * stub "model" is [[featuresStub]]; swap the `init`/`infer` pair for a
     * real decoder+model in production. Output schema = input + features. */
   def withFeaturesBatched(df: DataFrame, binCol: String,
-      batchSize: Int = 64): DataFrame = {
+      batchSize: Int = 64, stub: Boolean = false): DataFrame = {
+    requireStub(stub, "withFeaturesBatched", "withImageFeaturesBatched")
     val schema = df.schema.add(StructField("features", ArrayType(FloatType)))
     val binIdx = df.schema.fieldIndex(binCol)
     val out = df.mapPartitions { rows =>
@@ -354,12 +381,109 @@ object Multimodal {
         :+ col("_f._2").as("frame_png") :+ col("_f._3").as("frame_w")
         :+ col("_f._4").as("frame_h"): _*)
 
+  // ------------------- REAL video decoding (MJPEG-in-AVI, pure JVM)
+  // AVI is RIFF: 'RIFF'<size>'AVI ' then LIST/plain chunks. The 'avih'
+  // header (inside the 'hdrl' LIST) carries frame timing + dimensions;
+  // MJPEG stores each video frame as an independent JPEG inside the
+  // 'movi' LIST's '00dc'/'00db' chunks — which ImageIO's JDK JPEG
+  // plugin decodes. So this one true video container is decodable with
+  // zero external libraries; h264/vp9-class codecs remain the explicit
+  // stub boundary (COVERAGE.md).
+
+  private final case class AviInfo(usPerFrame: Long, totalFrames: Int,
+      width: Int, height: Int, frames: IndexedSeq[(Int, Int)])
+
+  private def u32le(b: Array[Byte], off: Int): Long =
+    (b(off) & 0xFFL) | ((b(off + 1) & 0xFFL) << 8) |
+      ((b(off + 2) & 0xFFL) << 16) | ((b(off + 3) & 0xFFL) << 24)
+
+  private def fourcc(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** Walk the RIFF tree; null for anything that isn't a parseable AVI. */
+  private def parseAvi(bytes: Array[Byte]): AviInfo = {
+    if (bytes == null || bytes.length < 12 ||
+      fourcc(bytes, 0) != "RIFF" || fourcc(bytes, 8) != "AVI ") return null
+    try {
+      var usPerFrame = 0L; var totalFrames = 0; var w = 0; var h = 0
+      val frames = IndexedSeq.newBuilder[(Int, Int)]
+      def walk(start: Int, end: Int): Unit = {
+        var p = start
+        while (p + 8 <= end) {
+          val id = fourcc(bytes, p)
+          val size = u32le(bytes, p + 4).toInt
+          val dataOff = p + 8
+          if (dataOff + size > bytes.length) return // truncated: stop cleanly
+          if (id == "LIST" || id == "RIFF") {
+            walk(dataOff + 4, dataOff + size) // skip the 4-byte list type
+          } else if (id == "avih" && size >= 40) {
+            usPerFrame = u32le(bytes, dataOff)
+            totalFrames = u32le(bytes, dataOff + 16).toInt
+            w = u32le(bytes, dataOff + 32).toInt
+            h = u32le(bytes, dataOff + 36).toInt
+          } else if ((id.endsWith("dc") || id.endsWith("db")) &&
+            id.take(2).forall(_.isDigit) && size > 0) {
+            frames += ((dataOff, size))
+          }
+          p = dataOff + size + (size & 1) // chunks pad to even
+        }
+      }
+      walk(12, bytes.length)
+      val fr = frames.result()
+      if (fr.isEmpty && totalFrames == 0) null
+      else AviInfo(usPerFrame, if (totalFrames > 0) totalFrames else fr.length,
+        w, h, fr)
+    } catch { case _: Exception => null }
+  }
+
+  /** REAL video metadata for MJPEG-in-AVI: dimensions from the avih
+    * header, frame count in the `channels` slot (the [[withAnimationMeta]]
+    * convention), duration from frames × µs-per-frame. Non-AVI bytes →
+    * null (trap upstream). */
+  private val videoMetaUdf = udf { (bytes: Array[Byte]) =>
+    val info = parseAvi(bytes)
+    if (info == null) null
+    else MediaMeta("video", info.width, info.height, info.frames.length,
+      info.totalFrames.toLong * info.usPerFrame / 1000L)
+  }
+
+  def withVideoMeta(df: DataFrame, binCol: String): DataFrame =
+    df.withColumn("meta", videoMetaUdf(col(binCol)))
+
+  /** REAL frame sampling over MJPEG-in-AVI: every Nth stored frame,
+    * JPEG-decoded via ImageIO and re-encoded PNG with true dimensions —
+    * the same output shape as [[gifFrameSample]], so downstream
+    * dedup/feature stages are container-agnostic. */
+  private val aviFramesUdf = udf { (bytes: Array[Byte], everyNth: Int) =>
+    val info = parseAvi(bytes)
+    if (info == null) null
+    else (0 until info.frames.length by math.max(1, everyNth)).flatMap { i =>
+      val (off, len) = info.frames(i)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes, off, len))
+      if (img == null) None
+      else {
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        Some((i, bos.toByteArray, img.getWidth, img.getHeight))
+      }
+    }
+  }
+
+  def aviFrameSample(df: DataFrame, binCol: String, everyNthFrame: Int = 1): DataFrame =
+    df.withColumn("_f", explode(aviFramesUdf(col(binCol), lit(everyNthFrame))))
+      .select(df.columns.toIndexedSeq.map(col) :+ col("_f._1").as("frame_idx")
+        :+ col("_f._2").as("frame_png") :+ col("_f._3").as("frame_w")
+        :+ col("_f._4").as("frame_h"): _*)
+
   /** Frame sampling: one output row per sampled frame index — the explode
     * pattern a video pipeline needs. Frame extraction itself is the stub
     * (byte slice); the row multiplication, index bookkeeping, and even
-    * partition-size behavior are the real thing. */
+    * partition-size behavior are the real thing. For a REAL container
+    * path use [[aviFrameSample]] (MJPEG-in-AVI) or [[gifFrameSample]]. */
   def frameSample(df: DataFrame, binCol: String, everyNthFrame: Int,
-      fps: Int = 30): DataFrame = {
+      fps: Int = 30, stub: Boolean = false): DataFrame = {
+    requireStub(stub, "frameSample", "aviFrameSample / gifFrameSample")
     val meta = decodeMetaUdf(col(binCol), lit("video"))
     val frameCount = (meta("duration_ms") / 1000.0 * fps).cast("int")
     val idx = explode(sequence(lit(0), greatest(frameCount - 1, lit(0)),

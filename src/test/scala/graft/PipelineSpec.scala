@@ -1173,32 +1173,102 @@ class PipelineSpec extends SparkTestBase {
     assert(feats(3L).isEmpty)
   }
 
+  test("multimodal video: MJPEG-in-AVI decodes for real (pure JVM)") {
+    // hand-assemble a minimal spec-conformant AVI: RIFF('AVI ') containing
+    // LIST('hdrl') with an avih header and LIST('movi') with '00dc' JPEG
+    // frames — the decoder must parse the real container layout
+    def jpegFrame(shade: Int, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(shade, shade, shade))
+      g.fillRect(0, 0, w, h); g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    def le32(v: Long): Array[Byte] =
+      Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+        ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    def chunk(id: String, data: Array[Byte]): Array[Byte] = {
+      val pad = if (data.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
+      id.getBytes("US-ASCII") ++ le32(data.length) ++ data ++ pad
+    }
+    def list(listType: String, inner: Array[Byte]): Array[Byte] =
+      chunk("LIST", listType.getBytes("US-ASCII") ++ inner)
+    val frames = Seq(jpegFrame(40, 32, 24), jpegFrame(128, 32, 24), jpegFrame(220, 32, 24))
+    val usPerFrame = 40000L // 25 fps
+    val avih = le32(usPerFrame) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le32(frames.length) ++ le32(0) ++ le32(1) ++ le32(0) ++
+      le32(32) ++ le32(24) ++ Array.fill(16)(0.toByte)
+    val hdrl = list("hdrl", chunk("avih", avih))
+    val movi = list("movi", frames.map(chunk("00dc", _)).reduce(_ ++ _))
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    val avi = "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+
+    val df = Seq((1L, avi), (2L, Array[Byte](1, 2, 3))).toDF("id", "vid")
+    val meta = Multimodal.withVideoMeta(df, "vid").select("id", "meta.*")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(meta(1L).getAs[String]("media_type") == "video")
+    assert(meta(1L).getAs[Int]("width") == 32 && meta(1L).getAs[Int]("height") == 24)
+    assert(meta(1L).getAs[Int]("channels") == 3) // frame count
+    assert(meta(1L).getAs[Long]("duration_ms") == 120L) // 3 x 40ms
+    assert(meta(2L).anyNull) // non-AVI bytes -> null, not a throw
+
+    val sampled = Multimodal.aviFrameSample(df.filter($"id" === 1L), "vid",
+      everyNthFrame = 2).collect()
+    assert(sampled.map(_.getAs[Int]("frame_idx")).toSeq == Seq(0, 2))
+    assert(sampled.forall(r => r.getAs[Int]("frame_w") == 32 &&
+      r.getAs[Int]("frame_h") == 24))
+    // sampled frames are real decodable PNGs with distinct pixel content
+    val lums = sampled.map { r =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("frame_png")))
+      img.getRGB(16, 12) & 0xFF
+    }
+    assert(lums.length == 2 && math.abs(lums(0) - 40) < 16 &&
+      math.abs(lums(1) - 220) < 16, lums.toSeq.toString)
+  }
+
+  test("multimodal stub paths demand the explicit opt-in") {
+    val df = Seq((1L, Array[Byte](1, 2, 3))).toDF("id", "b")
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.withMeta(df, "b", "video")
+    }
+    assert(e.getMessage.contains("STUB-backed") &&
+      e.getMessage.contains("withVideoMeta"))
+    intercept[IllegalArgumentException](Multimodal.withFeatures(df, "b"))
+    intercept[IllegalArgumentException](Multimodal.resized(df, "b", 4, 4))
+    intercept[IllegalArgumentException](Multimodal.frameSample(df, "b", 1))
+    intercept[IllegalArgumentException](Multimodal.withFeaturesBatched(df, "b"))
+  }
+
   test("multimodal plumbing: binary source, meta, features, frame sampling") {
     val bin = Multimodal.readBinaryFiles(spark, sf, "*.parquet")
     assert(bin.count() == 10)
     assert(bin.schema.fieldNames.contains("content"))
 
-    val withMeta = Multimodal.withMeta(bin, "content", "image")
+    val withMeta = Multimodal.withMeta(bin, "content", "image", stub = true)
     val m = withMeta.select($"meta.width", $"meta.height", $"meta.media_type").head()
     assert(m.getInt(0) >= 64 && m.getInt(1) >= 64 && m.getString(2) == "image")
 
-    val feats = Multimodal.withFeatures(bin, "content")
+    val feats = Multimodal.withFeatures(bin, "content", stub = true)
       .select($"features").head().getSeq[Float](0)
     assert(feats.length == 8 && feats.forall(f => f >= 0f && f <= 1f))
 
     // deterministic: same bytes → same features
-    val f2 = Multimodal.withFeatures(bin, "content").select($"features").head().getSeq[Float](0)
+    val f2 = Multimodal.withFeatures(bin, "content", stub = true).select($"features").head().getSeq[Float](0)
     assert(feats == f2)
 
-    val frames = Multimodal.frameSample(bin.limit(1), "content", everyNthFrame = 30)
+    val frames = Multimodal.frameSample(bin.limit(1), "content", everyNthFrame = 30, stub = true)
     assert(frames.count() > 1) // row multiplication happened
     assert(frames.schema.fieldNames.contains("frame_idx"))
 
     // batched (mapInPandas-analog) path produces the same features as the
     // per-row path, with batch size smaller than the partition
-    val batched = Multimodal.withFeaturesBatched(bin, "content", batchSize = 3)
+    val batched = Multimodal.withFeaturesBatched(bin, "content", batchSize = 3, stub = true)
       .select($"path", $"features")
-    val perRow = Multimodal.withFeatures(bin, "content").select($"path", $"features")
+    val perRow = Multimodal.withFeatures(bin, "content", stub = true).select($"path", $"features")
     assert(batched.collect().map(r => (r.getString(0), r.getSeq[Float](1))).toMap ==
       perRow.collect().map(r => (r.getString(0), r.getSeq[Float](1))).toMap)
   }
