@@ -390,7 +390,7 @@ object Multimodal {
   // zero external libraries; h264/vp9-class codecs remain the explicit
   // stub boundary (COVERAGE.md).
 
-  private final case class AviInfo(usPerFrame: Long, totalFrames: Int,
+  private[graft] final case class AviInfo(usPerFrame: Long, totalFrames: Int,
       width: Int, height: Int, frames: IndexedSeq[(Int, Int)])
 
   private def u32le(b: Array[Byte], off: Int): Long =
@@ -400,8 +400,10 @@ object Multimodal {
   private def fourcc(b: Array[Byte], off: Int): String =
     new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
 
-  /** Walk the RIFF tree; null for anything that isn't a parseable AVI. */
-  private def parseAvi(bytes: Array[Byte]): AviInfo = {
+  /** Walk the RIFF tree; null for anything that isn't a parseable AVI.
+    * Package-visible so AviPropSpec can fuzz it directly (any byte
+    * input must parse or return null — never throw). */
+  private[graft] def parseAvi(bytes: Array[Byte]): AviInfo = {
     if (bytes == null || bytes.length < 12 ||
       fourcc(bytes, 0) != "RIFF" || fourcc(bytes, 8) != "AVI ") return null
     try {
@@ -413,6 +415,10 @@ object Multimodal {
           val id = fourcc(bytes, p)
           val size = u32le(bytes, p + 4).toInt
           val dataOff = p + 8
+          // a u32 size >= 2^31 goes negative through toInt; without this
+          // guard size = -8 would keep p stationary — an infinite loop on
+          // adversarial bytes (AviPropSpec pins the case)
+          if (size < 0) return
           if (dataOff + size > bytes.length) return // truncated: stop cleanly
           if (id == "LIST" || id == "RIFF") {
             walk(dataOff + 4, dataOff + size) // skip the 4-byte list type
