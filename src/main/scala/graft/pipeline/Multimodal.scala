@@ -464,15 +464,20 @@ object Multimodal {
     val info = parseAvi(bytes)
     if (info == null) null
     else (0 until info.frames.length by math.max(1, everyNth)).flatMap { i =>
-      val (off, len) = info.frames(i)
-      val img = javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(bytes, off, len))
-      if (img == null) None
-      else {
-        val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", bos)
-        Some((i, bos.toByteArray, img.getWidth, img.getHeight))
-      }
+      // a frame chunk holding truncated/non-JPEG bytes must skip, not
+      // kill the job — ImageIO.read can THROW (not just return null) on
+      // malformed JPEG streams, so the decode is Try-wrapped per frame
+      scala.util.Try {
+        val (off, len) = info.frames(i)
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes, off, len))
+        if (img == null) None
+        else {
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          Some((i, bos.toByteArray, img.getWidth, img.getHeight))
+        }
+      }.toOption.flatten
     }
   }
 

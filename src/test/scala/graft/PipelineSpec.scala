@@ -1228,6 +1228,17 @@ class PipelineSpec extends SparkTestBase {
     }
     assert(lums.length == 2 && math.abs(lums(0) - 40) < 16 &&
       math.abs(lums(1) - 220) < 16, lums.toSeq.toString)
+
+    // a corrupted frame chunk (valid container, garbage JPEG bytes) is
+    // skipped per-frame — the decode never kills the job
+    val mixedMovi = list("movi", chunk("00dc", frames(0)) ++
+      chunk("00dc", Array.fill(64)(0x5A.toByte)) ++ chunk("00dc", frames(2)))
+    val mixedBody = "AVI ".getBytes("US-ASCII") ++ hdrl ++ mixedMovi
+    val mixed = "RIFF".getBytes("US-ASCII") ++ le32(mixedBody.length) ++ mixedBody
+    val mixedOut = Multimodal.aviFrameSample(
+      Seq((1L, mixed)).toDF("id", "vid"), "vid").collect()
+    assert(mixedOut.map(_.getAs[Int]("frame_idx")).toSeq == Seq(0, 2),
+      mixedOut.map(_.getAs[Int]("frame_idx")).toSeq.toString)
   }
 
   test("multimodal stub paths demand the explicit opt-in") {

@@ -193,6 +193,7 @@ class ValidationJapiSpec extends SparkTestBase {
       .op(firstOf, JA.asList[Object]("?age"), JA.asList("?oldest"))
       .option(JOption.SORT, JA.asList("?age"))
       .option(JOption.REVERSE)
+      .option(JOption.REDUCERS, Int.box(2))
       .build()
     val got = JApi.run(spark, q).collect()
       .map(r => (r.getString(0), r.get(1))).toMap
