@@ -98,7 +98,7 @@ object dsl {
 
   final case class TrappedCall(op: ColumnMap, in: Seq[Any]) {
     def :>(out: Any*): PredOf =
-      PredOf(OpPred(op, in, out :+ s"!__trap${Vars.gen().drop(2)}"))
+      PredOf(OpPred(op, in, out :+ Vars.genTrapVar()))
   }
 
   final case class MacroCallBuilder(m: PredMacro, in: Seq[Any]) {

@@ -123,7 +123,7 @@ object JApi {
       val sf: String => String = a => f.apply(a)
       preds += dsl.PredOf(OpPred(graft.operators.Trap.trapFn(sf),
         in.asScala.toSeq,
-        outFields.asScala.toSeq :+ s"!__trap${Vars.gen().drop(2)}"))
+        outFields.asScala.toSeq :+ Vars.genTrapVar()))
       this
     }
 

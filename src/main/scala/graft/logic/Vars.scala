@@ -38,6 +38,14 @@ object Vars {
   /** Fresh nullable var — used for wildcards and constant substitution. */
   def gen(): String = s"_g${fresh.incrementAndGet()}"
 
+  /** Reserved trap-error var prefix: the planner recognizes trapped ops
+    * by it (Planner filter/divert sites) — every constructor of a
+    * trapped op MUST mint the var here so the naming contract has one
+    * owner (dsl.TrappedCall and japi trappedOp both do). */
+  val TrapPrefix = "!__trap"
+  def genTrapVar(): String = s"$TrapPrefix${gen().drop(2)}"
+  def isTrapVar(v: String): Boolean = v.startsWith(TrapPrefix)
+
   /** Spark column names may not contain backtick/dot safely; map a logic var
     * to a stable legal column name. `?x`/`!x`/`!!x` all keep distinct names.
     */

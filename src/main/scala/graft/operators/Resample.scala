@@ -38,13 +38,22 @@ object Resample {
       .agg(max(col(valCol)).as("_v"))
     // guarded hi: rows live in slot space (span already divided by step),
     // so slots = hi - lo + 1; the error message names the offending key
-    // and its span so the bad row is findable without a re-run
-    val guardedHi = when(col("_hi") - col("_lo") < lit(maxSlotsPerKey), col("_hi"))
+    // and its span so the bad row is findable without a re-run.
+    // Null bounds (a key whose every timestamp is NULL) pass through —
+    // sequence(NULL, NULL) is NULL and explode drops the key, the
+    // pre-guard behavior for dirty rows. The span uses try_subtract:
+    // a plain `_hi - _lo` would itself throw Spark's opaque ANSI
+    // ARITHMETIC_OVERFLOW on a mixed-sign span (the exact error this
+    // guard replaces), and try_subtract's NULL-on-overflow falls to the
+    // raise_error branch — overflowing spans fail loudly too.
+    val span = try_subtract(col("_hi"), col("_lo"))
+    val guardedHi = when(col("_hi").isNull || span < lit(maxSlotsPerKey), col("_hi"))
       .otherwise(raise_error(format_string(
         s"Resample.gridFill: key %s spans %s slots at step $step " +
           s"(> maxSlotsPerKey $maxSlotsPerKey) — likely a corrupted " +
           "timestamp; filter the outlier or raise maxSlotsPerKey",
-        col(keyCol).cast("string"), (col("_hi") - col("_lo") + lit(1)).cast("string")))
+        col(keyCol).cast("string"),
+        coalesce(try_add(span, lit(1L)).cast("string"), lit(">Long.MaxValue"))))
         .cast("long"))
     val grid = df.select(col(keyCol), slot.as("_s"))
       .groupBy(col(keyCol))

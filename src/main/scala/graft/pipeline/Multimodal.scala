@@ -409,7 +409,13 @@ object Multimodal {
     try {
       var usPerFrame = 0L; var totalFrames = 0; var w = 0; var h = 0
       val frames = IndexedSeq.newBuilder[(Int, Int)]
-      def walk(start: Int, end: Int): Unit = {
+      def walk(start: Int, end: Int, depth: Int): Unit = {
+        // depth cap: real AVI nests ~3 deep (RIFF > hdrl/movi > rec );
+        // an adversarial file of thousands of nested LIST headers would
+        // otherwise StackOverflowError — an Error, NOT caught by the
+        // Exception handler below, killing the task and breaking the
+        // parse-or-null contract (AviPropSpec pins deep nesting)
+        if (depth > 32) return
         var p = start
         while (p + 8 <= end) {
           val id = fourcc(bytes, p)
@@ -421,7 +427,7 @@ object Multimodal {
           if (size < 0) return
           if (dataOff + size > bytes.length) return // truncated: stop cleanly
           if (id == "LIST" || id == "RIFF") {
-            walk(dataOff + 4, dataOff + size) // skip the 4-byte list type
+            walk(dataOff + 4, dataOff + size, depth + 1) // skip the 4-byte list type
           } else if (id == "avih" && size >= 40) {
             usPerFrame = u32le(bytes, dataOff)
             totalFrames = u32le(bytes, dataOff + 16).toInt
@@ -434,7 +440,7 @@ object Multimodal {
           p = dataOff + size + (size & 1) // chunks pad to even
         }
       }
-      walk(12, bytes.length)
+      walk(12, bytes.length, 0)
       val fr = frames.result()
       if (fr.isEmpty && totalFrames == 0) null
       else AviInfo(usPerFrame, if (totalFrames > 0) totalFrames else fr.length,

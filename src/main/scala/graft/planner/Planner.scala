@@ -101,7 +101,7 @@ object Planner {
         def effectful(o: OpPred): Boolean =
           o.out.isEmpty || // pure filter (incl. mapop-as-filter truthiness)
             o.out.exists {
-              case v: String if Vars.isVar(v) => v.startsWith("!__trap")
+              case v: String if Vars.isVar(v) => Vars.isTrapVar(v)
               case w: String if Vars.isWildcard(w) => false
               case _ => true // constant or fn guard in output = implicit filter
             }
@@ -147,7 +147,7 @@ object Planner {
       if (aggPreds.nonEmpty && exist.isEmpty && q.options.trap.isEmpty &&
           tails.size > 1 &&
           spark.conf.get("spark.graft.eagerAgg", "on") != "off" &&
-          !tails.exists(_.fields.exists(_.startsWith("!__trap"))))
+          !tails.exists(_.fields.exists { case v: String => Vars.isTrapVar(v); case _ => false }))
         tryEagerAggregate(tails.toVector, ops, aggPreds, q)
       else None
 
@@ -188,7 +188,7 @@ object Planner {
       // 3.5 trap diversion (reference :trap, cascading/platform.clj:311-318):
       // trapped ops bound their error to reserved `!__trap*` vars; failing
       // tuples are diverted BEFORE aggregation so they never count
-      val trapVars = t0.fields.filter(_.startsWith("!__trap"))
+      val trapVars = t0.fields.filter { case v: String => Vars.isTrapVar(v); case _ => false }
       if (trapVars.nonEmpty) {
         val anyErr = trapVars.map(v => t0.col(v).isNotNull).reduce(_ || _)
         q.options.trap.foreach(sink => sink(
@@ -330,7 +330,7 @@ object Planner {
   private def applyOp(t: Tail, o: OpPred): Tail = {
     val inCols = o.in.map(itemCol(t, _))
     val isTrapped = o.out.exists {
-      case s: String => s.startsWith("!__trap")
+      case s: String => Vars.isTrapVar(s)
       case _ => false
     }
     o.op match {

@@ -134,10 +134,17 @@ object Streams {
             case Some((v, del, p)) => (v, del, p, true)
             case None => (Long.MinValue, false, null: String, true)
           }
+          // null payloads order BELOW every string (String.valueOf would
+          // conflate null with the literal "null", making the winner
+          // iterator-order-dependent for exactly that pair)
+          def cmpPayload(x: String, y: String): Int =
+            if (x == null && y == null) 0
+            else if (x == null) -1
+            else if (y == null) 1
+            else x.compareTo(y)
           def rowBeats(del: Boolean, payload: String): Boolean =
             best._4 || (del != best._2 && del) ||
-              (del == best._2 &&
-                Ordering[String].compare(String.valueOf(payload), String.valueOf(best._3)) > 0)
+              (del == best._2 && cmpPayload(payload, best._3) > 0)
           it.foreach { case (_, v, del, payload) =>
             if (v > best._1 || (v == best._1 && rowBeats(del, payload)))
               best = (v, del, payload, false)

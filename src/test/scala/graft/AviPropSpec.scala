@@ -76,6 +76,18 @@ object AviPropSpec extends Properties("avi-parser") {
         }
     }
 
+  property("deeply nested LIST chunks return null, no StackOverflowError") =
+    forAll(Gen.chooseNum(1, 20000)) { depth =>
+      // RIFF('AVI ') wrapping `depth` nested LISTs: recursion must cap,
+      // not blow the JVM stack (an Error would escape the Exception
+      // handler and kill the Spark task)
+      val innermost = Array.fill(4)(9.toByte)
+      val nested = (1 to depth).foldLeft(innermost)((inner, _) => list("aaaa", inner))
+      val body = "AVI ".getBytes("US-ASCII") ++ nested
+      val bytes = "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+      Multimodal.parseAvi(bytes) == null // no frames, no header
+    }
+
   property("adversarial chunk sizes (negative/huge as u32) cannot over-read") =
     forAll(Gen.oneOf(Gen.chooseNum(0L, 0xFFFFFFFFL),
       // the non-advancing sizes: -8 as u32 keeps the cursor stationary

@@ -55,6 +55,27 @@ class ResampleSpec extends SparkTestBase {
     assert(wide.count() == 18)
   }
 
+  test("all-NULL timestamps drop the key quietly; overflowing spans fail loudly") {
+    // a key whose every timestamp is NULL has NULL bounds — it must be
+    // DROPPED (the pre-guard behavior for dirty rows), not raise
+    val dirty = Seq((1L, Some(10L), 1.0), (1L, Some(20L), 2.0),
+      (2L, None, 9.0)).toDF("k", "t", "v")
+    val out = Resample.gridFill(dirty, "k", "t", "v", step = 10L)
+    assert(out.select("k").distinct().as[Long].collect().toSet == Set(1L))
+    // mixed-sign span overflowing Long: try_subtract goes NULL and the
+    // guard raises the named error — NOT Spark's opaque ANSI overflow
+    val huge = Seq((3L, Long.MinValue + 10L, 1.0), (3L, Long.MaxValue - 10L, 2.0))
+      .toDF("k", "t", "v")
+    val e = intercept[Exception] {
+      Resample.gridFill(huge, "k", "t", "v", step = 1L).count()
+    }
+    def msgs(t: Throwable): List[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) :: msgs(t.getCause)
+    val all = msgs(e).mkString(" | ")
+    assert(all.contains("maxSlotsPerKey") && all.contains(">Long.MaxValue"),
+      s"wrong error: $all")
+  }
+
   test("no gaps -> pure snap; duplicates in a slot reduce by max") {
     val obs = Seq((1L, 0L, 3.0), (1L, 1L, 1.0), (1L, 12L, 7.0)).toDF("k", "t", "v")
     val out = Resample.gridFill(obs, "k", "t", "v", step = 10L)

@@ -110,6 +110,11 @@ class StreamingSpec extends SparkTestBase {
     // when the deterministic order ranks it lower
     assert(run("tie5", Seq(("a", 5L, false, "zzz")),
       Seq(("a", 5L, false, "aaa")))("a") == ((5L, false, "aaa")))
+    // null payload vs the literal string "null": must NOT conflate —
+    // the string orders above null, both insertion orders agree
+    val nulls = Seq(("a", 5L, false, null: String), ("a", 5L, false, "null"))
+    assert(run("tie6", nulls, Nil)("a") == ((5L, false, "null")))
+    assert(run("tie7", nulls.reverse, Nil)("a") == ((5L, false, "null")))
   }
 
   test("streaming dedup within watermark") {

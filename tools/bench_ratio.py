@@ -47,11 +47,8 @@ def load_headline(path):
 def host_legs(h):
     """(start_factor, end_factor, calibrated?) from host_cal [s, e, const]."""
     cal = h.get("host_cal")
-    if not cal or len(cal) < 3 or not cal[2]:
+    if not cal or len(cal) < 3 or not cal[-1]:
         return 1.0, 1.0, False
-    if len(cal) == 3:  # single leg recorded: [leg, ?, const] degenerate guard
-        f = statistics.mean(cal[:2]) / cal[2]
-        return cal[0] / cal[2], cal[1] / cal[2], True
     return cal[0] / cal[-1], cal[1] / cal[-1], True
 
 
@@ -85,9 +82,15 @@ def recheck(flagged, sf_name, ref_norm):
                SPARK_GRAFT_SF_DIR=f"/root/testdata/{sf_name}")
     print(f"\nrecheck: fresh JVM run of {', '.join(targets)} "
           f"(+canary) at {sf_name} ...", flush=True)
-    proc = subprocess.run(
-        ["sbt", "-batch", "runMain graft.Bench"], cwd=REPO, env=env,
-        capture_output=True, text=True, timeout=1800)
+    try:
+        proc = subprocess.run(
+            ["sbt", "-batch", "runMain graft.Bench"], cwd=REPO, env=env,
+            capture_output=True, text=True, timeout=1800)
+    except (subprocess.TimeoutExpired, OSError) as e:
+        # a wedged sbt (lock, missing testdata) must yield a verdict
+        # line, not a traceback — the table above already printed
+        print(f"recheck FAILED to run: {type(e).__name__}: {e}")
+        return
     headline = None
     for line in reversed(proc.stdout.splitlines()):
         if line.strip().startswith('{"metric"'):
