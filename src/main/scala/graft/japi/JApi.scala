@@ -95,6 +95,21 @@ object JApi {
       this
     }
 
+    /** Apply a 1-in-1-out op to EACH listed field (reference Api.each,
+      * logic/ops.clj:106-128): expands to one predicate per (in, out)
+      * pair, so it works for MAP ops and AGGREGATORS alike — the
+      * reference's `each(Sum)` over N columns becomes N parallel
+      * aggregators in one grouping pass, exactly as the Scala DSL
+      * plans N separate agg predicates. */
+    def opEach(o: Op, in: JList[Object], outFields: JList[String]): SubqueryBuilder = {
+      require(in.size == outFields.size,
+        s"each needs one output per input, got ${in.size} in / ${outFields.size} out")
+      in.asScala.zip(outFields.asScala).foreach { case (i, out) =>
+        preds += dsl.PredOf(OpPred(o, Seq(i), Seq(out)))
+      }
+      this
+    }
+
     /** Predicate-macro call (reference: a PredicateMacro used like any
       * op in a Subquery). Expanded hygienically at build(). */
     def macroOp(m: dsl.PredMacro, in: JList[Object],

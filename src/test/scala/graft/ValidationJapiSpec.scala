@@ -164,6 +164,16 @@ class ValidationJapiSpec extends SparkTestBase {
     val got = JApi.run(spark, q).collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSet
     assert(got == Set((10, 20, 30), (40, 50, 60)))
+    // the reference case proper: each(Sum) over N columns = N parallel
+    // AGGREGATORS in one pass -> [5 7 9] (jcascalog_test.clj test-java-each)
+    val agg = JApi.subquery(JA.asList("?x", "?y", "?z"))
+      .mem(data, JA.asList("?a", "?b", "?c"))
+      .opEach(JApi.sum(), JA.asList[Object]("?a", "?b", "?c"),
+        JA.asList("?x", "?y", "?z"))
+      .build()
+    val rows = JApi.run(spark, agg).collect()
+    assert(rows.length == 1 &&
+      (rows(0).getLong(0), rows(0).getLong(1), rows(0).getLong(2)) == ((5L, 7L, 9L)))
   }
 
   test("jcascalog Api.union / Api.combine over generators") {
