@@ -396,6 +396,22 @@ object SparkEntry {
         sum(col("l_quantity").cast(DecimalType(18, 4))).cast("double").as("sum_qty"),
         count(lit(1)).as("cnt"))
 
+  /** The Java API end-to-end inside the correctness gate: the same
+    * engine driven through `japi.JApi`'s builder (jcascalog parity,
+    * round 9) — generator + filter + grouped count/max with a DISTINCT
+    * no-op surface. Hash-exact ops only (count, max), so the oracle is
+    * ordinary SQL. */
+  private def q44(s: SparkSession, d: String): DataFrame = {
+    import java.util.{Arrays => JA}
+    graft.japi.JApi.run(s,
+      graft.japi.JApi.subquery(JA.asList("?seg", "?n_cust", "?max_bal"))
+        .generator(tbl(d, "customer")(s), JA.asList("_", "_", "_", "?bal", "?seg"))
+        .op(graft.japi.JApi.gt(), JA.asList[Object]("?bal", Double.box(0.0)))
+        .op(graft.japi.JApi.count(), JA.asList[Object](), JA.asList("?n_cust"))
+        .op(graft.japi.JApi.max(), JA.asList[Object]("?bal"), JA.asList("?max_bal"))
+        .build())
+  }
+
   // ----------------------------------------------------- pipeline queries
 
   private def p01(s: SparkSession, d: String): DataFrame =
@@ -1232,6 +1248,7 @@ object SparkEntry {
     "q41_salted_join" -> (q41 _),
     "q42_moving_window" -> (q42 _),
     "q43_cube" -> (q43 _),
+    "q44_japi_agg" -> (q44 _),
     "p23_heavy_hitters" -> (p23 _),
     "p24_span_dedup" -> (p24 _),
     "p25_kmv_distinct" -> (p25 _),
@@ -2832,6 +2849,14 @@ object SparkEntry {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
         |  COUNT(*) AS cnt
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    // q44: built through the Java API (japi.JApi) — the oracle is the
+    // plain SQL of the same relational plan; column names are the
+    // sigil-stripped logic vars
+    "q44_japi_agg" ->
+      """SELECT c_mktsegment AS seg, COUNT(*) AS n_cust,
+        |  MAX(c_acctbal) AS max_bal
+        |FROM customer WHERE c_acctbal > 0.0
+        |GROUP BY c_mktsegment""".stripMargin,
     // q41: salting is result-invariant — the oracle is the plain join
     "q41_salted_join" ->
       """SELECT s_nationkey, COUNT(*) AS n_items,
