@@ -89,27 +89,39 @@ object Thrift {
       pos += n
       out
     }
-    def skip(tpe: Int): Unit = tpe match {
-      case BOOL | BYTE => pos += 1
-      case I16 => pos += 2
-      case I32 => pos += 4
-      case DOUBLE | I64 => pos += 8
-      case STRING =>
-        // two steps: `pos += i32()` reads the OLD pos before i32 advances it
-        val n = i32()
-        pos += n
-      case STRUCT =>
-        var t = i8()
-        while (t != STOP) { i16(); skip(t); t = i8() }
-      case MAP =>
-        val kt = i8(); val vt = i8(); val n = i32()
-        var i = 0
-        while (i < n) { skip(kt); skip(vt); i += 1 }
-      case SET | LIST =>
-        val et = i8(); val n = i32()
-        var i = 0
-        while (i < n) { skip(et); i += 1 }
-      case other => throw new IllegalArgumentException(s"cannot skip thrift type $other")
+    def skip(tpe: Int): Unit = skip(tpe, 0)
+
+    /** `depth` bounds DATA-driven nesting: unlike readValue (whose
+      * recursion follows the caller's finite spec), skip recurses on
+      * whatever the bytes claim — corrupt/adversarial records nesting
+      * STRUCT headers thousands deep would StackOverflowError, an Error
+      * the `lenient` Exception handler cannot catch (it would kill the
+      * task, not null the record). 256 is far past any real schema. */
+    private def skip(tpe: Int, depth: Int): Unit = {
+      if (depth > 256) throw new IllegalArgumentException(
+        "thrift skip: nesting exceeds 256 levels — malformed record")
+      tpe match {
+        case BOOL | BYTE => pos += 1
+        case I16 => pos += 2
+        case I32 => pos += 4
+        case DOUBLE | I64 => pos += 8
+        case STRING =>
+          // two steps: `pos += i32()` reads the OLD pos before i32 advances it
+          val n = i32()
+          pos += n
+        case STRUCT =>
+          var t = i8()
+          while (t != STOP) { i16(); skip(t, depth + 1); t = i8() }
+        case MAP =>
+          val kt = i8(); val vt = i8(); val n = i32()
+          var i = 0
+          while (i < n) { skip(kt, depth + 1); skip(vt, depth + 1); i += 1 }
+        case SET | LIST =>
+          val et = i8(); val n = i32()
+          var i = 0
+          while (i < n) { skip(et, depth + 1); i += 1 }
+        case other => throw new IllegalArgumentException(s"cannot skip thrift type $other")
+      }
     }
   }
 

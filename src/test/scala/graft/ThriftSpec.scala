@@ -36,6 +36,32 @@ class ThriftSpec extends SparkTestBase {
     assert(badRow.isNullAt(badRow.fieldIndex("id")))
   }
 
+  test("adversarial deep STRUCT nesting in a skipped field nulls leniently") {
+    // hand-craft a record whose UNKNOWN field claims 2000 nested structs:
+    // data-driven skip recursion must hit the depth cap (a catchable
+    // IllegalArgumentException), not StackOverflowError — lenient mode
+    // then nulls the record instead of killing the task
+    val bos = new java.io.ByteArrayOutputStream()
+    def i8(v: Int): Unit = bos.write(v)
+    def i16(v: Int): Unit = { bos.write((v >> 8) & 0xFF); bos.write(v & 0xFF) }
+    i8(12); i16(99) // field id 99 (unknown), type STRUCT
+    (1 to 2000).foreach { _ => i8(12); i16(1) } // 2000 nested struct headers
+    (1 to 2001).foreach(_ => i8(0)) // matching STOPs
+    i8(0) // outer STOP
+    val evil = bos.toByteArray
+    val spec = Seq(Field(1, "id", LongType))
+    val row = Thrift.parse(Seq(Tuple1(evil)).toDF("bin"), "bin", spec,
+      lenient = true).collect().head
+    assert(row.isNullAt(row.fieldIndex("id")))
+    // strict mode: a plain exception, not an Error
+    val e = intercept[Exception] {
+      Thrift.parse(Seq(Tuple1(evil)).toDF("bin"), "bin", spec).collect()
+    }
+    def msgs(t: Throwable): List[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) :: msgs(t.getCause)
+    assert(msgs(e).mkString(" | ").contains("nesting exceeds"))
+  }
+
   test("lists, maps, nested structs") {
     val nestedType = Thrift.nested(
       Field(1, "lat", DoubleType), Field(2, "lon", DoubleType))
