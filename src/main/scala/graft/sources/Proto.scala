@@ -59,6 +59,18 @@ object Proto {
       pos += 4
       v
     }
+    /** Guarded length prefix: a corrupt/adversarial varint that is
+      * negative (or points past the record) must raise a catchable
+      * error — `pos += negative` REWINDS the cursor, and decodeMessage's
+      * outer while(hasMore) would re-read the same tag forever (a hung
+      * task, worse than a failed one). Arrays.copyOfRange would also
+      * silently ZERO-PAD reads past the end rather than failing. */
+    def readLen(): Int = {
+      val n = readVarint()
+      if (n < 0 || pos + n > end) throw new IllegalArgumentException(
+        s"malformed length $n at $pos (record end $end)")
+      n.toInt
+    }
     def readBytes(n: Int): Array[Byte] = {
       val out = java.util.Arrays.copyOfRange(bytes, pos, pos + n)
       pos += n
@@ -68,9 +80,8 @@ object Proto {
       case 0 => readVarint()
       case 1 => pos += 8
       case 2 =>
-        // two steps: `pos += readVarint()` would read the OLD pos before
-        // the varint advances it, landing short by the prefix's width
-        val len = readVarint().toInt
+        // two steps: `pos += readLen()` reads the length BEFORE advancing
+        val len = readLen()
         pos += len
       case 5 => pos += 4
       case other => throw new IllegalArgumentException(s"unsupported wire type $other")
@@ -89,8 +100,8 @@ object Proto {
     case (DoubleType, 1) => java.lang.Double.longBitsToDouble(r.readFixed64())
     case (FloatType, 5) => java.lang.Float.intBitsToFloat(r.readFixed32())
     case (StringType, 2) =>
-      new String(r.readBytes(r.readVarint().toInt), java.nio.charset.StandardCharsets.UTF_8)
-    case (BinaryType, 2) => r.readBytes(r.readVarint().toInt)
+      new String(r.readBytes(r.readLen()), java.nio.charset.StandardCharsets.UTF_8)
+    case (BinaryType, 2) => r.readBytes(r.readLen())
     case (dt2, wt) => throw new IllegalArgumentException(
       s"field of type $dt2 met wire type $wt (nested structs are handled by decodeMessage)")
   }
@@ -120,7 +131,7 @@ object Proto {
               }
               if (wireType == 2 && packable) {
                 // packed: length-prefixed run of scalars
-                val len = r.readVarint().toInt
+                val len = r.readLen()
                 val stop = r.pos + len
                 val ewt = elem match {
                   case DoubleType => 1
@@ -130,7 +141,7 @@ object Proto {
                 while (r.pos < stop) repeats(i) += readScalar(r, ewt, elem)
               } else elem match {
                 case st: StructType =>
-                  val len = r.readVarint().toInt
+                  val len = r.readLen()
                   val stop = r.pos + len
                   val subSpec = structSpec(st)
                   repeats(i) += decodeMessage(bytes, r.pos, stop, subSpec, st)
@@ -138,7 +149,7 @@ object Proto {
                 case _ => repeats(i) += readScalar(r, wireType, elem)
               }
             case st: StructType =>
-              val len = r.readVarint().toInt
+              val len = r.readLen()
               val stop = r.pos + len
               values(i) = decodeMessage(bytes, r.pos, stop, structSpec(st), st)
               r.pos = stop

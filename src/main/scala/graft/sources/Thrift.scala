@@ -85,6 +85,10 @@ object Thrift {
     }
     def blob(): Array[Byte] = {
       val n = i32()
+      // negative or past-the-end lengths: fail loudly (copyOfRange would
+      // throw on negative but silently ZERO-PAD past the end)
+      if (n < 0 || pos + n > bytes.length) throw new IllegalArgumentException(
+        s"malformed thrift length $n at $pos (record size ${bytes.length})")
       val out = java.util.Arrays.copyOfRange(bytes, pos, pos + n)
       pos += n
       out
@@ -106,8 +110,11 @@ object Thrift {
         case I32 => pos += 4
         case DOUBLE | I64 => pos += 8
         case STRING =>
-          // two steps: `pos += i32()` reads the OLD pos before i32 advances it
+          // two steps: `pos += i32()` reads the OLD pos before i32 advances
+          // it; negative n would REWIND the cursor into an infinite loop
           val n = i32()
+          if (n < 0) throw new IllegalArgumentException(
+            s"malformed thrift string length $n at $pos")
           pos += n
         case STRUCT =>
           var t = i8()

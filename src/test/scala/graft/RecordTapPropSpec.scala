@@ -68,4 +68,26 @@ object RecordTapPropSpec extends Properties("record-taps") {
       try { Proto.decodeMessage(junk.toArray, 0, junk.length, spec, Proto.schemaOf(spec)); true }
       catch { case _: Exception => true }
     }
+
+  property("mutated VALID records decode-or-throw, never hang or over-read") =
+    forAll(Arbitrary.arbitrary[Long], str, Gen.chooseNum(0, 10000),
+      Gen.chooseNum(0, 255)) { (l, s, posSeed, value) =>
+      // single-byte corruption of well-formed records is the realistic
+      // 100 TB failure mode; a corrupted length prefix used to REWIND
+      // the cursor (negative toInt) into an infinite decode loop —
+      // completion of this property IS the regression test
+      val pSpec = Seq(Proto.Field(1, "l", LongType), Proto.Field(2, "s", StringType))
+      val pMsg = Proto.encode(Seq(1 -> l, 2 -> s))
+      pMsg(posSeed % pMsg.length) = value.toByte
+      val protoOk =
+        try { Proto.decodeMessage(pMsg, 0, pMsg.length, pSpec, Proto.schemaOf(pSpec)); true }
+        catch { case _: Exception => true }
+      val tSpec = Seq(Thrift.Field(1, "l", LongType), Thrift.Field(2, "s", StringType))
+      val tMsg = Thrift.encode(Seq(1 -> l, 2 -> s))
+      tMsg(posSeed % tMsg.length) = value.toByte
+      val thriftOk =
+        try { Thrift.decodeStruct2(tMsg, tSpec); true }
+        catch { case _: Exception => true }
+      protoOk && thriftOk
+    }
 }
