@@ -1038,6 +1038,23 @@ object SparkEntry {
       "user_id", "us", "value", step = 3600000000L)
   }
 
+  /** BM25 seed-relevance gate ([[TextAnalysis.bm25Gate]]): every doc
+    * scored against a query-term set with self-trained df/N/S stats —
+    * the rank-a-crawl-against-a-reference-vocabulary filter in the
+    * engine's quantized-rational arithmetic (k1 = 6/5, b = 3/4 make
+    * the saturation an exact integer ratio; the Robertson idf rides as
+    * its quantized ratio, not its libm log — see the bm25Score
+    * scaladoc). */
+  private def p64(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.bm25Gate(tbl(d, "documents")(s),
+      Seq("spark", "window", "stream", "merge"))
+
+  /** Top-3 TF-IDF keywords per doc ([[TextAnalysis.tfidfTopTerms]]):
+    * exact integer tf·idfq scores, term-ascending tie-break — the
+    * deterministic topic-tagging pass. */
+  private def p65(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.tfidfTopTerms(tbl(d, "documents")(s), k = 3)
+
   /** KMV set operations: estimated vs exact distinct-order overlap between
     * the A and R return flags — union by monoid merge, intersection by the
     * K-min-values threshold estimator, both oracle-exact. */
@@ -1287,6 +1304,8 @@ object SparkEntry {
     "p61_snapshot_diff" -> (p61 _),
     "p62_normalize_text" -> (p62 _),
     "p63_resample_ffill" -> (p63 _),
+    "p64_bm25_relevance" -> (p64 _),
+    "p65_tfidf_keywords" -> (p65 _),
     "p31_span_excise" -> (p31 _),
     "p32_chunking" -> (p32 _),
     "p33_mixture_weights" -> (p33 _)
@@ -2668,6 +2687,54 @@ object SparkEntry {
         |    ORDER BY slot ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |    AS value
         |FROM j""".stripMargin,
+    // p64: BM25 with k1=6/5, b=3/4 → integer saturation ratio
+    // 22·S·tf / (10·S·tf + 3·S + 9·dl·N); Robertson idf as the exact
+    // ratio (2N−2df+1)/(2df+1); both floor-quantized at 1e6 and the
+    // per-term product summed in DECIMAL so no Long overflow at any N.
+    "p64_bm25_relevance" ->
+      """WITH tk AS (SELECT doc_id, list_filter(
+        |    regexp_split_to_array(lower(trim(text)), '\W+'), x -> x != '') AS toks
+        |  FROM documents),
+        |st AS (SELECT COUNT(*) AS n, CAST(SUM(len(toks)) AS BIGINT) AS s FROM tk),
+        |dft AS (SELECT term, COUNT(*) AS df FROM (
+        |    SELECT doc_id, unnest(list_distinct(toks)) AS term FROM tk) u
+        |  WHERE term IN ('spark', 'window', 'stream', 'merge') GROUP BY 1),
+        |tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM (
+        |    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM tk) u
+        |  WHERE term IN ('spark', 'window', 'stream', 'merge') GROUP BY 1, 2, 3),
+        |term_sc AS (SELECT tf.doc_id,
+        |    CAST(floor(1.0e6 * (CAST(tf.tf * (22 * st.s) AS DOUBLE)
+        |      / CAST(tf.tf * (10 * st.s) + 3 * st.s + tf.dl * (9 * st.n) AS DOUBLE)))
+        |      AS BIGINT) AS tfq,
+        |    CAST(floor(1.0e6 * (CAST(2 * st.n + 1 - 2 * dft.df AS DOUBLE)
+        |      / CAST(2 * dft.df + 1 AS DOUBLE))) AS BIGINT) AS idfq
+        |  FROM tf JOIN dft USING (term) CROSS JOIN st),
+        |sc AS (SELECT doc_id, COUNT(*) AS n_hits,
+        |    SUM(CAST(tfq AS DECIMAL(19,0)) * CAST(idfq AS DECIMAL(19,0))) AS rel
+        |  FROM term_sc GROUP BY 1)
+        |SELECT tk.doc_id, COALESCE(sc.n_hits, 0) AS n_hits,
+        |  CAST(sc.rel AS DECIMAL(38,0)) AS bm25_rel
+        |FROM tk LEFT JOIN sc USING (doc_id)""".stripMargin,
+    // p65: tf·idfq keywords; idfq = floor(1e6·(N+1)/(df+1)); ties by
+    // term ascending make the per-doc top-3 deterministic.
+    "p65_tfidf_keywords" ->
+      """WITH tk AS (SELECT doc_id, list_filter(
+        |    regexp_split_to_array(lower(trim(text)), '\W+'), x -> x != '') AS toks
+        |  FROM documents),
+        |tft AS (SELECT doc_id, term, COUNT(*) AS tf FROM (
+        |    SELECT doc_id, unnest(toks) AS term FROM tk) u GROUP BY 1, 2),
+        |dft AS (SELECT term, COUNT(*) AS df FROM tft GROUP BY 1),
+        |nn AS (SELECT COUNT(*) AS n FROM tk),
+        |sc AS (SELECT tft.doc_id, tft.term,
+        |    CAST(CAST(tft.tf AS DECIMAL(19,0)) * CAST(CAST(floor(1.0e6 *
+        |      (CAST(nn.n + 1 AS DOUBLE) / CAST(dft.df + 1 AS DOUBLE)))
+        |      AS BIGINT) AS DECIMAL(19,0)) AS DECIMAL(38,0)) AS score
+        |  FROM tft JOIN dft USING (term) CROSS JOIN nn),
+        |rk AS (SELECT doc_id, term, score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, term ASC) AS rank
+        |  FROM sc)
+        |SELECT doc_id, rank, term, score FROM rk WHERE rank <= 3""".stripMargin,
     // p52: trigram KN over the bigram-KN backoff — self-trained, so
     // every level is seen and the seen-branch formula is total; the
     // nested p2 expression is the p49 replica verbatim, composed inside

@@ -978,4 +978,151 @@ object TextAnalysis {
         col("rows_stored") =!= col("rows_seen") ||
         col("fold_stored") =!= col("fold_seen"))
   }
+
+  // ------------------------------------------------------------------
+  // BM25 relevance + TF-IDF keywords (seed-corpus relevance filtering)
+  // ------------------------------------------------------------------
+
+  /** BM25 model: the term→document-frequency TYPE table plus the two
+    * corpus scalars (doc count, total token count) that BM25's length
+    * normalization needs. The df table is vocabulary-sized (never
+    * corpus-sized); the scalars are the same KB-of-metadata contract as
+    * [[LmModel.vocabSize]] and the IVF codebooks — a model is a
+    * relation plus O(1) driver-side numbers, so it persists as parquet
+    * and reuses across batches. */
+  case class Bm25Model(df: DataFrame, nDocs: Long, totalTokens: Long)
+
+  /** Train a BM25 relevance model on a corpus: document frequency per
+    * term, doc count N, total token count S (avgdl = S/N enters the
+    * score as the exact rational dl·N/S — never a rounded average).
+    *
+    * One pass: `array_distinct` inside the row collapses a doc's
+    * repeated terms BEFORE the explode, so df is a straight map-side-
+    * combinable count per term — no (doc, term) shuffle and no
+    * COUNT(DISTINCT). Scale: explode is linear in corpus tokens, the
+    * df table is vocab-sized. */
+  def bm25Train(docs: DataFrame, textCol: String = "text"): Bm25Model = {
+    val perDoc = docs.select(lmTokens(col(textCol)).as("_toks"))
+      .transform(graft.Stage.materialize) // stats + df both read it
+    val stats = perDoc.agg(
+      count(lit(1)).as("n"), sum(size(col("_toks"))).as("s")).head()
+    val dfTab = perDoc
+      .select(explode(array_distinct(col("_toks"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    Bm25Model(dfTab, stats.getLong(0), stats.getLong(1))
+  }
+
+  /** Score every document's BM25 relevance to a query-term set — the
+    * seed-corpus relevance filter (rank a 100-TB crawl against a
+    * trusted reference vocabulary, keep the head). Output per doc:
+    * `n_hits` (distinct query terms present) and `bm25_rel`, a
+    * DECIMAL(38,0) that is a fixed-point encoding of the BM25 sum —
+    * monotone in the true score, hash-exact across engines.
+    *
+    * Arithmetic (the [[lmScore]] contract — rationals + IEEE ops only,
+    * no libm): with k1 = 6/5 and b = 3/4 the per-term saturation
+    *
+    *   tf·(k1+1) / (tf + k1·(1−b) + k1·b·dl/avgdl)
+    *
+    * multiplied through by 10·S (avgdl = S/N) becomes the integer
+    * ratio 22·S·tf / (10·S·tf + 3·S + 9·dl·N), quantized as
+    * floor(1e6·num/den); the Robertson idf (N−df+0.5)/(df+0.5) is
+    * exactly (2N−2df+1)/(2df+1), quantized the same way. (The idf is
+    * applied as the quantized RATIO, not its log: libm `ln` differs by
+    * ulps across engines — same reason perplexity is not lmScore's
+    * checked surface. The ratio is monotone in the log, so ranking and
+    * thresholding semantics survive.) Per-term contribution
+    * tfq·idfq is computed in DECIMAL(19,0)² → DECIMAL(38,0) — Long
+    * multiplication would overflow once N passes ~10⁶ — and summed
+    * exactly. Integer products stay bit-exact as long as S·tf < 2⁵³
+    * (corpora to ~10¹² tokens at typical tf); past that the IEEE ops
+    * remain cross-engine deterministic, only the last-ulp-vs-true-value
+    * guarantee narrows.
+    *
+    * Scale: tokens explode linearly and are filtered to query terms
+    * INSIDE the array (pre-explode); the df side is filtered to the
+    * query set and broadcast (a query is O(100) terms). Docs with no
+    * hits keep a row: n_hits 0, bm25_rel null. */
+  def bm25Score(model: Bm25Model, docs: DataFrame,
+      queryTerms: Seq[String], idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val q = queryTerms.map(_.toLowerCase).distinct
+    val n = model.nDocs; val s = model.totalTokens
+    val hits = docs
+      .select(col(idCol), lmTokens(col(textCol)).as("_toks"))
+      .select(col(idCol), size(col("_toks")).as("_dl"),
+        explode(filter(col("_toks"), t => t.isInCollection(q))).as("term"))
+      .groupBy(col(idCol), col("_dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfq = model.df.filter(col("term").isInCollection(q))
+    val tfq = floor(lit(1e6) *
+      ((col("tf") * lit(22L * s)).cast("double") /
+        (col("tf") * lit(10L * s) + lit(3L * s) + col("_dl") * lit(9L * n))
+          .cast("double"))).cast("long")
+    val idfq = floor(lit(1e6) *
+      ((lit(2L * n + 1L) - col("df") * 2L).cast("double") /
+        (col("df") * 2L + 1L).cast("double"))).cast("long")
+    val scored = hits.join(broadcast(dfq), Seq("term"))
+      .select(col(idCol),
+        (tfq.cast("decimal(19,0)") * idfq.cast("decimal(19,0)")).as("_c"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_hits"), sum(col("_c")).as("_rel"))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left_outer")
+      .select(col(idCol), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        col("_rel").cast("decimal(38,0)").as("bm25_rel"))
+  }
+
+  /** Fused self-scored convenience ([[lmGate]]'s shape): train the df
+    * table and corpus stats from `docs` and score the same corpus —
+    * tokenization runs once and feeds stats, df, and the hit stream. */
+  def bm25Gate(docs: DataFrame, queryTerms: Seq[String],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val base = docs.select(col(idCol), lmTokens(col(textCol)).as("_toks"))
+      .transform(graft.Stage.materialize)
+    val stats = base.agg(
+      count(lit(1)).as("n"), sum(size(col("_toks"))).as("s")).head()
+    val dfTab = base
+      .select(explode(array_distinct(col("_toks"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    bm25Score(Bm25Model(dfTab, stats.getLong(0), stats.getLong(1)),
+      docs, queryTerms, idCol, textCol)
+  }
+
+  /** Top-k TF-IDF keywords per document — topic tagging / cluster
+    * labeling for curation dashboards. Deterministic: score is the
+    * exact integer tf·floor(1e6·(N+1)/(df+1)) in DECIMAL(38,0) (the
+    * smoothed idf RATIO, not its log — the [[bm25Score]] contract),
+    * ties broken by term ascending, so the (doc, rank) table is
+    * hash-exact across engines.
+    *
+    * Scale: one (doc, term) shuffle builds tf; df derives from that
+    * SAME table (a vocab-sized agg — the corpus is never re-scanned);
+    * the tf⋈df join is a shuffle equi-join against a vocab-sized type
+    * table; top-k is a per-doc window (doc keys carry parallelism, and
+    * Spark 4 inserts WindowGroupLimit so no doc's full term list
+    * materializes). Docs with no tokens yield no rows. */
+  def tfidfTopTerms(docs: DataFrame, k: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(k >= 1, s"tfidfTopTerms: k must be >= 1, got $k")
+    val n = docs.count()
+    val tfTab = docs
+      .select(col(idCol), explode(lmTokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      .transform(graft.Stage.materialize) // df derives from it
+    val dfTab = tfTab.groupBy("term").agg(count(lit(1)).as("df"))
+    val idfq = floor(lit(1e6) *
+      (lit(n + 1L).cast("double") / (col("df") + 1L).cast("double")))
+      .cast("long")
+    val scored = tfTab.join(dfTab, Seq("term"))
+      .select(col(idCol), col("term"),
+        (col("tf").cast("decimal(19,0)") * idfq.cast("decimal(19,0)"))
+          .cast("decimal(38,0)").as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("term").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("term"), col("score"))
+  }
 }
