@@ -1055,6 +1055,15 @@ object SparkEntry {
   private def p65(s: SparkSession, d: String): DataFrame =
     TextAnalysis.tfidfTopTerms(tbl(d, "documents")(s), k = 3)
 
+  /** Cluster-balanced sampling ([[Similarity.clusterBalancedSample]]):
+    * 8 k-means cells (deterministic lowest-id seeds, iters=0), exact
+    * 20-per-cell quota by (md5(seed:id), id) rank — the
+    * diversity-preserving subset pass; every value a pure function of
+    * the corpus, replayed cell-for-cell by the oracle. */
+  private def p66(s: SparkSession, d: String): DataFrame =
+    Similarity.clusterBalancedSample(tbl(d, "embeddings")(s),
+      cells = 8, perCell = 20, seed = "g9")
+
   /** KMV set operations: estimated vs exact distinct-order overlap between
     * the A and R return flags — union by monoid merge, intersection by the
     * K-min-values threshold estimator, both oracle-exact. */
@@ -1306,6 +1315,7 @@ object SparkEntry {
     "p63_resample_ffill" -> (p63 _),
     "p64_bm25_relevance" -> (p64 _),
     "p65_tfidf_keywords" -> (p65 _),
+    "p66_cluster_sample" -> (p66 _),
     "p31_span_excise" -> (p31 _),
     "p32_chunking" -> (p32 _),
     "p33_mixture_weights" -> (p33 _)
@@ -2735,6 +2745,28 @@ object SparkEntry {
         |      ORDER BY score DESC, term ASC) AS rank
         |  FROM sc)
         |SELECT doc_id, rank, term, score FROM rk WHERE rank <= 3""".stripMargin,
+    // p66: iters=0 centroids = the 8 lowest-vec_id embeddings; nearest
+    // cell by sequential-sum squared L2 (ties to the lower cell); then
+    // the mixtureSample md5-rank idiom with cells as strata.
+    "p66_cluster_sample" ->
+      """WITH c0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+        |seeds AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, e AS s
+        |  FROM (SELECT vec_id, e FROM c0 WHERE e IS NOT NULL
+        |        ORDER BY vec_id LIMIT 8) t),
+        |dist AS (SELECT c0.vec_id, seeds.cell,
+        |    list_reduce(list_transform(generate_series(1, 64),
+        |      i -> (e[i]-s[i])*(e[i]-s[i])), (x,y) -> x+y) AS d
+        |  FROM c0, seeds WHERE c0.e IS NOT NULL),
+        |assign AS (SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+        |    FROM dist) t WHERE rn = 1),
+        |rk AS (SELECT vec_id, cell,
+        |    ROW_NUMBER() OVER (PARTITION BY cell
+        |      ORDER BY md5('g9:' || CAST(vec_id AS VARCHAR)), vec_id) AS pos
+        |  FROM assign)
+        |SELECT vec_id, CAST(cell AS INTEGER) AS cell, pos
+        |FROM rk WHERE pos <= 20""".stripMargin,
     // p52: trigram KN over the bigram-KN backoff — self-trained, so
     // every level is seen and the seen-branch formula is total; the
     // nested p2 expression is the p49 replica verbatim, composed inside

@@ -268,6 +268,51 @@ object Similarity {
     centroids
   }
 
+  /** Assign every vector its nearest-centroid cell — the standalone
+    * face of the IVF routing step (same `nearestCell`: squared-L2,
+    * ties to the lower cell id, fixed left-to-right IEEE sum so the
+    * oracle's sequential list_reduce replays it exactly). Null
+    * embeddings drop (they belong to no cell). The centroid array is
+    * KB-sized driver metadata (the IVF-codebook contract); assignment
+    * is one linear codegen-free map — no shuffle. */
+  def clusterAssign(corpus: DataFrame, centroids: Array[Array[Double]],
+      corpusId: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val cs = centroids
+    val assignU = udf((emb: Seq[Float]) => nearestCell(cs, emb))
+    corpus.filter(col(embCol).isNotNull)
+      .select(col(corpusId), assignU(col(embCol)).as("cell"))
+  }
+
+  /** Cluster-balanced (diversity-preserving) sampling: k-means cells
+    * over the embedding space, then an exact per-cell quota chosen by
+    * deterministic md5 rank — the curation pass that keeps a corpus
+    * subset covering every embedding region instead of letting the
+    * dominant mode swamp a uniform sample (the prototype-sampling
+    * companion to [[graft.pipeline.Dedup.semanticDedup]]).
+    *
+    * Deterministic end-to-end: seeds are the `cells` lowest-id
+    * vectors, Lloyd rounds are fixed, within-cell order is
+    * (md5(seed:id), id) — same subset on any engine, any parallelism
+    * (the [[TextAnalysis.mixtureSample]] idiom, cells as the strata).
+    * Scale: assignment is a linear map; the quota is one window per
+    * cell (cells carry the parallelism, and the rank never crosses
+    * `perCell` — Spark inserts WindowGroupLimit). Output: (id, cell,
+    * pos) — `pos` is the 1-based within-cell rank, so nested smaller
+    * samples are prefixes. */
+  def clusterBalancedSample(corpus: DataFrame, cells: Int, perCell: Int,
+      iters: Int = 0, corpusId: String = "vec_id",
+      embCol: String = "embedding", seed: String = "cbs",
+      maxTrainRows: Long = SessionTrainCap): DataFrame = {
+    require(perCell >= 1, s"clusterBalancedSample: perCell must be >= 1, got $perCell")
+    val ctr = kmeansCentroids(corpus, cells, iters, corpusId, embCol, maxTrainRows)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cell"))
+      .orderBy(md5(concat_ws(":", lit(seed), col(corpusId).cast("string"))),
+        col(corpusId))
+    clusterAssign(corpus, ctr, corpusId, embCol)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .filter(col("pos") <= perCell)
+  }
+
   // ---------------------------------------------------------------- PQ
 
   /** Product-quantization codebooks: `m` subspaces × `codes` centroids ×

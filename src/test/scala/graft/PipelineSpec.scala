@@ -1283,4 +1283,33 @@ class PipelineSpec extends SparkTestBase {
     assert(batched.collect().map(r => (r.getString(0), r.getSeq[Float](1))).toMap ==
       perRow.collect().map(r => (r.getString(0), r.getSeq[Float](1))).toMap)
   }
+
+  test("clusterAssign: nearest cell, ties to lower id, nulls drop") {
+    val ctr = Array(Array(0.0, 0.0), Array(10.0, 0.0))
+    val vecs = Seq(
+      (1L, Seq(1f, 0f)),   // nearest cell 0
+      (2L, Seq(9f, 0f)),   // nearest cell 1
+      (3L, Seq(5f, 0f)),   // equidistant → lower cell wins
+      (4L, null)           // dropped
+    ).toDF("vec_id", "embedding")
+    assertProduces(Similarity.clusterAssign(vecs, ctr),
+      Seq(Seq(1L, 0), Seq(2L, 1), Seq(3L, 0)))
+  }
+
+  test("clusterBalancedSample: exact quota per cell, nested prefixes") {
+    val s2 = Similarity.clusterBalancedSample(embeddings, cells = 4,
+      perCell = 2, seed = "t")
+    val byCell = s2.collect().groupBy(_.getInt(1))
+    assert(byCell.values.forall(_.length == 2) && byCell.size == 4)
+    // a smaller quota is a strict prefix of the larger one (pos <= 1)
+    val s1 = Similarity.clusterBalancedSample(embeddings, cells = 4,
+      perCell = 1, seed = "t").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val prefix = s2.filter(col("pos") === 1L)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(s1 == prefix)
+    // deterministic across independent plans
+    val again = Similarity.clusterBalancedSample(embeddings, cells = 4,
+      perCell = 2, seed = "t")
+    assertProduces(again, s2.collect().toSeq.map(_.toSeq))
+  }
 }
