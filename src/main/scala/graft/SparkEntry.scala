@@ -945,6 +945,20 @@ object SparkEntry {
       threshold = 0.8)
   }
 
+  /** The bloom-pruned decontamination path ([[Dedup.decontaminate]]
+    * with `broadcastEval = false`): same scrub as p57, but the eval
+    * band keys ride as broadcast bloom BITS pruning the train-side
+    * exchange before the shuffle join — the shape for eval suites too
+    * large to broadcast as rows. Output identical to p57 by contract
+    * (the exact verify decides membership). */
+  private def p67(s: SparkSession, d: String): DataFrame = {
+    val docs = tbl(d, "documents")(s)
+    Dedup.decontaminate(
+      docs.filter(!col("source").isin("src0", "src1")),
+      docs.filter(col("source").isin("src0", "src1")),
+      threshold = 0.8, broadcastEval = false)
+  }
+
   /** Z-order layout math over events (sources.ZOrder): user_id × time
     * bucketed to 16 bits each and Morton-interleaved; ntile(16) over the
     * tie-broken total z-order is the oracle-shaped form of the bucketing
@@ -1316,10 +1330,40 @@ object SparkEntry {
     "p64_bm25_relevance" -> (p64 _),
     "p65_tfidf_keywords" -> (p65 _),
     "p66_cluster_sample" -> (p66 _),
+    "p67_decontam_bloom" -> (p67 _),
     "p31_span_excise" -> (p31 _),
     "p32_chunking" -> (p32 _),
     "p33_mixture_weights" -> (p33 _)
   )
+
+  /** Shared by p57 (broadcast eval) and p67 (bloom-pruned shuffle):
+    * identical output by contract — the bloom pass only prunes the
+    * train-side exchange, the exact verify decides membership. */
+  private lazy val decontamOracleSql: String = MinhashGraphCte +
+    """,
+      |cand AS (
+      |  SELECT t.doc_id AS train_id, e.doc_id AS eval_id
+      |  FROM banded t JOIN banded e ON t.band = e.band AND t.band_key = e.band_key
+      |  JOIN documents dt ON dt.doc_id = t.doc_id
+      |  JOIN documents de ON de.doc_id = e.doc_id
+      |  WHERE dt.source NOT IN ('src0', 'src1')
+      |    AND de.source IN ('src0', 'src1')
+      |  GROUP BY 1, 2),
+      |shs AS (
+      |  SELECT doc_id, CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+      |    ELSE list_distinct(list_transform(generate_series(1, len(toks) - 2),
+      |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END AS sset
+      |  FROM tk),
+      |bad AS (
+      |  SELECT DISTINCT train_id FROM cand
+      |  JOIN shs sa ON sa.doc_id = cand.train_id
+      |  JOIN shs sb ON sb.doc_id = cand.eval_id
+      |  WHERE (CASE WHEN len(list_distinct(sa.sset || sb.sset)) = 0 THEN 1.0
+      |    ELSE CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE)
+      |      / len(list_distinct(sa.sset || sb.sset)) END) >= 0.8)
+      |SELECT d.* FROM documents d
+      |WHERE d.source NOT IN ('src0', 'src1')
+      |  AND d.doc_id NOT IN (SELECT train_id FROM bad)""".stripMargin
 
   /** Shared by p11 (min-label CC) and p17 (star CC): identical output. */
   private lazy val neardupOracleSql: String =
@@ -2563,31 +2607,11 @@ object SparkEntry {
     // side-filtering the collision join equals banding each side; the
     // jaccard verify is the p13 shingle-set replica at 0.8; survivors
     // are the train rows minus the contaminated id set, full schema
-    "p57_decontaminate" -> (MinhashGraphCte +
-      """,
-        |cand AS (
-        |  SELECT t.doc_id AS train_id, e.doc_id AS eval_id
-        |  FROM banded t JOIN banded e ON t.band = e.band AND t.band_key = e.band_key
-        |  JOIN documents dt ON dt.doc_id = t.doc_id
-        |  JOIN documents de ON de.doc_id = e.doc_id
-        |  WHERE dt.source NOT IN ('src0', 'src1')
-        |    AND de.source IN ('src0', 'src1')
-        |  GROUP BY 1, 2),
-        |shs AS (
-        |  SELECT doc_id, CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
-        |    ELSE list_distinct(list_transform(generate_series(1, len(toks) - 2),
-        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END AS sset
-        |  FROM tk),
-        |bad AS (
-        |  SELECT DISTINCT train_id FROM cand
-        |  JOIN shs sa ON sa.doc_id = cand.train_id
-        |  JOIN shs sb ON sb.doc_id = cand.eval_id
-        |  WHERE (CASE WHEN len(list_distinct(sa.sset || sb.sset)) = 0 THEN 1.0
-        |    ELSE CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE)
-        |      / len(list_distinct(sa.sset || sb.sset)) END) >= 0.8)
-        |SELECT d.* FROM documents d
-        |WHERE d.source NOT IN ('src0', 'src1')
-        |  AND d.doc_id NOT IN (SELECT train_id FROM bad)""".stripMargin),
+    "p57_decontaminate" -> decontamOracleSql,
+    // p67: the bloom-pruned non-broadcast decontamination path — output
+    // contractually identical to p57 (bloom false positives are removed
+    // by the exact jaccard verify), so the same oracle checks both.
+    "p67_decontam_bloom" -> decontamOracleSql,
     // p58: the Morton mask ladder replicated in integer SQL (`//` = the
     // engine's integral div, same masks), ntile over the tie-broken
     // total z-order, per-bucket two-column min/max spans

@@ -1025,6 +1025,17 @@ object Dedup {
     * corpora may share id values — every join is side-tagged
     * (train_id / eval_id), ids never mix.
     *
+    * When the eval suite is too large to broadcast
+    * (`broadcastEval = false`), the band join shuffles — and the train
+    * side's exchange is 16 banded rows per train doc. That path is
+    * bloom-pruned ([[graft.operators.BloomJoin.bloomJoin]]): the eval
+    * (band, band_key) set folds into KB–MB of bloom bits that DO still
+    * broadcast, and the train exchange shrinks from 16×|train| rows to
+    * ~the collision count before the exact join confirms — false
+    * positives cost shuffled bytes, never wrong rows, so the output is
+    * identical to the broadcast path (p67 proves it against p57's
+    * oracle).
+    *
     * Returns the surviving `train` rows unchanged (schema preserved). */
   def decontaminate(
       train: DataFrame,
@@ -1040,7 +1051,10 @@ object Dedup {
     val be0 = bandedSignatures(evalDocs, textCol, idCol, k, bands, shingleWords)
       .select(col(idCol).as("eval_id"), col("band"), col("band_key"))
     val be = if (broadcastEval) broadcast(be0) else be0
-    val cands = bt.join(be, Seq("band", "band_key"))
+    val colliding =
+      if (broadcastEval) bt.join(be, Seq("band", "band_key"))
+      else graft.operators.BloomJoin.bloomJoin(bt, be, Seq("band", "band_key"))
+    val cands = colliding
       .select(col(idCol).as("train_id"), col("eval_id"))
       .distinct()
       .transform(graft.Stage.materialize) // both shingle semi-joins read it
