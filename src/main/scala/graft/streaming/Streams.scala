@@ -360,6 +360,54 @@ object Streams {
   }
 
   /** Run a streaming query to a memory sink (testing/inspection). */
+  /** Stateless streaming BM25 gate — the streaming twin of
+    * [[graft.pipeline.TextAnalysis.bm25Score]], following the
+    * streaming-gate contract its scaladoc names: the model prunes to
+    * the QUERY-SLICED df entries (O(query terms) — KBs however large
+    * the corpus), rides in the closure as plain data, and every
+    * arriving doc scores row-locally with the same quantized-rational
+    * arithmetic — no state store, no stream aggregation, no join.
+    * Batch parity is exact for the corpus alphabet (both sides run the
+    * identical IEEE ops; the row-local tokenizer mirrors the batch
+    * `lower∘trim∘split(\W+)` expression — Java and Spark share the
+    * regex engine, and `trim`/ASCII lowering agree; locale-sensitive
+    * Unicode casing is the one documented divergence). Output schema
+    * matches the batch gate: (idCol, n_hits, bm25_rel DECIMAL(38,0)).
+    */
+  def streamingBm25Gate(docs: DataFrame,
+      model: graft.pipeline.TextAnalysis.Bm25Model,
+      queryTerms: Seq[String], idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val q = queryTerms.map(_.toLowerCase).distinct
+    val dfMap = model.df.filter(col("term").isInCollection(q))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = model.nDocs; val s = model.totalTokens
+    val scoreU = udf { (text: String) =>
+      val toks =
+        if (text == null) Array.empty[String]
+        else text.trim.toLowerCase.split("\\W+").filter(_.nonEmpty)
+      val dl = toks.length.toLong
+      val tfs = scala.collection.mutable.Map.empty[String, Long]
+      toks.foreach { t =>
+        if (dfMap.contains(t)) tfs.update(t, tfs.getOrElse(t, 0L) + 1L)
+      }
+      var rel = java.math.BigInteger.ZERO
+      tfs.foreach { case (t, tf) =>
+        val dfT = dfMap(t)
+        val tfq = math.floor(1e6 * ((tf * (22L * s)).toDouble /
+          (tf * (10L * s) + 3L * s + dl * (9L * n)).toDouble)).toLong
+        val idfq = math.floor(1e6 * ((2L * n + 1L - 2L * dfT).toDouble /
+          (2L * dfT + 1L).toDouble)).toLong
+        rel = rel.add(java.math.BigInteger.valueOf(tfq)
+          .multiply(java.math.BigInteger.valueOf(idfq)))
+      }
+      (tfs.size.toLong, if (tfs.isEmpty) null else rel.toString)
+    }
+    docs.withColumn("_r", scoreU(col(textCol)))
+      .select(col(idCol), col("_r._1").as("n_hits"),
+        col("_r._2").cast("decimal(38,0)").as("bm25_rel"))
+  }
+
   def toMemory(df: DataFrame, name: String, outputMode: String = "update"): StreamingQuery =
     df.writeStream.format("memory").queryName(name)
       .outputMode(outputMode).start()

@@ -398,4 +398,29 @@ class StreamingSpec extends SparkTestBase {
     assert(aFinal._3 == batchEst)
     q.stop()
   }
+
+  test("streaming BM25 gate: exact batch parity on real corpus docs") {
+    import graft.pipeline.TextAnalysis
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val model = TextAnalysis.bm25Train(corpus)
+    val terms = Seq("spark", "window", "stream", "merge")
+    val probe = corpus.orderBy("doc_id").limit(6)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val in = MemoryStream[(Long, String)]
+    val gated = Streams.streamingBm25Gate(
+      in.toDF().toDF("doc_id", "text"), model, terms)
+    val q = Streams.toMemory(gated, "bm25_stream", "append")
+    in.addData(probe.toIndexedSeq)
+    q.processAllAvailable()
+    val streamed = spark.table("bm25_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.getDecimal(2)).map(_.toBigInteger))).toSet
+    val ids = probe.map(_._1).toSet
+    val batch = TextAnalysis.bm25Score(model, corpus, terms)
+      .filter(col("doc_id").isin(ids.toSeq: _*)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.getDecimal(2)).map(_.toBigInteger))).toSet
+    assert(streamed == batch, s"\nstream: $streamed\n batch: $batch")
+    assert(streamed.exists(_._2 > 0L), "probe should include docs with hits")
+    q.stop()
+  }
 }
