@@ -1004,13 +1004,27 @@ object TextAnalysis {
   def bm25Train(docs: DataFrame, textCol: String = "text"): Bm25Model = {
     val perDoc = docs.select(lmTokens(col(textCol)).as("_toks"))
       .transform(graft.Stage.materialize) // stats + df both read it
-    val stats = perDoc.agg(
-      count(lit(1)).as("n"), sum(size(col("_toks"))).as("s")).head()
+    val stats = perDoc.agg(count(lit(1)).as("n"),
+      coalesce(sum(size(col("_toks"))), lit(0L)).as("s")).head()
     val dfTab = perDoc
       .select(explode(array_distinct(col("_toks"))).as("term"))
       .groupBy("term").agg(count(lit(1)).as("df"))
     Bm25Model(dfTab, stats.getLong(0), stats.getLong(1))
   }
+
+  /** Pure kernel of the quantized tf saturation — the EXACT double ops
+    * the [[bm25Score]] Column expression compiles to and the streaming
+    * gate runs row-locally (IEEE multiply/divide, then floor), kept as
+    * a named function so the property suite can pin its invariants. */
+  private[graft] def bm25Tfq(tf: Long, dl: Long, s: Long, n: Long): Long =
+    math.floor(1e6 * ((tf * (22L * s)).toDouble /
+      (tf * (10L * s) + 3L * s + dl * (9L * n)).toDouble)).toLong
+
+  /** Pure kernel of the quantized rational idf (Robertson ratio
+    * (2N−2df+1)/(2df+1), floored at 1e6 quanta). */
+  private[graft] def bm25Idfq(df: Long, n: Long): Long =
+    math.floor(1e6 * ((2L * n + 1L - 2L * df).toDouble /
+      (2L * df + 1L).toDouble)).toLong
 
   /** Score every document's BM25 relevance to a query-term set — the
     * seed-corpus relevance filter (rank a 100-TB crawl against a
@@ -1079,8 +1093,8 @@ object TextAnalysis {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val base = docs.select(col(idCol), lmTokens(col(textCol)).as("_toks"))
       .transform(graft.Stage.materialize)
-    val stats = base.agg(
-      count(lit(1)).as("n"), sum(size(col("_toks"))).as("s")).head()
+    val stats = base.agg(count(lit(1)).as("n"),
+      coalesce(sum(size(col("_toks"))), lit(0L)).as("s")).head()
     val dfTab = base
       .select(explode(array_distinct(col("_toks"))).as("term"))
       .groupBy("term").agg(count(lit(1)).as("df"))

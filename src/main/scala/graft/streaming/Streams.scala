@@ -393,11 +393,8 @@ object Streams {
       }
       var rel = java.math.BigInteger.ZERO
       tfs.foreach { case (t, tf) =>
-        val dfT = dfMap(t)
-        val tfq = math.floor(1e6 * ((tf * (22L * s)).toDouble /
-          (tf * (10L * s) + 3L * s + dl * (9L * n)).toDouble)).toLong
-        val idfq = math.floor(1e6 * ((2L * n + 1L - 2L * dfT).toDouble /
-          (2L * dfT + 1L).toDouble)).toLong
+        val tfq = graft.pipeline.TextAnalysis.bm25Tfq(tf, dl, s, n)
+        val idfq = graft.pipeline.TextAnalysis.bm25Idfq(dfMap(t), n)
         rel = rel.add(java.math.BigInteger.valueOf(tfq)
           .multiply(java.math.BigInteger.valueOf(idfq)))
       }
