@@ -63,6 +63,25 @@ object Taps {
     GenPred(_.read.format("binaryFile").option("pathGlobFilter", glob).load(path),
       fields)
 
+  /** JSONL (newline-delimited JSON) source — the training-corpus
+    * interchange format (beyond-reference; the hfs-tap role for the
+    * corpora LLM pipelines actually ship). Schema inference costs an
+    * extra pass over the data; at 100 TB pass `schemaFrom` (a sampled
+    * or sibling file) or `schemaDDL` (an explicit DDL string, e.g.
+    * "doc_id BIGINT, text STRING") so the scan is single-pass with
+    * column pruning pushed into the parser — Spark's JSON reader only
+    * materializes the fields the query projects. */
+  def jsonl(path: String, schemaDDL: String = "", schemaFrom: String = "",
+      options: Map[String, String] = Map.empty)(fields: Any*): GenPred =
+    GenPred({ s =>
+      var r = s.read.options(options)
+      if (schemaDDL.nonEmpty)
+        r = r.schema(org.apache.spark.sql.types.StructType.fromDDL(schemaDDL))
+      else if (schemaFrom.nonEmpty)
+        r = r.schema(s.read.options(options).json(schemaFrom).schema)
+      r.json(path)
+    }, fields)
+
   // ---------------------------------------------------------------- sinks
 
   /** A sink: writes a compiled query result. `sinkparts` → coalesce
@@ -95,6 +114,11 @@ object Taps {
   def templateSink(path: String, templateFields: Seq[String],
       format: String = "parquet", mode: String = "replace"): Sink =
     Sink(format, path, mode, template = templateFields)
+  /** JSONL sink; `compression` e.g. "gzip"/"zstd" for shipped corpora. */
+  def jsonlSink(path: String, compression: Option[String] = None,
+      mode: String = "replace"): Sink =
+    Sink("json", path, mode,
+      options = compression.map("compression" -> _).toMap)
 
   /** Bucketed-table sink — the 100 TB co-located-join path. Writing both
     * sides of a recurring big-big equi-join bucketed (same keys, same

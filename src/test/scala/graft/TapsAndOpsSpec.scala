@@ -52,6 +52,23 @@ class TapsAndOpsSpec extends SparkTestBase {
     Taps.wrtseqfileSink(memDF(spark, Seq(Seq("k1", "v1"), Seq("k2", "v2"))), s"$dir/sq")
     assertProduces(query("?k", "?v")(Taps.wrtseqfile(s"$dir/sq")("?k", "?v")),
       Seq(Seq("k1", "v1"), Seq("k2", "v2")))
+
+    // JSONL round-trip: inferred schema, explicit DDL, and schemaFrom
+    Taps.jsonlSink(s"$dir/j")
+      .write(memDF(spark, rows).toDF("k", "v"))
+    assertProduces(query("?k", "?v")(Taps.jsonl(s"$dir/j")("?k", "?v")), rows)
+    assertProduces(
+      query("?k", "?v")(
+        Taps.jsonl(s"$dir/j", schemaDDL = "k STRING, v BIGINT")("?k", "?v")),
+      rows)
+    assertProduces(
+      query("?k", "?v")(
+        Taps.jsonl(s"$dir/j", schemaFrom = s"$dir/j")("?k", "?v")),
+      rows)
+    // compressed sink still reads back through the same tap
+    Taps.jsonlSink(s"$dir/jz", compression = Some("gzip"))
+      .write(memDF(spark, rows).toDF("k", "v"))
+    assertProduces(query("?k", "?v")(Taps.jsonl(s"$dir/jz")("?k", "?v")), rows)
   }
 
   test("orc round-trips through the generic hfs tap (columnar alt-format)") {
