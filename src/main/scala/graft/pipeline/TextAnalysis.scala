@@ -1086,6 +1086,21 @@ object TextAnalysis {
         col("_rel").cast("decimal(38,0)").as("bm25_rel"))
   }
 
+  /** Merge two BM25 models trained on DISJOINT corpus batches: df
+    * tables add per term, the scalars add — training is a monoid, so a
+    * 100-TB corpus trains incrementally (per ingest batch, per
+    * partition epoch) and `bm25Merge(bm25Train(A), bm25Train(B))`
+    * equals `bm25Train(A ∪ B)` exactly (Bm25Spec pins it). Disjointness
+    * matters: a doc present in both batches would double-count into df
+    * and N — dedup upstream ([[graft.operators.Snapshot.upsert]] is the
+    * standard guard). The merge itself is a vocab-sized union+sum, no
+    * corpus pass. */
+  def bm25Merge(a: Bm25Model, b: Bm25Model): Bm25Model =
+    Bm25Model(
+      a.df.unionByName(b.df).groupBy("term")
+        .agg(sum(col("df")).as("df")),
+      a.nDocs + b.nDocs, a.totalTokens + b.totalTokens)
+
   /** Fused self-scored convenience ([[lmGate]]'s shape): train the df
     * table and corpus stats from `docs` and score the same corpus —
     * tokenization runs once and feeds stats, df, and the hit stream. */

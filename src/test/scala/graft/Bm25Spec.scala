@@ -39,6 +39,21 @@ class Bm25Spec extends SparkTestBase {
     assertProduces(scored, gate.collect().toSeq.map(_.toSeq))
   }
 
+  test("bm25Merge: training is a monoid over disjoint batches") {
+    val a = docs4.filter(col("doc_id") <= 2L)
+    val b = docs4.filter(col("doc_id") > 2L)
+    val merged = TextAnalysis.bm25Merge(
+      TextAnalysis.bm25Train(a), TextAnalysis.bm25Train(b))
+    val full = TextAnalysis.bm25Train(docs4)
+    assert(merged.nDocs == full.nDocs &&
+      merged.totalTokens == full.totalTokens)
+    assertProduces(merged.df, full.df.collect().toSeq.map(_.toSeq))
+    // and scoring through the merged model is identical
+    val q = Seq("apple", "date")
+    assertProduces(TextAnalysis.bm25Score(merged, docs4, q),
+      TextAnalysis.bm25Score(full, docs4, q).collect().toSeq.map(_.toSeq))
+  }
+
   test("bm25Score: query terms are case-folded and deduped") {
     val m = TextAnalysis.bm25Train(docs4)
     val a = TextAnalysis.bm25Score(m, docs4, Seq("APPLE", "apple", "Date"))

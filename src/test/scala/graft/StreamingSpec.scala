@@ -399,6 +399,28 @@ class StreamingSpec extends SparkTestBase {
     q.stop()
   }
 
+  test("cluster assignment streams statelessly with batch parity") {
+    import graft.pipeline.Similarity
+    implicit val sqlCtx = spark.sqlContext
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val ctr = Similarity.kmeansCentroids(emb, cells = 4, iters = 0)
+    val probe = emb.orderBy("vec_id").limit(5)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+    val in = MemoryStream[(Long, Seq[Float])]
+    val assigned = Similarity.clusterAssign(
+      in.toDF().toDF("vec_id", "embedding"), ctr)
+    val q = Streams.toMemory(assigned, "cluster_stream", "append")
+    in.addData(probe.toIndexedSeq)
+    q.processAllAvailable()
+    val streamed = spark.table("cluster_stream").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val batch = Similarity.clusterAssign(emb, ctr)
+      .filter(col("vec_id").isin(probe.map(_._1).toSeq: _*)).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(streamed == batch && streamed.size == 5)
+    q.stop()
+  }
+
   test("streaming BM25 gate: exact batch parity on real corpus docs") {
     import graft.pipeline.TextAnalysis
     implicit val sqlCtx = spark.sqlContext
