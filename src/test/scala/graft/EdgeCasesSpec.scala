@@ -156,4 +156,47 @@ class EdgeCasesSpec extends SparkTestBase {
       .collect().head.getSeq[Long](0)
     assert(withNull.length == 3) // "", "   " -> "" after trim? distinct non-null texts
   }
+
+  test("bm25/tfidf survive null/blank text and empty corpora") {
+    // null/blank docs keep a row in the gate (n_hits 0, rel null)
+    val gated = TextAnalysis.bm25Gate(withNulls, Seq("real", "words"))
+    assert(gated.count() == 5)
+    val noHit = gated.filter(col("doc_id").isin(2L, 3L, 4L)).collect()
+    assert(noHit.forall(r => r.getLong(1) == 0L && r.isNullAt(2)))
+    // empty corpus: model trains to (0 docs, 0 tokens), gate yields 0 rows
+    val m0 = TextAnalysis.bm25Train(empty)
+    assert(m0.nDocs == 0L && m0.totalTokens == 0L && m0.df.count() == 0L)
+    assert(TextAnalysis.bm25Score(m0, empty, Seq("x")).count() == 0L)
+    // scoring a NONEMPTY corpus with an empty-corpus model: no df rows,
+    // so every doc comes back unscored rather than throwing
+    val cold = TextAnalysis.bm25Score(m0, withNulls, Seq("real"))
+    assert(cold.count() == 5 && cold.filter(col("n_hits") > 0).count() == 0)
+    // query terms absent from the corpus: all rows, no hits
+    val miss = TextAnalysis.bm25Gate(withNulls, Seq("zzz_nonexistent"))
+    assert(miss.count() == 5 && miss.filter(col("n_hits") > 0).count() == 0)
+    // tfidf: null/blank docs vanish; k beyond the distinct-term count
+    // returns every term once, still rank-contiguous
+    val top = TextAnalysis.tfidfTopTerms(withNulls, k = 1000)
+    assert(top.filter(col("doc_id").isin(2L, 3L, 4L)).count() == 0)
+    val perDoc = top.groupBy("doc_id").agg(
+      count(lit(1)).as("n"), max("rank").as("mx")).collect()
+    assert(perDoc.nonEmpty && perDoc.forall(r => r.getLong(1) == r.getLong(2)))
+    assert(TextAnalysis.tfidfTopTerms(empty, k = 3).count() == 0)
+  }
+
+  test("cluster sampling and bloom decontamination survive degenerate shapes") {
+    import graft.pipeline.Similarity
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // more cells than the quota could ever need: quota larger than any
+    // cell returns every vector exactly once
+    val all = Similarity.clusterBalancedSample(emb, cells = 4,
+      perCell = 1000000, seed = "e")
+    assert(all.count() == emb.filter(col("embedding").isNotNull).count())
+    // empty eval suite: nothing collides, train survives intact, and the
+    // bloom path agrees with the broadcast path on the degenerate filter
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val evalEmpty = docs.filter(col("doc_id") < 0)
+    assert(Dedup.decontaminate(docs, evalEmpty,
+      broadcastEval = false).count() == docs.count())
+  }
 }
