@@ -412,6 +412,19 @@ object SparkEntry {
         .build())
   }
 
+  /** Ordered funnel over events ([[graft.operators.Funnel]]): earliest
+    * view → click → purchase per user with a 7-day conversion window
+    * anchored at the view — min-cascade (one filtered aggregate per
+    * step), no whole-table window. Timestamps ride as epoch-us longs
+    * (the events-suite convention). */
+  private def q45(s: SparkSession, d: String): DataFrame = {
+    val ev = tbl(d, "events")(s)
+    graft.operators.Funnel.funnel(
+      ev.select(col("user_id"), tsUs(ev).as("us"), col("event_type")),
+      Seq("view", "click", "purchase"), tsCol = "us",
+      maxSpan = Some(lit(604800000000L)))
+  }
+
   // ----------------------------------------------------- pipeline queries
 
   private def p01(s: SparkSession, d: String): DataFrame =
@@ -1289,6 +1302,7 @@ object SparkEntry {
     "q42_moving_window" -> (q42 _),
     "q43_cube" -> (q43 _),
     "q44_japi_agg" -> (q44 _),
+    "q45_funnel" -> (q45 _),
     "p23_heavy_hitters" -> (p23 _),
     "p24_span_dedup" -> (p24 _),
     "p25_kmv_distinct" -> (p25 _),
@@ -2980,6 +2994,24 @@ object SparkEntry {
         |  MAX(c_acctbal) AS max_bal
         |FROM customer WHERE c_acctbal > 0.0
         |GROUP BY c_mktsegment""".stripMargin,
+    // q45: the min-cascade replayed as step CTEs; conversion window
+    // anchored at the step-1 time; strict-after ordering between steps
+    "q45_funnel" ->
+      """WITH e AS (SELECT user_id AS k, epoch_us(ts) AS t, event_type AS et
+        |  FROM events WHERE ts IS NOT NULL),
+        |s1 AS (SELECT k, MIN(t) AS ts_1 FROM e WHERE et = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.k, MIN(t) AS ts_2 FROM e JOIN s1 USING (k)
+        |  WHERE et = 'click' AND t > ts_1
+        |    AND t <= ts_1 + 604800000000 GROUP BY 1),
+        |s3 AS (SELECT e.k, MIN(t) AS ts_3
+        |  FROM e JOIN s2 USING (k) JOIN s1 USING (k)
+        |  WHERE et = 'purchase' AND t > ts_2
+        |    AND t <= ts_1 + 604800000000 GROUP BY 1)
+        |SELECT s1.k AS user_id,
+        |  CASE WHEN ts_3 IS NOT NULL THEN 3
+        |       WHEN ts_2 IS NOT NULL THEN 2 ELSE 1 END AS stage,
+        |  ts_1, ts_2, ts_3
+        |FROM s1 LEFT JOIN s2 USING (k) LEFT JOIN s3 USING (k)""".stripMargin,
     // q41: salting is result-invariant — the oracle is the plain join
     "q41_salted_join" ->
       """SELECT s_nationkey, COUNT(*) AS n_items,

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Ordered-funnel analysis over an event stream: for each key, the
+  * earliest completion time of each step STRICTLY AFTER the previous
+  * step — the product-analytics funnel, equally the ordered-stage
+  * progress check for multi-stage ingest pipelines.
+  *
+  * Pure relational min-cascade: step i's events (a type-filtered slice
+  * of the stream) join the step-(i−1) frontier on the key and take a
+  * per-key MIN — one shuffle per step over the SLICE, never a whole-
+  * table window and never a per-key event-list materialization, so a
+  * key with millions of events costs the same as one with ten
+  * (aggregation is map-side combined; the frontier is key-sized).
+  * Greedy-earliest matching is the standard funnel semantics: taking
+  * the earliest completion of each step never excludes a later
+  * completion of the next one.
+  *
+  * `maxSpan` (optional) bounds the whole funnel: every step must land
+  * within `ts₁ + maxSpan` (conversion-window semantics, anchored at
+  * the step-1 time like the analytics tools define it). The time
+  * column only needs ordering — and `+ maxSpan` when a span is given —
+  * so epoch-micros longs and native timestamps both work.
+  *
+  * Returns one row per key that completed step 1: the 1-based furthest
+  * `stage` reached and `ts_1..ts_k` completion times (null after the
+  * funnel stalls). Keys that never fired step 1 are absent (a funnel
+  * reports entrants, not the population; left-join the key universe to
+  * add zero-stage rows). */
+object Funnel {
+
+  def funnel(
+      events: DataFrame,
+      steps: Seq[String],
+      keyCol: String = "user_id",
+      tsCol: String = "ts",
+      typeCol: String = "event_type",
+      maxSpan: Option[Column] = None): DataFrame = {
+    require(steps.nonEmpty, "funnel: need at least one step")
+    require(steps.distinct.size == steps.size,
+      s"funnel: steps must be distinct, got $steps")
+    val ev = events.select(col(keyCol).as("_k"), col(tsCol).as("_t"),
+        col(typeCol).as("_e"))
+      .filter(col("_t").isNotNull)
+    var out = ev.filter(col("_e") === steps.head)
+      .groupBy("_k").agg(min(col("_t")).as("ts_1"))
+    for (i <- 2 to steps.length) {
+      val prev = s"ts_${i - 1}"
+      val frontierCols =
+        if (i == 2) out.select(col("_k"), col("ts_1"))
+        else out.select(col("_k"), col(prev), col("ts_1"))
+      val deadline = maxSpan.fold(lit(true))(sp => col("_t") <= col("ts_1") + sp)
+      val ti = ev.filter(col("_e") === steps(i - 1))
+        .join(frontierCols, Seq("_k"))
+        .filter(col("_t") > col(prev) && deadline)
+        .groupBy("_k").agg(min(col("_t")).as(s"ts_$i"))
+      out = out.join(ti, Seq("_k"), "left_outer")
+    }
+    // ts_i non-null implies ts_{i-1} non-null, so ascending overwrite
+    // leaves the highest completed stage
+    val stage = (2 to steps.length).foldLeft(lit(1)) { (acc, i) =>
+      when(col(s"ts_$i").isNotNull, lit(i)).otherwise(acc)
+    }
+    out.select(col("_k").as(keyCol) +: stage.as("stage") +:
+      (1 to steps.length).map(i => col(s"ts_$i")): _*)
+  }
+
+  /** Stage-population summary of [[funnel]]: entrants per furthest
+    * stage plus the classic cumulative conversion counts (how many
+    * reached AT LEAST stage i). One aggregation over the key-sized
+    * funnel table; the window runs over the stage-count-sized summary
+    * (single tiny partition by construction). */
+  def funnelStages(funnelOut: DataFrame): DataFrame = {
+    val reached = funnelOut.groupBy(col("stage"))
+      .agg(count(lit(1)).as("n_keys"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("stage").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    reached.withColumn("n_reached_at_least", sum(col("n_keys")).over(w))
+  }
+}
