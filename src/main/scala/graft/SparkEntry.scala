@@ -425,6 +425,17 @@ object SparkEntry {
       maxSpan = Some(lit(604800000000L)))
   }
 
+  /** Weekly cohort retention over events ([[Funnel.retention]]):
+    * users cohorted by first-event week, cells count users active
+    * `offset` weeks later. Dedupe-first shape — the event stream
+    * collapses to (user, week) pairs map-side before any join. */
+  private def q46(s: SparkSession, d: String): DataFrame = {
+    val ev = tbl(d, "events")(s)
+    graft.operators.Funnel.retention(
+      ev.select(col("user_id"), tsUs(ev).as("us")),
+      bucket = 604800000000L, tsCol = "us")
+  }
+
   // ----------------------------------------------------- pipeline queries
 
   private def p01(s: SparkSession, d: String): DataFrame =
@@ -1303,6 +1314,7 @@ object SparkEntry {
     "q43_cube" -> (q43 _),
     "q44_japi_agg" -> (q44 _),
     "q45_funnel" -> (q45 _),
+    "q46_retention" -> (q46 _),
     "p23_heavy_hitters" -> (p23 _),
     "p24_span_dedup" -> (p24 _),
     "p25_kmv_distinct" -> (p25 _),
@@ -3012,6 +3024,15 @@ object SparkEntry {
         |       WHEN ts_2 IS NOT NULL THEN 2 ELSE 1 END AS stage,
         |  ts_1, ts_2, ts_3
         |FROM s1 LEFT JOIN s2 USING (k) LEFT JOIN s3 USING (k)""".stripMargin,
+    // q46: dedupe-first cohort retention; `//` = integral div, matching
+    // the engine's call_function("div") bucket snap
+    "q46_retention" ->
+      """WITH e AS (SELECT user_id AS k, epoch_us(ts) // 604800000000 AS b
+        |  FROM events WHERE ts IS NOT NULL),
+        |p AS (SELECT DISTINCT k, b FROM e),
+        |c AS (SELECT k, MIN(b) AS cohort FROM p GROUP BY 1)
+        |SELECT cohort, b - cohort AS offset, COUNT(*) AS n_keys
+        |FROM p JOIN c USING (k) GROUP BY 1, 2""".stripMargin,
     // q41: salting is result-invariant — the oracle is the plain join
     "q41_salted_join" ->
       """SELECT s_nationkey, COUNT(*) AS n_items,

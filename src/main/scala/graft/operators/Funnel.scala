@@ -67,6 +67,39 @@ object Funnel {
       (1 to steps.length).map(i => col(s"ts_$i")): _*)
   }
 
+  /** Cohort retention matrix: keys cohorted by their FIRST event's
+    * time bucket; a cell (cohort, offset) counts the keys of that
+    * cohort active `offset` buckets later — the classic retention
+    * triangle, and equally the recurring-contributor curve for a
+    * corpus (sources still shipping documents N weeks after first
+    * seen).
+    *
+    * Shape: (key, bucket) pairs dedupe FIRST (map-side-combinable
+    * distinct — the event stream collapses to at most keys×buckets
+    * before anything joins), the key-sized cohort table derives from
+    * the same pairs with a min, and one equi-join + count finishes.
+    * Hot keys collapse in the combine; nothing is windowed. Offsets
+    * are complete per key by construction (0 always present). */
+  def retention(
+      events: DataFrame,
+      bucket: Long,
+      keyCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    require(bucket > 0, s"retention: bucket must be positive, got $bucket")
+    // integral div (the Resample slot idiom), NOT floor(a/b): double
+    // division of large epoch values can land within an ulp of the
+    // next integer and disagree with the oracle's `//`
+    val pairs = events
+      .filter(col(tsCol).isNotNull)
+      .select(col(keyCol).as("_k"),
+        call_function("div", col(tsCol), lit(bucket)).as("_b"))
+      .distinct()
+    val cohorts = pairs.groupBy("_k").agg(min(col("_b")).as("cohort"))
+    pairs.join(cohorts, Seq("_k"))
+      .groupBy(col("cohort"), (col("_b") - col("cohort")).as("offset"))
+      .agg(count(lit(1)).as("n_keys"))
+  }
+
   /** Stage-population summary of [[funnel]]: entrants per furthest
     * stage plus the classic cumulative conversion counts (how many
     * reached AT LEAST stage i). One aggregation over the key-sized

@@ -405,6 +405,48 @@ object Streams {
         col("_r._2").cast("decimal(38,0)").as("bm25_rel"))
   }
 
+  /** Streaming funnel twin of [[graft.operators.Funnel.funnel]]: per
+    * key, the completed-stage frontier advances as step events arrive —
+    * state is at most `steps.length` longs per key (bounded, no event
+    * retention). Each batch's group is processed in event-time order,
+    * so the result is EXACT vs the batch funnel under per-key
+    * event-time-ordered delivery (the funnel-tracker contract;
+    * StreamingSpec pins multi-batch parity). An out-of-order arrival
+    * that would re-anchor step 1 earlier is the one divergence class —
+    * the batch funnel is the retrospective audit for that. Strict-after
+    * ordering and the step-1-anchored `maxSpan` window match the batch
+    * semantics exactly. Emits (key, stage, completed-stage times) on
+    * every advance (Update mode). */
+  def streamingFunnel(events: DataFrame, steps: Seq[String],
+      maxSpan: Option[Long] = None, keyCol: String = "user_id",
+      tsCol: String = "ts", typeCol: String = "event_type"): Dataset[(Long, Int, Seq[Long])] = {
+    import events.sparkSession.implicits._
+    require(steps.nonEmpty, "streamingFunnel: need at least one step")
+    val stepIdx = steps.zipWithIndex.toMap
+    val k = steps.length
+    events
+      .select(col(keyCol).cast("long"), col(tsCol).cast("long"),
+        col(typeCol).cast("string"))
+      .as[(Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Array[Long], (Long, Int, Seq[Long])](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (key, it, state) =>
+          var ts = state.getOption.getOrElse(Array.empty[Long])
+          val before = ts.length
+          it.toSeq.sortBy(_._2).foreach { case (_, t, e) =>
+            if (ts.length < k && stepIdx.get(e).contains(ts.length) &&
+                (ts.isEmpty ||
+                  (t > ts.last && maxSpan.forall(sp => t <= ts.head + sp))))
+              ts = ts :+ t
+          }
+          if (ts.length != before) {
+            state.update(ts)
+            Iterator((key, ts.length, ts.toSeq))
+          } else Iterator.empty
+      }
+  }
+
   def toMemory(df: DataFrame, name: String, outputMode: String = "update"): StreamingQuery =
     df.writeStream.format("memory").queryName(name)
       .outputMode(outputMode).start()

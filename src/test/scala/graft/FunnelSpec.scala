@@ -68,6 +68,18 @@ class FunnelSpec extends SparkTestBase {
     assert(st(1) == ((2L, 4L)) && st(2) == ((1L, 2L)) && st(3) == ((1L, 1L)))
   }
 
+  test("retention: cohorts by first bucket, offsets deduped within bucket") {
+    val events = Seq(
+      (1L, 5L), (1L, 7L), (1L, 15L), (1L, 35L), // cohort 0, active 0,1,3
+      (2L, 12L), (2L, 19L),                     // cohort 1, active 1 (deduped)
+      (3L, 9L), (3L, 9L)                        // cohort 0, active 0
+    ).toDF("user_id", "us")
+    val got = Funnel.retention(events, bucket = 10L, tsCol = "us")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map((0L, 0L) -> 2L, (0L, 1L) -> 1L, (0L, 3L) -> 1L,
+      (1L, 0L) -> 1L))
+  }
+
   test("single-step funnel and null timestamps") {
     val events = Seq((1L, Some(10L), "a"), (2L, None, "a"))
       .toDF("user_id", "us", "event_type")

@@ -399,6 +399,40 @@ class StreamingSpec extends SparkTestBase {
     q.stop()
   }
 
+  test("streaming funnel: multi-batch frontier matches the batch funnel") {
+    import graft.operators.Funnel
+    implicit val sqlCtx = spark.sqlContext
+    val steps = Seq("view", "click", "purchase")
+    val batch1 = Seq((1L, 10L, "view"), (1L, 20L, "click"),
+      (2L, 10L, "view"), (3L, 5L, "click")) // 3 never enters
+    val batch2 = Seq((1L, 30L, "purchase"), (2L, 200L, "click"),
+      (2L, 210L, "purchase")) // 2's click outside the 100-us window
+    val in = MemoryStream[(Long, Long, String)]
+    val out = Streams.streamingFunnel(
+      in.toDF().toDF("user_id", "us", "event_type"), steps,
+      maxSpan = Some(100L), tsCol = "us")
+    val q = out.writeStream.format("memory").queryName("funnel_stream")
+      .outputMode("update").start()
+    in.addData(batch1); q.processAllAvailable()
+    in.addData(batch2); q.processAllAvailable()
+    q.stop()
+    // last emitted row per key = the final frontier
+    val fin = spark.table("funnel_stream").collect()
+      .map(r => (r.getLong(0), (r.getInt(1), r.getSeq[Long](2))))
+      .groupBy(_._1).map { case (kk, rows) =>
+        kk -> rows.map(_._2).maxBy(_._1) }
+    val all = (batch1 ++ batch2).toDF("user_id", "us", "event_type")
+    val batch = Funnel.funnel(all, steps, tsCol = "us",
+      maxSpan = Some(lit(100L))).collect()
+      .map { r =>
+        val ts = (2 to 4).flatMap(i =>
+          if (r.isNullAt(i)) None else Some(r.getLong(i)))
+        r.getLong(0) -> ((r.getInt(1), ts))
+      }.toMap
+    assert(fin == batch, s"\nstream: $fin\n batch: $batch")
+    assert(fin(1L)._1 == 3 && fin(2L)._1 == 1)
+  }
+
   test("cluster assignment streams statelessly with batch parity") {
     import graft.pipeline.Similarity
     implicit val sqlCtx = spark.sqlContext

@@ -3,20 +3,42 @@ against the testdata views and the result is hash-compared (sorted
 columns, stringified objects, sorted rows) with the Spark dump from
 graft.Verify.
 
-    python3 tools/compare_oracle.py [sf_dir] [verify_out_dir]
+    python3 tools/compare_oracle.py [sf_dir] [verify_out_dir] [--fork] [--only a,b,c]
 
 Each query runs on a FRESH DuckDB connection: one long-lived connection
 fragments after memory-heavy oracles (p55's recursive CTE under
 memory_limit=48GB at sf0.1) and OOMs the queries evaluated after it —
 measured in round 9, where 4 late-alphabet oracles failed on a shared
-connection and all matched immediately on fresh ones. Per-connection
-view setup costs ~ms; the robustness is worth it at every sf.
+connection and all matched immediately on fresh ones.
+
+`--fork` goes one step further and runs EACH QUERY IN ITS OWN
+SUBPROCESS: a fresh connection in the same process does not return
+p55's ~48 GB RSS to the OS (the allocator keeps it), so at sf0.1 the
+queries evaluated after p55 can still die on host-level allocation
+failures if anything else is running. A subprocess exits and gives the
+memory back. Costs ~0.5 s/query of interpreter startup — use it for
+sf0.1 sweeps; plain mode is fine at sf0.01 and below.
+
+`--only` (comma-separated names) restricts the run — re-checking a
+flagged query or finishing an interrupted sweep without re-evaluating
+everything.
 """
-import duckdb, json, sys
+import duckdb, json, subprocess, sys
 import pandas as pd
 
-sf = sys.argv[1] if len(sys.argv) > 1 else '/root/testdata/sf0.01'
-out = sys.argv[2] if len(sys.argv) > 2 else '/tmp/vout'
+args = [a for a in sys.argv[1:] if not a.startswith('--')]
+flags = [a for a in sys.argv[1:] if a.startswith('--')]
+sf = args[0] if len(args) > 0 else '/root/testdata/sf0.01'
+out = args[1] if len(args) > 1 else '/tmp/vout'
+fork = '--fork' in flags
+only = None
+for f in flags:
+    if f.startswith('--only'):
+        val = f.split('=', 1)[1] if '=' in f else None
+        if val is None:
+            i = sys.argv.index(f)
+            val = sys.argv[i + 1] if i + 1 < len(sys.argv) else ''
+        only = set(x.strip() for x in val.split(',') if x.strip())
 
 TABLES = ['region', 'nation', 'customer', 'supplier', 'part', 'orders',
           'lineitem', 'events', 'documents', 'embeddings']
@@ -30,9 +52,8 @@ def norm(df):
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 
-oracle = json.load(open(f'{out}/oracle_sql.json'))
-fails = []
-for name, sql in sorted(oracle.items()):
+def run_one(name, sql):
+    """Evaluate one oracle; prints one status line; returns ok bool."""
     con = duckdb.connect()
     con.sql("SET memory_limit='48GB'")
     # spill to disk instead of failing when the host is memory-pressured
@@ -44,15 +65,13 @@ for name, sql in sorted(oracle.items()):
         a = norm(con.sql(f"SELECT * FROM '{out}/{name}/*.parquet'").df())
         b = norm(con.sql(sql).df())
     except Exception as e:
-        fails.append(name)
         print(f"{name}: ERR {str(e)[:160]}")
         con.close()
-        continue
+        return False
     ok_schema = list(a.columns) == list(b.columns)
     ok_rows = len(a) == len(b)
     ok_vals = ok_schema and ok_rows and a.equals(b)
     if not ok_vals:
-        fails.append(name)
         schema_a = [(c, str(a[c].dtype)) for c in a.columns]
         schema_b = [(c, str(b[c].dtype)) for c in b.columns]
         print(f"{name}: MISMATCH rows={len(a)}/{len(b)} cols={schema_a}/{schema_b}")
@@ -63,4 +82,30 @@ for name, sql in sorted(oracle.items()):
     else:
         print(f"{name}: OK ({len(a)} rows)")
     con.close()
-print(f"\n{len(oracle)-len(fails)}/{len(oracle)} oracle queries match; fails: {fails}")
+    return ok_vals
+
+
+def main():
+    oracle = json.load(open(f'{out}/oracle_sql.json'))
+    items = [(n, s) for n, s in sorted(oracle.items())
+             if only is None or n in only]
+    fails = []
+    for name, sql in items:
+        if fork:
+            r = subprocess.run(
+                [sys.executable, __file__, sf, out, '--one', name])
+            if r.returncode != 0:
+                fails.append(name)
+        elif not run_one(name, sql):
+            fails.append(name)
+    print(f"\n{len(items)-len(fails)}/{len(items)} oracle queries match; fails: {fails}")
+    sys.exit(1 if fails else 0)
+
+
+if __name__ == '__main__':
+    if '--one' in flags or '--one' in sys.argv:
+        i = sys.argv.index('--one')
+        name = sys.argv[i + 1]
+        sql = json.load(open(f'{out}/oracle_sql.json'))[name]
+        sys.exit(0 if run_one(name, sql) else 1)
+    main()
