@@ -983,6 +983,25 @@ object SparkEntry {
       threshold = 0.8, broadcastEval = false)
   }
 
+  /** Count-min frequency estimation ([[graft.operators.Sketches.cms]]):
+    * one 4×512 sketch over the corpus token stream, point-estimated at
+    * the 20 heaviest tokens beside their exact counts — every counter
+    * md5-cell-exact, so the oracle replays the whole sketch, not just
+    * the estimates. */
+  private def p68(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Sketches
+    val toks = tbl(d, "documents")(s)
+      .select(explode(split(lower(trim(col("text"))), "\\W+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .transform(graft.Stage.materialize) // sketch + exact counts read it
+    val sk = toks.agg(Sketches.cms(col("tok"), 4, 512).as("_sk"))
+    val top = toks.groupBy("tok").agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("tok").asc).limit(20)
+    top.crossJoin(sk)
+      .select(col("tok"), col("n_exact"),
+        Sketches.cmsEstimate(col("_sk"), col("tok"), 4, 512).as("n_est"))
+  }
+
   /** Z-order layout math over events (sources.ZOrder): user_id × time
     * bucketed to 16 bits each and Morton-interleaved; ntile(16) over the
     * tie-broken total z-order is the oracle-shaped form of the bucketing
@@ -1357,6 +1376,7 @@ object SparkEntry {
     "p65_tfidf_keywords" -> (p65 _),
     "p66_cluster_sample" -> (p66 _),
     "p67_decontam_bloom" -> (p67 _),
+    "p68_cms_heavy" -> (p68 _),
     "p31_span_excise" -> (p31 _),
     "p32_chunking" -> (p32 _),
     "p33_mixture_weights" -> (p33 _)
@@ -3033,6 +3053,28 @@ object SparkEntry {
         |c AS (SELECT k, MIN(b) AS cohort FROM p GROUP BY 1)
         |SELECT cohort, b - cohort AS offset, COUNT(*) AS n_keys
         |FROM p JOIN c USING (k) GROUP BY 1, 2""".stripMargin,
+    // p68: the count-min sketch replayed cell-for-cell — md5 row hashes
+    // assign cells, counters aggregate per (row, cell), estimates MIN
+    // over each top token's cells
+    "p68_cms_heavy" ->
+      """WITH tk AS (SELECT unnest(list_filter(
+        |    regexp_split_to_array(lower(trim(text)), '\W+'), x -> x != '')) AS tok
+        |  FROM documents),
+        |cells AS (SELECT r.i AS row_i,
+        |    CAST((md5_number_lower('cms' || r.i || ':' || tok)
+        |      & 2305843009213693951) % 512 AS BIGINT) AS cell,
+        |    COUNT(*) AS c
+        |  FROM tk, generate_series(0, 3) r(i) GROUP BY 1, 2),
+        |top AS (SELECT tok, COUNT(*) AS n_exact FROM tk GROUP BY 1
+        |  ORDER BY n_exact DESC, tok ASC LIMIT 20),
+        |est AS (SELECT t.tok, t.n_exact, MIN(c.c) AS n_est
+        |  FROM top t
+        |  CROSS JOIN generate_series(0, 3) r(i)
+        |  JOIN cells c ON c.row_i = r.i AND c.cell =
+        |    CAST((md5_number_lower('cms' || r.i || ':' || t.tok)
+        |      & 2305843009213693951) % 512 AS BIGINT)
+        |  GROUP BY 1, 2)
+        |SELECT tok, n_exact, n_est FROM est""".stripMargin,
     // q41: salting is result-invariant — the oracle is the plain join
     "q41_salted_join" ->
       """SELECT s_nationkey, COUNT(*) AS n_items,

@@ -147,4 +147,78 @@ object Sketches {
     * and the one double expression. */
   def kmvIntersectEstimate(a: Column, b: Column, k: Int): Column =
     intersectKernel(a, b, lit(k))
+
+  // ----------------------------------------------------------- count-min
+
+  /** Count-min sketch (Cormode & Muthukrishnan 2005): `depth` rows of
+    * `width` counters; a value increments one md5-chosen cell per row
+    * and its estimate is the MIN over its cells — always an
+    * overestimate, off by at most (stream length)/width with high
+    * probability. The KMV design arguments carry over verbatim: the
+    * buffer is a bounded monoid (elementwise add) so map-side combine
+    * reduces each partition to depth·width longs before the shuffle,
+    * and the md5-derived row hashes make every counter — not just the
+    * estimate — cross-engine exact (DuckDB replays cell assignment as
+    * `(md5_number_lower('cms' || i || ':' || v) & M61) % width`).
+    * Frequency estimation over streams too wide for an exact group-by:
+    * at 100 TB the exact (token, count) table is itself corpus-sized,
+    * the sketch is depth·width longs wherever it travels. */
+  private[graft] def cmsCell(value: String, row: Int, width: Int): Int =
+    ((Md5.lower64(Md5.newDigest(), s"cms$row:$value") & Md5.M61) % width).toInt
+
+  private class CmsAgg(depth: Int, width: Int)
+      extends Aggregator[String, Array[Long], Array[Long]] {
+    def zero: Array[Long] = new Array[Long](depth * width)
+    def reduce(buf: Array[Long], v: String): Array[Long] = {
+      if (v != null) {
+        var i = 0
+        while (i < depth) { buf(i * width + cmsCell(v, i, width)) += 1L; i += 1 }
+      }
+      buf
+    }
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+    def finish(r: Array[Long]): Array[Long] = r
+    def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+    def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  }
+
+  /** Aggregate a string column into a count-min sketch
+    * (`array<bigint>` of depth·width counters; nulls don't count). */
+  def cms(value: Column, depth: Int = 4, width: Int = 512): Column = {
+    require(depth >= 1 && width >= 1,
+      s"cms: depth/width must be positive, got $depth/$width")
+    val agg = udaf(new CmsAgg(depth, width), ExpressionEncoder[String]())
+    agg(value)
+  }
+
+  private val cmsEstKernel = udf {
+    (sk: Seq[Long], v: String, depth: Int, width: Int) =>
+      if (v == null) null.asInstanceOf[java.lang.Long]
+      else {
+        var best = Long.MaxValue
+        var i = 0
+        while (i < depth) {
+          val c = sk(i * width + cmsCell(v, i, width))
+          if (c < best) best = c
+          i += 1
+        }
+        java.lang.Long.valueOf(best)
+      }
+  }
+
+  /** Point estimate of a value's frequency from a [[cms]] sketch:
+    * min over the value's depth cells — `estimate >= true count`
+    * always (CmsSpec pins it). */
+  def cmsEstimate(sketch: Column, value: Column,
+      depth: Int = 4, width: Int = 512): Column =
+    cmsEstKernel(sketch, value, lit(depth), lit(width))
+
+  /** Merge two sketches of identical shape (elementwise add — the
+    * monoid the aggregator itself folds with). */
+  def cmsMerge(a: Column, b: Column): Column =
+    zip_with(a, b, (x, y) => x + y)
 }
