@@ -79,6 +79,37 @@ object Streams {
       }
   }
 
+  /** Streaming count-min twin of [[graft.operators.Sketches.cms]]:
+    * per-key frequency sketch folded in mapGroupsWithState — state is
+    * exactly depth·width longs per key (bounded however long the
+    * stream runs), and because the fold is the same monoid the batch
+    * aggregator uses, the end state equals the batch sketch over the
+    * union of all arrivals in ANY order (StreamingSpec pins it). Emits
+    * (key, sketch) on every batch touching the key; point-estimate
+    * with [[graft.operators.Sketches.cmsEstimate]] downstream. */
+  def streamingCms(
+      rows: Dataset[(String, String)],
+      depth: Int = 4, width: Int = 512): Dataset[(String, Seq[Long])] = {
+    import rows.sparkSession.implicits._
+    import graft.operators.Sketches
+    rows.groupByKey(_._1)
+      .mapGroupsWithState[Array[Long], (String, Seq[Long])](
+        GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[(String, String)], state: GroupState[Array[Long]]) =>
+          val sk = state.getOption.getOrElse(new Array[Long](depth * width))
+          it.foreach { case (_, v) =>
+            if (v != null) {
+              var i = 0
+              while (i < depth) {
+                sk(i * width + Sketches.cmsCell(v, i, width)) += 1L; i += 1
+              }
+            }
+          }
+          state.update(sk)
+          (key, sk.toSeq)
+      }
+  }
+
   /** Event-time stream-stream interval join — both sides watermarked so
     * the state store can evict rows that can no longer match: a right row
     * joins a left row of the same key when `rightTs` lands in

@@ -399,6 +399,33 @@ class StreamingSpec extends SparkTestBase {
     q.stop()
   }
 
+  test("streaming CMS: end state equals the batch sketch per key") {
+    import graft.operators.Sketches
+    implicit val sqlCtx = spark.sqlContext
+    val b1 = Seq(("k1", "a"), ("k1", "a"), ("k1", "b"), ("k2", "x"))
+    val b2 = Seq(("k1", "a"), ("k2", "x"), ("k2", "y"), ("k1", null))
+    val in = MemoryStream[(String, String)]
+    val out = Streams.streamingCms(in.toDS(), depth = 2, width = 8)
+    val q = out.toDF("key", "sk").writeStream.format("memory")
+      .queryName("cms_stream").outputMode("update").start()
+    in.addData(b1); q.processAllAvailable()
+    in.addData(b2); q.processAllAvailable()
+    q.stop()
+    val fin = spark.table("cms_stream").collect()
+      .map(r => (r.getString(0), r.getSeq[Long](1)))
+      .groupBy(_._1).map { case (k, rows) =>
+        k -> rows.map(_._2).maxBy(_.sum) } // latest = largest mass
+    val batch = (b1 ++ b2).filter(_._2 != null).toDF("key", "v")
+      .groupBy("key").agg(Sketches.cms(col("v"), 2, 8).as("sk"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(fin == batch)
+    // and the estimates come out right through the shared kernel
+    val estA = Seq(("k1", batch("k1"))).toDF("key", "sk")
+      .select(Sketches.cmsEstimate(col("sk"), lit("a"), 2, 8))
+      .collect().head.getLong(0)
+    assert(estA >= 3L)
+  }
+
   test("streaming funnel: multi-batch frontier matches the batch funnel") {
     import graft.operators.Funnel
     implicit val sqlCtx = spark.sqlContext
