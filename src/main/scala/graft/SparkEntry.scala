@@ -1002,6 +1002,22 @@ object SparkEntry {
         Sketches.cmsEstimate(col("_sk"), col("tok"), 4, 512).as("n_est"))
   }
 
+  /** SCD2 snapshot history ([[graft.operators.Snapshot.history]]):
+    * three corpus versions (v1 re-annotates every 10th key, v2 repeats
+    * the same payload for every 20th — a no-op recrawl) collapse into
+    * validity intervals; the no-op versions vanish into their runs. */
+  private def q47(s: SparkSession, d: String): DataFrame = {
+    val base = tbl(d, "orders")(s).select("o_orderkey", "o_orderpriority")
+    val versions = base.withColumn("version", lit(0L))
+      .unionByName(base.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_orderpriority", lit("UPDATED"))
+        .withColumn("version", lit(1L)))
+      .unionByName(base.filter(col("o_orderkey") % 20 === 0)
+        .withColumn("o_orderpriority", lit("UPDATED"))
+        .withColumn("version", lit(2L)))
+    graft.operators.Snapshot.history(versions, Seq("o_orderkey"), "version")
+  }
+
   /** Z-order layout math over events (sources.ZOrder): user_id × time
     * bucketed to 16 bits each and Morton-interleaved; ntile(16) over the
     * tie-broken total z-order is the oracle-shaped form of the bucketing
@@ -1334,6 +1350,7 @@ object SparkEntry {
     "q44_japi_agg" -> (q44 _),
     "q45_funnel" -> (q45 _),
     "q46_retention" -> (q46 _),
+    "q47_scd2_history" -> (q47 _),
     "p23_heavy_hitters" -> (p23 _),
     "p24_span_dedup" -> (p24 _),
     "p25_kmv_distinct" -> (p25 _),
@@ -3053,6 +3070,29 @@ object SparkEntry {
         |c AS (SELECT k, MIN(b) AS cohort FROM p GROUP BY 1)
         |SELECT cohort, b - cohort AS offset, COUNT(*) AS n_keys
         |FROM p JOIN c USING (k) GROUP BY 1, 2""".stripMargin,
+    // q47: change points via null-safe lag compare, running-sum run ids,
+    // per-run first version, lead for the interval end
+    "q47_scd2_history" ->
+      """WITH v AS (
+        |  SELECT o_orderkey AS k, o_orderpriority AS p, CAST(0 AS BIGINT) AS ver
+        |  FROM orders
+        |  UNION ALL SELECT o_orderkey, 'UPDATED', 1 FROM orders
+        |  WHERE o_orderkey % 10 = 0
+        |  UNION ALL SELECT o_orderkey, 'UPDATED', 2 FROM orders
+        |  WHERE o_orderkey % 20 = 0),
+        |m AS (SELECT k, p, ver,
+        |    CASE WHEN p IS DISTINCT FROM lag(p) OVER (PARTITION BY k ORDER BY ver)
+        |      THEN 1 ELSE 0 END AS chg
+        |  FROM v),
+        |r AS (SELECT k, p, ver, SUM(chg) OVER (PARTITION BY k ORDER BY ver
+        |    ROWS UNBOUNDED PRECEDING) AS run FROM m),
+        |g AS (SELECT k, run, MIN(ver) AS valid_from, MIN(p) AS p
+        |  FROM r GROUP BY 1, 2),
+        |f AS (SELECT k, p, valid_from,
+        |    LEAD(valid_from) OVER (PARTITION BY k ORDER BY valid_from) AS valid_to
+        |  FROM g)
+        |SELECT k AS o_orderkey, p AS o_orderpriority, valid_from, valid_to
+        |FROM f""".stripMargin,
     // p68: the count-min sketch replayed cell-for-cell — md5 row hashes
     // assign cells, counters aggregate per (row, cell), estimates MIN
     // over each top token's cells

@@ -64,4 +64,41 @@ object Snapshot {
       .filter(col("change") =!= "unchanged")
       .select(keys.map(col) :+ col("change"): _*)
   }
+
+  /** SCD2 history: versioned rows → validity intervals per key, with
+    * consecutive versions carrying an UNCHANGED payload collapsed into
+    * one interval — the type-2 slowly-changing-dimension table, and
+    * the document-version-history view of a living corpus (when did
+    * this doc's text actually change, ignoring no-op recrawls).
+    *
+    * Shape: one keyed window pass marks change points (null-safe
+    * payload vs lag), a running sum numbers the runs, a (key, run)
+    * aggregation takes each run's first version, and a second key-sized
+    * window leads the next run's start — all per-key work, keys carry
+    * the parallelism, nothing global. `valid_to` null = current row.
+    * Determinism contract: (key, version) unique (the [[upsert]]
+    * invariant). */
+  def history(rows: DataFrame, keys: Seq[String],
+      versionCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val payloadCols = rows.columns.filterNot(c =>
+      keys.contains(c) || c == versionCol).sorted
+    require(payloadCols.nonEmpty,
+      "history: need at least one payload column besides keys + version")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(versionCol))
+    val payload = struct(payloadCols.map(col): _*)
+    val marked = rows
+      .withColumn("_chg",
+        when(payload <=> lag(payload, 1).over(w), lit(0)).otherwise(lit(1)))
+      .withColumn("_run", sum(col("_chg"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val runs = marked.groupBy((keys.map(col) :+ col("_run")): _*)
+      .agg(min(col(versionCol)).as("valid_from"),
+        min_by(payload, col(versionCol)).as("_p"))
+    val w2 = Window.partitionBy(keys.map(col): _*).orderBy(col("valid_from"))
+    runs
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w2))
+      .select(keys.map(col) ++ payloadCols.map(c => col(s"_p.$c").as(c)) ++
+        Seq(col("valid_from"), col("valid_to")): _*)
+  }
 }

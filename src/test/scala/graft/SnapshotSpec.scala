@@ -126,4 +126,35 @@ class SnapshotSpec extends SparkTestBase {
       Snapshot.upsert(snap, snap.drop("v"), Seq("k"), "version")
     }
   }
+
+  test("history: runs collapse, change-backs split, valid_to chains") {
+    val versions = Seq(
+      (1L, "A", 0L), (1L, "A", 1L), (1L, "B", 2L), (1L, "A", 3L), // A->B->A
+      (2L, "X", 0L), (2L, "X", 5L), (2L, "X", 9L),                // never changes
+      (3L, "P", 7L)                                               // single version
+    ).toDF("k", "v", "version")
+    val h = Snapshot.history(versions, Seq("k"), "version")
+    val got = h.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getLong(2), if (r.isNullAt(3)) null else r.getLong(3))).toSet
+    assert(got == Set(
+      (1L, "A", 0L, 2L), (1L, "B", 2L, 3L), (1L, "A", 3L, null),
+      (2L, "X", 0L, null),
+      (3L, "P", 7L, null)))
+    // intervals chain: every non-current valid_to is the next valid_from
+    // and exactly one current row per key
+    val byKey = got.groupBy(_._1)
+    assert(byKey.values.forall(_.count(_._4 == null) == 1))
+  }
+
+  test("history: multi-column payloads compare null-safely") {
+    val versions = Seq(
+      (1L, Some("a"), Some(10L), 0L),
+      (1L, None, Some(10L), 1L),      // a -> null IS a change
+      (1L, None, Some(10L), 2L),      // null == null: collapses
+      (1L, Some("a"), Some(10L), 3L)
+    ).toDF("k", "s", "n", "version")
+    val h = Snapshot.history(versions, Seq("k"), "version")
+    assert(h.count() == 3)
+    assert(h.filter(col("valid_to").isNull).count() == 1)
+  }
 }
