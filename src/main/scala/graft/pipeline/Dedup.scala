@@ -601,9 +601,27 @@ object Dedup {
       textCol: String = "text",
       idCol: String = "doc_id",
       maxHamming: Int = 3,
+      maxBucketSize: Int = SessionBucketCap): DataFrame =
+    hammingCandidates(
+      df.select(col(idCol), simhash(col(textCol)).as("sh")),
+      "sh", idCol, maxHamming, maxBucketSize)
+
+  /** The [[simhashCandidates]] machinery — rotated 16-bit block
+    * buckets, hot-bucket star guard, exact Hamming verify — over a
+    * PRECOMPUTED 64-bit signature column, for signatures born outside
+    * the text kernel: image perceptual hashes
+    * ([[Multimodal.imagePHash]]), audio fingerprints, any 64-bit
+    * locality-preserving code. Same guarantee (pairs within Hamming d
+    * ≤ 3 share at least one block) and the same scale posture. */
+  def hammingCandidates(
+      withHash: DataFrame,
+      hashCol: String,
+      idCol: String = "doc_id",
+      maxHamming: Int = 3,
       maxBucketSize: Int = SessionBucketCap): DataFrame = {
-    val cap = resolveBucketCap(df, maxBucketSize)
-    val withSh = df.select(col(idCol), simhash(col(textCol)).as("sh"))
+    val cap = resolveBucketCap(withHash, maxBucketSize)
+    val withSh = withHash.select(col(idCol), col(hashCol).as("sh"))
+      .filter(col("sh").isNotNull)
     val blocks = array((0 until 4).map(i =>
       struct(lit(i).as("blk"),
         shiftright(col("sh"), i * 16).bitwiseAND(0xFFFFL).as("blk_val"))): _*)

@@ -195,6 +195,86 @@ object Multimodal {
   def imageFeatures(df: DataFrame, binCol: String): DataFrame =
     df.withColumn("features", imageFeaturesUdf(col(binCol)))
 
+  /** 64-bit perceptual hash (the DCT pHash): luminance → 32×32
+    * area-average downsample → separable 2D DCT-II → top-left 8×8
+    * low-frequency block → bit = coefficient > median of the 64.
+    * Stable under re-encoding, resizing, and mild photometric edits, so
+    * near-duplicate images land within a few Hamming bits — feed the
+    * (id, phash) table to [[graft.pipeline.Dedup.hammingCandidates]]
+    * for corpus-scale image near-dup with the same block-bucket +
+    * hot-bucket-guard machinery as text simhash. Deterministic pure-JVM
+    * math (decode itself is JVM-only, so this family is spec-verified
+    * rather than oracle-replayed — the COVERAGE.md multimodal
+    * contract). Null for undecodable bytes. */
+  private[graft] def pHashOf(bytes: Array[Byte]): java.lang.Long = {
+    val img = readImage(bytes)
+    if (img == null) return null
+    val n = 32
+    val w = img.getWidth; val h = img.getHeight
+    val lum = Array.ofDim[Double](n, n)
+    var cy = 0
+    while (cy < n) {
+      val y0 = cy * h / n; val y1 = math.max((cy + 1) * h / n, y0 + 1)
+      var cx = 0
+      while (cx < n) {
+        val x0 = cx * w / n; val x1 = math.max((cx + 1) * w / n, x0 + 1)
+        var s = 0.0; var y = y0
+        while (y < y1 && y < h) {
+          var x = x0
+          while (x < x1 && x < w) {
+            val rgb = img.getRGB(x, y)
+            s += 0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) +
+              0.114 * (rgb & 0xFF)
+            x += 1
+          }
+          y += 1
+        }
+        lum(cy)(cx) = s / ((y1 - y0).toDouble * (x1 - x0))
+        cx += 1
+      }
+      cy += 1
+    }
+    // separable DCT-II; only the first 8 output rows/cols are needed
+    val cos = Array.tabulate(8, n)((k, x) =>
+      math.cos(math.Pi * k * (2 * x + 1) / (2.0 * n)))
+    val tmp = Array.ofDim[Double](8, n) // rows transformed
+    var k = 0
+    while (k < 8) {
+      var x = 0
+      while (x < n) {
+        var s = 0.0; var j = 0
+        while (j < n) { s += cos(k)(j) * lum(j)(x); j += 1 }
+        tmp(k)(x) = s; x += 1
+      }
+      k += 1
+    }
+    val coeffs = new Array[Double](64)
+    var ky = 0
+    while (ky < 8) {
+      var kx = 0
+      while (kx < 8) {
+        var s = 0.0; var j = 0
+        while (j < n) { s += tmp(ky)(j) * cos(kx)(j); j += 1 }
+        coeffs(ky * 8 + kx) = s; kx += 1
+      }
+      ky += 1
+    }
+    val sorted = coeffs.sorted
+    val median = (sorted(31) + sorted(32)) / 2.0
+    var bits = 0L; var i = 0
+    while (i < 64) {
+      if (coeffs(i) > median) bits |= 1L << i
+      i += 1
+    }
+    java.lang.Long.valueOf(bits)
+  }
+
+  private val pHashUdf = udf((b: Array[Byte]) => pHashOf(b))
+
+  /** Adds `phash` (64-bit DCT perceptual hash; null = undecodable). */
+  def imagePHash(df: DataFrame, binCol: String): DataFrame =
+    df.withColumn("phash", pHashUdf(col(binCol)))
+
   /** REAL resize: decode → bilinear-scaled redraw → re-encode (png). */
   private val resizeImageUdf = udf { (bytes: Array[Byte], w: Int, h: Int) =>
     val img = readImage(bytes)

@@ -1284,6 +1284,71 @@ class PipelineSpec extends SparkTestBase {
       perRow.collect().map(r => (r.getString(0), r.getSeq[Float](1))).toMap)
   }
 
+  test("image pHash: stable under re-encode/resize, separates content, " +
+      "feeds hammingCandidates") {
+    def patternImg(side: Int, phase: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(side, side,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < side) {
+        var x = 0
+        while (x < side) {
+          // broad low-frequency spectrum (several orientations and
+          // frequencies) so every cell of the DCT block carries real
+          // signal — a flat/two-tone pattern leaves most coefficients
+          // ~0 and codec noise would flip their bits
+          var acc = 127.0
+          var k = 1
+          while (k <= 6) {
+            acc += (70.0 / k) * math.sin(
+              2 * math.Pi * k * (x + phase).toDouble / side + k) +
+              (55.0 / k) * math.cos(2 * math.Pi * k * y.toDouble / side + 2 * k) +
+              (30.0 / k) * math.sin(
+                2 * math.Pi * k * (x + y + phase).toDouble / side + 3 * k)
+            k += 1
+          }
+          val v = acc.toInt.max(0).min(255)
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+          x += 1
+        }
+        y += 1
+      }
+      img
+    }
+    def enc(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    val aPng = enc(patternImg(64, 0), "png")
+    val aJpg = enc(patternImg(64, 0), "jpg")      // lossy re-encode
+    val aBig = enc(patternImg(128, 0), "png")     // same pattern, 2x res
+    val bPng = enc(patternImg(64, 40), "png")     // shifted content
+    val df = Seq((1L, aPng), (2L, aJpg), (3L, aBig), (4L, bPng),
+      (5L, Array[Byte](9, 9))).toDF("doc_id", "img")
+    val hashed = Multimodal.imagePHash(df, "img")
+    val ph: Map[Long, java.lang.Long] = hashed.collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) null
+         else java.lang.Long.valueOf(r.getLong(2)))).toMap
+    assert(ph(5L) == null)
+    def ham(a: java.lang.Long, b: java.lang.Long) =
+      java.lang.Long.bitCount(a.longValue ^ b.longValue)
+    assert(ham(ph(1L), ph(2L)) <= 8, s"re-encode drifted ${ham(ph(1L), ph(2L))}")
+    assert(ham(ph(1L), ph(3L)) <= 8, s"resize drifted ${ham(ph(1L), ph(3L))}")
+    assert(ham(ph(1L), ph(4L)) >= 16, s"distinct content too close ${ham(ph(1L), ph(4L))}")
+    // determinism
+    assert(Multimodal.imagePHash(df, "img").collect()
+      .map(r => if (r.isNullAt(2)) null else r.getLong(2)).toSeq ==
+      hashed.collect().map(r => if (r.isNullAt(2)) null else r.getLong(2)).toSeq)
+    // the generic hamming bucket machinery finds the near-dup family only
+    val pairs = Dedup.hammingCandidates(
+      hashed.select("doc_id", "phash"), "phash", maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
   test("clusterAssign: nearest cell, ties to lower id, nulls drop") {
     val ctr = Array(Array(0.0, 0.0), Array(10.0, 0.0))
     val vecs = Seq(
