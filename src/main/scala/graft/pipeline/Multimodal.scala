@@ -388,6 +388,73 @@ object Multimodal {
   def audioFeatures(df: DataFrame, binCol: String): DataFrame =
     df.withColumn("features", audioFeaturesUdf(col(binCol)))
 
+  /** 64-bit audio fingerprint (the Haitsma–Kalker shape): mono
+    * samples → 33 equal TIME segments × 2 energy bands (mean magnitude
+    * = low band, mean first-difference magnitude = high band) → bit =
+    * "this band's energy rises into the next segment". Gain-invariant
+    * by construction (a positive gain scales both sides of every
+    * comparison) and sample-rate-robust (segments are time-
+    * proportional), so re-encoded / re-leveled / resampled copies of a
+    * clip land within a few Hamming bits — feed the (id, afp) table to
+    * [[graft.pipeline.Dedup.hammingCandidates]] for corpus-scale audio
+    * near-dup, the same machinery as text simhash and image pHash.
+    * Null for undecodable, non-16-bit, or <33-frame clips. */
+  private[graft] def audioFingerprintOf(bytes: Array[Byte]): java.lang.Long = {
+    if (bytes == null || bytes.isEmpty) return null
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val f = in.getFormat
+        if (f.getSampleSizeInBits != 16) return null
+        val raw = in.readAllBytes()
+        val bb = java.nio.ByteBuffer.wrap(raw).order(
+          if (f.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+          else java.nio.ByteOrder.LITTLE_ENDIAN)
+        val ch = f.getChannels
+        val frames = raw.length / 2 / ch
+        if (frames < 33) return null
+        val mono = new Array[Double](frames)
+        var i = 0
+        while (i < frames) {
+          var s = 0.0; var c = 0
+          while (c < ch) { s += bb.getShort((i * ch + c) * 2) / 32768.0; c += 1 }
+          mono(i) = s / ch
+          i += 1
+        }
+        val segs = 33
+        val lo = new Array[Double](segs); val hi = new Array[Double](segs)
+        var g = 0
+        while (g < segs) {
+          val a = g * frames / segs
+          val b = math.max((g + 1) * frames / segs, a + 1)
+          var sl = 0.0; var sh = 0.0; var j = a
+          while (j < b && j < frames) {
+            sl += math.abs(mono(j))
+            if (j > a) sh += math.abs(mono(j) - mono(j - 1))
+            j += 1
+          }
+          lo(g) = sl / (b - a); hi(g) = sh / math.max(1, b - a - 1)
+          g += 1
+        }
+        var bits = 0L
+        var s2 = 0
+        while (s2 < 32) {
+          if (lo(s2 + 1) > lo(s2)) bits |= 1L << (2 * s2)
+          if (hi(s2 + 1) > hi(s2)) bits |= 1L << (2 * s2 + 1)
+          s2 += 1
+        }
+        java.lang.Long.valueOf(bits)
+      } finally in.close()
+    } catch { case _: Exception => null }
+  }
+
+  private val audioFpUdf = udf((b: Array[Byte]) => audioFingerprintOf(b))
+
+  /** Adds `afp` (64-bit audio fingerprint; null = undecodable). */
+  def audioFingerprint(df: DataFrame, binCol: String): DataFrame =
+    df.withColumn("afp", audioFpUdf(col(binCol)))
+
   // ------------------------- REAL animation decoding (multi-frame GIF)
   // ImageIO's GIF plugin (in the JDK) exposes every frame of an animated
   // GIF plus its per-frame GraphicControlExtension delay — the frame

@@ -1349,6 +1349,55 @@ class PipelineSpec extends SparkTestBase {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("audio fingerprint: gain- and rate-invariant, separates melodies") {
+    // a "melody": amplitude envelope + frequency steps varying over time
+    // so both energy bands move segment to segment
+    def melody(seed: Int, gain: Double, rate: Float): Array[Byte] = {
+      val secs = 1.0
+      val n = (rate * secs).toInt
+      val pcm = new Array[Byte](n * 2)
+      val bb = java.nio.ByteBuffer.wrap(pcm).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      (0 until n).foreach { i =>
+        val t = i / rate.toDouble
+        val step = (t * 8).toInt // 8 notes
+        val freq = 200.0 + 90.0 * (((step * 7 + seed * 3) % 11))
+        val env = 0.25 + 0.7 * math.abs(math.sin(math.Pi * t * (3 + seed % 2)))
+        bb.putShort(i * 2,
+          (math.sin(2 * math.Pi * freq * t) * env * gain * 32767).toShort)
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val df = Seq(
+      (1L, melody(1, 0.9, 8000f)),
+      (2L, melody(1, 0.45, 8000f)),  // half gain: same comparisons
+      (3L, melody(1, 0.9, 16000f)),  // resampled render of the same melody
+      (4L, melody(2, 0.9, 8000f)),   // different melody
+      (5L, Array[Byte](1))).toDF("doc_id", "snd")
+    val fp: Map[Long, java.lang.Long] = Multimodal.audioFingerprint(df, "snd")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) null
+         else java.lang.Long.valueOf(r.getLong(2)))).toMap
+    assert(fp(5L) == null)
+    def ham(a: java.lang.Long, b: java.lang.Long) =
+      java.lang.Long.bitCount(a.longValue ^ b.longValue)
+    assert(ham(fp(1L), fp(2L)) == 0, s"gain changed bits: ${ham(fp(1L), fp(2L))}")
+    assert(ham(fp(1L), fp(3L)) <= 8, s"rate drifted ${ham(fp(1L), fp(3L))}")
+    assert(ham(fp(1L), fp(4L)) >= 14, s"melodies too close ${ham(fp(1L), fp(4L))}")
+    // and the same hamming machinery clusters the copies
+    val pairs = Dedup.hammingCandidates(
+      Multimodal.audioFingerprint(df, "snd").select("doc_id", "afp"),
+      "afp", maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
   test("clusterAssign: nearest cell, ties to lower id, nulls drop") {
     val ctr = Array(Array(0.0, 0.0), Array(10.0, 0.0))
     val vecs = Seq(
