@@ -640,6 +640,23 @@ object Multimodal {
         :+ col("_f._2").as("frame_png") :+ col("_f._3").as("frame_w")
         :+ col("_f._4").as("frame_h"): _*)
 
+  /** Per-frame perceptual hashes for a video column: sample every Nth
+    * decoded MJPEG-in-AVI frame ([[aviFrameSample]], the real decoder)
+    * and pHash each — one row per (id, frame_idx, phash). A video's
+    * near-dup signature is its frame-hash multiset: re-encoded or
+    * re-muxed copies share almost every frame hash (jaccard the sets,
+    * or route these rows straight into
+    * [[graft.pipeline.Dedup.hammingCandidates]] keyed on
+    * (video, frame) to find frame-level matches across a corpus).
+    * Completes the near-dup triad's video corner on the same Hamming
+    * engine. Undecodable frames yield null phash rows (filter or trap
+    * downstream). */
+  def videoFramePHashes(df: DataFrame, binCol: String,
+      everyNthFrame: Int = 1): DataFrame =
+    aviFrameSample(df, binCol, everyNthFrame)
+      .withColumn("phash", pHashUdf(col("frame_png")))
+      .drop("frame_png", "frame_w", "frame_h")
+
   /** Frame sampling: one output row per sampled frame index — the explode
     * pattern a video pipeline needs. Frame extraction itself is the stub
     * (byte slice); the row multiplication, index bookkeeping, and even

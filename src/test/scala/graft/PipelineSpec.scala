@@ -1349,6 +1349,68 @@ class PipelineSpec extends SparkTestBase {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("video frame pHashes: per-frame hashes survive the codec hop, " +
+      "frames separate") {
+    def patternJpeg(side: Int, phase: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(side, side,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < side) {
+        var x = 0
+        while (x < side) {
+          var acc = 127.0; var k = 1
+          while (k <= 6) {
+            acc += (70.0 / k) * math.sin(
+              2 * math.Pi * k * (x + phase).toDouble / side + k) +
+              (55.0 / k) * math.cos(2 * math.Pi * k * y.toDouble / side + 2 * k)
+            k += 1
+          }
+          val v = acc.toInt.max(0).min(255)
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    def le32(v: Long): Array[Byte] =
+      Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+        ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    def chunk(id: String, data: Array[Byte]): Array[Byte] = {
+      val pad = if (data.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
+      id.getBytes("US-ASCII") ++ le32(data.length) ++ data ++ pad
+    }
+    def list(listType: String, inner: Array[Byte]): Array[Byte] =
+      chunk("LIST", listType.getBytes("US-ASCII") ++ inner)
+    val frameJpegs = Seq(patternJpeg(64, 0), patternJpeg(64, 25), patternJpeg(64, 50))
+    val avih = le32(40000L) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le32(frameJpegs.length) ++ le32(0) ++ le32(1) ++ le32(0) ++
+      le32(64) ++ le32(64) ++ Array.fill(16)(0.toByte)
+    val body = "AVI ".getBytes("US-ASCII") ++
+      list("hdrl", chunk("avih", avih)) ++
+      list("movi", frameJpegs.map(chunk("00dc", _)).reduce(_ ++ _))
+    val avi = "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+
+    val out = Multimodal.videoFramePHashes(
+      Seq((1L, avi)).toDF("doc_id", "vid"), "vid").collect()
+    assert(out.map(_.getAs[Int]("frame_idx")).toSeq == Seq(0, 1, 2))
+    val vh = out.map(_.getAs[Long]("phash"))
+    // each frame's hash matches the standalone pHash of its source jpeg
+    // within the codec hop (jpeg -> decode -> png re-encode)
+    val ih = Multimodal.imagePHash(
+      frameJpegs.zipWithIndex.map { case (b, i) => (i.toLong, b) }
+        .toDF("doc_id", "img"), "img")
+      .orderBy("doc_id").collect().map(_.getAs[Long]("phash"))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    (0 until 3).foreach { i =>
+      assert(ham(vh(i), ih(i)) <= 6, s"frame $i drifted ${ham(vh(i), ih(i))}")
+    }
+    // distinct frames stay apart
+    assert(ham(vh(0), vh(1)) >= 12 && ham(vh(1), vh(2)) >= 12)
+  }
+
   test("audio fingerprint: gain- and rate-invariant, separates melodies") {
     // a "melody": amplitude envelope + frequency steps varying over time
     // so both energy bands move segment to segment
