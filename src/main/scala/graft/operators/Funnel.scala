@@ -41,9 +41,13 @@ object Funnel {
     require(steps.nonEmpty, "funnel: need at least one step")
     require(steps.distinct.size == steps.size,
       s"funnel: steps must be distinct, got $steps")
+    // one corpus scan: non-step events (usually the vast majority) drop
+    // before anything else, and the funnel-sized remainder materializes
+    // so the per-step slices below re-read it, not the corpus
     val ev = events.select(col(keyCol).as("_k"), col(tsCol).as("_t"),
         col(typeCol).as("_e"))
-      .filter(col("_t").isNotNull)
+      .filter(col("_t").isNotNull && col("_e").isInCollection(steps))
+      .transform(if (steps.length > 1) graft.Stage.materialize else identity)
     var out = ev.filter(col("_e") === steps.head)
       .groupBy("_k").agg(min(col("_t")).as("ts_1"))
     for (i <- 2 to steps.length) {
@@ -88,12 +92,18 @@ object Funnel {
     require(bucket > 0, s"retention: bucket must be positive, got $bucket")
     // integral div (the Resample slot idiom), NOT floor(a/b): double
     // division of large epoch values can land within an ulp of the
-    // next integer and disagree with the oracle's `//`
+    // next integer and disagree with the oracle's `//`.
+    // Plan note: a one-shuffle collect_set variant (per-key bucket sets,
+    // cohort = array_min) was measured 1.7× SLOWER at 10M rows — the
+    // object-hash aggregate loses more than the saved exchanges of this
+    // all-codegen plan, whose three shuffles run on progressively
+    // smaller data (deduped pairs → key-sized → bucket²-sized).
     val pairs = events
       .filter(col(tsCol).isNotNull)
       .select(col(keyCol).as("_k"),
         call_function("div", col(tsCol), lit(bucket)).as("_b"))
       .distinct()
+      .transform(graft.Stage.materialize) // cohorts + join both read it
     val cohorts = pairs.groupBy("_k").agg(min(col("_b")).as("cohort"))
     pairs.join(cohorts, Seq("_k"))
       .groupBy(col("cohort"), (col("_b") - col("cohort")).as("offset"))
