@@ -1018,6 +1018,13 @@ object SparkEntry {
     graft.operators.Snapshot.history(versions, Seq("o_orderkey"), "version")
   }
 
+  /** Corpus data card ([[TextAnalysis.dataCard]]): the one-pass
+    * datasheet — counts, volume, exact-dup rate, quantized mean length
+    * — as a long (metric, value) table, hash-comparable across engines
+    * and corpus versions. */
+  private def p69(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.dataCard(tbl(d, "documents")(s))
+
   /** Z-order layout math over events (sources.ZOrder): user_id × time
     * bucketed to 16 bits each and Morton-interleaved; ntile(16) over the
     * tie-broken total z-order is the oracle-shaped form of the bucketing
@@ -1394,6 +1401,7 @@ object SparkEntry {
     "p66_cluster_sample" -> (p66 _),
     "p67_decontam_bloom" -> (p67 _),
     "p68_cms_heavy" -> (p68 _),
+    "p69_data_card" -> (p69 _),
     "p31_span_excise" -> (p31 _),
     "p32_chunking" -> (p32 _),
     "p33_mixture_weights" -> (p33 _)
@@ -3115,6 +3123,26 @@ object SparkEntry {
         |      & 2305843009213693951) % 512 AS BIGINT)
         |  GROUP BY 1, 2)
         |SELECT tok, n_exact, n_est FROM est""".stripMargin,
+    // p69: the same single-aggregate datasheet; DuckDB's md5() replays
+    // the exact-dup probe and the mean rides at 1e6 quanta
+    "p69_data_card" ->
+      """WITH a AS (SELECT COUNT(*) AS n_docs,
+        |    COUNT(DISTINCT source) AS n_sources,
+        |    COUNT(DISTINCT lang) AS n_langs,
+        |    CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+        |    CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT)
+        |      AS total_tokens,
+        |    COUNT(*) - COUNT(DISTINCT md5(text)) AS exact_dup_docs
+        |  FROM documents)
+        |SELECT 'n_docs' AS metric, n_docs AS value FROM a
+        |UNION ALL SELECT 'n_sources', n_sources FROM a
+        |UNION ALL SELECT 'n_langs', n_langs FROM a
+        |UNION ALL SELECT 'total_chars', total_chars FROM a
+        |UNION ALL SELECT 'total_tokens', total_tokens FROM a
+        |UNION ALL SELECT 'exact_dup_docs', exact_dup_docs FROM a
+        |UNION ALL SELECT 'mean_doc_tokens_q6',
+        |  CAST(floor(1e6 * (CAST(total_tokens AS DOUBLE)
+        |    / CAST(n_docs AS DOUBLE))) AS BIGINT) FROM a""".stripMargin,
     // q41: salting is result-invariant — the oracle is the plain join
     "q41_salted_join" ->
       """SELECT s_nationkey, COUNT(*) AS n_items,

@@ -979,6 +979,46 @@ object TextAnalysis {
         col("fold_stored") =!= col("fold_seen"))
   }
 
+  /** Corpus data card: the one-pass datasheet a dataset release leads
+    * with — doc/source/lang counts, char/token volume, the exact-dup
+    * count, and a quantized mean length — as a long-format
+    * (metric, value) table, every value an exact integer (ratios ride
+    * at 1e6 quanta, the engine's quantization contract) so the card is
+    * hash-comparable across engines and across corpus versions (diff
+    * two cards to audit an ingest).
+    *
+    * One aggregation over one corpus scan; the three COUNT(DISTINCT)s
+    * share the scan via Catalyst's expand rewrite (constant-factor row
+    * expansion, still map-side partially aggregated — no joins, no
+    * windows, nothing driver-side). Null-text docs count toward
+    * `exact_dup_docs` (they carry no content; both engines skip nulls
+    * in the distinct-md5 probe, so the convention is cross-engine
+    * stable). */
+  def dataCard(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", langCol: String = "lang",
+      sourceCol: String = "source"): DataFrame = {
+    val toks = size(regexp_extract_all(col(textCol), lit("\\S+"), lit(0)))
+    docs.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col(sourceCol)).as("n_sources"),
+      countDistinct(col(langCol)).as("n_langs"),
+      sum(length(col(textCol))).cast("long").as("total_chars"),
+      sum(toks).cast("long").as("total_tokens"),
+      (count(lit(1)) - countDistinct(md5(col(textCol))))
+        .as("exact_dup_docs"))
+      .select(expr(
+        """stack(7,
+          |'n_docs', n_docs,
+          |'n_sources', n_sources,
+          |'n_langs', n_langs,
+          |'total_chars', total_chars,
+          |'total_tokens', total_tokens,
+          |'exact_dup_docs', exact_dup_docs,
+          |'mean_doc_tokens_q6', CAST(floor(1e6 * (CAST(total_tokens AS DOUBLE)
+          |  / CAST(n_docs AS DOUBLE))) AS BIGINT)
+          |) AS (metric, value)""".stripMargin))
+  }
+
   // ------------------------------------------------------------------
   // BM25 relevance + TF-IDF keywords (seed-corpus relevance filtering)
   // ------------------------------------------------------------------

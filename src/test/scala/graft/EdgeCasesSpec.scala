@@ -184,6 +184,19 @@ class EdgeCasesSpec extends SparkTestBase {
     assert(TextAnalysis.tfidfTopTerms(empty, k = 3).count() == 0)
   }
 
+  test("dataCard: exact metrics on a hand corpus, nulls counted as dups") {
+    val card = TextAnalysis.dataCard(
+      withNulls.withColumn("lang", lit("en")).withColumn("source",
+        when(col("doc_id") <= 2L, "s1").otherwise("s2")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(card("n_docs") == 5L && card("n_sources") == 2L &&
+      card("n_langs") == 1L)
+    // doc5 duplicates doc1; doc2's null text also counts (no content)
+    assert(card("exact_dup_docs") == 2L)
+    assert(card("total_tokens") == 20L) // 10 + 10 from the twin docs
+    assert(card("mean_doc_tokens_q6") == 4000000L) // 20/5 at 1e6 quanta
+  }
+
   test("cluster sampling and bloom decontamination survive degenerate shapes") {
     import graft.pipeline.Similarity
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
