@@ -197,6 +197,10 @@ object Sketches {
 
   private val cmsEstKernel = udf {
     (sk: Seq[Long], v: String, depth: Int, width: Int) =>
+      require(sk.length == depth * width,
+        s"cmsEstimate: sketch has ${sk.length} counters, expected " +
+          s"depth*width = ${depth * width} — pass the SAME (depth, width) " +
+          "the sketch was built with")
       if (v == null) null.asInstanceOf[java.lang.Long]
       else {
         var best = Long.MaxValue

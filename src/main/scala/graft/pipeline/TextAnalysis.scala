@@ -1099,11 +1099,21 @@ object TextAnalysis {
     * hits keep a row: n_hits 0, bm25_rel null. */
   def bm25Score(model: Bm25Model, docs: DataFrame,
       queryTerms: Seq[String], idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text"): DataFrame =
+    bm25ScoreOnBase(model,
+      docs.select(col(idCol), lmTokens(col(textCol)).as("_toks")),
+      queryTerms, idCol)
+
+  /** Scoring over a pre-tokenized (idCol, _toks) frame — shared by
+    * [[bm25Score]] and [[bm25Gate]] so the fused gate's materialized
+    * tokenization really does feed the hit stream (and the final
+    * keep-every-doc left join reads ids from the same frame, not a
+    * second source scan). */
+  private def bm25ScoreOnBase(model: Bm25Model, base: DataFrame,
+      queryTerms: Seq[String], idCol: String): DataFrame = {
     val q = queryTerms.map(_.toLowerCase).distinct
     val n = model.nDocs; val s = model.totalTokens
-    val hits = docs
-      .select(col(idCol), lmTokens(col(textCol)).as("_toks"))
+    val hits = base
       .select(col(idCol), size(col("_toks")).as("_dl"),
         explode(filter(col("_toks"), t => t.isInCollection(q))).as("term"))
       .groupBy(col(idCol), col("_dl"), col("term"))
@@ -1121,7 +1131,7 @@ object TextAnalysis {
         (tfq.cast("decimal(19,0)") * idfq.cast("decimal(19,0)")).as("_c"))
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_hits"), sum(col("_c")).as("_rel"))
-    docs.select(col(idCol)).join(scored, Seq(idCol), "left_outer")
+    base.select(col(idCol)).join(scored, Seq(idCol), "left_outer")
       .select(col(idCol), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         col("_rel").cast("decimal(38,0)").as("bm25_rel"))
   }
@@ -1153,8 +1163,8 @@ object TextAnalysis {
     val dfTab = base
       .select(explode(array_distinct(col("_toks"))).as("term"))
       .groupBy("term").agg(count(lit(1)).as("df"))
-    bm25Score(Bm25Model(dfTab, stats.getLong(0), stats.getLong(1)),
-      docs, queryTerms, idCol, textCol)
+    bm25ScoreOnBase(Bm25Model(dfTab, stats.getLong(0), stats.getLong(1)),
+      base, queryTerms, idCol)
   }
 
   /** Top-k TF-IDF keywords per document — topic tagging / cluster
