@@ -1018,6 +1018,29 @@ object SparkEntry {
     graft.operators.Snapshot.history(versions, Seq("o_orderkey"), "version")
   }
 
+  /** Hybrid retrieval via reciprocal-rank fusion
+    * ([[Similarity.rrfFuse]]): the BM25 lexical top-50 (p64's scorer,
+    * deterministic rel-then-id ranking) fused with the embedding knn
+    * top-50 around vec_id 0 (p08's scorer) — the no-calibration
+    * lexical+semantic combiner, every fusion term an exact integer. */
+  private def p70(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = tbl(d, "documents")(s)
+    val emb = tbl(d, "embeddings")(s)
+    val bm = TextAnalysis.bm25Gate(docs, Seq("spark", "window", "stream", "merge"))
+      .filter(col("n_hits") > 0)
+    val lex = bm
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("bm25_rel").desc, col("doc_id"))).cast("long"))
+      .filter(col("rank") <= 50).select("doc_id", "rank")
+    val sem = Similarity.bruteForceKnn(emb,
+        emb.filter(col("vec_id") === 0)
+          .select(col("vec_id").as("probe_id"), col("embedding")),
+        k = 50)
+      .select(col("corpus_id").as("doc_id"), col("rank").cast("long").as("rank"))
+    Similarity.rrfFuse(Seq(lex, sem))
+  }
+
   /** Corpus data card ([[TextAnalysis.dataCard]]): the one-pass
     * datasheet — counts, volume, exact-dup rate, quantized mean length
     * — as a long (metric, value) table, hash-comparable across engines
@@ -1402,6 +1425,7 @@ object SparkEntry {
     "p67_decontam_bloom" -> (p67 _),
     "p68_cms_heavy" -> (p68 _),
     "p69_data_card" -> (p69 _),
+    "p70_hybrid_rank" -> (p70 _),
     "p31_span_excise" -> (p31 _),
     "p32_chunking" -> (p32 _),
     "p33_mixture_weights" -> (p33 _)
@@ -3143,6 +3167,49 @@ object SparkEntry {
         |UNION ALL SELECT 'mean_doc_tokens_q6',
         |  CAST(floor(1e6 * (CAST(total_tokens AS DOUBLE)
         |    / CAST(n_docs AS DOUBLE))) AS BIGINT) FROM a""".stripMargin,
+    // p70: p64's BM25 replica ranked (rel DESC, id) top-50, p08's cosine
+    // replica for probe 0 top-50, fused with floor(1e9/(60+rank)) terms
+    "p70_hybrid_rank" ->
+      """WITH tk AS (SELECT doc_id, list_filter(
+        |    regexp_split_to_array(lower(trim(text)), '\W+'), x -> x != '') AS toks
+        |  FROM documents),
+        |st AS (SELECT COUNT(*) AS n, CAST(SUM(len(toks)) AS BIGINT) AS s FROM tk),
+        |dft AS (SELECT term, COUNT(*) AS df FROM (
+        |    SELECT doc_id, unnest(list_distinct(toks)) AS term FROM tk) u
+        |  WHERE term IN ('spark', 'window', 'stream', 'merge') GROUP BY 1),
+        |tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM (
+        |    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM tk) u
+        |  WHERE term IN ('spark', 'window', 'stream', 'merge') GROUP BY 1, 2, 3),
+        |term_sc AS (SELECT tf.doc_id,
+        |    CAST(floor(1.0e6 * (CAST(tf.tf * (22 * st.s) AS DOUBLE)
+        |      / CAST(tf.tf * (10 * st.s) + 3 * st.s + tf.dl * (9 * st.n) AS DOUBLE)))
+        |      AS BIGINT) AS tfq,
+        |    CAST(floor(1.0e6 * (CAST(2 * st.n + 1 - 2 * dft.df AS DOUBLE)
+        |      / CAST(2 * dft.df + 1 AS DOUBLE))) AS BIGINT) AS idfq
+        |  FROM tf JOIN dft USING (term) CROSS JOIN st),
+        |sc AS (SELECT doc_id, SUM(CAST(tfq AS DECIMAL(19,0))
+        |    * CAST(idfq AS DECIMAL(19,0))) AS rel FROM term_sc GROUP BY 1),
+        |lex AS (SELECT doc_id, rk AS rank FROM (
+        |    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY rel DESC, doc_id) AS rk
+        |    FROM sc) t WHERE rk <= 50),
+        |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+        |p0 AS (SELECT e AS pe FROM c WHERE vec_id = 0),
+        |cos AS (SELECT c.vec_id AS doc_id,
+        |    list_reduce(list_transform(generate_series(1, 64), i -> e[i]*pe[i]), (x,y) -> x+y) /
+        |    (greatest(sqrt(list_reduce(list_transform(generate_series(1, 64), i -> e[i]*e[i]), (x,y) -> x+y)), 1e-12) *
+        |     greatest(sqrt(list_reduce(list_transform(generate_series(1, 64), i -> pe[i]*pe[i]), (x,y) -> x+y)), 1e-12)) AS cosine
+        |  FROM c, p0),
+        |sem AS (SELECT doc_id, rk AS rank FROM (
+        |    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS rk
+        |    FROM cos) t WHERE rk <= 50),
+        |u AS (SELECT doc_id, CAST(floor(1e9 / CAST(60 + rank AS DOUBLE)) AS BIGINT) AS sc2 FROM lex
+        |  UNION ALL
+        |  SELECT doc_id, CAST(floor(1e9 / CAST(60 + rank AS DOUBLE)) AS BIGINT) FROM sem),
+        |g AS (SELECT doc_id, CAST(SUM(sc2) AS BIGINT) AS rrf_q,
+        |    COUNT(*) AS n_lists FROM u GROUP BY 1)
+        |SELECT doc_id, rrf_q, n_lists,
+        |  ROW_NUMBER() OVER (ORDER BY rrf_q DESC, doc_id) AS rank
+        |FROM g""".stripMargin,
     // q41: salting is result-invariant — the oracle is the plain join
     "q41_salted_join" ->
       """SELECT s_nationkey, COUNT(*) AS n_items,

@@ -283,6 +283,35 @@ object Similarity {
       .select(col(corpusId), assignU(col(embCol)).as("cell"))
   }
 
+  /** Reciprocal-rank fusion (Cormack & Clarke, SIGIR 2009): combine N
+    * ranked retrieval lists — e.g. a BM25 lexical ranking and an
+    * embedding knn — by score(d) = Σ_lists 1/(k + rank_d), the fusion
+    * that needs no score calibration between heterogeneous retrievers.
+    * Here each term rides as the exact integer floor(1e9/(k + rank)),
+    * so the fused ordering is hash-exact across engines; ties break by
+    * id. A doc missing from a list simply contributes nothing.
+    *
+    * Inputs are (idCol, `rank`) frames — 1-based, deterministic ranks
+    * (give each retriever an explicit tie-break). Scale: the union is
+    * bounded by Σ list sizes — top-k lists by construction — so the
+    * single-partition final ranking window is deliberate, not a
+    * bottleneck (the candidate set is the small end of the funnel;
+    * the corpus-sized work already happened inside the retrievers). */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int = 60,
+      idCol: String = "doc_id"): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse: need at least one ranking")
+    require(k >= 0, s"rrfFuse: k must be >= 0, got $k")
+    val scored = rankings.map(_.select(col(idCol),
+      floor(lit(1e9) / (col("rank") + lit(k.toLong)).cast("double"))
+        .cast("long").as("_s")))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rrf_q").desc, col(idCol))
+    scored.reduce(_ unionByName _)
+      .groupBy(idCol)
+      .agg(sum(col("_s")).as("rrf_q"), count(lit(1)).as("n_lists"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+  }
+
   /** Cluster-balanced (diversity-preserving) sampling: k-means cells
     * over the embedding space, then an exact per-cell quota chosen by
     * deterministic md5 rank — the curation pass that keeps a corpus

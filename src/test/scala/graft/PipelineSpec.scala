@@ -1460,6 +1460,19 @@ class PipelineSpec extends SparkTestBase {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("rrfFuse: hand-computed fusion, missing ids, deterministic ties") {
+    val a = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("doc_id", "rank")
+    val b = Seq((3L, 1L), (4L, 2L)).toDF("doc_id", "rank")
+    val fused = Similarity.rrfFuse(Seq(a, b)).orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // floor(1e9/(60+r)): r1=16393442 r2=16129032 r3=15873015
+    assert(fused.toSeq == Seq(
+      (3L, 32266457L, 2L, 1L),  // both lists
+      (1L, 16393442L, 1L, 2L),
+      (2L, 16129032L, 1L, 3L),  // ties 2 vs 4 break by id
+      (4L, 16129032L, 1L, 4L)))
+  }
+
   test("clusterAssign: nearest cell, ties to lower id, nulls drop") {
     val ctr = Array(Array(0.0, 0.0), Array(10.0, 0.0))
     val vecs = Seq(
