@@ -1147,16 +1147,22 @@ object SparkEntry {
     * engine's quantized-rational arithmetic (k1 = 6/5, b = 3/4 make
     * the saturation an exact integer ratio; the Robertson idf rides as
     * its quantized ratio, not its libm log — see the bm25Score
-    * scaladoc). */
+    * scaladoc). The exact DECIMAL(38,0) relevance is presented as its
+    * decimal string (the q21 VARCHAR contract): scale-0 decimals print
+    * identically in Spark and DuckDB, where the raw decimal's hash
+    * representation diverges across engines. */
   private def p64(s: SparkSession, d: String): DataFrame =
     TextAnalysis.bm25Gate(tbl(d, "documents")(s),
-      Seq("spark", "window", "stream", "merge"))
+        Seq("spark", "window", "stream", "merge"))
+      .withColumn("bm25_rel", col("bm25_rel").cast("string"))
 
   /** Top-3 TF-IDF keywords per doc ([[TextAnalysis.tfidfTopTerms]]):
     * exact integer tf·idfq scores, term-ascending tie-break — the
-    * deterministic topic-tagging pass. */
+    * deterministic topic-tagging pass. Score presented as its decimal
+    * string (same VARCHAR contract as p64). */
   private def p65(s: SparkSession, d: String): DataFrame =
     TextAnalysis.tfidfTopTerms(tbl(d, "documents")(s), k = 3)
+      .withColumn("score", col("score").cast("string"))
 
   /** Cluster-balanced sampling ([[Similarity.clusterBalancedSample]]):
     * 8 k-means cells (deterministic lowest-id seeds, iters=0), exact
@@ -2842,7 +2848,7 @@ object SparkEntry {
         |    SUM(CAST(tfq AS DECIMAL(19,0)) * CAST(idfq AS DECIMAL(19,0))) AS rel
         |  FROM term_sc GROUP BY 1)
         |SELECT tk.doc_id, COALESCE(sc.n_hits, 0) AS n_hits,
-        |  CAST(sc.rel AS DECIMAL(38,0)) AS bm25_rel
+        |  CAST(CAST(sc.rel AS DECIMAL(38,0)) AS VARCHAR) AS bm25_rel
         |FROM tk LEFT JOIN sc USING (doc_id)""".stripMargin,
     // p65: tf·idfq keywords; idfq = floor(1e6·(N+1)/(df+1)); ties by
     // term ascending make the per-doc top-3 deterministic.
@@ -2863,7 +2869,8 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY doc_id
         |      ORDER BY score DESC, term ASC) AS rank
         |  FROM sc)
-        |SELECT doc_id, rank, term, score FROM rk WHERE rank <= 3""".stripMargin,
+        |SELECT doc_id, rank, term, CAST(score AS VARCHAR) AS score
+        |FROM rk WHERE rank <= 3""".stripMargin,
     // p66: iters=0 centroids = the 8 lowest-vec_id embeddings; nearest
     // cell by sequential-sum squared L2 (ties to the lower cell); then
     // the mixtureSample md5-rank idiom with cells as strata.

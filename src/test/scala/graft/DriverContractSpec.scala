@@ -18,6 +18,23 @@ class DriverContractSpec extends SparkTestBase {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  test("no query presents a DecimalType output column") {
+    // The driver's hash layer stringifies decimals differently per
+    // engine (pandas Decimal vs DuckDB's decimal→float64 fetchdf) —
+    // the p64/p65 round-9 failure class. Exact decimal arithmetic is
+    // fine INSIDE a query; the presented schema must be primitive
+    // (cast to string/bigint/double at the query boundary).
+    import org.apache.spark.sql.types.DecimalType
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        fn(spark, "/root/testdata/sf0.001").schema.fields.collect {
+          case f if f.dataType.isInstanceOf[DecimalType] =>
+            s"$name.${f.name}: ${f.dataType.simpleString}"
+        }
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
   test("oracleSql keys are a subset of queries keys") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracle without query: $missing")

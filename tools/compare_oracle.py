@@ -26,19 +26,22 @@ everything.
 import duckdb, json, subprocess, sys
 import pandas as pd
 
-args = [a for a in sys.argv[1:] if not a.startswith('--')]
 flags = [a for a in sys.argv[1:] if a.startswith('--')]
-sf = args[0] if len(args) > 0 else '/root/testdata/sf0.01'
-out = args[1] if len(args) > 1 else '/tmp/vout'
 fork = '--fork' in flags
 only = None
+consumed = set()  # indices of space-form `--only NAME` values
 for f in flags:
     if f.startswith('--only'):
         val = f.split('=', 1)[1] if '=' in f else None
         if val is None:
             i = sys.argv.index(f)
             val = sys.argv[i + 1] if i + 1 < len(sys.argv) else ''
+            consumed.add(i + 1)  # keep the name out of the positionals
         only = set(x.strip() for x in val.split(',') if x.strip())
+args = [a for i, a in enumerate(sys.argv) if i > 0
+        and not a.startswith('--') and i not in consumed]
+sf = args[0] if len(args) > 0 else '/root/testdata/sf0.01'
+out = args[1] if len(args) > 1 else '/tmp/vout'
 
 TABLES = ['region', 'nation', 'customer', 'supplier', 'part', 'orders',
           'lineitem', 'events', 'documents', 'embeddings']
