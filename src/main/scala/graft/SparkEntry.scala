@@ -1048,6 +1048,28 @@ object SparkEntry {
   private def p69(s: SparkSession, d: String): DataFrame =
     TextAnalysis.dataCard(tbl(d, "documents")(s))
 
+  /** [[Dedup.hammingCandidates]] over PRECOMPUTED 64-bit codes — the
+    * engine every multimodal near-dup rides (image pHash, audio
+    * fingerprint, video frame hashes). Codes here are md5-derived from
+    * doc_id (no decode needed, so the oracle replays them exactly);
+    * doc_id % 4 == 0 rows get their low 16 bits zeroed, forcing block
+    * 0 of a quarter of the corpus into ONE bucket that exceeds the
+    * explicit cap=64 at sf0.01+ — the hot-bucket star-guard branch is
+    * exercised by construction (linear hub edges, never the quadratic
+    * self-join), while random 16-bit collisions in the other blocks
+    * keep the small-bucket pair branch live too. */
+  private def p71(s: SparkSession, d: String): DataFrame = {
+    val lower64 = udf((x: Long) =>
+      graft.pipeline.Md5.lower64(graft.pipeline.Md5.newDigest(), "p71:" + x))
+    val coded = tbl(d, "documents")(s)
+      .select(col("doc_id"), lower64(col("doc_id")).as("h"))
+      .select(col("doc_id"),
+        when(col("doc_id") % 4 === 0, col("h").bitwiseAND(lit(-65536L)))
+          .otherwise(col("h")).as("code"))
+    Dedup.hammingCandidates(coded, "code", "doc_id",
+      maxHamming = 24, maxBucketSize = 64)
+  }
+
   /** Z-order layout math over events (sources.ZOrder): user_id × time
     * bucketed to 16 bits each and Morton-interleaved; ntile(16) over the
     * tie-broken total z-order is the oracle-shaped form of the bucketing
@@ -1432,6 +1454,7 @@ object SparkEntry {
     "p68_cms_heavy" -> (p68 _),
     "p69_data_card" -> (p69 _),
     "p70_hybrid_rank" -> (p70 _),
+    "p71_hamming_neardup" -> (p71 _),
     "p31_span_excise" -> (p31 _),
     "p32_chunking" -> (p32 _),
     "p33_mixture_weights" -> (p33 _)
@@ -3356,6 +3379,41 @@ object SparkEntry {
         |  CAST(bit_count(xor(l.s, r.s)) AS BIGINT) AS hamming
         |FROM blk l JOIN blk r ON l.blk = r.blk AND l.blk_val = r.blk_val
         |  AND l.doc_id < r.doc_id
-        |WHERE bit_count(xor(l.s, r.s)) <= 10 GROUP BY 1, 2, 3""".stripMargin
+        |WHERE bit_count(xor(l.s, r.s)) <= 10 GROUP BY 1, 2, 3""".stripMargin,
+    // p71: hammingCandidates over synthetic md5 codes — replays the
+    // block bucketing, the >64 hot-bucket star guard (hub = min doc_id
+    // with its code), and the exact Hamming verify, branch for branch.
+    "p71_hamming_neardup" ->
+      """WITH c0 AS (
+        |  SELECT doc_id, md5_number_lower('p71:' || CAST(doc_id AS VARCHAR)) AS hu
+        |  FROM documents),
+        |cu AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 0 THEN hu - (hu & 65535) ELSE hu END AS u
+        |  FROM c0),
+        |sh AS (SELECT doc_id, u,
+        |  CAST(CASE WHEN CAST(u AS HUGEINT) >= 9223372036854775808
+        |    THEN CAST(u AS HUGEINT) - 18446744073709551616
+        |    ELSE CAST(u AS HUGEINT) END AS BIGINT) AS s FROM cu),
+        |blk AS (SELECT doc_id, s, b.b AS blk, (u >> (16*b.b)) & 65535 AS blk_val
+        |  FROM sh, generate_series(0, 3) b(b)),
+        |sz AS (SELECT blk, blk_val, COUNT(*) AS n, MIN(doc_id) AS hub_id
+        |  FROM blk GROUP BY 1, 2),
+        |small AS (SELECT blk.doc_id, blk.s, blk.blk, blk.blk_val
+        |  FROM blk JOIN sz USING (blk, blk_val) WHERE sz.n <= 64),
+        |pairs AS (SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+        |    CAST(bit_count(xor(l.s, r.s)) AS BIGINT) AS hamming
+        |  FROM small l JOIN small r ON l.blk = r.blk AND l.blk_val = r.blk_val
+        |    AND l.doc_id < r.doc_id),
+        |hubs AS (SELECT sz.blk, sz.blk_val, sz.hub_id, h.s AS hub_s
+        |  FROM sz JOIN blk h ON h.blk = sz.blk AND h.blk_val = sz.blk_val
+        |    AND h.doc_id = sz.hub_id
+        |  WHERE sz.n > 64),
+        |stars AS (SELECT hubs.hub_id AS id_a, m.doc_id AS id_b,
+        |    CAST(bit_count(xor(hubs.hub_s, m.s)) AS BIGINT) AS hamming
+        |  FROM hubs JOIN blk m ON m.blk = hubs.blk AND m.blk_val = hubs.blk_val
+        |  WHERE m.doc_id != hubs.hub_id)
+        |SELECT id_a, id_b, hamming FROM (
+        |  SELECT * FROM pairs UNION ALL SELECT * FROM stars) u
+        |WHERE hamming <= 24 GROUP BY 1, 2, 3""".stripMargin
   )
 }
