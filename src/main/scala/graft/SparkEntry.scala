@@ -950,6 +950,24 @@ object SparkEntry {
   private def p55(s: SparkSession, d: String): DataFrame =
     graft.pipeline.Graph.similarityCommunities(tbl(d, "documents")(s))
 
+  /** Persisted candidate-graph tap ([[Dedup.writeCandidates]] /
+    * [[Dedup.candidatesTap]]): the MinHash edge table is written once
+    * and LPA runs off the tap — the ingest-once pattern that lets
+    * rank/triangles/communities share ONE pairing pass instead of each
+    * regenerating the corpus-dominant MinHash edges (p51/p54/p55's
+    * shared cost). Output is contractually identical to p55 (same pair
+    * table, same iteration), so the same oracle checks both — the
+    * round-trip through parquet is what's under test. */
+  private def p72(s: SparkSession, d: String): DataFrame = {
+    val docs = tbl(d, "documents")(s)
+    val path = "/tmp/graft_p72_tap_" +
+      java.lang.Integer.toHexString(d.hashCode)
+    Dedup.writeCandidates(docs, path)
+    graft.pipeline.Graph.communitiesFromPairs(
+        Dedup.candidatesTap(s, path), docs.select(col("doc_id").as("id")))
+      .withColumnRenamed("id", "doc_id")
+  }
+
   /** Per-source token-length percentiles ([[TextAnalysis.groupPercentiles]]):
     * exact nearest-rank selection off the histogram — threshold
     * calibration without sorting the corpus. */
@@ -1455,10 +1473,36 @@ object SparkEntry {
     "p69_data_card" -> (p69 _),
     "p70_hybrid_rank" -> (p70 _),
     "p71_hamming_neardup" -> (p71 _),
+    "p72_candidates_tap" -> (p72 _),
     "p31_span_excise" -> (p31 _),
     "p32_chunking" -> (p32 _),
     "p33_mixture_weights" -> (p33 _)
   )
+
+  /** Shared by p55 (inline LPA) and p72 (LPA off the persisted
+    * candidate tap): deterministic synchronous LPA, unrolled like p51 —
+    * per round: neighbor label votes, max count per node, MIN label
+    * among tied winners, no-in-edge nodes keep their own id. The four
+    * round CTEs are generated by the same loop the operator runs. */
+  private lazy val lpaOracleSql: String = {
+    val prefix = MinhashGraphCte +
+      """,
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
+        |l0 AS (SELECT id, id AS label FROM nodes)""".stripMargin
+    val steps = (1 to 4).map { i =>
+      s"""v$i AS (SELECT e.dst AS id, l.label, COUNT(*) AS c
+         |  FROM edges e JOIN l${i - 1} l ON l.id = e.src GROUP BY 1, 2),
+         |b$i AS (SELECT id, MAX(c) AS m FROM v$i GROUP BY 1),
+         |l$i AS (SELECT nodes.id, COALESCE(p.label, nodes.id) AS label
+         |  FROM nodes LEFT JOIN (
+         |    SELECT v$i.id, MIN(v$i.label) AS label
+         |    FROM v$i JOIN b$i ON b$i.id = v$i.id AND v$i.c = b$i.m
+         |    GROUP BY 1) p ON p.id = nodes.id)""".stripMargin
+    }
+    prefix + ",\n" + steps.mkString(",\n") +
+      "\nSELECT id AS doc_id, label AS community FROM l4"
+  }
 
   /** Shared by p57 (broadcast eval) and p67 (bloom-pruned shuffle):
     * identical output by contract — the bloom pass only prunes the
@@ -2691,25 +2735,11 @@ object SparkEntry {
     // neighbor label votes, max count per node, MIN label among the
     // tied winners, no-in-edge nodes keep their own id. The four round
     // CTEs are generated by the same loop the operator runs.
-    "p55_similarity_communities" -> {
-      val prefix = MinhashGraphCte +
-        """,
-          |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-          |          UNION ALL SELECT id_b, id_a FROM pairs),
-          |l0 AS (SELECT id, id AS label FROM nodes)""".stripMargin
-      val steps = (1 to 4).map { i =>
-        s"""v$i AS (SELECT e.dst AS id, l.label, COUNT(*) AS c
-           |  FROM edges e JOIN l${i - 1} l ON l.id = e.src GROUP BY 1, 2),
-           |b$i AS (SELECT id, MAX(c) AS m FROM v$i GROUP BY 1),
-           |l$i AS (SELECT nodes.id, COALESCE(p.label, nodes.id) AS label
-           |  FROM nodes LEFT JOIN (
-           |    SELECT v$i.id, MIN(v$i.label) AS label
-           |    FROM v$i JOIN b$i ON b$i.id = v$i.id AND v$i.c = b$i.m
-           |    GROUP BY 1) p ON p.id = nodes.id)""".stripMargin
-      }
-      prefix + ",\n" + steps.mkString(",\n") +
-        "\nSELECT id AS doc_id, label AS community FROM l4"
-    },
+    "p55_similarity_communities" -> lpaOracleSql,
+    // p72: LPA off the persisted candidate tap — contractually
+    // identical to p55 (same pair table, same iteration); the shared
+    // oracle adjudicates the parquet round-trip, the p57/p67 pattern.
+    "p72_candidates_tap" -> lpaOracleSql,
     // p56: histogram-first exact nearest-rank percentiles — the
     // interpolation-free rule (min v with cum >= floor(q*(n-1))+1) both
     // engines compute identically; the p02 token-count kernel supplies

@@ -276,6 +276,38 @@ object Dedup {
     pairs.unionAll(stars).distinct()
   }
 
+  /** Persist the MinHash candidate graph as a reusable parquet tap —
+    * the [[graft.operators.SkewJoin.writeKeyStats]] ingest-once pattern
+    * for graph analytics. Candidate generation (shingle → minhash →
+    * band → bucket join) dominates every downstream pass
+    * (PageRank/triangles/communities each cost a few node- or
+    * edge-sized joins on top); at 100 TB the corpus is paired once per
+    * ingest and every analytic reads the edge table, never the text.
+    * Pairs are (id_a, id_b), distinct, id_a < id_b for the pair branch
+    * (star edges hub-first) — exactly [[minhashCandidates]]. */
+  def writeCandidates(
+      df: DataFrame,
+      path: String,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      k: Int = 64,
+      bands: Int = 16,
+      shingleWords: Int = 3,
+      maxBucketSize: Int = SessionBucketCap): Unit =
+    minhashCandidates(df, textCol, idCol, k, bands, shingleWords,
+        maxBucketSize)
+      .write.mode("overwrite").parquet(path)
+
+  /** Read a persisted [[writeCandidates]] tap. Feed to
+    * [[graft.pipeline.Graph.rankFromPairs]] /
+    * [[graft.pipeline.Graph.triangleCounts]] /
+    * [[graft.pipeline.Graph.communitiesFromPairs]] — results are
+    * bit-identical to the inline `similarity*` wrappers by
+    * construction (same pair table, p72 pins it in the oracle gate). */
+  def candidatesTap(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.parquet(path)
+
   /** Oversize LSH buckets (the guard's side channel): one row per capped
     * (band, band_key) with its size — feed to monitoring; members are in
     * near-certain duplicate families. */

@@ -712,12 +712,21 @@ object Planner {
           "buffer without declared out types must have numOut == input arity")
         inIdx.toSeq.map(i => arranged.schema(i).dataType)
       }
+    // :trap extends to the buffer/aggregatefn stage (Cascading traps wrap
+    // EVERY pipe stage, cascading/platform.clj:311-318): a group whose
+    // buffer throws is diverted to the sink as (group key, error) and the
+    // job completes. Output rows the buffer streamed out BEFORE the throw
+    // stand (streaming contract — suppressing them would mean
+    // materializing every group's output); aggregatefns present at group
+    // end, so for them a failure always diverts the whole group.
+    val trapSink = q.options.trap
     val outSchema = StructType(
       groupVars.zipWithIndex.map { case (v, i) =>
         StructField(Vars.colName(v), pre.schema(i).dataType, nullable = true)
       } ++ outTypes.zipWithIndex.map { case (dt, i) =>
         StructField(s"_b$i", dt, nullable = true)
-      })
+      } ++ (if (trapSink.nonEmpty)
+        Seq(StructField("_trap_err", StringType, nullable = true)) else Nil))
 
     // stays a Dataset op (no RDD boundary): one deserialize → streaming
     // group pass → serialize, all inside the same physical plan. The output
@@ -726,6 +735,8 @@ object Planner {
     // them), and the per-row hot path is allocation-lean: index arrays
     // hoisted, element-wise key comparison, no throwaway Seqs.
     val inIdxArr: Array[Int] = inIdx.toArray
+    val trapped = trapSink.nonEmpty
+    val nOut = outTypes.length
     val df = arranged.mapPartitions { rows =>
       val it = rows.buffered
       def sameKey(r: Row, key: Array[Any]): Boolean = {
@@ -759,7 +770,36 @@ object Planner {
                   scala.collection.immutable.ArraySeq.unsafeWrapArray(arr)
                 }
               }
-              out = f(groupIn).map(tuple => Row.fromSeq(keySeq ++ tuple))
+              out =
+                if (!trapped) f(groupIn).map(tuple => Row.fromSeq(keySeq ++ tuple))
+                else {
+                  def errRow(e: Throwable): Row = Row.fromSeq(
+                    (keySeq ++ Seq.fill[Any](nOut)(null)) :+
+                      (s"${e.getClass.getName}: ${e.getMessage}": Any))
+                  (try Right(f(groupIn)) catch {
+                    case scala.util.control.NonFatal(e) => Left(e)
+                  }) match {
+                    case Left(e) => Iterator.single(errRow(e))
+                    case Right(itOut) => new Iterator[Row] {
+                      private var pendingErr: Throwable = null
+                      private var dead = false
+                      def hasNext: Boolean = !dead && (pendingErr != null ||
+                        (try itOut.hasNext catch {
+                          case scala.util.control.NonFatal(e) =>
+                            pendingErr = e; true
+                        }))
+                      def next(): Row =
+                        if (pendingErr != null) { dead = true; errRow(pendingErr) }
+                        else (try Right(itOut.next()) catch {
+                          case scala.util.control.NonFatal(e) => Left(e)
+                        }) match {
+                          case Left(e) => dead = true; errRow(e)
+                          case Right(tuple) =>
+                            Row.fromSeq((keySeq ++ tuple) :+ (null: Any))
+                        }
+                    }
+                  }
+                }
               advance()
             }
           }
@@ -767,8 +807,19 @@ object Planner {
         def next(): Row = { advance(); out.next() }
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))
+    // diversion BEFORE output binding: `?` out vars null-filter on bind,
+    // which would silently eat the all-null error rows
+    val cleanDf = trapSink match {
+      case None => df
+      case Some(sink) =>
+        val err = col("_trap_err")
+        sink(df.filter(err.isNotNull).select(
+          groupVars.map(v => col(Vars.colName(v)).as(Vars.displayName(v))) :+
+            err.as("error"): _*))
+        df.filter(err.isNull).drop("_trap_err")
+    }
     val bound = bindOutputs(
-      Tail(df, groupVars),
+      Tail(cleanDf, groupVars),
       bp.out,
       outTypes.indices.map(i => col(s"_b$i")))
     Tail(bound.df.drop(outTypes.indices.map(i => s"_b$i").filterNot(n =>

@@ -834,6 +834,46 @@ class PipelineSpec extends SparkTestBase {
     assert(sunk.head.exists(v => v != null && v.toString.contains("odd 21")))
   }
 
+  test("trap extends to buffer stages: throwing group diverted as (key, error), job completes") {
+    import graft.dsl._
+    import graft.ops.Ops
+    import org.apache.spark.sql.types.LongType
+    val sunk = scala.collection.mutable.ArrayBuffer[Seq[Any]]()
+    val boom = Ops.bufferFn(1, Seq(LongType)) { it =>
+      val s = it.map(_.head.asInstanceOf[Long]).sum
+      if (s % 2 == 1) throw new IllegalStateException(s"odd sum $s")
+      Iterator.single(Seq(s))
+    }
+    val q = query("?k", "?sum")(
+      mem(Seq(Seq("a", 1L), Seq("a", 3L), Seq("b", 1L), Seq("b", 2L)))("?k", "?n"),
+      boom("?n") :> "?sum")
+      .withTrap(df => sunk ++= df.collect().toSeq.map(_.toSeq))
+    // group a sums to 4 (kept); group b sums to 3 (throws, diverted)
+    val clean = q.toDF(spark).collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(clean == Set(("a", 4L)), s"got $clean")
+    assert(sunk.size == 1 && sunk.head.head == "b", s"trap got $sunk")
+    assert(sunk.head.last.toString.contains("odd sum 3"), s"trap got $sunk")
+  }
+
+  test("trap extends to aggregatefn stages: failure at present diverts the group") {
+    import graft.dsl._
+    import graft.ops.Ops
+    import org.apache.spark.sql.types.LongType
+    val sunk = scala.collection.mutable.ArrayBuffer[Seq[Any]]()
+    val agg = Ops.aggregateFn[Long](1, Seq(LongType))(0L)(
+      (acc, row) => acc + row.head.asInstanceOf[Long])(
+      acc => if (acc % 2 == 1) throw new IllegalStateException(s"odd $acc")
+        else Seq(acc))
+    val q = query("?k", "?sum")(
+      mem(Seq(Seq("a", 2L), Seq("a", 2L), Seq("b", 3L)))("?k", "?n"),
+      agg("?n") :> "?sum")
+      .withTrap(df => sunk ++= df.collect().toSeq.map(_.toSeq))
+    val clean = q.toDF(spark).collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(clean == Set(("a", 4L)), s"got $clean")
+    assert(sunk.size == 1 && sunk.head.head == "b", s"trap got $sunk")
+    assert(sunk.head.last.toString.contains("odd 3"), s"trap got $sunk")
+  }
+
   test("large-star/small-star components: O(log d) on a depth-1000 chain, parity with min-label") {
     // the adversarial graph for min-label propagation: a 1000-long chain
     // needs ~1000 label rounds; star contraction must converge in O(log d)

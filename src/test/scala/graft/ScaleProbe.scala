@@ -512,6 +512,42 @@ object ScaleProbe {
       jobCount("bpe train 100 merges batched (M=25)")(
         Bpe.train(docs, 100, minPairFreq = 1L, batchMerges = 25).length.toLong)
     }
+
+    // candidate-graph tap (round 10): p51/p54/p55 each regenerate the
+    // MinHash edges — the dominant cost of every graph analytic. With
+    // writeCandidates the corpus is paired ONCE; rank + triangles +
+    // communities then read the persisted edge table. Expectation:
+    // tap total ≈ one pairing + three cheap analytics, vs inline total
+    // ≈ three pairings; results bit-identical either way.
+    {
+      import graft.pipeline.{Dedup, Graph}
+      val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      val nodes = docs.select(col("doc_id").as("id"))
+      time("graph inline: rank (pairs regenerated)")(
+        Graph.similarityRank(docs).count())
+      time("graph inline: triangles (pairs regenerated)")(
+        Graph.similarityTriangles(docs).count())
+      time("graph inline: communities (pairs regenerated)")(
+        Graph.similarityCommunities(docs).count())
+      val tap = "/tmp/graft_scale/candidates.parquet"
+      time("graph tap: writeCandidates (pair once)") {
+        Dedup.writeCandidates(docs, tap); 1L
+      }
+      val pairs = Dedup.candidatesTap(spark, tap)
+      time("graph tap: rank")(Graph.rankFromPairs(pairs, nodes).count())
+      time("graph tap: triangles")(Graph.triangleCounts(pairs, nodes).count())
+      time("graph tap: communities")(Graph.communitiesFromPairs(pairs, nodes).count())
+      val drift =
+        Graph.rankFromPairs(pairs, nodes)
+          .exceptAll(Graph.similarityRank(docs).toDF("id", "rank")).count() +
+        Graph.communitiesFromPairs(pairs, nodes)
+          .exceptAll(Graph.similarityCommunities(docs).toDF("id", "community")).count() +
+        Graph.triangleCounts(pairs, nodes)
+          .exceptAll(Graph.similarityTriangles(docs)
+            .toDF("id", "degree", "n_triangles", "clustering")).count()
+      println(s"graph tap vs inline differing rows (must be 0): $drift")
+      assert(drift == 0L, "persisted-tap graph analytics drifted from inline")
+    }
     spark.stop()
   }
 }
