@@ -2891,8 +2891,10 @@ object SparkEntry {
         |    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM tk) u
         |  WHERE term IN ('spark', 'window', 'stream', 'merge') GROUP BY 1, 2, 3),
         |term_sc AS (SELECT tf.doc_id,
-        |    CAST(floor(1.0e6 * (CAST(tf.tf * (22 * st.s) AS DOUBLE)
-        |      / CAST(tf.tf * (10 * st.s) + 3 * st.s + tf.dl * (9 * st.n) AS DOUBLE)))
+        |    CAST(floor(1.0e6 * ((CAST(tf.tf AS DOUBLE) * (22.0 * CAST(st.s AS DOUBLE)))
+        |      / (CAST(tf.tf AS DOUBLE) * (10.0 * CAST(st.s AS DOUBLE))
+        |         + 3.0 * CAST(st.s AS DOUBLE)
+        |         + CAST(tf.dl AS DOUBLE) * (9.0 * CAST(st.n AS DOUBLE)))))
         |      AS BIGINT) AS tfq,
         |    CAST(floor(1.0e6 * (CAST(2 * st.n + 1 - 2 * dft.df AS DOUBLE)
         |      / CAST(2 * dft.df + 1 AS DOUBLE))) AS BIGINT) AS idfq
@@ -3241,8 +3243,10 @@ object SparkEntry {
         |    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM tk) u
         |  WHERE term IN ('spark', 'window', 'stream', 'merge') GROUP BY 1, 2, 3),
         |term_sc AS (SELECT tf.doc_id,
-        |    CAST(floor(1.0e6 * (CAST(tf.tf * (22 * st.s) AS DOUBLE)
-        |      / CAST(tf.tf * (10 * st.s) + 3 * st.s + tf.dl * (9 * st.n) AS DOUBLE)))
+        |    CAST(floor(1.0e6 * ((CAST(tf.tf AS DOUBLE) * (22.0 * CAST(st.s AS DOUBLE)))
+        |      / (CAST(tf.tf AS DOUBLE) * (10.0 * CAST(st.s AS DOUBLE))
+        |         + 3.0 * CAST(st.s AS DOUBLE)
+        |         + CAST(tf.dl AS DOUBLE) * (9.0 * CAST(st.n AS DOUBLE)))))
         |      AS BIGINT) AS tfq,
         |    CAST(floor(1.0e6 * (CAST(2 * st.n + 1 - 2 * dft.df AS DOUBLE)
         |      / CAST(2 * dft.df + 1 AS DOUBLE))) AS BIGINT) AS idfq

@@ -222,7 +222,14 @@ object Sketches {
     cmsEstKernel(sketch, value, lit(depth), lit(width))
 
   /** Merge two sketches of identical shape (elementwise add — the
-    * monoid the aggregator itself folds with). */
+    * monoid the aggregator itself folds with). Shape disagreement
+    * (different depth/width) raises instead of the silent null-padding
+    * zip_with would produce; null sketches pass through as null. */
   def cmsMerge(a: Column, b: Column): Column =
-    zip_with(a, b, (x, y) => x + y)
+    when(a.isNull || b.isNull, lit(null))
+      .when(size(a) === size(b), zip_with(a, b, (x, y) => x + y))
+      .otherwise(raise_error(format_string(
+        "cmsMerge: sketch shapes differ (%d vs %d counters) — merge " +
+          "requires sketches built with the same (depth, width)",
+        size(a), size(b))))
 }

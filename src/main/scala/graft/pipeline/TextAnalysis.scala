@@ -1057,8 +1057,8 @@ object TextAnalysis {
     * gate runs row-locally (IEEE multiply/divide, then floor), kept as
     * a named function so the property suite can pin its invariants. */
   private[graft] def bm25Tfq(tf: Long, dl: Long, s: Long, n: Long): Long =
-    math.floor(1e6 * ((tf * (22L * s)).toDouble /
-      (tf * (10L * s) + 3L * s + dl * (9L * n)).toDouble)).toLong
+    math.floor(1e6 * ((tf.toDouble * (22.0 * s)) /
+      (tf.toDouble * (10.0 * s) + 3.0 * s + dl.toDouble * (9.0 * n)))).toLong
 
   /** Pure kernel of the quantized rational idf (Robertson ratio
     * (2N−2df+1)/(2df+1), floored at 1e6 quanta). */
@@ -1088,10 +1088,16 @@ object TextAnalysis {
     * thresholding semantics survive.) Per-term contribution
     * tfq·idfq is computed in DECIMAL(19,0)² → DECIMAL(38,0) — Long
     * multiplication would overflow once N passes ~10⁶ — and summed
-    * exactly. Integer products stay bit-exact as long as S·tf < 2⁵³
-    * (corpora to ~10¹² tokens at typical tf); past that the IEEE ops
-    * remain cross-engine deterministic, only the last-ulp-vs-true-value
-    * guarantee narrows.
+    * exactly. The saturation's num/den products are IEEE DOUBLES (22·S
+    * etc. prefolded as double constants): a Long numerator would WRAP
+    * silently once S·tf exceeds 2⁶³/22 — reachable at 100-TB corpora
+    * (S ~ 10¹³ tokens, tf ~ 10⁵) and worse, wrap where DuckDB raises,
+    * breaking the cross-engine contract (round-9 advice). Doubles never
+    * wrap: values are integer-exact while S·tf·22 < 2⁵³ (corpora to
+    * ~10¹² tokens at typical tf) and past that remain cross-engine
+    * deterministic (both engines evaluate the identical IEEE tree —
+    * [[bm25Tfq]] names it), only the last-ulp-vs-true-value guarantee
+    * narrows.
     *
     * Scale: tokens explode linearly and are filtered to query terms
     * INSIDE the array (pre-explode); the df side is filtered to the
@@ -1119,10 +1125,12 @@ object TextAnalysis {
       .groupBy(col(idCol), col("_dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val dfq = model.df.filter(col("term").isInCollection(q))
+    // the exact IEEE tree bm25Tfq names (doubles: no Long wraparound at
+    // any corpus size; constants prefolded identically on both engines)
     val tfq = floor(lit(1e6) *
-      ((col("tf") * lit(22L * s)).cast("double") /
-        (col("tf") * lit(10L * s) + lit(3L * s) + col("_dl") * lit(9L * n))
-          .cast("double"))).cast("long")
+      ((col("tf").cast("double") * lit(22.0 * s)) /
+        (col("tf").cast("double") * lit(10.0 * s) + lit(3.0 * s) +
+          col("_dl").cast("double") * lit(9.0 * n)))).cast("long")
     val idfq = floor(lit(1e6) *
       ((lit(2L * n + 1L) - col("df") * 2L).cast("double") /
         (col("df") * 2L + 1L).cast("double"))).cast("long")

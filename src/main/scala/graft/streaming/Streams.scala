@@ -456,6 +456,10 @@ object Streams {
     val stepIdx = steps.zipWithIndex.toMap
     val k = steps.length
     events
+      // match the batch funnel's null contract (Funnel.funnel filters
+      // key/ts nulls): a null would fail the non-nullable tuple encoder
+      // at runtime and kill the query
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
       .select(col(keyCol).cast("long"), col(tsCol).cast("long"),
         col(typeCol).cast("string"))
       .as[(Long, Long, String)]
