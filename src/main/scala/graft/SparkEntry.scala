@@ -1066,6 +1066,17 @@ object SparkEntry {
   private def p69(s: SparkSession, d: String): DataFrame =
     TextAnalysis.dataCard(tbl(d, "documents")(s))
 
+  /** Unigram-LM tokenizer seed stage ([[graft.pipeline.Unigram
+    * .seedVocab]]): substring piece candidates from the word-TYPE
+    * table, coverage chars always kept, multi-char pieces top-K by
+    * (cnt DESC, piece ASC), scores the exact integral
+    * floor(1e18·cnt/total) — the SentencePiece seed the hard-EM rounds
+    * refine (EM itself is Viterbi-based and spec-verified; the seed's
+    * counts, pruning, and quantized likelihoods replay in SQL). */
+  private def p73(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.Unigram.seedVocab(tbl(d, "documents")(s),
+      vocabSize = 400, maxPieceLen = 4, minFreq = 2L)
+
   /** [[Dedup.hammingCandidates]] over PRECOMPUTED 64-bit codes — the
     * engine every multimodal near-dup rides (image pHash, audio
     * fingerprint, video frame hashes). Codes here are md5-derived from
@@ -1474,6 +1485,7 @@ object SparkEntry {
     "p70_hybrid_rank" -> (p70 _),
     "p71_hamming_neardup" -> (p71 _),
     "p72_candidates_tap" -> (p72 _),
+    "p73_unigram_seed" -> (p73 _),
     "p31_span_excise" -> (p31 _),
     "p32_chunking" -> (p32 _),
     "p33_mixture_weights" -> (p33 _)
@@ -3448,6 +3460,30 @@ object SparkEntry {
         |  WHERE m.doc_id != hubs.hub_id)
         |SELECT id_a, id_b, hamming FROM (
         |  SELECT * FROM pairs UNION ALL SELECT * FROM stars) u
-        |WHERE hamming <= 24 GROUP BY 1, 2, 3""".stripMargin
+        |WHERE hamming <= 24 GROUP BY 1, 2, 3""".stripMargin,
+    // p73: unigram seed replay — word-type table, overlapping substring
+    // counts (≤4 chars), coverage chars + top-(400−nChars) multi by
+    // (cnt DESC, piece ASC), integral HUGEINT score quantization with
+    // the single-char floor at 1.
+    "p73_unigram_seed" ->
+      """WITH wt AS (SELECT w, COUNT(*) AS n FROM (
+        |    SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\W+'),
+        |      x -> x != '')) AS w FROM documents) u GROUP BY 1),
+        |ws AS (SELECT w, n, unnest(generate_series(1, len(w))) AS s FROM wt),
+        |pc AS (SELECT substr(w, s, l.l) AS piece, SUM(n) AS cnt
+        |  FROM ws, generate_series(1, 4) l(l)
+        |  WHERE s + l.l - 1 <= len(w) GROUP BY 1),
+        |chars AS (SELECT piece, cnt FROM pc WHERE len(piece) = 1),
+        |nc AS (SELECT COUNT(*) AS c FROM chars),
+        |multi AS (SELECT piece, cnt FROM (
+        |    SELECT piece, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, piece) AS rk
+        |    FROM pc WHERE len(piece) > 1 AND cnt >= 2) t, nc
+        |  WHERE rk <= GREATEST(0, 400 - nc.c)),
+        |kept AS (SELECT piece, cnt FROM chars UNION ALL SELECT piece, cnt FROM multi),
+        |tot AS (SELECT SUM(cnt) AS t FROM kept)
+        |SELECT piece, CAST(cnt AS BIGINT) AS cnt,
+        |  GREATEST(CAST(CAST(cnt AS HUGEINT) * 1000000000000000000 // t AS BIGINT),
+        |    CASE WHEN len(piece) = 1 THEN 1 ELSE 0 END) AS score_q
+        |FROM kept, tot""".stripMargin
   )
 }

@@ -513,6 +513,28 @@ object ScaleProbe {
         Bpe.train(docs, 100, minPairFreq = 1L, batchMerges = 25).length.toLong)
     }
 
+    // unigram trainer (round 10): like BPE, training must be word-TYPE-
+    // table-bound — 10× replicated docs change type counts, not the
+    // type table, so seed + EM rounds should be FLAT across the
+    // replication while the corpus-side tokenization scales linearly.
+    {
+      import graft.pipeline.Unigram
+      val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      val docs10 = (1 to 10).map(i =>
+          docs.withColumn("doc_id", col("doc_id") + lit(i * 10000000L)))
+        .reduce(_ unionAll _)
+        .transform(graft.Stage.materialize)
+      time("unigram train (seed+2 EM) @5k docs")(
+        Unigram.train(docs, vocabSize = 2000, rounds = 2).count())
+      time("unigram train (seed+2 EM) @50k docs")(
+        Unigram.train(docs10, vocabSize = 2000, rounds = 2).count())
+      val model = Unigram.vocabSeq(Unigram.train(docs, vocabSize = 2000, rounds = 1))
+      time("unigram encode @5k docs")(
+        docs.select(Unigram.encode(model, col("text"))).count())
+      time("unigram encode @50k docs")(
+        docs10.select(Unigram.encode(model, col("text"))).count())
+    }
+
     // candidate-graph tap (round 10): p51/p54/p55 each regenerate the
     // MinHash edges — the dominant cost of every graph analytic. With
     // writeCandidates the corpus is paired ONCE; rank + triangles +
