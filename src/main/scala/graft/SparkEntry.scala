@@ -1077,6 +1077,19 @@ object SparkEntry {
     graft.pipeline.Unigram.seedVocab(tbl(d, "documents")(s),
       vocabSize = 400, maxPieceLen = 4, minFreq = 2L)
 
+  /** GPT-3-style exact n-gram contamination report
+    * ([[Dedup.ngramOverlapReport]], broadcast path): the src0/src1 slice
+    * plays the benchmark suite (the p57/p67 convention), every other doc
+    * is train; 6-grams ride the p24 span-gram contract so the synthetic
+    * corpus actually collides at gate scale. */
+  private def p74(s: SparkSession, d: String): DataFrame = {
+    val docs = tbl(d, "documents")(s)
+    Dedup.ngramOverlapReport(
+      docs.filter(!col("source").isin("src0", "src1")),
+      docs.filter(col("source").isin("src0", "src1")),
+      n = 6)
+  }
+
   /** [[Dedup.hammingCandidates]] over PRECOMPUTED 64-bit codes — the
     * engine every multimodal near-dup rides (image pHash, audio
     * fingerprint, video frame hashes). Codes here are md5-derived from
@@ -1486,6 +1499,7 @@ object SparkEntry {
     "p71_hamming_neardup" -> (p71 _),
     "p72_candidates_tap" -> (p72 _),
     "p73_unigram_seed" -> (p73 _),
+    "p74_ngram_decontam" -> (p74 _),
     "p31_span_excise" -> (p31 _),
     "p32_chunking" -> (p32 _),
     "p33_mixture_weights" -> (p33 _)
@@ -3484,6 +3498,35 @@ object SparkEntry {
         |SELECT piece, CAST(cnt AS BIGINT) AS cnt,
         |  GREATEST(CAST(CAST(cnt AS HUGEINT) * 1000000000000000000 // t AS BIGINT),
         |    CASE WHEN len(piece) = 1 THEN 1 ELSE 0 END) AS score_q
-        |FROM kept, tot""".stripMargin
+        |FROM kept, tot""".stripMargin,
+    // p74: exact 6-gram overlap vs the src0/src1 "benchmark" slice —
+    // per train doc: gram positions, positions whose gram is in the
+    // eval distinct-gram set, any-hit flag (gram hash = p24 contract)
+    "p74_ngram_decontam" ->
+      """WITH tr AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\W+'),
+        |    x -> x != '') AS toks
+        |  FROM documents WHERE source NOT IN ('src0', 'src1')),
+        |ev AS (
+        |  SELECT list_filter(regexp_split_to_array(lower(trim(text)), '\W+'),
+        |    x -> x != '') AS toks
+        |  FROM documents WHERE source IN ('src0', 'src1')),
+        |eg AS (
+        |  SELECT DISTINCT
+        |    CAST(md5_number_lower(array_to_string(list_slice(toks, i, i + 5), ' '))
+        |      & 2305843009213693951 AS BIGINT) AS gh
+        |  FROM ev, LATERAL unnest(generate_series(1, len(toks) - 5)) t(i)),
+        |tg AS (
+        |  SELECT doc_id,
+        |    CAST(md5_number_lower(array_to_string(list_slice(toks, i, i + 5), ' '))
+        |      & 2305843009213693951 AS BIGINT) AS gh
+        |  FROM tr, LATERAL unnest(generate_series(1, len(toks) - 5)) t(i)),
+        |hits AS (SELECT doc_id, COUNT(*) AS hit_grams FROM tg JOIN eg USING (gh)
+        |  GROUP BY doc_id)
+        |SELECT tr.doc_id,
+        |  CAST(GREATEST(len(tr.toks) - 5, 0) AS BIGINT) AS n_grams,
+        |  COALESCE(h.hit_grams, 0) AS hit_grams,
+        |  COALESCE(h.hit_grams, 0) > 0 AS contaminated
+        |FROM tr LEFT JOIN hits h USING (doc_id)""".stripMargin
   )
 }

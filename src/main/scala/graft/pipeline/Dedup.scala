@@ -1126,6 +1126,114 @@ object Dedup {
     train.join(bad, Seq(idCol), "left_anti")
   }
 
+  /** Flat word n-gram hash stream kernel: every gram position's
+    * md5-lower-64 & (2^61-1) hash — same tokenization and hash contract
+    * as [[posGramKernel]], positions dropped (overlap counting needs the
+    * multiset of gram occurrences, not where they sit). */
+  private val gramHashKernel = udf { (text: String, n: Int) =>
+    val toks =
+      if (text == null) Array.empty[String]
+      else text.trim.toLowerCase.split("\\W+").filter(_.nonEmpty)
+    if (toks.length < n) Array.empty[Long]
+    else {
+      val md = Md5.newDigest()
+      val out = new Array[Long](toks.length - n + 1)
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i < out.length) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+        out(i) = Md5.lower64(md, sb.toString) & Md5.M61
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** Exact n-gram overlap CONTAMINATION REPORT — the GPT-3-style
+    * benchmark scrub (Brown et al. 2020 App. C scrubbed on 13-gram
+    * collisions; n is a knob here because synthetic/short corpora need
+    * smaller grams). For every `train` doc: total gram positions, how
+    * many of those positions' exact n-grams also occur anywhere in the
+    * eval suite, and a contaminated flag (any hit). Complements
+    * [[decontaminate]] (MinHash whole-doc fuzzy match): the n-gram form
+    * catches a verbatim eval item QUOTED inside an otherwise novel
+    * document, which whole-doc Jaccard dilutes below any threshold.
+    *
+    * Scale shape (default `broadcastEval = true`): the eval suite is a
+    * benchmark set — its distinct gram hashes are a driver-sized sorted
+    * Long array (8 bytes/gram; a million-gram suite is 8 MB) broadcast
+    * once, and the 100 TB train side is ONE narrow kernel pass with a
+    * per-row binary search — zero shuffles, no train-side gram
+    * explosion. With `broadcastEval = false` the train gram stream
+    * explodes (n× the token stream) and rides a bloom-pruned exact join
+    * ([[graft.operators.BloomJoin.bloomJoin]]) against the eval grams,
+    * so the shuffled volume is ~the collision count — the shape for eval
+    * sets too large to hold on the driver. Outputs are identical by
+    * contract (the exact join decides membership on both paths).
+    *
+    * Returns (idCol, n_grams, hit_grams, contaminated) over train. */
+  def ngramOverlapReport(
+      train: DataFrame,
+      evalDocs: DataFrame,
+      n: Int = 8,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      broadcastEval: Boolean = true): DataFrame = {
+    require(n >= 2, s"gram length must be >= 2, got $n")
+    val grams = train
+      .select(col(idCol), gramHashKernel(col(textCol), lit(n)).as("_gs"))
+    val evalGrams = evalDocs
+      .select(explode(gramHashKernel(col(textCol), lit(n))).as("gh")).distinct()
+    if (broadcastEval) {
+      val evalArr = evalGrams.collect().map(_.getLong(0))
+      java.util.Arrays.sort(evalArr)
+      val bc = train.sparkSession.sparkContext.broadcast(evalArr)
+      val hitsKernel = udf { gs: Seq[Long] =>
+        val arr = bc.value
+        var c = 0L
+        val it = gs.iterator
+        while (it.hasNext) {
+          if (java.util.Arrays.binarySearch(arr, it.next()) >= 0) c += 1L
+        }
+        c
+      }
+      grams.select(col(idCol), size(col("_gs")).cast("long").as("n_grams"),
+          hitsKernel(col("_gs")).as("hit_grams"))
+        .withColumn("contaminated", col("hit_grams") > 0)
+    } else {
+      val base = grams.transform(graft.Stage.materialize)
+      val g = base.select(col(idCol), explode(col("_gs")).as("gh"))
+      val hits = graft.operators.BloomJoin.bloomJoin(g, evalGrams, Seq("gh"))
+        .groupBy(idCol).agg(count(lit(1)).as("hit_grams"))
+      base.select(col(idCol), size(col("_gs")).cast("long").as("n_grams"))
+        .join(hits, Seq(idCol), "left_outer")
+        .select(col(idCol), col("n_grams"),
+          coalesce(col("hit_grams"), lit(0L)).as("hit_grams"),
+          (coalesce(col("hit_grams"), lit(0L)) > 0).as("contaminated"))
+    }
+  }
+
+  /** Exact n-gram decontamination: drop every `train` doc whose
+    * [[ngramOverlapReport]] hit count exceeds `maxHitGrams` (default 0 —
+    * any verbatim n-gram shared with the eval suite removes the doc, the
+    * Brown et al. 2020 contract). Returns surviving train rows
+    * unchanged (schema preserved). */
+  def ngramDecontaminate(
+      train: DataFrame,
+      evalDocs: DataFrame,
+      n: Int = 8,
+      maxHitGrams: Long = 0L,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      broadcastEval: Boolean = true): DataFrame = {
+    val bad = ngramOverlapReport(train, evalDocs, n, textCol, idCol, broadcastEval)
+      .filter(col("hit_grams") > maxHitGrams)
+      .select(idCol)
+    train.join(bad, Seq(idCol), "left_anti")
+  }
+
   /** Embedding cosine near-dup: LSH-bucket by random-hyperplane signs
     * (deterministic seeded planes), verify exact cosine within buckets.
     *

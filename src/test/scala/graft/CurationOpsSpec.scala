@@ -451,6 +451,52 @@ class CurationOpsSpec extends SparkTestBase {
       Set(1L, 10L, 11L, 12L))
   }
 
+  test("ngram decontamination: quoted eval item counted, whole-doc dilution beaten, " +
+    "broadcast/bloom parity") {
+    val evalSuite = Seq(
+      (1L, "what is the capital of the republic of france answer with one word only")
+    ).toDF("doc_id", "text")
+    val quote = "what is the capital of the republic of france"
+    val train = Seq(
+      // verbatim eval QUOTE buried in a long novel document — whole-doc
+      // Jaccard dilutes this below any sane threshold; 6-gram overlap
+      // must flag it
+      (10L, "students in our geography course often practice with items like " +
+        quote + " before moving on to river systems mountain ranges trade " +
+        "routes climate zones agriculture exports population density and " +
+        "many other wide ranging regional topics across several continents"),
+      // shares tokens but no 6-gram run
+      (11L, "the capital of a country is france related trivia material"),
+      // disjoint
+      (12L, "columnar storage formats and vectorized execution engines"),
+      // too short for any 6-gram
+      (13L, "capital france")
+    ).toDF("doc_id", "text")
+    val rep = Dedup.ngramOverlapReport(train, evalSuite, n = 6)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    // quote has 9 tokens => its 4 six-gram starts inside the train doc all
+    // hit (grams straddling the quote boundary don't)
+    assert(rep(10L)._3 && rep(10L)._2 == 4L, s"quoted doc must hit 4 grams: $rep")
+    assert(rep(11L) == ((5L, 0L, false)), s"token overlap without a 6-gram run: $rep")
+    assert(rep(12L)._2 == 0L && !rep(12L)._3)
+    assert(rep(13L) == ((0L, 0L, false)), "sub-n doc emits no grams")
+    // whole-doc MinHash decontaminate at a realistic threshold KEEPS doc 10
+    // (dilution) — the n-gram scrub removes it: the two methods compose
+    val mh = Dedup.decontaminate(train, evalSuite, threshold = 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(mh.contains(10L), "whole-doc jaccard is expected to miss the buried quote")
+    val ng = Dedup.ngramDecontaminate(train, evalSuite, n = 6)
+    assert(ng.collect().map(_.getLong(0)).toSet == Set(11L, 12L, 13L))
+    assert(ng.columns.toSeq == Seq("doc_id", "text"))
+    // bloom-pruned big-eval path returns the identical report
+    val repBloom = Dedup.ngramOverlapReport(train, evalSuite, n = 6, broadcastEval = false)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(repBloom == rep, s"bloom path must match broadcast path: $repBloom vs $rep")
+    // maxHitGrams tolerance: allow up to 4 hit grams -> doc 10 survives
+    assert(Dedup.ngramDecontaminate(train, evalSuite, n = 6, maxHitGrams = 4L)
+      .collect().map(_.getLong(0)).toSet == Set(10L, 11L, 12L, 13L))
+  }
+
   test("groupPercentiles: hand-computed nearest-rank selection off the histogram") {
     val df = Seq(("a", 10L), ("a", 20L), ("a", 30L), ("a", 40L),
       ("b", 5L), ("b", 5L), ("b", 5L), ("b", 7L), ("c", 99L))
