@@ -1090,6 +1090,18 @@ object SparkEntry {
       n = 6)
   }
 
+  /** Asymmetric-containment near-dup ([[Dedup.containmentCandidates]] →
+    * [[Dedup.containmentVerify]]): bottom-8 shingle probes against the
+    * doc-frequency-capped inverted shingle index, exact |A∩B|/|A| merge
+    * verify at 0.8 — the doc-quoted-inside-doc case banding Jaccard
+    * structurally misses. */
+  private def p75(s: SparkSession, d: String): DataFrame = {
+    val docs = tbl(d, "documents")(s)
+    Dedup.containmentVerify(
+      Dedup.containmentCandidates(docs, m = 8, maxDocFreq = 64),
+      docs, threshold = 0.8)
+  }
+
   /** [[Dedup.hammingCandidates]] over PRECOMPUTED 64-bit codes — the
     * engine every multimodal near-dup rides (image pHash, audio
     * fingerprint, video frame hashes). Codes here are md5-derived from
@@ -1500,6 +1512,7 @@ object SparkEntry {
     "p72_candidates_tap" -> (p72 _),
     "p73_unigram_seed" -> (p73 _),
     "p74_ngram_decontam" -> (p74 _),
+    "p75_containment" -> (p75 _),
     "p31_span_excise" -> (p31 _),
     "p32_chunking" -> (p32 _),
     "p33_mixture_weights" -> (p33 _)
@@ -3527,6 +3540,44 @@ object SparkEntry {
         |  CAST(GREATEST(len(tr.toks) - 5, 0) AS BIGINT) AS n_grams,
         |  COALESCE(h.hit_grams, 0) AS hit_grams,
         |  COALESCE(h.hit_grams, 0) > 0 AS contaminated
-        |FROM tr LEFT JOIN hits h USING (doc_id)""".stripMargin
+        |FROM tr LEFT JOIN hits h USING (doc_id)""".stripMargin,
+    // p75: bottom-8 probe hashes vs the df<=64-capped inverted shingle
+    // index -> exact containment |A∩B|/|A| >= 0.8 (hash = 61-bit md5 of
+    // the 3-word shingle string; <=3-token docs shingle as whole text)
+    "p75_containment" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\W+'),
+        |    x -> x != '') AS toks FROM documents),
+        |shs AS (
+        |  SELECT doc_id, CASE
+        |    WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+        |    WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+        |    ELSE list_distinct(list_transform(generate_series(1, len(toks) - 2),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END AS sset
+        |  FROM tk),
+        |sh AS (
+        |  SELECT doc_id, CAST(md5_number_lower(s) & 2305843009213693951 AS BIGINT) AS gh
+        |  FROM (SELECT doc_id, unnest(sset) AS s FROM shs) u GROUP BY 1, 2),
+        |keep AS (SELECT gh FROM sh GROUP BY gh HAVING COUNT(*) <= 64),
+        |botm AS (SELECT doc_id, gh FROM (
+        |    SELECT doc_id, gh, row_number() OVER (PARTITION BY doc_id ORDER BY gh) AS rn
+        |    FROM sh) q WHERE rn <= 8),
+        |cand AS (
+        |  SELECT b.doc_id AS inner_id, i.doc_id AS outer_id
+        |  FROM botm b JOIN sh i USING (gh) JOIN keep USING (gh)
+        |  WHERE b.doc_id != i.doc_id GROUP BY 1, 2),
+        |inter AS (
+        |  SELECT c.inner_id, c.outer_id, COUNT(*) AS i_n
+        |  FROM cand c JOIN sh sa ON sa.doc_id = c.inner_id
+        |    JOIN sh sb ON sb.doc_id = c.outer_id AND sb.gh = sa.gh
+        |  GROUP BY 1, 2),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
+        |SELECT inner_id, outer_id, containment FROM (
+        |  SELECT c.inner_id, c.outer_id,
+        |    CAST(COALESCE(i.i_n, 0) AS DOUBLE) / sz.n AS containment
+        |  FROM cand c LEFT JOIN inter i
+        |    ON i.inner_id = c.inner_id AND i.outer_id = c.outer_id
+        |  JOIN sz ON sz.doc_id = c.inner_id) t
+        |WHERE containment >= 0.8""".stripMargin
   )
 }

@@ -1234,6 +1234,95 @@ object Dedup {
     train.join(bad, Seq(idCol), "left_anti")
   }
 
+  /** Containment of sorted distinct hash array `a` IN `b`:
+    * |A∩B| / |A| via one merge pass. Empty inner set → 0.0 (such docs
+    * never generate candidates; the guard is for direct calls). */
+  private val containmentSortedKernel = udf { (a: Seq[Long], b: Seq[Long]) =>
+    if (a.isEmpty) 0.0
+    else {
+      var i = 0; var j = 0; var inter = 0
+      while (i < a.length && j < b.length) {
+        val x = a(i); val y = b(j)
+        if (x == y) { inter += 1; i += 1; j += 1 }
+        else if (x < y) i += 1
+        else j += 1
+      }
+      inter.toDouble / a.length
+    }
+  }
+
+  /** CONTAINMENT candidate pairs — the asymmetric-duplication case
+    * MinHash LSH structurally misses: a short document wholly quoted
+    * inside a long one has containment |A∩B|/|A| = 1 but Jaccard
+    * |A∩B|/|A∪B| ≈ |A|/|B|, far below any banding threshold (Broder
+    * 1997 distinguishes "resemblance" from "containment" for exactly
+    * this reason). Generation is probe-vs-index: each doc PROBES with
+    * its bottom-`m` shingle hashes (the m smallest — a deterministic
+    * uniform sample of its set, so a fully-contained doc's probes ALL
+    * appear in its container), against an inverted index of every doc's
+    * full distinct shingle-hash set. Index hashes occurring in more
+    * than `maxDocFreq` docs are dropped before pairing — the stopword
+    * shingles that would pair everything with everything carry no
+    * containment signal (the standard prefix-filter pruning); dropped
+    * hashes cost candidate RECALL on that hash only, never wrong rows,
+    * and the per-probe join cost is bounded by m × maxDocFreq.
+    *
+    * Scale shape: shingle kernel runs once per doc; the index is a
+    * linear explode shuffled on the hash; the doc-frequency cap is one
+    * map-side-combined count; pairs are hash-bucket joins — never
+    * corpus×corpus. Returns (inner_id, outer_id) distinct, inner≠outer,
+    * both directions generated symmetrically. */
+  def containmentCandidates(
+      df: DataFrame,
+      m: Int = 8,
+      shingleWords: Int = 3,
+      maxDocFreq: Int = 256,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(m >= 1, s"probe sample size must be >= 1, got $m")
+    val sh = df.select(col(idCol),
+        shingleHashKernel(col(textCol), lit(shingleWords)).as("_ss"))
+      .transform(graft.Stage.materialize)
+    // kernel output is sorted distinct: bottom-m is a prefix slice
+    val probes = sh.select(col(idCol).as("_pid"),
+      explode(slice(col("_ss"), 1, m)).as("gh"))
+    val index = sh.select(col(idCol).as("_iid"), explode(col("_ss")).as("gh"))
+    val common = index.groupBy("gh").agg(count(lit(1)).as("_df"))
+      .filter(col("_df") > maxDocFreq).select("gh")
+    val kept = index.join(broadcast(common), Seq("gh"), "left_anti")
+    probes.join(kept, "gh")
+      .filter(col("_pid") =!= col("_iid"))
+      .select(col("_pid").as("inner_id"), col("_iid").as("outer_id"))
+      .distinct()
+  }
+
+  /** Exact containment verification for (inner, outer) candidate pairs:
+    * C(inner ⊆ outer) = |inner∩outer| / |inner| over distinct
+    * `shingleWords`-gram shingle sets, keeping pairs ≥ `threshold`.
+    * Same economics as [[jaccardVerify]]: only candidate-touched docs
+    * get their shingle sets hashed (semi-join first), each pair costs
+    * one sorted-merge pass. Returns (inner_id, outer_id, containment). */
+  def containmentVerify(
+      candidates: DataFrame,
+      docs: DataFrame,
+      threshold: Double = 0.8,
+      shingleWords: Int = 3,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val cand = candidates.transform(graft.Stage.materialize)
+    val touched = cand.select(col("inner_id").as(idCol))
+      .union(cand.select(col("outer_id").as(idCol))).distinct()
+    val sets = docs.join(touched, Seq(idCol), "left_semi")
+      .select(col(idCol), shingleHashKernel(col(textCol), lit(shingleWords)).as("_ss"))
+      .transform(graft.Stage.materialize)
+    cand
+      .join(sets.select(col(idCol).as("inner_id"), col("_ss").as("_sa")), "inner_id")
+      .join(sets.select(col(idCol).as("outer_id"), col("_ss").as("_sb")), "outer_id")
+      .select(col("inner_id"), col("outer_id"),
+        containmentSortedKernel(col("_sa"), col("_sb")).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** Embedding cosine near-dup: LSH-bucket by random-hyperplane signs
     * (deterministic seeded planes), verify exact cosine within buckets.
     *

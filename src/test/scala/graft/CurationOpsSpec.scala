@@ -497,6 +497,35 @@ class CurationOpsSpec extends SparkTestBase {
       .collect().map(_.getLong(0)).toSet == Set(10L, 11L, 12L, 13L))
   }
 
+  test("containment: doc-quoted-inside-doc found at 1.0 where jaccard fails, " +
+    "exact dups bidirectional, asymmetry filtered") {
+    val short_ = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    val docs = Seq(
+      (1L, short_), // 12 tokens -> 10 distinct 3-shingles
+      // short_ verbatim inside a much longer doc: containment(1 in 2)=1.0
+      (2L, "opening section covers mountains rivers coastlines weather farming " +
+        short_ + " closing section trade ports railways museums universities " +
+        "hospitals stadiums markets gardens bridges"),
+      (3L, "completely unrelated content about spark query engines and shuffles"),
+      (4L, "completely unrelated content about spark query engines and shuffles") // dup of 3
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentVerify(
+        Dedup.containmentCandidates(docs, m = 8), docs, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.get((1L, 2L)).contains(1.0), s"quoted doc must be fully contained: $got")
+    assert(got.get((3L, 4L)).contains(1.0) && got.get((4L, 3L)).contains(1.0),
+      s"exact dups contain each other: $got")
+    assert(!got.contains((2L, 1L)), "the big doc is NOT contained in the small one")
+    assert(!got.keySet.exists { case (a, b) => Set(a, b) == Set(1L, 3L) })
+    // same pair through symmetric jaccard at a mild 0.5: diluted away
+    import spark.implicits._
+    val pair = Seq((1L, 2L)).toDF("id_a", "id_b")
+    assert(Dedup.jaccardVerify(pair, docs, threshold = 0.5).count() == 0,
+      "whole-doc jaccard must dilute the quoted pair below 0.5")
+    // stopword-shingle pruning: df cap 1 drops every shared hash -> no pairs
+    assert(Dedup.containmentCandidates(docs, m = 8, maxDocFreq = 1).count() == 0)
+  }
+
   test("groupPercentiles: hand-computed nearest-rank selection off the histogram") {
     val df = Seq(("a", 10L), ("a", 20L), ("a", 30L), ("a", 40L),
       ("b", 5L), ("b", 5L), ("b", 5L), ("b", 7L), ("c", 99L))
