@@ -1126,11 +1126,13 @@ object Dedup {
     train.join(bad, Seq(idCol), "left_anti")
   }
 
-  /** Flat word n-gram hash stream kernel: every gram position's
-    * md5-lower-64 & (2^61-1) hash — same tokenization and hash contract
-    * as [[posGramKernel]], positions dropped (overlap counting needs the
-    * multiset of gram occurrences, not where they sit). */
-  private val gramHashKernel = udf { (text: String, n: Int) =>
+  /** Flat word n-gram hash stream: every gram position's md5-lower-64 &
+    * (2^61-1) hash — same tokenization and hash contract as
+    * [[posGramKernel]], positions dropped (overlap counting needs the
+    * multiset of gram occurrences, not where they sit). Shared by the
+    * batch kernel and the streaming twin so their numbers agree by
+    * construction. */
+  private[graft] def gramHashes(text: String, n: Int): Array[Long] = {
     val toks =
       if (text == null) Array.empty[String]
       else text.trim.toLowerCase.split("\\W+").filter(_.nonEmpty)
@@ -1149,6 +1151,32 @@ object Dedup {
       }
       out
     }
+  }
+
+  private val gramHashKernel = udf { (text: String, n: Int) => gramHashes(text, n) }
+
+  /** The eval suite's distinct n-gram hashes as a SORTED driver array —
+    * the broadcastable "contamination model" [[ngramOverlapReport]] and
+    * the streaming gate share (8 bytes/gram: a million-gram benchmark
+    * suite is 8 MB). */
+  def evalGramSet(evalDocs: DataFrame, n: Int = 8,
+      textCol: String = "text"): Array[Long] = {
+    val arr = evalDocs
+      .select(explode(gramHashKernel(col(textCol), lit(n))).as("gh")).distinct()
+      .collect().map(_.getLong(0))
+    java.util.Arrays.sort(arr)
+    arr
+  }
+
+  /** Count of gram positions whose hash is in the sorted eval array. */
+  private[graft] def gramHitCount(gs: Array[Long], evalSorted: Array[Long]): Long = {
+    var c = 0L
+    var i = 0
+    while (i < gs.length) {
+      if (java.util.Arrays.binarySearch(evalSorted, gs(i)) >= 0) c += 1L
+      i += 1
+    }
+    c
   }
 
   /** Exact n-gram overlap CONTAMINATION REPORT — the GPT-3-style
@@ -1187,8 +1215,7 @@ object Dedup {
     val evalGrams = evalDocs
       .select(explode(gramHashKernel(col(textCol), lit(n))).as("gh")).distinct()
     if (broadcastEval) {
-      val evalArr = evalGrams.collect().map(_.getLong(0))
-      java.util.Arrays.sort(evalArr)
+      val evalArr = evalGramSet(evalDocs, n, textCol)
       val bc = train.sparkSession.sparkContext.broadcast(evalArr)
       val hitsKernel = udf { gs: Seq[Long] =>
         val arr = bc.value

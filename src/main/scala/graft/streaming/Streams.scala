@@ -405,6 +405,26 @@ object Streams {
     * Unicode casing is the one documented divergence). Output schema
     * matches the batch gate: (idCol, n_hits, bm25_rel DECIMAL(38,0)).
     */
+  /** Streaming twin of [[graft.pipeline.Dedup.ngramOverlapReport]]'s
+    * broadcast path: the eval suite's sorted distinct gram hashes are
+    * computed ONCE batch-side ([[graft.pipeline.Dedup.evalGramSet]]) and
+    * close over a stateless per-row kernel — no state store, no
+    * watermark, every micro-batch scores independently. Shares the
+    * batch gram/hash/count kernels, so batch and stream agree by
+    * construction (StreamingSpec pins parity). Emits the batch report's
+    * schema: (idCol, n_grams, hit_grams, contaminated). */
+  def streamingNgramReport(docs: DataFrame, evalGrams: Array[Long],
+      n: Int = 8, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val rep = udf { (text: String) =>
+      val gs = graft.pipeline.Dedup.gramHashes(text, n)
+      (gs.length.toLong, graft.pipeline.Dedup.gramHitCount(gs, evalGrams))
+    }
+    docs.withColumn("_r", rep(col(textCol)))
+      .select(col(idCol), col("_r._1").as("n_grams"),
+        col("_r._2").as("hit_grams"), (col("_r._2") > 0).as("contaminated"))
+  }
+
   def streamingBm25Gate(docs: DataFrame,
       model: graft.pipeline.TextAnalysis.Bm25Model,
       queryTerms: Seq[String], idCol: String = "doc_id",

@@ -570,6 +570,35 @@ object ScaleProbe {
       println(s"graph tap vs inline differing rows (must be 0): $drift")
       assert(drift == 0L, "persisted-tap graph analytics drifted from inline")
     }
+
+    // ngram decontamination + containment (round 10): the ngram report
+    // is ONE narrow kernel pass against a broadcast sorted gram array —
+    // zero shuffles, so 10× docs should cost ~10× scan, nothing
+    // super-linear. Containment rides the df-capped inverted shingle
+    // index: 10×-replicated docs form 10-member exact-dup families, so
+    // candidates grow ~linearly in family edges (each doc pairs with its
+    // ~9 copies), never quadratically in the corpus.
+    {
+      import graft.pipeline.Dedup
+      val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      val docs10 = (1 to 10).map(i =>
+          docs.withColumn("doc_id", col("doc_id") + lit(i * 10000000L)))
+        .reduce(_ unionAll _)
+        .transform(graft.Stage.materialize)
+      val evalSlice = docs.filter(col("source").isin("src0", "src1"))
+      time("ngram report @5k docs (broadcast, 1 narrow pass)")(
+        Dedup.ngramOverlapReport(docs, evalSlice, n = 6).count())
+      time("ngram report @50k docs (broadcast, 1 narrow pass)")(
+        Dedup.ngramOverlapReport(docs10, evalSlice, n = 6).count())
+      time("containment cand+verify @5k docs")(
+        Dedup.containmentVerify(
+          Dedup.containmentCandidates(docs, m = 8, maxDocFreq = 64),
+          docs, threshold = 0.8).count())
+      time("containment cand+verify @50k docs (10-member dup families)")(
+        Dedup.containmentVerify(
+          Dedup.containmentCandidates(docs10, m = 8, maxDocFreq = 64),
+          docs10, threshold = 0.8).count())
+    }
     spark.stop()
   }
 }

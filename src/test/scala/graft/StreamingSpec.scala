@@ -506,4 +506,32 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.exists(_._2 > 0L), "probe should include docs with hits")
     q.stop()
   }
+
+  test("streaming ngram contamination report: exact batch parity, stateless") {
+    import graft.pipeline.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val evalSlice = corpus.filter(col("source").isin("src0", "src1"))
+    val train = corpus.filter(!col("source").isin("src0", "src1"))
+    val grams = Dedup.evalGramSet(evalSlice, n = 6)
+    val probe = train.orderBy("doc_id").limit(8)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val in = MemoryStream[(Long, String)]
+    val rep = Streams.streamingNgramReport(
+      in.toDF().toDF("doc_id", "text"), grams, n = 6)
+    val q = Streams.toMemory(rep, "ngram_stream", "append")
+    in.addData(probe.toIndexedSeq)
+    q.processAllAvailable()
+    def asSet(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+    val streamed = asSet(spark.table("ngram_stream").collect())
+    val batch = asSet(Dedup.ngramOverlapReport(train, evalSlice, n = 6)
+      .filter(col("doc_id").isin(probe.map(_._1).toSeq: _*)).collect())
+    assert(streamed == batch, s"\nstream: $streamed\n batch: $batch")
+    // a second delivery of the same rows re-emits identically: stateless
+    in.addData(probe.toIndexedSeq)
+    q.processAllAvailable()
+    assert(asSet(spark.table("ngram_stream").collect()) == batch)
+    q.stop()
+  }
 }
