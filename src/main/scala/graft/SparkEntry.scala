@@ -206,7 +206,14 @@ object SparkEntry {
   private def q21(s: SparkSession, d: String): DataFrame =
     query("?c_mktsegment", "?var_bal")(
       customer(d)("_", "_", "_", "?bal", "?c_mktsegment"),
-      Ops.times("?bal", "?bal") :> "?bal2",
+      // square IN DECIMAL: (18,4)² is exact integer arithmetic on every
+      // engine. Squaring in double and casting the product to decimal is
+      // engine-divergent — Spark rounds the product's EXACT binary
+      // expansion, DuckDB rounds the lossy d*1e8 double — a per-row
+      // last-digit skew that accumulates into visible output ulps at 10×
+      // the driver's scale (the round-10 sf1 probe caught it).
+      Ops.cmap(cs => cs.head.cast(DecimalType(18, 4)) *
+        cs.head.cast(DecimalType(18, 4)))("?bal") :> "?bal2",
       Ops.count() :> "?n",
       Ops.sumDec(28, 8)("?bal2") :> "?sx2",
       Ops.sumDec()("?bal") :> "?sx",
@@ -1734,7 +1741,8 @@ object SparkEntry {
     "q21_variance" ->
       """SELECT c_mktsegment, a - m*m AS var_bal FROM
         |(SELECT c_mktsegment,
-        |  CAST(CAST(SUM(CAST(c_acctbal*c_acctbal AS DECIMAL(28,8))) AS VARCHAR) AS DOUBLE)/COUNT(*) AS a,
+        |  CAST(CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(18,4)) * CAST(c_acctbal AS DECIMAL(18,4))
+        |    AS DECIMAL(28,8))) AS VARCHAR) AS DOUBLE)/COUNT(*) AS a,
         |  CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)/COUNT(*) AS m
         | FROM customer GROUP BY c_mktsegment) t""".stripMargin,
     "q22_events_agg" ->
