@@ -1109,6 +1109,14 @@ object SparkEntry {
       docs, threshold = 0.8)
   }
 
+  /** Quality-keyed near-dup dedup ([[Dedup.nearDupDedupBy]]): same
+    * pipeline as p11 but each duplicate cluster keeps its LONGEST member
+    * (score = n_chars, ties → min id) — the survivor policy real
+    * curation uses, oracle-replayed over the p11 component CTE. */
+  private def p76(s: SparkSession, d: String): DataFrame =
+    Dedup.nearDupDedupBy(tbl(d, "documents")(s), "n_chars", threshold = 0.6)
+      .select("doc_id", "lang", "source", "n_chars")
+
   /** [[Dedup.hammingCandidates]] over PRECOMPUTED 64-bit codes — the
     * engine every multimodal near-dup rides (image pHash, audio
     * fingerprint, video frame hashes). Codes here are md5-derived from
@@ -1520,6 +1528,7 @@ object SparkEntry {
     "p73_unigram_seed" -> (p73 _),
     "p74_ngram_decontam" -> (p74 _),
     "p75_containment" -> (p75 _),
+    "p76_quality_dedup" -> (p76 _),
     "p31_span_excise" -> (p31 _),
     "p32_chunking" -> (p32 _),
     "p33_mixture_weights" -> (p33 _)
@@ -1580,7 +1589,11 @@ object SparkEntry {
       |  AND d.doc_id NOT IN (SELECT train_id FROM bad)""".stripMargin
 
   /** Shared by p11 (min-label CC) and p17 (star CC): identical output. */
-  private lazy val neardupOracleSql: String =
+  /** Common oracle chain of the end-to-end near-dup dedups: minhash →
+    * banding → jaccard-0.6 verify → recursive-CTE components, ending at
+    * `comp (id, component)`. p11/p17 append min-id survivor selection;
+    * p76 appends the quality-keyed (max n_chars, ties min id) variant. */
+  private lazy val neardupCompCte: String =
     """WITH RECURSIVE tk AS (
           |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\W+'),
           |    x -> x != '') AS toks FROM documents),
@@ -1620,12 +1633,32 @@ object SparkEntry {
           |  SELECT DISTINCT s AS id, s AS lab FROM sym
           |  UNION
           |  SELECT sym.d AS id, reach.lab FROM reach JOIN sym ON sym.s = reach.id),
-          |comp AS (SELECT id, MIN(lab) AS component FROM reach GROUP BY id),
-          |keep AS (SELECT component, MIN(id) AS doc_id FROM comp GROUP BY component)
-          |SELECT d.doc_id, d.lang, d.source FROM documents d
-          |LEFT JOIN comp ON comp.id = d.doc_id WHERE comp.id IS NULL
-          |UNION ALL
-          |SELECT d.doc_id, d.lang, d.source FROM keep JOIN documents d ON d.doc_id = keep.doc_id""".stripMargin
+          |comp AS (SELECT id, MIN(lab) AS component FROM reach GROUP BY id)""".stripMargin
+
+  private lazy val neardupOracleSql: String = neardupCompCte +
+    """,
+      |keep AS (SELECT component, MIN(id) AS doc_id FROM comp GROUP BY component)
+      |SELECT d.doc_id, d.lang, d.source FROM documents d
+      |LEFT JOIN comp ON comp.id = d.doc_id WHERE comp.id IS NULL
+      |UNION ALL
+      |SELECT d.doc_id, d.lang, d.source FROM keep JOIN documents d ON d.doc_id = keep.doc_id""".stripMargin
+
+  /** p76: quality-keyed survivors — per component keep the max-n_chars
+    * member, ties broken by min id (the engine casts scores to double;
+    * n_chars < 2^53 so the cast is lossless and the comparison exact). */
+  private lazy val neardupByOracleSql: String = neardupCompCte +
+    """,
+      |cscore AS (SELECT comp.component, comp.id, d.n_chars
+      |  FROM comp JOIN documents d ON d.doc_id = comp.id),
+      |best AS (SELECT component, MAX(n_chars) AS b FROM cscore GROUP BY component),
+      |keep AS (SELECT c.component, MIN(c.id) AS doc_id
+      |  FROM cscore c JOIN best USING (component)
+      |  WHERE c.n_chars = best.b GROUP BY c.component)
+      |SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d
+      |LEFT JOIN comp ON comp.id = d.doc_id WHERE comp.id IS NULL
+      |UNION ALL
+      |SELECT d.doc_id, d.lang, d.source, d.n_chars
+      |FROM keep JOIN documents d ON d.doc_id = keep.doc_id""".stripMargin
 
   /** Shared oracle CTE chain replicating [[Dedup.minhashCandidates]]
     * (k=64, bands=16, 3-word shingles) over `documents`: ends at `pairs`
@@ -2133,6 +2166,7 @@ object SparkEntry {
         |WHERE rn <= 10""".stripMargin,
     "p11_neardup_dedup" -> neardupOracleSql,
     "p17_neardup_star" -> neardupOracleSql,
+    "p76_quality_dedup" -> neardupByOracleSql,
     "p18_contamination" ->
       """WITH tk AS (
         |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\W+'),

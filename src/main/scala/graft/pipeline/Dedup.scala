@@ -930,9 +930,43 @@ object Dedup {
     survivors(df, idCol, pairs.select("id_a", "id_b"), ccAlgorithm)
   }
 
+  /** [[nearDupDedup]] with QUALITY-AWARE survivor selection: each
+    * duplicate cluster keeps its highest-`scoreCol` member (ties → min
+    * id) instead of the min id — the curation policy real pipelines
+    * want (keep the longest / cleanest member: score = length, a
+    * [[graft.pipeline.TextAnalysis.qualityScore]] component, a
+    * classifier logit). Same candidate/verify/CC machinery; scores cast
+    * to double, null scores rank below every non-null score (an
+    * all-null cluster falls back to min id). */
+  def nearDupDedupBy(
+      df: DataFrame,
+      scoreCol: String,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      k: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.8,
+      maxBucketSize: Int = SessionBucketCap,
+      ccAlgorithm: String = "label"): DataFrame = {
+    val cands = minhashCandidates(df, textCol, idCol, k, bands,
+      maxBucketSize = maxBucketSize)
+    val verified = jaccardVerify(cands, df, textCol, idCol, threshold = threshold)
+    survivorsBy(df, idCol, Some(scoreCol), verified.select("id_a", "id_b"),
+      ccAlgorithm)
+  }
+
   /** Shared consolidation tail of the end-to-end dedups: cluster the
     * verified pairs, keep min id per component + all unclustered rows. */
   private def survivors(df: DataFrame, idCol: String, pairs: DataFrame,
+      ccAlgorithm: String): DataFrame =
+    survivorsBy(df, idCol, None, pairs, ccAlgorithm)
+
+  /** Consolidation with an optional quality key: representative = max
+    * score then min id (no score: min id). The component table is
+    * cluster-sized — a small fraction of the corpus — so the extra
+    * best-score aggregation is cheap next to candidate generation. */
+  private def survivorsBy(df: DataFrame, idCol: String,
+      scoreCol: Option[String], pairs: DataFrame,
       ccAlgorithm: String): DataFrame = {
     val comp = ccAlgorithm match {
       case "label" => components(pairs)
@@ -940,7 +974,21 @@ object Dedup {
       case other => throw new IllegalArgumentException(
         s"ccAlgorithm must be 'label' or 'star', got '$other'")
     }
-    val keep = comp.groupBy("component").agg(min("id").as(idCol)).select(idCol)
+    val keep = scoreCol match {
+      case None =>
+        comp.groupBy("component").agg(min("id").as(idCol)).select(idCol)
+      case Some(sc) =>
+        val scored = comp.join(
+          df.select(col(idCol).as("id"), col(sc).cast("double").as("_sc")), "id")
+          .transform(graft.Stage.materialize) // best + keep both read it
+        val best = scored.groupBy("component").agg(max(col("_sc")).as("_best"))
+        scored.join(best, "component")
+          // null-safe: an all-null-score component matches null <=> null
+          // and falls back to min id
+          .filter(col("_sc") <=> col("_best"))
+          .groupBy("component").agg(min(col("id")).as(idCol))
+          .select(idCol)
+    }
     val clustered = comp.select(col("id").as(idCol))
     df.join(clustered, Seq(idCol), "left_anti") // never-clustered rows
       .select(col(idCol))

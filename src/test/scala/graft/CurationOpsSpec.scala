@@ -526,6 +526,37 @@ class CurationOpsSpec extends SparkTestBase {
     assert(Dedup.containmentCandidates(docs, m = 8, maxDocFreq = 1).count() == 0)
   }
 
+  test("nearDupDedupBy: cluster keeps best-scored member, ties min id, nulls last") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today", 10.0),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight", 50.0),
+      (4L, "the quick brown fox jumps over the lazy dog near the river bank today", 50.0),
+      (3L, "completely different content about spark query engines and shuffles", 1.0),
+      (5L, "unrelated text mentioning databases and columnar storage formats here", 2.0)
+    ).toDF("doc_id", "text", "score")
+    // family {1,2,4}: best score 50 on {2,4} -> tie broken by min id = 2
+    val kept = Dedup.nearDupDedupBy(docs, "score", threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L, 5L), s"got $kept")
+    // schema preserved, min-id baseline differs (keeps 1)
+    assert(Dedup.nearDupDedupBy(docs, "score", threshold = 0.5).columns.toSeq ==
+      Seq("doc_id", "text", "score"))
+    assert(Dedup.nearDupDedup(docs, threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 3L, 5L))
+    // nulls: non-null beats null; an all-null cluster falls back to min id
+    val dupA = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val dupB = "completely different content about spark query engines and shuffles today"
+    val withNulls = Seq(
+      (1L, dupA, None: Option[Double]),
+      (2L, dupA, Some(3.0)),
+      (3L, dupB, None: Option[Double]),
+      (4L, dupB, None: Option[Double])
+    ).toDF("doc_id", "text", "score")
+    val keptN = Dedup.nearDupDedupBy(withNulls, "score", threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptN == Set(2L, 3L), s"got $keptN")
+  }
+
   test("groupPercentiles: hand-computed nearest-rank selection off the histogram") {
     val df = Seq(("a", 10L), ("a", 20L), ("a", 30L), ("a", 40L),
       ("b", 5L), ("b", 5L), ("b", 5L), ("b", 7L), ("c", 99L))
