@@ -1352,9 +1352,12 @@ object Dedup {
       m: Int = 8,
       shingleWords: Int = 3,
       maxDocFreq: Int = 256,
+      minProbeHits: Int = 1,
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     require(m >= 1, s"probe sample size must be >= 1, got $m")
+    require(minProbeHits >= 1 && minProbeHits <= m,
+      s"minProbeHits must be in [1, m=$m], got $minProbeHits")
     val sh = df.select(col(idCol),
         shingleHashKernel(col(textCol), lit(shingleWords)).as("_ss"))
       .transform(graft.Stage.materialize)
@@ -1365,10 +1368,27 @@ object Dedup {
     val common = index.groupBy("gh").agg(count(lit(1)).as("_df"))
       .filter(col("_df") > maxDocFreq).select("gh")
     val kept = index.join(broadcast(common), Seq("gh"), "left_anti")
+    // The probe-hit count IS a containment sketch: bottom-m is a uniform
+    // m-sample of the inner set, so a pair at true containment c hits
+    // ~c·m probes. `minProbeHits` (deterministic, oracle-replayable
+    // PREFILTER semantics) drops pairs whose sketch cannot plausibly
+    // clear the verify threshold BEFORE the expensive exact merge — at
+    // sf0.1 a hits>=6-of-8 prefilter cut 382k candidate pairs to 512
+    // with the verified survivor set IDENTICAL, verify 9.0 s → 0.5 s
+    // (BASELINE round 10); default 1 keeps every sharing pair (pure
+    // recall).
+    // a doc with fewer than m distinct shingles issues fewer probes, so
+    // the gate clamps to its issued-probe count (a fully-contained tiny
+    // doc hits ALL its probes and must stay eligible)
+    val np = sh.select(col(idCol).as("_pid"),
+      least(size(col("_ss")), lit(m)).as("_np"))
     probes.join(kept, "gh")
       .filter(col("_pid") =!= col("_iid"))
+      .groupBy("_pid", "_iid")
+      .agg(count(lit(1)).as("_hits"))
+      .join(np, "_pid")
+      .filter(col("_hits") >= least(lit(minProbeHits), col("_np")))
       .select(col("_pid").as("inner_id"), col("_iid").as("outer_id"))
-      .distinct()
   }
 
   /** Exact containment verification for (inner, outer) candidate pairs:

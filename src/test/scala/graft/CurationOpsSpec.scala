@@ -524,6 +524,14 @@ class CurationOpsSpec extends SparkTestBase {
       "whole-doc jaccard must dilute the quoted pair below 0.5")
     // stopword-shingle pruning: df cap 1 drops every shared hash -> no pairs
     assert(Dedup.containmentCandidates(docs, m = 8, maxDocFreq = 1).count() == 0)
+    // sketch prefilter: full containments hit ALL m probes, so they
+    // survive even the strictest gate
+    val strict = Dedup.containmentVerify(
+        Dedup.containmentCandidates(docs, m = 8, minProbeHits = 8),
+        docs, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(strict.contains((1L, 2L)) && strict.contains((3L, 4L)) &&
+      strict.contains((4L, 3L)), s"got $strict")
   }
 
   test("nearDupDedupBy: cluster keeps best-scored member, ties min id, nulls last") {
