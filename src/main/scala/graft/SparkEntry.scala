@@ -1119,6 +1119,14 @@ object SparkEntry {
     Dedup.nearDupDedupBy(tbl(d, "documents")(s), "n_chars", threshold = 0.6)
       .select("doc_id", "lang", "source", "n_chars")
 
+  /** Subsumption dedup ([[Dedup.containmentDedup]]): p75's containment
+    * machinery as a curation pass — drop docs ≥0.8-contained in a
+    * strictly larger doc (ties keep the smaller id). */
+  private def p77(s: SparkSession, d: String): DataFrame =
+    Dedup.containmentDedup(tbl(d, "documents")(s), threshold = 0.8,
+      m = 8, maxDocFreq = 64, minProbeHits = 6)
+      .select("doc_id", "lang", "source")
+
   /** [[Dedup.hammingCandidates]] over PRECOMPUTED 64-bit codes — the
     * engine every multimodal near-dup rides (image pHash, audio
     * fingerprint, video frame hashes). Codes here are md5-derived from
@@ -1531,6 +1539,7 @@ object SparkEntry {
     "p74_ngram_decontam" -> (p74 _),
     "p75_containment" -> (p75 _),
     "p76_quality_dedup" -> (p76 _),
+    "p77_subsumption" -> (p77 _),
     "p31_span_excise" -> (p31 _),
     "p32_chunking" -> (p32 _),
     "p33_mixture_weights" -> (p33 _)
@@ -3588,44 +3597,63 @@ object SparkEntry {
     // p75: bottom-8 probe hashes vs the df<=64-capped inverted shingle
     // index -> exact containment |A∩B|/|A| >= 0.8 (hash = 61-bit md5 of
     // the 3-word shingle string; <=3-token docs shingle as whole text)
-    "p75_containment" ->
-      """WITH tk AS (
-        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\W+'),
-        |    x -> x != '') AS toks FROM documents),
-        |shs AS (
-        |  SELECT doc_id, CASE
-        |    WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
-        |    WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
-        |    ELSE list_distinct(list_transform(generate_series(1, len(toks) - 2),
-        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END AS sset
-        |  FROM tk),
-        |sh AS (
-        |  SELECT doc_id, CAST(md5_number_lower(s) & 2305843009213693951 AS BIGINT) AS gh
-        |  FROM (SELECT doc_id, unnest(sset) AS s FROM shs) u GROUP BY 1, 2),
-        |keep AS (SELECT gh FROM sh GROUP BY gh HAVING COUNT(*) <= 64),
-        |botm AS (SELECT doc_id, gh FROM (
-        |    SELECT doc_id, gh, row_number() OVER (PARTITION BY doc_id ORDER BY gh) AS rn
-        |    FROM sh) q WHERE rn <= 8),
-        |np AS (SELECT doc_id, LEAST(COUNT(*), 8) AS np FROM sh GROUP BY doc_id),
-        |cand AS (
-        |  SELECT inner_id, outer_id FROM (
-        |    SELECT b.doc_id AS inner_id, i.doc_id AS outer_id, COUNT(*) AS h
-        |    FROM botm b JOIN sh i USING (gh) JOIN keep USING (gh)
-        |    WHERE b.doc_id != i.doc_id GROUP BY 1, 2) c
-        |  JOIN np ON np.doc_id = c.inner_id
-        |  WHERE c.h >= LEAST(6, np.np)),
-        |inter AS (
-        |  SELECT c.inner_id, c.outer_id, COUNT(*) AS i_n
-        |  FROM cand c JOIN sh sa ON sa.doc_id = c.inner_id
-        |    JOIN sh sb ON sb.doc_id = c.outer_id AND sb.gh = sa.gh
-        |  GROUP BY 1, 2),
-        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
-        |SELECT inner_id, outer_id, containment FROM (
-        |  SELECT c.inner_id, c.outer_id,
-        |    CAST(COALESCE(i.i_n, 0) AS DOUBLE) / sz.n AS containment
-        |  FROM cand c LEFT JOIN inter i
-        |    ON i.inner_id = c.inner_id AND i.outer_id = c.outer_id
-        |  JOIN sz ON sz.doc_id = c.inner_id) t
-        |WHERE containment >= 0.8""".stripMargin
+    "p75_containment" -> (containCte +
+      """
+        |SELECT inner_id, outer_id, containment FROM scored
+        |WHERE containment >= 0.8""".stripMargin),
+    // p77: subsumption dedup — drop every doc >=0.8-contained in a doc
+    // with a strictly larger shingle set (ties -> smaller id survives)
+    "p77_subsumption" -> (containCte +
+      """,
+        |dropd AS (SELECT DISTINCT s.inner_id AS doc_id
+        |  FROM scored s JOIN sz a ON a.doc_id = s.inner_id
+        |    JOIN sz b ON b.doc_id = s.outer_id
+        |  WHERE s.containment >= 0.8
+        |    AND (b.n > a.n OR (b.n = a.n AND s.outer_id < s.inner_id)))
+        |SELECT d.doc_id, d.lang, d.source FROM documents d
+        |LEFT JOIN dropd USING (doc_id) WHERE dropd.doc_id IS NULL""".stripMargin)
   )
+
+  /** Shared oracle chain of the containment family (p75/p77): shingle
+    * sets → 61-bit hashes → df-capped index, bottom-8 probes, ≥6-of-8
+    * (clamped) prefilter, exact intersection — ending at
+    * `scored (inner_id, outer_id, containment)` and `sz (doc_id, n)`. */
+  private lazy val containCte: String =
+    """WITH tk AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\W+'),
+      |    x -> x != '') AS toks FROM documents),
+      |shs AS (
+      |  SELECT doc_id, CASE
+      |    WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+      |    WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+      |    ELSE list_distinct(list_transform(generate_series(1, len(toks) - 2),
+      |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END AS sset
+      |  FROM tk),
+      |sh AS (
+      |  SELECT doc_id, CAST(md5_number_lower(s) & 2305843009213693951 AS BIGINT) AS gh
+      |  FROM (SELECT doc_id, unnest(sset) AS s FROM shs) u GROUP BY 1, 2),
+      |keep AS (SELECT gh FROM sh GROUP BY gh HAVING COUNT(*) <= 64),
+      |botm AS (SELECT doc_id, gh FROM (
+      |    SELECT doc_id, gh, row_number() OVER (PARTITION BY doc_id ORDER BY gh) AS rn
+      |    FROM sh) q WHERE rn <= 8),
+      |np AS (SELECT doc_id, LEAST(COUNT(*), 8) AS np FROM sh GROUP BY doc_id),
+      |cand AS (
+      |  SELECT inner_id, outer_id FROM (
+      |    SELECT b.doc_id AS inner_id, i.doc_id AS outer_id, COUNT(*) AS h
+      |    FROM botm b JOIN sh i USING (gh) JOIN keep USING (gh)
+      |    WHERE b.doc_id != i.doc_id GROUP BY 1, 2) c
+      |  JOIN np ON np.doc_id = c.inner_id
+      |  WHERE c.h >= LEAST(6, np.np)),
+      |inter AS (
+      |  SELECT c.inner_id, c.outer_id, COUNT(*) AS i_n
+      |  FROM cand c JOIN sh sa ON sa.doc_id = c.inner_id
+      |    JOIN sh sb ON sb.doc_id = c.outer_id AND sb.gh = sa.gh
+      |  GROUP BY 1, 2),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |scored AS (
+      |  SELECT c.inner_id, c.outer_id,
+      |    CAST(COALESCE(i.i_n, 0) AS DOUBLE) / sz.n AS containment
+      |  FROM cand c LEFT JOIN inter i
+      |    ON i.inner_id = c.inner_id AND i.outer_id = c.outer_id
+      |  JOIN sz ON sz.doc_id = c.inner_id)""".stripMargin
 }

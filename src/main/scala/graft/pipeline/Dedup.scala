@@ -1418,6 +1418,44 @@ object Dedup {
       .filter(col("containment") >= threshold)
   }
 
+  /** SUBSUMPTION dedup: drop every doc that is ≥ `threshold` contained
+    * (shingle-set containment |A∩B|/|A|) in a doc with a STRICTLY larger
+    * shingle set — ties (equal set sizes, e.g. exact dups) keep the
+    * smaller id. The policy is one anti-join over the verified pair
+    * list, no iteration; the (size, id) ordering makes the drop relation
+    * acyclic, so survivors are well-defined in a single pass. Note the
+    * standard subsumption caveat: at threshold < 1 a dropped doc's own
+    * container may itself be dropped by a third doc — accepted, as in
+    * shingle-containment dedup generally (Broder 1997). */
+  def containmentDedup(
+      df: DataFrame,
+      threshold: Double = 0.8,
+      m: Int = 8,
+      shingleWords: Int = 3,
+      maxDocFreq: Int = 256,
+      minProbeHits: Int = 1,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val pairs = containmentVerify(
+      containmentCandidates(df, m, shingleWords, maxDocFreq, minProbeHits,
+        textCol, idCol),
+      df, threshold, shingleWords, textCol, idCol)
+      .transform(graft.Stage.materialize)
+    val touched = pairs.select(col("inner_id").as(idCol))
+      .union(pairs.select(col("outer_id").as(idCol))).distinct()
+    val sz = df.join(touched, Seq(idCol), "left_semi")
+      .select(col(idCol),
+        size(shingleHashKernel(col(textCol), lit(shingleWords))).as("_n"))
+      .transform(graft.Stage.materialize)
+    val dropped = pairs
+      .join(sz.select(col(idCol).as("inner_id"), col("_n").as("_na")), "inner_id")
+      .join(sz.select(col(idCol).as("outer_id"), col("_n").as("_nb")), "outer_id")
+      .filter(col("_nb") > col("_na") ||
+        (col("_nb") === col("_na") && col("outer_id") < col("inner_id")))
+      .select(col("inner_id").as(idCol)).distinct()
+    df.join(dropped, Seq(idCol), "left_anti")
+  }
+
   /** Embedding cosine near-dup: LSH-bucket by random-hyperplane signs
     * (deterministic seeded planes), verify exact cosine within buckets.
     *

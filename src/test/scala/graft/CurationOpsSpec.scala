@@ -534,6 +534,25 @@ class CurationOpsSpec extends SparkTestBase {
       strict.contains((4L, 3L)), s"got $strict")
   }
 
+  test("containmentDedup: subsumed docs drop, equal sets keep min id, chains collapse") {
+    val a = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val b = "intro words preface " + a + " closing words appendix"
+    val c = "volume one begins here " + b + " volume ends with index pages references"
+    val docs = Seq(
+      (1L, a), // contained in 2 and 3
+      (2L, b), // contained in 3
+      (3L, c),
+      (4L, "completely unrelated content about spark query engines and shuffles"),
+      (5L, "completely unrelated content about spark query engines and shuffles") // dup of 4
+    ).toDF("doc_id", "text")
+    val kept = Dedup.containmentDedup(docs, threshold = 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // chain a ⊂ b ⊂ c collapses to c; {4,5} equal sets keep min id 4
+    assert(kept == Set(3L, 4L), s"got $kept")
+    // schema preserved
+    assert(Dedup.containmentDedup(docs).columns.toSeq == Seq("doc_id", "text"))
+  }
+
   test("nearDupDedupBy: cluster keeps best-scored member, ties min id, nulls last") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog near the river bank today", 10.0),
