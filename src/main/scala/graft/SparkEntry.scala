@@ -1127,6 +1127,19 @@ object SparkEntry {
       m = 8, maxDocFreq = 64, minProbeHits = 6)
       .select("doc_id", "lang", "source")
 
+  /** Incremental containment ([[Dedup.shingleIndex]] →
+    * [[Dedup.incrementalContainment]]): the src0/src1 slice plays the
+    * ingest delta against the persisted index of the rest — both
+    * directions (new-doc-subsumed / new-doc-subsumes) with the p75
+    * parameters, corpus never re-shingled. */
+  private def p78(s: SparkSession, d: String): DataFrame = {
+    val docs = tbl(d, "documents")(s)
+    Dedup.incrementalContainment(
+      Dedup.shingleIndex(docs.filter(!col("source").isin("src0", "src1"))),
+      docs.filter(col("source").isin("src0", "src1")),
+      threshold = 0.8, m = 8, maxDocFreq = 64, minProbeHits = 6)
+  }
+
   /** [[Dedup.hammingCandidates]] over PRECOMPUTED 64-bit codes — the
     * engine every multimodal near-dup rides (image pHash, audio
     * fingerprint, video frame hashes). Codes here are md5-derived from
@@ -1540,6 +1553,7 @@ object SparkEntry {
     "p75_containment" -> (p75 _),
     "p76_quality_dedup" -> (p76 _),
     "p77_subsumption" -> (p77 _),
+    "p78_incr_containment" -> (p78 _),
     "p31_span_excise" -> (p31 _),
     "p32_chunking" -> (p32 _),
     "p33_mixture_weights" -> (p33 _)
@@ -3611,7 +3625,74 @@ object SparkEntry {
         |  WHERE s.containment >= 0.8
         |    AND (b.n > a.n OR (b.n = a.n AND s.outer_id < s.inner_id)))
         |SELECT d.doc_id, d.lang, d.source FROM documents d
-        |LEFT JOIN dropd USING (doc_id) WHERE dropd.doc_id IS NULL""".stripMargin)
+        |LEFT JOIN dropd USING (doc_id) WHERE dropd.doc_id IS NULL""".stripMargin),
+    // p78: incremental containment — src0/src1 delta vs the rest as the
+    // indexed corpus; both directions, per-side df caps, >=6-of-8
+    // clamped probe prefilter, exact |inner∩outer|/|inner| at 0.8
+    "p78_incr_containment" ->
+      """WITH tk AS (
+        |  SELECT doc_id, source, list_filter(regexp_split_to_array(lower(trim(text)), '\W+'),
+        |    x -> x != '') AS toks FROM documents),
+        |shs AS (
+        |  SELECT doc_id, source, CASE
+        |    WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+        |    WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+        |    ELSE list_distinct(list_transform(generate_series(1, len(toks) - 2),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END AS sset
+        |  FROM tk),
+        |sh AS (
+        |  SELECT doc_id, source,
+        |    CAST(md5_number_lower(s) & 2305843009213693951 AS BIGINT) AS gh
+        |  FROM (SELECT doc_id, source, unnest(sset) AS s FROM shs) u GROUP BY 1, 2, 3),
+        |c AS (SELECT doc_id, gh FROM sh WHERE source NOT IN ('src0', 'src1')),
+        |d AS (SELECT doc_id, gh FROM sh WHERE source IN ('src0', 'src1')),
+        |szc AS (SELECT doc_id, COUNT(*) AS n FROM c GROUP BY 1),
+        |szd AS (SELECT doc_id, COUNT(*) AS n FROM d GROUP BY 1),
+        |hotc AS (SELECT gh FROM c GROUP BY gh HAVING COUNT(*) > 64),
+        |hotd AS (SELECT gh FROM d GROUP BY gh HAVING COUNT(*) > 64),
+        |dbot AS (SELECT doc_id, gh FROM (
+        |    SELECT doc_id, gh, row_number() OVER (PARTITION BY doc_id ORDER BY gh) AS rn
+        |    FROM d) q WHERE rn <= 8),
+        |cbot AS (SELECT doc_id, gh FROM (
+        |    SELECT doc_id, gh, row_number() OVER (PARTITION BY doc_id ORDER BY gh) AS rn
+        |    FROM c) q WHERE rn <= 8),
+        |acand AS (
+        |  SELECT q.delta_id, q.corpus_id FROM (
+        |    SELECT b.doc_id AS delta_id, i.doc_id AS corpus_id, COUNT(*) AS h
+        |    FROM dbot b JOIN c i USING (gh)
+        |    WHERE gh NOT IN (SELECT gh FROM hotc) GROUP BY 1, 2) q
+        |  JOIN szd ON szd.doc_id = q.delta_id
+        |  WHERE q.h >= LEAST(6, LEAST(szd.n, 8))),
+        |bcand AS (
+        |  SELECT q.delta_id, q.corpus_id FROM (
+        |    SELECT b.doc_id AS corpus_id, i.doc_id AS delta_id, COUNT(*) AS h
+        |    FROM cbot b JOIN d i USING (gh)
+        |    WHERE gh NOT IN (SELECT gh FROM hotd) GROUP BY 1, 2) q
+        |  JOIN szc ON szc.doc_id = q.corpus_id
+        |  WHERE q.h >= LEAST(6, LEAST(szc.n, 8))),
+        |aint AS (
+        |  SELECT a.delta_id, a.corpus_id, COUNT(*) AS i_n
+        |  FROM acand a JOIN d sd ON sd.doc_id = a.delta_id
+        |    JOIN c sc ON sc.doc_id = a.corpus_id AND sc.gh = sd.gh
+        |  GROUP BY 1, 2),
+        |bint AS (
+        |  SELECT a.delta_id, a.corpus_id, COUNT(*) AS i_n
+        |  FROM bcand a JOIN d sd ON sd.doc_id = a.delta_id
+        |    JOIN c sc ON sc.doc_id = a.corpus_id AND sc.gh = sd.gh
+        |  GROUP BY 1, 2)
+        |SELECT * FROM (
+        |  SELECT a.delta_id, a.corpus_id, 'delta_in_corpus' AS direction,
+        |    CAST(COALESCE(i.i_n, 0) AS DOUBLE) / szd.n AS containment
+        |  FROM acand a LEFT JOIN aint i
+        |    ON i.delta_id = a.delta_id AND i.corpus_id = a.corpus_id
+        |  JOIN szd ON szd.doc_id = a.delta_id
+        |  UNION ALL
+        |  SELECT a.delta_id, a.corpus_id, 'corpus_in_delta' AS direction,
+        |    CAST(COALESCE(i.i_n, 0) AS DOUBLE) / szc.n AS containment
+        |  FROM bcand a LEFT JOIN bint i
+        |    ON i.delta_id = a.delta_id AND i.corpus_id = a.corpus_id
+        |  JOIN szc ON szc.doc_id = a.corpus_id) t
+        |WHERE containment >= 0.8""".stripMargin
   )
 
   /** Shared oracle chain of the containment family (p75/p77): shingle

@@ -1418,6 +1418,98 @@ object Dedup {
       .filter(col("containment") >= threshold)
   }
 
+  /** PERSISTABLE inverted shingle index — the corpus-side artifact of
+    * incremental containment: one row per (doc, distinct shingle hash)
+    * with the hash's rank within the doc (`rk`, 1-based by ascending
+    * hash — so `rk <= m` IS the bottom-m probe set, precomputed at build
+    * time) and the doc's set size (`doc_n`, denormalized so no per-batch
+    * re-aggregation). Write it out partitioned/bucketed by `gh`
+    * ([[graft.sources.Taps]]) and delta batches join it co-located. */
+  def shingleIndex(
+      df: DataFrame,
+      shingleWords: Int = 3,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    df.select(col(idCol),
+        shingleHashKernel(col(textCol), lit(shingleWords)).as("_ss"))
+      .select(col(idCol), size(col("_ss")).as("doc_n"), posexplode(col("_ss")))
+      .select(col(idCol), col("col").as("gh"), (col("pos") + 1).as("rk"),
+        col("doc_n"))
+
+  /** Incremental containment: new `delta` docs against a PERSISTED
+    * [[shingleIndex]] — the containment member of the incremental family
+    * ([[incrementalCandidates]] / [[incrementalSemanticPairs]]). Both
+    * directions are covered without corpus-side recomputation: the
+    * delta's bottom-m probes hit the index (is the new doc subsumed by
+    * the corpus?), and the index's precomputed `rk <= m` probe rows hit
+    * the delta's inverted sets (did the new doc subsume a corpus doc?).
+    * Per-side hot-shingle df caps mirror `maxDocFreq`; the probe-hit
+    * prefilter clamps exactly as [[containmentCandidates]]. Cost is
+    * delta×collisions only — the corpus is never re-shingled; exact
+    * verification rebuilds sorted sets ONLY for candidate-touched corpus
+    * docs (a semi-join on the index). The two corpora may share id
+    * values — output keeps them side-tagged.
+    *
+    * Returns (delta_id, corpus_id, direction, containment) with
+    * direction ∈ {delta_in_corpus, corpus_in_delta}. */
+  def incrementalContainment(
+      index: DataFrame,
+      delta: DataFrame,
+      threshold: Double = 0.8,
+      m: Int = 8,
+      maxDocFreq: Int = 256,
+      minProbeHits: Int = 1,
+      shingleWords: Int = 3,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val need = Seq(idCol, "gh", "rk", "doc_n")
+    require(need.forall(index.columns.contains),
+      s"index must be shingleIndex output with columns $need, got ${index.columns.toSeq}")
+    val ds = delta.select(col(idCol).as("delta_id"),
+        shingleHashKernel(col(textCol), lit(shingleWords)).as("_ss"))
+      .transform(graft.Stage.materialize)
+    val dExpl = ds.select(col("delta_id"), explode(col("_ss")).as("gh"))
+    val dN = ds.select(col("delta_id"), size(col("_ss")).as("_dn"))
+    val ci = index.select(col(idCol).as("corpus_id"), col("gh"), col("rk"),
+      col("doc_n"))
+    val hotC = ci.groupBy("gh").agg(count(lit(1)).as("_df"))
+      .filter(col("_df") > maxDocFreq).select("gh")
+    val hotD = dExpl.groupBy("gh").agg(count(lit(1)).as("_df"))
+      .filter(col("_df") > maxDocFreq).select("gh")
+    val aCand = ds.select(col("delta_id"), explode(slice(col("_ss"), 1, m)).as("gh"))
+      .join(ci.join(broadcast(hotC), Seq("gh"), "left_anti")
+        .select("corpus_id", "gh"), "gh")
+      .groupBy("delta_id", "corpus_id").agg(count(lit(1)).as("_hits"))
+      .join(dN, "delta_id")
+      .filter(col("_hits") >=
+        least(lit(minProbeHits), least(col("_dn"), lit(m))))
+      .select("delta_id", "corpus_id")
+    val bCand = ci.filter(col("rk") <= m).select(col("corpus_id"), col("gh"),
+        col("doc_n"))
+      .join(dExpl.join(broadcast(hotD), Seq("gh"), "left_anti"), "gh")
+      .groupBy("corpus_id", "delta_id", "doc_n").agg(count(lit(1)).as("_hits"))
+      .filter(col("_hits") >=
+        least(lit(minProbeHits), least(col("doc_n"), lit(m))))
+      .select("delta_id", "corpus_id")
+    val touchedC = aCand.select("corpus_id").union(bCand.select("corpus_id"))
+      .distinct()
+    val cSets = ci.join(touchedC, Seq("corpus_id"), "left_semi")
+      .groupBy("corpus_id").agg(sort_array(collect_list(col("gh"))).as("_cs"))
+      .transform(graft.Stage.materialize)
+    val dSets = ds.select(col("delta_id"), col("_ss"))
+    def verify(cand: DataFrame, dir: String, innerDelta: Boolean): DataFrame = {
+      val joined = cand.join(dSets, "delta_id").join(cSets, "corpus_id")
+      val cont =
+        if (innerDelta) containmentSortedKernel(col("_ss"), col("_cs"))
+        else containmentSortedKernel(col("_cs"), col("_ss"))
+      joined.select(col("delta_id"), col("corpus_id"),
+          lit(dir).as("direction"), cont.as("containment"))
+        .filter(col("containment") >= threshold)
+    }
+    verify(aCand, "delta_in_corpus", innerDelta = true)
+      .unionAll(verify(bCand, "corpus_in_delta", innerDelta = false))
+  }
+
   /** SUBSUMPTION dedup: drop every doc that is ≥ `threshold` contained
     * (shingle-set containment |A∩B|/|A|) in a doc with a STRICTLY larger
     * shingle set — ties (equal set sizes, e.g. exact dups) keep the

@@ -553,6 +553,34 @@ class CurationOpsSpec extends SparkTestBase {
     assert(Dedup.containmentDedup(docs).columns.toSeq == Seq("doc_id", "text"))
   }
 
+  test("incrementalContainment: both directions off the persisted index, side-tagged") {
+    val inner = "alpha bravo charlie delta echo foxtrot"
+    val corpusX = "gulf hotel india juliet kilo lima"
+    val corpus = Seq(
+      (10L, "opening words here " + inner + " and a closing trailer section"),
+      (11L, "completely unrelated content about spark query engines and shuffles"),
+      // id 20 collides with a DELTA id on purpose: side-tagged outputs
+      (20L, corpusX)
+    ).toDF("doc_id", "text")
+    val delta = Seq(
+      (20L, inner), // contained in corpus doc 10
+      (21L, "prefix words " + corpusX + " suffix words trailing content here"), // contains corpus doc 20
+      (22L, "novel delta material mentioning columnar storage formats")
+    ).toDF("doc_id", "text")
+    val idx = Dedup.shingleIndex(corpus)
+    // index columns contract
+    assert(idx.columns.toSeq == Seq("doc_id", "gh", "rk", "doc_n"))
+    val got = Dedup.incrementalContainment(idx, delta, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)) -> r.getDouble(3))
+      .toMap
+    assert(got.get((20L, 10L, "delta_in_corpus")).contains(1.0), s"got $got")
+    assert(got.get((21L, 20L, "corpus_in_delta")).contains(1.0), s"got $got")
+    assert(!got.keySet.exists(_._1 == 22L), s"novel delta doc must not pair: $got")
+    // the colliding ids never cross-contaminate: no (20, 20) self pair
+    // in either direction beyond the true containments above
+    assert(got.size == 2, s"exactly the two true containments: $got")
+  }
+
   test("nearDupDedupBy: cluster keeps best-scored member, ties min id, nulls last") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog near the river bank today", 10.0),
