@@ -74,6 +74,42 @@ object ContainmentPropSpec extends Properties("Dedup.containment/ngram") {
       sound && looseFindsFull && strictFindsFull && strictSubset
     }
 
+  property("incremental containment == batch containment restricted to " +
+    "cross-side pairs (uncapped)") =
+    forAll(corpusGen, corpusGen) { (corpusC0, deltaC0) =>
+      // disjoint id spaces for the batch-side comparison (the operator
+      // itself side-tags; the BATCH reference needs one id space)
+      val corpusC = corpusC0.map { case (id, ts) => (id * 2, ts) }
+      val deltaC = deltaC0.map { case (id, ts) => (id * 2 + 1, ts) }
+      val sqlc = spark
+      import sqlc.implicits._
+      def toDf(c: List[(Long, List[String])]) =
+        c.map { case (id, ts) => (id, ts.mkString(" ")) }.toDF("doc_id", "text")
+      val corpus = toDf(corpusC)
+      val delta = toDf(deltaC)
+      val n = corpusC.size + deltaC.size + 1
+      val threshold = 0.7
+      val inc = Dedup.incrementalContainment(
+          Dedup.shingleIndex(corpus), delta, threshold = threshold,
+          m = 8, maxDocFreq = n, minProbeHits = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)) -> r.getDouble(3))
+        .toMap
+      val batch = Dedup.containmentVerify(
+          Dedup.containmentCandidates(corpus.unionAll(delta), m = 8,
+            maxDocFreq = n, minProbeHits = 1),
+          corpus.unionAll(delta), threshold = threshold)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val deltaIds = deltaC.map(_._1).toSet
+      val corpusIds = corpusC.map(_._1).toSet
+      val batchCross = batch.collect {
+        case ((a, b), c) if deltaIds(a) && corpusIds(b) =>
+          (a, b, "delta_in_corpus") -> c
+        case ((a, b), c) if corpusIds(a) && deltaIds(b) =>
+          (b, a, "corpus_in_delta") -> c
+      }.toMap
+      inc == batchCross
+    }
+
   /** Brute-force gram multiset model of the contamination report. */
   private def grams(toks: List[String], n: Int): List[String] =
     if (toks.length < n) Nil else toks.sliding(n).map(_.mkString(" ")).toList

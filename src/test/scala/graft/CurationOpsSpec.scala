@@ -534,6 +534,24 @@ class CurationOpsSpec extends SparkTestBase {
       strict.contains((4L, 3L)), s"got $strict")
   }
 
+  test("round-10 ops tolerate null and empty text rows") {
+    val docs = Seq((1L, null: String), (2L, ""), (3L, "regular content words here today"))
+      .toDF("doc_id", "text")
+    val evalDocs = Seq((9L, "some benchmark item text")).toDF("doc_id", "text")
+    // null/empty docs report 0 grams, never crash the kernel or the udf
+    val rep = Dedup.ngramOverlapReport(docs, evalDocs, n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rep == Map(1L -> 0L, 2L -> 0L, 3L -> 3L), s"got $rep")
+    assert(Dedup.ngramOverlapReport(docs, evalDocs, n = 3, broadcastEval = false)
+      .count() == 3)
+    // empty shingle sets issue no probes and are never dropped
+    assert(Dedup.containmentCandidates(docs, m = 4).count() == 0)
+    assert(Dedup.containmentDedup(docs).count() == 3)
+    assert(Dedup.incrementalContainment(Dedup.shingleIndex(docs), evalDocs)
+      .count() == 0)
+    assert(Dedup.nearDupDedupBy(docs, "doc_id", threshold = 0.9).count() == 3)
+  }
+
   test("containmentDedup: subsumed docs drop, equal sets keep min id, chains collapse") {
     val a = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
     val b = "intro words preface " + a + " closing words appendix"

@@ -598,6 +598,17 @@ object ScaleProbe {
         Dedup.containmentVerify(
           Dedup.containmentCandidates(docs10, m = 8, maxDocFreq = 64),
           docs10, threshold = 0.8).count())
+      // incremental containment: the 50k-doc index is built ONCE; a
+      // delta batch then costs delta×collisions — 10× the delta should
+      // be ~10× the probe work, with the corpus never re-shingled.
+      val idx = Dedup.shingleIndex(docs10).transform(graft.Stage.materialize)
+      time("shingleIndex build @50k docs")(idx.count())
+      time("incr containment: 500-doc delta vs 50k index")(
+        Dedup.incrementalContainment(idx, docs.limit(500), threshold = 0.8,
+          m = 8, maxDocFreq = 64, minProbeHits = 6).count())
+      time("incr containment: 5k-doc delta vs 50k index")(
+        Dedup.incrementalContainment(idx, docs, threshold = 0.8,
+          m = 8, maxDocFreq = 64, minProbeHits = 6).count())
     }
     spark.stop()
   }
