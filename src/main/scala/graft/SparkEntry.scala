@@ -1140,6 +1140,14 @@ object SparkEntry {
       threshold = 0.8, m = 8, maxDocFreq = 64, minProbeHits = 6)
   }
 
+  /** One-pass column profiler ([[graft.operators.Profile.profile]]):
+    * per-column rows/nulls/exact-distinct/min/max over lineitem in a
+    * single expand-rewrite aggregation — the ANALYZE primitive. */
+  private def p79(s: SparkSession, d: String): DataFrame =
+    graft.operators.Profile.profile(tbl(d, "lineitem")(s),
+      Seq("l_orderkey", "l_suppkey", "l_quantity", "l_extendedprice",
+        "l_returnflag", "l_linestatus"))
+
   /** [[Dedup.hammingCandidates]] over PRECOMPUTED 64-bit codes — the
     * engine every multimodal near-dup rides (image pHash, audio
     * fingerprint, video frame hashes). Codes here are md5-derived from
@@ -1554,6 +1562,7 @@ object SparkEntry {
     "p76_quality_dedup" -> (p76 _),
     "p77_subsumption" -> (p77 _),
     "p78_incr_containment" -> (p78 _),
+    "p79_profile" -> (p79 _),
     "p31_span_excise" -> (p31 _),
     "p32_chunking" -> (p32 _),
     "p33_mixture_weights" -> (p33 _)
@@ -2192,6 +2201,7 @@ object SparkEntry {
     "p11_neardup_dedup" -> neardupOracleSql,
     "p17_neardup_star" -> neardupOracleSql,
     "p76_quality_dedup" -> neardupByOracleSql,
+    "p79_profile" -> profileOracleSql,
     "p18_contamination" ->
       """WITH tk AS (
         |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\W+'),
@@ -3694,6 +3704,28 @@ object SparkEntry {
         |  JOIN szc ON szc.doc_id = a.corpus_id) t
         |WHERE containment >= 0.8""".stripMargin
   )
+
+  /** p79: per-column profile blocks (numeric → min/max as DOUBLE,
+    * string → min/max as VARCHAR, the other pair NULL), one UNION ALL
+    * per profiled column — generated by the same column lists the
+    * engine call uses. */
+  private lazy val profileOracleSql: String = {
+    val num = Seq("l_orderkey", "l_suppkey", "l_quantity", "l_extendedprice")
+    val str = Seq("l_returnflag", "l_linestatus")
+    val blocks = num.map(c =>
+      s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+         |  COUNT(*) - COUNT($c) AS n_nulls, COUNT(DISTINCT $c) AS n_distinct,
+         |  CAST(MIN($c) AS DOUBLE) AS min_num, CAST(MAX($c) AS DOUBLE) AS max_num,
+         |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+         |FROM lineitem""".stripMargin) ++
+      str.map(c =>
+        s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+           |  COUNT(*) - COUNT($c) AS n_nulls, COUNT(DISTINCT $c) AS n_distinct,
+           |  CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+           |  MIN($c) AS min_str, MAX($c) AS max_str
+           |FROM lineitem""".stripMargin)
+    blocks.mkString("\nUNION ALL\n")
+  }
 
   /** Shared oracle chain of the containment family (p75/p77): shingle
     * sets → 61-bit hashes → df-capped index, bottom-8 probes, ≥6-of-8
