@@ -1148,6 +1148,19 @@ object SparkEntry {
       Seq("l_orderkey", "l_suppkey", "l_quantity", "l_extendedprice",
         "l_returnflag", "l_linestatus"))
 
+  /** Constraint/expectations report ([[graft.operators.Check.check]]):
+    * not-null, key-uniqueness (the synthetic lineitem HAS duplicated
+    * (orderkey, linenumber) keys, so the value is non-trivial), a
+    * deliberately tight discount range, and FK integrity vs orders. */
+  private def p80(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Check._
+    check(tbl(d, "lineitem")(s), Seq(
+      NotNull("l_quantity"),
+      Unique(Seq("l_orderkey", "l_linenumber")),
+      InRange("l_discount", 0.0, 0.05),
+      RefIn("l_orderkey", tbl(d, "orders")(s), "o_orderkey")))
+  }
+
   /** [[Dedup.hammingCandidates]] over PRECOMPUTED 64-bit codes — the
     * engine every multimodal near-dup rides (image pHash, audio
     * fingerprint, video frame hashes). Codes here are md5-derived from
@@ -1563,6 +1576,7 @@ object SparkEntry {
     "p77_subsumption" -> (p77 _),
     "p78_incr_containment" -> (p78 _),
     "p79_profile" -> (p79 _),
+    "p80_constraints" -> (p80 _),
     "p31_span_excise" -> (p31 _),
     "p32_chunking" -> (p32 _),
     "p33_mixture_weights" -> (p33 _)
@@ -2202,6 +2216,27 @@ object SparkEntry {
     "p17_neardup_star" -> neardupOracleSql,
     "p76_quality_dedup" -> neardupByOracleSql,
     "p79_profile" -> profileOracleSql,
+    // p80: expectations report — rows total, null count, duplicated-key
+    // participation, tight range violations, FK integrity (semantics in
+    // operators/Check.scala scaladoc)
+    "p80_constraints" ->
+      """SELECT 'rows' AS check_name, COUNT(*) AS value FROM lineitem
+        |UNION ALL
+        |SELECT 'not_null(l_quantity)', COUNT(*) - COUNT(l_quantity) FROM lineitem
+        |UNION ALL
+        |SELECT 'unique(l_orderkey,l_linenumber)',
+        |  CAST(COALESCE(SUM(c), 0) AS BIGINT) FROM (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS c FROM lineitem
+        |  GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1) g
+        |UNION ALL
+        |SELECT 'in_range(l_discount,0.0,0.05)',
+        |  CAST(COALESCE(SUM(CASE WHEN l_discount IS NOT NULL
+        |    AND (l_discount < 0.0 OR l_discount > 0.05) THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'ref_in(l_orderkey)', COUNT(*) FROM lineitem l
+        |WHERE l_orderkey IS NOT NULL
+        |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)""".stripMargin,
     "p18_contamination" ->
       """WITH tk AS (
         |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\W+'),
