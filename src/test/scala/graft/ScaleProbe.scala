@@ -610,6 +610,26 @@ object ScaleProbe {
         Dedup.incrementalContainment(idx, docs, threshold = 0.8,
           m = 8, maxDocFreq = 64, minProbeHits = 6).count())
     }
+
+    // profiler + expectations (round 10): both are one-pass
+    // aggregations — 10× the rows should be ~scan-bound.
+    {
+      import graft.operators.{Check, Profile}
+      val li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+      val li10 = spark.read.parquet(big)
+      val cols = Seq("l_orderkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_returnflag", "l_linestatus")
+      time("profile 6 cols @600k")(Profile.profile(li, cols).count())
+      time("profile 6 cols @6M")(Profile.profile(li10, cols).count())
+      val orders = spark.read.parquet("/root/testdata/sf0.1/orders.parquet")
+      def checks(df: org.apache.spark.sql.DataFrame) = Check.check(df, Seq(
+        Check.NotNull("l_quantity"),
+        Check.Unique(Seq("l_orderkey", "l_linenumber")),
+        Check.InRange("l_discount", 0.0, 0.05),
+        Check.RefIn("l_orderkey", orders, "o_orderkey")))
+      time("check 4 constraints @600k")(checks(li).count())
+      time("check 4 constraints @6M")(checks(li10).count())
+    }
     spark.stop()
   }
 }
