@@ -1260,8 +1260,6 @@ object Dedup {
     require(n >= 2, s"gram length must be >= 2, got $n")
     val grams = train
       .select(col(idCol), gramHashKernel(col(textCol), lit(n)).as("_gs"))
-    val evalGrams = evalDocs
-      .select(explode(gramHashKernel(col(textCol), lit(n))).as("gh")).distinct()
     if (broadcastEval) {
       val evalArr = evalGramSet(evalDocs, n, textCol)
       val bc = train.sparkSession.sparkContext.broadcast(evalArr)
@@ -1278,6 +1276,8 @@ object Dedup {
           hitsKernel(col("_gs")).as("hit_grams"))
         .withColumn("contaminated", col("hit_grams") > 0)
     } else {
+      val evalGrams = evalDocs
+        .select(explode(gramHashKernel(col(textCol), lit(n))).as("gh")).distinct()
       val base = grams.transform(graft.Stage.materialize)
       val g = base.select(col(idCol), explode(col("_gs")).as("gh"))
       val hits = graft.operators.BloomJoin.bloomJoin(g, evalGrams, Seq("gh"))
