@@ -425,6 +425,56 @@ object Streams {
         col("_r._2").as("hit_grams"), (col("_r._2") > 0).as("contaminated"))
   }
 
+  /** Streaming twin of [[graft.operators.Check.check]] — the ingest
+    * monitor face of the expectations layer: cumulative running totals
+    * of rows, null violations, range violations, and FK violations over
+    * everything that has arrived. Spark allows ONE streaming
+    * aggregation per query, so every counter folds in a single global
+    * aggregation: RefIn dimensions join in as per-row match flags
+    * BEFORE the fold (stream-static left joins — the dim is a static
+    * frame), and the wide counter row unpivots to the batch report's
+    * (check_name, value) schema after it. Run with outputMode
+    * "complete" (the result is one tiny row set). Unique() needs
+    * cross-batch key state — that is the dedup machinery's job
+    * ([[streamingDedup]]), so it is rejected here. */
+  def streamingCheck(docs: DataFrame,
+      constraints: Seq[graft.operators.Check.Constraint]): DataFrame = {
+    import graft.operators.Check._
+    require(constraints.nonEmpty, "streamingCheck needs at least one constraint")
+    constraints.foreach {
+      case u: Unique => throw new IllegalArgumentException(
+        s"streamingCheck cannot track ${u.name}: cross-batch key state is " +
+          "the dedup machinery's job (streamingDedup)")
+      case _ => ()
+    }
+    val refs = constraints.collect { case r: RefIn => r }.zipWithIndex
+    val joined = refs.foldLeft(docs) { case (d, (RefIn(cn, dim, dimCol), i)) =>
+      d.join(
+        dim.select(col(dimCol).as(s"_rk_$i")).distinct()
+          .withColumn(s"_rm_$i", lit(1)),
+        d(cn) === col(s"_rk_$i"), "left_outer")
+    }
+    val refIdx = refs.map { case (r, i) => (r: Constraint) -> i }.toMap
+    val aggs = count(lit(1)).as("_rows") +: constraints.zipWithIndex.map {
+      case (c @ NotNull(cn), j) =>
+        (count(lit(1)) - count(col(cn))).as(s"_v_$j")
+      case (c @ InRange(cn, lo, hi), j) =>
+        coalesce(sum(when(col(cn).isNotNull && (col(cn) < lo || col(cn) > hi),
+          1L).otherwise(0L)), lit(0L)).as(s"_v_$j")
+      case (c @ RefIn(cn, _, _), j) =>
+        val i = refIdx(c)
+        coalesce(sum(when(col(cn).isNotNull && col(s"_rm_$i").isNull, 1L)
+          .otherwise(0L)), lit(0L)).as(s"_v_$j")
+      case (u: Unique, _) => throw new IllegalStateException(u.name)
+    }
+    val wide = joined.agg(aggs.head, aggs.tail: _*)
+    val rows = struct(lit("rows").as("check_name"), col("_rows").as("value")) +:
+      constraints.zipWithIndex.map { case (c, j) =>
+        struct(lit(c.name).as("check_name"), col(s"_v_$j").as("value"))
+      }
+    wide.select(explode(array(rows: _*)).as("_r")).select("_r.*")
+  }
+
   def streamingBm25Gate(docs: DataFrame,
       model: graft.pipeline.TextAnalysis.Bm25Model,
       queryTerms: Seq[String], idCol: String = "doc_id",

@@ -507,6 +507,35 @@ class StreamingSpec extends SparkTestBase {
     q.stop()
   }
 
+  test("streaming check: cumulative expectations totals, batch parity on the union") {
+    import graft.operators.Check._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq(1L, 2L, 3L).toDF("k")
+    val cons = Seq(NotNull("v"), InRange("v", 0.0, 10.0), RefIn("k", dim, "k"))
+    val in = MemoryStream[(Long, Option[Double])]
+    val checked = Streams.streamingCheck(in.toDF().toDF("k", "v"), cons)
+    val q = Streams.toMemory(checked, "check_stream", "complete")
+    def table() = spark.table("check_stream").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b1 = Seq((1L, Option(5.0)), (9L, Option(-1.0)), (3L, None: Option[Double]))
+    in.addData(b1)
+    q.processAllAvailable()
+    assert(table() == Map("rows" -> 3L, "not_null(v)" -> 1L,
+      "in_range(v,0.0,10.0)" -> 1L, "ref_in(k)" -> 1L), s"got ${table()}")
+    val b2 = Seq((2L, Option(20.0)), (1L, Option(5.0)))
+    in.addData(b2)
+    q.processAllAvailable()
+    val cum = table()
+    val batch = graft.operators.Check.check((b1 ++ b2).toDF("k", "v"), cons)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cum == batch, s"\nstream: $cum\n batch: $batch")
+    q.stop()
+    // unique needs cross-batch key state -> rejected with direction
+    intercept[IllegalArgumentException] {
+      Streams.streamingCheck(in.toDF().toDF("k", "v"), Seq(Unique(Seq("k"))))
+    }
+  }
+
   test("streaming ngram contamination report: exact batch parity, stateless") {
     import graft.pipeline.Dedup
     implicit val sqlCtx = spark.sqlContext
