@@ -967,8 +967,12 @@ object SparkEntry {
     * round-trip through parquet is what's under test. */
   private def p72(s: SparkSession, d: String): DataFrame = {
     val docs = tbl(d, "documents")(s)
+    // path = sanitized dataset dir (collision-free, unlike hashCode) +
+    // this JVM's pid, so concurrent gate/bench processes over the same
+    // dataset never race one process's overwrite against another's read
     val path = "/tmp/graft_p72_tap_" +
-      java.lang.Integer.toHexString(d.hashCode)
+      d.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+      java.lang.ProcessHandle.current().pid()
     Dedup.writeCandidates(docs, path)
     graft.pipeline.Graph.communitiesFromPairs(
         Dedup.candidatesTap(s, path), docs.select(col("doc_id").as("id")))
@@ -1701,7 +1705,9 @@ object SparkEntry {
       |best AS (SELECT component, MAX(n_chars) AS b FROM cscore GROUP BY component),
       |keep AS (SELECT c.component, MIN(c.id) AS doc_id
       |  FROM cscore c JOIN best USING (component)
-      |  WHERE c.n_chars = best.b GROUP BY c.component)
+      |  -- null-safe: an all-null-score cluster (best.b NULL) must keep
+      |  -- its min id, matching the engine's <=> fallback
+      |  WHERE c.n_chars IS NOT DISTINCT FROM best.b GROUP BY c.component)
       |SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d
       |LEFT JOIN comp ON comp.id = d.doc_id WHERE comp.id IS NULL
       |UNION ALL

@@ -26,6 +26,9 @@ object Profile {
 
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
+    require(cols.distinct.size == cols.size,
+      s"profile columns must be distinct, got $cols") // dup aliases would
+    // otherwise fail analysis mid-plan with AMBIGUOUS_REFERENCE
     val schema = df.schema
     cols.foreach { c =>
       require(schema.fieldNames.contains(c), s"no such column: $c")

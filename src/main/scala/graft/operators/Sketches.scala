@@ -222,14 +222,19 @@ object Sketches {
     cmsEstKernel(sketch, value, lit(depth), lit(width))
 
   /** Merge two sketches of identical shape (elementwise add — the
-    * monoid the aggregator itself folds with). Shape disagreement
-    * (different depth/width) raises instead of the silent null-padding
-    * zip_with would produce; null sketches pass through as null. */
+    * monoid the aggregator itself folds with). A COUNTER-COUNT mismatch
+    * raises instead of the silent null-padding zip_with would produce;
+    * null sketches pass through as null. The flat counter array carries
+    * no (depth, width) metadata, so two sketches whose dimensions
+    * differ but multiply to the same count (e.g. 2×8 vs 4×4) are NOT
+    * detectable here — same (depth, width) remains the caller's
+    * invariant, as with [[cmsEstimate]]'s parameters. */
   def cmsMerge(a: Column, b: Column): Column =
     when(a.isNull || b.isNull, lit(null))
       .when(size(a) === size(b), zip_with(a, b, (x, y) => x + y))
       .otherwise(raise_error(format_string(
-        "cmsMerge: sketch shapes differ (%d vs %d counters) — merge " +
-          "requires sketches built with the same (depth, width)",
+        "cmsMerge: counter counts differ (%d vs %d) — sketches must be " +
+          "built with the same (depth, width); equal-product transposed " +
+          "shapes cannot be detected from the flat array",
         size(a), size(b))))
 }

@@ -48,9 +48,16 @@ object Unigram {
     * included — the standard seed). Type-table-bound: |w|·maxPieceLen
     * rows per distinct word, regardless of corpus size. */
   def seedPieces(docs: DataFrame, maxPieceLen: Int = 4,
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text"): DataFrame =
+    seedPiecesFromTypes(Bpe.wordTypes(docs, textCol), maxPieceLen)
+
+  /** [[seedPieces]] from an ALREADY-COMPUTED word-type table — [[train]]
+    * materializes the type table once and both the seed and every EM
+    * round read it, so the corpus is tokenized exactly once. */
+  def seedPiecesFromTypes(wordTypes: DataFrame,
+      maxPieceLen: Int = 4): DataFrame = {
     require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
-    Bpe.wordTypes(docs, textCol)
+    wordTypes
       .select(col("w"), col("n"),
         explode(sequence(lit(1), length(col("w")))).as("s"))
       .select(col("w"), col("n"), col("s"),
@@ -66,8 +73,12 @@ object Unigram {
     * (cnt DESC, piece ASC) are kept; scores are the exact integral
     * floor(Scale·cnt / total-over-kept), single chars floored at 1 so
     * no character is ever Viterbi-unreachable. */
-  private def pruneAndScore(counted: DataFrame, vocabSize: Int,
+  private def pruneAndScore(counted0: DataFrame, vocabSize: Int,
       minFreq: Long): DataFrame = {
+    // the piece aggregation is read three times below (char count, char
+    // branch, multi branch) — materialize it so the upstream lineage
+    // (a corpus-tokenizing explode at seed time) runs once
+    val counted = counted0.transform(graft.Stage.materialize)
     val chars = counted.filter(length(col("piece")) === 1)
     val nChars = chars.count()
     val k = math.max(0L, vocabSize.toLong - nChars)
@@ -175,8 +186,9 @@ object Unigram {
       textCol: String = "text"): DataFrame = {
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
     val wt = Bpe.wordTypes(docs, textCol)
-      .transform(graft.Stage.materialize) // every EM round reads it
-    var vocab = seedVocab(docs, vocabSize, maxPieceLen, minFreq, textCol)
+      .transform(graft.Stage.materialize) // seed AND every EM round read it
+    var vocab = pruneAndScore(seedPiecesFromTypes(wt, maxPieceLen),
+      vocabSize, minFreq)
     for (_ <- 1 to rounds)
       vocab = emRound(wt, vocabSeq(vocab), vocabSize, maxPieceLen)
     vocab

@@ -526,12 +526,16 @@ object Streams {
     val stepIdx = steps.zipWithIndex.toMap
     val k = steps.length
     events
-      // match the batch funnel's null contract (Funnel.funnel filters
-      // key/ts nulls): a null would fail the non-nullable tuple encoder
-      // at runtime and kill the query
-      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
-      .select(col(keyCol).cast("long"), col(tsCol).cast("long"),
-        col(typeCol).cast("string"))
+      // Filter AFTER the casts: a non-numeric string key/ts passes an
+      // isNotNull pre-filter but casts to null and would fail the
+      // non-nullable tuple encoder at runtime, killing the query. Null
+      // ts matches the batch funnel's filter; dropping null/uncastable
+      // KEYS is a documented divergence from the batch funnel (which
+      // groups a null key into its own funnel row) — the Long-keyed
+      // state encoder cannot carry a null key.
+      .select(col(keyCol).cast("long").as("_k"), col(tsCol).cast("long").as("_t"),
+        col(typeCol).cast("string").as("_e"))
+      .filter(col("_k").isNotNull && col("_t").isNotNull)
       .as[(Long, Long, String)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[Array[Long], (Long, Int, Seq[Long])](

@@ -30,14 +30,16 @@ flags = [a for a in sys.argv[1:] if a.startswith('--')]
 fork = '--fork' in flags
 only = None
 consumed = set()  # indices of space-form `--only NAME` values
-for f in flags:
-    if f.startswith('--only'):
-        val = f.split('=', 1)[1] if '=' in f else None
+# walk by index (not .index(), which always finds the FIRST occurrence):
+# repeated --only flags each consume their own value and union together
+for i, a in enumerate(sys.argv):
+    if i > 0 and a.startswith('--only'):
+        val = a.split('=', 1)[1] if '=' in a else None
         if val is None:
-            i = sys.argv.index(f)
             val = sys.argv[i + 1] if i + 1 < len(sys.argv) else ''
             consumed.add(i + 1)  # keep the name out of the positionals
-        only = set(x.strip() for x in val.split(',') if x.strip())
+        vals = set(x.strip() for x in val.split(',') if x.strip())
+        only = vals if only is None else (only | vals)
 args = [a for i, a in enumerate(sys.argv) if i > 0
         and not a.startswith('--') and i not in consumed]
 sf = args[0] if len(args) > 0 else '/root/testdata/sf0.01'
