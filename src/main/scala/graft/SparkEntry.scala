@@ -23,6 +23,23 @@ object SparkEntry {
   private def tbl(dir: String, name: String)(s: SparkSession): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Registers `path` (a scratch tap dir) for recursive deletion when
+    * this JVM exits — idempotent per path, so repeated query runs in one
+    * process register one hook each per distinct dir. Keeps /tmp from
+    * accumulating pid-fresh tap dirs across gate/bench processes. */
+  private val exitDeletions = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def deleteAtExit(path: String): Unit =
+    if (exitDeletions.add(path)) {
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          val kids = f.listFiles()
+          if (kids != null) kids.foreach(rm)
+          f.delete(): Unit
+        }
+        rm(new java.io.File(path))
+      }))
+    }
+
   private def lineitem(d: String)(fields: Any*) =
     source(tbl(d, "lineitem"))(fields: _*)
   private def orders(d: String)(fields: Any*) =
@@ -969,10 +986,15 @@ object SparkEntry {
     val docs = tbl(d, "documents")(s)
     // path = sanitized dataset dir (collision-free, unlike hashCode) +
     // this JVM's pid, so concurrent gate/bench processes over the same
-    // dataset never race one process's overwrite against another's read
+    // dataset never race one process's overwrite against another's read;
+    // pid-fresh dirs would otherwise accumulate in /tmp across runs, so
+    // each is registered for recursive deletion at JVM exit (the read
+    // side of the tap lives until the driver finishes the query, so
+    // deletion cannot happen any earlier than shutdown)
     val path = "/tmp/graft_p72_tap_" +
       d.replaceAll("[^A-Za-z0-9]", "_") + "_" +
       java.lang.ProcessHandle.current().pid()
+    deleteAtExit(path)
     Dedup.writeCandidates(docs, path)
     graft.pipeline.Graph.communitiesFromPairs(
         Dedup.candidatesTap(s, path), docs.select(col("doc_id").as("id")))
@@ -2240,7 +2262,7 @@ object SparkEntry {
         |    AND (l_discount < 0.0 OR l_discount > 0.05) THEN 1 ELSE 0 END), 0) AS BIGINT)
         |FROM lineitem
         |UNION ALL
-        |SELECT 'ref_in(l_orderkey)', COUNT(*) FROM lineitem l
+        |SELECT 'ref_in(l_orderkey->o_orderkey)', COUNT(*) FROM lineitem l
         |WHERE l_orderkey IS NOT NULL
         |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)""".stripMargin,
     "p18_contamination" ->
@@ -3707,20 +3729,24 @@ object SparkEntry {
         |cbot AS (SELECT doc_id, gh FROM (
         |    SELECT doc_id, gh, row_number() OVER (PARTITION BY doc_id ORDER BY gh) AS rn
         |    FROM c) q WHERE rn <= 8),
+        |dnp AS (SELECT doc_id, COUNT(*) AS np FROM dbot
+        |  WHERE gh NOT IN (SELECT gh FROM hotc) GROUP BY doc_id),
+        |cnp AS (SELECT doc_id, COUNT(*) AS np FROM cbot
+        |  WHERE gh NOT IN (SELECT gh FROM hotd) GROUP BY doc_id),
         |acand AS (
         |  SELECT q.delta_id, q.corpus_id FROM (
         |    SELECT b.doc_id AS delta_id, i.doc_id AS corpus_id, COUNT(*) AS h
         |    FROM dbot b JOIN c i USING (gh)
         |    WHERE gh NOT IN (SELECT gh FROM hotc) GROUP BY 1, 2) q
-        |  JOIN szd ON szd.doc_id = q.delta_id
-        |  WHERE q.h >= LEAST(6, LEAST(szd.n, 8))),
+        |  JOIN dnp ON dnp.doc_id = q.delta_id
+        |  WHERE q.h >= LEAST(6, dnp.np)),
         |bcand AS (
         |  SELECT q.delta_id, q.corpus_id FROM (
         |    SELECT b.doc_id AS corpus_id, i.doc_id AS delta_id, COUNT(*) AS h
         |    FROM cbot b JOIN d i USING (gh)
         |    WHERE gh NOT IN (SELECT gh FROM hotd) GROUP BY 1, 2) q
-        |  JOIN szc ON szc.doc_id = q.corpus_id
-        |  WHERE q.h >= LEAST(6, LEAST(szc.n, 8))),
+        |  JOIN cnp ON cnp.doc_id = q.corpus_id
+        |  WHERE q.h >= LEAST(6, cnp.np)),
         |aint AS (
         |  SELECT a.delta_id, a.corpus_id, COUNT(*) AS i_n
         |  FROM acand a JOIN d sd ON sd.doc_id = a.delta_id
@@ -3790,7 +3816,8 @@ object SparkEntry {
       |botm AS (SELECT doc_id, gh FROM (
       |    SELECT doc_id, gh, row_number() OVER (PARTITION BY doc_id ORDER BY gh) AS rn
       |    FROM sh) q WHERE rn <= 8),
-      |np AS (SELECT doc_id, LEAST(COUNT(*), 8) AS np FROM sh GROUP BY doc_id),
+      |np AS (SELECT b.doc_id, COUNT(*) AS np
+      |  FROM botm b JOIN keep USING (gh) GROUP BY b.doc_id),
       |cand AS (
       |  SELECT inner_id, outer_id FROM (
       |    SELECT b.doc_id AS inner_id, i.doc_id AS outer_id, COUNT(*) AS h

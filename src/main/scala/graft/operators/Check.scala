@@ -39,7 +39,10 @@ object Check {
     def name = s"in_range($col,$lo,$hi)"
   }
   final case class RefIn(col: String, dim: DataFrame, dimCol: String) extends Constraint {
-    def name = s"ref_in($col)"
+    // the dimension column is part of the name so two RefIn constraints
+    // on the same fact column against different dimensions stay
+    // distinguishable in the report
+    def name = s"ref_in($col->$dimCol)"
   }
 
   def check(df: DataFrame, constraints: Seq[Constraint]): DataFrame = {

@@ -1249,6 +1249,16 @@ object Dedup {
     * sets too large to hold on the driver. Outputs are identical by
     * contract (the exact join decides membership on both paths).
     *
+    * Broadcast lifecycle: each broadcast-path call ships the eval gram
+    * array once; the block is reclaimed by Spark's ContextCleaner when
+    * the returned plan is no longer referenced (the UDF closure is the
+    * only strong reference). Callers that score REPEATEDLY against one
+    * eval suite — gate loops, streaming setup plus batch parity runs —
+    * should pay the collect once and reuse the array via the
+    * `evalGrams: Array[Long]` overload / [[evalGramSet]] /
+    * [[graft.streaming.Streams.streamingNgramReport]] instead of
+    * re-broadcasting per call.
+    *
     * Returns (idCol, n_grams, hit_grams, contaminated) over train. */
   def ngramOverlapReport(
       train: DataFrame,
@@ -1258,24 +1268,12 @@ object Dedup {
       idCol: String = "doc_id",
       broadcastEval: Boolean = true): DataFrame = {
     require(n >= 2, s"gram length must be >= 2, got $n")
-    val grams = train
-      .select(col(idCol), gramHashKernel(col(textCol), lit(n)).as("_gs"))
     if (broadcastEval) {
-      val evalArr = evalGramSet(evalDocs, n, textCol)
-      val bc = train.sparkSession.sparkContext.broadcast(evalArr)
-      val hitsKernel = udf { gs: Seq[Long] =>
-        val arr = bc.value
-        var c = 0L
-        val it = gs.iterator
-        while (it.hasNext) {
-          if (java.util.Arrays.binarySearch(arr, it.next()) >= 0) c += 1L
-        }
-        c
-      }
-      grams.select(col(idCol), size(col("_gs")).cast("long").as("n_grams"),
-          hitsKernel(col("_gs")).as("hit_grams"))
-        .withColumn("contaminated", col("hit_grams") > 0)
+      ngramOverlapReport(train, evalGramSet(evalDocs, n, textCol), n,
+        textCol, idCol)
     } else {
+      val grams = train
+        .select(col(idCol), gramHashKernel(col(textCol), lit(n)).as("_gs"))
       val evalGrams = evalDocs
         .select(explode(gramHashKernel(col(textCol), lit(n))).as("gh")).distinct()
       val base = grams.transform(graft.Stage.materialize)
@@ -1288,6 +1286,34 @@ object Dedup {
           coalesce(col("hit_grams"), lit(0L)).as("hit_grams"),
           (coalesce(col("hit_grams"), lit(0L)) > 0).as("contaminated"))
     }
+  }
+
+  /** Broadcast-path [[ngramOverlapReport]] over a PRECOMPUTED sorted
+    * eval gram array ([[evalGramSet]] output) — the reuse face for
+    * callers that score many corpora/batches against one eval suite:
+    * the collect is paid once, and each call still broadcasts the array
+    * (reclaimed by the ContextCleaner with the plan, see above). */
+  def ngramOverlapReport(
+      train: DataFrame,
+      evalGrams: Array[Long],
+      n: Int,
+      textCol: String,
+      idCol: String): DataFrame = {
+    require(n >= 2, s"gram length must be >= 2, got $n")
+    val bc = train.sparkSession.sparkContext.broadcast(evalGrams)
+    val hitsKernel = udf { gs: Seq[Long] =>
+      val arr = bc.value
+      var c = 0L
+      val it = gs.iterator
+      while (it.hasNext) {
+        if (java.util.Arrays.binarySearch(arr, it.next()) >= 0) c += 1L
+      }
+      c
+    }
+    train.select(col(idCol), gramHashKernel(col(textCol), lit(n)).as("_gs"))
+      .select(col(idCol), size(col("_gs")).cast("long").as("n_grams"),
+        hitsKernel(col("_gs")).as("hit_grams"))
+      .withColumn("contaminated", col("hit_grams") > 0)
   }
 
   /** Exact n-gram decontamination: drop every `train` doc whose
@@ -1377,11 +1403,15 @@ object Dedup {
     // with the verified survivor set IDENTICAL, verify 9.0 s → 0.5 s
     // (BASELINE round 10); default 1 keeps every sharing pair (pure
     // recall).
-    // a doc with fewer than m distinct shingles issues fewer probes, so
-    // the gate clamps to its issued-probe count (a fully-contained tiny
-    // doc hits ALL its probes and must stay eligible)
-    val np = sh.select(col(idCol).as("_pid"),
-      least(size(col("_ss")), lit(m)).as("_np"))
+    // the gate clamps to the doc's ACHIEVABLE hit count: probes it
+    // actually issued (a doc with fewer than m distinct shingles issues
+    // fewer) MINUS probes whose hash the df cap dropped (a hot probe can
+    // never hit the kept index). Without the hot-probe term, a doc with
+    // > m - minProbeHits hot shingles among its bottom-m could never
+    // emit a candidate even at containment 1.0 — fully-contained docs
+    // must stay eligible.
+    val np = probes.join(broadcast(common), Seq("gh"), "left_anti")
+      .groupBy("_pid").agg(count(lit(1)).as("_np"))
     probes.join(kept, "gh")
       .filter(col("_pid") =!= col("_iid"))
       .groupBy("_pid", "_iid")
@@ -1469,27 +1499,36 @@ object Dedup {
         shingleHashKernel(col(textCol), lit(shingleWords)).as("_ss"))
       .transform(graft.Stage.materialize)
     val dExpl = ds.select(col("delta_id"), explode(col("_ss")).as("gh"))
-    val dN = ds.select(col("delta_id"), size(col("_ss")).as("_dn"))
     val ci = index.select(col(idCol).as("corpus_id"), col("gh"), col("rk"),
       col("doc_n"))
     val hotC = ci.groupBy("gh").agg(count(lit(1)).as("_df"))
       .filter(col("_df") > maxDocFreq).select("gh")
     val hotD = dExpl.groupBy("gh").agg(count(lit(1)).as("_df"))
       .filter(col("_df") > maxDocFreq).select("gh")
-    val aCand = ds.select(col("delta_id"), explode(slice(col("_ss"), 1, m)).as("gh"))
+    // Both directions clamp the probe-hit gate to the ACHIEVABLE count:
+    // issued probes minus probes whose hash the opposing side's df cap
+    // dropped (same fix as [[containmentCandidates]] — a hot probe can
+    // never hit, so counting it would let minProbeHits disqualify
+    // fully-contained docs outright).
+    val aProbes = ds.select(col("delta_id"),
+      explode(slice(col("_ss"), 1, m)).as("gh"))
+    val aNp = aProbes.join(broadcast(hotC), Seq("gh"), "left_anti")
+      .groupBy("delta_id").agg(count(lit(1)).as("_np"))
+    val aCand = aProbes
       .join(ci.join(broadcast(hotC), Seq("gh"), "left_anti")
         .select("corpus_id", "gh"), "gh")
       .groupBy("delta_id", "corpus_id").agg(count(lit(1)).as("_hits"))
-      .join(dN, "delta_id")
-      .filter(col("_hits") >=
-        least(lit(minProbeHits), least(col("_dn"), lit(m))))
+      .join(aNp, "delta_id")
+      .filter(col("_hits") >= least(lit(minProbeHits), col("_np")))
       .select("delta_id", "corpus_id")
-    val bCand = ci.filter(col("rk") <= m).select(col("corpus_id"), col("gh"),
-        col("doc_n"))
+    val bProbes = ci.filter(col("rk") <= m).select(col("corpus_id"), col("gh"))
+    val bNp = bProbes.join(broadcast(hotD), Seq("gh"), "left_anti")
+      .groupBy("corpus_id").agg(count(lit(1)).as("_np"))
+    val bCand = bProbes
       .join(dExpl.join(broadcast(hotD), Seq("gh"), "left_anti"), "gh")
-      .groupBy("corpus_id", "delta_id", "doc_n").agg(count(lit(1)).as("_hits"))
-      .filter(col("_hits") >=
-        least(lit(minProbeHits), least(col("doc_n"), lit(m))))
+      .groupBy("corpus_id", "delta_id").agg(count(lit(1)).as("_hits"))
+      .join(bNp, "corpus_id")
+      .filter(col("_hits") >= least(lit(minProbeHits), col("_np")))
       .select("delta_id", "corpus_id")
     val touchedC = aCand.select("corpus_id").union(bCand.select("corpus_id"))
       .distinct()

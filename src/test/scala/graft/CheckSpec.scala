@@ -20,7 +20,7 @@ class CheckSpec extends SparkTestBase {
     assert(rep("not_null(v)") == 1)
     assert(rep("unique(k)") == 2, s"rows implicated, not group count: $rep")
     assert(rep("in_range(v,0.0,10.0)") == 2, s"20.0 and -1.0: $rep")
-    assert(rep("ref_in(k)") == 1, s"k=3 has no dim match: $rep")
+    assert(rep("ref_in(k->k)") == 1, s"k=3 has no dim match: $rep")
     // all-clean frame reports zeros (and the empty-groups coalesce holds)
     val clean = check(dim, Seq(NotNull("k"), Unique(Seq("k"))))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -33,7 +33,7 @@ class CheckSpec extends SparkTestBase {
     val dim = Seq(1L).toDF("k")
     val rep = check(df, Seq(RefIn("k", dim, "k")))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(rep("ref_in(k)") == 1, s"only k=9 violates (null passes): $rep")
+    assert(rep("ref_in(k->k)") == 1, s"only k=9 violates (null passes): $rep")
     intercept[IllegalArgumentException](InRange("k", 5.0, 1.0))
     intercept[IllegalArgumentException](Unique(Nil))
     intercept[IllegalArgumentException](check(df, Nil))

@@ -70,6 +70,6 @@ object ProfileCheckPropSpec extends Properties("Profile/Check") {
       got("unique(k)") == dupRows &&
       got("in_range(v,0.0,10.0)") ==
         rows.count(_._2.exists(x => x < 0.0 || x > 10.0)) &&
-      got("ref_in(k)") == rows.count(r => r._1 > 3L)
+      got("ref_in(k->k)") == rows.count(r => r._1 > 3L)
   }
 }

@@ -521,7 +521,7 @@ class StreamingSpec extends SparkTestBase {
     in.addData(b1)
     q.processAllAvailable()
     assert(table() == Map("rows" -> 3L, "not_null(v)" -> 1L,
-      "in_range(v,0.0,10.0)" -> 1L, "ref_in(k)" -> 1L), s"got ${table()}")
+      "in_range(v,0.0,10.0)" -> 1L, "ref_in(k->k)" -> 1L), s"got ${table()}")
     val b2 = Seq((2L, Option(20.0)), (1L, Option(5.0)))
     in.addData(b2)
     q.processAllAvailable()
