@@ -1,0 +1,231 @@
+package graft
+
+import graft.logic.Vars
+import org.scalacheck.{Gen, Prop, Properties, Test}
+import org.scalacheck.Prop.propBoolean
+
+import scala.util.Random
+
+/** Generative planner-differential fuzzing: random small queries across
+  * the semantic cross-product the example corpus only samples —
+  * groundness (`?`/`!`/`!!`) × join shape (inner/outer/cross/exists) ×
+  * implicit equality (duplicate vars, constants in input and output
+  * position) × op timing (pre-join / post-join / post-agg, filters-first,
+  * dead-op pruning) × aggregation mix (parallel units, sequential-fold
+  * units, HAVING constants) × `:distinct` — each case checked against the
+  * brute-force tuple evaluator in [[PlannerFuzz]].
+  *
+  * Query specs are built imperatively from a scalacheck-provided seed, so
+  * every failure reproduces from the printed seed + spec. */
+object PlannerDiffPropSpec extends Properties("Planner.differential") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(
+      sys.env.get("GRAFT_FUZZ_CASES").map(_.toInt).getOrElse(500))
+
+  private lazy val spark = SparkTestBase.session
+
+  import PlannerFuzz._
+
+  private val groundPool = Vector("?a", "?b", "?c", "?d")
+  private val nullablePool = Vector("!m", "!n")
+  private val ungroundPool = Vector("!!u", "!!v")
+  private val mapOutPool = Vector("?p", "?q", "!w")
+  private val boolOutPool = Vector("?f1", "!f2")
+  private val aggOutPool = Vector("?x1", "?x2", "!x3")
+  private val flagPool = Vector("?e1", "!e2")
+
+  private val mapNames = Vector("plus2", "times2", "inc", "dup2", "seqTo")
+  private val filterNames = Vector("gt", "lt", "even", "eqv", "notNull")
+  private val aggNames = Vector("count", "sum", "min", "max", "ncount", "dcount", "ssum")
+
+  def buildSpec(r: Random): QSpec = {
+    def pick[T](xs: Seq[T]): T = xs(r.nextInt(xs.size))
+
+    // --- generators
+    val nGens = 1 + r.nextInt(3)
+    var usedUnground = Set.empty[String]
+    val gens = Vector.fill(nGens) {
+      val arity = 1 + r.nextInt(3)
+      val fields = Vector.fill[Any](arity) {
+        val d = r.nextInt(20)
+        val freeUg = ungroundPool.filterNot(usedUnground)
+        if (d < 11) pick(groundPool)
+        else if (d < 14) pick(nullablePool)
+        else if (d < 16 && freeUg.nonEmpty) {
+          val v = pick(freeUg); usedUnground += v; v
+        } else if (d < 18) (r.nextInt(3).toLong: Any)
+        else "_"
+      }
+      val rows = Seq.fill(r.nextInt(7))(Vector.fill[Any](arity)(
+        if (r.nextInt(10) < 2) null else (r.nextInt(4).toLong: Any)))
+      // occasionally declare a sound unique key (distinct values written
+      // into the key column) — arms the eager-aggregation rewrite
+      val keyCands = fields.zipWithIndex.collect {
+        case (v: String, i) if Vars.isVar(v) && !Vars.isWildcard(v) &&
+          !Vars.isUnground(v) && fields.count(_ == v) == 1 => (v, i)
+      }
+      if (keyCands.nonEmpty && r.nextInt(10) < 3) {
+        val (v, i) = pick(keyCands)
+        GenSpec(fields,
+          rows.zipWithIndex.map { case (row, k) => row.updated(i, k.toLong: Any) },
+          small = r.nextInt(10) < 3, uniqueKeys = Seq(Set(v)))
+      } else GenSpec(fields, rows, small = r.nextInt(10) < 3)
+    }
+    val genVars = gens.flatMap(_.fields).collect {
+      case v: String if Vars.isVar(v) && !Vars.isWildcard(v) => v
+    }.distinct
+
+    // --- scalar ops; inputs from already-bound Long vars (+ constants)
+    var longVars = genVars.filterNot(Vars.isWildcard) // all gen vars are Longs
+    var boolVars = Vector.empty[String]
+    val nOps = r.nextInt(3)
+    val ops = Vector.fill(nOps) {
+      if (longVars.isEmpty) OpSpec("notNull", Vector(pick(groundPool)), Vector.empty)
+      else {
+        def inItem(): Any =
+          if (r.nextInt(10) < 2) (r.nextInt(4).toLong: Any) else pick(longVars)
+        val name = if (r.nextInt(10) < 6) pick(mapNames) else pick(filterNames)
+        scalarOps(name) match {
+          case m: MMap =>
+            val in = Vector.fill[Any](m.arity)(inItem())
+            val out: Vector[Any] = r.nextInt(10) match {
+              case 0 | 1 | 2 | 3 | 4 | 5 =>
+                val v = pick(mapOutPool)
+                if (!longVars.contains(v)) longVars :+= v
+                Vector(v)
+              case 6 => Vector(pick(longVars)) // implicit equality
+              case 7 => Vector(r.nextInt(4).toLong: Any) // constant guard
+              case 8 => Vector("_")
+              case _ => Vector.empty // truthiness filter
+            }
+            OpSpec(name, in, out)
+          case mc: MMapcat =>
+            val in = Vector.fill[Any](mc.arity)(inItem())
+            val out: Vector[Any] = r.nextInt(10) match {
+              case 0 | 1 | 2 | 3 | 4 | 5 | 6 =>
+                val v = pick(mapOutPool)
+                if (!longVars.contains(v)) longVars :+= v
+                Vector(v)
+              case 7 => Vector(pick(longVars))
+              case 8 => Vector(r.nextInt(4).toLong: Any)
+              case _ => Vector("_")
+            }
+            OpSpec(name, in, out)
+          case f: MFilter =>
+            val in = Vector.fill[Any](f.arity)(inItem())
+            val out: Vector[Any] =
+              if (r.nextInt(10) < 7) Vector.empty
+              else {
+                val v = pick(boolOutPool)
+                if (!boolVars.contains(v)) boolVars :+= v
+                Vector(v)
+              }
+            OpSpec(name, in, out)
+          case _ => sys.error(name)
+        }
+      }
+    }
+
+    // --- aggregators
+    var usedAggOuts = Vector.empty[String]
+    val nAggs = if (r.nextInt(10) < 4 && longVars.nonEmpty) 1 + r.nextInt(2) else 0
+    val aggs = Vector.fill(nAggs) {
+      val name = pick(aggNames)
+      val arity = aggOps(name).arity
+      val in = Vector.fill[Any](arity)(
+        if (r.nextInt(10) < 1) (r.nextInt(4).toLong: Any) else pick(longVars))
+      val freshOuts = aggOutPool.filterNot(usedAggOuts.contains)
+      val rebindable = genVars.filterNot(usedAggOuts.contains)
+      val out: Vector[Any] =
+        if (r.nextInt(10) < 2) Vector(r.nextInt(4).toLong: Any) // HAVING
+        else if (r.nextInt(10) < 2 && rebindable.nonEmpty)
+          Vector(pick(rebindable)) // rebind a gen var as the agg output
+        else if (freshOuts.nonEmpty) Vector(pick(freshOuts))
+        else Vector(r.nextInt(4).toLong: Any)
+      out.foreach { case v: String if Vars.isVar(v) => usedAggOuts :+= v; case _ => () }
+      OpSpec(name, in, out)
+    }
+    val aggOutVars = aggs.flatMap(_.out).collect {
+      case v: String if Vars.isVar(v) => v
+    }
+
+    // post-agg scalar op over an aggregator output, occasionally
+    val postAggOps =
+      if (aggOutVars.nonEmpty && r.nextInt(10) < 3) {
+        val v = aggOutVars(r.nextInt(aggOutVars.size))
+        val ov = pick(mapOutPool.filterNot(aggOutVars.contains))
+        Vector(OpSpec("inc", Vector(v), Vector(ov)))
+      } else Vector.empty
+    val postAggOutVars = postAggOps.flatMap(_.out).collect {
+      case v: String if Vars.isVar(v) => v
+    }
+
+    // --- existence predicates
+    var flagVars = Vector.empty[String]
+    val exs =
+      if (r.nextInt(10) < 3 && genVars.nonEmpty) {
+        val arity = 1 + r.nextInt(2)
+        val groundGenVars = genVars.filterNot(Vars.isUnground)
+        val fields = Vector.fill[Any](arity) {
+          val d = r.nextInt(10)
+          if (d < 6 && groundGenVars.nonEmpty) pick(groundGenVars)
+          else if (d < 8) pick(groundPool)
+          else (r.nextInt(3).toLong: Any)
+        }
+        val rows = Seq.fill(r.nextInt(5))(Vector.fill[Any](arity)(
+          if (r.nextInt(10) < 2) null else (r.nextInt(4).toLong: Any)))
+        val flag: Any = r.nextInt(3) match {
+          case 0 => true
+          case 1 => false
+          case _ => val v = pick(flagPool); flagVars :+= v; v
+        }
+        Vector(ExistsSpec(GenSpec(fields, rows, small = r.nextInt(10) < 3), flag))
+      } else Vector.empty
+
+    // --- output fields
+    val candidates =
+      (genVars ++ longVars ++ boolVars ++ aggOutVars ++ postAggOutVars ++ flagVars)
+        .distinct.filterNot(Vars.isWildcard)
+    val out: Vector[Any] =
+      if (candidates.isEmpty) Vector(r.nextInt(4).toLong: Any)
+      else {
+        val nOut = 1 + r.nextInt(math.min(4, candidates.size))
+        val outVars = r.shuffle(candidates.toList).take(nOut).toVector
+        if (r.nextInt(10) < 2) outVars :+ (r.nextInt(4).toLong: Any)
+        else outVars
+      }
+
+    QSpec(gens, ops ++ postAggOps, aggs, exs, out, distinct = r.nextInt(10) < 2)
+  }
+
+  private def norm(rows: Seq[Seq[Any]]): Seq[String] =
+    rows.map(_.map {
+      case null => "ø"
+      case b: Boolean => if (b) "T" else "F"
+      case b: java.lang.Boolean => if (b) "T" else "F"
+      case x => x.toString
+    }.mkString("|")).sorted
+
+  property("spark plan == brute-force evaluator") =
+    Prop.forAll(Gen.choose(Long.MinValue, Long.MaxValue)) { seed =>
+      val spec = buildSpec(new Random(seed))
+      val model = PlannerFuzz.modelRun(spec)
+      val engine: Either[String, Seq[Seq[Any]]] =
+        try Right(toQuery(spec).toDF(spark).collect().toSeq.map(_.toSeq))
+        catch {
+          case e: IllegalArgumentException => Left(s"engine: ${e.getMessage}")
+          case e: RuntimeException => Left(s"engine: ${e.getMessage}")
+        }
+      (model, engine) match {
+        case (Left(_), Left(_)) => Prop.passed
+        case (Right(m), Right(g)) =>
+          (norm(m) == norm(g)) :|
+            s"seed=$seed\n${spec.describe}\nmodel: ${norm(m)}\nengine: ${norm(g)}"
+        case (Left(why), Right(g)) =>
+          false :| s"seed=$seed\n${spec.describe}\nmodel unplannable ($why) but engine returned ${norm(g)}"
+        case (Right(m), Left(why)) =>
+          false :| s"seed=$seed\n${spec.describe}\nengine failed ($why) but model returned ${norm(m)}"
+      }
+    }
+}

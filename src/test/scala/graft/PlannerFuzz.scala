@@ -1,0 +1,489 @@
+package graft
+
+import graft.logic._
+import graft.ops.{Ops => O}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{functions => F}
+
+import scala.collection.mutable
+
+/** Differential-fuzzing harness for the planner: a tiny query-spec ADT, a
+  * dual-implementation op catalog (Spark `Op` + in-memory model function),
+  * and a brute-force tuple evaluator implementing the reference query
+  * semantics (SURVEY §1.3, §2.3-2.6) over `Seq[Map[var, Any]]` with SQL
+  * three-valued null handling.
+  *
+  * The evaluator mirrors the reference's ALGORITHMIC decision points —
+  * greedy maximal-shared-vars merge order with the OR-groundness rule
+  * (logic/parse.clj:389-464,523-533), fixed-point op application with
+  * filters first (parse.clj:375-385), dead-op pruning (parse.clj:640-682)
+  * — because outer-join results and op timing legitimately depend on
+  * them. Execution, however, is nested-loop scans over in-memory tuples
+  * sharing no code with the Spark planner: any divergence is a bug in one
+  * of the two.
+  */
+object PlannerFuzz {
+
+  // ------------------------------------------------------------- spec ADT
+
+  /** `uniqueKeys`: declared candidate keys (sound by construction — the
+    * builder writes distinct values into the key column). Declaring one
+    * arms the planner's eager-aggregation rewrite, which the model never
+    * performs: the rewrite must be output-invisible or the differential
+    * fails. */
+  final case class GenSpec(fields: Vector[Any], rows: Seq[Vector[Any]], small: Boolean,
+      uniqueKeys: Seq[Set[String]] = Nil)
+  final case class OpSpec(name: String, in: Vector[Any], out: Vector[Any])
+  final case class ExistsSpec(gen: GenSpec, flag: Any)
+  final case class QSpec(
+      gens: Vector[GenSpec],
+      ops: Vector[OpSpec],
+      aggs: Vector[OpSpec],
+      exs: Vector[ExistsSpec],
+      out: Vector[Any],
+      distinct: Boolean) {
+    def describe: String = {
+      def fld(xs: Seq[Any]) = xs.map {
+        case null => "null"
+        case s: String => s
+        case c => s"const($c)"
+      }.mkString(", ")
+      val gs = gens.map(g =>
+        s"  gen(${fld(g.fields)})${if (g.small) " [tiny]" else ""} rows=${g.rows.map(r => r.map(v => if (v == null) "ø" else v).mkString("(", ",", ")")).mkString("")}")
+      val es = exs.map(e =>
+        s"  exists[${e.flag}](${fld(e.gen.fields)}) rows=${e.gen.rows.map(r => r.map(v => if (v == null) "ø" else v).mkString("(", ",", ")")).mkString("")}")
+      val os = (ops ++ aggs).map(o => s"  ${o.name}(${fld(o.in)}) :> ${fld(o.out)}")
+      s"query(${fld(out)})${if (distinct) " [distinct]" else ""}\n" +
+        (gs ++ es ++ os).mkString("\n")
+    }
+  }
+
+  // ----------------------------------------- op catalog (dual implementation)
+
+  /** Model conventions: values are java-boxed Long / Boolean / null.
+    * MMap.model returns the value (null allowed); MFilter.model returns a
+    * java.lang.Boolean (null = SQL unknown); MMapcat.model returns the
+    * element list (empty = no rows — Spark's null array explodes to
+    * nothing, so null-producing mapcats return Nil). MAgg.model folds the
+    * group's input-value rows to the single output value. */
+  sealed trait MOp
+  final case class MMap(arity: Int, spark: ColumnMap, model: Seq[Any] => Any) extends MOp
+  final case class MFilter(arity: Int, spark: ColumnFilter, model: Seq[Any] => java.lang.Boolean) extends MOp
+  final case class MMapcat(arity: Int, spark: ColumnMapcat, model: Seq[Any] => Seq[Any]) extends MOp
+  final case class MAgg(arity: Int, spark: Op, isSeq: Boolean, model: Seq[Seq[Any]] => Any) extends MOp
+
+  private def lv(x: Any): Long = x.asInstanceOf[Long]
+  private def anyNull(vs: Seq[Any]): Boolean = vs.exists(_ == null)
+  private def jb(b: Boolean): java.lang.Boolean = java.lang.Boolean.valueOf(b)
+
+  val scalarOps: Map[String, MOp] = Map(
+    "plus2" -> MMap(2, O.plus, vs => if (anyNull(vs)) null else (lv(vs(0)) + lv(vs(1))): Any),
+    "times2" -> MMap(2, O.times, vs => if (anyNull(vs)) null else (lv(vs(0)) * lv(vs(1))): Any),
+    "inc" -> MMap(1, O.inc, vs => if (anyNull(vs)) null else (lv(vs(0)) + 1L): Any),
+    "gt" -> MFilter(2, O.gt, vs => if (anyNull(vs)) null else jb(lv(vs(0)) > lv(vs(1)))),
+    "lt" -> MFilter(2, O.lt, vs => if (anyNull(vs)) null else jb(lv(vs(0)) < lv(vs(1)))),
+    "even" -> MFilter(1, O.even, vs => if (anyNull(vs)) null else jb(lv(vs(0)) % 2 == 0)),
+    "eqv" -> MFilter(2, O.eqv, vs => jb(vs(0) == vs(1))), // null-safe, never unknown
+    "notNull" -> MFilter(1, O.notNull, vs => jb(vs(0) != null)),
+    "dup2" -> MMapcat(1, ColumnMapcat(1, cs => F.array_repeat(cs.head, 2)),
+      vs => Seq(vs(0), vs(0))),
+    "seqTo" -> MMapcat(1, ColumnMapcat(1, cs => F.sequence(F.lit(0L), cs.head)),
+      vs =>
+        if (vs(0) == null) Seq.empty
+        else {
+          val x = lv(vs(0))
+          (if (x >= 0) 0L to x else 0L to x by -1).map(v => v: Any)
+        })
+  )
+
+  /** Sequential-fold sum (aggregatefn path): order-independent, same
+    * result contract as `sum` but executed through the sorted-group
+    * streaming pass and the unit-join re-assembly. */
+  private val seqSum: SeqAggOp =
+    O.aggregateFn[(Long, Long)](1, Seq(LongType))((0L, 0L))((acc, row) =>
+      row.head match {
+        case null => acc
+        case x => (acc._1 + 1L, acc._2 + x.asInstanceOf[Long])
+      })(acc => Seq(if (acc._1 == 0L) null else acc._2))
+
+  private def sumModel(rows: Seq[Seq[Any]]): Any = {
+    val vs = rows.map(_.head).filter(_ != null)
+    if (vs.isEmpty) null else (vs.map(lv).sum: Any)
+  }
+
+  val aggOps: Map[String, MAgg] = Map(
+    "count" -> MAgg(0, O.count, isSeq = false, rows => rows.size.toLong),
+    "sum" -> MAgg(1, O.sum, isSeq = false, sumModel),
+    "min" -> MAgg(1, O.min, isSeq = false, rows => {
+      val vs = rows.map(_.head).filter(_ != null)
+      if (vs.isEmpty) null else (vs.map(lv).min: Any)
+    }),
+    "max" -> MAgg(1, O.max, isSeq = false, rows => {
+      val vs = rows.map(_.head).filter(_ != null)
+      if (vs.isEmpty) null else (vs.map(lv).max: Any)
+    }),
+    "ncount" -> MAgg(1, O.countNotNull, isSeq = false,
+      rows => rows.count(_.head != null).toLong),
+    "dcount" -> MAgg(1, O.distinctCount, isSeq = false,
+      rows => rows.map(_.head).filter(_ != null).distinct.size.toLong),
+    "ssum" -> MAgg(1, seqSum, isSeq = true, sumModel)
+  )
+
+  // --------------------------------------------------- Spark query builder
+
+  private def schemaFor(arity: Int): StructType =
+    StructType((0 until arity).map(i => StructField(s"c$i", LongType, nullable = true)))
+
+  def toDF(spark: SparkSession, g: GenSpec): DataFrame = {
+    val rows = new java.util.ArrayList[Row]()
+    g.rows.foreach(r => rows.add(Row.fromSeq(r)))
+    spark.createDataFrame(rows, schemaFor(g.fields.length))
+  }
+
+  def toQuery(q: QSpec): Query = {
+    val gens: Seq[Pred] = q.gens.map(g =>
+      GenPred(s => toDF(s, g), g.fields, small = g.small, uniqueSets = g.uniqueKeys))
+    val exs: Seq[Pred] = q.exs.map(e =>
+      ExistsPred(GenPred(s => toDF(s, e.gen), e.gen.fields, small = e.gen.small), e.flag))
+    def sparkOp(name: String): Op = scalarOps(name) match {
+      case MMap(_, op, _) => op
+      case MFilter(_, op, _) => op
+      case MMapcat(_, op, _) => op
+      case _ => sys.error(name)
+    }
+    val ops: Seq[Pred] = q.ops.map(o => OpPred(sparkOp(o.name), o.in, o.out))
+    val aggs: Seq[Pred] = q.aggs.map(o => OpPred(aggOps(o.name).spark, o.in, o.out))
+    Query(q.out, gens ++ exs ++ ops ++ aggs, QueryOptions(distinct = q.distinct))
+  }
+
+  // --------------------------------------------- brute-force tuple evaluator
+
+  final case class Unplannable(msg: String) extends Exception(msg)
+
+  final case class MTail(rows: Seq[Map[String, Any]], fields: Vector[String],
+      groundOverride: Option[Boolean] = None) {
+    def isGround: Boolean = groundOverride.getOrElse(fields.forall(Vars.isGroundVar))
+  }
+
+  /** null-safe equality (`<=>`): null == null, boxed values by equals. */
+  private def nse(a: Any, b: Any): Boolean = a == b
+
+  def modelRun(q: QSpec): Either[String, Seq[Seq[Any]]] =
+    try Right(modelEval(q)) catch {
+      case Unplannable(m) => Left(m)
+    }
+
+  private def modelEval(q: QSpec): Seq[Seq[Any]] = {
+    def outVars(o: OpSpec) = o.out.collect { case v: String if Vars.isVar(v) => v }
+    def inVars(o: OpSpec) = o.in.collect { case v: String if Vars.isVar(v) => v }
+
+    // ungrounding-var validation (parse.clj:113-129): springs from exactly
+    // one generator, never an op output, never in a generator-as-set
+    q.gens.flatMap(_.fields).collect { case v: String if Vars.isUnground(v) => v }
+      .groupBy(identity).foreach { case (v, occ) =>
+        if (occ.size > 1) throw Unplannable(s"ungrounding var $v in multiple generators")
+      }
+    (q.ops ++ q.aggs).foreach(_.out.foreach {
+      case v: String if Vars.isUnground(v) =>
+        throw Unplannable(s"ungrounding var $v from an operation")
+      case _ => ()
+    })
+    q.exs.foreach(e => (e.gen.fields :+ e.flag).foreach {
+      case v: String if Vars.isUnground(v) =>
+        throw Unplannable(s"ungrounding var $v in a generator-as-set")
+      case _ => ()
+    })
+
+    // dead-op pruning (mirrors Planner.compile / parse.clj:640-682),
+    // disabled wholesale when any predicate has zero inputs
+    val kept: Vector[OpSpec] =
+      if ((q.ops ++ q.aggs).exists(_.in.isEmpty)) q.ops
+      else {
+        def effectful(o: OpSpec): Boolean =
+          o.out.isEmpty || o.out.exists {
+            case v: String if Vars.isVar(v) => false // no trap vars in fuzz
+            case _ => true // constant in output = implicit filter
+          }
+        val dupOut = (q.ops ++ q.aggs).flatMap(outVars).groupBy(identity)
+          .collect { case (v, occ) if occ.size > 1 => v }.toSet
+        val base: Set[String] =
+          q.out.collect { case v: String if Vars.isVar(v) => v }.toSet ++
+            q.gens.flatMap(_.fields).collect { case v: String if Vars.isVar(v) => v } ++
+            q.exs.flatMap(e => e.gen.fields :+ e.flag)
+              .collect { case v: String if Vars.isVar(v) => v } ++
+            q.ops.filter(_.out.isEmpty).flatMap(inVars) ++
+            q.aggs.flatMap(inVars) ++ dupOut
+        var keptNow = q.ops
+        var stable = false
+        while (!stable) {
+          val necessary = base ++ keptNow.flatMap(inVars)
+          val next = q.ops.filter(o => effectful(o) || outVars(o).exists(necessary))
+          stable = next == keptNow
+          keptNow = next
+        }
+        keptNow
+      }
+
+    val ops = mutable.ArrayBuffer(kept: _*)
+
+    // 1. bind generators, per-tail fixed point
+    var tails = mutable.ArrayBuffer(q.gens.map(bindGen): _*)
+    tails = tails.map(t => fixedPoint(t, ops))
+
+    // 2. greedy maximal-shared-vars merge with the joinable? restriction
+    def joinable(t: MTail, jf: Set[String]): Boolean =
+      jf.subsetOf(t.fields.toSet) &&
+        (t.isGround || t.fields.filterNot(jf).forall(Vars.isUnground))
+    while (tails.size > 1) {
+      val pairs = for { i <- tails.indices; j <- tails.indices if i < j }
+        yield (i, j, tails(i).fields.toSet.intersect(tails(j).fields.toSet))
+      val candidates = pairs.filter { case (i, j, s) =>
+        s.nonEmpty && joinable(tails(i), s) && joinable(tails(j), s)
+      }
+      val (i, j, shared) =
+        if (candidates.nonEmpty) candidates.maxBy(_._3.size)
+        else pairs.find { case (a, b, s) =>
+          s.isEmpty && tails(a).isGround && tails(b).isGround
+        }.getOrElse(throw Unplannable("unable to join predicates together"))
+      val joined = joinPair(tails(i), tails(j), shared.toVector.sorted)
+      val rest = tails.zipWithIndex.collect { case (t, k) if k != i && k != j => t }
+      tails = mutable.ArrayBuffer(fixedPoint(joined, ops)) ++ rest
+    }
+    var t0 = tails.head
+
+    // 3. existence joins, then ops that needed them
+    q.exs.foreach { e => t0 = applyExists(t0, e) }
+    t0 = fixedPoint(t0, ops)
+
+    // 4. grouping/aggregation, then ops over aggregator outputs
+    if (q.aggs.nonEmpty) {
+      t0 = aggregate(t0, q.aggs, q)
+      t0 = fixedPoint(t0, ops)
+    }
+
+    if (ops.nonEmpty) throw Unplannable("ops with unsatisfiable inputs")
+
+    // 5. final projection (+ distinct when no aggregators)
+    q.out.foreach {
+      case v: String if Vars.isVar(v) =>
+        if (!t0.fields.contains(v)) throw Unplannable(s"output var $v is not bound")
+      case _ => ()
+    }
+    var rows = t0.rows.map(r => q.out.map {
+      case v: String if Vars.isVar(v) => r(v)
+      case c => c
+    }: Seq[Any])
+    if (q.distinct && q.aggs.isEmpty) rows = rows.distinct
+    rows
+  }
+
+  private def bindGen(g: GenSpec): MTail = {
+    val first = mutable.LinkedHashMap[String, Int]()
+    val constFilters = mutable.ArrayBuffer[(Int, Any)]()
+    val dupFilters = mutable.ArrayBuffer[(Int, Int)]()
+    g.fields.zipWithIndex.foreach { case (item, i) =>
+      item match {
+        case w: String if Vars.isWildcard(w) => ()
+        case v: String if Vars.isVar(v) =>
+          first.get(v) match {
+            case Some(i0) => dupFilters += ((i, i0))
+            case None => first(v) = i
+          }
+        case c => constFilters += ((i, c))
+      }
+    }
+    val rows = g.rows.filter { r =>
+      dupFilters.forall { case (i, i0) => nse(r(i), r(i0)) } &&
+        constFilters.forall { case (i, c) => nse(r(i), c) }
+    }
+    val bound = first.keys.toVector
+    var out = rows.map(r => first.map { case (v, i) => v -> r(i) }.toMap)
+    bound.filter(Vars.isNonNullable).foreach { v =>
+      out = out.filter(_(v) != null)
+    }
+    MTail(out, bound)
+  }
+
+  private def ready(t: MTail, o: OpSpec): Boolean = o.in.forall {
+    case v: String if Vars.isVar(v) => t.fields.contains(v)
+    case _ => true
+  }
+
+  private def isPlainFilter(o: OpSpec): Boolean =
+    scalarOps(o.name).isInstanceOf[MFilter] && o.out.isEmpty
+
+  private def fixedPoint(t0: MTail, ops: mutable.ArrayBuffer[OpSpec]): MTail = {
+    var t = t0
+    var progress = true
+    while (progress) {
+      progress = false
+      val rdy = ops.filter(o => ready(t, o)).sortBy(o => if (isPlainFilter(o)) 0 else 1)
+      rdy.headOption.foreach { o =>
+        t = applyOp(t, o)
+        ops -= o
+        progress = true
+      }
+    }
+    t
+  }
+
+  private def inVals(r: Map[String, Any], in: Seq[Any]): Seq[Any] = in.map {
+    case v: String if Vars.isVar(v) => r(v)
+    case c => c
+  }
+
+  /** bindOutputs semantics: wildcards discarded, fresh vars bind (`?` gets
+    * a null filter), bound vars / constants become `<=>` filters. */
+  private def bindOut(t: MTail, rowsWithVals: Seq[(Map[String, Any], Seq[Any])],
+      outs: Seq[Any]): MTail = {
+    var fields = t.fields
+    var rows = rowsWithVals
+    outs.zipWithIndex.foreach { case (o, k) =>
+      o match {
+        case w: String if Vars.isWildcard(w) => ()
+        case v: String if Vars.isVar(v) && !fields.contains(v) =>
+          rows = rows.map { case (r, vals) => (r + (v -> vals(k)), vals) }
+          if (Vars.isNonNullable(v)) rows = rows.filter(_._1(v) != null)
+          fields :+= v
+        case v: String if Vars.isVar(v) =>
+          rows = rows.filter { case (r, vals) => nse(r(v), vals(k)) }
+        case c =>
+          rows = rows.filter { case (_, vals) => nse(vals(k), c) }
+      }
+    }
+    MTail(rows.map(_._1), fields, t.groundOverride)
+  }
+
+  private def applyOp(t: MTail, o: OpSpec): MTail = scalarOps(o.name) match {
+    case MMap(_, _, f) if o.out.isEmpty =>
+      // mapop-as-filter truthiness: non-boolean results are truthy iff
+      // non-null (our map catalog is all Long-valued)
+      MTail(t.rows.filter(r => f(inVals(r, o.in)) != null), t.fields, t.groundOverride)
+    case MMap(_, _, f) =>
+      bindOut(t, t.rows.map(r => (r, Seq(f(inVals(r, o.in))))), o.out)
+    case MFilter(_, _, f) if o.out.isEmpty =>
+      MTail(t.rows.filter { r =>
+        val b = f(inVals(r, o.in)); b != null && b.booleanValue
+      }, t.fields, t.groundOverride)
+    case MFilter(_, _, f) =>
+      bindOut(t, t.rows.map(r => (r, Seq(f(inVals(r, o.in)): Any))), o.out)
+    case MMapcat(_, _, f) =>
+      val expanded = t.rows.flatMap(r =>
+        f(inVals(r, o.in)).map(e => (r, Seq(e))))
+      bindOut(t, expanded, o.out)
+    case _: MAgg => throw Unplannable(s"aggregator ${o.name} as scalar op")
+  }
+
+  /** Binary join: null-unsafe key equality (SQL join semantics — null keys
+    * never match), join type from OR-groundness, using-columns key
+    * coalescing (unmatched right rows keep their own key values). */
+  private def joinPair(lt: MTail, rt: MTail, shared: Vector[String]): MTail = {
+    val ground = Some(lt.isGround || rt.isGround)
+    if (shared.isEmpty)
+      return MTail(for { a <- lt.rows; b <- rt.rows } yield a ++ b,
+        lt.fields ++ rt.fields, ground)
+    def keyMatch(a: Map[String, Any], b: Map[String, Any]): Boolean =
+      shared.forall(v => a(v) != null && b(v) != null && a(v) == b(v))
+    val rOnly = rt.fields.filterNot(shared.contains)
+    val lOnly = lt.fields.filterNot(shared.contains)
+    val matches = for { a <- lt.rows; b <- rt.rows if keyMatch(a, b) }
+      yield a ++ rOnly.map(v => v -> b(v)).toMap
+    lazy val lUn = lt.rows.filter(a => !rt.rows.exists(b => keyMatch(a, b)))
+      .map(a => a ++ rOnly.map(v => v -> (null: Any)).toMap)
+    lazy val rUn = rt.rows.filter(b => !lt.rows.exists(a => keyMatch(a, b)))
+      .map(b => lOnly.map(v => v -> (null: Any)).toMap ++ b)
+    val rows = (lt.isGround, rt.isGround) match {
+      case (true, true) => matches
+      case (true, false) => matches ++ lUn
+      case (false, true) => matches ++ rUn
+      case (false, false) => matches ++ lUn ++ rUn
+    }
+    MTail(rows, lt.fields ++ rOnly, ground)
+  }
+
+  private def applyExists(t: MTail, e: ExistsSpec): MTail = {
+    val g = bindGen(e.gen)
+    val shared = t.fields.filter(g.fields.contains)
+    if (shared.isEmpty) throw Unplannable("existence predicate shares no vars with the query")
+    def m(a: Map[String, Any]): Boolean =
+      g.rows.exists(b => shared.forall(v => a(v) != null && b(v) != null && a(v) == b(v)))
+    e.flag match {
+      case true => MTail(t.rows.filter(m), t.fields, t.groundOverride)
+      case false => MTail(t.rows.filterNot(m), t.fields, t.groundOverride)
+      case v: String if Vars.isVar(v) =>
+        MTail(t.rows.map(r => r + (v -> (m(r): Any))), t.fields :+ v, t.groundOverride)
+      case other => throw Unplannable(s"bad existence flag: $other")
+    }
+  }
+
+  /** Grouping node: group by the out-fields vars that survive to the tail
+    * and are not aggregator outputs (null-safe grouping). ColumnAggs run
+    * as one unit (global agg on empty input = one row); each sequential
+    * fold is its own unit (streaming pass: empty input = no rows); units
+    * re-join on the group keys with `<=>`. */
+  private def aggregate(t: MTail, aggs: Vector[OpSpec], q: QSpec): MTail = {
+    val aggOutVars = aggs.flatMap(_.out).collect {
+      case v: String if Vars.isVar(v) => v
+    }.toSet
+    val groupVars = q.out.collect {
+      case v: String if Vars.isVar(v) && t.fields.contains(v) && !aggOutVars(v) => v
+    }.distinct.toVector
+
+    def groupsOf(alwaysGlobalRow: Boolean): Seq[(Vector[Any], Seq[Map[String, Any]])] =
+      if (groupVars.isEmpty) {
+        if (t.rows.isEmpty && !alwaysGlobalRow) Seq.empty
+        else Seq((Vector.empty, t.rows))
+      } else t.rows.groupBy(r => groupVars.map(r(_))).toSeq
+
+    val (seqAggs, colAggs) = aggs.partition(a => aggOps(a.name).isSeq)
+
+    def evalColUnit(us: Seq[OpSpec]): (Seq[Map[String, Any]], Vector[String]) = {
+      var fields = groupVars
+      val rows = groupsOf(alwaysGlobalRow = true).flatMap { case (k, rs) =>
+        var m = groupVars.zip(k).toMap
+        var keep = true
+        us.foreach { o =>
+          val value = aggOps(o.name).model(rs.map(r => inVals(r, o.in)))
+          o.out.head match {
+            case w: String if Vars.isWildcard(w) => ()
+            case v: String if Vars.isVar(v) => m += (v -> value)
+            case c => if (!nse(value, c)) keep = false
+          }
+        }
+        if (keep) Some(m) else None
+      }
+      us.foreach(_.out.head match {
+        case v: String if Vars.isVar(v) && !Vars.isWildcard(v) => fields :+= v
+        case _ => ()
+      })
+      (rows, fields)
+    }
+
+    def evalSeqUnit(o: OpSpec): (Seq[Map[String, Any]], Vector[String]) = {
+      val withVals = groupsOf(alwaysGlobalRow = false).map { case (k, rs) =>
+        (groupVars.zip(k).toMap,
+          Seq(aggOps(o.name).model(rs.map(r => inVals(r, o.in)))))
+      }
+      val bound = bindOut(MTail(Nil, groupVars), withVals, o.out)
+      (bound.rows, bound.fields)
+    }
+
+    val units: Seq[(Seq[Map[String, Any]], Vector[String])] =
+      (if (colAggs.nonEmpty) Seq(evalColUnit(colAggs)) else Nil) ++
+        seqAggs.map(evalSeqUnit)
+
+    val (rows, fields) = units.reduce { (a, b) =>
+      if (groupVars.isEmpty)
+        (for { x <- a._1; y <- b._1 } yield x ++ y, a._2 ++ b._2)
+      else {
+        val bOnly = b._2.filterNot(groupVars.contains)
+        (for { x <- a._1; y <- b._1 if groupVars.forall(v => nse(x(v), y(v))) }
+          yield x ++ bOnly.map(v => v -> y(v)).toMap,
+          a._2 ++ bOnly)
+      }
+    }
+    MTail(rows, fields)
+  }
+
+}
