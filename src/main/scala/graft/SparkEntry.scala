@@ -1069,6 +1069,37 @@ object SparkEntry {
     graft.operators.Snapshot.history(versions, Seq("o_orderkey"), "version")
   }
 
+  /** Oracle-keyed trap semantics (reference :trap,
+    * cascading_api_test.clj:112-224): a trapped op throws on every
+    * l_orderkey divisible by 7; failing tuples divert to the trap sink
+    * BEFORE binding and BEFORE aggregation (Planner trap diversion), so
+    * the survivor aggregate counts only clean rows. The query output
+    * unions the survivor aggregate ('ok': count + sum of the op's 2×key
+    * result) with the trap-side aggregate ('trapped': count + sum of the
+    * raw key) — the result is wrong unless diversion-before-aggregation
+    * semantics hold, which is exactly what the DuckDB oracle replays as
+    * a WHERE partition. */
+  private def q48(s: SparkSession, d: String): DataFrame = {
+    import graft.dsl._
+    var trapDf: DataFrame = null
+    val q = query("?l_returnflag", "?cnt", "?s")(
+      lineitem(d)("?ok", "_", "_", "_", "_", "_", "_", "_",
+        "?l_returnflag", "_", "_"),
+      trapped((k: Long) =>
+        if (k % 7 == 0) throw new IllegalArgumentException(s"mod7 $k")
+        else k * 2, "?ok") :> "?dk",
+      Ops.count() :> "?cnt",
+      Ops.sum("?dk") :> "?s")
+      .withTrap(df => trapDf = df)
+    val okAgg = q.toDF(s)
+      .select(col("l_returnflag"), lit("ok").as("kind"), col("cnt"), col("s"))
+    val trapAgg = trapDf
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("cnt"), sum(col("ok")).as("s"))
+      .select(col("l_returnflag"), lit("trapped").as("kind"), col("cnt"), col("s"))
+    okAgg.unionAll(trapAgg)
+  }
+
   /** Hybrid retrieval via reciprocal-rank fusion
     * ([[Similarity.rrfFuse]]): the BM25 lexical top-50 (p64's scorer,
     * deterministic rel-then-id ranking) fused with the embedding knn
@@ -1185,6 +1216,25 @@ object SparkEntry {
       Unique(Seq("l_orderkey", "l_linenumber")),
       InRange("l_discount", 0.0, 0.05),
       RefIn("l_orderkey", tbl(d, "orders")(s), "o_orderkey")))
+  }
+
+  /** BATCHED BPE training oracle-keyed ([[Bpe.train]] with
+    * `batchMerges` > 1, the 11×-fewer-driver-rounds scale path): 8
+    * merges learned 4-per-round from the documents word-type table. The
+    * oracle replays the EXACT round structure in SQL — per-round pair
+    * counts over the current type table, (count desc, a, b) ranking with
+    * the engine's fetch window, sequential symbol-disjoint acceptance as
+    * a list_reduce fold, and the p47 merge-application fold per accepted
+    * rank — unrolled one CTE block per round by the same loop shape the
+    * engine runs (the p51 generated-oracle idiom). numMerges rounds are
+    * unrolled (not numMerges/M) so under-filled batches and early stops
+    * replay exactly; completed rounds degenerate to identity. */
+  private def p81(s: SparkSession, d: String): DataFrame = {
+    val merges = Bpe.train(tbl(d, "documents")(s), numMerges = 8, batchMerges = 4)
+    import s.implicits._
+    merges.zipWithIndex
+      .map { case ((a, b), i) => ((i + 1).toLong, a, b) }
+      .toDF("rank", "a", "b")
   }
 
   /** [[Dedup.hammingCandidates]] over PRECOMPUTED 64-bit codes — the
@@ -1548,6 +1598,8 @@ object SparkEntry {
     "q45_funnel" -> (q45 _),
     "q46_retention" -> (q46 _),
     "q47_scd2_history" -> (q47 _),
+    "q48_trap_divert" -> (q48 _),
+    "p81_bpe_batch" -> (p81 _),
     "p23_heavy_hitters" -> (p23 _),
     "p24_span_dedup" -> (p24 _),
     "p25_kmv_distinct" -> (p25 _),
@@ -2244,6 +2296,9 @@ object SparkEntry {
     "p17_neardup_star" -> neardupOracleSql,
     "p76_quality_dedup" -> neardupByOracleSql,
     "p79_profile" -> profileOracleSql,
+    // p81: batched BPE training (numMerges=8, batchMerges=4, the
+    // engine's defaults otherwise) — see batchedBpeOracleSql
+    "p81_bpe_batch" -> batchedBpeOracleSql(numMerges = 8, m = 4, minPairFreq = 2),
     // p80: expectations report — rows total, null count, duplicated-key
     // participation, tight range violations, FK integrity (semantics in
     // operators/Check.scala scaladoc)
@@ -3366,6 +3421,18 @@ object SparkEntry {
         |  FROM g)
         |SELECT k AS o_orderkey, p AS o_orderpriority, valid_from, valid_to
         |FROM f""".stripMargin,
+    // q48: trap diversion replayed as a WHERE partition — survivors
+    // (key % 7 <> 0) aggregate through the query, failures aggregate on
+    // the trap side; sums cast back to BIGINT (DuckDB SUM(BIGINT) widens
+    // to HUGEINT)
+    "q48_trap_divert" ->
+      """SELECT l_returnflag, 'ok' AS kind, COUNT(*) AS cnt,
+        |  CAST(SUM(l_orderkey * 2) AS BIGINT) AS s
+        |FROM lineitem WHERE l_orderkey % 7 <> 0 GROUP BY l_returnflag
+        |UNION ALL
+        |SELECT l_returnflag, 'trapped', COUNT(*),
+        |  CAST(SUM(l_orderkey) AS BIGINT)
+        |FROM lineitem WHERE l_orderkey % 7 = 0 GROUP BY l_returnflag""".stripMargin,
     // p68: the count-min sketch replayed cell-for-cell — md5 row hashes
     // assign cells, counters aggregate per (row, cell), estimates MIN
     // over each top token's cells
@@ -3771,6 +3838,80 @@ object SparkEntry {
         |  JOIN szc ON szc.doc_id = a.corpus_id) t
         |WHERE containment >= 0.8""".stripMargin
   )
+
+  /** p81: batched BPE training replayed round-for-round. Generated by
+    * the same loop shape the engine runs (`numMerges` unrolled rounds —
+    * NOT numMerges/batchMerges, so under-filled batches and early stops
+    * replay exactly; rounds after completion degenerate to identity via
+    * the `cap <= 0` guard). Per round: pair counts over the current type
+    * table, (count desc, a, b) ranking cut at the engine's fetch window,
+    * sequential symbol-disjoint acceptance as a list_reduce fold over
+    * 'a,b' strings (accumulator = ';'-joined accepted list — a member or
+    * product colliding with a higher-ranked acceptance is rejected), and
+    * the p47 merge-application fold per accepted rank. */
+  private def batchedBpeOracleSql(numMerges: Int, m: Int, minPairFreq: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH RECURSIVE wt AS MATERIALIZED (
+      |  SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM (
+      |    SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\W+'),
+      |      x -> x != '')) AS w FROM documents) q GROUP BY w),
+      |t0 AS MATERIALIZED (
+      |  SELECT '§' || list_reduce(
+      |    list_prepend('', list_transform(generate_series(1, length(w)), i -> w[i])),
+      |    (acc, x) -> acc || '·' || x) AS s, n FROM wt)""".stripMargin
+    for (r <- 1 to numMerges) {
+      val p = r - 1
+      val cumPrev = if (r == 1) "0" else (1 until r).map(k => s"nm$k.n").mkString(" + ")
+      val capFrom = if (r == 1) "" else " FROM " + (1 until r).map(k => s"nm$k").mkString(", ")
+      sb ++= s""",
+        |pr$r AS MATERIALIZED (
+        |  SELECT a, b, CAST(SUM(n) AS BIGINT) AS c FROM (
+        |    SELECT ss[i] AS a, ss[i + 1] AS b, n FROM (
+        |      SELECT list_filter(string_split(s, '·'), y -> y != '§') AS ss, n
+        |      FROM t$p) q,
+        |      unnest(generate_series(1, len(ss) - 1)) AS u(i)) q2
+        |  GROUP BY a, b HAVING SUM(n) >= $minPairFreq),
+        |cap$r AS MATERIALIZED (SELECT CAST(LEAST($m, $numMerges - ($cumPrev)) AS BIGINT) AS w$capFrom),
+        |rk$r AS MATERIALIZED (SELECT a, b, row_number() OVER (ORDER BY c DESC, a, b) AS rn FROM pr$r),
+        |rl$r AS MATERIALIZED (SELECT COALESCE(list(a || ',' || b ORDER BY rn), CAST([] AS VARCHAR[])) AS l
+        |  FROM rk$r, cap$r
+        |  WHERE rn <= CASE WHEN cap$r.w <= 1 THEN 1 ELSE greatest(4 * cap$r.w, 16) END),
+        |sel$r AS MATERIALIZED (
+        |  SELECT list_reduce(list_prepend('', rl$r.l),
+        |    (acc, x) -> CASE
+        |      WHEN (CASE WHEN acc = '' THEN 0 ELSE len(string_split(acc, ';')) END) >= cap$r.w
+        |        THEN acc
+        |      WHEN list_has_any(
+        |        [string_split(x, ',')[1], string_split(x, ',')[2], replace(x, ',', '')],
+        |        flatten(list_transform(string_split(acc, ';'),
+        |          y -> [string_split(y, ',')[1], string_split(y, ',')[2], replace(y, ',', '')])))
+        |        THEN acc
+        |      WHEN acc = '' THEN x
+        |      ELSE acc || ';' || x END) AS s
+        |  FROM rl$r, cap$r),
+        |acc$r AS MATERIALIZED (
+        |  SELECT i AS rnk, string_split(ys[i], ',')[1] AS a, string_split(ys[i], ',')[2] AS b
+        |  FROM (SELECT CASE WHEN s = '' THEN CAST([] AS VARCHAR[])
+        |               ELSE string_split(s, ';') END AS ys FROM sel$r) q,
+        |    unnest(generate_series(1, len(ys))) AS u(i)),
+        |nm$r AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM acc$r),
+        |e$r AS (
+        |  SELECT s, n, 0 AS step FROM t$p
+        |  UNION ALL
+        |  SELECT list_reduce(list_prepend('§', list_filter(string_split(e.s, '·'), y -> y != '§')),
+        |    (acc, x) -> CASE WHEN ends_with(acc, '·' || mm.a) AND x = mm.b
+        |      THEN left(acc, length(acc) - length(mm.a) - 1) || '·' || mm.a || mm.b
+        |      ELSE acc || '·' || x END) AS s, e.n, e.step + 1
+        |  FROM e$r e JOIN acc$r mm ON mm.rnk = e.step + 1),
+        |t$r AS MATERIALIZED (SELECT e$r.s AS s, e$r.n AS n FROM e$r, nm$r WHERE e$r.step = nm$r.n)""".stripMargin
+    }
+    sb ++= "\n" + (1 to numMerges).map { r =>
+      val cum = if (r == 1) "" else (1 until r).map(k => s"nm$k.n").mkString("", " + ", " + ")
+      val froms = if (r == 1) s"acc$r" else s"acc$r, " + (1 until r).map(k => s"nm$k").mkString(", ")
+      s"SELECT CAST($cum${"rnk"} AS BIGINT) AS rank, a, b FROM $froms"
+    }.mkString("\nUNION ALL\n")
+    sb.result()
+  }
 
   /** p79: per-column profile blocks (numeric → min/max as DOUBLE,
     * string → min/max as VARCHAR, the other pair NULL), one UNION ALL
