@@ -1335,6 +1335,26 @@ object Dedup {
     train.join(bad, Seq(idCol), "left_anti")
   }
 
+  /** Default per-doc shingle-set cap for containment verification: 2^22
+    * hashes = 32 MB per doc-side array — far above any real document
+    * (a 4M-shingle doc is ~tens of MB of text) yet bounding what one
+    * task materializes. The `maxBucketSize` idiom applied to per-doc
+    * arrays: a pathological multi-GB doc fails LOUDLY with a named knob
+    * instead of OOMing an executor mid-join. */
+  val DefaultMaxShinglesPerDoc: Int = 1 << 22
+
+  /** Loud per-doc array guard (the ZOrder.checkedMax idiom): the shingle
+    * array passes through unless it exceeds `cap`, which raises a
+    * task-level error naming the knob. */
+  private def guardShingles(arr: Column, cap: Int): Column =
+    when(size(arr) > cap,
+      raise_error(concat(
+        lit(s"containment verify: doc exceeds maxShinglesPerDoc=$cap ("),
+        size(arr).cast("string"),
+        lit(" shingles) — raise the cap or pre-chunk the document")))
+        .cast("array<bigint>"))
+      .otherwise(arr)
+
   /** Containment of sorted distinct hash array `a` IN `b`:
     * |A∩B| / |A| via one merge pass. Empty inner set → 0.0 (such docs
     * never generate candidates; the guard is for direct calls). */
@@ -1433,12 +1453,14 @@ object Dedup {
       threshold: Double = 0.8,
       shingleWords: Int = 3,
       textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id",
+      maxShinglesPerDoc: Int = DefaultMaxShinglesPerDoc): DataFrame = {
     val cand = candidates.transform(graft.Stage.materialize)
     val touched = cand.select(col("inner_id").as(idCol))
       .union(cand.select(col("outer_id").as(idCol))).distinct()
     val sets = docs.join(touched, Seq(idCol), "left_semi")
-      .select(col(idCol), shingleHashKernel(col(textCol), lit(shingleWords)).as("_ss"))
+      .select(col(idCol), guardShingles(
+        shingleHashKernel(col(textCol), lit(shingleWords)), maxShinglesPerDoc).as("_ss"))
       .transform(graft.Stage.materialize)
     cand
       .join(sets.select(col(idCol).as("inner_id"), col("_ss").as("_sa")), "inner_id")
@@ -1491,12 +1513,14 @@ object Dedup {
       minProbeHits: Int = 1,
       shingleWords: Int = 3,
       textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id",
+      maxShinglesPerDoc: Int = DefaultMaxShinglesPerDoc): DataFrame = {
     val need = Seq(idCol, "gh", "rk", "doc_n")
     require(need.forall(index.columns.contains),
       s"index must be shingleIndex output with columns $need, got ${index.columns.toSeq}")
     val ds = delta.select(col(idCol).as("delta_id"),
-        shingleHashKernel(col(textCol), lit(shingleWords)).as("_ss"))
+        guardShingles(shingleHashKernel(col(textCol), lit(shingleWords)),
+          maxShinglesPerDoc).as("_ss"))
       .transform(graft.Stage.materialize)
     val dExpl = ds.select(col("delta_id"), explode(col("_ss")).as("gh"))
     val ci = index.select(col(idCol).as("corpus_id"), col("gh"), col("rk"),
@@ -1533,7 +1557,8 @@ object Dedup {
     val touchedC = aCand.select("corpus_id").union(bCand.select("corpus_id"))
       .distinct()
     val cSets = ci.join(touchedC, Seq("corpus_id"), "left_semi")
-      .groupBy("corpus_id").agg(sort_array(collect_list(col("gh"))).as("_cs"))
+      .groupBy("corpus_id").agg(guardShingles(
+        sort_array(collect_list(col("gh"))), maxShinglesPerDoc).as("_cs"))
       .transform(graft.Stage.materialize)
     val dSets = ds.select(col("delta_id"), col("_ss"))
     def verify(cand: DataFrame, dir: String, innerDelta: Boolean): DataFrame = {
@@ -1566,11 +1591,12 @@ object Dedup {
       maxDocFreq: Int = 256,
       minProbeHits: Int = 1,
       textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id",
+      maxShinglesPerDoc: Int = DefaultMaxShinglesPerDoc): DataFrame = {
     val pairs = containmentVerify(
       containmentCandidates(df, m, shingleWords, maxDocFreq, minProbeHits,
         textCol, idCol),
-      df, threshold, shingleWords, textCol, idCol)
+      df, threshold, shingleWords, textCol, idCol, maxShinglesPerDoc)
       .transform(graft.Stage.materialize)
     val touched = pairs.select(col("inner_id").as(idCol))
       .union(pairs.select(col("outer_id").as(idCol))).distinct()

@@ -534,6 +534,36 @@ class CurationOpsSpec extends SparkTestBase {
       strict.contains((4L, 3L)), s"got $strict")
   }
 
+  test("containmentVerify: maxShinglesPerDoc guard fails loudly, default passes") {
+    import spark.implicits._
+    // 30 distinct tokens -> 28 distinct 3-shingles per doc
+    val big = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((1L, big), (2L, "pre " + big + " post")).toDF("doc_id", "text")
+    val cands = Seq((1L, 2L)).toDF("inner_id", "outer_id")
+    // adversarial: a cap below the doc's shingle count raises a named,
+    // actionable error instead of letting the task OOM at real scale
+    val e = intercept[Exception] {
+      Dedup.containmentVerify(cands, docs, threshold = 0.5,
+        maxShinglesPerDoc = 8).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("maxShinglesPerDoc")),
+      s"got ${messages(e)}")
+    // the default cap is invisible to normal docs
+    val ok = Dedup.containmentVerify(cands, docs, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(ok.get((1L, 2L)).contains(1.0), s"got $ok")
+    // the incremental path guards its corpus-side collect_list arrays too
+    val e2 = intercept[Exception] {
+      Dedup.incrementalContainment(
+        Dedup.shingleIndex(docs.filter($"doc_id" === 2L)),
+        docs.filter($"doc_id" === 1L), maxShinglesPerDoc = 8).collect()
+    }
+    assert(messages(e2).exists(_.contains("maxShinglesPerDoc")),
+      s"got ${messages(e2)}")
+  }
+
   test("round-10 ops tolerate null and empty text rows") {
     val docs = Seq((1L, null: String), (2L, ""), (3L, "regular content words here today"))
       .toDF("doc_id", "text")
