@@ -640,7 +640,17 @@ object Planner {
       .filter(col(rk) <= n)
     val outCols = inCols ++ (if (withRank) Seq(col(rk).cast("long")) else Nil)
     val bound = bindOutputs(Tail(ranked, t.fields), lp.out, outCols)
-    Tail(bound.df.drop(rk), bound.fields)
+    // Project to group vars + the buffer's declared outputs — the
+    // reference Grouping-node contract (group fields + aggregator output
+    // fields survive, nothing else), and what columnAggregate,
+    // bufferAggregate, and the heap branch above already do. Without it a
+    // post-aggregation op output colliding with a stale pre-agg var
+    // became an implicit equality here but a fresh binding on every
+    // other aggregation path (found by PlannerDiffPropSpec).
+    val keep = (groupVars ++ lp.out.collect {
+      case v: String if Vars.isVar(v) && !Vars.isWildcard(v) => v
+    }).distinct.filter(bound.fields.contains)
+    Tail(bound.df.select(keep.map(v => col(Vars.colName(v))): _*), keep.toVector)
   }
 
   private def columnAggregate(t: Tail, aggs: Seq[OpPred], groupVars: Vector[String],

@@ -127,10 +127,44 @@ object PlannerDiffPropSpec extends Properties("Planner.differential") {
       }
     }
 
-    // --- aggregators
+    // --- aggregators: none / column+sequential mix / single buffer /
+    // single limit-family op (buffer-exclusive per the planner rules)
     var usedAggOuts = Vector.empty[String]
-    val nAggs = if (r.nextInt(10) < 4 && longVars.nonEmpty) 1 + r.nextInt(2) else 0
-    val aggs = Vector.fill(nAggs) {
+    val aggMode =
+      if (longVars.isEmpty) 0
+      else r.nextInt(100) match {
+        case d if d < 55 => 0 // none
+        case d if d < 80 => 1 // col/seq mix
+        case d if d < 90 => 2 // buffer
+        case _ => 3 // limit family
+      }
+    var sortVar: Option[String] = None
+    var sortRev = false
+    val nAggs = if (aggMode == 1) 1 + r.nextInt(2) else 0
+    val bufAggs: Vector[OpSpec] =
+      if (aggMode == 2) {
+        val in = pick(longVars)
+        val out = pick(aggOutPool)
+        usedAggOuts :+= out
+        if (r.nextInt(10) < 4) { sortVar = Some(pick(longVars)); sortRev = r.nextInt(10) < 3 }
+        Vector(OpSpec("buf", Vector(in), Vector(out)))
+      } else if (aggMode == 3) {
+        val in = pick(longVars)
+        val variant = pick(Seq("plain", "rank", "salt", "heap", "rankheap"))
+        val n = 1 + r.nextInt(3)
+        val outs: Vector[Any] =
+          if (variant == "rank" || variant == "rankheap") {
+            val Seq(a, b) = aggOutPool.take(2).toSeq
+            usedAggOuts ++= Seq(a, b); Vector(a, b)
+          } else {
+            val v = pick(aggOutPool); usedAggOuts :+= v; Vector(v)
+          }
+        // sort, when present, must be the passthrough column itself so
+        // rank ties carry equal values (deterministic output multiset)
+        if (r.nextInt(10) < 6) { sortVar = Some(in); sortRev = r.nextInt(10) < 4 }
+        Vector(OpSpec(s"lim-$variant-$n", Vector(in), outs))
+      } else Vector.empty
+    val aggs = bufAggs ++ Vector.fill(nAggs) {
       val name = pick(aggNames)
       val arity = aggOps(name).arity
       val in = Vector.fill[Any](arity)(
@@ -196,7 +230,9 @@ object PlannerDiffPropSpec extends Properties("Planner.differential") {
         else outVars
       }
 
-    QSpec(gens, ops ++ postAggOps, aggs, exs, out, distinct = r.nextInt(10) < 2)
+    QSpec(gens, ops ++ postAggOps, aggs, exs, out,
+      distinct = r.nextInt(10) < 2,
+      sort = sortVar.toVector, reverse = sortRev)
   }
 
   private def norm(rows: Seq[Seq[Any]]): Seq[String] =

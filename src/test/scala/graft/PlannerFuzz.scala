@@ -42,7 +42,9 @@ object PlannerFuzz {
       aggs: Vector[OpSpec],
       exs: Vector[ExistsSpec],
       out: Vector[Any],
-      distinct: Boolean) {
+      distinct: Boolean,
+      sort: Vector[String] = Vector.empty,
+      reverse: Boolean = false) {
     def describe: String = {
       def fld(xs: Seq[Any]) = xs.map {
         case null => "null"
@@ -54,7 +56,9 @@ object PlannerFuzz {
       val es = exs.map(e =>
         s"  exists[${e.flag}](${fld(e.gen.fields)}) rows=${e.gen.rows.map(r => r.map(v => if (v == null) "ø" else v).mkString("(", ",", ")")).mkString("")}")
       val os = (ops ++ aggs).map(o => s"  ${o.name}(${fld(o.in)}) :> ${fld(o.out)}")
-      s"query(${fld(out)})${if (distinct) " [distinct]" else ""}\n" +
+      val opts = (if (distinct) Seq("distinct") else Nil) ++
+        (if (sort.nonEmpty) Seq(s"sort=${sort.mkString(",")}${if (reverse) " desc" else ""}") else Nil)
+      s"query(${fld(out)})${if (opts.nonEmpty) opts.mkString(" [", " ", "]") else ""}\n" +
         (gs ++ es ++ os).mkString("\n")
     }
   }
@@ -141,6 +145,42 @@ object PlannerFuzz {
     spark.createDataFrame(rows, schemaFor(g.fields.length))
   }
 
+  /** Deterministic value ordering shared by the fuzz buffer and the
+    * model: asc = nulls first (Spark asc default), desc = nulls last
+    * (Spark desc default). */
+  def sortVals(vs: Seq[Any], desc: Boolean): Vector[Any] = {
+    val (nulls, nonNull) = vs.partition(_ == null)
+    val sorted = nonNull.map(_.asInstanceOf[Long]).sorted
+    if (desc) (sorted.reverse.map(v => v: Any) ++ nulls).toVector
+    else (nulls ++ sorted.map(v => v: Any)).toVector
+  }
+
+  /** "buf" — an order-INSENSITIVE whole-group buffer (sorts its input
+    * values internally, nulls first), so its output is deterministic
+    * regardless of arrival order while still exercising the
+    * bufferAggregate streaming machinery end to end.
+    * "lim-variant-n" — the limit family over a single passthrough
+    * column (output multiset deterministic under rank ties because tied
+    * rows carry equal values). */
+  private def buildAggOp(name: String): Op = name match {
+    case "buf" =>
+      graft.ops.Ops.bufferFn(1, Seq(LongType)) { it =>
+        sortVals(it.map(_.head).toVector, desc = false).map(v => Seq(v)).iterator
+      }
+    case n if n.startsWith("lim-") =>
+      val Array(_, variant, k) = n.split("-")
+      val kk = k.toInt
+      variant match {
+        case "plain" => graft.ops.Ops.limit(kk)
+        case "rank" => graft.ops.Ops.limitRank(kk)
+        case "salt" => graft.ops.Ops.limitSalted(kk, salt = 4)
+        case "heap" => graft.ops.Ops.limitHeap(kk)
+        case "rankheap" => graft.ops.Ops.limitRankHeap(kk)
+        case other => sys.error(other)
+      }
+    case n => aggOps(n).spark
+  }
+
   def toQuery(q: QSpec): Query = {
     val gens: Seq[Pred] = q.gens.map(g =>
       GenPred(s => toDF(s, g), g.fields, small = g.small, uniqueSets = g.uniqueKeys))
@@ -153,8 +193,9 @@ object PlannerFuzz {
       case _ => sys.error(name)
     }
     val ops: Seq[Pred] = q.ops.map(o => OpPred(sparkOp(o.name), o.in, o.out))
-    val aggs: Seq[Pred] = q.aggs.map(o => OpPred(aggOps(o.name).spark, o.in, o.out))
-    Query(q.out, gens ++ exs ++ ops ++ aggs, QueryOptions(distinct = q.distinct))
+    val aggs: Seq[Pred] = q.aggs.map(o => OpPred(buildAggOp(o.name), o.in, o.out))
+    Query(q.out, gens ++ exs ++ ops ++ aggs,
+      QueryOptions(sort = q.sort, reverse = q.reverse, distinct = q.distinct))
   }
 
   // --------------------------------------------- brute-force tuple evaluator
@@ -435,6 +476,38 @@ object PlannerFuzz {
         if (t.rows.isEmpty && !alwaysGlobalRow) Seq.empty
         else Seq((Vector.empty, t.rows))
       } else t.rows.groupBy(r => groupVars.map(r(_))).toSeq
+
+    // buffer mode: the single whole-group buffer streams each group
+    // (the fuzz buffer sorts internally, so arrival order is moot)
+    if (aggs.head.name == "buf") {
+      val o = aggs.head
+      val withVals = groupsOf(alwaysGlobalRow = false).flatMap { case (k, rs) =>
+        val km = groupVars.zip(k).toMap
+        sortVals(rs.map(r => inVals(r, o.in).head), desc = false)
+          .map(v => (km, Seq(v): Seq[Any]))
+      }
+      return bindOut(MTail(Nil, groupVars), withVals, o.out)
+    }
+    // limit mode: per-group top-n of the single passthrough column,
+    // ordered by it (asc nulls-first / desc nulls-last per :reverse);
+    // the engine tail keeps every pre-agg field, but only group vars and
+    // bound outs are observable through the projection (the spec builder
+    // restricts limit outs to fresh vars), so the model carries just those
+    if (aggs.head.name.startsWith("lim-")) {
+      val o = aggs.head
+      val Array(_, variant, kStr) = o.name.split("-")
+      val n = kStr.toInt
+      val withRank = variant == "rank" || variant == "rankheap"
+      val desc = q.reverse && q.sort.nonEmpty
+      val withVals = groupsOf(alwaysGlobalRow = false).flatMap { case (k, rs) =>
+        val km = groupVars.zip(k).toMap
+        sortVals(rs.map(r => inVals(r, o.in).head), desc).take(n).zipWithIndex
+          .map { case (v, i) =>
+            (km, (Seq(v) ++ (if (withRank) Seq((i + 1).toLong: Any) else Nil)): Seq[Any])
+          }
+      }
+      return bindOut(MTail(Nil, groupVars), withVals, o.out)
+    }
 
     val (seqAggs, colAggs) = aggs.partition(a => aggOps(a.name).isSeq)
 
