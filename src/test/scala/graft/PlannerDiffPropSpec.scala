@@ -79,10 +79,18 @@ object PlannerDiffPropSpec extends Properties("Planner.differential") {
     // --- scalar ops; inputs from already-bound Long vars (+ constants)
     var longVars = genVars.filterNot(Vars.isWildcard) // all gen vars are Longs
     var boolVars = Vector.empty[String]
+    var trapSeq = 0
     val nOps = r.nextInt(3)
     val ops = Vector.fill(nOps) {
       if (longVars.isEmpty) OpSpec("notNull", Vector(pick(groundPool)), Vector.empty)
-      else {
+      else if (r.nextInt(10) < 2) {
+        // trapped op: even inputs divert pre-aggregation, odd pass x+1
+        trapSeq += 1
+        val in = if (r.nextInt(10) < 2) (r.nextInt(4).toLong: Any) else pick(longVars)
+        val out = pick(mapOutPool)
+        if (!longVars.contains(out)) longVars :+= out
+        OpSpec("trapOdd", Vector(in), Vector(out, s"!__trapF$trapSeq"))
+      } else {
         def inItem(): Any =
           if (r.nextInt(10) < 2) (r.nextInt(4).toLong: Any) else pick(longVars)
         val name = if (r.nextInt(10) < 6) pick(mapNames) else pick(filterNames)

@@ -90,6 +90,19 @@ object PlannerFuzz {
     "even" -> MFilter(1, O.even, vs => if (anyNull(vs)) null else jb(lv(vs(0)) % 2 == 0)),
     "eqv" -> MFilter(2, O.eqv, vs => jb(vs(0) == vs(1))), // null-safe, never unknown
     "notNull" -> MFilter(1, O.notNull, vs => jb(vs(0) != null)),
+    // trapped op: throws on even inputs (diverted at the planner's
+    // pre-aggregation trap point), passes x+1 otherwise; null input
+    // skips the primitive-typed UDF (null result, NO error — the row
+    // survives with a null output and no null filter, skipNullFilter
+    // semantics). The model mirrors via the (value, err) pair protocol.
+    "trapOdd" -> MMap(1,
+      graft.operators.Trap.trapFn((x: Long) =>
+        if (x % 2 == 0) throw new IllegalArgumentException(s"even $x")
+        else x + 1L),
+      vs =>
+        if (vs(0) == null) (null, null)
+        else if (lv(vs(0)) % 2 == 0) (null, "err")
+        else ((lv(vs(0)) + 1L): Any, null)),
     "dup2" -> MMapcat(1, ColumnMapcat(1, cs => F.array_repeat(cs.head, 2)),
       vs => Seq(vs(0), vs(0))),
     "seqTo" -> MMapcat(1, ColumnMapcat(1, cs => F.sequence(F.lit(0L), cs.head)),
@@ -243,7 +256,7 @@ object PlannerFuzz {
       else {
         def effectful(o: OpSpec): Boolean =
           o.out.isEmpty || o.out.exists {
-            case v: String if Vars.isVar(v) => false // no trap vars in fuzz
+            case v: String if Vars.isVar(v) => Vars.isTrapVar(v)
             case _ => true // constant in output = implicit filter
           }
         val dupOut = (q.ops ++ q.aggs).flatMap(outVars).groupBy(identity)
@@ -296,6 +309,16 @@ object PlannerFuzz {
     // 3. existence joins, then ops that needed them
     q.exs.foreach { e => t0 = applyExists(t0, e) }
     t0 = fixedPoint(t0, ops)
+
+    // 3.5 trap diversion: rows with any non-null trap var are diverted
+    // (dropped — the fuzz runs with no trap sink) BEFORE aggregation
+    val trapFields = t0.fields.filter(Vars.isTrapVar)
+    if (trapFields.nonEmpty) {
+      t0 = MTail(
+        t0.rows.filter(r => trapFields.forall(v => r(v) == null))
+          .map(r => r -- trapFields),
+        t0.fields.filterNot(trapFields.contains), t0.groundOverride)
+    }
 
     // 4. grouping/aggregation, then ops over aggregator outputs
     if (q.aggs.nonEmpty) {
@@ -375,9 +398,11 @@ object PlannerFuzz {
   }
 
   /** bindOutputs semantics: wildcards discarded, fresh vars bind (`?` gets
-    * a null filter), bound vars / constants become `<=>` filters. */
+    * a null filter — skipped for trapped ops, whose failed rows must
+    * survive to the diversion point), bound vars / constants become
+    * `<=>` filters. */
   private def bindOut(t: MTail, rowsWithVals: Seq[(Map[String, Any], Seq[Any])],
-      outs: Seq[Any]): MTail = {
+      outs: Seq[Any], skipNullFilter: Boolean = false): MTail = {
     var fields = t.fields
     var rows = rowsWithVals
     outs.zipWithIndex.foreach { case (o, k) =>
@@ -385,7 +410,8 @@ object PlannerFuzz {
         case w: String if Vars.isWildcard(w) => ()
         case v: String if Vars.isVar(v) && !fields.contains(v) =>
           rows = rows.map { case (r, vals) => (r + (v -> vals(k)), vals) }
-          if (Vars.isNonNullable(v)) rows = rows.filter(_._1(v) != null)
+          if (Vars.isNonNullable(v) && !skipNullFilter)
+            rows = rows.filter(_._1(v) != null)
           fields :+= v
         case v: String if Vars.isVar(v) =>
           rows = rows.filter { case (r, vals) => nse(r(v), vals(k)) }
@@ -401,6 +427,14 @@ object PlannerFuzz {
       // mapop-as-filter truthiness: non-boolean results are truthy iff
       // non-null (our map catalog is all Long-valued)
       MTail(t.rows.filter(r => f(inVals(r, o.in)) != null), t.fields, t.groundOverride)
+    case MMap(_, _, f) if o.out.exists {
+        case s: String => Vars.isTrapVar(s); case _ => false } =>
+      // trapped op: model fn returns (value, error); failed rows survive
+      // binding (skipNullFilter) until the pre-aggregation diversion
+      bindOut(t, t.rows.map { r =>
+        val (v, e) = f(inVals(r, o.in)).asInstanceOf[(Any, Any)]
+        (r, Seq(v, e))
+      }, o.out, skipNullFilter = true)
     case MMap(_, _, f) =>
       bindOut(t, t.rows.map(r => (r, Seq(f(inVals(r, o.in))))), o.out)
     case MFilter(_, _, f) if o.out.isEmpty =>

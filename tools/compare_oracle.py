@@ -23,7 +23,7 @@ sf0.1 sweeps; plain mode is fine at sf0.01 and below.
 flagged query or finishing an interrupted sweep without re-evaluating
 everything.
 """
-import duckdb, json, subprocess, sys
+import duckdb, json, os, subprocess, sys
 import pandas as pd
 
 flags = [a for a in sys.argv[1:] if a.startswith('--')]
@@ -60,7 +60,10 @@ def norm(df):
 def run_one(name, sql):
     """Evaluate one oracle; prints one status line; returns ok bool."""
     con = duckdb.connect()
-    con.sql("SET memory_limit='48GB'")
+    # default 48GB leaves headroom for a concurrent Spark/sbt process;
+    # standalone heavy-oracle re-runs (sf1 recursive-CTE class) can raise
+    # it: GRAFT_ORACLE_MEM=100GB python3 tools/compare_oracle.py ...
+    con.sql(f"SET memory_limit='{os.environ.get('GRAFT_ORACLE_MEM', '48GB')}'")
     # spill to disk instead of failing when the host is memory-pressured
     # (back-to-back sweeps at sf0.1 can race each other's page cache)
     con.sql("SET temp_directory='/tmp/duckdb_spill'")
