@@ -1668,14 +1668,14 @@ object SparkEntry {
   private lazy val lpaOracleSql: String = {
     val prefix = MinhashGraphCte +
       """,
-        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs
         |          UNION ALL SELECT id_b, id_a FROM pairs),
-        |l0 AS (SELECT id, id AS label FROM nodes)""".stripMargin
+        |l0 AS MATERIALIZED (SELECT id, id AS label FROM nodes)""".stripMargin
     val steps = (1 to 4).map { i =>
-      s"""v$i AS (SELECT e.dst AS id, l.label, COUNT(*) AS c
+      s"""v$i AS MATERIALIZED (SELECT e.dst AS id, l.label, COUNT(*) AS c
          |  FROM edges e JOIN l${i - 1} l ON l.id = e.src GROUP BY 1, 2),
-         |b$i AS (SELECT id, MAX(c) AS m FROM v$i GROUP BY 1),
-         |l$i AS (SELECT nodes.id, COALESCE(p.label, nodes.id) AS label
+         |b$i AS MATERIALIZED (SELECT id, MAX(c) AS m FROM v$i GROUP BY 1),
+         |l$i AS MATERIALIZED (SELECT nodes.id, COALESCE(p.label, nodes.id) AS label
          |  FROM nodes LEFT JOIN (
          |    SELECT v$i.id, MIN(v$i.label) AS label
          |    FROM v$i JOIN b$i ON b$i.id = v$i.id AND v$i.c = b$i.m
@@ -1720,46 +1720,46 @@ object SparkEntry {
     * `comp (id, component)`. p11/p17 append min-id survivor selection;
     * p76 appends the quality-keyed (max n_chars, ties min id) variant. */
   private lazy val neardupCompCte: String =
-    """WITH RECURSIVE tk AS (
+    """WITH RECURSIVE tk AS MATERIALIZED (
           |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\W+'),
           |    x -> x != '') AS toks FROM documents),
-          |sh AS (
+          |sh AS MATERIALIZED (
           |  SELECT doc_id, (md5_number_lower(s) & 2147483647) AS base
           |  FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
           |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s FROM tk) u),
-          |perm AS (
+          |perm AS MATERIALIZED (
           |  SELECT s.s AS s, ((md5_number_lower('ga' || s.s) & 2147483647) | 1) AS a,
           |         (md5_number_lower('gb' || s.s) & 2147483647) AS b
           |  FROM generate_series(0, 63) s(s)),
-          |mins AS (
+          |mins AS MATERIALIZED (
           |  SELECT doc_id, s, CAST(MIN((a * base + b) % 2305843009213693951) AS BIGINT) AS v
           |  FROM sh, perm GROUP BY doc_id, s),
-          |sig AS (SELECT doc_id, list(v ORDER BY s) AS sig FROM mins GROUP BY doc_id),
-          |banded AS (
+          |sig AS MATERIALIZED (SELECT doc_id, list(v ORDER BY s) AS sig FROM mins GROUP BY doc_id),
+          |banded AS MATERIALIZED (
           |  SELECT doc_id, b.b AS band,
           |    array_to_string(list_slice(sig, 4*b.b + 1, 4*b.b + 4), ',') AS band_key
           |  FROM sig, generate_series(0, 15) b(b)),
-          |cand AS (
+          |cand AS MATERIALIZED (
           |  SELECT l.doc_id AS id_a, r.doc_id AS id_b
           |  FROM banded l JOIN banded r ON l.band = r.band AND l.band_key = r.band_key
           |  WHERE l.doc_id < r.doc_id GROUP BY 1, 2),
-          |shs AS (
+          |shs AS MATERIALIZED (
           |  SELECT doc_id, CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
           |    ELSE list_distinct(list_transform(generate_series(1, len(toks) - 2),
           |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END AS sset FROM tk),
-          |verified AS (
+          |verified AS MATERIALIZED (
           |  SELECT id_a, id_b FROM cand
           |  JOIN shs sa ON sa.doc_id = cand.id_a JOIN shs sb ON sb.doc_id = cand.id_b
           |  WHERE (CASE WHEN len(list_distinct(sa.sset || sb.sset)) = 0 THEN 1.0
           |    ELSE CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE)
           |      / len(list_distinct(sa.sset || sb.sset)) END) >= 0.6),
-          |sym AS (SELECT id_a AS s, id_b AS d FROM verified
+          |sym AS MATERIALIZED (SELECT id_a AS s, id_b AS d FROM verified
           |        UNION ALL SELECT id_b, id_a FROM verified),
           |reach AS (
           |  SELECT DISTINCT s AS id, s AS lab FROM sym
           |  UNION
           |  SELECT sym.d AS id, reach.lab FROM reach JOIN sym ON sym.s = reach.id),
-          |comp AS (SELECT id, MIN(lab) AS component FROM reach GROUP BY id)""".stripMargin
+          |comp AS MATERIALIZED (SELECT id, MIN(lab) AS component FROM reach GROUP BY id)""".stripMargin
 
   private lazy val neardupOracleSql: String = neardupCompCte +
     """,
@@ -1793,30 +1793,30 @@ object SparkEntry {
     * (distinct id_a < id_b) and `nodes` — the similarity-graph base the
     * p51 (PageRank) and p54 (triangles) oracles both build on. */
   private val MinhashGraphCte: String =
-    """WITH tk AS (
+    """WITH tk AS MATERIALIZED (
       |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\W+'),
       |    x -> x != '') AS toks FROM documents),
-      |sh AS (
+      |sh AS MATERIALIZED (
       |  SELECT doc_id, (md5_number_lower(s) & 2147483647) AS base
       |  FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s FROM tk) u),
-      |perm AS (
+      |perm AS MATERIALIZED (
       |  SELECT s.s AS s, ((md5_number_lower('ga' || s.s) & 2147483647) | 1) AS a,
       |         (md5_number_lower('gb' || s.s) & 2147483647) AS b
       |  FROM generate_series(0, 63) s(s)),
-      |mins AS (
+      |mins AS MATERIALIZED (
       |  SELECT doc_id, s, CAST(MIN((a * base + b) % 2305843009213693951) AS BIGINT) AS v
       |  FROM sh, perm GROUP BY doc_id, s),
-      |sig AS (SELECT doc_id, list(v ORDER BY s) AS sig FROM mins GROUP BY doc_id),
-      |banded AS (
+      |sig AS MATERIALIZED (SELECT doc_id, list(v ORDER BY s) AS sig FROM mins GROUP BY doc_id),
+      |banded AS MATERIALIZED (
       |  SELECT doc_id, b.b AS band,
       |    array_to_string(list_slice(sig, 4*b.b + 1, 4*b.b + 4), ',') AS band_key
       |  FROM sig, generate_series(0, 15) b(b)),
-      |pairs AS (
+      |pairs AS MATERIALIZED (
       |  SELECT l.doc_id AS id_a, r.doc_id AS id_b
       |  FROM banded l JOIN banded r ON l.band = r.band AND l.band_key = r.band_key
       |  WHERE l.doc_id < r.doc_id GROUP BY 1, 2),
-      |nodes AS (SELECT doc_id AS id FROM documents)""".stripMargin
+      |nodes AS MATERIALIZED (SELECT doc_id AS id FROM documents)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_multi_agg" ->
@@ -2083,7 +2083,7 @@ object SparkEntry {
         |COUNT(*) AS cnt
         |FROM events GROUP BY event_type""".stripMargin,
     "p15_curate" ->
-      """WITH RECURSIVE gated AS (
+      """WITH RECURSIVE gated AS MATERIALIZED (
         |  SELECT doc_id, text, lang, source FROM (
         |    SELECT doc_id, text, lang, source,
         |      CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
@@ -2102,47 +2102,47 @@ object SparkEntry {
         |          FROM documents) d0) t
         |  WHERE length(text) >= 100 AND pr <= 0.2 AND sr >= 0.01
         |    AND (CASE WHEN best.hits > 0 THEN best.lang ELSE 'und' END) = 'en'),
-        |tk AS (
+        |tk AS MATERIALIZED (
         |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\W+'),
         |    x -> x != '') AS toks FROM gated),
-        |sh AS (
+        |sh AS MATERIALIZED (
         |  SELECT doc_id, (md5_number_lower(s) & 2147483647) AS base
         |  FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
         |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s FROM tk) u),
-        |perm AS (
+        |perm AS MATERIALIZED (
         |  SELECT s.s AS s, ((md5_number_lower('ga' || s.s) & 2147483647) | 1) AS a,
         |         (md5_number_lower('gb' || s.s) & 2147483647) AS b
         |  FROM generate_series(0, 63) s(s)),
-        |mins AS (
+        |mins AS MATERIALIZED (
         |  SELECT doc_id, s, CAST(MIN((a * base + b) % 2305843009213693951) AS BIGINT) AS v
         |  FROM sh, perm GROUP BY doc_id, s),
-        |sig AS (SELECT doc_id, list(v ORDER BY s) AS sig FROM mins GROUP BY doc_id),
-        |banded AS (
+        |sig AS MATERIALIZED (SELECT doc_id, list(v ORDER BY s) AS sig FROM mins GROUP BY doc_id),
+        |banded AS MATERIALIZED (
         |  SELECT doc_id, b.b AS band,
         |    array_to_string(list_slice(sig, 4*b.b + 1, 4*b.b + 4), ',') AS band_key
         |  FROM sig, generate_series(0, 15) b(b)),
-        |cand AS (
+        |cand AS MATERIALIZED (
         |  SELECT l.doc_id AS id_a, r.doc_id AS id_b
         |  FROM banded l JOIN banded r ON l.band = r.band AND l.band_key = r.band_key
         |  WHERE l.doc_id < r.doc_id GROUP BY 1, 2),
-        |shs AS (
+        |shs AS MATERIALIZED (
         |  SELECT doc_id, CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
         |    ELSE list_distinct(list_transform(generate_series(1, len(toks) - 2),
         |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END AS sset FROM tk),
-        |verified AS (
+        |verified AS MATERIALIZED (
         |  SELECT id_a, id_b FROM cand
         |  JOIN shs sa ON sa.doc_id = cand.id_a JOIN shs sb ON sb.doc_id = cand.id_b
         |  WHERE (CASE WHEN len(list_distinct(sa.sset || sb.sset)) = 0 THEN 1.0
         |    ELSE CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE)
         |      / len(list_distinct(sa.sset || sb.sset)) END) >= 0.6),
-        |sym AS (SELECT id_a AS s, id_b AS d FROM verified
+        |sym AS MATERIALIZED (SELECT id_a AS s, id_b AS d FROM verified
         |        UNION ALL SELECT id_b, id_a FROM verified),
         |reach AS (
         |  SELECT DISTINCT s AS id, s AS lab FROM sym
         |  UNION
         |  SELECT sym.d AS id, reach.lab FROM reach JOIN sym ON sym.s = reach.id),
-        |comp AS (SELECT id, MIN(lab) AS component FROM reach GROUP BY id),
-        |keep AS (SELECT component, MIN(id) AS doc_id FROM comp GROUP BY component)
+        |comp AS MATERIALIZED (SELECT id, MIN(lab) AS component FROM reach GROUP BY id),
+        |keep AS MATERIALIZED (SELECT component, MIN(id) AS doc_id FROM comp GROUP BY component)
         |SELECT d.doc_id, d.lang, d.source FROM gated d
         |LEFT JOIN comp ON comp.id = d.doc_id WHERE comp.id IS NULL
         |UNION ALL
@@ -2441,18 +2441,18 @@ object SparkEntry {
         |UNION ALL
         |SELECT vec_id FROM keep""".stripMargin,
     "p36_semantic_dedup" ->
-      """WITH RECURSIVE c0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
-        |seeds AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, e AS s
+      """WITH RECURSIVE c0 AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+        |seeds AS MATERIALIZED (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, e AS s
         |  FROM (SELECT vec_id, e FROM c0 WHERE e IS NOT NULL ORDER BY vec_id LIMIT 8) t),
-        |dist AS (SELECT c0.vec_id, seeds.cell,
+        |dist AS MATERIALIZED (SELECT c0.vec_id, seeds.cell,
         |    list_reduce(list_transform(generate_series(1, 64), i -> (e[i]-s[i])*(e[i]-s[i])), (x,y) -> x+y) AS d
         |  FROM c0, seeds WHERE c0.e IS NOT NULL),
-        |assign AS (SELECT vec_id, cell FROM (
+        |assign AS MATERIALIZED (SELECT vec_id, cell FROM (
         |    SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
         |    FROM dist) t WHERE rn = 1),
-        |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |pairs AS MATERIALIZED (SELECT a.vec_id AS id_a, b.vec_id AS id_b
         |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id),
-        |verified AS (
+        |verified AS MATERIALIZED (
         |  SELECT id_a, id_b FROM (
         |    SELECT id_a, id_b,
         |      list_reduce(list_transform(generate_series(1, 64), i -> a.e[i]*bb.e[i]), (x,y) -> x+y) /
@@ -2460,14 +2460,14 @@ object SparkEntry {
         |       greatest(sqrt(list_reduce(list_transform(generate_series(1, 64), i -> bb.e[i]*bb.e[i]), (x,y) -> x+y)), 1e-12)) AS cosine
         |    FROM pairs JOIN c0 a ON a.vec_id = pairs.id_a JOIN c0 bb ON bb.vec_id = pairs.id_b) t
         |  WHERE cosine >= 0.2),
-        |sym AS (SELECT id_a AS s, id_b AS d FROM verified
+        |sym AS MATERIALIZED (SELECT id_a AS s, id_b AS d FROM verified
         |        UNION ALL SELECT id_b, id_a FROM verified),
         |reach AS (
         |  SELECT DISTINCT s AS id, s AS lab FROM sym
         |  UNION
         |  SELECT sym.d AS id, reach.lab FROM reach JOIN sym ON sym.s = reach.id),
-        |comp AS (SELECT id, MIN(lab) AS component FROM reach GROUP BY id),
-        |keep AS (SELECT component, MIN(id) AS vec_id FROM comp GROUP BY component)
+        |comp AS MATERIALIZED (SELECT id, MIN(lab) AS component FROM reach GROUP BY id),
+        |keep AS MATERIALIZED (SELECT component, MIN(id) AS vec_id FROM comp GROUP BY component)
         |SELECT e.vec_id FROM embeddings e
         |LEFT JOIN comp ON comp.id = e.vec_id WHERE comp.id IS NULL
         |UNION ALL
@@ -2918,15 +2918,15 @@ object SparkEntry {
     "p51_similarity_rank" -> {
       val prefix = MinhashGraphCte +
         """,
-          |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          |edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs
           |          UNION ALL SELECT id_b, id_a FROM pairs),
-          |nn AS (SELECT COUNT(*) AS n FROM nodes),
-          |od AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY 1),
-          |r0 AS (SELECT id, (1000000000000 // nn.n) AS rank FROM nodes CROSS JOIN nn)""".stripMargin
+          |nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes),
+          |od AS MATERIALIZED (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY 1),
+          |r0 AS MATERIALIZED (SELECT id, (1000000000000 // nn.n) AS rank FROM nodes CROSS JOIN nn)""".stripMargin
       val steps = (1 to 5).map { i =>
-        s"""c$i AS (SELECT e.dst AS id, (r.rank // od.outdeg) AS c
+        s"""c$i AS MATERIALIZED (SELECT e.dst AS id, (r.rank // od.outdeg) AS c
            |  FROM edges e JOIN r${i - 1} r ON r.id = e.src JOIN od ON od.src = e.src),
-           |r$i AS (SELECT nodes.id,
+           |r$i AS MATERIALIZED (SELECT nodes.id,
            |    ((1000000000000 * 15) // (100 * nn.n))
            |      + ((85 * COALESCE(s.s, 0)) // 100) AS rank
            |  FROM nodes CROSS JOIN nn LEFT JOIN
@@ -2943,18 +2943,18 @@ object SparkEntry {
     // engines.
     "p54_similarity_triangles" -> (MinhashGraphCte +
       """,
-        |dg AS (SELECT id, COUNT(*) AS deg FROM (
+        |dg AS MATERIALIZED (SELECT id, COUNT(*) AS deg FROM (
         |    SELECT id_a AS id FROM pairs UNION ALL SELECT id_b FROM pairs)
         |  GROUP BY 1),
-        |o AS (SELECT
+        |o AS MATERIALIZED (SELECT
         |    CASE WHEN (da.deg, p.id_a) < (db.deg, p.id_b) THEN p.id_a ELSE p.id_b END AS u,
         |    CASE WHEN (da.deg, p.id_a) < (db.deg, p.id_b) THEN p.id_b ELSE p.id_a END AS v,
         |    CASE WHEN (da.deg, p.id_a) < (db.deg, p.id_b) THEN db.deg ELSE da.deg END AS dv
         |  FROM pairs p JOIN dg da ON da.id = p.id_a JOIN dg db ON db.id = p.id_b),
-        |w AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |w AS MATERIALIZED (SELECT e1.u AS a, e1.v AS b, e2.v AS c
         |  FROM o e1 JOIN o e2 ON e1.u = e2.u AND (e1.dv, e1.v) < (e2.dv, e2.v)),
-        |tri AS (SELECT a, b, c FROM w JOIN o ON o.u = w.b AND o.v = w.c),
-        |pn AS (SELECT id, COUNT(*) AS t FROM (
+        |tri AS MATERIALIZED (SELECT a, b, c FROM w JOIN o ON o.u = w.b AND o.v = w.c),
+        |pn AS MATERIALIZED (SELECT id, COUNT(*) AS t FROM (
         |    SELECT a AS id FROM tri UNION ALL SELECT b FROM tri
         |    UNION ALL SELECT c FROM tri) GROUP BY 1)
         |SELECT n.id AS doc_id, COALESCE(dg.deg, 0) AS degree,
