@@ -39,13 +39,19 @@ object PlannerDiffPropSpec extends Properties("Planner.differential") {
   private val filterNames = Vector("gt", "lt", "even", "eqv", "notNull")
   private val aggNames = Vector("count", "sum", "min", "max", "ncount", "dcount", "ssum")
 
-  def buildSpec(r: Random): QSpec = {
+  def buildSpec(r: Random): QSpec = buildSpec(r, depth = 0, longOnly = false)
+
+  /** `depth` bounds generator nesting (nested subqueries and merges only
+    * at depth 0); `longOnly` restricts the output list to Long-valued
+    * items so a nested query's relation binds into the outer query's
+    * all-Long op catalog. */
+  private def buildSpec(r: Random, depth: Int, longOnly: Boolean): QSpec = {
     def pick[T](xs: Seq[T]): T = xs(r.nextInt(xs.size))
 
     // --- generators
     val nGens = 1 + r.nextInt(3)
     var usedUnground = Set.empty[String]
-    val gens = Vector.fill(nGens) {
+    def buildRawGen(): GenSpec = {
       val arity = 1 + r.nextInt(3)
       val fields = Vector.fill[Any](arity) {
         val d = r.nextInt(20)
@@ -72,7 +78,55 @@ object PlannerDiffPropSpec extends Properties("Planner.differential") {
           small = r.nextInt(10) < 3, uniqueKeys = Seq(Set(v)))
       } else GenSpec(fields, rows, small = r.nextInt(10) < 3)
     }
-    val genVars = gens.flatMap(_.fields).collect {
+    // a merge sub beyond the head: its own pattern (constants, dups,
+    // wildcards, its own null markers) but exactly `k` distinct bound
+    // vars so the positional union is well-formed
+    def buildMergeSub(k: Int): GenSpec = {
+      val varPool = r.shuffle((groundPool ++ nullablePool).toList)
+      val vars = varPool.take(k)
+      var pat = r.shuffle(
+        vars.map(v => v: Any) ++ Vector.fill(r.nextInt(2)) {
+          if (r.nextBoolean()) (r.nextInt(3).toLong: Any) else ("_": Any)
+        }).toVector
+      if (vars.nonEmpty && r.nextInt(10) < 3) pat = pat :+ (pick(vars): Any)
+      val rows = Seq.fill(r.nextInt(7))(Vector.fill[Any](pat.length)(
+        if (r.nextInt(10) < 2) null else (r.nextInt(4).toLong: Any)))
+      GenSpec(pat, rows, small = false)
+    }
+    def buildGenLike(): GenLike = {
+      val d = if (depth == 0) r.nextInt(100) else 100
+      if (d < 10) {
+        // combine/union merge; head must bind at least one var
+        val head = buildRawGen()
+        val k = head.fields.collect {
+          case v: String if Vars.isVar(v) && !Vars.isWildcard(v) => v
+        }.distinct.size
+        if (k == 0) head
+        else MergeSpec(head +: Vector.fill(1 + r.nextInt(2))(buildMergeSub(k)),
+          dedupe = r.nextInt(10) < 4)
+      } else if (d < 18) {
+        // nested subquery bound under a fresh outer pattern
+        val inner = buildSpec(r, depth + 1, longOnly = true)
+        val pat = Vector.tabulate[Any](inner.out.length) { _ =>
+          val dd = r.nextInt(10)
+          if (dd < 6) pick(groundPool)
+          else if (dd < 8) pick(nullablePool)
+          else if (dd < 9) (r.nextInt(4).toLong: Any)
+          else "_"
+        }
+        NestedSpec(inner, pat, small = r.nextInt(10) < 3)
+      } else if (d < 26) {
+        // semantics-preserving checkpoint/cache wrapper
+        val inner = buildRawGen()
+        if (inner.fields.exists {
+            case v: String => Vars.isVar(v) && !Vars.isWildcard(v)
+            case _ => false })
+          WrapSpec(inner, mode = 1 + r.nextInt(2))
+        else inner
+      } else buildRawGen()
+    }
+    val gens = Vector.fill(nGens)(buildGenLike())
+    val genVars = gens.flatMap(_.outerFields).collect {
       case v: String if Vars.isVar(v) && !Vars.isWildcard(v) => v
     }.distinct
 
@@ -225,9 +279,11 @@ object PlannerDiffPropSpec extends Properties("Planner.differential") {
         Vector(ExistsSpec(GenSpec(fields, rows, small = r.nextInt(10) < 3), flag))
       } else Vector.empty
 
-    // --- output fields
+    // --- output fields (Long-valued only when this is a nested query —
+    // the outer query's op catalog is all-Long)
     val candidates =
-      (genVars ++ longVars ++ boolVars ++ aggOutVars ++ postAggOutVars ++ flagVars)
+      (genVars ++ longVars ++ aggOutVars ++ postAggOutVars ++
+        (if (longOnly) Vector.empty else boolVars ++ flagVars))
         .distinct.filterNot(Vars.isWildcard)
     val out: Vector[Any] =
       if (candidates.isEmpty) Vector(r.nextInt(4).toLong: Any)
@@ -250,6 +306,23 @@ object PlannerDiffPropSpec extends Properties("Planner.differential") {
       case b: java.lang.Boolean => if (b) "T" else "F"
       case x => x.toString
     }.mkString("|")).sorted
+
+  /** Vacuity guard: the generator-shape dimensions (merge, union-dedupe,
+    * nested subquery, checkpoint/cache wrap) must actually occur in the
+    * seed space, or the differential silently stops covering them. */
+  property("fuzz dimensions are exercised") = {
+    var m = 0; var dd = 0; var n = 0; var w = 0
+    (1 to 1000).foreach { i =>
+      buildSpec(new Random(i.toLong)).gens.foreach {
+        case ms: MergeSpec => m += 1; if (ms.dedupe) dd += 1
+        case _: NestedSpec => n += 1
+        case _: WrapSpec => w += 1
+        case _: GenSpec => ()
+      }
+    }
+    (m >= 20 && dd >= 5 && n >= 20 && w >= 20) :|
+      s"shape counts over 1000 seeds: merge=$m dedupe=$dd nested=$n wrap=$w"
+  }
 
   property("spark plan == brute-force evaluator") =
     Prop.forAll(Gen.choose(Long.MinValue, Long.MaxValue)) { seed =>

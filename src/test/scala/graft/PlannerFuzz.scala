@@ -27,17 +27,63 @@ object PlannerFuzz {
 
   // ------------------------------------------------------------- spec ADT
 
+  /** Generator-position spec: a raw in-memory relation, a
+    * combine/union merge of raw relations, a nested subquery, or a
+    * semantics-preserving checkpoint/cache wrapper. `outerFields` is
+    * the field pattern the OUTER query sees — for merges and wrappers
+    * that is the head's bound-var list (dsl.combine / dsl.checkpointed
+    * re-expose bound vars, not the raw pattern). */
+  sealed trait GenLike {
+    def outerFields: Vector[Any]
+    def small: Boolean
+  }
+
   /** `uniqueKeys`: declared candidate keys (sound by construction — the
     * builder writes distinct values into the key column). Declaring one
     * arms the planner's eager-aggregation rewrite, which the model never
     * performs: the rewrite must be output-invisible or the differential
     * fails. */
   final case class GenSpec(fields: Vector[Any], rows: Seq[Vector[Any]], small: Boolean,
-      uniqueKeys: Seq[Set[String]] = Nil)
+      uniqueKeys: Seq[Set[String]] = Nil) extends GenLike {
+    def outerFields: Vector[Any] = fields
+  }
+
+  private def boundVarsOf(fields: Vector[Any]): Vector[String] =
+    fields.collect {
+      case v: String if Vars.isVar(v) && !Vars.isWildcard(v) => v
+    }.distinct
+
+  /** combine (dedupe=false) / union (dedupe=true) of raw generators:
+    * each sub binds its OWN pattern (constants, dups, null filters),
+    * then rows merge POSITIONALLY under the head's bound-var names (the
+    * reference's Cascading GroupBy-merge semantics — fields are the
+    * head's, api.clj:178-192). The builder guarantees equal bound
+    * arity across subs. */
+  final case class MergeSpec(subs: Vector[GenSpec], dedupe: Boolean) extends GenLike {
+    def small: Boolean = false
+    def outerFields: Vector[Any] = boundVarsOf(subs.head.fields).map(v => v: Any)
+  }
+
+  /** Subquery as generator: the inner query's result relation binds
+    * positionally under the outer pattern (TailStruct-as-generator). */
+  final case class NestedSpec(q: QSpec, fields: Vector[Any], small: Boolean)
+      extends GenLike {
+    def outerFields: Vector[Any] = fields
+  }
+
+  /** checkpointed (mode=1) / cached (mode=2) wrapper: must be
+    * output-invisible — the model evaluates the inner generator
+    * unchanged (the wrapper re-exposes bound vars, whose re-binding in
+    * the planner is idempotent). */
+  final case class WrapSpec(inner: GenSpec, mode: Int) extends GenLike {
+    def small: Boolean = inner.small
+    def outerFields: Vector[Any] = boundVarsOf(inner.fields).map(v => v: Any)
+  }
+
   final case class OpSpec(name: String, in: Vector[Any], out: Vector[Any])
   final case class ExistsSpec(gen: GenSpec, flag: Any)
   final case class QSpec(
-      gens: Vector[GenSpec],
+      gens: Vector[GenLike],
       ops: Vector[OpSpec],
       aggs: Vector[OpSpec],
       exs: Vector[ExistsSpec],
@@ -51,8 +97,19 @@ object PlannerFuzz {
         case s: String => s
         case c => s"const($c)"
       }.mkString(", ")
-      val gs = gens.map(g =>
-        s"  gen(${fld(g.fields)})${if (g.small) " [tiny]" else ""} rows=${g.rows.map(r => r.map(v => if (v == null) "ø" else v).mkString("(", ",", ")")).mkString("")}")
+      def raw(g: GenSpec, pad: String = "  "): String =
+        s"${pad}gen(${fld(g.fields)})${if (g.small) " [tiny]" else ""} rows=${g.rows.map(r => r.map(v => if (v == null) "ø" else v).mkString("(", ",", ")")).mkString("")}"
+      val gs = gens.map {
+        case g: GenSpec => raw(g)
+        case m: MergeSpec =>
+          s"  ${if (m.dedupe) "union" else "combine"}(${fld(m.outerFields)}) of\n" +
+            m.subs.map(raw(_, "    ")).mkString("\n")
+        case n: NestedSpec =>
+          s"  nested(${fld(n.fields)})${if (n.small) " [tiny]" else ""} <<\n" +
+            n.q.describe.linesIterator.map("    " + _).mkString("\n") + "\n  >>"
+        case w: WrapSpec =>
+          s"  ${if (w.mode == 1) "checkpointed" else "cached"}:\n${raw(w.inner, "    ")}"
+      }
       val es = exs.map(e =>
         s"  exists[${e.flag}](${fld(e.gen.fields)}) rows=${e.gen.rows.map(r => r.map(v => if (v == null) "ø" else v).mkString("(", ",", ")")).mkString("")}")
       val os = (ops ++ aggs).map(o => s"  ${o.name}(${fld(o.in)}) :> ${fld(o.out)}")
@@ -194,9 +251,21 @@ object PlannerFuzz {
     case n => aggOps(n).spark
   }
 
+  def toGenPred(g: GenLike): GenPred = g match {
+    case gs: GenSpec =>
+      GenPred(s => toDF(s, gs), gs.fields, small = gs.small, uniqueSets = gs.uniqueKeys)
+    case ms: MergeSpec =>
+      val preds = ms.subs.map(toGenPred)
+      if (ms.dedupe) dsl.union(preds: _*) else dsl.combine(preds: _*)
+    case ns: NestedSpec =>
+      GenPred(s => toQuery(ns.q).toDF(s), ns.fields, small = ns.small)
+    case ws: WrapSpec =>
+      if (ws.mode == 1) dsl.checkpointed(toGenPred(ws.inner))
+      else dsl.cached(toGenPred(ws.inner))
+  }
+
   def toQuery(q: QSpec): Query = {
-    val gens: Seq[Pred] = q.gens.map(g =>
-      GenPred(s => toDF(s, g), g.fields, small = g.small, uniqueSets = g.uniqueKeys))
+    val gens: Seq[Pred] = q.gens.map(toGenPred)
     val exs: Seq[Pred] = q.exs.map(e =>
       ExistsPred(GenPred(s => toDF(s, e.gen), e.gen.fields, small = e.gen.small), e.flag))
     def sparkOp(name: String): Op = scalarOps(name) match {
@@ -234,7 +303,9 @@ object PlannerFuzz {
 
     // ungrounding-var validation (parse.clj:113-129): springs from exactly
     // one generator, never an op output, never in a generator-as-set
-    q.gens.flatMap(_.fields).collect { case v: String if Vars.isUnground(v) => v }
+    // (merge/wrap/nested generators expose their OUTER fields here —
+    // sub-pattern and inner-query vars are renamed/projected away)
+    q.gens.flatMap(_.outerFields).collect { case v: String if Vars.isUnground(v) => v }
       .groupBy(identity).foreach { case (v, occ) =>
         if (occ.size > 1) throw Unplannable(s"ungrounding var $v in multiple generators")
       }
@@ -263,7 +334,7 @@ object PlannerFuzz {
           .collect { case (v, occ) if occ.size > 1 => v }.toSet
         val base: Set[String] =
           q.out.collect { case v: String if Vars.isVar(v) => v }.toSet ++
-            q.gens.flatMap(_.fields).collect { case v: String if Vars.isVar(v) => v } ++
+            q.gens.flatMap(_.outerFields).collect { case v: String if Vars.isVar(v) => v } ++
             q.exs.flatMap(e => e.gen.fields :+ e.flag)
               .collect { case v: String if Vars.isVar(v) => v } ++
             q.ops.filter(_.out.isEmpty).flatMap(inVars) ++
@@ -282,7 +353,7 @@ object PlannerFuzz {
     val ops = mutable.ArrayBuffer(kept: _*)
 
     // 1. bind generators, per-tail fixed point
-    var tails = mutable.ArrayBuffer(q.gens.map(bindGen): _*)
+    var tails = mutable.ArrayBuffer(q.gens.map(bindGenLike): _*)
     tails = tails.map(t => fixedPoint(t, ops))
 
     // 2. greedy maximal-shared-vars merge with the joinable? restriction
@@ -340,6 +411,29 @@ object PlannerFuzz {
     }: Seq[Any])
     if (q.distinct && q.aggs.isEmpty) rows = rows.distinct
     rows
+  }
+
+  private def bindGenLike(g: GenLike): MTail = g match {
+    case gs: GenSpec => bindGen(gs)
+    case ms: MergeSpec =>
+      // each sub binds its own pattern; rows merge positionally under
+      // the head's bound names; dedupe = distinct on the bound tuple;
+      // the planner then re-binds the merged generator over those names
+      // (re-applying `?` null filters to rows another sub let through)
+      val bound = ms.subs.map(bindGen)
+      val h = boundVarsOf(ms.subs.head.fields)
+      bound.foreach(b =>
+        if (b.fields.length != h.length)
+          throw Unplannable("combine bound-arity mismatch"))
+      var tuples = bound.flatMap(b => b.rows.map(r => b.fields.map(r(_))))
+      if (ms.dedupe) tuples = tuples.distinct
+      bindGen(GenSpec(h.map(v => v: Any), tuples.map(_.toVector), small = false))
+    case ns: NestedSpec =>
+      bindGen(GenSpec(ns.fields, modelEval(ns.q).map(_.toVector), small = ns.small))
+    case ws: WrapSpec =>
+      // checkpoint/cache are output-invisible; re-binding the bound-var
+      // projection is idempotent (null filters already applied)
+      bindGen(ws.inner)
   }
 
   private def bindGen(g: GenSpec): MTail = {
