@@ -115,7 +115,15 @@ object PlannerDiffPropSpec extends Properties("Planner.differential") {
           else "_"
         }
         NestedSpec(inner, pat, small = r.nextInt(10) < 3)
-      } else if (d < 26) {
+      } else if (d < 24) {
+        // intersect/except set-op against an arity-matched right side
+        val head = buildRawGen()
+        val k = head.fields.collect {
+          case v: String if Vars.isVar(v) && !Vars.isWildcard(v) => v
+        }.distinct.size
+        if (k == 0) head
+        else IntersectSpec(head, buildMergeSub(k), except = r.nextInt(10) < 5)
+      } else if (d < 32) {
         // semantics-preserving checkpoint/cache wrapper
         val inner = buildRawGen()
         if (inner.fields.exists {
@@ -311,17 +319,18 @@ object PlannerDiffPropSpec extends Properties("Planner.differential") {
     * nested subquery, checkpoint/cache wrap) must actually occur in the
     * seed space, or the differential silently stops covering them. */
   property("fuzz dimensions are exercised") = {
-    var m = 0; var dd = 0; var n = 0; var w = 0
+    var m = 0; var dd = 0; var n = 0; var w = 0; var ix = 0; var ex = 0
     (1 to 1000).foreach { i =>
       buildSpec(new Random(i.toLong)).gens.foreach {
         case ms: MergeSpec => m += 1; if (ms.dedupe) dd += 1
         case _: NestedSpec => n += 1
         case _: WrapSpec => w += 1
+        case is: IntersectSpec => if (is.except) ex += 1 else ix += 1
         case _: GenSpec => ()
       }
     }
-    (m >= 20 && dd >= 5 && n >= 20 && w >= 20) :|
-      s"shape counts over 1000 seeds: merge=$m dedupe=$dd nested=$n wrap=$w"
+    (m >= 20 && dd >= 5 && n >= 20 && w >= 20 && ix >= 10 && ex >= 10) :|
+      s"shape counts over 1000 seeds: merge=$m dedupe=$dd nested=$n wrap=$w intersect=$ix except=$ex"
   }
 
   property("spark plan == brute-force evaluator") =

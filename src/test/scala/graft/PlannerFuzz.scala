@@ -71,6 +71,16 @@ object PlannerFuzz {
     def outerFields: Vector[Any] = fields
   }
 
+  /** intersect (except=false) / except (except=true) of two raw
+    * generators: SQL set-op semantics — DISTINCT result, null-safe
+    * tuple equality, positional matching under the left side's bound
+    * vars. Beyond-reference ops (SURVEY §2.9), free on Spark. */
+  final case class IntersectSpec(a: GenSpec, b: GenSpec, except: Boolean)
+      extends GenLike {
+    def small: Boolean = false
+    def outerFields: Vector[Any] = boundVarsOf(a.fields).map(v => v: Any)
+  }
+
   /** checkpointed (mode=1) / cached (mode=2) wrapper: must be
     * output-invisible — the model evaluates the inner generator
     * unchanged (the wrapper re-exposes bound vars, whose re-binding in
@@ -109,6 +119,9 @@ object PlannerFuzz {
             n.q.describe.linesIterator.map("    " + _).mkString("\n") + "\n  >>"
         case w: WrapSpec =>
           s"  ${if (w.mode == 1) "checkpointed" else "cached"}:\n${raw(w.inner, "    ")}"
+        case i: IntersectSpec =>
+          s"  ${if (i.except) "except" else "intersect"}(${fld(i.outerFields)}) of\n" +
+            Seq(i.a, i.b).map(raw(_, "    ")).mkString("\n")
       }
       val es = exs.map(e =>
         s"  exists[${e.flag}](${fld(e.gen.fields)}) rows=${e.gen.rows.map(r => r.map(v => if (v == null) "ø" else v).mkString("(", ",", ")")).mkString("")}")
@@ -262,6 +275,9 @@ object PlannerFuzz {
     case ws: WrapSpec =>
       if (ws.mode == 1) dsl.checkpointed(toGenPred(ws.inner))
       else dsl.cached(toGenPred(ws.inner))
+    case is: IntersectSpec =>
+      val (pa, pb) = (toGenPred(is.a), toGenPred(is.b))
+      if (is.except) dsl.except(pa, pb) else dsl.intersect(pa, pb)
   }
 
   def toQuery(q: QSpec): Query = {
@@ -338,7 +354,8 @@ object PlannerFuzz {
             q.exs.flatMap(e => e.gen.fields :+ e.flag)
               .collect { case v: String if Vars.isVar(v) => v } ++
             q.ops.filter(_.out.isEmpty).flatMap(inVars) ++
-            q.aggs.flatMap(inVars) ++ dupOut
+            q.aggs.flatMap(inVars) ++ dupOut ++
+            q.sort // :sort fields must exist at the grouping, so their producers are live
         var keptNow = q.ops
         var stable = false
         while (!stable) {
@@ -434,6 +451,17 @@ object PlannerFuzz {
       // checkpoint/cache are output-invisible; re-binding the bound-var
       // projection is idempotent (null filters already applied)
       bindGen(ws.inner)
+    case is: IntersectSpec =>
+      // SQL set-op: distinct tuples, null-safe equality, positional
+      val a = bindGen(is.a)
+      val b = bindGen(is.b)
+      if (a.fields.length != b.fields.length)
+        throw Unplannable("set-op bound-arity mismatch")
+      val at = a.rows.map(r => a.fields.map(r(_))).distinct
+      val bt = b.rows.map(r => b.fields.map(r(_))).toSet
+      val tuples = if (is.except) at.filterNot(bt) else at.filter(bt)
+      bindGen(GenSpec(boundVarsOf(is.a.fields).map(v => v: Any),
+        tuples.map(_.toVector), small = false))
   }
 
   private def bindGen(g: GenSpec): MTail = {
