@@ -40,12 +40,37 @@ class PlanLintSpec extends SparkTestBase {
   private val singlePartOk: Set[String] =
     Set("p50_bpe_ids", "p58_zorder_layout", "p70_hybrid_rank")
 
-  import org.apache.spark.sql.execution.SparkPlan
+  import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
   import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
   import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+  import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
   import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
 
   private def nodes(p: SparkPlan): Seq[SparkPlan] = p +: p.children.flatMap(nodes)
+
+  /** Third scale-killer class: a SHUFFLE join whose one side reads only
+    * dimension tables. Dimensions must broadcast — shuffling the fact
+    * side on a dim key is exactly the exchange that explodes at 100×.
+    * A side is "dimension-only" when it scans at least one parquet leaf
+    * and every leaf it scans is a dimension table. Join types that
+    * cannot build the dim side (full outer; outer with the dim on the
+    * preserved side) surface here as named, justified exceptions. */
+  private val dimTables = Set("region", "nation", "supplier", "customer", "part")
+  private def scannedTables(p: SparkPlan): Seq[String] =
+    nodes(p).collect { case s: FileSourceScanExec =>
+      s.relation.location.rootPaths.map(_.getName.stripSuffix(".parquet")).toSeq
+    }.flatten
+  private def dimOnlySide(p: SparkPlan): Boolean = {
+    val ts = scannedTables(p)
+    ts.nonEmpty && ts.forall(dimTables)
+  }
+  /** Shuffle-join-with-dimension exceptions — each justified:
+    *  - q29_full_outer: the `!!`-both-sides full-outer oracle.
+    *    BroadcastHashJoin cannot preserve the build side's unmatched
+    *    rows, so Spark never broadcasts a FullOuter side — SMJ is the
+    *    correct plan, and both sides of THIS join are dimension-sized
+    *    anyway (nation ⟗ supplier-per-nation counts). */
+  private val shuffleDimJoinOk: Set[String] = Set("q29_full_outer")
 
   /** A single-partition shuffle is structurally benign when its child is
     * a GLOBAL (no grouping keys) partial aggregate: the exchange then
@@ -70,6 +95,7 @@ class PlanLintSpec extends SparkTestBase {
     var queriesSeen = 0
     var exchangesSeen = 0
     var benignSeen = 0
+    var dimBroadcastSeen = 0
     // AQE wraps executedPlan in AdaptiveSparkPlanExec (childless until
     // execution); queryExecution.sparkPlan predates EnsureRequirements, so
     // neither exposes the exchanges. Lint the fully-prepared non-adaptive
@@ -92,6 +118,14 @@ class PlanLintSpec extends SparkTestBase {
               else if (!singlePartOk(name))
                 violations += s"$name: Exchange SinglePartition over ${unwrap(e.child).nodeName}"
             }
+          case j: SortMergeJoinExec =>
+            if ((dimOnlySide(j.left) || dimOnlySide(j.right)) && !shuffleDimJoinOk(name))
+              violations += s"$name: SortMergeJoin (${j.joinType}) with a dimension-only side"
+          case j: ShuffledHashJoinExec =>
+            if ((dimOnlySide(j.left) || dimOnlySide(j.right)) && !shuffleDimJoinOk(name))
+              violations += s"$name: ShuffledHashJoin (${j.joinType}) with a dimension-only side"
+          case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+            if (dimOnlySide(b.left) || dimOnlySide(b.right)) dimBroadcastSeen += 1
           case _ => ()
         }
       } catch {
@@ -106,5 +140,7 @@ class PlanLintSpec extends SparkTestBase {
     assert(queriesSeen > 100, s"only $queriesSeen queries planned")
     assert(exchangesSeen > 100, s"only $exchangesSeen exchanges seen — walk broken?")
     assert(benignSeen >= 5, s"only $benignSeen benign single-partition merges seen")
+    assert(dimBroadcastSeen >= 5,
+      s"only $dimBroadcastSeen dimension-side broadcast joins seen — dim lint walking nothing?")
   }
 }
