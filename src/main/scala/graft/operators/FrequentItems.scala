@@ -4,8 +4,6 @@ import org.apache.spark.sql.{DataFrame, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
-import scala.collection.mutable
-
 /** Approximate heavy hitters via MISRA-GRIES summaries — the hot-key /
   * boilerplate-token detector for corpora where a full groupBy-count
   * would shuffle the entire item universe (10¹² distinct n-grams at
@@ -27,44 +25,47 @@ object FrequentItems {
 
   final case class MGSummary(counts: Map[String, Long], n: Long)
 
-  private final class MGAgg(k: Int)
-      extends Aggregator[String, (mutable.HashMap[String, Long], Long), MGSummary] {
+  /** Product-encoded buffer (NOT `Encoders.kryo` over a mutable map:
+    * Kryo's field serializer on Scala collections is flaky under the
+    * whole-suite bench JVM — one EXPRESSION_ENCODING_FAILED observed at
+    * sf0.1 — while the buffer only ever crosses the wire as a partial
+    * state, where a plain Catalyst map encodes fine). The map stays
+    * immutable: it holds ≤ k entries, so per-row persistent updates are
+    * O(1) amortized at MG's k≤64 working set. */
+  final case class MGBuf(counts: Map[String, Long], n: Long)
 
-    def zero: (mutable.HashMap[String, Long], Long) = (mutable.HashMap.empty, 0L)
+  private final class MGAgg(k: Int) extends Aggregator[String, MGBuf, MGSummary] {
 
-    def reduce(b: (mutable.HashMap[String, Long], Long), item: String) = {
-      val (m, n) = b
-      if (item != null) {
-        m.get(item) match {
-          case Some(c) => m(item) = c + 1
-          case None if m.size < k => m(item) = 1L
-          case None =>
-            // decrement-all step; drop zeros
-            val dead = mutable.ArrayBuffer[String]()
-            m.foreach { case (it, c) => if (c == 1) dead += it else m(it) = c - 1 }
-            dead.foreach(m.remove)
-        }
+    def zero: MGBuf = MGBuf(Map.empty, 0L)
+
+    def reduce(b: MGBuf, item: String): MGBuf = {
+      if (item == null) return MGBuf(b.counts, b.n + 1)
+      b.counts.get(item) match {
+        case Some(c) => MGBuf(b.counts.updated(item, c + 1), b.n + 1)
+        case None if b.counts.size < k => MGBuf(b.counts.updated(item, 1L), b.n + 1)
+        case None =>
+          // decrement-all step; drop zeros
+          MGBuf(b.counts.flatMap { case (it, c) =>
+            if (c == 1) None else Some(it -> (c - 1))
+          }, b.n + 1)
       }
-      (m, n + 1)
     }
 
-    def merge(a: (mutable.HashMap[String, Long], Long),
-        b: (mutable.HashMap[String, Long], Long)) = {
-      val (m, n) = a
-      b._1.foreach { case (it, c) => m(it) = m.getOrElse(it, 0L) + c }
+    def merge(a: MGBuf, b: MGBuf): MGBuf = {
+      var m = a.counts
+      b.counts.foreach { case (it, c) => m = m.updated(it, m.getOrElse(it, 0L) + c) }
       if (m.size > k) {
         val cut = m.values.toArray.sorted(Ordering[Long].reverse).apply(k)
-        val dead = mutable.ArrayBuffer[String]()
-        m.foreach { case (it, c) => if (c - cut <= 0) dead += it else m(it) = c - cut }
-        dead.foreach(m.remove)
+        m = m.flatMap { case (it, c) =>
+          if (c - cut <= 0) None else Some(it -> (c - cut))
+        }
       }
-      (m, n + b._2)
+      MGBuf(m, a.n + b.n)
     }
 
-    def finish(b: (mutable.HashMap[String, Long], Long)): MGSummary =
-      MGSummary(b._1.toMap, b._2)
+    def finish(b: MGBuf): MGSummary = MGSummary(b.counts, b.n)
 
-    def bufferEncoder = Encoders.kryo[(mutable.HashMap[String, Long], Long)]
+    def bufferEncoder = Encoders.product[MGBuf]
     def outputEncoder = Encoders.product[MGSummary]
   }
 
