@@ -93,6 +93,9 @@ object PlannerDiffPropSpec extends Properties("Planner.differential") {
         if (r.nextInt(10) < 2) null else (r.nextInt(4).toLong: Any)))
       GenSpec(pat, rows, small = false)
     }
+    def boundArity(g: GenSpec): Int = g.fields.collect {
+      case v: String if Vars.isVar(v) && !Vars.isWildcard(v) => v
+    }.distinct.size
     def buildGenLike(): GenLike = {
       val d = if (depth == 0) r.nextInt(100) else 100
       if (d < 10) {
@@ -116,17 +119,36 @@ object PlannerDiffPropSpec extends Properties("Planner.differential") {
         }
         NestedSpec(inner, pat, small = r.nextInt(10) < 3)
       } else if (d < 24) {
-        // intersect/except set-op against an arity-matched right side
+        // intersect/except set-op against an arity-matched right side,
+        // which may itself be a merge (set-op over a union)
         val head = buildRawGen()
-        val k = head.fields.collect {
-          case v: String if Vars.isVar(v) && !Vars.isWildcard(v) => v
-        }.distinct.size
+        val k = boundArity(head)
         if (k == 0) head
-        else IntersectSpec(head, buildMergeSub(k), except = r.nextInt(10) < 5)
+        else {
+          val right: GenLike =
+            if (r.nextInt(10) < 3)
+              MergeSpec(Vector.fill(2)(buildMergeSub(k)), dedupe = r.nextInt(10) < 4)
+            else buildMergeSub(k)
+          IntersectSpec(head, right, except = r.nextInt(10) < 5)
+        }
       } else if (d < 32) {
-        // semantics-preserving checkpoint/cache wrapper
-        val inner = buildRawGen()
-        if (inner.fields.exists {
+        // semantics-preserving checkpoint/cache wrapper — over a raw
+        // generator, a merge, or a set-op (lineage truncation must be
+        // output-invisible for every generator shape)
+        val inner: GenLike = r.nextInt(10) match {
+          case 0 | 1 =>
+            val head = buildRawGen()
+            val k = boundArity(head)
+            if (k == 0) head
+            else MergeSpec(head +: Vector(buildMergeSub(k)), dedupe = r.nextBoolean())
+          case 2 =>
+            val head = buildRawGen()
+            val k = boundArity(head)
+            if (k == 0) head
+            else IntersectSpec(head, buildMergeSub(k), except = r.nextBoolean())
+          case _ => buildRawGen()
+        }
+        if (inner.outerFields.exists {
             case v: String => Vars.isVar(v) && !Vars.isWildcard(v)
             case _ => false })
           WrapSpec(inner, mode = 1 + r.nextInt(2))
@@ -320,17 +342,22 @@ object PlannerDiffPropSpec extends Properties("Planner.differential") {
     * seed space, or the differential silently stops covering them. */
   property("fuzz dimensions are exercised") = {
     var m = 0; var dd = 0; var n = 0; var w = 0; var ix = 0; var ex = 0
+    var wc = 0; var sm = 0 // composite: wrap-over-composite, set-op w/ merge side
     (1 to 1000).foreach { i =>
       buildSpec(new Random(i.toLong)).gens.foreach {
         case ms: MergeSpec => m += 1; if (ms.dedupe) dd += 1
         case _: NestedSpec => n += 1
-        case _: WrapSpec => w += 1
-        case is: IntersectSpec => if (is.except) ex += 1 else ix += 1
+        case ws: WrapSpec =>
+          w += 1; if (!ws.inner.isInstanceOf[GenSpec]) wc += 1
+        case is: IntersectSpec =>
+          if (is.except) ex += 1 else ix += 1
+          if (!is.b.isInstanceOf[GenSpec]) sm += 1
         case _: GenSpec => ()
       }
     }
-    (m >= 20 && dd >= 5 && n >= 20 && w >= 20 && ix >= 10 && ex >= 10) :|
-      s"shape counts over 1000 seeds: merge=$m dedupe=$dd nested=$n wrap=$w intersect=$ix except=$ex"
+    (m >= 20 && dd >= 5 && n >= 20 && w >= 20 && ix >= 10 && ex >= 10 &&
+      wc >= 5 && sm >= 5) :|
+      s"shape counts over 1000 seeds: merge=$m dedupe=$dd nested=$n wrap=$w intersect=$ix except=$ex wrapComposite=$wc setOpMergeSide=$sm"
   }
 
   property("spark plan == brute-force evaluator") =

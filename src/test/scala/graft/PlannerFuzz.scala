@@ -71,23 +71,23 @@ object PlannerFuzz {
     def outerFields: Vector[Any] = fields
   }
 
-  /** intersect (except=false) / except (except=true) of two raw
-    * generators: SQL set-op semantics — DISTINCT result, null-safe
+  /** intersect (except=false) / except (except=true) of two generators
+    * (raw or merged): SQL set-op semantics — DISTINCT result, null-safe
     * tuple equality, positional matching under the left side's bound
     * vars. Beyond-reference ops (SURVEY §2.9), free on Spark. */
-  final case class IntersectSpec(a: GenSpec, b: GenSpec, except: Boolean)
+  final case class IntersectSpec(a: GenLike, b: GenLike, except: Boolean)
       extends GenLike {
     def small: Boolean = false
-    def outerFields: Vector[Any] = boundVarsOf(a.fields).map(v => v: Any)
+    def outerFields: Vector[Any] = boundVarsOf(a.outerFields).map(v => v: Any)
   }
 
-  /** checkpointed (mode=1) / cached (mode=2) wrapper: must be
-    * output-invisible — the model evaluates the inner generator
-    * unchanged (the wrapper re-exposes bound vars, whose re-binding in
-    * the planner is idempotent). */
-  final case class WrapSpec(inner: GenSpec, mode: Int) extends GenLike {
+  /** checkpointed (mode=1) / cached (mode=2) wrapper over ANY generator
+    * shape (raw, merge, set-op): must be output-invisible — the model
+    * evaluates the inner generator unchanged (the wrapper re-exposes
+    * bound vars, whose re-binding in the planner is idempotent). */
+  final case class WrapSpec(inner: GenLike, mode: Int) extends GenLike {
     def small: Boolean = inner.small
-    def outerFields: Vector[Any] = boundVarsOf(inner.fields).map(v => v: Any)
+    def outerFields: Vector[Any] = boundVarsOf(inner.outerFields).map(v => v: Any)
   }
 
   final case class OpSpec(name: String, in: Vector[Any], out: Vector[Any])
@@ -107,22 +107,22 @@ object PlannerFuzz {
         case s: String => s
         case c => s"const($c)"
       }.mkString(", ")
-      def raw(g: GenSpec, pad: String = "  "): String =
-        s"${pad}gen(${fld(g.fields)})${if (g.small) " [tiny]" else ""} rows=${g.rows.map(r => r.map(v => if (v == null) "ø" else v).mkString("(", ",", ")")).mkString("")}"
-      val gs = gens.map {
-        case g: GenSpec => raw(g)
+      def genStr(g: GenLike, pad: String): String = g match {
+        case g: GenSpec =>
+          s"${pad}gen(${fld(g.fields)})${if (g.small) " [tiny]" else ""} rows=${g.rows.map(r => r.map(v => if (v == null) "ø" else v).mkString("(", ",", ")")).mkString("")}"
         case m: MergeSpec =>
-          s"  ${if (m.dedupe) "union" else "combine"}(${fld(m.outerFields)}) of\n" +
-            m.subs.map(raw(_, "    ")).mkString("\n")
+          s"$pad${if (m.dedupe) "union" else "combine"}(${fld(m.outerFields)}) of\n" +
+            m.subs.map(genStr(_, pad + "  ")).mkString("\n")
         case n: NestedSpec =>
-          s"  nested(${fld(n.fields)})${if (n.small) " [tiny]" else ""} <<\n" +
-            n.q.describe.linesIterator.map("    " + _).mkString("\n") + "\n  >>"
+          s"${pad}nested(${fld(n.fields)})${if (n.small) " [tiny]" else ""} <<\n" +
+            n.q.describe.linesIterator.map(pad + "  " + _).mkString("\n") + s"\n$pad>>"
         case w: WrapSpec =>
-          s"  ${if (w.mode == 1) "checkpointed" else "cached"}:\n${raw(w.inner, "    ")}"
+          s"$pad${if (w.mode == 1) "checkpointed" else "cached"}:\n${genStr(w.inner, pad + "  ")}"
         case i: IntersectSpec =>
-          s"  ${if (i.except) "except" else "intersect"}(${fld(i.outerFields)}) of\n" +
-            Seq(i.a, i.b).map(raw(_, "    ")).mkString("\n")
+          s"$pad${if (i.except) "except" else "intersect"}(${fld(i.outerFields)}) of\n" +
+            Seq(i.a, i.b).map(genStr(_, pad + "  ")).mkString("\n")
       }
+      val gs = gens.map(genStr(_, "  "))
       val es = exs.map(e =>
         s"  exists[${e.flag}](${fld(e.gen.fields)}) rows=${e.gen.rows.map(r => r.map(v => if (v == null) "ø" else v).mkString("(", ",", ")")).mkString("")}")
       val os = (ops ++ aggs).map(o => s"  ${o.name}(${fld(o.in)}) :> ${fld(o.out)}")
@@ -450,17 +450,17 @@ object PlannerFuzz {
     case ws: WrapSpec =>
       // checkpoint/cache are output-invisible; re-binding the bound-var
       // projection is idempotent (null filters already applied)
-      bindGen(ws.inner)
+      bindGenLike(ws.inner)
     case is: IntersectSpec =>
       // SQL set-op: distinct tuples, null-safe equality, positional
-      val a = bindGen(is.a)
-      val b = bindGen(is.b)
+      val a = bindGenLike(is.a)
+      val b = bindGenLike(is.b)
       if (a.fields.length != b.fields.length)
         throw Unplannable("set-op bound-arity mismatch")
       val at = a.rows.map(r => a.fields.map(r(_))).distinct
       val bt = b.rows.map(r => b.fields.map(r(_))).toSet
       val tuples = if (is.except) at.filterNot(bt) else at.filter(bt)
-      bindGen(GenSpec(boundVarsOf(is.a.fields).map(v => v: Any),
+      bindGen(GenSpec(boundVarsOf(is.a.outerFields).map(v => v: Any),
         tuples.map(_.toVector), small = false))
   }
 
