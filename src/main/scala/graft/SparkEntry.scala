@@ -31,12 +31,23 @@ object SparkEntry {
   private def deleteAtExit(path: String): Unit =
     if (exitDeletions.add(path)) {
       Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def rm(f: java.io.File): Unit = {
-          val kids = f.listFiles()
-          if (kids != null) kids.foreach(rm)
-          f.delete(): Unit
+        // NOFOLLOW walk: a symlink planted inside the world-writable
+        // /tmp tap dir must be unlinked, never traversed into its target
+        import java.nio.file.{Files, Path, Paths, FileVisitResult, SimpleFileVisitor}
+        import java.nio.file.attribute.BasicFileAttributes
+        val root = Paths.get(path)
+        if (Files.exists(root, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+          Files.walkFileTree(root, new SimpleFileVisitor[Path] {
+            override def visitFile(f: Path, a: BasicFileAttributes) = {
+              Files.deleteIfExists(f); FileVisitResult.CONTINUE
+            }
+            override def visitFileFailed(f: Path, e: java.io.IOException) =
+              FileVisitResult.CONTINUE
+            override def postVisitDirectory(d: Path, e: java.io.IOException) = {
+              Files.deleteIfExists(d); FileVisitResult.CONTINUE
+            }
+          }): Unit
         }
-        rm(new java.io.File(path))
       }))
     }
 
@@ -1231,10 +1242,8 @@ object SparkEntry {
     * replay exactly; completed rounds degenerate to identity. */
   private def p81(s: SparkSession, d: String): DataFrame = {
     val merges = Bpe.train(tbl(d, "documents")(s), numMerges = 8, batchMerges = 4)
-    import s.implicits._
-    merges.zipWithIndex
-      .map { case ((a, b), i) => ((i + 1).toLong, a, b) }
-      .toDF("rank", "a", "b")
+    // rank cast to BIGINT for the oracle's hash-stable integer convention
+    Bpe.mergesToDF(merges, s).withColumn("rank", col("rank").cast("long"))
   }
 
   /** [[Dedup.hammingCandidates]] over PRECOMPUTED 64-bit codes — the

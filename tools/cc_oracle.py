@@ -30,6 +30,16 @@ sf = sys.argv[1] if len(sys.argv) > 1 else '/root/testdata/sf0.01'
 out = sys.argv[2] if len(sys.argv) > 2 else '/tmp/vout'
 name = sys.argv[3] if len(sys.argv) > 3 else 'p36_semantic_dedup'
 
+# Only the min-id-survivor oracles apply: the replay hardcodes the
+# component-min-id keep policy and a vec_id/doc_id universe. p76's
+# quality-keyed survivor (max n_chars, tie min id) ALSO has a `sym AS`
+# cut point, so without this guard it would "run" and report a spurious
+# MISMATCH at exactly the scale where no full oracle can disambiguate.
+APPLICABLE = {'p36_semantic_dedup', 'p11_neardup_dedup', 'p17_neardup_star'}
+if name not in APPLICABLE:
+    sys.exit(f"{name}: not a min-id-survivor oracle this tool can replay "
+             f"(applicable: {sorted(APPLICABLE)})")
+
 TABLES = ['region', 'nation', 'customer', 'supplier', 'part', 'orders',
           'lineitem', 'events', 'documents', 'embeddings']
 
@@ -89,8 +99,11 @@ survivors = sorted(x for x in universe
 got = sorted(r[0] for r in
              con.sql(f"SELECT {id_col} FROM '{out}/{name}/*.parquet'").fetchall())
 ok = got == survivors
-extra = [x for x in got if x not in set(survivors)][:5]
-missing = [x for x in survivors if x not in set(got)][:5]
+extra, missing = [], []
+if not ok:
+    ss, gs = set(survivors), set(got)
+    extra = [x for x in got if x not in ss][:5]
+    missing = [x for x in survivors if x not in gs][:5]
 print(f"{name}: {'OK' if ok else 'MISMATCH'} "
       f"edges={len(edges)} components={len({find(x) for x in in_graph})} "
       f"survivors={len(survivors)} spark={len(got)}"

@@ -28,10 +28,10 @@ for pair in pairs:
         (SELECT COUNT(*) FROM '{out}/{a}/*.parquet') AS na,
         (SELECT COUNT(*) FROM '{out}/{b}/*.parquet') AS nb,
         (SELECT COUNT(*) FROM
-          ((SELECT * FROM '{out}/{a}/*.parquet') EXCEPT
+          ((SELECT * FROM '{out}/{a}/*.parquet') EXCEPT ALL
            (SELECT * FROM '{out}/{b}/*.parquet'))) AS a_minus_b,
         (SELECT COUNT(*) FROM
-          ((SELECT * FROM '{out}/{b}/*.parquet') EXCEPT
+          ((SELECT * FROM '{out}/{b}/*.parquet') EXCEPT ALL
            (SELECT * FROM '{out}/{a}/*.parquet'))) AS b_minus_a
     """).fetchone()
     ok = n[0] == n[1] and n[2] == 0 and n[3] == 0
