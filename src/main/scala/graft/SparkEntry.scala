@@ -30,25 +30,10 @@ object SparkEntry {
   private val exitDeletions = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private def deleteAtExit(path: String): Unit =
     if (exitDeletions.add(path)) {
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
         // NOFOLLOW walk: a symlink planted inside the world-writable
         // /tmp tap dir must be unlinked, never traversed into its target
-        import java.nio.file.{Files, Path, Paths, FileVisitResult, SimpleFileVisitor}
-        import java.nio.file.attribute.BasicFileAttributes
-        val root = Paths.get(path)
-        if (Files.exists(root, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
-          Files.walkFileTree(root, new SimpleFileVisitor[Path] {
-            override def visitFile(f: Path, a: BasicFileAttributes) = {
-              Files.deleteIfExists(f); FileVisitResult.CONTINUE
-            }
-            override def visitFileFailed(f: Path, e: java.io.IOException) =
-              FileVisitResult.CONTINUE
-            override def postVisitDirectory(d: Path, e: java.io.IOException) = {
-              Files.deleteIfExists(d); FileVisitResult.CONTINUE
-            }
-          }): Unit
-        }
-      }))
+        graft.streaming.Streams.deleteRecursivelyNoFollow(path)))
     }
 
   private def lineitem(d: String)(fields: Any*) =
@@ -995,17 +980,11 @@ object SparkEntry {
     * round-trip through parquet is what's under test. */
   private def p72(s: SparkSession, d: String): DataFrame = {
     val docs = tbl(d, "documents")(s)
-    // path = sanitized dataset dir (collision-free, unlike hashCode) +
-    // this JVM's pid, so concurrent gate/bench processes over the same
-    // dataset never race one process's overwrite against another's read;
-    // pid-fresh dirs would otherwise accumulate in /tmp across runs, so
-    // each is registered for recursive deletion at JVM exit (the read
-    // side of the tap lives until the driver finishes the query, so
-    // deletion cannot happen any earlier than shutdown)
-    val path = "/tmp/graft_p72_tap_" +
-      d.replaceAll("[^A-Za-z0-9]", "_") + "_" +
-      java.lang.ProcessHandle.current().pid()
-    deleteAtExit(path)
+    // pid-scoped scratch dir (concurrent gate/bench processes over the
+    // same dataset never race one process's overwrite against another's
+    // read), deleted at JVM exit — the read side of the tap lives until
+    // the driver finishes the query, so deletion cannot happen earlier
+    val path = scratchDir("p72_tap", d)
     Dedup.writeCandidates(docs, path)
     graft.pipeline.Graph.communitiesFromPairs(
         Dedup.candidatesTap(s, path), docs.select(col("doc_id").as("id")))
@@ -1244,6 +1223,57 @@ object SparkEntry {
     val merges = Bpe.train(tbl(d, "documents")(s), numMerges = 8, batchMerges = 4)
     // rank cast to BIGINT for the oracle's hash-stable integer convention
     Bpe.mergesToDF(merges, s).withColumn("rank", col("rank").cast("long"))
+  }
+
+  /** Scratch dir for queries that stage intermediate files: sanitized
+    * dataset dir + this JVM's pid (collision-free across concurrent
+    * gate/bench processes), registered for NOFOLLOW recursive deletion
+    * at JVM exit — the p72 tap-path idiom as a helper. */
+  private def scratchDir(tag: String, d: String): String = {
+    val path = s"/tmp/graft_${tag}_" +
+      d.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+      java.lang.ProcessHandle.current().pid()
+    deleteAtExit(path)
+    path
+  }
+
+  /** STRUCTURED STREAMING in the oracle gate: q22's events rollup
+    * computed by the streaming engine. The batch table is replayed
+    * through [[graft.streaming.Streams.replayAsStream]] as 4 file
+    * micro-batches into a complete-mode stateful aggregation, so the
+    * state store genuinely accumulates across batches; the complete-mode
+    * result is batch-boundary-invariant (probe: parts 1/4/8 identical —
+    * StreamReplaySpec), so the plain GROUP BY oracle applies verbatim.
+    * Shares q22's oracle contract by design (the p57/p67 idiom). */
+  private def p82(s: SparkSession, d: String): DataFrame =
+    graft.streaming.Streams.replayAsStream(
+      tbl(d, "events")(s), scratchDir("p82_stream", d), 4, "complete") { src =>
+      src.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("sum_value"))
+    }
+
+  /** Watermarked event-time windows in the oracle gate: daily counts
+    * with a 6-hour watermark, append mode, replayed as 4 event-time-
+    * ORDERED micro-batches (replayAsStream's `orderedBy` staging — no
+    * row ever arrives behind the watermark, so nothing is late-dropped
+    * and the emitted set is batch-boundary-invariant). The streaming
+    * contract the oracle replays: a window emits iff
+    * `window.end <= final watermark`, where the final watermark is the
+    * global max event time FLOORED TO MILLISECONDS (Spark tracks event
+    * time in ms) minus the delay — boundary semantics pinned INCLUSIVE
+    * by the StreamReplaySpec tie case (window end == watermark emits). */
+  private def p83(s: SparkSession, d: String): DataFrame = {
+    val ev = tbl(d, "events")(s)
+    val staged = ev.withColumn("ets", timestamp_micros(tsUs(ev)))
+    graft.streaming.Streams.replayAsStream(
+      staged, scratchDir("p83_stream", d), 4, "append",
+      orderedBy = Some("ets")) { src =>
+      src.withWatermark("ets", "6 hours")
+        .groupBy(window(col("ets"), "1 day"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(unix_micros(col("window.start")).as("ws_us"), col("cnt"))
+    }
   }
 
   /** [[Dedup.hammingCandidates]] over PRECOMPUTED 64-bit codes — the
@@ -1609,6 +1639,8 @@ object SparkEntry {
     "q47_scd2_history" -> (q47 _),
     "q48_trap_divert" -> (q48 _),
     "p81_bpe_batch" -> (p81 _),
+    "p82_stream_agg" -> (p82 _),
+    "p83_stream_window" -> (p83 _),
     "p23_heavy_hitters" -> (p23 _),
     "p24_span_dedup" -> (p24 _),
     "p25_kmv_distinct" -> (p25 _),
@@ -2308,6 +2340,21 @@ object SparkEntry {
     // p81: batched BPE training (numMerges=8, batchMerges=4, the
     // engine's defaults otherwise) — see batchedBpeOracleSql
     "p81_bpe_batch" -> batchedBpeOracleSql(numMerges = 8, m = 4, minPairFreq = 2),
+    // p82: the streaming complete-mode rollup equals the batch GROUP BY
+    // (q22's oracle contract, shared by design like p57/p67)
+    "p82_stream_agg" ->
+      """SELECT event_type, COUNT(*) AS cnt,
+        |CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type""".stripMargin,
+    // p83: append-mode watermarked daily windows — emitted iff
+    // window_end <= floor_ms(max ts) - 6h (inclusive; semantics pinned
+    // by StreamReplaySpec's tie case)
+    "p83_stream_window" ->
+      """WITH e AS (SELECT epoch_us(ts) AS us FROM events WHERE ts IS NOT NULL),
+        |wm AS (SELECT (max(us) // 1000) * 1000 - 21600000000 AS w FROM e)
+        |SELECT (us // 86400000000) * 86400000000 AS ws_us, COUNT(*) AS cnt
+        |FROM e, wm GROUP BY 1, wm.w
+        |HAVING ws_us + 86400000000 <= wm.w""".stripMargin,
     // p80: expectations report — rows total, null count, duplicated-key
     // participation, tight range violations, FK integrity (semantics in
     // operators/Check.scala scaladoc)

@@ -556,6 +556,103 @@ object Streams {
       }
   }
 
+  /** Replays a BATCH DataFrame through the streaming engine and runs it
+    * to completion: the rows are staged as `parts` parquet files under
+    * `scratchDir`, streamed back one file per micro-batch (so state
+    * genuinely accumulates across `parts` batches), transformed by `f`,
+    * and drained with an AvailableNow trigger into a memory sink whose
+    * final table is returned.
+    *
+    * This is the batch↔stream parity harness as a library function: any
+    * bounded-result streaming pipeline (stateful aggregation, watermarked
+    * windows, streaming dedup) can be checked against its batch oracle by
+    * replaying the batch input through it. The memory sink bounds the
+    * RESULT on the driver, not the input — use it for verification-sized
+    * outputs; production streams go through [[toParquet]].
+    *
+    * Output determinism holds for order-free transforms (aggregations,
+    * watermarked windows whose emission depends only on the global max
+    * event time): the staged file split changes batch boundaries, never
+    * the final table.
+    *
+    * `orderedBy = Some(tsCol)` stages the rows as `parts` CONTIGUOUS
+    * event-time slices replayed in time order (each slice's files get an
+    * explicitly increasing modification time — the file source's replay
+    * order — so no row ever arrives behind the watermark). Without it, a
+    * multi-file split of out-of-order data makes watermarked operators
+    * drop whatever lands behind the first batch's high-water mark: real
+    * late-data semantics, but batch-boundary-dependent output. */
+  def replayAsStream(batch: DataFrame, scratchDir: String, parts: Int,
+      outputMode: String, orderedBy: Option[String] = None)(
+      f: DataFrame => DataFrame): DataFrame = {
+    val s = batch.sparkSession
+    // fresh run every call: a memory-sink query cannot recover from a
+    // prior invocation's checkpoint, so wipe the scratch dir up front
+    // (NOFOLLOW — a planted symlink is unlinked, never traversed)
+    deleteRecursivelyNoFollow(scratchDir)
+    val stage = s"$scratchDir/stage"
+    orderedBy match {
+      case None =>
+        batch.repartition(parts).write.mode("overwrite").parquet(stage)
+      case Some(tc) =>
+        // contiguous event-time slices: [min + k*step, min + (k+1)*step)
+        // over epoch micros, last slice closed at max. Rows with a null
+        // event time are excluded (a watermarked operator would never
+        // emit them anyway).
+        val us = unix_micros(col(tc).cast("timestamp"))
+        val bounds = batch.agg(min(us), max(us)).head()
+        val stageDir = new java.io.File(stage)
+        if (stageDir.exists())
+          stageDir.listFiles().foreach(ff => { ff.delete(): Unit })
+        if (bounds.isNullAt(0)) {
+          batch.limit(0).write.mode("overwrite").parquet(stage)
+        } else {
+          val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+          val step = math.max(1L, (hi - lo) / parts + 1L)
+          (0 until parts).foreach { k =>
+            val cond = us >= lit(lo + k * step) && us < lit(lo + (k + 1) * step)
+            batch.filter(cond).write.mode("append").parquet(stage)
+            // the file source replays in modification-time order (ms
+            // granularity, ties unordered) — stamp each slice's files
+            // with an explicit strictly-increasing mtime so slice k is
+            // always batch k, even when two write jobs share a clock ms
+            stageDir.listFiles().foreach { ff =>
+              if (ff.getName.startsWith("part-") && ff.lastModified() > k.toLong * 1000L)
+                { ff.setLastModified((k + 1).toLong * 1000L): Unit }
+            }
+          }
+        }
+    }
+    val src = s.readStream.schema(s.read.parquet(stage).schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+    val qn = ("graft_replay_" + scratchDir).replaceAll("[^A-Za-z0-9]", "_")
+    val q = f(src).writeStream.format("memory").queryName(qn)
+      .outputMode(outputMode)
+      .option("checkpointLocation", s"$scratchDir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(qn)
+  }
+
+  private[graft] def deleteRecursivelyNoFollow(path: String): Unit = {
+    import java.nio.file.{Files, Path, Paths, FileVisitResult, SimpleFileVisitor}
+    import java.nio.file.attribute.BasicFileAttributes
+    val root = Paths.get(path)
+    if (Files.exists(root, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+      Files.walkFileTree(root, new SimpleFileVisitor[Path] {
+        override def visitFile(f: Path, a: BasicFileAttributes) = {
+          Files.deleteIfExists(f); FileVisitResult.CONTINUE
+        }
+        override def visitFileFailed(f: Path, e: java.io.IOException) =
+          FileVisitResult.CONTINUE
+        override def postVisitDirectory(d: Path, e: java.io.IOException) = {
+          Files.deleteIfExists(d); FileVisitResult.CONTINUE
+        }
+      }): Unit
+    }
+  }
+
   def toMemory(df: DataFrame, name: String, outputMode: String = "update"): StreamingQuery =
     df.writeStream.format("memory").queryName(name)
       .outputMode(outputMode).start()

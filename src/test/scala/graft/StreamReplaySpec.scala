@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** [[graft.streaming.Streams.replayAsStream]] — the batch↔stream parity
+  * harness behind the p82/p83 oracle-gate queries. Pins the three facts
+  * those oracles rely on:
+  *
+  *  1. complete-mode stateful aggregation is batch-boundary-INVARIANT
+  *     and equals the batch GROUP BY (parts 1/4/8 identical);
+  *  2. with `orderedBy` staging, append-mode watermarked windows are
+  *     split-invariant and emit exactly the windows whose
+  *     `end <= floor_ms(max event time) - delay` — INCLUSIVE at the
+  *     boundary (the tie test: a window ending exactly at the final
+  *     watermark emits);
+  *  3. withOUT ordered staging, a multi-file split of out-of-order data
+  *     late-drops rows behind the first batch's high-water mark — real
+  *     watermark semantics, which is exactly why the gate queries use
+  *     `orderedBy`.
+  */
+class StreamReplaySpec extends SparkTestBase {
+
+  private def scratch(tag: String) =
+    s"/tmp/graft_replay_spec_${tag}_${java.lang.ProcessHandle.current().pid()}"
+
+  private lazy val ev = {
+    val df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    df.withColumn("ets", col("ts").cast("timestamp")) // NTZ→instant, UTC session
+  }
+
+  test("complete-mode agg: split-invariant and equal to batch") {
+    val batch = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+      .orderBy("event_type").collect().toSeq
+    for (parts <- Seq(1, 4, 8)) {
+      val out = graft.streaming.Streams.replayAsStream(
+        ev, scratch(s"agg$parts"), parts, "complete") { src =>
+        src.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+      }.orderBy("event_type").collect().toSeq
+      assert(out == batch, s"parts=$parts")
+    }
+  }
+
+  test("ordered append windows: split-invariant, end <= floor_ms(max)-delay") {
+    def run(parts: Int) = graft.streaming.Streams.replayAsStream(
+      ev, scratch(s"win$parts"), parts, "append", orderedBy = Some("ets")) { src =>
+      src.withWatermark("ets", "6 hours")
+        .groupBy(window(col("ets"), "1 day"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(unix_micros(col("window.start")).as("ws_us"), col("cnt"))
+    }.orderBy("ws_us").collect().toSeq
+    val expected = {
+      val maxUs = ev.agg(max(unix_micros(col("ets")))).head().getLong(0)
+      val wm = (maxUs / 1000L) * 1000L - 6L * 3600L * 1000000L
+      ev.groupBy((unix_micros(col("ets")).divide(lit(86400000000L)))
+          .cast("long").multiply(lit(86400000000L)).as("ws_us"))
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("ws_us") + 86400000000L <= wm)
+        .orderBy("ws_us").collect().toSeq
+    }
+    val r1 = run(1)
+    assert(r1 == expected, "streaming windows != watermark-cutoff batch oracle")
+    assert(run(4) == r1 && run(8) == r1, "split-variant append output")
+  }
+
+  test("watermark boundary is inclusive: window end == watermark emits") {
+    import spark.implicits._
+    // rows at 5s, 15s, max 30s; delay 10s -> final watermark 20s.
+    // window [10,20) ends exactly AT the watermark.
+    val tie = Seq(5L, 15L, 30L).toDF("sec")
+      .withColumn("ets", timestamp_seconds(col("sec")))
+    val out = graft.streaming.Streams.replayAsStream(
+      tie, scratch("tie"), 2, "append", orderedBy = Some("ets")) { src =>
+      src.withWatermark("ets", "10 seconds")
+        .groupBy(window(col("ets"), "10 seconds"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(unix_micros(col("window.start")).as("ws_us"), col("cnt"))
+    }.orderBy("ws_us").collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
+    assert(out == Seq((0L, 1L), (10000000L, 1L)), out.toString)
+  }
+
+  test("unordered staging late-drops behind the watermark (why orderedBy exists)") {
+    val n1 = graft.streaming.Streams.replayAsStream(
+      ev, scratch("late1"), 1, "append") { src =>
+      src.withWatermark("ets", "6 hours")
+        .groupBy(window(col("ets"), "1 day")).agg(count(lit(1)).as("cnt"))
+    }.agg(sum("cnt")).head().getLong(0)
+    val n8 = graft.streaming.Streams.replayAsStream(
+      ev, scratch("late8"), 8, "append") { src =>
+      src.withWatermark("ets", "6 hours")
+        .groupBy(window(col("ets"), "1 day")).agg(count(lit(1)).as("cnt"))
+    }.agg(sum("cnt")).head().getLong(0)
+    // a random 8-way split of a month of events scatters every file
+    // across the full time range: after batch 1 the watermark sits near
+    // month-end, so most later rows are late-dropped
+    assert(n8 < n1, s"expected late drops: parts=8 counted $n8 vs parts=1 $n1")
+  }
+}
