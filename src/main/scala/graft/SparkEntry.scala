@@ -1335,6 +1335,74 @@ object SparkEntry {
       tbl(d, "documents")(s).select("doc_id", "source"),
       Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
 
+  /** STREAMING SNAPSHOT UPSERT in the oracle gate: p60's contract driven
+    * through [[graft.streaming.Streams.streamingUpsert]]
+    * (mapGroupsWithState custom state, update output mode). The v0
+    * snapshot and v1 delta replay as VERSION-ordered micro-batches —
+    * the initial-load-then-CDC shape — and version-RANGED slicing keeps
+    * equal versions inside one batch, so streamingUpsert's
+    * carried-state-loses-at-equal-version rule never fires and the
+    * final state is split-invariant. The update-mode memory sink sees
+    * one update per (key, batch) with strictly increasing versions
+    * across batches, so the final table is the max-version update per
+    * key, tombstones dropped — exactly p60's max_by contract. */
+  private def p84(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = tbl(d, "orders")(s)
+      .select("o_orderkey", "o_custkey", "o_orderpriority")
+    val snap = base
+      .withColumn("version", lit(0L)).withColumn("deleted", lit(false))
+    val delta = base.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_orderpriority", lit("UPDATED"))
+      .withColumn("version", lit(1L))
+      .withColumn("deleted", col("o_orderkey") % 170 === 0)
+    val staged = snap.unionByName(delta).select(
+      col("o_orderkey").cast("string").as("k"),
+      col("version").as("v"),
+      col("deleted").as("del"),
+      concat_ws("|", col("o_custkey"), col("o_orderpriority")).as("payload"))
+    graft.streaming.Streams.replayAsStream(
+      staged, scratchDir("p84_stream", d), 4, "update", orderedBy = Some("v")) {
+      src =>
+        graft.streaming.Streams.streamingUpsert(
+            src.as[(String, Long, Boolean, String)])
+          .toDF("k", "v", "del", "payload")
+    }
+      .groupBy(col("k"))
+      .agg(max_by(struct(col("v"), col("del"), col("payload")), col("v")).as("w"))
+      .filter(!col("w.del"))
+      .select(col("k").cast("long").as("o_orderkey"),
+        col("w.v").as("version"), col("w.payload").as("payload"))
+  }
+
+  /** STREAMING CLOSED SESSIONS in the oracle gate: q34's gap
+    * sessionization driven through
+    * [[graft.streaming.Streams.sessionizeClosed]]
+    * (flatMapGroupsWithState, append mode — the third streaming-state
+    * API family after p82/p83's windowed aggs and p84's
+    * mapGroupsWithState). Events replay in event-time order; a session
+    * closes when a later event's gap exceeds 30 min REGARDLESS of where
+    * the batch boundary fell (the open session carries across batches
+    * in state), so the emitted set is split-invariant: every session
+    * except each user's final one, which stays open in state forever —
+    * the oracle replays q34's session CTE and drops each user's
+    * max-session_id row. Equal-ts events cannot reorder the contract
+    * (gap 0 keeps them in one session; count/min/max are order-free). */
+  private def p85(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = tbl(d, "events")(s)
+    val staged = ev.select(col("user_id").as("k"), tsUs(ev).as("us"))
+      .filter(col("us").isNotNull)
+    graft.streaming.Streams.replayAsStream(
+      staged, scratchDir("p85_stream", d), 4, "append", orderedBy = Some("us")) {
+      src =>
+        graft.streaming.Streams.sessionizeClosed(
+            src.as[(Long, Long)], gapMs = 1800000000L)
+          .toDF("user_id", "start_us", "end_us", "n_events")
+    }
+      .select(col("user_id"), col("n_events"), col("start_us"), col("end_us"))
+  }
+
   /** Keyed snapshot upsert ([[graft.operators.Snapshot.upsert]]): orders
     * as the v0 snapshot, a derived delta (every 10th key re-annotated at
     * v1, every 170th tombstoned) merged in one max_by aggregation —
@@ -1641,6 +1709,8 @@ object SparkEntry {
     "p81_bpe_batch" -> (p81 _),
     "p82_stream_agg" -> (p82 _),
     "p83_stream_window" -> (p83 _),
+    "p84_stream_upsert" -> (p84 _),
+    "p85_stream_sessions" -> (p85 _),
     "p23_heavy_hitters" -> (p23 _),
     "p24_span_dedup" -> (p24 _),
     "p25_kmv_distinct" -> (p25 _),
@@ -2355,6 +2425,41 @@ object SparkEntry {
         |SELECT (us // 86400000000) * 86400000000 AS ws_us, COUNT(*) AS cnt
         |FROM e, wm GROUP BY 1, wm.w
         |HAVING ws_us + 86400000000 <= wm.w""".stripMargin,
+    // p84: the streaming upsert's final state = p60's max_by contract
+    // over (version, snapshot-vs-delta), payload packed as one string
+    "p84_stream_upsert" ->
+      """WITH base AS (SELECT o_orderkey, o_custkey, o_orderpriority
+        |    FROM orders),
+        |u AS (
+        |  SELECT o_orderkey, 0::BIGINT AS version, false AS deleted,
+        |    concat_ws('|', o_custkey, o_orderpriority) AS payload,
+        |    0 AS _src FROM base
+        |  UNION ALL
+        |  SELECT o_orderkey, 1::BIGINT, (o_orderkey % 170 = 0),
+        |    concat_ws('|', o_custkey, 'UPDATED'), 1
+        |  FROM base WHERE o_orderkey % 10 = 0),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey
+        |    ORDER BY version DESC, _src DESC) AS rn FROM u)
+        |SELECT o_orderkey, version, payload
+        |FROM r WHERE rn = 1 AND NOT deleted""".stripMargin,
+    // p85: q34's session CTE minus each user's final (still-open)
+    // session — the append-mode flatMapGroupsWithState contract
+    "p85_stream_sessions" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+        |  WHERE ts IS NOT NULL),
+        |m AS (SELECT user_id, us,
+        |  CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+        |         OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) > 1800000000
+        |       THEN 1 ELSE 0 END AS new_s,
+        |  event_id FROM e),
+        |s AS (SELECT user_id, us,
+        |  CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM m),
+        |g AS (SELECT user_id, session_id, COUNT(*) AS n_events,
+        |    MIN(us) AS start_us, MAX(us) AS end_us
+        |  FROM s GROUP BY user_id, session_id)
+        |SELECT user_id, n_events, start_us, end_us FROM g
+        |QUALIFY session_id < MAX(session_id) OVER (PARTITION BY user_id)""".stripMargin,
     // p80: expectations report — rows total, null count, duplicated-key
     // participation, tight range violations, FK integrity (semantics in
     // operators/Check.scala scaladoc)

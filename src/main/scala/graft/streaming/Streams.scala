@@ -596,10 +596,18 @@ object Streams {
         batch.repartition(parts).write.mode("overwrite").parquet(stage)
       case Some(tc) =>
         // contiguous event-time slices: [min + k*step, min + (k+1)*step)
-        // over epoch micros, last slice closed at max. Rows with a null
-        // event time are excluded (a watermarked operator would never
-        // emit them anyway).
-        val us = unix_micros(col(tc).cast("timestamp"))
+        // over the order column as a Long (timestamps → epoch micros;
+        // numeric columns — versions, epoch values — used directly),
+        // last slice closed at max. Rows with a null order value are
+        // excluded (a watermarked operator would never emit them anyway).
+        // VALUE-ranged slicing also means equal order values always land
+        // in the same micro-batch — the property p84's upsert relies on.
+        import org.apache.spark.sql.types.{TimestampType, TimestampNTZType}
+        val us = batch.schema(tc).dataType match {
+          case TimestampType | TimestampNTZType =>
+            unix_micros(col(tc).cast("timestamp"))
+          case _ => col(tc).cast("long")
+        }
         val bounds = batch.agg(min(us), max(us)).head()
         val stageDir = new java.io.File(stage)
         if (stageDir.exists())
