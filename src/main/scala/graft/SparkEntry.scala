@@ -1245,13 +1245,15 @@ object SparkEntry {
     * result is batch-boundary-invariant (probe: parts 1/4/8 identical —
     * StreamReplaySpec), so the plain GROUP BY oracle applies verbatim.
     * Shares q22's oracle contract by design (the p57/p67 idiom). */
+  private def p82Transform(src: DataFrame): DataFrame =
+    src.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("sum_value"))
+
   private def p82(s: SparkSession, d: String): DataFrame =
     graft.streaming.Streams.replayAsStream(
-      tbl(d, "events")(s), scratchDir("p82_stream", d), 4, "complete") { src =>
-      src.groupBy(col("event_type"))
-        .agg(count(lit(1)).as("cnt"),
-          sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("sum_value"))
-    }
+      tbl(d, "events")(s), scratchDir("p82_stream", d), 4, "complete")(
+      p82Transform)
 
   /** Watermarked event-time windows in the oracle gate: daily counts
     * with a 6-hour watermark, append mode, replayed as 4 event-time-
@@ -1263,18 +1265,21 @@ object SparkEntry {
     * global max event time FLOORED TO MILLISECONDS (Spark tracks event
     * time in ms) minus the delay — boundary semantics pinned INCLUSIVE
     * by the StreamReplaySpec tie case (window end == watermark emits). */
-  private def p83(s: SparkSession, d: String): DataFrame = {
+  private def p83Staged(s: SparkSession, d: String): DataFrame = {
     val ev = tbl(d, "events")(s)
-    val staged = ev.withColumn("ets", timestamp_micros(tsUs(ev)))
-    graft.streaming.Streams.replayAsStream(
-      staged, scratchDir("p83_stream", d), 4, "append",
-      orderedBy = Some("ets")) { src =>
-      src.withWatermark("ets", "6 hours")
-        .groupBy(window(col("ets"), "1 day"))
-        .agg(count(lit(1)).as("cnt"))
-        .select(unix_micros(col("window.start")).as("ws_us"), col("cnt"))
-    }
+    ev.withColumn("ets", timestamp_micros(tsUs(ev)))
   }
+
+  private def p83Transform(src: DataFrame): DataFrame =
+    src.withWatermark("ets", "6 hours")
+      .groupBy(window(col("ets"), "1 day"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_micros(col("window.start")).as("ws_us"), col("cnt"))
+
+  private def p83(s: SparkSession, d: String): DataFrame =
+    graft.streaming.Streams.replayAsStream(
+      p83Staged(s, d), scratchDir("p83_stream", d), 4, "append",
+      orderedBy = Some("ets"))(p83Transform)
 
   /** [[Dedup.hammingCandidates]] over PRECOMPUTED 64-bit codes — the
     * engine every multimodal near-dup rides (image pHash, audio
@@ -1346,8 +1351,7 @@ object SparkEntry {
     * one update per (key, batch) with strictly increasing versions
     * across batches, so the final table is the max-version update per
     * key, tombstones dropped — exactly p60's max_by contract. */
-  private def p84(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
+  private def p84Staged(s: SparkSession, d: String): DataFrame = {
     val base = tbl(d, "orders")(s)
       .select("o_orderkey", "o_custkey", "o_orderpriority")
     val snap = base
@@ -1356,24 +1360,32 @@ object SparkEntry {
       .withColumn("o_orderpriority", lit("UPDATED"))
       .withColumn("version", lit(1L))
       .withColumn("deleted", col("o_orderkey") % 170 === 0)
-    val staged = snap.unionByName(delta).select(
+    snap.unionByName(delta).select(
       col("o_orderkey").cast("string").as("k"),
       col("version").as("v"),
       col("deleted").as("del"),
       concat_ws("|", col("o_custkey"), col("o_orderpriority")).as("payload"))
-    graft.streaming.Streams.replayAsStream(
-      staged, scratchDir("p84_stream", d), 4, "update", orderedBy = Some("v")) {
-      src =>
-        graft.streaming.Streams.streamingUpsert(
-            src.as[(String, Long, Boolean, String)])
-          .toDF("k", "v", "del", "payload")
-    }
+  }
+
+  private def p84Transform(src: DataFrame): DataFrame = {
+    import src.sparkSession.implicits._
+    graft.streaming.Streams.streamingUpsert(
+        src.as[(String, Long, Boolean, String)])
+      .toDF("k", "v", "del", "payload")
+  }
+
+  private def p84Post(upserts: DataFrame): DataFrame =
+    upserts
       .groupBy(col("k"))
       .agg(max_by(struct(col("v"), col("del"), col("payload")), col("v")).as("w"))
       .filter(!col("w.del"))
       .select(col("k").cast("long").as("o_orderkey"),
         col("w.v").as("version"), col("w.payload").as("payload"))
-  }
+
+  private def p84(s: SparkSession, d: String): DataFrame =
+    p84Post(graft.streaming.Streams.replayAsStream(
+      p84Staged(s, d), scratchDir("p84_stream", d), 4, "update",
+      orderedBy = Some("v"))(p84Transform))
 
   /** STREAMING CLOSED SESSIONS in the oracle gate: q34's gap
     * sessionization driven through
@@ -1388,20 +1400,27 @@ object SparkEntry {
     * the oracle replays q34's session CTE and drops each user's
     * max-session_id row. Equal-ts events cannot reorder the contract
     * (gap 0 keeps them in one session; count/min/max are order-free). */
-  private def p85(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
+  private def p85Staged(s: SparkSession, d: String): DataFrame = {
     val ev = tbl(d, "events")(s)
-    val staged = ev.select(col("user_id").as("k"), tsUs(ev).as("us"))
+    ev.select(col("user_id").as("k"), tsUs(ev).as("us"))
       .filter(col("us").isNotNull)
-    graft.streaming.Streams.replayAsStream(
-      staged, scratchDir("p85_stream", d), 4, "append", orderedBy = Some("us")) {
-      src =>
-        graft.streaming.Streams.sessionizeClosed(
-            src.as[(Long, Long)], gapMs = 1800000000L)
-          .toDF("user_id", "start_us", "end_us", "n_events")
-    }
-      .select(col("user_id"), col("n_events"), col("start_us"), col("end_us"))
   }
+
+  private def p85Transform(src: DataFrame): DataFrame = {
+    import src.sparkSession.implicits._
+    graft.streaming.Streams.sessionizeClosed(
+        src.as[(Long, Long)], gap = 1800000000L)
+      .toDF("user_id", "start_us", "end_us", "n_events")
+  }
+
+  private def p85Post(sessions: DataFrame): DataFrame =
+    sessions.select(
+      col("user_id"), col("n_events"), col("start_us"), col("end_us"))
+
+  private def p85(s: SparkSession, d: String): DataFrame =
+    p85Post(graft.streaming.Streams.replayAsStream(
+      p85Staged(s, d), scratchDir("p85_stream", d), 4, "append",
+      orderedBy = Some("us"))(p85Transform))
 
   /** Keyed snapshot upsert ([[graft.operators.Snapshot.upsert]]): orders
     * as the v0 snapshot, a derived delta (every 10th key re-annotated at
@@ -1771,6 +1790,28 @@ object SparkEntry {
     "p33_mixture_weights" -> (p33 _)
   )
 
+  /** q22's events rollup contract, shared VERBATIM by p82 (the streaming
+    * replay of the same aggregation — the p57/p67 shared-oracle idiom). */
+  private val eventsAggOracleSql: String =
+    """SELECT event_type, COUNT(*) AS cnt,
+      |CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY event_type""".stripMargin
+
+  /** The streaming gate queries' computation applied to their BATCH
+    * inputs — the plan surface PlanLintSpec lints for p82-p85. The gate
+    * queries themselves return a memory-sink table whose physical plan
+    * is a LocalTableScan; the real computation lives in the streaming
+    * transform, which Spark also plans in batch mode (the analyzer
+    * strips the watermark on a batch plan; (flat)mapGroupsWithState run
+    * per-key with empty initial state). Keys must stay a subset of
+    * [[queries]] keys (DriverContractSpec). */
+  val streamingBatchPlans: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p82_stream_agg" -> ((s, d) => p82Transform(tbl(d, "events")(s))),
+    "p83_stream_window" -> ((s, d) => p83Transform(p83Staged(s, d))),
+    "p84_stream_upsert" -> ((s, d) => p84Post(p84Transform(p84Staged(s, d)))),
+    "p85_stream_sessions" -> ((s, d) => p85Post(p85Transform(p85Staged(s, d))))
+  )
+
   /** Shared by p55 (inline LPA) and p72 (LPA off the persisted
     * candidate tap): deterministic synchronous LPA, unrolled like p51 —
     * per round: neighbor label votes, max count per node, MIN label
@@ -2017,10 +2058,7 @@ object SparkEntry {
         |    AS DECIMAL(28,8))) AS VARCHAR) AS DOUBLE)/COUNT(*) AS a,
         |  CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)/COUNT(*) AS m
         | FROM customer GROUP BY c_mktsegment) t""".stripMargin,
-    "q22_events_agg" ->
-      """SELECT event_type, COUNT(*) AS cnt,
-        |CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY event_type""".stripMargin,
+    "q22_events_agg" -> eventsAggOracleSql,
     "q24_subquery" ->
       """SELECT c_mktsegment, COUNT(*) AS big_orders
         |FROM customer JOIN (SELECT o_orderkey, o_custkey FROM orders
@@ -2411,11 +2449,9 @@ object SparkEntry {
     // engine's defaults otherwise) — see batchedBpeOracleSql
     "p81_bpe_batch" -> batchedBpeOracleSql(numMerges = 8, m = 4, minPairFreq = 2),
     // p82: the streaming complete-mode rollup equals the batch GROUP BY
-    // (q22's oracle contract, shared by design like p57/p67)
-    "p82_stream_agg" ->
-      """SELECT event_type, COUNT(*) AS cnt,
-        |CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY event_type""".stripMargin,
+    // (q22's oracle contract, shared by design like p57/p67 — the SAME
+    // string, so the two contracts cannot drift apart silently)
+    "p82_stream_agg" -> eventsAggOracleSql,
     // p83: append-mode watermarked daily windows — emitted iff
     // window_end <= floor_ms(max ts) - 6h (inclusive; semantics pinned
     // by StreamReplaySpec's tie case)

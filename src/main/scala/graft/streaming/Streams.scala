@@ -187,8 +187,10 @@ object Streams {
 
   /** Sessionization via mapGroupsWithState (processing-time timeout) —
     * the KeyValueGroupedDataset custom-state surface. Input rows:
-    * (user_id, ts_ms). Emits the running session per user each batch. */
-  def sessionize(events: Dataset[(Long, Long)], gapMs: Long): Dataset[SessionOut] = {
+    * (user_id, ts); `gap` is in the UNITS OF THE TS COLUMN (ms-stamped
+    * events take a ms gap, µs-stamped events a µs gap). Emits the
+    * running session per user each batch. */
+  def sessionize(events: Dataset[(Long, Long)], gap: Long): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     events.groupByKey(_._1)
       .mapGroupsWithState[SessionState, SessionOut](GroupStateTimeout.NoTimeout) {
@@ -196,7 +198,7 @@ object Streams {
           var st = state.getOption.getOrElse(SessionState(Long.MaxValue, 0L, 0L))
           rows.foreach { case (_, ts) =>
             st =
-              if (st.events == 0L || ts - st.end > gapMs)
+              if (st.events == 0L || ts - st.end > gap)
                 SessionState(ts, ts, 1L) // gap exceeded → new session
               else
                 SessionState(math.min(st.start, ts), math.max(st.end, ts), st.events + 1L)
@@ -209,8 +211,9 @@ object Streams {
   /** Sessionization emitting only CLOSED sessions, via
     * flatMapGroupsWithState (event-time gap on the data itself): a batch's
     * events extend the open session or close it and start a new one; every
-    * closed session is emitted exactly once. */
-  def sessionizeClosed(events: Dataset[(Long, Long)], gapMs: Long): Dataset[SessionOut] = {
+    * closed session is emitted exactly once. `gap` is in the units of the
+    * ts column (see [[sessionize]]). */
+  def sessionizeClosed(events: Dataset[(Long, Long)], gap: Long): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     events.groupByKey(_._1)
       .flatMapGroupsWithState[SessionState, SessionOut](
@@ -219,7 +222,7 @@ object Streams {
           val closed = Vector.newBuilder[SessionOut]
           var st = state.getOption.getOrElse(SessionState(Long.MaxValue, 0L, 0L))
           rows.toSeq.sortBy(_._2).foreach { case (_, ts) =>
-            if (st.events > 0L && ts - st.end > gapMs) {
+            if (st.events > 0L && ts - st.end > gap) {
               closed += SessionOut(key, st.start, st.end, st.events)
               st = SessionState(ts, ts, 1L)
             } else if (st.events == 0L) st = SessionState(ts, ts, 1L)
@@ -576,12 +579,15 @@ object Streams {
     * the final table.
     *
     * `orderedBy = Some(tsCol)` stages the rows as `parts` CONTIGUOUS
-    * event-time slices replayed in time order (each slice's files get an
-    * explicitly increasing modification time — the file source's replay
-    * order — so no row ever arrives behind the watermark). Without it, a
-    * multi-file split of out-of-order data makes watermarked operators
-    * drop whatever lands behind the first batch's high-water mark: real
-    * late-data semantics, but batch-boundary-dependent output. */
+    * event-time slices replayed in time order, ONE parquet file per
+    * slice (so a micro-batch is exactly a slice — a multi-file slice
+    * would let file 2 arrive behind the watermark file 1 set). Slice
+    * dirs get explicitly increasing modification times — the file
+    * source's replay order — so no row ever arrives behind the
+    * watermark. Without `orderedBy`, a multi-file split of out-of-order
+    * data makes watermarked operators drop whatever lands behind the
+    * first batch's high-water mark: real late-data semantics, but
+    * batch-boundary-dependent output. */
   def replayAsStream(batch: DataFrame, scratchDir: String, parts: Int,
       outputMode: String, orderedBy: Option[String] = None)(
       f: DataFrame => DataFrame): DataFrame = {
@@ -591,6 +597,9 @@ object Streams {
     // (NOFOLLOW — a planted symlink is unlinked, never traversed)
     deleteRecursivelyNoFollow(scratchDir)
     val stage = s"$scratchDir/stage"
+    val inCols = batch.columns.toSeq
+    require(!inCols.exists(c => c == "__slice" || c == "__d"),
+      "replayAsStream reserves the staging columns __slice and __d")
     orderedBy match {
       case None =>
         batch.repartition(parts).write.mode("overwrite").parquet(stage)
@@ -609,30 +618,44 @@ object Streams {
           case _ => col(tc).cast("long")
         }
         val bounds = batch.agg(min(us), max(us)).head()
-        val stageDir = new java.io.File(stage)
-        if (stageDir.exists())
-          stageDir.listFiles().foreach(ff => { ff.delete(): Unit })
         if (bounds.isNullAt(0)) {
           batch.limit(0).write.mode("overwrite").parquet(stage)
         } else {
           val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
           val step = math.max(1L, (hi - lo) / parts + 1L)
-          (0 until parts).foreach { k =>
-            val cond = us >= lit(lo + k * step) && us < lit(lo + (k + 1) * step)
-            batch.filter(cond).write.mode("append").parquet(stage)
-            // the file source replays in modification-time order (ms
-            // granularity, ties unordered) — stamp each slice's files
-            // with an explicit strictly-increasing mtime so slice k is
-            // always batch k, even when two write jobs share a clock ms
-            stageDir.listFiles().foreach { ff =>
-              if (ff.getName.startsWith("part-") && ff.lastModified() > k.toLong * 1000L)
-                { ff.setLastModified((k + 1).toLong * 1000L): Unit }
+          // ONE scan, one shuffle, ONE file per slice: repartition on the
+          // slice id puts every row of a slice in a single task (hash of
+          // equal values → same partition; a hash collision merging two
+          // slices into one task still writes them to separate files via
+          // partitionBy), so no slice can ever span two micro-batches —
+          // a second file in slice k could otherwise carry rows behind
+          // the watermark the first file advanced
+          batch.filter(us.isNotNull)
+            .withColumn("__d", (us - lit(lo)).cast("long"))
+            .withColumn("__slice", expr(s"cast((__d div ${step}L) as int)"))
+            .drop("__d")
+            .repartition(parts, col("__slice"))
+            .write.mode("overwrite").partitionBy("__slice").parquet(stage)
+          // the file source replays in modification-time order (ms
+          // granularity, ties unordered) — stamp slice k's file with an
+          // explicit mtime of (k+1)s so slice k is always batch k, even
+          // when two task commits share a clock ms
+          new java.io.File(stage).listFiles().foreach { d =>
+            if (d.isDirectory && d.getName.startsWith("__slice=")) {
+              val k = d.getName.stripPrefix("__slice=").toLong
+              d.listFiles().foreach { ff =>
+                if (ff.getName.startsWith("part-"))
+                  { ff.setLastModified((k + 1L) * 1000L): Unit }
+              }
             }
           }
         }
     }
+    // ordered staging adds the __slice partition column to the staged
+    // schema — select it away so `f` sees exactly the input columns
     val src = s.readStream.schema(s.read.parquet(stage).schema)
       .option("maxFilesPerTrigger", 1).parquet(stage)
+      .select(inCols.map(col): _*)
     val qn = ("graft_replay_" + scratchDir).replaceAll("[^A-Za-z0-9]", "_")
     val q = f(src).writeStream.format("memory").queryName(qn)
       .outputMode(outputMode)

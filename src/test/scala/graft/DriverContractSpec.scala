@@ -40,6 +40,14 @@ class DriverContractSpec extends SparkTestBase {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
+  test("streamingBatchPlans keys are a subset of queries keys") {
+    // PlanLintSpec lints these batch-applied transforms IN PLACE OF the
+    // gate query for each key — a key without a gate query would be a
+    // lint entry shadowing nothing
+    val missing = SparkEntry.streamingBatchPlans.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"streaming batch plan without query: $missing")
+  }
+
   test("every query is oracle-keyed except the by-design RNG exception") {
     // q23's Bernoulli sample is engine-RNG-specific (rows-only by
     // design, VERDICT r4+). Anything else missing here means a new

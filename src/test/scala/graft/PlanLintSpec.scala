@@ -104,7 +104,11 @@ class PlanLintSpec extends SparkTestBase {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, f) =>
       try {
-        val plan = f(spark, sf).queryExecution.executedPlan
+        // the streaming gate queries (p82-p85) return a memory-sink table
+        // (LocalTableScan — nothing to lint) and EXECUTE the stream when
+        // called; lint their transform's batch plan instead
+        val builder = SparkEntry.streamingBatchPlans.getOrElse(name, f)
+        val plan = builder(spark, sf).queryExecution.executedPlan
         val all = nodes(plan)
         queriesSeen += 1
         if (!cartesianOk(name) && all.exists(

@@ -20,8 +20,18 @@ import org.apache.spark.sql.functions._
   */
 class StreamReplaySpec extends SparkTestBase {
 
-  private def scratch(tag: String) =
-    s"/tmp/graft_replay_spec_${tag}_${java.lang.ProcessHandle.current().pid()}"
+  private val scratched = scala.collection.mutable.Buffer[String]()
+
+  private def scratch(tag: String) = {
+    val p = s"/tmp/graft_replay_spec_${tag}_${java.lang.ProcessHandle.current().pid()}"
+    scratched.synchronized { scratched += p }
+    p
+  }
+
+  override def afterAll(): Unit = {
+    scratched.foreach(graft.streaming.Streams.deleteRecursivelyNoFollow)
+    super.afterAll()
+  }
 
   private lazy val ev = {
     val df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
@@ -80,6 +90,38 @@ class StreamReplaySpec extends SparkTestBase {
         .select(unix_micros(col("window.start")).as("ws_us"), col("cnt"))
     }.orderBy("ws_us").collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
     assert(out == Seq((0L, 1L), (10000000L, 1L)), out.toString)
+  }
+
+  test("ordered staging writes ONE file per slice even from multi-partition input") {
+    // regression: per-slice append writes used to emit one file per input
+    // partition — with maxFilesPerTrigger=1 a slice's SECOND file could
+    // arrive behind the watermark its first file advanced and be
+    // late-dropped. The staging must be structurally one-file-per-slice.
+    val dir = scratch("multipart")
+    val out = graft.streaming.Streams.replayAsStream(
+      ev.repartition(8), dir, 4, "append", orderedBy = Some("ets")) { src =>
+      src.withWatermark("ets", "6 hours")
+        .groupBy(window(col("ets"), "1 day"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(unix_micros(col("window.start")).as("ws_us"), col("cnt"))
+    }.orderBy("ws_us").collect().toSeq
+    val fromSinglePart = graft.streaming.Streams.replayAsStream(
+      ev, scratch("singlepart"), 4, "append", orderedBy = Some("ets")) { src =>
+      src.withWatermark("ets", "6 hours")
+        .groupBy(window(col("ets"), "1 day"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(unix_micros(col("window.start")).as("ws_us"), col("cnt"))
+    }.orderBy("ws_us").collect().toSeq
+    assert(out == fromSinglePart,
+      "multi-partition input changed ordered-replay output (multi-file slice?)")
+    // and the structural invariant itself: each __slice=k dir holds one file
+    val slices = new java.io.File(s"$dir/stage").listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("__slice="))
+    assert(slices.nonEmpty, "no slice dirs staged")
+    slices.foreach { d =>
+      val parts = d.listFiles().count(_.getName.startsWith("part-"))
+      assert(parts == 1, s"${d.getName}: $parts part files (want exactly 1)")
+    }
   }
 
   test("unordered staging late-drops behind the watermark (why orderedBy exists)") {

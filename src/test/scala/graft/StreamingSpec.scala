@@ -221,7 +221,7 @@ class StreamingSpec extends SparkTestBase {
   test("closed-session emission via flatMapGroupsWithState") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Long)]
-    val closed = Streams.sessionizeClosed(in.toDS(), gapMs = 30000L)
+    val closed = Streams.sessionizeClosed(in.toDS(), gap = 30000L)
     val q = closed.writeStream.format("memory").queryName("closed_sessions")
       .outputMode("append").start()
     in.addData((1L, 1000L), (1L, 5000L))
@@ -239,7 +239,7 @@ class StreamingSpec extends SparkTestBase {
   test("sessionization with custom state (mapGroupsWithState)") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Long)] // (user_id, ts_ms)
-    val sessions = Streams.sessionize(in.toDS(), gapMs = 30000L)
+    val sessions = Streams.sessionize(in.toDS(), gap = 30000L)
     val q = sessions.writeStream.format("memory").queryName("sessions")
       .outputMode("update").start()
     in.addData((1L, 1000L), (1L, 5000L), (2L, 2000L))
