@@ -124,6 +124,65 @@ class StreamReplaySpec extends SparkTestBase {
     }
   }
 
+  test("ordered replay battery: odd time distributions match batch at every split") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260815L)
+    val cases = Seq(
+      // step collapses to 1, every row in slice 0 (one micro-batch)
+      "all-equal" -> Vector.fill(40)(1000L),
+      // one huge outlier: slice 0 holds 39 rows, last slice 1 row, middles empty
+      "outlier" -> (Vector.fill(39)(1000L) :+ 4000000L),
+      // interleaved extremes across input partitions
+      "two-values" -> Vector.tabulate(40)(i => if (i % 2 == 0) 10L else 2000000L),
+      "uniform" -> Vector.fill(120)(math.abs(rnd.nextLong()) % 2000000L),
+      "single-row" -> Vector(77L))
+    for ((nm, secs) <- cases; parts <- Seq(1, 3, 8)) {
+      val df = secs.zipWithIndex
+        .map { case (t, i) => (i.toLong % 7, t) }.toDF("k", "sec")
+        .withColumn("ets", timestamp_seconds(col("sec")))
+        .repartition(5) // multi-partition input on purpose
+      val out = graft.streaming.Streams.replayAsStream(
+        df, scratch(s"bat_${nm}_$parts"), parts, "append",
+        orderedBy = Some("ets")) { src =>
+        src.withWatermark("ets", "10 minutes")
+          .groupBy(col("k"), window(col("ets"), "1 hour"))
+          .agg(count(lit(1)).as("cnt"))
+          .select(col("k"), unix_micros(col("window.start")).as("ws_us"), col("cnt"))
+      }.collect().toSeq.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+      // batch oracle: window emits iff end <= floor_ms(max) - delay
+      val wmUs = (secs.max * 1000000L / 1000L) * 1000L - 600L * 1000000L
+      val expected = secs.zipWithIndex
+        .map { case (t, i) => (i.toLong % 7, t * 1000000L / 3600000000L * 3600000000L) }
+        .filter { case (_, ws) => ws + 3600000000L <= wmUs }
+        .groupBy(identity).map { case ((k, ws), g) => (k, ws, g.size.toLong) }
+        .toSeq.sorted
+      assert(out == expected, s"case=$nm parts=$parts")
+    }
+  }
+
+  test("ordered replay by version: equal versions in multi-partition input upsert exactly") {
+    import spark.implicits._
+    // every key carries v=0 and v=1 rows; equal versions land in ONE
+    // micro-batch by value-ranged slicing even when the input partitions
+    // scatter them — with a multi-file slice, streamingUpsert's
+    // carried-state-loses-at-equal-version rule would corrupt the result
+    val rows = (0L until 60L).flatMap { k =>
+      Seq((k.toString, 0L, false, s"a$k"), (k.toString, 1L, false, s"b$k"))
+    }
+    val df = rows.toDF("k", "v", "del", "payload").repartition(7)
+    val out = graft.streaming.Streams.replayAsStream(
+      df, scratch("upsert_tie"), 2, "update", orderedBy = Some("v")) { src =>
+      graft.streaming.Streams.streamingUpsert(
+          src.as[(String, Long, Boolean, String)])
+        .toDF("k", "v", "del", "payload")
+    }.groupBy("k")
+      .agg(max_by(struct(col("v"), col("payload")), col("v")).as("w"))
+      .select(col("k"), col("w.v").as("v"), col("w.payload").as("payload"))
+      .collect().toSeq.map(r => (r.getString(0), r.getLong(1), r.getString(2))).sorted
+    val expected = (0L until 60L).map(k => (k.toString, 1L, s"b$k")).sorted
+    assert(out == expected)
+  }
+
   test("unordered staging late-drops behind the watermark (why orderedBy exists)") {
     val n1 = graft.streaming.Streams.replayAsStream(
       ev, scratch("late1"), 1, "append") { src =>
