@@ -183,6 +183,58 @@ class StreamReplaySpec extends SparkTestBase {
     assert(out == expected)
   }
 
+  test("RocksDB state store: gate-query state shapes replay to the same results") {
+    // the gate queries run under the default HDFS-backed provider; a real
+    // deployment at volume runs RocksDB (bounded heap, the
+    // StreamStateProbe configuration). Parity here pins that the choice
+    // of state store is an ops knob, not a semantics knob, for all three
+    // state shapes the gate uses: streaming agg, mapGroupsWithState
+    // (upsert), flatMapGroupsWithState (closed sessions).
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val agg = graft.streaming.Streams.replayAsStream(
+        ev, scratch("rocks_agg"), 4, "complete") { src =>
+        src.groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+      }.collect().toSeq.map(r => (r.getString(0), r.getLong(1))).sorted
+      val aggBatch = ev.groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+        .collect().toSeq.map(r => (r.getString(0), r.getLong(1))).sorted
+      assert(agg == aggBatch, "streaming agg under RocksDB != batch")
+
+      val ups = (0L until 40L).flatMap(k =>
+          Seq((k.toString, 0L, false, s"a$k"), (k.toString, 1L, false, s"b$k")))
+        .toDF("k", "v", "del", "payload")
+      val upOut = graft.streaming.Streams.replayAsStream(
+        ups, scratch("rocks_ups"), 2, "update", orderedBy = Some("v")) { src =>
+        graft.streaming.Streams.streamingUpsert(
+            src.as[(String, Long, Boolean, String)])
+          .toDF("k", "v", "del", "payload")
+      }.groupBy("k").agg(max_by(col("payload"), col("v")).as("payload"))
+        .collect().toSeq.map(r => (r.getString(0), r.getString(1))).sorted
+      assert(upOut == (0L until 40L).map(k => (k.toString, s"b$k")).sorted,
+        "mapGroupsWithState upsert under RocksDB diverged")
+
+      val sess = Seq((1L, 0L), (1L, 10L), (1L, 100L), (2L, 5L), (2L, 200L))
+        .toDF("k", "us")
+      val sOut = graft.streaming.Streams.replayAsStream(
+        sess, scratch("rocks_sess"), 3, "append", orderedBy = Some("us")) { src =>
+        graft.streaming.Streams.sessionizeClosed(src.as[(Long, Long)], gap = 50L)
+          .toDF("user_id", "start_us", "end_us", "n_events")
+      }.collect().toSeq.map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted
+      // closed sessions only: user 1's (0,10) closes at 100; user 2's (5)
+      // closes at 200; the final session per user stays open in state
+      assert(sOut == Seq((1L, 0L, 10L, 2L), (2L, 5L, 5L, 1L)),
+        s"flatMapGroupsWithState sessions under RocksDB: $sOut")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("unordered staging late-drops behind the watermark (why orderedBy exists)") {
     val n1 = graft.streaming.Streams.replayAsStream(
       ev, scratch("late1"), 1, "append") { src =>
