@@ -1422,6 +1422,70 @@ object SparkEntry {
       p85Staged(s, d), scratchDir("p85_stream", d), 4, "append",
       orderedBy = Some("us"))(p85Transform))
 
+  /** STREAM-STREAM INTERVAL JOIN in the oracle gate: each click joined
+    * to the same user's purchases within [click, click+1d] via
+    * [[graft.streaming.Streams.intervalJoin]] (the watermark-bounded
+    * symmetric hash join) — the fourth streaming API family in the gate
+    * after p82/p83's windowed aggs, p84's mapGroupsWithState, p85's
+    * flatMapGroupsWithState. Both sides replay from ONE event-time-
+    * ordered file stream split by event_type inside the transform (a
+    * streaming self-join). Ordered replay makes the inner join EXACT:
+    * batch k+1's rows all carry event times >= batch k's, so no row is
+    * ever late, and a click's state is evicted only once the watermark
+    * passes click_ts + 1d — past which no future purchase can satisfy
+    * the range. The oracle replays the plain SQL time-range join. */
+  private def p86Staged(s: SparkSession, d: String): DataFrame = {
+    val ev = tbl(d, "events")(s)
+    ev.filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        timestamp_micros(tsUs(ev)).as("ets"))
+      .filter(col("ets").isNotNull)
+  }
+
+  private def p86Transform(src: DataFrame): DataFrame = {
+    val l = src.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("l_id"), col("ets").as("l_ts"))
+    val r = src.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("r_id"), col("ets").as("r_ts"))
+    graft.streaming.Streams.intervalJoin(l, r, Seq("user_id"),
+        "l_ts", "r_ts", watermark = "1 day",
+        before = "0 seconds", after = "1 day")
+      .select(col("user_id"), col("l_id"), col("r_id"))
+  }
+
+  private def p86(s: SparkSession, d: String): DataFrame =
+    graft.streaming.Streams.replayAsStream(
+      p86Staged(s, d), scratchDir("p86_stream", d), 4, "append",
+      orderedBy = Some("ets"))(p86Transform)
+
+  /** STREAMING EXACT DEDUP in the oracle gate: distinct
+    * (user_id, event_type) via [[graft.streaming.Streams.streamingDedup]]
+    * (`dropDuplicatesWithinWatermark` — the engine's streaming face of
+    * [[Dedup.exact]], the fifth streaming state shape in the gate). The
+    * 40-day delay exceeds the table's whole time span, so every
+    * duplicate arrives while the first occurrence's state is alive and
+    * the emitted set is EXACTLY the distinct keys; a production stream
+    * picks a shorter delay and the same operator degrades gracefully to
+    * distinct-within-window with bounded state. Only the key columns
+    * are presented — which physical row wins the first-arrival race
+    * inside one micro-batch is engine-internal, the KEY SET is not. */
+  private def p87Staged(s: SparkSession, d: String): DataFrame = {
+    val ev = tbl(d, "events")(s)
+    ev.select(col("user_id"), col("event_type"),
+        timestamp_micros(tsUs(ev)).as("ets"))
+      .filter(col("ets").isNotNull)
+  }
+
+  private def p87Transform(src: DataFrame): DataFrame =
+    graft.streaming.Streams.streamingDedup(
+        src, "ets", "40 days", Seq("user_id", "event_type"))
+      .select(col("user_id"), col("event_type"))
+
+  private def p87(s: SparkSession, d: String): DataFrame =
+    graft.streaming.Streams.replayAsStream(
+      p87Staged(s, d), scratchDir("p87_stream", d), 4, "append",
+      orderedBy = Some("ets"))(p87Transform)
+
   /** Keyed snapshot upsert ([[graft.operators.Snapshot.upsert]]): orders
     * as the v0 snapshot, a derived delta (every 10th key re-annotated at
     * v1, every 170th tombstoned) merged in one max_by aggregation —
@@ -1730,6 +1794,8 @@ object SparkEntry {
     "p83_stream_window" -> (p83 _),
     "p84_stream_upsert" -> (p84 _),
     "p85_stream_sessions" -> (p85 _),
+    "p86_stream_interval_join" -> (p86 _),
+    "p87_stream_dedup" -> (p87 _),
     "p23_heavy_hitters" -> (p23 _),
     "p24_span_dedup" -> (p24 _),
     "p25_kmv_distinct" -> (p25 _),
@@ -1809,7 +1875,13 @@ object SparkEntry {
     "p82_stream_agg" -> ((s, d) => p82Transform(tbl(d, "events")(s))),
     "p83_stream_window" -> ((s, d) => p83Transform(p83Staged(s, d))),
     "p84_stream_upsert" -> ((s, d) => p84Post(p84Transform(p84Staged(s, d)))),
-    "p85_stream_sessions" -> ((s, d) => p85Post(p85Transform(p85Staged(s, d))))
+    "p85_stream_sessions" -> ((s, d) => p85Post(p85Transform(p85Staged(s, d)))),
+    "p86_stream_interval_join" -> ((s, d) => p86Transform(p86Staged(s, d))),
+    // dropDuplicatesWithinWatermark has no batch execution — lint the
+    // batch-exact analog (same keys, same scan, same shuffle shape)
+    "p87_stream_dedup" -> ((s, d) =>
+      p87Staged(s, d).dropDuplicates("user_id", "event_type")
+        .select(col("user_id"), col("event_type")))
   )
 
   /** Shared by p55 (inline LPA) and p72 (LPA off the persisted
@@ -2496,6 +2568,25 @@ object SparkEntry {
         |  FROM s GROUP BY user_id, session_id)
         |SELECT user_id, n_events, start_us, end_us FROM g
         |QUALIFY session_id < MAX(session_id) OVER (PARTITION BY user_id)""".stripMargin,
+    // p86: the stream-stream interval join's emitted pairs = the plain
+    // SQL time-range join (exactness argument in p86's scaladoc:
+    // ordered replay means no late rows and no premature state eviction)
+    "p86_stream_interval_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+        |  FROM events WHERE ts IS NOT NULL),
+        |l AS (SELECT user_id, event_id AS l_id, us AS l_us FROM e
+        |  WHERE event_type = 'click'),
+        |r AS (SELECT user_id, event_id AS r_id, us AS r_us FROM e
+        |  WHERE event_type = 'purchase')
+        |SELECT l.user_id, l_id, r_id FROM l JOIN r
+        |ON l.user_id = r.user_id
+        |  AND r_us BETWEEN l_us AND l_us + 86400000000""".stripMargin,
+    // p87: streaming dedup with a delay spanning the table = exact
+    // distinct keys (first-arrival payload race is engine-internal, so
+    // only the key columns are presented)
+    "p87_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |WHERE ts IS NOT NULL""".stripMargin,
     // p80: expectations report — rows total, null count, duplicated-key
     // participation, tight range violations, FK integrity (semantics in
     // operators/Check.scala scaladoc)
