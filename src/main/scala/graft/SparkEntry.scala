@@ -1864,13 +1864,16 @@ object SparkEntry {
       |FROM events GROUP BY event_type""".stripMargin
 
   /** The streaming gate queries' computation applied to their BATCH
-    * inputs — the plan surface PlanLintSpec lints for p82-p85. The gate
-    * queries themselves return a memory-sink table whose physical plan
-    * is a LocalTableScan; the real computation lives in the streaming
-    * transform, which Spark also plans in batch mode (the analyzer
-    * strips the watermark on a batch plan; (flat)mapGroupsWithState run
-    * per-key with empty initial state). Keys must stay a subset of
-    * [[queries]] keys (DriverContractSpec). */
+    * inputs — the plan surface PlanLintSpec lints for every "_stream"
+    * query. The gate queries themselves return a memory-sink table whose
+    * physical plan is a LocalTableScan; the real computation lives in
+    * the streaming transform, which Spark also plans in batch mode (the
+    * analyzer strips the watermark on a batch plan; (flat)
+    * mapGroupsWithState run per-key with empty initial state; p87's
+    * entry substitutes the batch-exact `dropDuplicates` because
+    * `dropDuplicatesWithinWatermark` has no batch execution).
+    * DriverContractSpec pins the two-way contract: every key here is a
+    * query, and every "_stream" query has an entry here. */
   val streamingBatchPlans: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p82_stream_agg" -> ((s, d) => p82Transform(tbl(d, "events")(s))),
     "p83_stream_window" -> ((s, d) => p83Transform(p83Staged(s, d))),

@@ -598,7 +598,10 @@ object Streams {
     deleteRecursivelyNoFollow(scratchDir)
     val stage = s"$scratchDir/stage"
     val inCols = batch.columns.toSeq
-    require(!inCols.exists(c => c == "__slice" || c == "__d"),
+    // equalsIgnoreCase: Spark resolves columns case-insensitively by
+    // default, so a __SLICE input column would silently collide too
+    require(!inCols.exists(c =>
+        c.equalsIgnoreCase("__slice") || c.equalsIgnoreCase("__d")),
       "replayAsStream reserves the staging columns __slice and __d")
     orderedBy match {
       case None =>

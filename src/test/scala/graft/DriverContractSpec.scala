@@ -40,12 +40,17 @@ class DriverContractSpec extends SparkTestBase {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
-  test("streamingBatchPlans keys are a subset of queries keys") {
+  test("streamingBatchPlans and the streaming gate queries cover each other") {
     // PlanLintSpec lints these batch-applied transforms IN PLACE OF the
     // gate query for each key — a key without a gate query would be a
-    // lint entry shadowing nothing
+    // lint entry shadowing nothing, and a "_stream" gate query WITHOUT an
+    // entry would fall through to executing the stream inside the lint
+    // and handing it an empty memory-sink plan (a vacuous lint row)
     val missing = SparkEntry.streamingBatchPlans.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"streaming batch plan without query: $missing")
+    val unlinted = SparkEntry.queries.keySet.filter(_.contains("_stream")) --
+      SparkEntry.streamingBatchPlans.keySet
+    assert(unlinted.isEmpty, s"streaming gate query without a batch lint plan: $unlinted")
   }
 
   test("every query is oracle-keyed except the by-design RNG exception") {

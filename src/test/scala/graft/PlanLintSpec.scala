@@ -104,9 +104,10 @@ class PlanLintSpec extends SparkTestBase {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, f) =>
       try {
-        // the streaming gate queries (p82-p85) return a memory-sink table
-        // (LocalTableScan — nothing to lint) and EXECUTE the stream when
-        // called; lint their transform's batch plan instead
+        // the streaming gate queries (every "_stream" name) return a
+        // memory-sink table (LocalTableScan — nothing to lint) and EXECUTE
+        // the stream when called; lint their transform's batch plan
+        // instead (DriverContractSpec enforces the map covers them all)
         val builder = SparkEntry.streamingBatchPlans.getOrElse(name, f)
         val plan = builder(spark, sf).queryExecution.executedPlan
         val all = nodes(plan)

@@ -38,6 +38,14 @@ class StreamReplaySpec extends SparkTestBase {
     df.withColumn("ets", col("ts").cast("timestamp")) // NTZ→instant, UTC session
   }
 
+  /** The watermarked daily-count transform shared by the split-invariance
+    * and one-file-per-slice tests. */
+  private def dailyWindows(src: org.apache.spark.sql.DataFrame) =
+    src.withWatermark("ets", "6 hours")
+      .groupBy(window(col("ets"), "1 day"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_micros(col("window.start")).as("ws_us"), col("cnt"))
+
   test("complete-mode agg: split-invariant and equal to batch") {
     val batch = ev.groupBy(col("event_type"))
       .agg(count(lit(1)).as("cnt"),
@@ -56,12 +64,8 @@ class StreamReplaySpec extends SparkTestBase {
 
   test("ordered append windows: split-invariant, end <= floor_ms(max)-delay") {
     def run(parts: Int) = graft.streaming.Streams.replayAsStream(
-      ev, scratch(s"win$parts"), parts, "append", orderedBy = Some("ets")) { src =>
-      src.withWatermark("ets", "6 hours")
-        .groupBy(window(col("ets"), "1 day"))
-        .agg(count(lit(1)).as("cnt"))
-        .select(unix_micros(col("window.start")).as("ws_us"), col("cnt"))
-    }.orderBy("ws_us").collect().toSeq
+      ev, scratch(s"win$parts"), parts, "append", orderedBy = Some("ets"))(
+      dailyWindows).orderBy("ws_us").collect().toSeq
     val expected = {
       val maxUs = ev.agg(max(unix_micros(col("ets")))).head().getLong(0)
       val wm = (maxUs / 1000L) * 1000L - 6L * 3600L * 1000000L
@@ -99,19 +103,11 @@ class StreamReplaySpec extends SparkTestBase {
     // late-dropped. The staging must be structurally one-file-per-slice.
     val dir = scratch("multipart")
     val out = graft.streaming.Streams.replayAsStream(
-      ev.repartition(8), dir, 4, "append", orderedBy = Some("ets")) { src =>
-      src.withWatermark("ets", "6 hours")
-        .groupBy(window(col("ets"), "1 day"))
-        .agg(count(lit(1)).as("cnt"))
-        .select(unix_micros(col("window.start")).as("ws_us"), col("cnt"))
-    }.orderBy("ws_us").collect().toSeq
+      ev.repartition(8), dir, 4, "append", orderedBy = Some("ets"))(
+      dailyWindows).orderBy("ws_us").collect().toSeq
     val fromSinglePart = graft.streaming.Streams.replayAsStream(
-      ev, scratch("singlepart"), 4, "append", orderedBy = Some("ets")) { src =>
-      src.withWatermark("ets", "6 hours")
-        .groupBy(window(col("ets"), "1 day"))
-        .agg(count(lit(1)).as("cnt"))
-        .select(unix_micros(col("window.start")).as("ws_us"), col("cnt"))
-    }.orderBy("ws_us").collect().toSeq
+      ev, scratch("singlepart"), 4, "append", orderedBy = Some("ets"))(
+      dailyWindows).orderBy("ws_us").collect().toSeq
     assert(out == fromSinglePart,
       "multi-partition input changed ordered-replay output (multi-file slice?)")
     // and the structural invariant itself: each __slice=k dir holds one file
@@ -187,9 +183,10 @@ class StreamReplaySpec extends SparkTestBase {
     // the gate queries run under the default HDFS-backed provider; a real
     // deployment at volume runs RocksDB (bounded heap, the
     // StreamStateProbe configuration). Parity here pins that the choice
-    // of state store is an ops knob, not a semantics knob, for all three
+    // of state store is an ops knob, not a semantics knob, for all FIVE
     // state shapes the gate uses: streaming agg, mapGroupsWithState
-    // (upsert), flatMapGroupsWithState (closed sessions).
+    // (upsert), flatMapGroupsWithState (closed sessions), the symmetric
+    // hash join (interval join), and dropDuplicatesWithinWatermark.
     import spark.implicits._
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
@@ -229,6 +226,42 @@ class StreamReplaySpec extends SparkTestBase {
       // closes at 200; the final session per user stays open in state
       assert(sOut == Seq((1L, 0L, 10L, 2L), (2L, 5L, 5L, 1L)),
         s"flatMapGroupsWithState sessions under RocksDB: $sOut")
+
+      // symmetric-hash-join state (p86's shape): self-join split by a
+      // side column, right within [left, left+60s]
+      val jin = Seq(("L", 1L, 10L), ("L", 1L, 200L), ("R", 1L, 30L),
+          ("R", 1L, 250L), ("R", 1L, 500L), ("L", 2L, 40L), ("R", 2L, 90L))
+        .toDF("side", "k", "sec")
+        .withColumn("ets", timestamp_seconds(col("sec")))
+      val jOut = graft.streaming.Streams.replayAsStream(
+        jin, scratch("rocks_join"), 3, "append", orderedBy = Some("ets")) { src =>
+        val l = src.filter(col("side") === "L")
+          .select(col("k"), col("ets").as("l_ts"))
+        val r = src.filter(col("side") === "R")
+          .select(col("k"), col("ets").as("r_ts"))
+        graft.streaming.Streams.intervalJoin(l, r, Seq("k"),
+          "l_ts", "r_ts", watermark = "1 minute",
+          before = "0 seconds", after = "60 seconds")
+      }.select(col("k"), unix_micros(col("l_ts")) / 1000000L,
+        unix_micros(col("r_ts")) / 1000000L)
+        .collect().toSeq.map(r =>
+          (r.getLong(0), r.getDouble(1).toLong, r.getDouble(2).toLong)).sorted
+      assert(jOut == Seq((1L, 10L, 30L), (1L, 200L, 250L), (2L, 40L, 90L)),
+        s"interval join under RocksDB: $jOut")
+
+      // dropDuplicatesWithinWatermark state (p87's shape): delay spans
+      // the data, so output = distinct keys exactly
+      val din = Seq((1L, "a", 0L), (1L, "a", 100L), (2L, "b", 50L),
+          (1L, "a", 900L), (2L, "b", 901L), (3L, "a", 902L))
+        .toDF("k", "t", "sec")
+        .withColumn("ets", timestamp_seconds(col("sec")))
+      val dOut = graft.streaming.Streams.replayAsStream(
+        din, scratch("rocks_dedup"), 3, "append", orderedBy = Some("ets")) { src =>
+        graft.streaming.Streams.streamingDedup(src, "ets", "1 hour", Seq("k", "t"))
+          .select(col("k"), col("t"))
+      }.collect().toSeq.map(r => (r.getLong(0), r.getString(1))).sorted
+      assert(dOut == Seq((1L, "a"), (2L, "b"), (3L, "a")),
+        s"dropDuplicatesWithinWatermark under RocksDB: $dOut")
     } finally prev match {
       case Some(v) => spark.conf.set(key, v)
       case None => spark.conf.unset(key)
