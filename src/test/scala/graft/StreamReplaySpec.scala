@@ -268,6 +268,33 @@ class StreamReplaySpec extends SparkTestBase {
     }
   }
 
+  test("chained stateful operators: dedup then windowed agg in one streaming query") {
+    // the bronze→silver pipeline shape — dropDuplicatesWithinWatermark
+    // feeding a watermarked window aggregation inside ONE streaming
+    // query (two stateful operators back to back, supported since the
+    // unblocking of multiple stateful operators). Every event arrives
+    // TWICE; identical timestamps put both copies in one value-ranged
+    // slice, dedup suppresses the copy, and the downstream daily counts
+    // must equal the single-copy batch oracle.
+    val dup = ev.unionByName(ev)
+    val out = graft.streaming.Streams.replayAsStream(
+      dup, scratch("chain"), 4, "append", orderedBy = Some("ets")) { src =>
+      // ONE withWatermark for the whole chain: redefining the watermark
+      // between stateful operators is disallowed when multiple stateful
+      // operators are enabled (the default)
+      src.withWatermark("ets", "6 hours")
+        .dropDuplicatesWithinWatermark("event_id")
+        .groupBy(window(col("ets"), "1 day"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(unix_micros(col("window.start")).as("ws_us"), col("cnt"))
+    }.orderBy("ws_us").collect().toSeq
+    val expected = graft.streaming.Streams.replayAsStream(
+      ev, scratch("chain_ref"), 4, "append", orderedBy = Some("ets"))(
+      dailyWindows).orderBy("ws_us").collect().toSeq
+    assert(out == expected && expected.nonEmpty,
+      "dedup→window chain diverged from the single-copy replay")
+  }
+
   test("unordered staging late-drops behind the watermark (why orderedBy exists)") {
     val n1 = graft.streaming.Streams.replayAsStream(
       ev, scratch("late1"), 1, "append") { src =>
