@@ -587,7 +587,13 @@ object Streams {
     * watermark. Without `orderedBy`, a multi-file split of out-of-order
     * data makes watermarked operators drop whatever lands behind the
     * first batch's high-water mark: real late-data semantics, but
-    * batch-boundary-dependent output. */
+    * batch-boundary-dependent output.
+    *
+    * Watermarked replays need event times at/after epoch 0: Spark's
+    * event-time watermark starts at 0 and only advances, so pre-1970
+    * rows sit behind the initial watermark and are late-dropped from
+    * the second micro-batch on (a Spark contract, not a harness one —
+    * StreamReplayPropSpec documents the boundary). */
   def replayAsStream(batch: DataFrame, scratchDir: String, parts: Int,
       outputMode: String, orderedBy: Option[String] = None)(
       f: DataFrame => DataFrame): DataFrame = {
