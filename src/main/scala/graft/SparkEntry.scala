@@ -1090,6 +1090,61 @@ object SparkEntry {
     okAgg.unionAll(trapAgg)
   }
 
+  /** CHECKPOINT WORKFLOW in the oracle gate ([[graft.plans.Workflow]],
+    * reference cascalog-checkpoint src/cascalog/checkpoint.clj:26-114):
+    * a 3-step DAG — two independent extract steps (urgent orders;
+    * per-order quantity rollup) run in parallel under the semaphore, a
+    * combine step joins their parquet taps — then a SECOND `run()` on
+    * the same checkpoint dir must SKIP every token-marked step (the
+    * resume contract). The skip is proven, not assumed: a sentinel file
+    * planted in the combine step's output dir after run 1 would be
+    * wiped by any overwrite-mode re-execution, and the query requires
+    * it to survive run 2. The result is the combine tap read back, so
+    * the row hashes ride the full DAG: step bodies, dependency order,
+    * tmp-dir creation, token files. Quantities sum in decimal on both
+    * engines (the q21/p82 idiom) and present as double. */
+  private def q49(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val root = scratchDir("q49_wf", d)
+    graft.streaming.Streams.deleteRecursivelyNoFollow(root)
+    val (urgentOut, qtyOut, finalOut) =
+      (s"$root/urgent", s"$root/qty", s"$root/final")
+    val wf = new graft.plans.Workflow(s"$root/ckpt")
+    wf.step("urgent")() { _ =>
+      tbl(d, "orders")(s)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey", "o_custkey")
+        .write.mode("overwrite").parquet(urgentOut)
+    }
+    wf.step("qty")() { _ =>
+      tbl(d, "lineitem")(s)
+        .groupBy("l_orderkey")
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("qty"))
+        .write.mode("overwrite").parquet(qtyOut)
+    }
+    wf.step("combine")("urgent", "qty") { _ =>
+      s.read.parquet(urgentOut)
+        .join(s.read.parquet(qtyOut), col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("qty")).cast(DoubleType).as("total_qty"))
+        .write.mode("overwrite").parquet(finalOut)
+    }
+    val r1 = wf.run(parallelism = 2)
+    require(r1.values.forall(_.isSuccess), s"workflow run 1 failed: $r1")
+    require(wf.completed == Set("urgent", "qty", "combine"),
+      s"missing completion tokens: ${wf.completed}")
+    // underscore prefix: parquet readers ignore it as metadata, so the
+    // sentinel never perturbs the result it guards
+    val sentinel = Paths.get(finalOut, "_q49_resume_sentinel")
+    Files.writeString(sentinel, "resume-skip-proof")
+    val r2 = wf.run(parallelism = 2)
+    require(r2.values.forall(_.isSuccess), s"workflow resume failed: $r2")
+    require(Files.exists(sentinel),
+      "resume re-executed a token-marked step (sentinel wiped)")
+    s.read.parquet(finalOut)
+  }
+
   /** Hybrid retrieval via reciprocal-rank fusion
     * ([[Similarity.rrfFuse]]): the BM25 lexical top-50 (p64's scorer,
     * deterministic rel-then-id ranking) fused with the embedding knn
@@ -1486,6 +1541,97 @@ object SparkEntry {
       p87Staged(s, d), scratchDir("p87_stream", d), 4, "append",
       orderedBy = Some("ets"))(p87Transform)
 
+  /** STREAMING KMV SKETCH STATE in the oracle gate: p25's per-flag
+    * k-minimum-values distinct sketch built through the state store
+    * ([[graft.streaming.Streams.streamingKmvDistinct]] —
+    * mapGroupsWithState holding a bounded [[graft.streaming.Streams.SketchState]],
+    * the seventh state shape in the gate after p82-p87). lineitem
+    * replays as 4 unordered micro-batches; the KMV fold is a monoid, so
+    * the final state equals the batch sketch over all arrivals
+    * regardless of batch boundaries, and each update-mode emission
+    * carries n_seen (cumulative processed rows, strictly increasing per
+    * key) so the final emission is selected by max_by — p84's
+    * latest-update idiom without needing a version column in the data.
+    * The oracle replays the sketch cell-exactly from DuckDB md5 (p25's
+    * replay) with COUNT(*) beside it for n_rows. */
+  private def p88Staged(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Sketches
+    tbl(d, "lineitem")(s).select(
+      col("l_returnflag").as("k"),
+      Sketches.md5Hash61(col("l_orderkey").cast("string")).as("h"))
+  }
+
+  private def p88Transform(src: DataFrame): DataFrame = {
+    import src.sparkSession.implicits._
+    graft.streaming.Streams.streamingKmvDistinct(
+        src.as[(String, Long)], k = 128)
+      .toDF("l_returnflag", "n_seen", "kmv_size", "kmv_estimate")
+  }
+
+  private def p88Post(updates: DataFrame): DataFrame =
+    updates.groupBy(col("l_returnflag"))
+      .agg(
+        max_by(struct(col("kmv_size"), col("kmv_estimate")),
+          col("n_seen")).as("w"),
+        max(col("n_seen")).as("n_rows"))
+      .select(col("l_returnflag"), col("n_rows"),
+        col("w.kmv_size").as("kmv_size"),
+        col("w.kmv_estimate").as("kmv_estimate"))
+
+  private def p88(s: SparkSession, d: String): DataFrame =
+    p88Post(graft.streaming.Streams.replayAsStream(
+      p88Staged(s, d), scratchDir("p88_stream", d), 4, "update")(
+      p88Transform))
+
+  /** STREAMING SHARDED CMS in the oracle gate: p68's global count-min
+    * sketch built through the state store, SCALE-OUT SHAPE — tokens key
+    * by a 16-way hash shard, each shard folds its own 4×512 sketch in
+    * [[graft.streaming.Streams.streamingCms]], and because CMS cells
+    * are additive the elementwise SUM of the 16 final shard sketches
+    * equals the one-key sketch over the whole stream (state and fold
+    * work spread across shards — on a cluster, raise the shard count
+    * with the parallelism). The merged sketch then rides p68's exact
+    * presentation: top-20 exact tokens beside their point estimates,
+    * against p68's oracle STRING verbatim — the sketch arrives
+    * cell-identical through a completely different execution path. */
+  private def p89Toks(s: SparkSession, d: String): DataFrame =
+    tbl(d, "documents")(s)
+      .select(explode(split(lower(trim(col("text"))), "\\W+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+
+  private def p89Staged(s: SparkSession, d: String): DataFrame =
+    p89Toks(s, d).select(
+      pmod(hash(col("tok")), lit(16)).cast("string").as("k"),
+      col("tok").as("v"))
+
+  private def p89Transform(src: DataFrame): DataFrame = {
+    import src.sparkSession.implicits._
+    graft.streaming.Streams.streamingCms(src.as[(String, String)], 4, 512)
+      .toDF("shard", "n_seen", "cells")
+  }
+
+  private def p89Post(s: SparkSession, d: String)(updates: DataFrame): DataFrame = {
+    import graft.operators.Sketches
+    // final sketch per shard (max n_seen), then the monoid merge:
+    // elementwise sum across shards == the single global batch sketch
+    val global = updates.groupBy(col("shard"))
+      .agg(max_by(col("cells"), col("n_seen")).as("cells"))
+      .select(posexplode(col("cells")).as(Seq("pos", "v")))
+      .groupBy(col("pos")).agg(sum(col("v")).as("v"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, v))), x -> x.v)")
+        .as("_sk"))
+    val top = p89Toks(s, d).groupBy("tok").agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("tok").asc).limit(20)
+    top.crossJoin(global)
+      .select(col("tok"), col("n_exact"),
+        Sketches.cmsEstimate(col("_sk"), col("tok"), 4, 512).as("n_est"))
+  }
+
+  private def p89(s: SparkSession, d: String): DataFrame =
+    p89Post(s, d)(graft.streaming.Streams.replayAsStream(
+      p89Staged(s, d), scratchDir("p89_stream", d), 4, "update")(
+      p89Transform))
+
   /** Keyed snapshot upsert ([[graft.operators.Snapshot.upsert]]): orders
     * as the v0 snapshot, a derived delta (every 10th key re-annotated at
     * v1, every 170th tombstoned) merged in one max_by aggregation —
@@ -1789,6 +1935,7 @@ object SparkEntry {
     "q46_retention" -> (q46 _),
     "q47_scd2_history" -> (q47 _),
     "q48_trap_divert" -> (q48 _),
+    "q49_checkpoint_flow" -> (q49 _),
     "p81_bpe_batch" -> (p81 _),
     "p82_stream_agg" -> (p82 _),
     "p83_stream_window" -> (p83 _),
@@ -1796,6 +1943,8 @@ object SparkEntry {
     "p85_stream_sessions" -> (p85 _),
     "p86_stream_interval_join" -> (p86 _),
     "p87_stream_dedup" -> (p87 _),
+    "p88_stream_kmv" -> (p88 _),
+    "p89_stream_cms" -> (p89 _),
     "p23_heavy_hitters" -> (p23 _),
     "p24_span_dedup" -> (p24 _),
     "p25_kmv_distinct" -> (p25 _),
@@ -1884,7 +2033,9 @@ object SparkEntry {
     // batch-exact analog (same keys, same scan, same shuffle shape)
     "p87_stream_dedup" -> ((s, d) =>
       p87Staged(s, d).dropDuplicates("user_id", "event_type")
-        .select(col("user_id"), col("event_type")))
+        .select(col("user_id"), col("event_type"))),
+    "p88_stream_kmv" -> ((s, d) => p88Post(p88Transform(p88Staged(s, d)))),
+    "p89_stream_cms" -> ((s, d) => p89Post(s, d)(p89Transform(p89Staged(s, d))))
   )
 
   /** Shared by p55 (inline LPA) and p72 (LPA off the persisted
@@ -1911,6 +2062,31 @@ object SparkEntry {
     prefix + ",\n" + steps.mkString(",\n") +
       "\nSELECT id AS doc_id, label AS community FROM l4"
   }
+
+  /** Shared by p68 (one-aggregator batch sketch) and p89 (the sharded
+    * streaming build of the SAME sketch, merged by the CMS monoid):
+    * the count-min sketch replayed cell-for-cell — md5 row hashes
+    * assign cells, counters aggregate per (row, cell), estimates MIN
+    * over each top token's cells. */
+  private lazy val cmsHeavyOracleSql: String =
+    """WITH tk AS (SELECT unnest(list_filter(
+      |    regexp_split_to_array(lower(trim(text)), '\W+'), x -> x != '')) AS tok
+      |  FROM documents),
+      |cells AS (SELECT r.i AS row_i,
+      |    CAST((md5_number_lower('cms' || r.i || ':' || tok)
+      |      & 2305843009213693951) % 512 AS BIGINT) AS cell,
+      |    COUNT(*) AS c
+      |  FROM tk, generate_series(0, 3) r(i) GROUP BY 1, 2),
+      |top AS (SELECT tok, COUNT(*) AS n_exact FROM tk GROUP BY 1
+      |  ORDER BY n_exact DESC, tok ASC LIMIT 20),
+      |est AS (SELECT t.tok, t.n_exact, MIN(c.c) AS n_est
+      |  FROM top t
+      |  CROSS JOIN generate_series(0, 3) r(i)
+      |  JOIN cells c ON c.row_i = r.i AND c.cell =
+      |    CAST((md5_number_lower('cms' || r.i || ':' || t.tok)
+      |      & 2305843009213693951) % 512 AS BIGINT)
+      |  GROUP BY 1, 2)
+      |SELECT tok, n_exact, n_est FROM est""".stripMargin
 
   /** Shared by p57 (broadcast eval) and p67 (bloom-pruned shuffle):
     * identical output by contract — the bloom pass only prunes the
@@ -3724,28 +3900,51 @@ object SparkEntry {
         |SELECT l_returnflag, 'trapped', COUNT(*),
         |  CAST(SUM(l_orderkey) AS BIGINT)
         |FROM lineitem WHERE l_orderkey % 7 = 0 GROUP BY l_returnflag""".stripMargin,
+    // q49: the checkpoint-workflow DAG replayed as its SQL composition —
+    // urgent orders ⋈ per-order quantity rollups, custkey totals;
+    // quantities sum in decimal on both engines, presented as double
+    "q49_checkpoint_flow" ->
+      """WITH urgent AS (
+        |  SELECT o_orderkey, o_custkey FROM orders
+        |  WHERE o_orderpriority = '1-URGENT'),
+        |qty AS (
+        |  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+        |  FROM lineitem GROUP BY l_orderkey)
+        |SELECT u.o_custkey, COUNT(*) AS n_orders,
+        |  CAST(SUM(q.qty) AS DOUBLE) AS total_qty
+        |FROM urgent u JOIN qty q ON q.l_orderkey = u.o_orderkey
+        |GROUP BY u.o_custkey""".stripMargin,
+    // p88: p25's KMV replay (the sketch is exact given the md5 hash)
+    // with COUNT(*) beside it — the streaming build's n_seen marker
+    // lands as the per-flag row count
+    "p88_stream_kmv" ->
+      """WITH h AS (
+        |  SELECT DISTINCT l_returnflag,
+        |    CAST(md5_number_lower(CAST(l_orderkey AS VARCHAR))
+        |      & 2305843009213693951 AS BIGINT) AS hv
+        |  FROM lineitem),
+        |kth AS (
+        |  SELECT l_returnflag, hv,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY hv) AS rn FROM h),
+        |agg AS (
+        |  SELECT l_returnflag, COUNT(*) AS nd,
+        |    LEAST(COUNT(*), 128) AS kmv_size
+        |  FROM h GROUP BY l_returnflag),
+        |nr AS (SELECT l_returnflag, COUNT(*) AS n_rows FROM lineitem
+        |  GROUP BY l_returnflag)
+        |SELECT a.l_returnflag, n.n_rows, CAST(a.kmv_size AS BIGINT) AS kmv_size,
+        |  CASE WHEN a.nd < 128 THEN CAST(a.nd AS DOUBLE)
+        |       ELSE CAST(127 AS DOUBLE) * CAST(2305843009213693951 AS DOUBLE)
+        |            / CAST(k.hv AS DOUBLE) END AS kmv_estimate
+        |FROM agg a JOIN nr n USING (l_returnflag)
+        |LEFT JOIN (SELECT l_returnflag, hv FROM kth WHERE rn = 128) k
+        |  USING (l_returnflag)""".stripMargin,
     // p68: the count-min sketch replayed cell-for-cell — md5 row hashes
     // assign cells, counters aggregate per (row, cell), estimates MIN
-    // over each top token's cells
-    "p68_cms_heavy" ->
-      """WITH tk AS (SELECT unnest(list_filter(
-        |    regexp_split_to_array(lower(trim(text)), '\W+'), x -> x != '')) AS tok
-        |  FROM documents),
-        |cells AS (SELECT r.i AS row_i,
-        |    CAST((md5_number_lower('cms' || r.i || ':' || tok)
-        |      & 2305843009213693951) % 512 AS BIGINT) AS cell,
-        |    COUNT(*) AS c
-        |  FROM tk, generate_series(0, 3) r(i) GROUP BY 1, 2),
-        |top AS (SELECT tok, COUNT(*) AS n_exact FROM tk GROUP BY 1
-        |  ORDER BY n_exact DESC, tok ASC LIMIT 20),
-        |est AS (SELECT t.tok, t.n_exact, MIN(c.c) AS n_est
-        |  FROM top t
-        |  CROSS JOIN generate_series(0, 3) r(i)
-        |  JOIN cells c ON c.row_i = r.i AND c.cell =
-        |    CAST((md5_number_lower('cms' || r.i || ':' || t.tok)
-        |      & 2305843009213693951) % 512 AS BIGINT)
-        |  GROUP BY 1, 2)
-        |SELECT tok, n_exact, n_est FROM est""".stripMargin,
+    // over each top token's cells. Shared verbatim by p89 (the sharded
+    // streaming build of the SAME sketch — identical by the CMS monoid).
+    "p68_cms_heavy" -> cmsHeavyOracleSql,
+    "p89_stream_cms" -> cmsHeavyOracleSql,
     // p69: the same single-aggregate datasheet; DuckDB's md5() replays
     // the exact-dup probe and the mean rides at 1e6 quanta
     "p69_data_card" ->

@@ -56,26 +56,41 @@ object Streams {
   final case class SessionState(start: Long, end: Long, events: Long)
   final case class SessionOut(key: Long, startMs: Long, endMs: Long, events: Long)
 
+  /** Sketch-typed stream state: a cumulative processed-row count beside
+    * the bounded cell array. Product-encoded on purpose (the p23 lesson:
+    * Kryo over Scala collections is unreliable in a long-lived many-query
+    * JVM; a flat case class of primitives + primitive array is not).
+    * `n` strictly increases across a key's emissions — mapGroupsWithState
+    * only fires for keys with data in the batch — so a batch consumer
+    * picks each key's FINAL state with `max_by(state, n)`, no reliance on
+    * sink row order. */
+  final case class SketchState(n: Long, cells: Array[Long])
+
   /** Per-key RUNNING distinct-count estimate with the KMV monoid as stream
-    * state ((key, hash) in → (key, sketch size, estimate) per update):
-    * each micro-batch folds its hashes into the key's ≤ k-long sorted
-    * sketch, so state stays BOUNDED — k longs per key — no matter how many
-    * distinct values flow past. The streaming face of
+    * state ((key, hash) in → (key, n_seen, sketch size, estimate) per
+    * update): each micro-batch folds its hashes into the key's ≤ k-long
+    * sorted sketch, so state stays BOUNDED — k longs per key — no matter
+    * how many distinct values flow past. The streaming face of
     * [[graft.operators.Sketches.kmv]]; because the sketch is a monoid, the
-    * final streaming state equals the batch aggregate of the same rows. */
+    * final streaming state equals the batch aggregate of the same rows.
+    * `n_seen` is the key's cumulative processed-row count — the
+    * batch-monotone marker that makes "latest emission per key"
+    * selectable with `max_by` (see [[SketchState]]). */
   def streamingKmvDistinct(
       rows: Dataset[(String, Long)],
-      k: Int): Dataset[(String, Long, Double)] = {
+      k: Int): Dataset[(String, Long, Long, Double)] = {
     import rows.sparkSession.implicits._
     import graft.operators.Sketches
     rows.groupByKey(_._1)
-      .mapGroupsWithState[Array[Long], (String, Long, Double)](
+      .mapGroupsWithState[SketchState, (String, Long, Long, Double)](
         GroupStateTimeout.NoTimeout) {
-        (key: String, it: Iterator[(String, Long)], state: GroupState[Array[Long]]) =>
-          var sk = state.getOption.getOrElse(Array.emptyLongArray)
-          it.foreach { case (_, h) => sk = Sketches.insertHash(sk, h, k) }
-          state.update(sk)
-          (key, sk.length.toLong, Sketches.estimateFrom(sk, k))
+        (key: String, it: Iterator[(String, Long)], state: GroupState[SketchState]) =>
+          val prev = state.getOption.getOrElse(SketchState(0L, Array.emptyLongArray))
+          var sk = prev.cells
+          var n = prev.n
+          it.foreach { case (_, h) => sk = Sketches.insertHash(sk, h, k); n += 1 }
+          state.update(SketchState(n, sk))
+          (key, n, sk.length.toLong, Sketches.estimateFrom(sk, k))
       }
   }
 
@@ -85,19 +100,30 @@ object Streams {
     * stream runs), and because the fold is the same monoid the batch
     * aggregator uses, the end state equals the batch sketch over the
     * union of all arrivals in ANY order (StreamingSpec pins it). Emits
-    * (key, sketch) on every batch touching the key; point-estimate
-    * with [[graft.operators.Sketches.cmsEstimate]] downstream. */
+    * (key, n_seen, sketch) on every batch touching the key — `n_seen`
+    * counts every arrival (nulls included, they just add nothing), the
+    * `max_by` marker of [[SketchState]]; point-estimate with
+    * [[graft.operators.Sketches.cmsEstimate]] downstream. Keying by a
+    * hash SHARD of the value (rather than a natural key) gives the
+    * scale-out global sketch: CMS cells are additive, so the elementwise
+    * sum of the shard sketches equals the one-key sketch over the whole
+    * stream while state and fold work spread across shards (the p89 gate
+    * query replays exactly that contract against the batch oracle). */
   def streamingCms(
       rows: Dataset[(String, String)],
-      depth: Int = 4, width: Int = 512): Dataset[(String, Seq[Long])] = {
+      depth: Int = 4, width: Int = 512): Dataset[(String, Long, Seq[Long])] = {
     import rows.sparkSession.implicits._
     import graft.operators.Sketches
     rows.groupByKey(_._1)
-      .mapGroupsWithState[Array[Long], (String, Seq[Long])](
+      .mapGroupsWithState[SketchState, (String, Long, Seq[Long])](
         GroupStateTimeout.NoTimeout) {
-        (key: String, it: Iterator[(String, String)], state: GroupState[Array[Long]]) =>
-          val sk = state.getOption.getOrElse(new Array[Long](depth * width))
+        (key: String, it: Iterator[(String, String)], state: GroupState[SketchState]) =>
+          val prev = state.getOption.getOrElse(
+            SketchState(0L, new Array[Long](depth * width)))
+          val sk = prev.cells
+          var n = prev.n
           it.foreach { case (_, v) =>
+            n += 1
             if (v != null) {
               var i = 0
               while (i < depth) {
@@ -105,8 +131,8 @@ object Streams {
               }
             }
           }
-          state.update(sk)
-          (key, sk.toSeq)
+          state.update(SketchState(n, sk))
+          (key, n, sk.toSeq)
       }
   }
 

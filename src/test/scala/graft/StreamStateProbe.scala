@@ -42,7 +42,7 @@ object StreamStateProbe {
       val in = MemoryStream[(String, Long)]
       val q = Streams.toMemory(
         Streams.streamingKmvDistinct(in.toDS(), k = 64).toDF(
-          "k", "sk", "est"), s"kmv_$keys", "update")
+          "k", "n_seen", "sk", "est"), s"kmv_$keys", "update")
       val valuesPerKey = 10
       val rounds = 2
       var rows = 0L

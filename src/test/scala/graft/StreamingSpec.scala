@@ -368,7 +368,7 @@ class StreamingSpec extends SparkTestBase {
     val k = 8
     val in = MemoryStream[(String, Long)]
     val out = Streams.streamingKmvDistinct(in.toDS(), k)
-    val q = Streams.toMemory(out.toDF().toDF("key", "sk_size", "est"), "kmv_out")
+    val q = Streams.toMemory(out.toDF().toDF("key", "n_seen", "sk_size", "est"), "kmv_out")
     def h(s: String): Long = {
       // the same md5-lower-61 the batch kmv consumes
       val md = java.security.MessageDigest.getInstance("MD5")
@@ -384,18 +384,21 @@ class StreamingSpec extends SparkTestBase {
     in.addData(batch2: _*)
     q.processAllAvailable()
     val rows = spark.table("kmv_out").collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
-    // latest update per key
-    val aFinal = rows.filter(_._1 == "a").last
-    val bFinal = rows.filter(_._1 == "b").last
-    assert(aFinal._2 == k, "state must cap at k entries (20 distinct seen)")
-    assert(bFinal == ("b", 1L, 1.0))
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // latest update per key = max n_seen (the SketchState contract),
+    // no reliance on memory-sink row order
+    val aFinal = rows.filter(_._1 == "a").maxBy(_._2)
+    val bFinal = rows.filter(_._1 == "b").maxBy(_._2)
+    assert(aFinal._2 == (batch1.size + batch2.size - 1).toLong,
+      "n_seen must count every processed row for the key")
+    assert(aFinal._3 == k, "state must cap at k entries (20 distinct seen)")
+    assert(bFinal == ("b", 1L, 1L, 1.0))
     // monoid property: streaming end-state estimate == batch kmv estimate
     // over the union of all rows for key a
     val batchEst = (1 to 20).map(i => h(s"v$i")).toDF("h")
       .agg(Sketches.kmvEstimate(Sketches.kmv(col("h"), k), k))
       .collect().head.getDouble(0)
-    assert(aFinal._3 == batchEst)
+    assert(aFinal._4 == batchEst)
     q.stop()
   }
 
@@ -406,15 +409,15 @@ class StreamingSpec extends SparkTestBase {
     val b2 = Seq(("k1", "a"), ("k2", "x"), ("k2", "y"), ("k1", null))
     val in = MemoryStream[(String, String)]
     val out = Streams.streamingCms(in.toDS(), depth = 2, width = 8)
-    val q = out.toDF("key", "sk").writeStream.format("memory")
+    val q = out.toDF("key", "n_seen", "sk").writeStream.format("memory")
       .queryName("cms_stream").outputMode("update").start()
     in.addData(b1); q.processAllAvailable()
     in.addData(b2); q.processAllAvailable()
     q.stop()
     val fin = spark.table("cms_stream").collect()
-      .map(r => (r.getString(0), r.getSeq[Long](1)))
+      .map(r => (r.getString(0), r.getLong(1), r.getSeq[Long](2)))
       .groupBy(_._1).map { case (k, rows) =>
-        k -> rows.map(_._2).maxBy(_.sum) } // latest = largest mass
+        k -> rows.maxBy(_._2)._3 } // latest = max n_seen
     val batch = (b1 ++ b2).filter(_._2 != null).toDF("key", "v")
       .groupBy("key").agg(Sketches.cms(col("v"), 2, 8).as("sk"))
       .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
