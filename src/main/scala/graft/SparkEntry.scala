@@ -1145,6 +1145,62 @@ object SparkEntry {
     s.read.parquet(finalOut)
   }
 
+  /** TEMPLATE TAP round trip in the oracle gate (reference
+    * :sink-template, cascading/tap.clj — one output directory per key
+    * value). A lineitem projection writes through
+    * [[graft.sources.Taps.templateSink]] keyed by l_returnflag (the
+    * Spark rendering of the %s/ path template: partitionBy layout); the
+    * query REQUIRES exactly one l_returnflag=… directory per flag on
+    * disk, then reads the tap back and aggregates — the row hashes
+    * prove the round trip is lossless and the partition column survives
+    * re-reading. Quantities sum in decimal, presented double. */
+  private def q50(s: SparkSession, d: String): DataFrame = {
+    val root = scratchDir("q50_tap", d)
+    graft.streaming.Streams.deleteRecursivelyNoFollow(root)
+    val li = tbl(d, "lineitem")(s)
+      .select(col("l_orderkey"), col("l_returnflag"),
+        col("l_quantity").cast(DecimalType(18, 2)).as("qty"))
+    graft.sources.Taps.templateSink(root, Seq("l_returnflag")).write(li)
+    val partDirs = new java.io.File(root).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("l_returnflag="))
+      .map(_.getName).toSet
+    require(partDirs == Set("l_returnflag=A", "l_returnflag=N", "l_returnflag=R"),
+      s"template tap wrote unexpected partition dirs: $partDirs")
+    s.read.parquet(root)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("qty")).cast(DoubleType).as("sum_qty"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+  }
+
+  /** STATS COUNTERS in the oracle gate (reference cascading/stats.clj
+    * :stats-fn — Hadoop counters): a counted op doubles each order key
+    * while inc!-ing its LongAccumulator once per tuple. The per-flag
+    * aggregate is stage-materialized (exactly one pass over the rows,
+    * after which the snapshot is final), then the accumulator value
+    * itself joins the output as a row — the oracle pins the counter to
+    * COUNT(*), i.e. the op ran exactly once per tuple with no
+    * re-evaluation inflation. (On a cluster, task RETRIES inflate
+    * counters — the reference's Hadoop-counter behavior too; the gate
+    * runs retry-free local mode where the contract is exact.) */
+  private def q51(s: SparkSession, d: String): DataFrame = {
+    import graft.dsl._
+    import s.implicits._
+    val stats = new graft.operators.Stats(s)
+    val op = stats.counted[Long, Long]("graft", "li_rows")(_ * 2)
+    val agg = query("?l_returnflag", "?cnt", "?s")(
+      lineitem(d)("?k", "_", "_", "_", "_", "_", "_", "_",
+        "?l_returnflag", "_", "_"),
+      op("?k") :> "?k2",
+      Ops.count() :> "?cnt",
+      Ops.sum("?k2") :> "?s").toDF(s)
+      .transform(graft.Stage.materialize)
+    val statRow = Seq(("stat:graft/li_rows", stats.snapshot("graft/li_rows"), 0L))
+      .toDF("k", "cnt", "s")
+    agg.select(col("l_returnflag").as("k"), col("cnt"), col("s"))
+      .unionAll(statRow)
+  }
+
   /** Hybrid retrieval via reciprocal-rank fusion
     * ([[Similarity.rrfFuse]]): the BM25 lexical top-50 (p64's scorer,
     * deterministic rel-then-id ranking) fused with the embedding knn
@@ -1936,6 +1992,8 @@ object SparkEntry {
     "q47_scd2_history" -> (q47 _),
     "q48_trap_divert" -> (q48 _),
     "q49_checkpoint_flow" -> (q49 _),
+    "q50_template_tap" -> (q50 _),
+    "q51_stats_counters" -> (q51 _),
     "p81_bpe_batch" -> (p81 _),
     "p82_stream_agg" -> (p82 _),
     "p83_stream_window" -> (p83 _),
@@ -3914,6 +3972,22 @@ object SparkEntry {
         |  CAST(SUM(q.qty) AS DOUBLE) AS total_qty
         |FROM urgent u JOIN qty q ON q.l_orderkey = u.o_orderkey
         |GROUP BY u.o_custkey""".stripMargin,
+    // q50: the template-tap round trip is lossless, so the oracle is the
+    // plain aggregate over the source table
+    "q50_template_tap" ->
+      """SELECT l_returnflag, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    // q51: the accumulator row must equal COUNT(*) — the counted op ran
+    // exactly once per tuple
+    "q51_stats_counters" ->
+      """SELECT l_returnflag AS k, COUNT(*) AS cnt,
+        |  CAST(SUM(l_orderkey * 2) AS BIGINT) AS s
+        |FROM lineitem GROUP BY l_returnflag
+        |UNION ALL
+        |SELECT 'stat:graft/li_rows', COUNT(*), CAST(0 AS BIGINT)
+        |FROM lineitem""".stripMargin,
     // p88: p25's KMV replay (the sketch is exact given the md5 hash)
     // with COUNT(*) beside it — the streaming build's n_seen marker
     // lands as the per-flag row count
