@@ -1688,6 +1688,37 @@ object SparkEntry {
       p89Staged(s, d), scratchDir("p89_stream", d), 4, "update")(
       p89Transform))
 
+  /** STREAMING LSH NEAR-DUP CANDIDATES in the oracle gate: the
+    * flagship dedup path (shingle → minhash → band → bucket) run
+    * through [[graft.streaming.Streams.streamingMinhashCandidates]] —
+    * flatMapGroupsWithState holding each (band, band_key) bucket's
+    * sorted member array, documents replayed as 4 micro-batches. Every
+    * arrival pairs against ALL prior members of its buckets (including
+    * same-batch earlier ids), so the final pair SET is
+    * batch-boundary-invariant and equals p06's batch candidates — the
+    * oracle string is shared verbatim. A pair sharing several bands is
+    * emitted once per bucket; the post step dedups, mirroring the
+    * oracle's GROUP BY. The hot-bucket cap is explicitly disabled
+    * (1 << 20) because the capped star-edge hub is FIRST-ARRIVAL-min,
+    * not global-min — the same answer only under doc-ordered replay;
+    * the capped path's exactly-once star contract is pinned by
+    * StreamingSpec instead. */
+  private def p90Staged(s: SparkSession, d: String): DataFrame =
+    tbl(d, "documents")(s).select("doc_id", "text")
+
+  private def p90Transform(src: DataFrame): DataFrame = {
+    graft.streaming.Streams.streamingMinhashCandidates(
+        src, k = 64, bands = 16, maxBucketSize = 1 << 20)
+      .toDF("id_a", "id_b")
+  }
+
+  private def p90Post(pairs: DataFrame): DataFrame = pairs.distinct()
+
+  private def p90(s: SparkSession, d: String): DataFrame =
+    p90Post(graft.streaming.Streams.replayAsStream(
+      p90Staged(s, d), scratchDir("p90_stream", d), 4, "append")(
+      p90Transform))
+
   /** Keyed snapshot upsert ([[graft.operators.Snapshot.upsert]]): orders
     * as the v0 snapshot, a derived delta (every 10th key re-annotated at
     * v1, every 170th tombstoned) merged in one max_by aggregation —
@@ -2003,6 +2034,7 @@ object SparkEntry {
     "p87_stream_dedup" -> (p87 _),
     "p88_stream_kmv" -> (p88 _),
     "p89_stream_cms" -> (p89 _),
+    "p90_stream_lsh" -> (p90 _),
     "p23_heavy_hitters" -> (p23 _),
     "p24_span_dedup" -> (p24 _),
     "p25_kmv_distinct" -> (p25 _),
@@ -2093,7 +2125,8 @@ object SparkEntry {
       p87Staged(s, d).dropDuplicates("user_id", "event_type")
         .select(col("user_id"), col("event_type"))),
     "p88_stream_kmv" -> ((s, d) => p88Post(p88Transform(p88Staged(s, d)))),
-    "p89_stream_cms" -> ((s, d) => p89Post(s, d)(p89Transform(p89Staged(s, d))))
+    "p89_stream_cms" -> ((s, d) => p89Post(s, d)(p89Transform(p89Staged(s, d)))),
+    "p90_stream_lsh" -> ((s, d) => p90Post(p90Transform(p90Staged(s, d))))
   )
 
   /** Shared by p55 (inline LPA) and p72 (LPA off the persisted
@@ -2278,6 +2311,35 @@ object SparkEntry {
       |  FROM banded l JOIN banded r ON l.band = r.band AND l.band_key = r.band_key
       |  WHERE l.doc_id < r.doc_id GROUP BY 1, 2),
       |nodes AS MATERIALIZED (SELECT doc_id AS id FROM documents)""".stripMargin
+
+  /** Shared by p06 (batch banded candidates) and p90 (the streaming
+    * bucket-state build of the SAME pair set — batch-boundary-
+    * invariant because every arrival pairs against all prior bucket
+    * members): shingle → 64 md5-permutation minima → 16 bands →
+    * all pairs per (band, band_key), dedup'd across bands. */
+  private lazy val minhashPairsOracleSql: String =
+    """WITH tk AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\W+'),
+        |    x -> x != '') AS toks FROM documents),
+        |sh AS (
+        |  SELECT doc_id, (md5_number_lower(s) & 2147483647) AS base
+        |  FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s FROM tk) u),
+        |perm AS (
+        |  SELECT s.s AS s, ((md5_number_lower('ga' || s.s) & 2147483647) | 1) AS a,
+        |         (md5_number_lower('gb' || s.s) & 2147483647) AS b
+        |  FROM generate_series(0, 63) s(s)),
+        |mins AS (
+        |  SELECT doc_id, s, CAST(MIN((a * base + b) % 2305843009213693951) AS BIGINT) AS v
+        |  FROM sh, perm GROUP BY doc_id, s),
+        |sig AS (SELECT doc_id, list(v ORDER BY s) AS sig FROM mins GROUP BY doc_id),
+        |banded AS (
+        |  SELECT doc_id, b.b AS band,
+        |    array_to_string(list_slice(sig, 4*b.b + 1, 4*b.b + 4), ',') AS band_key
+        |  FROM sig, generate_series(0, 15) b(b))
+        |SELECT l.doc_id AS id_a, r.doc_id AS id_b
+        |FROM banded l JOIN banded r ON l.band = r.band AND l.band_key = r.band_key
+        |WHERE l.doc_id < r.doc_id GROUP BY 1, 2""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_multi_agg" ->
@@ -2627,29 +2689,8 @@ object SparkEntry {
         |    (a, b) -> CAST(((a::HUGEINT) * 1000003 + b) % 2305843009213693951 AS BIGINT)) AS fingerprint,
         |  CASE WHEN best.hits > 0 THEN best.lang ELSE 'und' END AS lang_pred
         |FROM scored""".stripMargin,
-    "p06_minhash_pairs" ->
-      """WITH tk AS (
-        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\W+'),
-        |    x -> x != '') AS toks FROM documents),
-        |sh AS (
-        |  SELECT doc_id, (md5_number_lower(s) & 2147483647) AS base
-        |  FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
-        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s FROM tk) u),
-        |perm AS (
-        |  SELECT s.s AS s, ((md5_number_lower('ga' || s.s) & 2147483647) | 1) AS a,
-        |         (md5_number_lower('gb' || s.s) & 2147483647) AS b
-        |  FROM generate_series(0, 63) s(s)),
-        |mins AS (
-        |  SELECT doc_id, s, CAST(MIN((a * base + b) % 2305843009213693951) AS BIGINT) AS v
-        |  FROM sh, perm GROUP BY doc_id, s),
-        |sig AS (SELECT doc_id, list(v ORDER BY s) AS sig FROM mins GROUP BY doc_id),
-        |banded AS (
-        |  SELECT doc_id, b.b AS band,
-        |    array_to_string(list_slice(sig, 4*b.b + 1, 4*b.b + 4), ',') AS band_key
-        |  FROM sig, generate_series(0, 15) b(b))
-        |SELECT l.doc_id AS id_a, r.doc_id AS id_b
-        |FROM banded l JOIN banded r ON l.band = r.band AND l.band_key = r.band_key
-        |WHERE l.doc_id < r.doc_id GROUP BY 1, 2""".stripMargin,
+    "p06_minhash_pairs" -> minhashPairsOracleSql,
+    "p90_stream_lsh" -> minhashPairsOracleSql,
     "p16_capped_candidates" ->
       """WITH tk AS (
         |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\W+'),
