@@ -1194,7 +1194,12 @@ object SparkEntry {
       op("?k") :> "?k2",
       Ops.count() :> "?cnt",
       Ops.sum("?k2") :> "?s").toDF(s)
-      .transform(graft.Stage.materialize)
+      // localCheckpoint DIRECTLY, not Stage.materialize: the 'reliable'
+      // materialize mode (df.checkpoint) executes the plan twice (count
+      // job + ReliableCheckpointRDD write) and would double the
+      // accumulator; the eager local checkpoint computes exactly one
+      // pass regardless of the engine's checkpoint conf
+      .localCheckpoint()
     val statRow = Seq(("stat:graft/li_rows", stats.snapshot("graft/li_rows"), 0L))
       .toDF("k", "cnt", "s")
     agg.select(col("l_returnflag").as("k"), col("cnt"), col("s"))
@@ -1668,14 +1673,16 @@ object SparkEntry {
 
   private def p89Post(s: SparkSession, d: String)(updates: DataFrame): DataFrame = {
     import graft.operators.Sketches
-    // final sketch per shard (max n_seen), then the monoid merge:
-    // elementwise sum across shards == the single global batch sketch
+    // final sketch per shard (max n_seen), then the CMS monoid merge
+    // ([[Sketches.cmsMerge]]) folded over the 16 shard sketches — one
+    // global aggregation, no per-cell shuffle, and the merge definition
+    // stays in one place
     val global = updates.groupBy(col("shard"))
       .agg(max_by(col("cells"), col("n_seen")).as("cells"))
-      .select(posexplode(col("cells")).as(Seq("pos", "v")))
-      .groupBy(col("pos")).agg(sum(col("v")).as("v"))
-      .agg(expr("transform(array_sort(collect_list(struct(pos, v))), x -> x.v)")
-        .as("_sk"))
+      .agg(collect_list(col("cells")).as("sks"))
+      .select(aggregate(col("sks"),
+        array_repeat(lit(0L), lit(4 * 512)),
+        (acc, sk) => Sketches.cmsMerge(acc, sk)).as("_sk"))
     val top = p89Toks(s, d).groupBy("tok").agg(count(lit(1)).as("n_exact"))
       .orderBy(col("n_exact").desc, col("tok").asc).limit(20)
     top.crossJoin(global)

@@ -25,11 +25,14 @@ import org.scalatest.funsuite.AnyFunSuite
   * example can't sweep. */
 class WorkflowPropSpec extends AnyFunSuite {
 
-  private def freshDir(): String = {
-    val p = Files.createTempDirectory("graft_wf_fuzz")
-    p.toFile.deleteOnExit()
-    p.toString
-  }
+  // one suite root, recursively deleted at the end of the test —
+  // File.deleteOnExit cannot remove non-empty dirs, so 300 populated
+  // checkpoint dirs would otherwise leak per run
+  private val suiteRoot = Files.createTempDirectory("graft_wf_fuzz").toString
+
+  override def withFixture(test: NoArgTest) =
+    try super.withFixture(test)
+    finally graft.streaming.Streams.deleteRecursivelyNoFollow(suiteRoot)
 
   test("random DAGs: dependency order, failure containment, token resume (300 cases)") {
     val rnd = new scala.util.Random(20260815L)
@@ -71,7 +74,7 @@ class WorkflowPropSpec extends AnyFunSuite {
         }
         wf
       }
-      lazy val dir = freshDir() + s"/case$caseId"
+      lazy val dir = s"$suiteRoot/case$caseId"
 
       val r1 = mkWf().run(parallelism = 1 + rnd.nextInt(4))
       assert(!r1(failing).isSuccess, s"case $caseId: injected failure not reported")
