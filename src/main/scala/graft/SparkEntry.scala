@@ -1206,6 +1206,51 @@ object SparkEntry {
       .unionAll(statRow)
   }
 
+  /** BUCKETED CO-LOCATED JOIN in the oracle gate
+    * ([[graft.sources.Taps.bucketSink]]/[[graft.sources.Taps.bucketTap]]
+    * — the 100-TB recurring-join path: write both sides bucketed on the
+    * join key once, then every later join/agg on that key runs with NO
+    * shuffle). Orders and lineitem land as 16-bucket external tables
+    * under a pid-scoped /tmp path; the join + on-key aggregation is then
+    * REQUIRED by the query itself to plan without a single Exchange
+    * (broadcast disabled so the bucket path, not a broadcast, is what
+    * saves the shuffle; AQE disabled only for the plan inspection and
+    * restored). The row hashes and the scale contract ride one gate. */
+  private def q52(s: SparkSession, d: String): DataFrame = {
+    val suffix = d.replaceAll("[^A-Za-z0-9]", "_")
+    val root = scratchDir("q52_bk", d)
+    val (ta, tb) = (s"q52_orders_$suffix", s"q52_li_$suffix")
+    graft.sources.Taps.bucketSink(
+      tbl(d, "orders")(s).select("o_orderkey", "o_orderpriority"),
+      ta, Seq("o_orderkey"), 16, sortCols = Seq("o_orderkey"),
+      path = Some(s"$root/orders"))
+    graft.sources.Taps.bucketSink(
+      tbl(d, "lineitem")(s).select(col("l_orderkey"),
+        col("l_quantity").cast(DecimalType(18, 2)).as("qty")),
+      tb, Seq("l_orderkey"), 16, sortCols = Seq("l_orderkey"),
+      path = Some(s"$root/lineitem"))
+    val aqe = s.conf.get("spark.sql.adaptive.enabled", "true")
+    val bc = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = s.table(ta)
+        .join(s.table(tb), col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("qty")).cast(DoubleType).as("sum_qty"))
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("n_items"), col("sum_qty"))
+      val plan = j.queryExecution.executedPlan.toString
+      require(!plan.contains("Exchange"),
+        s"bucketed co-located join must plan shuffle-free, got:\n$plan")
+      j
+    } finally {
+      s.conf.set("spark.sql.adaptive.enabled", aqe)
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", bc)
+    }
+  }
+
   /** Hybrid retrieval via reciprocal-rank fusion
     * ([[Similarity.rrfFuse]]): the BM25 lexical top-50 (p64's scorer,
     * deterministic rel-then-id ranking) fused with the embedding knn
@@ -2032,6 +2077,7 @@ object SparkEntry {
     "q49_checkpoint_flow" -> (q49 _),
     "q50_template_tap" -> (q50 _),
     "q51_stats_counters" -> (q51 _),
+    "q52_bucket_join" -> (q52 _),
     "p81_bpe_batch" -> (p81 _),
     "p82_stream_agg" -> (p82 _),
     "p83_stream_window" -> (p83 _),
@@ -4036,6 +4082,13 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'stat:graft/li_rows', COUNT(*), CAST(0 AS BIGINT)
         |FROM lineitem""".stripMargin,
+    // q52: the bucketed round trip is lossless, so the oracle is the
+    // plain per-order join aggregate
+    "q52_bucket_join" ->
+      """SELECT o.o_orderkey, o.o_orderpriority, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |GROUP BY o.o_orderkey, o.o_orderpriority""".stripMargin,
     // p88: p25's KMV replay (the sketch is exact given the md5 hash)
     // with COUNT(*) beside it — the streaming build's n_seen marker
     // lands as the per-flag row count

@@ -128,10 +128,14 @@ object Taps {
     * machinery, beyond-reference). `sortCols` additionally pre-sorts
     * within buckets so sort-merge joins skip the per-task sort. */
   def bucketSink(df: DataFrame, table: String, keys: Seq[String], buckets: Int,
-      sortCols: Seq[String] = Nil, mode: String = "replace"): Unit = {
+      sortCols: Seq[String] = Nil, mode: String = "replace",
+      path: Option[String] = None): Unit = {
     var w = df.write.mode(sinkModes(mode))
       .bucketBy(buckets, keys.head, keys.tail: _*)
     if (sortCols.nonEmpty) w = w.sortBy(sortCols.head, sortCols.tail: _*)
+    // explicit path → external table: data lands there instead of the
+    // session warehouse dir (callers that must not write under the cwd)
+    path.foreach(p => w = w.option("path", p))
     w.format("parquet").saveAsTable(table)
   }
 
