@@ -1771,6 +1771,30 @@ object SparkEntry {
       p90Staged(s, d), scratchDir("p90_stream", d), 4, "append")(
       p90Transform))
 
+  /** STREAMING EMBEDDING NEAR-DUP CANDIDATES in the oracle gate — the
+    * vector face of p90 through the same capped bucket-state core
+    * ([[graft.streaming.Streams.streamingEmbeddingCandidates]]): each
+    * arrival's 6-bit hyperplane signature (p28's md5-seeded planes) is
+    * its ONE bucket, so every pair co-occurs in exactly one bucket and
+    * the final pair set is emitted exactly once and is
+    * batch-boundary-invariant. The oracle replays p28's signature CTE
+    * and takes the unverified bucket pairs — the candidate tier p28
+    * cosine-verifies downstream. Cap disabled as in p90 (first-arrival
+    * hub vs global-min hub under unordered replay); the capped
+    * exactly-once star contract stays spec-pinned. */
+  private def p91Staged(s: SparkSession, d: String): DataFrame =
+    tbl(d, "embeddings")(s).select("vec_id", "embedding")
+
+  private def p91Transform(src: DataFrame): DataFrame =
+    graft.streaming.Streams.streamingEmbeddingCandidates(
+        src, planes = 6, maxBucketSize = 1 << 20)
+      .toDF("id_a", "id_b")
+
+  private def p91(s: SparkSession, d: String): DataFrame =
+    graft.streaming.Streams.replayAsStream(
+      p91Staged(s, d), scratchDir("p91_stream", d), 4, "append")(
+      p91Transform)
+
   /** Keyed snapshot upsert ([[graft.operators.Snapshot.upsert]]): orders
     * as the v0 snapshot, a derived delta (every 10th key re-annotated at
     * v1, every 170th tombstoned) merged in one max_by aggregation —
@@ -2088,6 +2112,7 @@ object SparkEntry {
     "p88_stream_kmv" -> (p88 _),
     "p89_stream_cms" -> (p89 _),
     "p90_stream_lsh" -> (p90 _),
+    "p91_stream_embed" -> (p91 _),
     "p23_heavy_hitters" -> (p23 _),
     "p24_span_dedup" -> (p24 _),
     "p25_kmv_distinct" -> (p25 _),
@@ -2179,7 +2204,8 @@ object SparkEntry {
         .select(col("user_id"), col("event_type"))),
     "p88_stream_kmv" -> ((s, d) => p88Post(p88Transform(p88Staged(s, d)))),
     "p89_stream_cms" -> ((s, d) => p89Post(s, d)(p89Transform(p89Staged(s, d)))),
-    "p90_stream_lsh" -> ((s, d) => p90Post(p90Transform(p90Staged(s, d))))
+    "p90_stream_lsh" -> ((s, d) => p90Post(p90Transform(p90Staged(s, d)))),
+    "p91_stream_embed" -> ((s, d) => p91Transform(p91Staged(s, d)))
   )
 
   /** Shared by p55 (inline LPA) and p72 (LPA off the persisted
@@ -2998,6 +3024,22 @@ object SparkEntry {
         |tot AS (SELECT COUNT(*) AS n FROM t)
         |SELECT tok, COUNT(*) AS cnt FROM t, tot
         |GROUP BY tok, n HAVING COUNT(*) > n // 64""".stripMargin,
+    // p91: p28's signature CTE, stopped at the UNVERIFIED bucket pairs —
+    // exactly what the streaming bucket-state operator emits
+    "p91_stream_embed" ->
+      """WITH c0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+        |pl AS (SELECT p.p AS p, list_transform(generate_series(0, 63),
+        |    i -> CAST(md5_number_lower('pl' || p.p || '_' || i) >> 11 AS DOUBLE)
+        |      * (1.0/4503599627370496) - 1.0) AS comp
+        |  FROM generate_series(0, 5) p(p)),
+        |sig AS (
+        |  SELECT vec_id, CAST(SUM(CASE WHEN proj >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS b
+        |  FROM (SELECT c0.vec_id, pl.p,
+        |      list_reduce(list_transform(generate_series(1, 64), i -> e[i] * comp[i]),
+        |        (x, y) -> x + y) AS proj
+        |    FROM c0, pl) t GROUP BY vec_id)
+        |SELECT l.vec_id AS id_a, r.vec_id AS id_b
+        |FROM sig l JOIN sig r ON l.b = r.b AND l.vec_id < r.vec_id""".stripMargin,
     // p28: hyperplane planes are md5-derived (Similarity.planeComponents),
     // so buckets AND exact cosines replicate — same kernels p08/p09 check
     "p28_embedding_neardup" ->
