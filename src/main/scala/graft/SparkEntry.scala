@@ -1251,6 +1251,53 @@ object SparkEntry {
     }
   }
 
+  /** PROTOBUF RECORD TAP round trip in the oracle gate
+    * ([[graft.sources.Proto]] — the cascalog-lzo protobuf-tap surface,
+    * wire format only; the LZO container is the adjudicated boundary):
+    * lineitem rows ENCODE to protobuf wire bytes (varint key, delimited
+    * flag, fixed64 qty), land as a binary column at rest, decode back
+    * through the record tap, and aggregate. The hashes prove the wire
+    * codec is lossless for every row — fixed64 keeps the exact double
+    * bits, so the decimal-summed qty matches the source-table oracle. */
+  private def q53(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.Proto
+    import org.apache.spark.sql.types.{LongType, StringType, DoubleType => DT}
+    val spec = Seq(Proto.Field(1, "okey", LongType),
+      Proto.Field(2, "flag", StringType), Proto.Field(3, "qty", DT))
+    val enc = udf((k: Long, f: String, q: Double) =>
+      Proto.encode(Seq(1 -> k, 2 -> f, 3 -> q)))
+    val root = scratchDir("q53_proto", d)
+    graft.streaming.Streams.deleteRecursivelyNoFollow(root)
+    tbl(d, "lineitem")(s)
+      .select(enc(col("l_orderkey"), col("l_returnflag"),
+        col("l_quantity")).as("bin"))
+      .write.mode("overwrite").parquet(root)
+    Proto.parse(s.read.parquet(root), "bin", spec)
+      .groupBy("flag")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("qty").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_qty"),
+        sum(col("okey")).as("sum_keys"))
+  }
+
+  /** DELIMITED TAP round trip in the oracle gate (hfs-delimited,
+    * reference more_taps.clj:11-80): orders lands as a HEADERED TSV
+    * through the csv sink, reads back through [[graft.sources.Taps
+    * .delimited]] with schema inference, and aggregates through the DSL
+    * — text serialization, header handling, and type inference are all
+    * on the hashed path (integer keys and space-free priorities keep
+    * the text round trip exact by construction). */
+  private def q54(s: SparkSession, d: String): DataFrame = {
+    import graft.dsl._
+    val root = scratchDir("q54_tsv", d)
+    graft.streaming.Streams.deleteRecursivelyNoFollow(root)
+    graft.sources.Taps.csvSink(root, sep = "\t", header = true).write(
+      tbl(d, "orders")(s).select("o_orderkey", "o_orderpriority", "o_custkey"))
+    query("?prio", "?cnt", "?skeys")(
+      graft.sources.Taps.delimited(root, header = true)("?okey", "?prio", "?ckey"),
+      Ops.count() :> "?cnt",
+      Ops.sum("?ckey") :> "?skeys").toDF(s)
+  }
+
   /** Hybrid retrieval via reciprocal-rank fusion
     * ([[Similarity.rrfFuse]]): the BM25 lexical top-50 (p64's scorer,
     * deterministic rel-then-id ranking) fused with the embedding knn
@@ -2102,6 +2149,8 @@ object SparkEntry {
     "q50_template_tap" -> (q50 _),
     "q51_stats_counters" -> (q51 _),
     "q52_bucket_join" -> (q52 _),
+    "q53_proto_tap" -> (q53 _),
+    "q54_delimited_tap" -> (q54 _),
     "p81_bpe_batch" -> (p81 _),
     "p82_stream_agg" -> (p82 _),
     "p83_stream_window" -> (p83 _),
@@ -4131,6 +4180,19 @@ object SparkEntry {
         |  CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
         |GROUP BY o.o_orderkey, o.o_orderpriority""".stripMargin,
+    // q53: the protobuf wire round trip is lossless (fixed64 = exact
+    // double bits), so the oracle is the plain source aggregate
+    "q53_proto_tap" ->
+      """SELECT l_returnflag AS flag, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_keys
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    // q54: the headered-TSV round trip is exact for integer keys and
+    // space-free strings; the oracle is the plain source aggregate
+    "q54_delimited_tap" ->
+      """SELECT o_orderpriority AS prio, COUNT(*) AS cnt,
+        |  CAST(SUM(o_custkey) AS BIGINT) AS skeys
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
     // p88: p25's KMV replay (the sketch is exact given the md5 hash)
     // with COUNT(*) beside it — the streaming build's n_seen marker
     // lands as the per-flag row count

@@ -183,10 +183,12 @@ class StreamReplaySpec extends SparkTestBase {
     // the gate queries run under the default HDFS-backed provider; a real
     // deployment at volume runs RocksDB (bounded heap, the
     // StreamStateProbe configuration). Parity here pins that the choice
-    // of state store is an ops knob, not a semantics knob, for all FIVE
+    // of state store is an ops knob, not a semantics knob, for all SEVEN
     // state shapes the gate uses: streaming agg, mapGroupsWithState
     // (upsert), flatMapGroupsWithState (closed sessions), the symmetric
-    // hash join (interval join), and dropDuplicatesWithinWatermark.
+    // hash join (interval join), dropDuplicatesWithinWatermark, the
+    // SketchState sketch fold (p88/p89), and the sentinel-layout capped
+    // bucket state (p90/p91).
     import spark.implicits._
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
@@ -262,6 +264,44 @@ class StreamReplaySpec extends SparkTestBase {
       }.collect().toSeq.map(r => (r.getLong(0), r.getString(1))).sorted
       assert(dOut == Seq((1L, "a"), (2L, "b"), (3L, "a")),
         s"dropDuplicatesWithinWatermark under RocksDB: $dOut")
+
+      // sketch state (p88/p89's shape): the SketchState product encoder
+      // round-trips through RocksDB — the final fold equals the batch
+      // sketch (the p23 lesson was an encoder failing only in one
+      // execution context, so every provider gets its own pin)
+      val kin = (0L until 60L).map(i => ("g" + (i % 2),
+          (i * 2654435761L) % 1000003L)).toDF("k", "h")
+      val kOut = graft.streaming.Streams.replayAsStream(
+        kin, scratch("rocks_kmv"), 3, "update") { src =>
+        graft.streaming.Streams.streamingKmvDistinct(
+            src.as[(String, Long)], k = 8)
+          .toDF("k", "n", "sz", "est")
+      }.groupBy("k")
+        .agg(max_by(struct(col("sz"), col("est")), col("n")).as("w"))
+        .select(col("k"), col("w.sz").as("sz"), col("w.est").as("est"))
+        .collect().toSeq.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sorted
+      val kBatch = kin.groupBy("k")
+        .agg(size(graft.operators.Sketches.kmv(col("h"), 8)).cast("long").as("sz"),
+          graft.operators.Sketches.kmvEstimate(
+            graft.operators.Sketches.kmv(col("h"), 8), 8).as("est"))
+        .collect().toSeq.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sorted
+      assert(kOut == kBatch, s"KMV sketch state under RocksDB: $kOut vs $kBatch")
+
+      // capped bucket state (p90/p91's shape): the sentinel-layout
+      // Array[Long] round-trips through RocksDB — first 4 identical-text
+      // docs all-pair, later arrivals emit exactly one star edge to the
+      // first-arrival hub
+      val bdocs = (1L to 10L).map(i => (i, "same text for every doc here"))
+        .toDF("doc_id", "text").withColumn("ord", col("doc_id"))
+      val bPairs = graft.streaming.Streams.replayAsStream(
+        bdocs, scratch("rocks_lsh"), 4, "append", orderedBy = Some("ord")) { src =>
+        graft.streaming.Streams.streamingMinhashCandidates(
+            src.drop("ord"), maxBucketSize = 4)
+          .toDF("id_a", "id_b")
+      }.distinct().collect().toSeq.map(r => (r.getLong(0), r.getLong(1))).toSet
+      val bExpected = (1L to 4L).combinations(2).map(s => (s(0), s(1))).toSet ++
+        (5L to 10L).map(j => (1L, j)).toSet
+      assert(bPairs == bExpected, s"bucket state under RocksDB: $bPairs")
     } finally prev match {
       case Some(v) => spark.conf.set(key, v)
       case None => spark.conf.unset(key)
