@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Checkpoint RECOVERY: the gate's replay harness drains a stream in one
+  * AvailableNow run, but a production stream is stopped and restarted —
+  * state must reload from the checkpoint and the sink must stay
+  * exactly-once across the boundary. This spec splits the staged files
+  * into two generations, runs a file-sink query to completion on the
+  * first, then REUSES the same checkpoint + sink for a second run over
+  * the late-arriving files, and requires the combined output to equal
+  * the one-shot run bit-for-bit — for a watermarked window aggregation
+  * (p83's shape: the watermark must persist across the restart, or
+  * already-emitted windows would re-emit) and flatMapGroupsWithState
+  * sessions (p85's shape:
+  * open sessions must carry across the restart in state). */
+class StreamRestartSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val pid = java.lang.ProcessHandle.current().pid()
+  private val root = s"/tmp/graft_restart_spec_$pid"
+
+  override def withFixture(test: NoArgTest) =
+    try super.withFixture(test)
+    finally graft.streaming.Streams.deleteRecursivelyNoFollow(root)
+
+  /** Events: 3 users × sessions split so that a session and a window
+    * STRADDLE the generation boundary — the restart must resume both. */
+  private def events: Seq[(Long, Long)] = // (user, epoch seconds)
+    for (u <- 1L to 3L; base <- Seq(0L, 5000L, 100000L, 105000L, 500000L);
+         off <- 0L until 3L) yield (u, base + off * 60L + u)
+
+  private def stage(dir: String, rows: Seq[(Long, Long)], mtime: Long): Unit = {
+    val p = java.nio.file.Files.createTempDirectory("graft_restart_stage")
+    rows.toDF("user_id", "sec").coalesce(1).write.mode("overwrite").parquet(p.toString)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val part = p.toFile.listFiles().filter(_.getName.startsWith("part-")).head
+    val dst = java.nio.file.Paths.get(dir, part.getName)
+    java.nio.file.Files.move(part.toPath, dst)
+    dst.toFile.setLastModified(mtime): Unit
+    graft.streaming.Streams.deleteRecursivelyNoFollow(p.toString)
+  }
+
+  private def runToSink(srcDir: String, ckpt: String, out: String)(
+      f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Unit = {
+    val src = spark.readStream
+      .schema("user_id LONG, sec LONG")
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val q = f(src).writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  private def windowAgg(df: org.apache.spark.sql.DataFrame) =
+    df.withColumn("ets", timestamp_seconds(col("sec")))
+      .withWatermark("ets", "10 minutes")
+      .groupBy(window(col("ets"), "1 hour"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_micros(col("window.start")).as("ws_us"), col("user_id"), col("cnt"))
+
+  private def sessions(df: org.apache.spark.sql.DataFrame) =
+    graft.streaming.Streams.sessionizeClosed(
+        df.select(col("user_id"), (col("sec") * 1000000L).as("us"))
+          .as[(Long, Long)], gap = 1800000000L) // 30 min in µs
+      .toDF("user_id", "start_us", "end_us", "n_events")
+
+  private def collected(path: String): Set[Seq[Any]] =
+    spark.read.parquet(path).collect().toSet.map((r: org.apache.spark.sql.Row) => r.toSeq)
+
+  test("watermarked window agg: restart from checkpoint == one-shot run") {
+    val ordered = events.sortBy(_._2)
+    val (gen1, gen2) = ordered.splitAt(ordered.length / 2)
+    // generation boundary cuts event time mid-window: the restart
+    // reloads the watermark and partial window state from the checkpoint
+    stage(s"$root/w/src", gen1, 1000L)
+    runToSink(s"$root/w/src", s"$root/w/ckpt", s"$root/w/out")(windowAgg)
+    val afterGen1 = collected(s"$root/w/out")
+    stage(s"$root/w/src", gen2, 2000L)
+    runToSink(s"$root/w/src", s"$root/w/ckpt", s"$root/w/out")(windowAgg)
+    val restarted = collected(s"$root/w/out")
+
+    stage(s"$root/w1/src", gen1, 1000L)
+    stage(s"$root/w1/src", gen2, 2000L)
+    runToSink(s"$root/w1/src", s"$root/w1/ckpt", s"$root/w1/out")(windowAgg)
+    val oneShot = collected(s"$root/w1/out")
+
+    assert(restarted == oneShot,
+      s"restart diverged: ${restarted.diff(oneShot)} vs ${oneShot.diff(restarted)}")
+    assert(afterGen1.subsetOf(restarted), "restart re-emitted or lost gen-1 windows")
+    assert(restarted.size > afterGen1.size, "gen 2 emitted nothing — vacuous test")
+  }
+
+  test("flatMapGroupsWithState sessions: restart from checkpoint == one-shot run") {
+    val ordered = events.sortBy(_._2)
+    val (gen1, gen2) = ordered.splitAt(ordered.length / 2)
+    stage(s"$root/s/src", gen1, 1000L)
+    runToSink(s"$root/s/src", s"$root/s/ckpt", s"$root/s/out")(sessions)
+    stage(s"$root/s/src", gen2, 2000L)
+    runToSink(s"$root/s/src", s"$root/s/ckpt", s"$root/s/out")(sessions)
+    val restarted = collected(s"$root/s/out")
+
+    stage(s"$root/s1/src", gen1, 1000L)
+    stage(s"$root/s1/src", gen2, 2000L)
+    runToSink(s"$root/s1/src", s"$root/s1/ckpt", s"$root/s1/out")(sessions)
+    val oneShot = collected(s"$root/s1/out")
+
+    assert(restarted == oneShot,
+      s"restart diverged: ${restarted.diff(oneShot)} vs ${oneShot.diff(restarted)}")
+    assert(restarted.nonEmpty, "no sessions closed — vacuous test")
+  }
+}
