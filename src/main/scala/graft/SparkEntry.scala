@@ -1219,6 +1219,10 @@ object SparkEntry {
   private def q52(s: SparkSession, d: String): DataFrame = {
     val suffix = d.replaceAll("[^A-Za-z0-9]", "_")
     val root = scratchDir("q52_bk", d)
+    // NOFOLLOW pre-delete, the invariant every scratch consumer keeps: a
+    // planted symlink or stale dir at the predictable path is unlinked,
+    // never written through
+    graft.streaming.Streams.deleteRecursivelyNoFollow(root)
     val (ta, tb) = (s"q52_orders_$suffix", s"q52_li_$suffix")
     graft.sources.Taps.bucketSink(
       tbl(d, "orders")(s).select("o_orderkey", "o_orderpriority"),

@@ -111,4 +111,60 @@ class StreamRestartSpec extends SparkTestBase {
       s"restart diverged: ${restarted.diff(oneShot)} vs ${oneShot.diff(restarted)}")
     assert(restarted.nonEmpty, "no sessions closed — vacuous test")
   }
+
+  test("mapGroupsWithState sketch state: restart from checkpoint == batch sketch") {
+    // p88's SketchState shape across a REAL restart: the product-encoded
+    // (n, cells) state must reload from the checkpoint so the second
+    // generation folds on top of the first, not from empty. Update-mode
+    // output goes through foreachBatch into parquet; the final emission
+    // per key (max n_seen) must equal the batch KMV over ALL rows.
+    import graft.operators.Sketches
+    val rows = (0L until 80L).map(i =>
+      (s"g${i % 3}", (i * 2654435761L) % 1000003L))
+    val (gen1, gen2) = rows.splitAt(40)
+    def kmvRun(srcDir: String, ckpt: String, out: String): Unit = {
+      val src = spark.readStream.schema("k STRING, h LONG")
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      val q = graft.streaming.Streams.streamingKmvDistinct(
+          src.as[(String, Long)], k = 8)
+        .toDF("k", "n", "sz", "est")
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.write.mode("append").parquet(out)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def stageKmv(dir: String, rs: Seq[(String, Long)], mtime: Long): Unit = {
+      val p = java.nio.file.Files.createTempDirectory("graft_restart_kmv")
+      rs.toDF("k", "h").coalesce(1).write.mode("overwrite").parquet(p.toString)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      val part = p.toFile.listFiles().filter(_.getName.startsWith("part-")).head
+      val dst = java.nio.file.Paths.get(dir, part.getName)
+      java.nio.file.Files.move(part.toPath, dst)
+      dst.toFile.setLastModified(mtime): Unit
+      graft.streaming.Streams.deleteRecursivelyNoFollow(p.toString)
+    }
+    stageKmv(s"$root/k/src", gen1, 1000L)
+    kmvRun(s"$root/k/src", s"$root/k/ckpt", s"$root/k/out")
+    stageKmv(s"$root/k/src", gen2, 2000L)
+    kmvRun(s"$root/k/src", s"$root/k/ckpt", s"$root/k/out")
+    val fin = spark.read.parquet(s"$root/k/out")
+      .groupBy("k")
+      .agg(max_by(struct(col("sz"), col("est")), col("n")).as("w"),
+        max(col("n")).as("n"))
+      .collect().map(r => (r.getString(0),
+        r.getStruct(1).getLong(0), r.getStruct(1).getDouble(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    val batch = rows.toDF("k", "h").groupBy("k")
+      .agg(size(Sketches.kmv(col("h"), 8)).cast("long").as("sz"),
+        Sketches.kmvEstimate(Sketches.kmv(col("h"), 8), 8).as("est"),
+        count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(fin == batch,
+      s"sketch state across restart diverged:\n$fin\nvs batch\n$batch")
+  }
 }
