@@ -1283,6 +1283,33 @@ object SparkEntry {
         sum(col("okey")).as("sum_keys"))
   }
 
+  /** THRIFT RECORD TAP round trip in the oracle gate
+    * ([[graft.sources.Thrift]] — the cascalog-lzo thrift-tap surface,
+    * TBinaryProtocol wire only; LZO container = adjudicated boundary):
+    * orders rows encode as thrift structs (i64 key, string priority,
+    * i64 custkey), land as a binary column, decode back through the
+    * record tap, and aggregate — q53's proto twin on the other wire
+    * format, so both record codecs are hash-gated end-to-end. */
+  private def q55(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.Thrift
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val spec = Seq(Thrift.Field(1, "okey", LongType),
+      Thrift.Field(2, "prio", StringType), Thrift.Field(3, "ckey", LongType))
+    val enc = udf((k: Long, p: String, c: Long) =>
+      Thrift.encode(Seq(1 -> k, 2 -> p, 3 -> c)))
+    val root = scratchDir("q55_thrift", d)
+    graft.streaming.Streams.deleteRecursivelyNoFollow(root)
+    tbl(d, "orders")(s)
+      .select(enc(col("o_orderkey"), col("o_orderpriority"),
+        col("o_custkey")).as("bin"))
+      .write.mode("overwrite").parquet(root)
+    Thrift.parse(s.read.parquet(root), "bin", spec)
+      .groupBy("prio")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("okey")).as("sum_keys"),
+        sum(col("ckey")).as("sum_cust"))
+  }
+
   /** DELIMITED TAP round trip in the oracle gate (hfs-delimited,
     * reference more_taps.clj:11-80): orders lands as a HEADERED TSV
     * through the csv sink, reads back through [[graft.sources.Taps
@@ -2155,6 +2182,7 @@ object SparkEntry {
     "q52_bucket_join" -> (q52 _),
     "q53_proto_tap" -> (q53 _),
     "q54_delimited_tap" -> (q54 _),
+    "q55_thrift_tap" -> (q55 _),
     "p81_bpe_batch" -> (p81 _),
     "p82_stream_agg" -> (p82 _),
     "p83_stream_window" -> (p83 _),
@@ -4196,6 +4224,13 @@ object SparkEntry {
     "q54_delimited_tap" ->
       """SELECT o_orderpriority AS prio, COUNT(*) AS cnt,
         |  CAST(SUM(o_custkey) AS BIGINT) AS skeys
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    // q55: the thrift TBinaryProtocol round trip is lossless, so the
+    // oracle is the plain source aggregate
+    "q55_thrift_tap" ->
+      """SELECT o_orderpriority AS prio, COUNT(*) AS cnt,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+        |  CAST(SUM(o_custkey) AS BIGINT) AS sum_cust
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
     // p88: p25's KMV replay (the sketch is exact given the md5 hash)
     // with COUNT(*) beside it — the streaming build's n_seen marker
