@@ -1310,6 +1310,29 @@ object SparkEntry {
         sum(col("ckey")).as("sum_cust"))
   }
 
+  /** SEQUENCE-FILE TAP round trip in the oracle gate (hfs-wrtseqfile,
+    * reference more_taps.clj:83-112 — Hadoop SequenceFile of Writable
+    * string pairs): orders lands as (orderkey, priority) string pairs
+    * through the seqfile sink, reads back through the wrtseqfile tap
+    * via the DSL, and aggregates with the keys re-parsed to longs —
+    * the Writable round trip and the string⇄long re-parse are on the
+    * hashed path. Every persistent tap format (parquet, template,
+    * delimited, seqfile, proto, thrift) is now oracle-gated. */
+  private def q56(s: SparkSession, d: String): DataFrame = {
+    import graft.dsl._
+    val root = scratchDir("q56_seq", d)
+    graft.streaming.Streams.deleteRecursivelyNoFollow(root)
+    graft.sources.Taps.wrtseqfileSink(
+      tbl(d, "orders")(s).select(
+        col("o_orderkey").cast("string"), col("o_orderpriority")), root)
+    val toLong = Ops.mapFn((x: String) => x.toLong)
+    query("?prio", "?cnt", "?sum_keys")(
+      graft.sources.Taps.wrtseqfile(root)("?ks", "?prio"),
+      toLong("?ks") :> "?k",
+      Ops.count() :> "?cnt",
+      Ops.sum("?k") :> "?sum_keys").toDF(s)
+  }
+
   /** DELIMITED TAP round trip in the oracle gate (hfs-delimited,
     * reference more_taps.clj:11-80): orders lands as a HEADERED TSV
     * through the csv sink, reads back through [[graft.sources.Taps
@@ -2183,6 +2206,7 @@ object SparkEntry {
     "q53_proto_tap" -> (q53 _),
     "q54_delimited_tap" -> (q54 _),
     "q55_thrift_tap" -> (q55 _),
+    "q56_seqfile_tap" -> (q56 _),
     "p81_bpe_batch" -> (p81 _),
     "p82_stream_agg" -> (p82 _),
     "p83_stream_window" -> (p83 _),
@@ -4231,6 +4255,12 @@ object SparkEntry {
       """SELECT o_orderpriority AS prio, COUNT(*) AS cnt,
         |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
         |  CAST(SUM(o_custkey) AS BIGINT) AS sum_cust
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    // q56: the SequenceFile string round trip is exact for integer keys,
+    // so the oracle is the plain source aggregate
+    "q56_seqfile_tap" ->
+      """SELECT o_orderpriority AS prio, COUNT(*) AS cnt,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
     // p88: p25's KMV replay (the sketch is exact given the md5 hash)
     // with COUNT(*) beside it — the streaming build's n_seen marker
