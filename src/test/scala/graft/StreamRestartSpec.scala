@@ -24,15 +24,13 @@ class StreamRestartSpec extends SparkTestBase {
     try super.withFixture(test)
     finally graft.streaming.Streams.deleteRecursivelyNoFollow(root)
 
-  /** Events: 3 users × sessions split so that a session and a window
-    * STRADDLE the generation boundary — the restart must resume both. */
-  private def events: Seq[(Long, Long)] = // (user, epoch seconds)
-    for (u <- 1L to 3L; base <- Seq(0L, 5000L, 100000L, 105000L, 500000L);
-         off <- 0L until 3L) yield (u, base + off * 60L + u)
-
-  private def stage(dir: String, rows: Seq[(Long, Long)], mtime: Long): Unit = {
+  /** One staged parquet file with a controlled mtime — the file source
+    * replays in modification-time order, so generation 2's file arrives
+    * strictly after generation 1's. Shared by all four tests. */
+  private def stageDf(dir: String, df: org.apache.spark.sql.DataFrame,
+      mtime: Long): Unit = {
     val p = java.nio.file.Files.createTempDirectory("graft_restart_stage")
-    rows.toDF("user_id", "sec").coalesce(1).write.mode("overwrite").parquet(p.toString)
+    df.coalesce(1).write.mode("overwrite").parquet(p.toString)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     val part = p.toFile.listFiles().filter(_.getName.startsWith("part-")).head
     val dst = java.nio.file.Paths.get(dir, part.getName)
@@ -40,6 +38,15 @@ class StreamRestartSpec extends SparkTestBase {
     dst.toFile.setLastModified(mtime): Unit
     graft.streaming.Streams.deleteRecursivelyNoFollow(p.toString)
   }
+
+  /** Events: 3 users × sessions split so that a session and a window
+    * STRADDLE the generation boundary — the restart must resume both. */
+  private def events: Seq[(Long, Long)] = // (user, epoch seconds)
+    for (u <- 1L to 3L; base <- Seq(0L, 5000L, 100000L, 105000L, 500000L);
+         off <- 0L until 3L) yield (u, base + off * 60L + u)
+
+  private def stage(dir: String, rows: Seq[(Long, Long)], mtime: Long): Unit =
+    stageDf(dir, rows.toDF("user_id", "sec"), mtime)
 
   private def runToSink(srcDir: String, ckpt: String, out: String,
       schema: String = "user_id LONG, sec LONG")(
@@ -68,8 +75,11 @@ class StreamRestartSpec extends SparkTestBase {
           .as[(Long, Long)], gap = 1800000000L) // 30 min in µs
       .toDF("user_id", "start_us", "end_us", "n_events")
 
-  private def collected(path: String): Set[Seq[Any]] =
-    spark.read.parquet(path).collect().toSet.map((r: org.apache.spark.sql.Row) => r.toSeq)
+  /** MULTISET of output rows (sorted Seq, not Set): a restart bug that
+    * re-emits gen-1 rows must fail the equality, not be collapsed away. */
+  private def collected(path: String): Seq[Seq[Any]] =
+    spark.read.parquet(path).collect().toSeq.map(_.toSeq)
+      .sortBy(_.mkString("|"))
 
   test("watermarked window agg: restart from checkpoint == one-shot run") {
     val ordered = events.sortBy(_._2)
@@ -90,7 +100,8 @@ class StreamRestartSpec extends SparkTestBase {
 
     assert(restarted == oneShot,
       s"restart diverged: ${restarted.diff(oneShot)} vs ${oneShot.diff(restarted)}")
-    assert(afterGen1.subsetOf(restarted), "restart re-emitted or lost gen-1 windows")
+    assert((afterGen1 diff restarted).isEmpty, // multiset containment
+      "restart re-emitted or lost gen-1 windows")
     assert(restarted.size > afterGen1.size, "gen 2 emitted nothing — vacuous test")
   }
 
@@ -138,16 +149,8 @@ class StreamRestartSpec extends SparkTestBase {
         .start()
       q.awaitTermination()
     }
-    def stageKmv(dir: String, rs: Seq[(String, Long)], mtime: Long): Unit = {
-      val p = java.nio.file.Files.createTempDirectory("graft_restart_kmv")
-      rs.toDF("k", "h").coalesce(1).write.mode("overwrite").parquet(p.toString)
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
-      val part = p.toFile.listFiles().filter(_.getName.startsWith("part-")).head
-      val dst = java.nio.file.Paths.get(dir, part.getName)
-      java.nio.file.Files.move(part.toPath, dst)
-      dst.toFile.setLastModified(mtime): Unit
-      graft.streaming.Streams.deleteRecursivelyNoFollow(p.toString)
-    }
+    def stageKmv(dir: String, rs: Seq[(String, Long)], mtime: Long): Unit =
+      stageDf(dir, rs.toDF("k", "h"), mtime)
     stageKmv(s"$root/k/src", gen1, 1000L)
     kmvRun(s"$root/k/src", s"$root/k/ckpt", s"$root/k/out")
     stageKmv(s"$root/k/src", gen2, 2000L)
@@ -178,17 +181,8 @@ class StreamRestartSpec extends SparkTestBase {
         yield ((if (i % 3 == 0) "L" else "R"), u, i * 600L + u)).sortBy(_._3)
     val (gen1, gen2) = rows.splitAt(rows.length / 2)
     val boundary = gen2.head._3
-    def stage3(dir: String, rs: Seq[(String, Long, Long)], mtime: Long): Unit = {
-      val p = java.nio.file.Files.createTempDirectory("graft_restart_join")
-      rs.toDF("side", "user_id", "sec").coalesce(1)
-        .write.mode("overwrite").parquet(p.toString)
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
-      val part = p.toFile.listFiles().filter(_.getName.startsWith("part-")).head
-      val dst = java.nio.file.Paths.get(dir, part.getName)
-      java.nio.file.Files.move(part.toPath, dst)
-      dst.toFile.setLastModified(mtime): Unit
-      graft.streaming.Streams.deleteRecursivelyNoFollow(p.toString)
-    }
+    def stage3(dir: String, rs: Seq[(String, Long, Long)], mtime: Long): Unit =
+      stageDf(dir, rs.toDF("side", "user_id", "sec"), mtime)
     def joined(df: org.apache.spark.sql.DataFrame) = {
       val ts = df.withColumn("ets", timestamp_seconds(col("sec")))
       val l = ts.filter(col("side") === "L")

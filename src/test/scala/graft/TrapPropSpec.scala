@@ -37,30 +37,14 @@ class TrapPropSpec extends SparkTestBase {
 
       val data = rows.map(t => Seq[Any](t._1, t._2))
       var trapDf: org.apache.spark.sql.DataFrame = null
-      val q =
-        (if (agg) {
-          if (useFilter)
-            query("?k", "?cnt")(
-              mem(data)(Seq("?k", "?v"): _*),
-              O.lt("?v", cut),
-              trapped(f, "?v") :> "?o",
-              O.count() :> "?cnt")
-          else
-            query("?k", "?cnt")(
-              mem(data)(Seq("?k", "?v"): _*),
-              trapped(f, "?v") :> "?o",
-              O.count() :> "?cnt")
-        } else {
-          if (useFilter)
-            query("?k", "?o")(
-              mem(data)(Seq("?k", "?v"): _*),
-              O.lt("?v", cut),
-              trapped(f, "?v") :> "?o")
-          else
-            query("?k", "?o")(
-              mem(data)(Seq("?k", "?v"): _*),
-              trapped(f, "?v") :> "?o")
-        }).withTrap(df => trapDf = df)
+      // predicates are first-class values — assemble the random shape once
+      val preds: Seq[PredLike] =
+        Seq[PredLike](mem(data)(Seq("?k", "?v"): _*)) ++
+          (if (useFilter) Seq[PredLike](O.lt("?v", cut)) else Nil) ++
+          Seq[PredLike](trapped(f, "?v") :> "?o") ++
+          (if (agg) Seq[PredLike](O.count() :> "?cnt") else Nil)
+      val outs: Seq[Any] = if (agg) Seq("?k", "?cnt") else Seq("?k", "?o")
+      val q = query(outs: _*)(preds: _*).withTrap(df => trapDf = df)
 
       val out = q.toDF(spark).collect()
       val kept = rows.filter(t => !useFilter || t._2 < cut)
