@@ -1896,6 +1896,102 @@ object SparkEntry {
       p91Staged(s, d), scratchDir("p91_stream", d), 4, "append")(
       p91Transform)
 
+  /** SMALL-FILE COMPACTION in the oracle gate
+    * ([[graft.operators.Publish.compact]] — the maintenance pass every
+    * continuously-written corpus needs: thousands of delta-sized files
+    * → target-sized files, sized from the MEASURED byte listing, range-
+    * clustered on the sort key so footer min/max pruning survives the
+    * rewrite). A 64-way fragmented lineitem projection compacts to
+    * ceil(bytes/target) = 4 files; the query REQUIRES the 64→4 layout
+    * on disk AND that the 4 files' key ranges are non-overlapping (the
+    * clustering claim, read from the data itself), then aggregates the
+    * compacted dataset — the row hashes prove the rewrite is lossless. */
+  private def p92(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Publish
+    val root = scratchDir("p92_compact", d)
+    graft.streaming.Streams.deleteRecursivelyNoFollow(root)
+    val li = tbl(d, "lineitem")(s)
+      .select(col("l_orderkey"), col("l_partkey"),
+        col("l_quantity").cast(DecimalType(18, 2)).as("qty"))
+    li.repartition(64).write.parquet(s"$root/frag")
+    val frag = Publish.dataFiles(s, s"$root/frag")
+    require(frag.size == 64, s"expected 64 fragment files, got ${frag.size}")
+    val bytes = frag.map(_._2).sum
+    val rep = Publish.compact(s, s"$root/frag", s"$root/compacted",
+      targetBytes = (bytes + 3) / 4, sortCols = Seq("l_orderkey"))
+    require(rep.filesOut == 4,
+      s"compaction must land 4 target-sized files, got ${rep.filesOut}")
+    // clustering proof: per-file key ranges (4 driver rows) are disjoint
+    val ranges = s.read.parquet(s"$root/compacted")
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("l_orderkey")).as("lo"), max(col("l_orderkey")).as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    ranges.iterator.sliding(2).withPartial(false).foreach { w =>
+      require(w(0)._2 <= w(1)._1,
+        s"compacted files overlap on the sort key: ${ranges.mkString(" ")}")
+    }
+    s.read.parquet(s"$root/compacted")
+      .groupBy((col("l_orderkey") % 53).as("bucket"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("qty")).cast(DoubleType).as("sum_qty"),
+        sum(col("l_partkey")).as("sum_pk"))
+  }
+
+  /** WRITE-AUDIT-PUBLISH in the oracle gate
+    * ([[graft.operators.Publish.publish]] — stage off the serving path,
+    * audit the STAGED FILES with [[graft.operators.Check]] constraints,
+    * promote by atomic rename + pointer swap; a failed audit leaves the
+    * previous version serving). v1 = the orders snapshot; v2 = a
+    * [[graft.operators.Snapshot.upsert]] of a delta onto the SERVED v1
+    * (maintenance reads `current`, not its own lineage); v3 = a
+    * deliberately key-duplicated build that must FAIL its unique-key
+    * audit. The query REQUIRES v1/v2 published, v3 rejected with its
+    * staging cleaned and the pointer still at 2, then returns the
+    * served dataset — the hashes prove readers see exactly v2. */
+  private def p93(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.{Check, Publish, Snapshot}
+    val root = scratchDir("p93_pub", d)
+    graft.streaming.Streams.deleteRecursivelyNoFollow(root)
+    val base = tbl(d, "orders")(s)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+    val checks = Seq(Check.NotNull("o_orderkey"),
+      Check.Unique(Seq("o_orderkey")))
+    val r1 = Publish.publish(base.withColumn("version", lit(0L)),
+      root, 1L, checks)
+    require(r1.published, s"v1 audit failed: ${r1.violationsOrEmpty}")
+    val delta = base.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_orderpriority", lit("UPDATED"))
+      .withColumn("version", lit(1L))
+    val v2 = Snapshot.upsert(Publish.current(s, root), delta,
+      Seq("o_orderkey"), "version")
+    val r2 = Publish.publish(v2, root, 2L, checks)
+    require(r2.published, s"v2 audit failed: ${r2.violationsOrEmpty}")
+    val corrupt = v2.unionByName(v2.filter(col("o_orderkey") % 7 === 0))
+    val r3 = Publish.publish(corrupt, root, 3L, checks)
+    require(!r3.published, "key-duplicated v3 must fail its unique audit")
+    require(r3.violations.exists(_._1.startsWith("unique(")),
+      s"v3 must fail on the unique constraint, got: ${r3.violationsOrEmpty}")
+    require(Publish.currentVersion(s, root).contains(2L),
+      s"pointer must still serve v2, got ${Publish.currentVersion(s, root)}")
+    require(!new java.io.File(s"$root/v3").exists(),
+      "rejected version must not exist on disk")
+    require(!new java.io.File(s"$root/_tmp/staging_v3").exists(),
+      "rejected staging must be cleaned")
+    Publish.current(s, root)
+  }
+
+  /** DEDUP AUDIT REPORT in the oracle gate
+    * ([[Dedup.dedupAudit]] — the explainability face of p11's near-dup
+    * dedup): per document, its duplicate cluster (null = unclustered),
+    * the cluster size, and whether the min-id survivor rule kept it.
+    * Same candidates → jaccard-verify → connected-components machinery
+    * as p11, so `WHERE kept` is p11's survivor set by construction
+    * (DedupSpec pins the identity); the oracle extends p11's recursive-
+    * CTE component table with the per-cluster size/representative
+    * aggregation. */
+  private def p94(s: SparkSession, d: String): DataFrame =
+    Dedup.dedupAudit(tbl(d, "documents")(s), threshold = 0.6)
+
   /** Keyed snapshot upsert ([[graft.operators.Snapshot.upsert]]): orders
     * as the v0 snapshot, a derived delta (every 10th key re-annotated at
     * v1, every 170th tombstoned) merged in one max_by aggregation —
@@ -2275,7 +2371,10 @@ object SparkEntry {
     "p80_constraints" -> (p80 _),
     "p31_span_excise" -> (p31 _),
     "p32_chunking" -> (p32 _),
-    "p33_mixture_weights" -> (p33 _)
+    "p33_mixture_weights" -> (p33 _),
+    "p92_compact" -> (p92 _),
+    "p93_publish" -> (p93 _),
+    "p94_dedup_audit" -> (p94 _)
   )
 
   /** q22's events rollup contract, shared VERBATIM by p82 (the streaming
@@ -4674,7 +4773,43 @@ object SparkEntry {
         |  FROM bcand a LEFT JOIN bint i
         |    ON i.delta_id = a.delta_id AND i.corpus_id = a.corpus_id
         |  JOIN szc ON szc.doc_id = a.corpus_id) t
-        |WHERE containment >= 0.8""".stripMargin
+        |WHERE containment >= 0.8""".stripMargin,
+    // p92: the compaction rewrite is lossless (the file-layout and
+    // range-disjointness requires live in the query), so the oracle is
+    // the plain source aggregate
+    "p92_compact" ->
+      """SELECT l_orderkey % 53 AS bucket, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(l_partkey) AS BIGINT) AS sum_pk
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    // p93: readers see exactly v2 = upsert(v1, delta) — p60's
+    // window-rank replay without tombstones (the rejected v3 never
+    // becomes visible; the query's requires pin that on disk)
+    "p93_publish" ->
+      """WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice,
+        |    o_orderpriority FROM orders),
+        |v1 AS (SELECT *, 0::BIGINT AS version, 0 AS _src FROM base),
+        |delta AS (SELECT o_orderkey, o_custkey, o_totalprice,
+        |    'UPDATED' AS o_orderpriority, 1::BIGINT AS version, 1 AS _src
+        |  FROM base WHERE o_orderkey % 10 = 0),
+        |u AS (SELECT * FROM v1 UNION ALL SELECT * FROM delta),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey
+        |    ORDER BY version DESC, _src DESC) AS rn FROM u)
+        |SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority, version
+        |FROM r WHERE rn = 1""".stripMargin,
+    // p94: p11's component CTE extended with the per-cluster size +
+    // min-id representative — one row per document, kept = unclustered
+    // or the representative (exactly p11's survivor set)
+    "p94_dedup_audit" -> (neardupCompCte +
+      """,
+        |sz AS (SELECT component, COUNT(*) AS cluster_size, MIN(id) AS rep
+        |  FROM comp GROUP BY component)
+        |SELECT d.doc_id, comp.component AS cluster_id,
+        |  COALESCE(sz.cluster_size, 1) AS cluster_size,
+        |  (comp.id IS NULL OR d.doc_id = sz.rep) AS kept
+        |FROM documents d
+        |LEFT JOIN comp ON comp.id = d.doc_id
+        |LEFT JOIN sz ON sz.component = comp.component""".stripMargin)
   )
 
   /** p81: batched BPE training replayed round-for-round. Generated by

@@ -955,6 +955,55 @@ object Dedup {
       ccAlgorithm)
   }
 
+  /** Per-document AUDIT of a near-dup dedup run — the explainability
+    * face of [[nearDupDedup]]: for every document, which cluster it
+    * landed in (null = never clustered), how big that cluster is, and
+    * whether the min-id survivor rule kept it. `WHERE kept` is exactly
+    * the [[nearDupDedup]] id set by construction, so the report and the
+    * dedup cannot drift (DedupSpec pins this).
+    *
+    * A takedown/provenance review at 100 TB reads THIS, not the
+    * survivor table: the report is corpus-sized but each row costs one
+    * broadcast-join lookup — the component table is cluster-sized (a
+    * small fraction of the corpus), so both joins broadcast and the
+    * report adds no shuffle beyond the dedup it describes. */
+  def dedupAudit(
+      df: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      k: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.8,
+      maxBucketSize: Int = SessionBucketCap,
+      ccAlgorithm: String = "label"): DataFrame = {
+    val cands = minhashCandidates(df, textCol, idCol, k, bands,
+      maxBucketSize = maxBucketSize)
+    val verified = jaccardVerify(cands, df, textCol, idCol, threshold = threshold)
+    auditFromPairs(df, idCol, verified.select("id_a", "id_b"), ccAlgorithm)
+  }
+
+  /** [[dedupAudit]] from an already-materialized pair table (the
+    * [[candidatesTap]] ingest-once pattern: pair once, then survivors,
+    * graph analytics, and this audit all read the same tap). */
+  def auditFromPairs(df: DataFrame, idCol: String, pairs: DataFrame,
+      ccAlgorithm: String = "label"): DataFrame = {
+    val comp = ccAlgorithm match {
+      case "label" => components(pairs)
+      case "star" => componentsStar(pairs)
+      case other => throw new IllegalArgumentException(
+        s"ccAlgorithm must be 'label' or 'star', got '$other'")
+    }
+    val stats = comp.groupBy("component")
+      .agg(count(lit(1)).as("cluster_size"), min(col("id")).as("_rep"))
+    df.select(col(idCol))
+      .join(comp.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .join(stats, Seq("component"), "left")
+      .select(col(idCol),
+        col("component").as("cluster_id"),
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"),
+        (col("component").isNull || col(idCol) === col("_rep")).as("kept"))
+  }
+
   /** Shared consolidation tail of the end-to-end dedups: cluster the
     * verified pairs, keep min id per component + all unclustered rows. */
   private def survivors(df: DataFrame, idCol: String, pairs: DataFrame,
