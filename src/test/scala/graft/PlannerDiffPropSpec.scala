@@ -360,6 +360,68 @@ object PlannerDiffPropSpec extends Properties("Planner.differential") {
       s"shape counts over 1000 seeds: merge=$m dedupe=$dd nested=$n wrap=$w intersect=$ix except=$ex wrapComposite=$wc setOpMergeSide=$sm"
   }
 
+  /** Vacuity guard for the pull-through property: most seeds must
+    * produce a non-empty wrap set, and the wrapped slices must contain
+    * both internal vars (the hygiene-rename path) and aggregators
+    * (macros emitting aggregation predicates, the avgMacro shape). */
+  property("macro fuzz wraps real slices") = {
+    var wrapped = 0; var withAgg = 0; var withInternal = 0
+    (1 to 1000).foreach { i =>
+      val r = new Random(i.toLong)
+      val spec = buildSpec(r)
+      val nAll = spec.ops.size + spec.aggs.size
+      val wrap = (0 until nAll).filter(_ => r.nextInt(10) < 6).toSet
+      if (wrap.nonEmpty) {
+        wrapped += 1
+        val all = spec.ops ++ spec.aggs
+        val inside = all.zipWithIndex.collect { case (o, j) if wrap(j) => o }
+        if (wrap.exists(_ >= spec.ops.size)) withAgg += 1
+        val outside = all.zipWithIndex.collect { case (o, j) if !wrap(j) => o }
+        val ext = (outside.flatMap(o => o.in ++ o.out) ++
+          spec.gens.flatMap(_.outerFields) ++ spec.out ++ spec.sort)
+          .collect { case v: String if Vars.isVar(v) => v }.toSet
+        if (inside.flatMap(o => o.in ++ o.out)
+            .collect { case v: String if Vars.isVar(v) && !Vars.isWildcard(v) => v }
+            .exists(v => !ext(v))) withInternal += 1
+      }
+    }
+    (wrapped >= 400 && withAgg >= 100 && withInternal >= 50) :|
+      s"over 1000 seeds: wrapped=$wrapped withAgg=$withAgg withInternal=$withInternal"
+  }
+
+  /** Predmacro pull-through: a random subset of each spec's op/agg
+    * predicates rides through a synthetic predicate macro (internal
+    * vars hygienically renamed; half the cases add a second, nested
+    * macro level) — expansion is pure AST→AST, so output must be
+    * identical to the un-macroed query. This sweeps the expansion +
+    * hygiene machinery across the full generator space instead of the
+    * two shipped example macros (avg/variance, p25/q25). */
+  property("predmacro pull-through is output-invariant") =
+    Prop.forAll(Gen.choose(Long.MinValue, Long.MaxValue)) { seed =>
+      val r = new Random(seed)
+      val spec = buildSpec(r)
+      val nAll = spec.ops.size + spec.aggs.size
+      val wrap = (0 until nAll).filter(_ => r.nextInt(10) < 6).toSet
+      if (wrap.isEmpty) Prop.passed
+      else {
+        val nest = r.nextBoolean()
+        def run(q: => graft.logic.Query): Either[String, Seq[Seq[Any]]] =
+          try Right(q.toDF(spark).collect().toSeq.map(_.toSeq))
+          catch {
+            case e: IllegalArgumentException => Left(String.valueOf(e.getMessage))
+            case e: RuntimeException => Left(String.valueOf(e.getMessage))
+          }
+        (run(toQuery(spec)), run(toQueryWithMacro(spec, wrap, nest))) match {
+          case (Left(_), Left(_)) => Prop.passed
+          case (Right(a), Right(b)) =>
+            (norm(a) == norm(b)) :|
+              s"seed=$seed wrap=$wrap nest=$nest\n${spec.describe}\nplain: ${norm(a)}\nmacro: ${norm(b)}"
+          case (pl, mc) =>
+            false :| s"seed=$seed wrap=$wrap nest=$nest\n${spec.describe}\nplain=$pl\nmacro=$mc"
+        }
+      }
+    }
+
   property("spark plan == brute-force evaluator") =
     Prop.forAll(Gen.choose(Long.MinValue, Long.MaxValue)) { seed =>
       val spec = buildSpec(new Random(seed))

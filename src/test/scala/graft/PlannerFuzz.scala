@@ -296,6 +296,87 @@ object PlannerFuzz {
       QueryOptions(sort = q.sort, reverse = q.reverse, distinct = q.distinct))
   }
 
+  // ------------------------------------------------ predmacro pull-through
+
+  private val pmFresh = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Sigil-preserving fresh name — the hygiene rename a macro applies to
+    * its internal vars. Trap vars keep the reserved prefix (the planner
+    * recognizes trapped ops BY the var name, Vars.TrapPrefix). */
+  private def freshLike(v: String): String = {
+    val n = pmFresh.incrementAndGet()
+    if (Vars.isTrapVar(v)) s"${Vars.TrapPrefix}Pm$n"
+    else if (v.startsWith("!!")) s"!!__pm$n"
+    else if (v.startsWith("!")) s"!__pm$n"
+    else s"?__pm$n"
+  }
+
+  private def opFor(name: String): Op =
+    if (scalarOps.contains(name)) scalarOps(name) match {
+      case MMap(_, op, _) => op
+      case MFilter(_, op, _) => op
+      case MMapcat(_, op, _) => op
+      case _ => sys.error(name)
+    } else buildAggOp(name)
+
+  /** [[toQuery]] with the op/agg predicates at `wrap` indices (into
+    * `q.ops ++ q.aggs`) pulled through a SYNTHETIC predicate macro:
+    * macro params are the slice's externally-visible vars, internal
+    * vars are hygienically renamed at expansion time, and with `nest`
+    * the slice's second half expands through a SECOND macro level
+    * (recursive expansion, logic/parse.clj:94-102). Expansion is pure
+    * AST→AST, so the result must be output-identical to [[toQuery]] —
+    * any divergence is an expansion/hygiene bug. */
+  def toQueryWithMacro(q: QSpec, wrap: Set[Int], nest: Boolean): Query = {
+    import graft.dsl.{MacroCall, PredMacro, PredOf, PredLike}
+    val all = q.ops ++ q.aggs
+    val inside = all.zipWithIndex.collect { case (o, i) if wrap(i) => o }
+    val outside = all.zipWithIndex.collect { case (o, i) if !wrap(i) => o }
+    def vars(xs: Seq[Any]): Seq[String] = xs.collect {
+      case v: String if Vars.isVar(v) && !Vars.isWildcard(v) => v
+    }
+    val externalVars: Set[String] =
+      (vars(outside.flatMap(o => o.in ++ o.out)) ++
+        vars(q.gens.flatMap(_.outerFields)) ++
+        vars(q.exs.flatMap(e => e.gen.fields :+ e.flag)) ++
+        vars(q.out) ++ q.sort).toSet
+    val insideVars = vars(inside.flatMap(o => o.in ++ o.out)).distinct
+    val macroIns = vars(inside.flatMap(_.in)).distinct.filter(externalVars)
+    val macroOuts = vars(inside.flatMap(_.out)).distinct.filter(externalVars)
+
+    def predOf(o: OpSpec, sub: Map[String, String]): PredLike = {
+      def s(x: Any): Any = x match {
+        case v: String if sub.contains(v) => sub(v)
+        case other => other
+      }
+      PredOf(OpPred(opFor(o.name), o.in.map(s), o.out.map(s)))
+    }
+
+    val m: PredMacro = (inActual, outActual) => {
+      val paramSub = (macroIns.zip(inActual.map(_.toString)) ++
+        macroOuts.zip(outActual.map(_.toString))).toMap
+      val sub = paramSub ++ insideVars.filterNot(externalVars)
+        .map(v => v -> freshLike(v)).toMap
+      if (nest && inside.size >= 2) {
+        val (a, b) = inside.splitAt(inside.size / 2)
+        // second level: b's (already-substituted) vars pass through a
+        // nested MacroCall as identity params — exercises recursion
+        val bVars = vars(b.flatMap(o => o.in ++ o.out)).distinct.map(sub)
+        val inner: PredMacro = (_, _) => b.map(predOf(_, sub))
+        a.map(predOf(_, sub)) :+ MacroCall(inner, bVars, Nil)
+      } else inside.map(predOf(_, sub))
+    }
+
+    val gens: Seq[PredLike] = q.gens.map(g => PredOf(toGenPred(g)))
+    val exs: Seq[PredLike] = q.exs.map(e => PredOf(
+      ExistsPred(GenPred(s => toDF(s, e.gen), e.gen.fields, small = e.gen.small), e.flag)))
+    val outsidePreds: Seq[PredLike] = outside.map(predOf(_, Map.empty))
+    graft.dsl.query(q.out: _*)(
+      (gens ++ exs ++ outsidePreds :+ MacroCall(m, macroIns, macroOuts)): _*)
+      .withOptions(QueryOptions(sort = q.sort, reverse = q.reverse,
+        distinct = q.distinct))
+  }
+
   // --------------------------------------------- brute-force tuple evaluator
 
   final case class Unplannable(msg: String) extends Exception(msg)
