@@ -107,7 +107,62 @@ object Publish {
     spark.read.parquet(s"$root/v$v")
   }
 
-  /** Write-audit-publish. Stages `df` under `root/_staging_v{version}`,
+  /** Per-micro-batch write-audit-COMMIT — the streaming face of the
+    * publish pattern ([[graft.streaming.Streams.streamingPublish]]
+    * drives it from `foreachBatch`): the batch stages under
+    * `root/_tmp/batch_{id}`, the STAGED FILES are audited, and a clean
+    * batch promotes to `root/batch={id}` with a `_COMMITTED` marker
+    * written LAST — readers ([[readCommitted]]) union exactly the
+    * marked dirs, so a half-written or failed batch is never visible.
+    * A dirty batch's staging is deleted and the batch skipped: the
+    * served corpus never sees it.
+    *
+    * Idempotent per batch id (foreachBatch re-delivers a batch after a
+    * restart): an already-committed id returns true without rewriting;
+    * an uncommitted leftover dir from a crashed attempt is replaced.
+    * Returns whether the batch is committed. */
+  def publishBatch(df: DataFrame, root: String, batchId: Long,
+      constraints: Seq[Check.Constraint] = Nil): Boolean = {
+    val spark = df.sparkSession
+    val f = fs(spark, root)
+    val finalPath = new Path(root, s"batch=$batchId")
+    val marker = new Path(finalPath, "_COMMITTED")
+    if (f.exists(marker)) return true
+    if (f.exists(finalPath)) f.delete(finalPath, true) // crashed, uncommitted
+    val stagingPath = new Path(root, s"_tmp/batch_$batchId")
+    if (f.exists(stagingPath)) f.delete(stagingPath, true)
+    df.write.mode("error").parquet(stagingPath.toString)
+    val clean = constraints.isEmpty || {
+      val staged = spark.read.parquet(stagingPath.toString)
+      !Check.check(staged, constraints).collect()
+        .exists(r => r.getString(0) != "rows" && r.getLong(1) > 0)
+    }
+    if (!clean) { f.delete(stagingPath, true); false }
+    else {
+      require(f.rename(stagingPath, finalPath),
+        s"rename $stagingPath -> $finalPath failed")
+      f.create(marker, true).close() // marker LAST: commit point
+      true
+    }
+  }
+
+  /** The committed batches of a [[publishBatch]] root, as one dataset.
+    * Lists `batch=*` dirs bearing the `_COMMITTED` marker (driver-side
+    * metadata only) and reads exactly those. Returns None when nothing
+    * has committed yet (distinct from an empty committed batch). */
+  def readCommitted(spark: SparkSession, root: String): Option[DataFrame] = {
+    val f = fs(spark, root)
+    val rootPath = new Path(root)
+    if (!f.exists(rootPath)) return None
+    val dirs = f.listStatus(rootPath).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch=") &&
+        f.exists(new Path(st.getPath, "_COMMITTED")))
+      .map(_.getPath.toString)
+    if (dirs.isEmpty) None
+    else Some(spark.read.parquet(dirs: _*))
+  }
+
+  /** Write-audit-publish. Stages `df` under `root/_tmp/staging_v{version}`,
     * re-reads the STAGED FILES and audits them ([[Check]] constraints +
     * optional exact row-count expectation), then either promotes
     * (rename to `root/v{version}`, pointer swap — after which

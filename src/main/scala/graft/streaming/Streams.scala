@@ -730,4 +730,29 @@ object Streams {
       .option("path", path).option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(trigger))
       .outputMode(OutputMode.Append).start()
+
+  /** Streaming write-audit-publish: continuous ingest where every
+    * micro-batch is gated BEFORE it becomes visible. Each batch runs
+    * [[graft.operators.Publish.publishBatch]] — stage, audit the
+    * staged files against `constraints`, commit under `root/batch=N`
+    * with a `_COMMITTED` marker written last; a dirty batch is dropped
+    * whole (its rows never reach the served corpus) and the stream
+    * continues. Readers see exactly the committed batches via
+    * [[graft.operators.Publish.readCommitted]]. Idempotent across
+    * restarts: foreachBatch re-delivery of a committed id is a no-op,
+    * so the sink is exactly-once per batch. Runs to completion with
+    * AvailableNow (the replay/backfill shape); swap the trigger for
+    * always-on ingest. */
+  def streamingPublish(src: DataFrame, root: String, checkpoint: String,
+      constraints: Seq[graft.operators.Check.Constraint]): StreamingQuery = {
+    val q = src.writeStream.foreachBatch {
+      (batch: DataFrame, id: java.lang.Long) =>
+        graft.operators.Publish.publishBatch(batch, root, id, constraints): Unit
+    }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
 }

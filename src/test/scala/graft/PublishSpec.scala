@@ -109,6 +109,68 @@ class PublishSpec extends SparkTestBase {
     } finally graft.streaming.Streams.deleteRecursivelyNoFollow(root)
   }
 
+  /** One staged parquet file with a controlled mtime — the file source
+    * replays in mtime order, so slice k is exactly micro-batch k. */
+  private def stageSlice(dir: String, df: org.apache.spark.sql.DataFrame,
+      mtime: Long): Unit = {
+    val p = java.nio.file.Files.createTempDirectory("graft_pub_stage")
+    df.coalesce(1).write.mode("overwrite").parquet(p.toString)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val part = p.toFile.listFiles().filter(_.getName.startsWith("part-")).head
+    val dst = java.nio.file.Paths.get(dir, part.getName)
+    java.nio.file.Files.move(part.toPath, dst)
+    dst.toFile.setLastModified(mtime): Unit
+    graft.streaming.Streams.deleteRecursivelyNoFollow(p.toString)
+  }
+
+  test("publishBatch: marker is the commit point; idempotent per id; dirty batch invisible") {
+    val root = freshRoot("pub_batch")
+    try {
+      val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      assert(Publish.publishBatch(df, root, 0L))
+      assert(Publish.publishBatch(df, root, 0L)) // re-delivery: no-op commit
+      assertProduces(Publish.readCommitted(spark, root).get,
+        Seq(Seq(1L, "a"), Seq(2L, "b"))) // committed ONCE, not doubled
+      val dirty = Seq[(Option[Long], String)]((None, "z")).toDF("k", "v")
+      assert(!Publish.publishBatch(dirty, root, 1L, Seq(Check.NotNull("k"))))
+      assert(!new java.io.File(s"$root/batch=1").exists())
+      assert(!new java.io.File(s"$root/_tmp/batch_1").exists())
+      assertProduces(Publish.readCommitted(spark, root).get,
+        Seq(Seq(1L, "a"), Seq(2L, "b")))
+      // an uncommitted leftover dir (crashed attempt) is replaced
+      new java.io.File(s"$root/batch=2").mkdirs()
+      assert(Publish.publishBatch(Seq((3L, "c")).toDF("k", "v"), root, 2L))
+      assertProduces(Publish.readCommitted(spark, root).get,
+        Seq(Seq(1L, "a"), Seq(2L, "b"), Seq(3L, "c")))
+    } finally graft.streaming.Streams.deleteRecursivelyNoFollow(root)
+  }
+
+  test("streamingPublish: per-micro-batch gate — dirty batches dropped whole") {
+    val root = freshRoot("spub")
+    try {
+      val stage = s"$root/stage"
+      // 4 slices = 4 micro-batches; slice 2 carries a null key → its
+      // WHOLE batch must be dropped, the stream continues
+      val slices = Seq(
+        Seq[(Option[Long], String)]((Some(1L), "a"), (Some(2L), "b")),
+        Seq[(Option[Long], String)]((Some(3L), "c")),
+        Seq[(Option[Long], String)]((Some(4L), "d"), (None, "poison")),
+        Seq[(Option[Long], String)]((Some(5L), "e")))
+      slices.zipWithIndex.foreach { case (rows, k) =>
+        stageSlice(stage, rows.toDF("k", "v"), (k + 1L) * 1000L)
+      }
+      val src = spark.readStream.schema("k LONG, v STRING")
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+      graft.streaming.Streams.streamingPublish(
+        src, s"$root/pub", s"$root/ckpt", Seq(Check.NotNull("k")))
+      assertProduces(Publish.readCommitted(spark, s"$root/pub").get,
+        Seq(Seq(1L, "a"), Seq(2L, "b"), Seq(3L, "c"), Seq(5L, "e")))
+      val batchDirs = new java.io.File(s"$root/pub").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("batch=")).map(_.getName)
+      assert(batchDirs.length == 3, s"expected 3 committed dirs, got ${batchDirs.toSeq}")
+    } finally graft.streaming.Streams.deleteRecursivelyNoFollow(root)
+  }
+
   test("dedupAudit: `kept` is exactly the nearDupDedup survivor set; sizes add up") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val audit = Dedup.dedupAudit(docs, threshold = 0.6).cache()
