@@ -171,6 +171,38 @@ class PublishSpec extends SparkTestBase {
     } finally graft.streaming.Streams.deleteRecursivelyNoFollow(root)
   }
 
+  test("streamingPublish: restart from checkpoint commits each batch exactly once") {
+    val root = freshRoot("spub_restart")
+    try {
+      val stage = s"$root/stage"
+      def run(): Unit = {
+        val src = spark.readStream.schema("k LONG, v STRING")
+          .option("maxFilesPerTrigger", 1).parquet(stage)
+        graft.streaming.Streams.streamingPublish(
+          src, s"$root/pub", s"$root/ckpt", Seq(Check.NotNull("k")))
+        ()
+      }
+      // generation 1: two clean slices
+      stageSlice(stage, Seq((1L, "a")).toDF("k", "v"), 1000L)
+      stageSlice(stage, Seq((2L, "b")).toDF("k", "v"), 2000L)
+      run()
+      assertProduces(Publish.readCommitted(spark, s"$root/pub").get,
+        Seq(Seq(1L, "a"), Seq(2L, "b")))
+      // generation 2: restart over late-arriving slices, one dirty
+      stageSlice(stage,
+        Seq[(Option[Long], String)]((None, "poison")).toDF("k", "v"), 3000L)
+      stageSlice(stage, Seq((3L, "c")).toDF("k", "v"), 4000L)
+      run()
+      // gen-1 batches not re-committed (no doubling), dirty batch
+      // dropped, late clean batch committed
+      assertProduces(Publish.readCommitted(spark, s"$root/pub").get,
+        Seq(Seq(1L, "a"), Seq(2L, "b"), Seq(3L, "c")))
+      val committed = new java.io.File(s"$root/pub").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("batch=")).map(_.getName)
+      assert(committed.length == 3, s"expected 3 committed dirs, got ${committed.toSeq}")
+    } finally graft.streaming.Streams.deleteRecursivelyNoFollow(root)
+  }
+
   test("dedupAudit: `kept` is exactly the nearDupDedup survivor set; sizes add up") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val audit = Dedup.dedupAudit(docs, threshold = 0.6).cache()
