@@ -11,7 +11,8 @@ import scala.util.Random
 /** Differential fuzz of multigroup/cogroup (reference
   * MultiGroupBy.java:42-195 semantics): random inputs (1-3 relations,
   * 1-2 key columns, nullable keys and values, keys missing from some
-  * inputs, empty relations) cogrouped by VALUE equality — null keys
+  * inputs, empty relations, payload-less key-only inputs — the
+  * `_empty`-struct tagging path) cogrouped by VALUE equality — null keys
   * land in one group, MapReduce-style — with the multibuffer draining
   * the per-input iterators in a RANDOM order each case (out-of-order
   * access exercises the TagCursor parking path; in-order the streaming
@@ -58,16 +59,22 @@ object MultiGroupPropSpec extends Properties("MultiGroup.differential") {
       val keyCols = (0 until nKey).map(i => s"k$i")
       // row fan: small key range forces collisions; 15% null keys makes
       // the null-group semantics load-bearing in most cases
+      // ~1 in 5 inputs is PAYLOAD-LESS (key columns only — the tap whose
+      // rows just witness the key): the engine carries its `_empty`
+      // struct; both sides read its row values as null
+      val hasVal = Vector.fill(nIn)(r.nextInt(10) < 8)
       val inputRows: IndexedSeq[Seq[Seq[Any]]] = (0 until nIn).map { _ =>
         Seq.fill(r.nextInt(8))(
           (0 until nKey).map(_ => lOrNull(r, 15, 0, 2)) :+ lOrNull(r, 20, 0, 4))
       }
-      val schema = StructType(
-        keyCols.map(k => StructField(k, LongType, nullable = true)) :+
-          StructField("v", LongType, nullable = true))
-      val dfs = inputRows.map { rows =>
+      val dfs = inputRows.zipWithIndex.map { case (rows, i) =>
+        val schema = StructType(
+          keyCols.map(k => StructField(k, LongType, nullable = true)) ++
+            (if (hasVal(i)) Seq(StructField("v", LongType, nullable = true))
+             else Nil))
         val jl = new java.util.ArrayList[Row]()
-        rows.foreach(t => jl.add(Row.fromSeq(t)))
+        rows.foreach(t => jl.add(Row.fromSeq(
+          if (hasVal(i)) t else t.take(nKey))))
         spark.createDataFrame(jl, schema)
       }
       val perm = r.shuffle((0 until nIn).toList)
@@ -75,18 +82,22 @@ object MultiGroupPropSpec extends Properties("MultiGroup.differential") {
       val outTypes = Vector.fill(outNames.size)(LongType: DataType)
       val nInL = nIn // avoid capturing the Random in the closure
       val permL = perm
+      val hvL = hasVal
       val engine = MultiGroup.multigroupStream(
         dfs, keyCols, outNames, outTypes) { (_, its) =>
         val drained = Array.fill[Seq[Any]](nInL)(null)
-        permL.foreach(i => drained(i) = its(i).map(_.get(0)).toSeq)
+        permL.foreach(i => drained(i) =
+          its(i).map(row => if (hvL(i)) row.get(0) else null).toSeq)
         emit(nInL, drained.toIndexedSeq).iterator
       }.collect().toSeq.map(_.toSeq)
 
       // model: group by key-tuple value equality across all inputs
       val keys = inputRows.flatten.map(_.take(nKey)).distinct
       val model = keys.flatMap { kv =>
-        val perInput = (0 until nIn).map(i =>
-          inputRows(i).filter(_.take(nKey) == kv).map(_.last))
+        val perInput = (0 until nIn).map { i =>
+          val rs = inputRows(i).filter(_.take(nKey) == kv)
+          if (hasVal(i)) rs.map(_.last) else rs.map(_ => null)
+        }
         emit(nIn, perInput).map(kv ++ _)
       }
       (norm(model) == norm(engine)) :|
