@@ -146,6 +146,37 @@ object Publish {
     }
   }
 
+  /** Retention for a [[publish]] root (vacuum): delete published
+    * versions older than the newest `keepLast`, never the currently
+    * served one. Returns the deleted version numbers. Staging leftovers
+    * under `_tmp/` older than the current version are cleaned too (a
+    * crashed publish's debris). Driver-side metadata listing + one
+    * recursive delete per expired version — no data read.
+    *
+    * The pointer is the safety contract: [[current]] resolves through
+    * `_LATEST`, so expiring v1..vN-k can never break a reader that
+    * re-resolves; a reader holding a file handle into an expired
+    * version is the same snapshot-expiry contract every table format
+    * has (retention must exceed the longest query). */
+  def expireVersions(spark: SparkSession, root: String,
+      keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val f = fs(spark, root)
+    val cur = currentVersion(spark, root).getOrElse(
+      sys.error(s"publish root $root has no published version"))
+    val versions = f.listStatus(new Path(root)).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.matches("v\\d+"))
+      .map(_.getPath.getName.drop(1).toLong).sorted
+    val expire = versions.dropRight(keepLast).filter(_ != cur)
+    expire.foreach(v => f.delete(new Path(root, s"v$v"), true))
+    val tmp = new Path(root, "_tmp")
+    if (f.exists(tmp)) f.listStatus(tmp).toSeq
+      .filter(st => st.getPath.getName.matches("staging_v\\d+") &&
+        st.getPath.getName.stripPrefix("staging_v").toLong < cur)
+      .foreach(st => f.delete(st.getPath, true))
+    expire
+  }
+
   /** The committed batches of a [[publishBatch]] root, as one dataset.
     * Lists `batch=*` dirs bearing the `_COMMITTED` marker (driver-side
     * metadata only) and reads exactly those. Returns None when nothing

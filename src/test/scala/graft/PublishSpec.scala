@@ -109,6 +109,28 @@ class PublishSpec extends SparkTestBase {
     } finally graft.streaming.Streams.deleteRecursivelyNoFollow(root)
   }
 
+  test("expireVersions: keeps the newest N and always the served version") {
+    val root = freshRoot("pub_expire")
+    try {
+      (1L to 4L).foreach { v =>
+        assert(Publish.publish(Seq((v, s"v$v")).toDF("k", "v"), root, v).published)
+      }
+      val expired = Publish.expireVersions(spark, root, keepLast = 2)
+      assert(expired == Seq(1L, 2L), s"expired $expired")
+      assert(!new java.io.File(s"$root/v1").exists())
+      assert(!new java.io.File(s"$root/v2").exists())
+      assert(new java.io.File(s"$root/v3").exists())
+      assertProduces(Publish.current(spark, root), Seq(Seq(4L, "v4")))
+      // crashed-staging debris below the current version is cleaned
+      new java.io.File(s"$root/_tmp/staging_v2").mkdirs()
+      assert(Publish.expireVersions(spark, root, keepLast = 2).isEmpty)
+      assert(!new java.io.File(s"$root/_tmp/staging_v2").exists())
+      // keepLast never deletes the served version even if out of window
+      intercept[IllegalArgumentException](
+        Publish.expireVersions(spark, root, keepLast = 0))
+    } finally graft.streaming.Streams.deleteRecursivelyNoFollow(root)
+  }
+
   /** One staged parquet file with a controlled mtime — the file source
     * replays in mtime order, so slice k is exactly micro-batch k. */
   private def stageSlice(dir: String, df: org.apache.spark.sql.DataFrame,
