@@ -1919,8 +1919,12 @@ object SparkEntry {
     val bytes = frag.map(_._2).sum
     val rep = Publish.compact(s, s"$root/frag", s"$root/compacted",
       targetBytes = (bytes + 3) / 4, sortCols = Seq("l_orderkey"))
-    require(rep.filesOut == 4,
-      s"compaction must land 4 target-sized files, got ${rep.filesOut}")
+    // <= not ==: repartitionByRange derives boundaries by SAMPLING, and
+    // an empty range partition emits no file — skewed/small inputs can
+    // legitimately land fewer than ceil(bytes/target) files. The real
+    // gates are the disjoint key ranges below and the lossless hashes.
+    require(rep.filesOut >= 1 && rep.filesOut <= 4,
+      s"compaction must land at most 4 target-sized files, got ${rep.filesOut}")
     // clustering proof: per-file key ranges (4 driver rows) are disjoint
     val ranges = s.read.parquet(s"$root/compacted")
       .groupBy(input_file_name().as("f"))

@@ -1,30 +1,55 @@
 package graft.operators
 
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Dataset lifecycle at rest: small-file compaction and
-  * write-audit-publish — the two maintenance operations a corpus that is
-  * WRITTEN continuously (recrawl deltas, annotation passes, dedup
-  * rewrites) needs beside the query operators.
+/** Dataset lifecycle at rest: small-file compaction, write-audit-publish,
+  * and retention — the maintenance operations a corpus that is WRITTEN
+  * continuously (recrawl deltas, annotation passes, dedup rewrites)
+  * needs beside the query operators.
   *
-  * Both speak the Hadoop FileSystem API, so "directory" means the same
-  * thing it does on a cluster (HDFS rename is atomic; on object stores
-  * the [[publish]] pointer file IS the atomic commit — the same
+  * Everything speaks the Hadoop FileSystem API, so "directory" means the
+  * same thing it does on a cluster (HDFS rename is atomic; on object
+  * stores the [[publish]] pointer file IS the atomic commit — the same
   * metadata-pointer idea table formats use, reduced to one file).
+  * Single writer per root is assumed (the usual table-format contract
+  * without a lock service); readers are unlimited.
+  *
+  * Commit points, stated once:
+  *  - versioned roots ([[publish]]): the POINTER SWAP commits. The swap
+  *    is one atomic overwriting rename, so a reader always sees the old
+  *    pointer or the new one — never a missing or torn one. A `v{n}`
+  *    directory above the pointer is therefore *provably uncommitted*
+  *    (versions are strictly increasing), which is what makes a crashed
+  *    publish re-runnable: the re-run replaces the orphan dir.
+  *  - batch roots ([[publishBatch]]): the `_MANIFEST` rewrite commits.
+  *    The per-dir `_COMMITTED` marker survives as the integrity marker
+  *    (a dir without it is a crashed write), and the manifest is healed
+  *    from the markers on the next commit, so a crash between marker
+  *    and manifest loses no data — it delays visibility by one batch.
   *
   * At 100 TB:
   *  - [[compact]] is one distributed read→exchange→write per run; the
   *    file listing is driver-side METADATA (names + lengths only, no
   *    data), and the output file count is sized from measured input
   *    bytes, not guessed. Range mode keeps a sort key clustered so
-  *    min/max footer pruning survives the rewrite.
+  *    min/max footer pruning survives the rewrite. The rewrite stages
+  *    under a sibling `_tmp` dir and promotes by rename — a mid-job
+  *    failure never leaves a half-written output dir.
   *  - [[publish]] stages the full write OFF the serving path, audits the
   *    staged files themselves (constraints run on what readers would
   *    see, not on the DataFrame that produced it), and promotes by one
   *    rename + one pointer swap — readers never observe a half-written
   *    version, and a failed audit leaves the previous version serving.
+  *  - [[foldBatches]] + [[expireBatches]] bound a streaming root: without
+  *    them a long-running [[publishBatch]] root accumulates `batch=N`
+  *    dirs forever. Folding re-publishes the committed union as one
+  *    versioned dataset (reusing [[publish]]'s stage/audit/commit), and
+  *    expiry deletes the folded dirs; `_MANIFEST` makes committed-batch
+  *    discovery ONE file read instead of an O(dirs) recursive listing —
+  *    the difference between a constant and a full prefix scan on an
+  *    object store.
   */
 object Publish {
 
@@ -38,11 +63,65 @@ object Publish {
       violations.map { case (n, v) => s"$n=$v" }.mkString(",")
   }
 
+  /** Outcome of [[foldBatches]]: the version now serving the fold, the
+    * highest batch id it covers, and the batch ids it absorbed. */
+  final case class FoldReport(
+      version: Long, foldedThrough: Long, batchesFolded: Seq[Long],
+      rows: Long, published: Boolean, violations: Seq[(String, Long)])
+
+  /** Commit record of a [[publishBatch]] root: `foldedVersion` is the
+    * `v{n}` dir holding every batch with id <= `foldedThrough`
+    * (None/-1 before the first fold); `batches` are the committed,
+    * not-yet-folded batch ids. */
+  final case class BatchManifest(
+      foldedVersion: Option[Long], foldedThrough: Long, batches: Seq[Long])
+
   private def fs(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Test-only crash injection: invoked with a label at each commit-
+    * protocol step boundary; PublishSpec's crash matrix throws from it
+    * to simulate a failure exactly there. No-op in production. */
+  private[graft] val noHook: String => Unit = _ => ()
+
+  /** Atomic overwriting rename: `dst` is replaced in one step, so a
+    * concurrent reader sees the old file or the new one, never a
+    * missing/torn one. Local paths go through NIO's ATOMIC_MOVE (the
+    * Hadoop local FS emulates overwrite by delete-then-rename, which is
+    * exactly the torn window this exists to close); everything else
+    * uses FileContext.rename(OVERWRITE), which is atomic on HDFS. */
+  private def atomicOverwrite(spark: SparkSession, src: Path, dst: Path): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val f = src.getFileSystem(conf)
+    if (f.getScheme == "file") {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      Files.move(
+        Paths.get(f.makeQualified(src).toUri.getPath),
+        Paths.get(f.makeQualified(dst).toUri.getPath),
+        StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING): Unit
+    } else {
+      FileContext.getFileContext(f.getUri, conf)
+        .rename(src, dst, Options.Rename.OVERWRITE)
+    }
+  }
+
+  /** Write `content` at `dst` atomically (tmp file + overwriting rename). */
+  private def atomicWrite(spark: SparkSession, dst: Path, content: String): Unit = {
+    val f = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(dst.getParent, s".${dst.getName}.tmp")
+    val out = f.create(tmp, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+    atomicOverwrite(spark, tmp, dst)
+  }
+
+  private def readSmallFile(f: FileSystem, p: Path): String = {
+    val in = f.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+  }
+
   /** Data files under `dir` (recursive), ignoring underscore/dot-prefixed
-    * metadata (_SUCCESS, _manifest, .crc) — the same visibility rule
+    * metadata (_SUCCESS, _MANIFEST, .crc) — the same visibility rule
     * Spark's readers apply. */
   def dataFiles(spark: SparkSession, dir: String): Seq[(String, Long)] = {
     val f = fs(spark, dir)
@@ -57,16 +136,35 @@ object Publish {
     out.result()
   }
 
+  /** True when `child` equals or sits under `ancestor` (both qualified). */
+  private def sameOrUnder(ancestor: Path, child: Path): Boolean = {
+    var p: Path = child
+    while (p != null) {
+      if (p == ancestor) return true
+      p = p.getParent
+    }
+    false
+  }
+
   /** Rewrite the parquet dataset at `inDir` into ceil(bytes/target)
     * files at `outDir`. With `sortCols`, rows range-partition + sort on
     * the key (compaction preserves clustering, so footer min/max pruning
     * on that key keeps working); without, round-robin (uniform file
     * sizes, no skew exposure). Returns measured in/out listings. The
     * rewrite is one job: size estimation reads NO data, only the
-    * listing. */
+    * listing. The output stages under a sibling `_tmp_compact_*` dir and
+    * promotes by rename, so a mid-job failure leaves `outDir` untouched
+    * (or absent) — never half-written; `outDir` must not overlap
+    * `inDir` in either direction (an in-place rewrite would read and
+    * delete the same files). */
   def compact(spark: SparkSession, inDir: String, outDir: String,
       targetBytes: Long, sortCols: Seq[String] = Nil): CompactReport = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val f = fs(spark, outDir)
+    val inQ = f.makeQualified(new Path(inDir))
+    val outQ = f.makeQualified(new Path(outDir))
+    require(!sameOrUnder(inQ, outQ) && !sameOrUnder(outQ, inQ),
+      s"compact: outDir $outQ overlaps inDir $inQ — an in-place rewrite would corrupt the input")
     val in = dataFiles(spark, inDir)
     require(in.nonEmpty, s"compact: no data files under $inDir")
     val bytesIn = in.map(_._2).sum
@@ -76,7 +174,11 @@ object Publish {
       if (sortCols.isEmpty) df.repartition(nOut)
       else df.repartitionByRange(nOut, sortCols.map(col): _*)
         .sortWithinPartitions(sortCols.map(col): _*)
-    shaped.write.mode("overwrite").parquet(outDir)
+    val staging = new Path(outQ.getParent, s"_tmp_compact_${outQ.getName}")
+    if (f.exists(staging)) f.delete(staging, true)
+    shaped.write.mode("error").parquet(staging.toString)
+    if (f.exists(outQ)) f.delete(outQ, true)
+    require(f.rename(staging, outQ), s"rename $staging -> $outQ failed")
     val out = dataFiles(spark, outDir)
     CompactReport(in.size, bytesIn, out.size, out.map(_._2).sum)
   }
@@ -90,13 +192,7 @@ object Publish {
     val f = fs(spark, root)
     val p = pointer(root)
     if (!f.exists(p)) None
-    else {
-      val in = f.open(p)
-      try {
-        val s = scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-        Some(s.toLong)
-      } finally in.close()
-    }
+    else Some(readSmallFile(f, p).trim.toLong)
   }
 
   /** The currently-published dataset. Throws if nothing has been
@@ -107,31 +203,104 @@ object Publish {
     spark.read.parquet(s"$root/v$v")
   }
 
+  private def manifestPath(root: String) = new Path(root, "_MANIFEST")
+
+  /** The commit record of a [[publishBatch]] root — one file read. None
+    * for a root never written through the manifest protocol (legacy
+    * roots fall back to the marker listing in [[readCommitted]]). */
+  def readManifest(spark: SparkSession, root: String): Option[BatchManifest] = {
+    val f = fs(spark, root)
+    val p = manifestPath(root)
+    if (!f.exists(p)) None
+    else {
+      val lines = readSmallFile(f, p).linesIterator.map(_.trim)
+        .filter(_.nonEmpty).toSeq
+      val kv = lines.map { l =>
+        val Array(k, v) = l.split("=", 2); (k, v)
+      }
+      Some(BatchManifest(
+        kv.collectFirst { case ("foldedVersion", v) => v.toLong },
+        kv.collectFirst { case ("foldedThrough", v) => v.toLong }.getOrElse(-1L),
+        kv.collect { case ("batch", v) => v.toLong }.sorted))
+    }
+  }
+
+  private def writeManifest(spark: SparkSession, root: String,
+      m: BatchManifest): Unit = {
+    val sb = new StringBuilder
+    m.foldedVersion.foreach(v => sb ++= s"foldedVersion=$v\n")
+    sb ++= s"foldedThrough=${m.foldedThrough}\n"
+    m.batches.sorted.foreach(b => sb ++= s"batch=$b\n")
+    atomicWrite(spark, manifestPath(root), sb.toString)
+  }
+
+  /** Committed `batch=N` dirs on disk with id > `aboveId`, by marker.
+    * Writer-side listing (rare); readers go through the manifest. */
+  private def markedBatchDirs(f: FileSystem, root: String,
+      aboveId: Long): Seq[Long] = {
+    val rootPath = new Path(root)
+    if (!f.exists(rootPath)) Nil
+    else f.listStatus(rootPath).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+      .map(_.getPath.getName.stripPrefix("batch=").toLong)
+      .filter(id => id > aboveId &&
+        f.exists(new Path(new Path(root, s"batch=$id"), "_COMMITTED")))
+      .sorted
+  }
+
+  /** Rewrite the manifest from the on-disk markers (keeping the folded
+    * fields) — the self-healing step every commit runs, so a crash
+    * between a batch's marker and its manifest line is repaired by the
+    * next commit rather than losing the batch. */
+  private def healManifest(spark: SparkSession, root: String): BatchManifest = {
+    val f = fs(spark, root)
+    val old = readManifest(spark, root)
+      .getOrElse(BatchManifest(None, -1L, Nil))
+    val m = old.copy(batches = markedBatchDirs(f, root, old.foldedThrough))
+    writeManifest(spark, root, m)
+    m
+  }
+
   /** Per-micro-batch write-audit-COMMIT — the streaming face of the
     * publish pattern ([[graft.streaming.Streams.streamingPublish]]
     * drives it from `foreachBatch`): the batch stages under
     * `root/_tmp/batch_{id}`, the STAGED FILES are audited, and a clean
-    * batch promotes to `root/batch={id}` with a `_COMMITTED` marker
-    * written LAST — readers ([[readCommitted]]) union exactly the
-    * marked dirs, so a half-written or failed batch is never visible.
-    * A dirty batch's staging is deleted and the batch skipped: the
-    * served corpus never sees it.
+    * batch promotes to `root/batch={id}` with a `_COMMITTED` marker and
+    * a `_MANIFEST` line written LAST — readers ([[readCommitted]]) union
+    * exactly the manifest's dirs, so a half-written or failed batch is
+    * never visible. A dirty batch's staging is deleted and the batch
+    * skipped: the served corpus never sees it.
     *
     * Idempotent per batch id (foreachBatch re-delivers a batch after a
-    * restart): an already-committed id returns true without rewriting;
-    * an uncommitted leftover dir from a crashed attempt is replaced.
+    * restart): an id at or below the manifest's `foldedThrough` (its
+    * rows live in the folded version; the dir may be expired) or an
+    * already-committed id returns true without rewriting; an
+    * uncommitted leftover dir from a crashed attempt is replaced.
     * Returns whether the batch is committed. */
   def publishBatch(df: DataFrame, root: String, batchId: Long,
-      constraints: Seq[Check.Constraint] = Nil): Boolean = {
+      constraints: Seq[Check.Constraint] = Nil): Boolean =
+    publishBatchImpl(df, root, batchId, constraints, noHook)
+
+  private[graft] def publishBatchImpl(df: DataFrame, root: String,
+      batchId: Long, constraints: Seq[Check.Constraint],
+      hook: String => Unit): Boolean = {
     val spark = df.sparkSession
     val f = fs(spark, root)
+    if (readManifest(spark, root).exists(_.foldedThrough >= batchId))
+      return true // folded away: re-delivery after fold+expire is a no-op
     val finalPath = new Path(root, s"batch=$batchId")
     val marker = new Path(finalPath, "_COMMITTED")
-    if (f.exists(marker)) return true
+    if (f.exists(marker)) {
+      // committed but possibly missing its manifest line (crash between
+      // marker and manifest): heal rather than silently return
+      healManifest(spark, root): Unit
+      return true
+    }
     if (f.exists(finalPath)) f.delete(finalPath, true) // crashed, uncommitted
     val stagingPath = new Path(root, s"_tmp/batch_$batchId")
     if (f.exists(stagingPath)) f.delete(stagingPath, true)
     df.write.mode("error").parquet(stagingPath.toString)
+    hook("staged")
     val clean = constraints.isEmpty || {
       val staged = spark.read.parquet(stagingPath.toString)
       !Check.check(staged, constraints).collect()
@@ -141,7 +310,10 @@ object Publish {
     else {
       require(f.rename(stagingPath, finalPath),
         s"rename $stagingPath -> $finalPath failed")
-      f.create(marker, true).close() // marker LAST: commit point
+      hook("renamed")
+      f.create(marker, true).close() // integrity marker
+      hook("marked")
+      healManifest(spark, root): Unit // manifest line LAST: visibility point
       true
     }
   }
@@ -177,40 +349,140 @@ object Publish {
     expire
   }
 
-  /** The committed batches of a [[publishBatch]] root, as one dataset.
-    * Lists `batch=*` dirs bearing the `_COMMITTED` marker (driver-side
-    * metadata only) and reads exactly those. Returns None when nothing
-    * has committed yet (distinct from an empty committed batch). */
+  /** The committed batches of a [[publishBatch]] root, as one dataset:
+    * the folded version (if any) plus the committed batch dirs. With a
+    * `_MANIFEST` present, discovery is ONE file read and the reads go to
+    * the named paths directly; a legacy root without one falls back to
+    * the `_COMMITTED`-marker listing. Returns None when nothing has
+    * committed yet (distinct from an empty committed batch). */
   def readCommitted(spark: SparkSession, root: String): Option[DataFrame] = {
     val f = fs(spark, root)
+    readManifest(spark, root) match {
+      case Some(m) =>
+        val parts = m.foldedVersion.map(v => s"$root/v$v").toSeq ++
+          m.batches.map(id => s"$root/batch=$id")
+        if (parts.isEmpty) None else Some(spark.read.parquet(parts: _*))
+      case None =>
+        val rootPath = new Path(root)
+        if (!f.exists(rootPath)) return None
+        val dirs = f.listStatus(rootPath).toSeq
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch=") &&
+            f.exists(new Path(st.getPath, "_COMMITTED")))
+          .map(_.getPath.toString)
+        if (dirs.isEmpty) None
+        else Some(spark.read.parquet(dirs: _*))
+    }
+  }
+
+  /** Fold a [[publishBatch]] root's committed batches into ONE published
+    * version — the retention step that keeps a long-running streaming
+    * root bounded. Reads the previous fold (if any) plus every committed
+    * batch, rewrites them as ceil(bytes/targetBytes) files (the
+    * [[compact]] sizing rule, measured from the listings), and commits
+    * through the full [[publish]] machinery: stage off the serving path,
+    * audit the STAGED FILES, atomic rename + pointer swap. Only after
+    * the publish commits does the manifest swap to the new fold, so a
+    * crash anywhere leaves readers on the exact previous committed view
+    * and a re-run converges (the orphan `v{n}` is provably uncommitted
+    * and gets replaced). The folded `batch=N` dirs stay on disk until
+    * [[expireBatches]] — fold is non-destructive by itself.
+    *
+    * A failed audit publishes nothing and leaves manifest and batches
+    * untouched. Scale shape: one distributed read→exchange→write over
+    * the folded bytes + one audit pass; everything else is metadata. */
+  def foldBatches(spark: SparkSession, root: String,
+      targetBytes: Long = 128L << 20,
+      constraints: Seq[Check.Constraint] = Nil): FoldReport =
+    foldBatchesImpl(spark, root, targetBytes, constraints, noHook)
+
+  private[graft] def foldBatchesImpl(spark: SparkSession, root: String,
+      targetBytes: Long, constraints: Seq[Check.Constraint],
+      hook: String => Unit): FoldReport = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val man = healManifest(spark, root)
+    require(man.batches.nonEmpty,
+      s"foldBatches: no committed unfolded batches under $root")
+    val parts = man.foldedVersion.map(v => s"$root/v$v").toSeq ++
+      man.batches.map(id => s"$root/batch=$id")
+    val bytes = parts.map(p => dataFiles(spark, p).map(_._2).sum).sum
+    val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val df = spark.read.parquet(parts: _*).repartition(nOut)
+    val version = math.max(
+      currentVersion(spark, root).getOrElse(0L),
+      man.foldedVersion.getOrElse(0L)) + 1
+    val rep = publish(df, root, version, constraints)
+    val through = math.max(man.foldedThrough, man.batches.max)
+    if (rep.published) {
+      hook("published")
+      // manifest swap is the fold's visibility point: readers move from
+      // (old fold + batches) to (new fold) in one atomic file replace
+      writeManifest(spark, root,
+        BatchManifest(Some(version), through, Nil))
+    }
+    FoldReport(version, through, man.batches, rep.rows, rep.published,
+      rep.violations)
+  }
+
+  /** Delete the `batch=N` dirs already absorbed by a fold (id <=
+    * manifest `foldedThrough`) plus their staging debris — the
+    * destructive half of [[foldBatches]], separated the same way
+    * [[expireVersions]] is from [[publish]]. Never touches a manifest-
+    * listed batch (those have id > foldedThrough by invariant) or the
+    * folded version itself; a reader that re-resolves through the
+    * manifest never references an expired dir. Superseded pre-fold
+    * versions under the same root are vacuumed too (keepLast=1 —
+    * the fold chain only ever serves the newest). Returns the expired
+    * batch ids. */
+  def expireBatches(spark: SparkSession, root: String): Seq[Long] = {
+    val f = fs(spark, root)
+    val man = readManifest(spark, root).getOrElse(return Nil)
+    if (man.foldedThrough < 0) return Nil
     val rootPath = new Path(root)
-    if (!f.exists(rootPath)) return None
-    val dirs = f.listStatus(rootPath).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch=") &&
-        f.exists(new Path(st.getPath, "_COMMITTED")))
-      .map(_.getPath.toString)
-    if (dirs.isEmpty) None
-    else Some(spark.read.parquet(dirs: _*))
+    if (!f.exists(rootPath)) return Nil
+    val folded = f.listStatus(rootPath).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+      .map(_.getPath.getName.stripPrefix("batch=").toLong)
+      .filter(_ <= man.foldedThrough).sorted
+    folded.foreach(id => f.delete(new Path(root, s"batch=$id"), true))
+    val tmp = new Path(root, "_tmp")
+    if (f.exists(tmp)) f.listStatus(tmp).toSeq
+      .filter(st => st.getPath.getName.matches("batch_\\d+") &&
+        st.getPath.getName.stripPrefix("batch_").toLong <= man.foldedThrough)
+      .foreach(st => f.delete(st.getPath, true))
+    if (man.foldedVersion.isDefined) expireVersions(spark, root, 1): Unit
+    folded
   }
 
   /** Write-audit-publish. Stages `df` under `root/_tmp/staging_v{version}`,
     * re-reads the STAGED FILES and audits them ([[Check]] constraints +
     * optional exact row-count expectation), then either promotes
-    * (rename to `root/v{version}`, pointer swap — after which
+    * (rename to `root/v{version}`, atomic pointer swap — after which
     * [[current]] serves this version) or deletes the staging dir and
     * reports the violations, leaving the previous version serving.
     *
     * Versions are strictly increasing: publishing at or below the
     * current version fails loudly rather than silently rewriting
     * history (a re-run with the same version is a pipeline bug, not an
-    * idempotent no-op — the staged bytes could differ).
+    * idempotent no-op — the staged bytes could differ). A `v{version}`
+    * dir ABOVE the current pointer is a different story: the pointer is
+    * the commit point, so such a dir is provably the debris of a crash
+    * between rename and pointer swap, and the publish replaces it —
+    * re-running a torn publish converges instead of wedging.
     *
     * The audit reads the staged parquet, so it covers the full
     * write-path (encoders, codecs, schema) — not just the logical plan
-    * that produced the data. */
+    * that produced the data. Single-scan constraints (rows, not_null,
+    * in_range) fold into ONE aggregation over the staged files; key-
+    * level constraints (unique, ref_in) each add their own job
+    * ([[Check.check]]). */
   def publish(df: DataFrame, root: String, version: Long,
       constraints: Seq[Check.Constraint] = Nil,
-      expectRows: Option[Long] = None): PublishReport = {
+      expectRows: Option[Long] = None): PublishReport =
+    publishImpl(df, root, version, constraints, expectRows, noHook)
+
+  private[graft] def publishImpl(df: DataFrame, root: String, version: Long,
+      constraints: Seq[Check.Constraint], expectRows: Option[Long],
+      hook: String => Unit): PublishReport = {
     val spark = df.sparkSession
     val f = fs(spark, root)
     currentVersion(spark, root).foreach { cur =>
@@ -222,10 +494,12 @@ object Publish {
     // every staged file, no hidden-path fallback involved)
     val stagingPath = new Path(root, s"_tmp/staging_v$version")
     val finalPath = new Path(root, s"v$version")
-    require(!f.exists(finalPath),
-      s"publish target $finalPath already exists (unpublished leftover? clean it explicitly)")
+    // version > current (checked above), so an existing finalPath was
+    // never pointed at — uncommitted debris of a torn publish; replace it
+    if (f.exists(finalPath)) f.delete(finalPath, true)
     if (f.exists(stagingPath)) f.delete(stagingPath, true)
     df.write.mode("error").parquet(stagingPath.toString)
+    hook("staged")
 
     val staged = spark.read.parquet(stagingPath.toString)
     val report =
@@ -246,16 +520,17 @@ object Publish {
       f.delete(stagingPath, true)
       PublishReport(version, published = false, rows, violations)
     } else {
+      hook("audited")
       require(f.rename(stagingPath, finalPath),
         s"rename $stagingPath -> $finalPath failed")
-      // pointer swap: write-then-rename so readers see the old pointer
-      // or the new one, never a torn file
+      hook("renamed")
+      // pointer swap: write-then-ATOMIC-OVERWRITE-rename, so a reader
+      // sees the old pointer or the new one — never a missing or torn
+      // file (a delete-then-rename would open exactly that window)
       val tmp = new Path(root, s"_LATEST.tmp$version")
       val out = f.create(tmp, true)
       try out.write(version.toString.getBytes("UTF-8")) finally out.close()
-      val ptr = pointer(root)
-      if (f.exists(ptr)) f.delete(ptr, false)
-      require(f.rename(tmp, ptr), s"pointer swap to $ptr failed")
+      atomicOverwrite(spark, tmp, pointer(root))
       PublishReport(version, published = true, rows, Nil)
     }
   }

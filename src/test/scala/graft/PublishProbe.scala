@@ -9,9 +9,12 @@ import org.apache.spark.sql.functions._
   * cost at sf0.01 vs sf0.1 (10× rows). The claims under test:
   *  - compact is one distributed rewrite job — cost tracks BYTES, the
   *    driver-side listing is metadata-only;
-  *  - publish's audit costs one pass over the staged files (count +
-  *    constraint aggregations), so audit overhead stays a small
-  *    multiple of the stage write at any scale. */
+  *  - publish's audit folds the row count and every single-scan
+  *    constraint (not_null, in_range) into ONE aggregation over the
+  *    staged files — with the constraints below the audit is exactly
+  *    one scan (key-level unique/ref_in constraints would add one job
+  *    each) — so audit overhead stays a small multiple of the stage
+  *    write at any scale. */
 object PublishProbe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")

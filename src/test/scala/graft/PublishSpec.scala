@@ -145,7 +145,7 @@ class PublishSpec extends SparkTestBase {
     graft.streaming.Streams.deleteRecursivelyNoFollow(p.toString)
   }
 
-  test("publishBatch: marker is the commit point; idempotent per id; dirty batch invisible") {
+  test("publishBatch: manifest commits, marker carries integrity; idempotent per id; dirty batch invisible") {
     val root = freshRoot("pub_batch")
     try {
       val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
@@ -222,6 +222,237 @@ class PublishSpec extends SparkTestBase {
       val committed = new java.io.File(s"$root/pub").listFiles()
         .filter(f => f.isDirectory && f.getName.startsWith("batch=")).map(_.getName)
       assert(committed.length == 3, s"expected 3 committed dirs, got ${committed.toSeq}")
+    } finally graft.streaming.Streams.deleteRecursivelyNoFollow(root)
+  }
+
+  // ---- streaming-root retention: fold + expire + manifest ----------
+
+  private def crash(at: String): String => Unit =
+    step => if (step == at) throw new RuntimeException(s"injected crash at $at")
+
+  test("foldBatches/expireBatches: committed batches fold into one version, dirs expire, re-delivery stays a no-op") {
+    val root = freshRoot("fold")
+    try {
+      val b = Seq(
+        Seq((1L, "a"), (2L, "b")), Seq((3L, "c")), Seq((4L, "d")))
+      b.zipWithIndex.foreach { case (rows, i) =>
+        assert(Publish.publishBatch(rows.toDF("k", "v"), root, i.toLong))
+      }
+      // dirty batch 3 rejected — must not appear in the fold
+      assert(!Publish.publishBatch(
+        Seq[(Option[Long], String)]((None, "poison")).toDF("k", "v"),
+        root, 3L, Seq(Check.NotNull("k"))))
+      val all = Seq(Seq(1L, "a"), Seq(2L, "b"), Seq(3L, "c"), Seq(4L, "d"))
+      assertProduces(Publish.readCommitted(spark, root).get, all)
+
+      val rep = Publish.foldBatches(spark, root, targetBytes = 1L << 20,
+        constraints = Seq(Check.NotNull("k")))
+      assert(rep.published && rep.batchesFolded == Seq(0L, 1L, 2L))
+      assert(rep.foldedThrough == 2L && rep.rows == 4L)
+      val man = Publish.readManifest(spark, root).get
+      assert(man == Publish.BatchManifest(Some(rep.version), 2L, Nil))
+      // fold is non-destructive; the view is unchanged either way
+      assertProduces(Publish.readCommitted(spark, root).get, all)
+      val expired = Publish.expireBatches(spark, root)
+      assert(expired == Seq(0L, 1L, 2L), s"expired $expired")
+      (0 to 2).foreach(i =>
+        assert(!new java.io.File(s"$root/batch=$i").exists()))
+      assertProduces(Publish.readCommitted(spark, root).get, all)
+      // re-delivery of a folded-and-expired id: no-op, dir NOT recreated
+      assert(Publish.publishBatch(b.head.toDF("k", "v"), root, 0L))
+      assert(!new java.io.File(s"$root/batch=0").exists())
+      assertProduces(Publish.readCommitted(spark, root).get, all)
+      // life goes on: a post-fold batch commits beside the fold
+      assert(Publish.publishBatch(Seq((5L, "e")).toDF("k", "v"), root, 4L))
+      assertProduces(Publish.readCommitted(spark, root).get,
+        all :+ Seq(5L, "e"))
+      // second fold absorbs the fold + the new batch; old version vacuumed
+      val rep2 = Publish.foldBatches(spark, root, targetBytes = 1L << 20)
+      assert(rep2.published && rep2.batchesFolded == Seq(4L) &&
+        rep2.foldedThrough == 4L && rep2.rows == 5L)
+      assert(Publish.expireBatches(spark, root) == Seq(4L))
+      assert(!new java.io.File(s"$root/v${rep.version}").exists(),
+        "superseded fold version must be vacuumed")
+      assertProduces(Publish.readCommitted(spark, root).get,
+        all :+ Seq(5L, "e"))
+    } finally graft.streaming.Streams.deleteRecursivelyNoFollow(root)
+  }
+
+  test("foldBatches: failed audit leaves manifest, batches, and view untouched") {
+    val root = freshRoot("fold_fail")
+    try {
+      assert(Publish.publishBatch(
+        Seq[(Option[Long], String)]((Some(1L), "a"), (None, "z"))
+          .toDF("k", "v"), root, 0L))
+      val before = Publish.readManifest(spark, root).get
+      val rep = Publish.foldBatches(spark, root,
+        constraints = Seq(Check.NotNull("k")))
+      assert(!rep.published && rep.violations.nonEmpty)
+      assert(Publish.readManifest(spark, root).get == before)
+      assert(Publish.expireBatches(spark, root).isEmpty)
+      assert(Publish.readCommitted(spark, root).get.count() == 2)
+    } finally graft.streaming.Streams.deleteRecursivelyNoFollow(root)
+  }
+
+  test("readCommitted: legacy root without a manifest falls back to the marker listing") {
+    val root = freshRoot("legacy")
+    try {
+      assert(Publish.publishBatch(Seq((1L, "a")).toDF("k", "v"), root, 0L))
+      // simulate a pre-manifest root
+      assert(new java.io.File(s"$root/_MANIFEST").delete())
+      assertProduces(Publish.readCommitted(spark, root).get, Seq(Seq(1L, "a")))
+      // the next commit heals the manifest from the markers
+      assert(Publish.publishBatch(Seq((2L, "b")).toDF("k", "v"), root, 1L))
+      assert(Publish.readManifest(spark, root).get.batches == Seq(0L, 1L))
+    } finally graft.streaming.Streams.deleteRecursivelyNoFollow(root)
+  }
+
+  // ---- crash-point matrix: reader-visible state is always exactly ----
+  // ---- old-or-new, and recovery (re-run or expire) converges      ----
+
+  test("crash matrix / publish post-stage: old version serves; re-run and expire both recover") {
+    val root = freshRoot("crash_pub_stage")
+    try {
+      assert(Publish.publish(Seq((1L, "a")).toDF("k", "v"), root, 1L).published)
+      val v2 = Seq((2L, "b")).toDF("k", "v")
+      intercept[RuntimeException](
+        Publish.publishImpl(v2, root, 2L, Nil, None, crash("staged")))
+      // reader-visible state: exactly the old version
+      assert(Publish.currentVersion(spark, root).contains(1L))
+      assertProduces(Publish.current(spark, root), Seq(Seq(1L, "a")))
+      assert(new java.io.File(s"$root/_tmp/staging_v2").exists())
+      // recovery path A: re-run replaces the stale staging and commits
+      assert(Publish.publish(v2, root, 2L).published)
+      assertProduces(Publish.current(spark, root), Seq(Seq(2L, "b")))
+      // recovery path B: expire vacuums staging debris below current
+      intercept[RuntimeException](
+        Publish.publishImpl(v2, root, 3L, Nil, None, crash("staged")))
+      assert(Publish.publish(Seq((3L, "c")).toDF("k", "v"), root, 4L).published)
+      Publish.expireVersions(spark, root, keepLast = 10)
+      assert(!new java.io.File(s"$root/_tmp/staging_v3").exists())
+    } finally graft.streaming.Streams.deleteRecursivelyNoFollow(root)
+  }
+
+  test("crash matrix / publish post-audit and post-rename (pre-pointer-swap): pointer commits, orphan version is replaced on re-run") {
+    val root = freshRoot("crash_pub_rename")
+    try {
+      assert(Publish.publish(Seq((1L, "a")).toDF("k", "v"), root, 1L).published)
+      val v2 = Seq((2L, "b")).toDF("k", "v")
+      intercept[RuntimeException](
+        Publish.publishImpl(v2, root, 2L, Nil, None, crash("audited")))
+      assert(Publish.currentVersion(spark, root).contains(1L))
+      assert(Publish.publish(v2, root, 2L).published)
+      // crash AFTER the v3 dir renames but BEFORE the pointer swap:
+      // v3 exists on disk yet is provably uncommitted (pointer = commit)
+      val v3 = Seq((3L, "c")).toDF("k", "v")
+      intercept[RuntimeException](
+        Publish.publishImpl(v3, root, 3L, Nil, None, crash("renamed")))
+      assert(new java.io.File(s"$root/v3").exists())
+      assert(Publish.currentVersion(spark, root).contains(2L),
+        "reader must still see the old version after a torn publish")
+      assertProduces(Publish.current(spark, root), Seq(Seq(2L, "b")))
+      // re-run converges: the orphan dir is debris, replaced wholesale
+      val r = Publish.publish(Seq((3L, "C")).toDF("k", "v"), root, 3L)
+      assert(r.published)
+      assertProduces(Publish.current(spark, root), Seq(Seq(3L, "C")))
+      // first-publish torn swap: same story with no prior version
+      val root2 = freshRoot("crash_pub_first")
+      try {
+        intercept[RuntimeException](Publish.publishImpl(
+          Seq((9L, "x")).toDF("k", "v"), root2, 1L, Nil, None, crash("renamed")))
+        assert(Publish.currentVersion(spark, root2).isEmpty)
+        assert(Publish.publish(Seq((9L, "x")).toDF("k", "v"), root2, 1L).published)
+        assertProduces(Publish.current(spark, root2), Seq(Seq(9L, "x")))
+      } finally graft.streaming.Streams.deleteRecursivelyNoFollow(root2)
+    } finally graft.streaming.Streams.deleteRecursivelyNoFollow(root)
+  }
+
+  test("crash matrix / publishBatch post-rename (pre-marker): batch invisible; re-delivery commits it") {
+    val root = freshRoot("crash_batch_rename")
+    try {
+      assert(Publish.publishBatch(Seq((1L, "a")).toDF("k", "v"), root, 0L))
+      val b1 = Seq((2L, "b")).toDF("k", "v")
+      intercept[RuntimeException](
+        Publish.publishBatchImpl(b1, root, 1L, Nil, crash("renamed")))
+      // dir exists but carries no marker → not visible anywhere
+      assert(new java.io.File(s"$root/batch=1").exists())
+      assert(!new java.io.File(s"$root/batch=1/_COMMITTED").exists())
+      assertProduces(Publish.readCommitted(spark, root).get, Seq(Seq(1L, "a")))
+      // re-delivery replaces the crashed dir and commits exactly once
+      assert(Publish.publishBatch(b1, root, 1L))
+      assertProduces(Publish.readCommitted(spark, root).get,
+        Seq(Seq(1L, "a"), Seq(2L, "b")))
+    } finally graft.streaming.Streams.deleteRecursivelyNoFollow(root)
+  }
+
+  test("crash matrix / publishBatch post-marker (pre-manifest): heals on re-delivery or next commit, never doubles") {
+    val root = freshRoot("crash_batch_marker")
+    try {
+      assert(Publish.publishBatch(Seq((1L, "a")).toDF("k", "v"), root, 0L))
+      val b1 = Seq((2L, "b")).toDF("k", "v")
+      intercept[RuntimeException](
+        Publish.publishBatchImpl(b1, root, 1L, Nil, crash("marked")))
+      // marker is down, manifest line is not: durable but not yet visible
+      assert(new java.io.File(s"$root/batch=1/_COMMITTED").exists())
+      assert(Publish.readManifest(spark, root).get.batches == Seq(0L))
+      // heal path A: re-delivery of the same id repairs the manifest
+      assert(Publish.publishBatch(b1, root, 1L))
+      assert(Publish.readManifest(spark, root).get.batches == Seq(0L, 1L))
+      assertProduces(Publish.readCommitted(spark, root).get,
+        Seq(Seq(1L, "a"), Seq(2L, "b"))) // committed ONCE, not doubled
+      // heal path B: a crash before ANY heal is repaired by the next batch
+      intercept[RuntimeException](Publish.publishBatchImpl(
+        Seq((3L, "c")).toDF("k", "v"), root, 2L, Nil, crash("marked")))
+      assert(Publish.publishBatch(Seq((4L, "d")).toDF("k", "v"), root, 3L))
+      assert(Publish.readManifest(spark, root).get.batches ==
+        Seq(0L, 1L, 2L, 3L))
+    } finally graft.streaming.Streams.deleteRecursivelyNoFollow(root)
+  }
+
+  test("crash matrix / foldBatches post-publish (pre-manifest-swap): readers keep the old view; re-run converges") {
+    val root = freshRoot("crash_fold")
+    try {
+      assert(Publish.publishBatch(Seq((1L, "a")).toDF("k", "v"), root, 0L))
+      assert(Publish.publishBatch(Seq((2L, "b")).toDF("k", "v"), root, 1L))
+      val all = Seq(Seq(1L, "a"), Seq(2L, "b"))
+      intercept[RuntimeException](Publish.foldBatchesImpl(
+        spark, root, 1L << 20, Nil, crash("published")))
+      // the fold's version published but the manifest never swapped:
+      // readers still resolve the batch view — the exact old state
+      val man = Publish.readManifest(spark, root).get
+      assert(man.foldedVersion.isEmpty && man.batches == Seq(0L, 1L))
+      assertProduces(Publish.readCommitted(spark, root).get, all)
+      assert(Publish.expireBatches(spark, root).isEmpty,
+        "expire must not touch batches the manifest still references")
+      // re-run converges: folds again at the next version, then expiry
+      // vacuums both the orphan version and the folded dirs
+      val rep = Publish.foldBatchesImpl(spark, root, 1L << 20, Nil, Publish.noHook)
+      assert(rep.published && rep.foldedThrough == 1L)
+      assert(Publish.expireBatches(spark, root) == Seq(0L, 1L))
+      assert(!new java.io.File(s"$root/v${rep.version - 1}").exists(),
+        "orphan fold version must be vacuumed by expiry")
+      assertProduces(Publish.readCommitted(spark, root).get, all)
+    } finally graft.streaming.Streams.deleteRecursivelyNoFollow(root)
+  }
+
+  test("compact: stages then promotes — outDir never half-written; overlap with inDir refused") {
+    val root = freshRoot("compact_stage")
+    try {
+      (1L to 100L).toDF("k").repartition(4).write.parquet(s"$root/in")
+      // in-place / nested rewrites are refused in both directions
+      intercept[IllegalArgumentException](
+        Publish.compact(spark, s"$root/in", s"$root/in", 1L << 20))
+      intercept[IllegalArgumentException](
+        Publish.compact(spark, s"$root/in", s"$root/in/sub", 1L << 20))
+      intercept[IllegalArgumentException](
+        Publish.compact(spark, s"$root/in", root, 1L << 20))
+      // a leftover staging dir from a crashed run is replaced on re-run
+      new java.io.File(s"$root/_tmp_compact_out").mkdirs()
+      val rep = Publish.compact(spark, s"$root/in", s"$root/out", 1L << 20)
+      assert(rep.filesOut >= 1)
+      assert(!new java.io.File(s"$root/_tmp_compact_out").exists(),
+        "staging dir must be promoted away")
+      assert(spark.read.parquet(s"$root/out").count() == 100)
     } finally graft.streaming.Streams.deleteRecursivelyNoFollow(root)
   }
 
