@@ -1996,6 +1996,102 @@ object SparkEntry {
   private def p94(s: SparkSession, d: String): DataFrame =
     Dedup.dedupAudit(tbl(d, "documents")(s), threshold = 0.6)
 
+  /** One staged parquet file with a controlled mtime: the file source
+    * replays in modification-time order with maxFilesPerTrigger=1, so
+    * slice k is exactly micro-batch k (the PublishSpec idiom). */
+  private def stageSliceFile(dir: String, df: DataFrame, mtime: Long): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_p95_stage")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val part = tmp.toFile.listFiles().filter(_.getName.startsWith("part-")).head
+    val dst = java.nio.file.Paths.get(dir, part.getName)
+    java.nio.file.Files.move(part.toPath, dst)
+    dst.toFile.setLastModified(mtime): Unit
+    graft.streaming.Streams.deleteRecursivelyNoFollow(tmp.toString)
+  }
+
+  /** STREAMING-ROOT RETENTION in the oracle gate
+    * ([[graft.operators.Publish.foldBatches]] / `expireBatches` /
+    * `_MANIFEST` — the lifecycle step that keeps a continuously-written
+    * [[graft.streaming.Streams.streamingPublish]] root BOUNDED: without
+    * it the root grows one `batch=N` dir per micro-batch forever and
+    * committed-batch discovery pays an O(dirs) listing per read).
+    *
+    * The replay: orders sliced into 6 single-file micro-batches by
+    * `o_orderkey % 6`; slice 3's `o_custkey` is nulled so its WHOLE
+    * batch fails the NotNull audit and never becomes visible. Run 1
+    * streams slices 0..3 (ids 0,1,2 commit; 3 rejected), then
+    * `foldBatches` publishes the committed union as v1 through the full
+    * stage/audit/commit machinery and `expireBatches` deletes the
+    * folded dirs. The query REQUIRES on disk: manifest ==
+    * (foldedVersion=1, foldedThrough=2, no batches), the folded dirs
+    * gone, re-delivery of a folded id a NO-OP (dir not recreated), and
+    * the poisoned slice still rejected on re-delivery. Run 2 restarts
+    * the stream from the SAME checkpoint over two late slices (ids 4,5
+    * commit beside the fold — exactly-once, nothing re-processed).
+    * The returned aggregate of [[graft.operators.Publish.readCommitted]]
+    * (= v1 ∪ batch=4 ∪ batch=5) hash-matches the plain
+    * `WHERE o_orderkey % 6 <> 3` oracle — the fold/expire cycle is
+    * lossless and the rejected batch stayed invisible. */
+  private def p95(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.{Check, Publish}
+    val root = scratchDir("p95_fold", d)
+    graft.streaming.Streams.deleteRecursivelyNoFollow(root)
+    val pub = s"$root/pub"
+    val stage = s"$root/stage"
+    val base = tbl(d, "orders")(s)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    def slice(k: Int): DataFrame = {
+      val sl = base.filter(col("o_orderkey") % 6 === k)
+      if (k == 3) sl.withColumn("o_custkey", lit(null).cast("long")) else sl
+    }
+    val checks = Seq(Check.NotNull("o_custkey"))
+    def run(): Unit = {
+      val src = s.readStream.schema(s.read.parquet(stage).schema)
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+      graft.streaming.Streams.streamingPublish(
+        src, pub, s"$root/ckpt", checks): Unit
+    }
+    (0 to 3).foreach(k => stageSliceFile(stage, slice(k), (k + 1L) * 1000L))
+    run()
+    require(Publish.readManifest(s, pub)
+        .contains(Publish.BatchManifest(None, -1L, Seq(0L, 1L, 2L))),
+      s"run 1 must commit ids 0,1,2 and reject the poisoned 3: ${Publish.readManifest(s, pub)}")
+    val fold = Publish.foldBatches(s, pub, targetBytes = 64L << 20, checks)
+    require(fold.published && fold.version == 1L &&
+        fold.foldedThrough == 2L && fold.batchesFolded == Seq(0L, 1L, 2L),
+      s"fold must publish v1 over ids 0,1,2: $fold")
+    val expired = Publish.expireBatches(s, pub)
+    require(expired == Seq(0L, 1L, 2L), s"expire must vacuum the folded dirs, got $expired")
+    require(Publish.readManifest(s, pub)
+        .contains(Publish.BatchManifest(Some(1L), 2L, Nil)),
+      s"manifest must record the fold: ${Publish.readManifest(s, pub)}")
+    (0 to 2).foreach(k => require(!new java.io.File(s"$pub/batch=$k").exists(),
+      s"folded dir batch=$k must be expired"))
+    // re-delivery after fold+expire: a folded id is a no-op (no dir
+    // reappears); the poisoned slice re-audits and is rejected again
+    require(Publish.publishBatch(slice(0), pub, 0L, checks),
+      "re-delivery of a folded id must report committed")
+    require(!new java.io.File(s"$pub/batch=0").exists(),
+      "re-delivery of a folded id must not recreate its dir")
+    require(!Publish.publishBatch(slice(3), pub, 3L, checks),
+      "the poisoned batch must stay rejected on re-delivery")
+    // run 2: late slices through the SAME checkpoint — ids continue at 4
+    (4 to 5).foreach(k => stageSliceFile(stage, slice(k), (k + 1L) * 1000L))
+    run()
+    require(Publish.readManifest(s, pub)
+        .contains(Publish.BatchManifest(Some(1L), 2L, Seq(4L, 5L))),
+      s"run 2 must commit ids 4,5 beside the fold: ${Publish.readManifest(s, pub)}")
+    p95Agg(Publish.readCommitted(s, pub).get)
+  }
+
+  private def p95Agg(df: DataFrame): DataFrame =
+    df.groupBy((col("o_orderkey") % 97).as("bucket"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("o_custkey")).as("sum_ck"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .cast(DoubleType).as("sum_price"))
+
   /** Keyed snapshot upsert ([[graft.operators.Snapshot.upsert]]): orders
     * as the v0 snapshot, a derived delta (every 10th key re-annotated at
     * v1, every 170th tombstoned) merged in one max_by aggregation —
@@ -2378,7 +2474,8 @@ object SparkEntry {
     "p33_mixture_weights" -> (p33 _),
     "p92_compact" -> (p92 _),
     "p93_publish" -> (p93 _),
-    "p94_dedup_audit" -> (p94 _)
+    "p94_dedup_audit" -> (p94 _),
+    "p95_stream_retention" -> (p95 _)
   )
 
   /** q22's events rollup contract, shared VERBATIM by p82 (the streaming
@@ -2413,7 +2510,12 @@ object SparkEntry {
     "p88_stream_kmv" -> ((s, d) => p88Post(p88Transform(p88Staged(s, d)))),
     "p89_stream_cms" -> ((s, d) => p89Post(s, d)(p89Transform(p89Staged(s, d)))),
     "p90_stream_lsh" -> ((s, d) => p90Post(p90Transform(p90Staged(s, d)))),
-    "p91_stream_embed" -> ((s, d) => p91Transform(p91Staged(s, d)))
+    "p91_stream_embed" -> ((s, d) => p91Transform(p91Staged(s, d))),
+    // p95's computation is the aggregate over the served union; the
+    // batch-equivalent plan is the same aggregate over the clean slices
+    "p95_stream_retention" -> ((s, d) => p95Agg(
+      tbl(d, "orders")(s).select("o_orderkey", "o_custkey", "o_totalprice")
+        .filter(col("o_orderkey") % 6 =!= 3)))
   )
 
   /** Shared by p55 (inline LPA) and p72 (LPA off the persisted
@@ -4813,7 +4915,17 @@ object SparkEntry {
         |  (comp.id IS NULL OR d.doc_id = sz.rep) AS kept
         |FROM documents d
         |LEFT JOIN comp ON comp.id = d.doc_id
-        |LEFT JOIN sz ON sz.component = comp.component""".stripMargin)
+        |LEFT JOIN sz ON sz.component = comp.component""".stripMargin),
+    // p95: the fold/expire cycle is lossless and the rejected batch
+    // (slice 3, nulled o_custkey) never became visible — the served
+    // union (fold v1 ∪ late batches) is the plain bucket-filtered
+    // source aggregate; the manifest/expiry/no-op-re-delivery layout
+    // requires live in the query
+    "p95_stream_retention" ->
+      """SELECT o_orderkey % 97 AS bucket, COUNT(*) AS cnt,
+        |  CAST(SUM(o_custkey) AS BIGINT) AS sum_ck,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_orderkey % 6 <> 3 GROUP BY 1""".stripMargin
   )
 
   /** p81: batched BPE training replayed round-for-round. Generated by

@@ -60,4 +60,29 @@ class DriverContractSpec extends SparkTestBase {
     val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(unoracled == Set("q23_sample"), s"queries without oracle: $unoracled")
   }
+
+  test("q23 sample: deterministic at fixed seed, rows a subset of the source, fraction inside the binomial bound") {
+    // the lone rows-only query gets a statistical contract instead of a
+    // hash: (1) the engine's Bernoulli RNG is seeded, so two runs on the
+    // same data and partitioning return the SAME rows; (2) every sampled
+    // row exists in the source; (3) the sampled count sits within 5σ of
+    // fraction·n (binomial) — a wrong-fraction or wrong-source
+    // regression trips this long before a human would notice
+    val d = "/root/testdata/sf0.001"
+    val q = SparkEntry.queries("q23_sample")
+    val run1 = q(spark, d).collect().map(_.toSeq).toSeq
+    val run2 = q(spark, d).collect().map(_.toSeq).toSeq
+    assert(run1 == run2, "fixed-seed sample must be run-to-run identical")
+    val srcRows = spark.read.parquet(s"$d/lineitem.parquet")
+      .select("l_orderkey", "l_linenumber").collect().map(_.toSeq)
+    val src = srcRows.toSet
+    assert(run1.forall(src.contains), "sampled rows must come from the source")
+    // n = true row count (the generated data carries duplicate pairs, so
+    // the distinct set undercounts the Bernoulli trials)
+    val n = srcRows.length.toDouble
+    val expect = 0.1 * n
+    val sigma = math.sqrt(n * 0.1 * 0.9)
+    assert(math.abs(run1.size - expect) <= 5 * sigma,
+      s"sampled ${run1.size} of $n rows — outside 5σ of the 10% Bernoulli bound")
+  }
 }
