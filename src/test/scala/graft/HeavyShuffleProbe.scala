@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.scheduler._
+import org.apache.spark.sql.SparkSession
+
+/** sf10 heavy-family probe (run manually, results in BASELINE.md):
+  * executes the dedup/graph heavy queries at a derived 100×-sf0.1
+  * dataset and reports, per query, the numbers a 100-TB claim actually
+  * rests on — wall time, total shuffle read/write bytes, the heaviest
+  * stage's shuffle, and the straggler ratio (max/median task duration
+  * over stages with enough tasks to make the ratio meaningful).
+  *
+  *   sbt "Test/runMain graft.HeavyShuffleProbe /tmp/graft_sf10 p11_neardup_dedup,..."
+  */
+object HeavyShuffleProbe {
+
+  private class Acc extends SparkListener {
+    final case class Stage(id: Int, shuffleRead: Long, shuffleWrite: Long,
+        tasks: Int, maxTaskMs: Long, medTaskMs: Long)
+    val stages = scala.collection.mutable.ArrayBuffer[Stage]()
+    private val durs =
+      scala.collection.mutable.HashMap[Int, scala.collection.mutable.ArrayBuffer[Long]]()
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = synchronized {
+      if (t.taskInfo != null)
+        durs.getOrElseUpdate(t.stageId,
+          scala.collection.mutable.ArrayBuffer[Long]()) += t.taskInfo.duration
+    }
+    override def onStageCompleted(s: SparkListenerStageCompleted): Unit = synchronized {
+      val m = s.stageInfo.taskMetrics
+      val d = durs.getOrElse(s.stageInfo.stageId,
+        scala.collection.mutable.ArrayBuffer[Long]()).sorted
+      stages += Stage(s.stageInfo.stageId,
+        m.shuffleReadMetrics.totalBytesRead, m.shuffleWriteMetrics.bytesWritten,
+        s.stageInfo.numTasks,
+        if (d.nonEmpty) d.last else 0L,
+        if (d.nonEmpty) d(d.length / 2) else 0L)
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/tmp/graft_sf10"
+    val names = (if (args.length > 1) args(1).split(",").toSeq
+      else Seq("p11_neardup_dedup", "p15_curate", "p17_neardup_star",
+        "p36_semantic_dedup", "p51_similarity_rank", "p72_candidates_tap"))
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    // optional 3rd arg: comma-separated session conf overrides, e.g.
+    // "spark.graft.maxBucketSize=256" to engage the hot-bucket guard
+    if (args.length > 2) args(2).split(",").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v)
+      println(s"conf: $k=$v")
+    }
+    println(f"${"query"}%-24s ${"wall_s"}%8s ${"rows"}%9s ${"shuf_rd"}%9s ${"shuf_wr"}%9s ${"hot_stage"}%10s ${"straggler"}%9s")
+    names.foreach { name =>
+      val acc = new Acc
+      spark.sparkContext.addSparkListener(acc)
+      val t0 = System.nanoTime()
+      val rows = SparkEntry.queries(name)(spark, dir).count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.removeSparkListener(acc)
+      val rd = acc.stages.map(_.shuffleRead).sum
+      val wr = acc.stages.map(_.shuffleWrite).sum
+      val hot = if (acc.stages.isEmpty) 0L
+        else acc.stages.map(s => math.max(s.shuffleRead, s.shuffleWrite)).max
+      // straggler = worst max/median task ratio over stages with >= 8
+      // tasks AND a non-trivial median (sub-50ms stages are all jitter)
+      val strag = acc.stages
+        .filter(s => s.tasks >= 8 && s.medTaskMs >= 50)
+        .map(s => s.maxTaskMs.toDouble / math.max(s.medTaskMs, 1L))
+        .reduceOption(_ max _).getOrElse(1.0)
+      def mb(b: Long) = f"${b / 1048576.0}%.0fMB"
+      println(f"$name%-24s $wall%8.1f $rows%9d ${mb(rd)}%9s ${mb(wr)}%9s ${mb(hot)}%10s $strag%8.1fx")
+      // the three stages whose WORST task ran longest — where a
+      // straggler actually costs wall-clock, with enough context
+      // (task count, median, shuffle volume) to name the operator
+      acc.stages.sortBy(-_.maxTaskMs).take(3).foreach { s =>
+        println(f"    stage ${s.id}%4d: tasks=${s.tasks}%3d med=${s.medTaskMs / 1000.0}%7.2fs max=${s.maxTaskMs / 1000.0}%7.2fs rd=${mb(s.shuffleRead)} wr=${mb(s.shuffleWrite)}")
+      }
+    }
+    spark.stop()
+  }
+}

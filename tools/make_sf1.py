@@ -7,7 +7,11 @@ types exactly (the ns-timestamp columns Spark reads under
 spark.sql.legacy.parquet.nanosAsLong must stay ns — a DuckDB rewrite
 would quietly retype them).
 
-    python3 tools/make_sf1.py [src_sf_dir] [dst_dir] [copies]
+    python3 tools/make_sf1.py [src_sf_dir] [dst_dir] [copies] [tables_csv]
+
+The optional tables_csv restricts generation to a subset (e.g.
+"documents,embeddings" for the sf10 heavy-family probe, where
+replicating lineitem 100x would buy nothing).
 
 The point of the probe (VERDICT r9 item 6): magnitudes — counts, sums,
 df/idf numerators, quantized-rational intermediates — grow 10x past the
@@ -26,6 +30,7 @@ import pyarrow.parquet as pq
 SRC = sys.argv[1] if len(sys.argv) > 1 else '/root/testdata/sf0.1'
 DST = sys.argv[2] if len(sys.argv) > 2 else '/tmp/graft_sf1'
 COPIES = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+TABLES = set(sys.argv[4].split(',')) if len(sys.argv) > 4 else None
 # far above any sf0.1 key (max l_orderkey ~ 6e5), far below 2^63/10
 OFFSET = 1_000_000_000
 
@@ -45,9 +50,13 @@ COPY_AS_IS = ['region', 'nation']
 def main():
     os.makedirs(DST, exist_ok=True)
     for t in COPY_AS_IS:
+        if TABLES and t not in TABLES:
+            continue
         shutil.copyfile(f'{SRC}/{t}.parquet', f'{DST}/{t}.parquet')
         print(f'{t}: copied')
     for t, keys in SHIFT.items():
+        if TABLES and t not in TABLES:
+            continue
         tab = pq.read_table(f'{SRC}/{t}.parquet')
         parts = [tab]
         for i in range(1, COPIES):
@@ -58,7 +67,7 @@ def main():
                 shifted = shifted.set_column(idx, shifted.schema.field(idx), newcol)
             parts.append(shifted)
         out = pa.concat_tables(parts)
-        pq.write_table(out, f'{DST}/{t}.parquet')
+        pq.write_table(out, f'{DST}/{t}.parquet', row_group_size=65536)
         print(f'{t}: {tab.num_rows} -> {out.num_rows} rows')
 
 

@@ -65,21 +65,21 @@ def main():
     orders = pq.read_table(f'{SRC}/orders.parquet')
     ck = zipf_remap(rng, cust, orders.num_rows)
     orders = set_col(orders, 'o_custkey', ck)
-    pq.write_table(orders, f'{DST}/orders.parquet')
+    pq.write_table(orders, f'{DST}/orders.parquet', row_group_size=65536)
     top = np.bincount(np.searchsorted(np.sort(np.unique(cust)), ck)).max()
     print(f'orders: o_custkey zipfed, hottest customer holds {top}/{orders.num_rows} rows')
 
     li = pq.read_table(f'{SRC}/lineitem.parquet')
     sk = zipf_remap(rng, supp, li.num_rows)
     li = set_col(li, 'l_suppkey', sk)
-    pq.write_table(li, f'{DST}/lineitem.parquet')
+    pq.write_table(li, f'{DST}/lineitem.parquet', row_group_size=65536)
     print(f'lineitem: l_suppkey zipfed over {len(np.unique(supp))} suppliers')
 
     ev = pq.read_table(f'{SRC}/events.parquet')
     users = ev.column('user_id').to_numpy()
     uk = zipf_remap(rng, users, ev.num_rows)
     ev = set_col(ev, 'user_id', uk)
-    pq.write_table(ev, f'{DST}/events.parquet')
+    pq.write_table(ev, f'{DST}/events.parquet', row_group_size=65536)
     topu = np.bincount(np.searchsorted(np.sort(np.unique(users)), uk)).max()
     print(f'events: user_id zipfed, hottest user holds {topu}/{ev.num_rows} rows')
 
@@ -95,7 +95,7 @@ def main():
     docs = set_col(docs, 'text', out_texts, pa.string())
     if 'n_chars' in docs.schema.names:
         docs = set_col(docs, 'n_chars', [len(t) for t in out_texts])
-    pq.write_table(docs, f'{DST}/documents.parquet')
+    pq.write_table(docs, f'{DST}/documents.parquet', row_group_size=65536)
     print(f'documents: {int(fam.sum())}/{len(ids)} docs -> one near-dup mega-family')
 
     embt = pq.read_table(f'{SRC}/embeddings.parquet')
@@ -105,7 +105,7 @@ def main():
     base_vec = vecs[int(np.argmin(vids))]
     out_vecs = [base_vec if f else v for v, f in zip(vecs, vfam)]
     embt = set_col(embt, 'embedding', out_vecs)
-    pq.write_table(embt, f'{DST}/embeddings.parquet')
+    pq.write_table(embt, f'{DST}/embeddings.parquet', row_group_size=65536)
     print(f'embeddings: {int(vfam.sum())}/{len(vids)} vectors -> one hot cell')
 
 
