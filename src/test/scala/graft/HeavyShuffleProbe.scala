@@ -64,14 +64,23 @@ object HeavyShuffleProbe {
       val wr = acc.stages.map(_.shuffleWrite).sum
       val hot = if (acc.stages.isEmpty) 0L
         else acc.stages.map(s => math.max(s.shuffleRead, s.shuffleWrite)).max
-      // straggler = worst max/median task ratio over stages with >= 8
-      // tasks AND a non-trivial median (sub-50ms stages are all jitter)
-      val strag = acc.stages
-        .filter(s => s.tasks >= 8 && s.medTaskMs >= 50)
+      // straggler = worst max/median task ratio. Two flavors: SHUFFLE
+      // stages (where a hot key actually skews the engine) and scan
+      // stages. Scan-stage ratios are gated on med >= 250ms because a
+      // single-file parquet input yields empty byte-range splits whose
+      // ~0ms median turns any real task into a fake 100x "straggler"
+      // (input-layout artifact, not a plan property).
+      def ratio(ss: Iterable[Acc#Stage]): Double = ss
         .map(s => s.maxTaskMs.toDouble / math.max(s.medTaskMs, 1L))
         .reduceOption(_ max _).getOrElse(1.0)
+      val shufStages = acc.stages.filter(s =>
+        s.tasks >= 8 && s.medTaskMs >= 50 && (s.shuffleRead > 0 || s.shuffleWrite > 0))
+      val scanStages = acc.stages.filter(s =>
+        s.tasks >= 8 && s.medTaskMs >= 250 && s.shuffleRead == 0 && s.shuffleWrite == 0)
+      val strag = ratio(shufStages)
+      val stragScan = ratio(scanStages)
       def mb(b: Long) = f"${b / 1048576.0}%.0fMB"
-      println(f"$name%-24s $wall%8.1f $rows%9d ${mb(rd)}%9s ${mb(wr)}%9s ${mb(hot)}%10s $strag%8.1fx")
+      println(f"$name%-24s $wall%8.1f $rows%9d ${mb(rd)}%9s ${mb(wr)}%9s ${mb(hot)}%10s $strag%8.1fx scan=$stragScan%.1fx")
       // the three stages whose WORST task ran longest — where a
       // straggler actually costs wall-clock, with enough context
       // (task count, median, shuffle volume) to name the operator

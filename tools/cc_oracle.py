@@ -58,7 +58,9 @@ con = duckdb.connect()
 con.sql(f"SET memory_limit='{os.environ.get('GRAFT_ORACLE_MEM', '48GB')}'")
 con.sql("SET temp_directory='/tmp/duckdb_spill'")
 for t in TABLES:
-    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    p = f'{sf}/{t}.parquet'
+    src = p + '/*.parquet' if os.path.isdir(p) else p
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
 edges = con.sql(edges_sql).fetchall()
 # the survivor oracles end `SELECT <id> FROM <table> ... LEFT JOIN comp

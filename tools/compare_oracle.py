@@ -68,7 +68,9 @@ def run_one(name, sql):
     # (back-to-back sweeps at sf0.1 can race each other's page cache)
     con.sql("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+        p = f'{sf}/{t}.parquet'
+        src = p + '/*.parquet' if os.path.isdir(p) else p
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     try:
         a = norm(con.sql(f"SELECT * FROM '{out}/{name}/*.parquet'").df())
         b = norm(con.sql(sql).df())

@@ -47,6 +47,27 @@ SHIFT = {
 COPY_AS_IS = ['region', 'nation']
 
 
+
+def write_multifile(out, path, files=16):
+    """Write a table as a DIRECTORY of `files` parquet parts (the
+    many-file shape production inputs actually have): a single-file
+    table gives Spark ~rows/65536 splittable row groups and a sea of
+    empty byte-range tasks, which poisons scan-stage task medians."""
+    import shutil
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    elif os.path.exists(path):
+        os.remove(path)
+    os.makedirs(path)
+    n = out.num_rows
+    step = (n + files - 1) // files
+    for i in range(files):
+        lo = i * step
+        if lo >= n:
+            break
+        pq.write_table(out.slice(lo, step), f'{path}/part-{i:03d}.parquet',
+                       row_group_size=65536)
+
 def main():
     os.makedirs(DST, exist_ok=True)
     for t in COPY_AS_IS:
@@ -67,7 +88,7 @@ def main():
                 shifted = shifted.set_column(idx, shifted.schema.field(idx), newcol)
             parts.append(shifted)
         out = pa.concat_tables(parts)
-        pq.write_table(out, f'{DST}/{t}.parquet', row_group_size=65536)
+        write_multifile(out, f'{DST}/{t}.parquet')
         print(f'{t}: {tab.num_rows} -> {out.num_rows} rows')
 
 
