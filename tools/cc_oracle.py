@@ -59,6 +59,8 @@ con.sql(f"SET memory_limit='{os.environ.get('GRAFT_ORACLE_MEM', '48GB')}'")
 con.sql("SET temp_directory='/tmp/duckdb_spill'")
 for t in TABLES:
     p = f'{sf}/{t}.parquet'
+    if not os.path.exists(p):
+        continue  # heavy-family probe dirs carry only documents/embeddings
     src = p + '/*.parquet' if os.path.isdir(p) else p
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 

@@ -19,9 +19,14 @@ families, token-length profile, n_chars, vector norms) is preserved:
     near-twins mutate IDENTICALLY (same doc text => same mutation) and
     so keep their within-copy similarity.
   - embeddings: each copy applies one seeded coordinate permutation to
-    every vector. Norms and component distributions are untouched;
-    cosine across copies of the same vector drops to noise (~N(0,1/d)),
-    so semantic-dedup families do not bridge copies.
+    every vector. Norms and component distributions are untouched, and
+    cross-copy cosine drops well below the usual ~0.8+ dup thresholds.
+    NOTE: it does NOT drop below p36's deliberately-low 0.2 threshold
+    (the driver's vectors are structured, so permuted copies keep
+    residual correlation) — at C=10, p36's sub-cap cells do all-pairs
+    and the corpus collapses to one survivor per cell (confirmed by the
+    split oracle: 8 = 8); at C=100 the 25k-vector cells engage the
+    hot-cell star-edge guard, which is the path the probe measures.
 
     python3 tools/make_sf_fresh.py [src_sf_dir] [dst_dir] [copies]
 
