@@ -25,10 +25,23 @@ object Stage {
   val ModeKey = "spark.graft.checkpoint.mode"
   val DirKey = "spark.graft.checkpoint.dir"
 
+  /** Storage level for `local` mode's checkpoint blocks. Spark's default
+    * (MEMORY_AND_DISK, deserialized) pins stage outputs in unified
+    * memory, squeezing execution memory on mega-duplicate corpora (the
+    * sf10-verbatim probe OOMs an 8g heap exactly this way —
+    * BASELINE.md round-13). `DISK_ONLY` or `MEMORY_AND_DISK_SER` trade
+    * re-read cost for execution headroom without leaving local mode. */
+  val LocalLevelKey = "spark.graft.checkpoint.localStorageLevel"
+
   def materialize(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     spark.conf.get(ModeKey, "local") match {
-      case "local" => df.localCheckpoint()
+      case "local" =>
+        spark.conf.get(LocalLevelKey, "") match {
+          case "" => df.localCheckpoint()
+          case lvl => df.localCheckpoint(eager = true,
+            org.apache.spark.storage.StorageLevel.fromString(lvl))
+        }
       case "reliable" =>
         if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
         else {

@@ -66,6 +66,22 @@ class StageSpec extends SparkTestBase {
     }
   }
 
+  test("local mode honors the storage-level knob and stays result-identical") {
+    def survivors = Dedup.nearDupDedup(docs, threshold = 0.6)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val default = withMode("local")(survivors)
+    for (lvl <- Seq("DISK_ONLY", "MEMORY_AND_DISK_SER")) {
+      spark.conf.set(Stage.LocalLevelKey, lvl)
+      try assert(withMode("local")(survivors) == default, s"$lvl diverged")
+      finally spark.conf.unset(Stage.LocalLevelKey)
+    }
+    // a bogus level fails loudly at the boundary, not deep in a job
+    spark.conf.set(Stage.LocalLevelKey, "NOT_A_LEVEL")
+    try assertThrows[IllegalArgumentException](
+      Stage.materialize(docs.limit(1)))
+    finally spark.conf.unset(Stage.LocalLevelKey)
+  }
+
   test("unknown mode fails loudly; reliable without a dir fails loudly") {
     val df = Seq((1L, "x")).toDF("id", "t")
     withMode("nonsense") {
