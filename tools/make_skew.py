@@ -6,7 +6,12 @@ recomputed by DuckDB from the same files), so this axis tests the
 ENGINE's behavior under skew — straggler tasks, hot LSH buckets, giant
 duplicate clusters — with correctness held fixed.
 
-    python3 tools/make_skew.py [src_sf_dir] [dst_dir]
+    python3 tools/make_skew.py [src_sf_dir] [dst_dir] [tables_csv]
+
+The optional tables_csv restricts derivation to a subset (e.g.
+"documents,embeddings" to skew the sf10 heavy-family corpus — the
+skew x 100x-scale composition, BASELINE round-13). Tables are written
+as 16-file dirs like the other generators (see write_multifile there).
 
 What it skews (deterministic, numpy PCG64 seed 42):
  - orders.o_custkey, events.user_id, lineitem.l_suppkey: remapped to a
@@ -32,6 +37,28 @@ import pyarrow.parquet as pq
 
 SRC = sys.argv[1] if len(sys.argv) > 1 else '/root/testdata/sf0.1'
 DST = sys.argv[2] if len(sys.argv) > 2 else '/tmp/graft_sf01_skew'
+TABLES = set(sys.argv[3].split(',')) if len(sys.argv) > 3 else None
+
+
+def want(t):
+    return TABLES is None or t in TABLES
+
+
+def write_multifile(out, path, files=16):
+    import os
+    import shutil
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    elif os.path.exists(path):
+        os.remove(path)
+    os.makedirs(path)
+    step = (out.num_rows + files - 1) // files
+    for i in range(files):
+        lo = i * step
+        if lo >= out.num_rows:
+            break
+        pq.write_table(out.slice(lo, step), f'{path}/part-{i:03d}.parquet',
+                       row_group_size=65536)
 
 ZIPF_A = 1.3
 
@@ -56,33 +83,41 @@ def main():
     rng = np.random.Generator(np.random.PCG64(42))
 
     for t in ['region', 'nation', 'customer', 'supplier', 'part']:
+        if not want(t):
+            continue
         shutil.copyfile(f'{SRC}/{t}.parquet', f'{DST}/{t}.parquet')
         print(f'{t}: copied')
 
-    cust = pq.read_table(f'{SRC}/customer.parquet').column('c_custkey').to_numpy()
-    supp = pq.read_table(f'{SRC}/supplier.parquet').column('s_suppkey').to_numpy()
+    if want('orders'):
+        cust = pq.read_table(f'{SRC}/customer.parquet').column('c_custkey').to_numpy()
 
-    orders = pq.read_table(f'{SRC}/orders.parquet')
-    ck = zipf_remap(rng, cust, orders.num_rows)
-    orders = set_col(orders, 'o_custkey', ck)
-    pq.write_table(orders, f'{DST}/orders.parquet', row_group_size=65536)
-    top = np.bincount(np.searchsorted(np.sort(np.unique(cust)), ck)).max()
-    print(f'orders: o_custkey zipfed, hottest customer holds {top}/{orders.num_rows} rows')
+        orders = pq.read_table(f'{SRC}/orders.parquet')
+        ck = zipf_remap(rng, cust, orders.num_rows)
+        orders = set_col(orders, 'o_custkey', ck)
+        pq.write_table(orders, f'{DST}/orders.parquet', row_group_size=65536)
+        top = np.bincount(np.searchsorted(np.sort(np.unique(cust)), ck)).max()
+        print(f'orders: o_custkey zipfed, hottest customer holds {top}/{orders.num_rows} rows')
 
-    li = pq.read_table(f'{SRC}/lineitem.parquet')
-    sk = zipf_remap(rng, supp, li.num_rows)
-    li = set_col(li, 'l_suppkey', sk)
-    pq.write_table(li, f'{DST}/lineitem.parquet', row_group_size=65536)
-    print(f'lineitem: l_suppkey zipfed over {len(np.unique(supp))} suppliers')
+    if want('lineitem'):
+        supp2 = pq.read_table(f'{SRC}/supplier.parquet').column('s_suppkey').to_numpy()
+        li = pq.read_table(f'{SRC}/lineitem.parquet')
+        sk = zipf_remap(rng, supp2, li.num_rows)
+        li = set_col(li, 'l_suppkey', sk)
+        pq.write_table(li, f'{DST}/lineitem.parquet', row_group_size=65536)
+        print(f'lineitem: l_suppkey zipfed over {len(np.unique(supp2))} suppliers')
 
-    ev = pq.read_table(f'{SRC}/events.parquet')
-    users = ev.column('user_id').to_numpy()
-    uk = zipf_remap(rng, users, ev.num_rows)
-    ev = set_col(ev, 'user_id', uk)
-    pq.write_table(ev, f'{DST}/events.parquet', row_group_size=65536)
-    topu = np.bincount(np.searchsorted(np.sort(np.unique(users)), uk)).max()
-    print(f'events: user_id zipfed, hottest user holds {topu}/{ev.num_rows} rows')
+    if want('events'):
+        ev = pq.read_table(f'{SRC}/events.parquet')
+        users = ev.column('user_id').to_numpy()
+        uk = zipf_remap(rng, users, ev.num_rows)
+        ev = set_col(ev, 'user_id', uk)
+        pq.write_table(ev, f'{DST}/events.parquet', row_group_size=65536)
+        topu = np.bincount(np.searchsorted(np.sort(np.unique(users)), uk)).max()
+        print(f'events: user_id zipfed, hottest user holds {topu}/{ev.num_rows} rows')
 
+    if not want('documents'):
+        if not want('embeddings'):
+            return
     docs = pq.read_table(f'{SRC}/documents.parquet')
     ids = docs.column('doc_id').to_numpy()
     texts = docs.column('text').to_pylist()
@@ -95,9 +130,12 @@ def main():
     docs = set_col(docs, 'text', out_texts, pa.string())
     if 'n_chars' in docs.schema.names:
         docs = set_col(docs, 'n_chars', [len(t) for t in out_texts])
-    pq.write_table(docs, f'{DST}/documents.parquet', row_group_size=65536)
-    print(f'documents: {int(fam.sum())}/{len(ids)} docs -> one near-dup mega-family')
+    if want('documents'):
+        write_multifile(docs, f'{DST}/documents.parquet')
+        print(f'documents: {int(fam.sum())}/{len(ids)} docs -> one near-dup mega-family')
 
+    if not want('embeddings'):
+        return
     embt = pq.read_table(f'{SRC}/embeddings.parquet')
     vids = embt.column('vec_id').to_numpy()
     vecs = embt.column('embedding').to_pylist()
@@ -105,7 +143,7 @@ def main():
     base_vec = vecs[int(np.argmin(vids))]
     out_vecs = [base_vec if f else v for v, f in zip(vecs, vfam)]
     embt = set_col(embt, 'embedding', out_vecs)
-    pq.write_table(embt, f'{DST}/embeddings.parquet', row_group_size=65536)
+    write_multifile(embt, f'{DST}/embeddings.parquet')
     print(f'embeddings: {int(vfam.sum())}/{len(vids)} vectors -> one hot cell')
 
 
