@@ -10,10 +10,13 @@ duplicate clusters — with correctness held fixed.
 
 The optional tables_csv restricts derivation to a subset (e.g.
 "documents,embeddings" to skew the sf10 heavy-family corpus — the
-skew x 100x-scale composition, BASELINE round-13). Tables are written
-as 16-file dirs like the other generators (see write_multifile there).
+skew x 100x-scale composition, BASELINE round-13). Rewritten tables are
+written as 16-file dirs like the other generators (see write_multifile
+there); untouched dimension tables are copied as-is, file or dir.
 
-What it skews (deterministic, numpy PCG64 seed 42):
+What it skews (deterministic: every table draws from its own PCG64
+seeded on md5("42:<table>"), so a tables_csv subset run produces
+bit-identical skew for each table it does generate — ADVICE r13):
  - orders.o_custkey, events.user_id, lineitem.l_suppkey: remapped to a
    zipf(a=1.3) draw over the existing key set — one viral customer /
    user / supplier carries ~30-40% of the fact rows, so every join or
@@ -35,6 +38,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
+import hashlib
+
 SRC = sys.argv[1] if len(sys.argv) > 1 else '/root/testdata/sf0.1'
 DST = sys.argv[2] if len(sys.argv) > 2 else '/tmp/graft_sf01_skew'
 TABLES = set(sys.argv[3].split(',')) if len(sys.argv) > 3 else None
@@ -42,6 +47,31 @@ TABLES = set(sys.argv[3].split(',')) if len(sys.argv) > 3 else None
 
 def want(t):
     return TABLES is None or t in TABLES
+
+
+def table_rng(name):
+    """Per-table generator so each table's skew is invariant to which
+    OTHER tables a tables_csv subset run skips (ADVICE r13: one shared
+    stream meant tables_csv=lineitem drew different zipf values than a
+    full run). md5, not hash(): Python's hash() is salted per-process."""
+    seed = int.from_bytes(hashlib.md5(f'42:{name}'.encode()).digest()[:8], 'little')
+    return np.random.Generator(np.random.PCG64(seed))
+
+
+def copy_table(src, dst):
+    """Copy a table that may be a single parquet file OR the 16-file
+    directory shape the scale-twin generators emit (ADVICE r13:
+    shutil.copyfile raises IsADirectoryError on the latter)."""
+    import os
+    import shutil
+    if os.path.isdir(dst):
+        shutil.rmtree(dst)
+    elif os.path.exists(dst):
+        os.remove(dst)
+    if os.path.isdir(src):
+        shutil.copytree(src, dst)
+    else:
+        shutil.copyfile(src, dst)
 
 
 def write_multifile(out, path, files=16):
@@ -78,73 +108,68 @@ def set_col(tab, name, values, typ=None):
 
 def main():
     import os
-    import shutil
     os.makedirs(DST, exist_ok=True)
-    rng = np.random.Generator(np.random.PCG64(42))
 
     for t in ['region', 'nation', 'customer', 'supplier', 'part']:
         if not want(t):
             continue
-        shutil.copyfile(f'{SRC}/{t}.parquet', f'{DST}/{t}.parquet')
+        copy_table(f'{SRC}/{t}.parquet', f'{DST}/{t}.parquet')
         print(f'{t}: copied')
 
     if want('orders'):
         cust = pq.read_table(f'{SRC}/customer.parquet').column('c_custkey').to_numpy()
-
         orders = pq.read_table(f'{SRC}/orders.parquet')
-        ck = zipf_remap(rng, cust, orders.num_rows)
+        ck = zipf_remap(table_rng('orders'), cust, orders.num_rows)
         orders = set_col(orders, 'o_custkey', ck)
-        pq.write_table(orders, f'{DST}/orders.parquet', row_group_size=65536)
+        write_multifile(orders, f'{DST}/orders.parquet')
         top = np.bincount(np.searchsorted(np.sort(np.unique(cust)), ck)).max()
         print(f'orders: o_custkey zipfed, hottest customer holds {top}/{orders.num_rows} rows')
 
     if want('lineitem'):
         supp2 = pq.read_table(f'{SRC}/supplier.parquet').column('s_suppkey').to_numpy()
         li = pq.read_table(f'{SRC}/lineitem.parquet')
-        sk = zipf_remap(rng, supp2, li.num_rows)
+        sk = zipf_remap(table_rng('lineitem'), supp2, li.num_rows)
         li = set_col(li, 'l_suppkey', sk)
-        pq.write_table(li, f'{DST}/lineitem.parquet', row_group_size=65536)
+        write_multifile(li, f'{DST}/lineitem.parquet')
         print(f'lineitem: l_suppkey zipfed over {len(np.unique(supp2))} suppliers')
 
     if want('events'):
         ev = pq.read_table(f'{SRC}/events.parquet')
         users = ev.column('user_id').to_numpy()
-        uk = zipf_remap(rng, users, ev.num_rows)
+        uk = zipf_remap(table_rng('events'), users, ev.num_rows)
         ev = set_col(ev, 'user_id', uk)
-        pq.write_table(ev, f'{DST}/events.parquet', row_group_size=65536)
+        write_multifile(ev, f'{DST}/events.parquet')
         topu = np.bincount(np.searchsorted(np.sort(np.unique(users)), uk)).max()
         print(f'events: user_id zipfed, hottest user holds {topu}/{ev.num_rows} rows')
 
-    if not want('documents'):
-        if not want('embeddings'):
-            return
-    docs = pq.read_table(f'{SRC}/documents.parquet')
-    ids = docs.column('doc_id').to_numpy()
-    texts = docs.column('text').to_pylist()
-    fam = (ids % 20) == 7
-    base_text = texts[int(np.argmin(ids))]
-    out_texts = [
-        (base_text + f' tail {int(i) % 11}') if f else t
-        for t, f, i in zip(texts, fam, ids)
-    ]
-    docs = set_col(docs, 'text', out_texts, pa.string())
-    if 'n_chars' in docs.schema.names:
-        docs = set_col(docs, 'n_chars', [len(t) for t in out_texts])
     if want('documents'):
+        docs = pq.read_table(f'{SRC}/documents.parquet')
+        ids = docs.column('doc_id').to_numpy()
+        texts = docs.column('text').to_pylist()
+        fam = (ids % 20) == 7
+        base_text = texts[int(np.argmin(ids))]
+        out_texts = [
+            (base_text + f' tail {int(i) % 11}') if f else t
+            for t, f, i in zip(texts, fam, ids)
+        ]
+        docs = set_col(docs, 'text', out_texts, pa.string())
+        if 'n_chars' in docs.schema.names:
+            docs = set_col(docs, 'n_chars', [len(t) for t in out_texts])
         write_multifile(docs, f'{DST}/documents.parquet')
         print(f'documents: {int(fam.sum())}/{len(ids)} docs -> one near-dup mega-family')
 
-    if not want('embeddings'):
-        return
-    embt = pq.read_table(f'{SRC}/embeddings.parquet')
-    vids = embt.column('vec_id').to_numpy()
-    vecs = embt.column('embedding').to_pylist()
-    vfam = (vids % 20) == 7
-    base_vec = vecs[int(np.argmin(vids))]
-    out_vecs = [base_vec if f else v for v, f in zip(vecs, vfam)]
-    embt = set_col(embt, 'embedding', out_vecs)
-    write_multifile(embt, f'{DST}/embeddings.parquet')
-    print(f'embeddings: {int(vfam.sum())}/{len(vids)} vectors -> one hot cell')
+    if want('embeddings'):
+        # independent of the documents block (ADVICE r13: an
+        # embeddings-only subset must not read — or require — documents)
+        embt = pq.read_table(f'{SRC}/embeddings.parquet')
+        vids = embt.column('vec_id').to_numpy()
+        vecs = embt.column('embedding').to_pylist()
+        vfam = (vids % 20) == 7
+        base_vec = vecs[int(np.argmin(vids))]
+        out_vecs = [base_vec if f else v for v, f in zip(vecs, vfam)]
+        embt = set_col(embt, 'embedding', out_vecs)
+        write_multifile(embt, f'{DST}/embeddings.parquet')
+        print(f'embeddings: {int(vfam.sum())}/{len(vids)} vectors -> one hot cell')
 
 
 if __name__ == '__main__':
