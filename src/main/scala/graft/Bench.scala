@@ -74,10 +74,26 @@ object Bench {
     // SPARK_GRAFT_ONLY=p11,p17 runs a subset (local profiling; driver unsets it)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val selected = only match {
+    val subset = only match {
       case Some(s) => SparkEntry.queries.filter { case (n, _) => s(n) }
       case None => SparkEntry.queries
     }
+    // Streaming-replay queries (*_stream*) are re-measured in a FRESH
+    // child JVM when running the full suite (VERDICT r12-r13 item #1:
+    // three rounds running, the in-suite number for a p8x query flagged
+    // >2x and a fresh-JVM re-measure refuted it — r13: p86 13.5 s
+    // in-suite vs 4.9 s fresh. The inflation is accumulated JVM/state
+    // -store residue from the ~450 suite executions before it, not the
+    // plan; fresh-JVM is exactly what bench_ratio.py's recheck already
+    // trusts, so the artifact now records that number directly).
+    // SPARK_GRAFT_ISOLATE=0 forces the old single-JVM behavior; subset
+    // runs (SPARK_GRAFT_ONLY) and child runs are already fresh JVMs.
+    val childOut = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+    val isolateOn = childOut.isEmpty && only.isEmpty &&
+      sys.env.getOrElse("SPARK_GRAFT_ISOLATE", "1") != "0"
+    val (isoSel, selected) =
+      if (isolateOn) subset.partition { case (n, _) => n.contains("_stream") }
+      else (Map.empty[String, (SparkSession, String) => org.apache.spark.sql.DataFrame], subset)
     // A failing query must not report a healthy time (VERDICT r5 #3) and
     // must not leak its time-to-exception into the maps or totals either
     // (VERDICT r6 #2): on error, record the message and return None.
@@ -130,9 +146,86 @@ object Bench {
       }
     }
     val calEnd = canary("host_cal_end")
+    // ---- fresh-JVM isolation of the streaming family ----------------
+    // Fork a bare `java` child (same JVM args: add-opens, -Xmx; same
+    // classpath; env inherited) running this main with SPARK_GRAFT_ONLY=
+    // <streaming names> and SPARK_GRAFT_BENCH_OUT=<file>. The child runs
+    // the standard methodology on its subset (warmup + canary + min-of-N)
+    // and writes full-precision results to the file; its stdout goes to
+    // target/bench-child.log so the driver's 2000-char stdout tail only
+    // ever sees THIS process's headline. On any child failure the family
+    // is timed inline instead (old behavior) and the artifact says so.
+    def runIsolated(names: Seq[String]): Option[(Map[String, Double], Map[String, Double], Seq[Double], Seq[(String, String)])] = {
+      import scala.jdk.CollectionConverters._
+      try {
+        val outFile = java.io.File.createTempFile("graft-bench-child", ".txt")
+        outFile.deleteOnExit()
+        val javaBin = new java.io.File(
+          new java.io.File(System.getProperty("java.home"), "bin"), "java").getAbsolutePath
+        val jvmArgs = java.lang.management.ManagementFactory
+          .getRuntimeMXBean.getInputArguments.asScala.toSeq
+        val cmd = (Seq(javaBin) ++ jvmArgs ++
+          Seq("-cp", System.getProperty("java.class.path"), "graft.Bench")).asJava
+        val pb = new ProcessBuilder(cmd)
+        pb.environment().put("SPARK_GRAFT_ONLY", names.mkString(","))
+        pb.environment().put("SPARK_GRAFT_BENCH_OUT", outFile.getAbsolutePath)
+        val log = new java.io.File("target/bench-child.log")
+        Option(log.getParentFile).foreach(_.mkdirs())
+        pb.redirectErrorStream(true)
+        pb.redirectOutput(log)
+        val proc = pb.start()
+        val done = proc.waitFor(2400, java.util.concurrent.TimeUnit.SECONDS)
+        if (!done) { proc.destroyForcibly(); return None }
+        if (proc.exitValue() != 0 || !outFile.exists()) return None
+        val lines = java.nio.file.Files.readAllLines(outFile.toPath).asScala
+        val first = mutable.LinkedHashMap.empty[String, Double]
+        val stdy = mutable.LinkedHashMap.empty[String, Double]
+        val errs = mutable.ListBuffer.empty[(String, String)]
+        var cal = Seq.empty[Double]
+        lines.foreach { l =>
+          l.split(" ", 3) match {
+            case Array("F", n, t) => first(n) = t.toDouble
+            case Array("S", n, t) => stdy(n) = t.toDouble
+            case Array("C", s, e) => cal = Seq(s.toDouble, e.toDouble)
+            case Array("E", n, m) => errs += (n -> m)
+            case _ =>
+          }
+        }
+        // a child that timed NOTHING is a failure, not a result
+        if (stdy.isEmpty && names.nonEmpty) None
+        else Some((first.toMap, stdy.toMap, cal, errs.toList))
+      } catch { case _: Throwable => None }
+    }
+    var steadyAll = steady
+    var firstAll: Map[String, Double] = firstRun.toMap
+    var childCal: Seq[Double] = Nil
+    var isoTag = if (isolateOn) "fresh_jvm" else "off"
+    if (isoSel.nonEmpty) {
+      runIsolated(isoSel.keys.toSeq) match {
+        case Some((cf, cs, cc, ce)) =>
+          firstAll = firstAll ++ cf
+          steadyAll = steadyAll ++ cs
+          childCal = cc
+          ce.foreach { case (k, v) => errors(k) = v }
+        case None =>
+          isoTag = "inline_fallback"
+          isoSel.foreach { case (n, fn) =>
+            timeOne(n, fn).foreach(t => firstAll = firstAll.updated(n, t))
+          }
+          (1 to timedPasses).foreach { _ =>
+            isoSel.foreach { case (n, fn) =>
+              timeOne(n, fn).foreach(t => steadyAll = steadyAll
+                .updated(n, math.min(t, steadyAll.getOrElse(n, Double.MaxValue))))
+            }
+          }
+      }
+    }
     // a query absent from steady (failed every timed pass) is absent
-    // from the results and the total — its errors entry is the record
-    val results = selected.keys.flatMap(n => steady.get(n).map(n -> _)).toSeq
+    // from the results and the total — its errors entry is the record.
+    // Order: the FULL suite map's iteration order, so headline query
+    // positions stay comparable with prior rounds' records even though
+    // the streaming family executed out-of-band.
+    val results = subset.keys.flatMap(n => steadyAll.get(n).map(n -> _)).toSeq
     def fmt(v: Double, decimals: Int): String =
       s"%.${decimals}f".formatLocal(java.util.Locale.ROOT, v)
     // headline seconds: 0 decimals at >=100, 1 decimal at >=cut, 2
@@ -155,15 +248,34 @@ object Bench {
       m.map { case (k, v) => "\"" + k + "\":\"" + v.replaceAll("[\"\\\\\\n\\r\\t]", " ") + "\"" }
         .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val firstTotal = firstRun.values.sum
+    // firstAll preserves no global order; emit in suite order like results
+    val firstSeq = subset.keys.flatMap(n => firstAll.get(n).map(n -> _)).toSeq
+    val firstTotal = firstSeq.map(_._2).sum
     val calFull = Seq(calStart, calEnd).flatten
+    // child-mode result file: full-precision, trivially parseable lines
+    // (the parent merges these; no JSON parser needed on the Scala side)
+    childOut.foreach { path =>
+      val sb = new StringBuilder
+      calFull match {
+        case Seq(s, e) => sb ++= s"C ${fmt(s, 6)} ${fmt(e, 6)}\n"
+        case _ =>
+      }
+      firstSeq.foreach { case (n, t) => sb ++= s"F $n ${fmt(t, 6)}\n" }
+      results.foreach { case (n, t) => sb ++= s"S $n ${fmt(t, 6)}\n" }
+      errors.foreach { case (n, m) =>
+        sb ++= s"E $n ${m.replaceAll("[\\n\\r]", " ")}\n"
+      }
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(path), sb.toString)
+    }
     // auxiliary full-precision lines first: truncation may eat these.
     // The methodology tag rides at the END of the steady aux line so it
     // can survive in whatever window slice precedes the headline.
     // (tag derives from the actual pass count so an SPARK_GRAFT_BENCH_PASSES
     // override cannot mislabel the methodology)
-    println(s"""{"first_run":${jsonMap(firstRun, 3)},"first_run_total":${fmt(firstTotal, 3)},"sf":"$sfDir"}""")
-    println(s"""{"steady_full":${jsonMap(results, 3)},"steady_total":${fmt(total, 3)},"host_cal_full":[${calFull.map(fmt(_, 3)).mkString(",")}],"sf":"$sfDir","timing":"min_warm$timedPasses","errors":${jsonStrMap(errors)}}""")
+    println(s"""{"first_run":${jsonMap(firstSeq, 3)},"first_run_total":${fmt(firstTotal, 3)},"sf":"$sfDir"}""")
+    val childCalField =
+      if (childCal.size == 2) s""","child_cal":[${childCal.map(fmt(_, 3)).mkString(",")}]""" else ""
+    println(s"""{"steady_full":${jsonMap(results, 3)},"steady_total":${fmt(total, 3)},"host_cal_full":[${calFull.map(fmt(_, 3)).mkString(",")}],"iso":"$isoTag"$childCalField,"sf":"$sfDir","timing":"min_warm$timedPasses","errors":${jsonStrMap(errors)}}""")
     // headline LAST and compact: headline + sbt's "[success] ..."
     // epilogue (~80 chars) must fit the driver's 2000-char tail window
     // together, or the headline's head gets cut and the JSON never
