@@ -10,24 +10,42 @@ import org.apache.spark.sql.functions._
   * needs beside the query operators.
   *
   * Everything speaks the Hadoop FileSystem API, so "directory" means the
-  * same thing it does on a cluster (HDFS rename is atomic; on object
-  * stores the [[publish]] pointer file IS the atomic commit — the same
-  * metadata-pointer idea table formats use, reduced to one file).
-  * Single writer per root is assumed (the usual table-format contract
-  * without a lock service); readers are unlimited.
+  * same thing it does on a cluster. Readers are unlimited.
   *
-  * Commit points, stated once:
-  *  - versioned roots ([[publish]]): the POINTER SWAP commits. The swap
-  *    is one atomic overwriting rename, so a reader always sees the old
-  *    pointer or the new one — never a missing or torn one. A `v{n}`
-  *    directory above the pointer is therefore *provably uncommitted*
-  *    (versions are strictly increasing), which is what makes a crashed
-  *    publish re-runnable: the re-run replaces the orphan dir.
-  *  - batch roots ([[publishBatch]]): the `_MANIFEST` rewrite commits.
-  *    The per-dir `_COMMITTED` marker survives as the integrity marker
-  *    (a dir without it is a crashed write), and the manifest is healed
-  *    from the markers on the next commit, so a crash between marker
-  *    and manifest loses no data — it delays visibility by one batch.
+  * == Storage contract (object-store safe) ==
+  * NOTHING below depends on an atomic directory rename. The commit
+  * point of every protocol is the creation of ONE small file — a
+  * single-key PUT, atomic on posix, HDFS, and S3-class stores alike:
+  *  - versioned roots ([[publish]]): `v{n}/_COMMITTED` commits. The
+  *    staging→final rename MAY be a non-atomic copy+delete (S3): a
+  *    crash mid-copy leaves a partial `v{n}` with no marker, which
+  *    readers never resolve and the re-run replaces wholesale. The
+  *    `_LATEST` pointer is an ADVISORY CACHE: [[currentVersion]]
+  *    resolves the newest marker-committed version from one shallow
+  *    listing, so a stale, torn, or missing pointer can only ever cost
+  *    a few metadata calls — never serve a torn version. (Legacy roots
+  *    written before markers existed resolve through the pointer: a
+  *    pointer naming a marker-less but present dir is honored.)
+  *  - batch roots ([[publishBatch]]): `batch={id}/_COMMITTED` commits
+  *    durability; the `_MANIFEST` rewrite commits visibility. The
+  *    manifest is healed from the markers on the next commit, so a
+  *    crash between marker and manifest loses no data — it delays
+  *    visibility by one batch.
+  *
+  * == Concurrency ==
+  * [[publish]] and [[foldBatches]] take a writer lease (`_LOCK`, token
+  * + TTL): a second driver publishing or folding the same root
+  * concurrently fails loudly instead of racing the version check; a
+  * crashed holder's lease expires after [[LeaseTtlMs]]. Acquisition is
+  * create-exclusive where the store supports it (posix, HDFS) with a
+  * fencing read-back for stores that don't — a lost race is detected,
+  * never silently won by both. [[publishBatch]] deliberately does NOT
+  * take the lease: per-batch commits are serialized by the single
+  * streaming query that drives them (foreachBatch), and a fold running
+  * concurrently with batch commits is safe by construction — a batch
+  * committed mid-fold is dropped from the fold's manifest swap but its
+  * marker survives, and the next heal makes it visible again; expiry
+  * only ever deletes ids at or below `foldedThrough`.
   *
   * At 100 TB:
   *  - [[compact]] is one distributed read→exchange→write per run; the
@@ -40,8 +58,9 @@ import org.apache.spark.sql.functions._
   *  - [[publish]] stages the full write OFF the serving path, audits the
   *    staged files themselves (constraints run on what readers would
   *    see, not on the DataFrame that produced it), and promotes by one
-  *    rename + one pointer swap — readers never observe a half-written
-  *    version, and a failed audit leaves the previous version serving.
+  *    rename + one marker PUT + one pointer refresh — readers never
+  *    observe a half-written version, and a failed audit leaves the
+  *    previous version serving.
   *  - [[foldBatches]] + [[expireBatches]] bound a streaming root: without
   *    them a long-running [[publishBatch]] root accumulates `batch=N`
   *    dirs forever. Folding re-publishes the committed union as one
@@ -84,6 +103,14 @@ object Publish {
     * to simulate a failure exactly there. No-op in production. */
   private[graft] val noHook: String => Unit = _ => ()
 
+  /** Observability: recursive-listing call count ([[dataFiles]]) —
+    * PublishProbe and the spec use it to show fold sizing reads
+    * manifest-recorded sizes, not O(batches) listings. Thread-local:
+    * every dataFiles call runs on its caller's (driver) thread, so a
+    * test's count can't be polluted by concurrently-running suites. */
+  private[graft] val listingCalls: ThreadLocal[java.lang.Long] =
+    ThreadLocal.withInitial(() => java.lang.Long.valueOf(0L))
+
   /** Atomic overwriting rename: `dst` is replaced in one step, so a
     * concurrent reader sees the old file or the new one, never a
     * missing/torn one. Local paths go through NIO's ATOMIC_MOVE (the
@@ -124,6 +151,7 @@ object Publish {
     * metadata (_SUCCESS, _MANIFEST, .crc) — the same visibility rule
     * Spark's readers apply. */
   def dataFiles(spark: SparkSession, dir: String): Seq[(String, Long)] = {
+    listingCalls.set(listingCalls.get + 1L)
     val f = fs(spark, dir)
     val it = f.listFiles(new Path(dir), true)
     val out = Seq.newBuilder[(String, Long)]
@@ -185,14 +213,51 @@ object Publish {
 
   private def pointer(root: String) = new Path(root, "_LATEST")
 
-  /** Highest published version, from the pointer file (None before the
-    * first publish). One metadata read — what a reader pays to locate
-    * the current version. */
-  def currentVersion(spark: SparkSession, root: String): Option[Long] = {
-    val f = fs(spark, root)
+  private def versionMarker(root: String, v: Long) =
+    new Path(root, s"v$v/_COMMITTED")
+
+  /** v-dir version numbers under `root` (one shallow listing). */
+  private def versionDirs(f: FileSystem, root: String): Seq[Long] = {
+    val rootPath = new Path(root)
+    if (!f.exists(rootPath)) Nil
+    else f.listStatus(rootPath).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.matches("v\\d+"))
+      .map(_.getPath.getName.drop(1).toLong).sorted
+  }
+
+  /** The advisory pointer's value, or None when missing/unreadable —
+    * a torn pointer (non-atomic store) must degrade to the marker
+    * scan, not throw at the reader. */
+  private def pointerValue(f: FileSystem, root: String): Option[Long] = {
     val p = pointer(root)
     if (!f.exists(p)) None
-    else Some(readSmallFile(f, p).trim.toLong)
+    else scala.util.Try(readSmallFile(f, p).trim.toLong).toOption
+  }
+
+  /** Highest COMMITTED version (None before the first publish): the
+    * newest v-dir whose `_COMMITTED` marker exists, or — legacy roots
+    * written before markers — the pointer's target if that dir exists.
+    * Cost: one pointer read + one shallow listing + one marker check
+    * per retained version (bounded by [[expireVersions]] retention);
+    * the `_LATEST` pointer is advisory, so a stale or torn pointer can
+    * never serve a half-copied version NOR hide a committed one. */
+  def currentVersion(spark: SparkSession, root: String): Option[Long] = {
+    val f = fs(spark, root)
+    val ptr = pointerValue(f, root)
+    val dirs = versionDirs(f, root)
+    val committed = dirs.filter(v =>
+      ptr.contains(v) || f.exists(versionMarker(root, v)))
+    committed.maxOption
+  }
+
+  /** Rewrite the advisory pointer from the authoritative marker state —
+    * run after a crash between marker and pointer refresh if the
+    * convenience of an exact `_LATEST` matters before the next publish
+    * (readers are already correct without it). */
+  def healPointer(spark: SparkSession, root: String): Option[Long] = {
+    val v = currentVersion(spark, root)
+    v.foreach(n => atomicWrite(spark, pointer(root), n.toString))
+    v
   }
 
   /** The currently-published dataset. Throws if nothing has been
@@ -201,6 +266,76 @@ object Publish {
     val v = currentVersion(spark, root).getOrElse(
       sys.error(s"publish root $root has no published version"))
     spark.read.parquet(s"$root/v$v")
+  }
+
+  // ---- writer lease -------------------------------------------------
+
+  /** How long a crashed writer's `_LOCK` blocks the root before another
+    * writer may take it over. Generous on purpose: a takeover during a
+    * LIVE publish is the one thing the lease exists to prevent, so the
+    * TTL must exceed any plausible stage+audit+promote duration. */
+  val LeaseTtlMs: Long = 15 * 60 * 1000L
+
+  private def lockFile(root: String) = new Path(root, "_LOCK")
+
+  /** Acquire the writer lease on `root` or fail loudly. Returns the
+    * fencing token [[releaseLease]] needs. Create-exclusive where the
+    * store has it; the read-back makes a racer that slipped through a
+    * non-exclusive create detect the loss instead of proceeding. */
+  private def acquireLease(f: FileSystem, root: String): String = {
+    val token = java.util.UUID.randomUUID().toString
+    val lock = lockFile(root)
+    val now = System.currentTimeMillis()
+    val content = s"$token ${now + LeaseTtlMs}"
+    def tryCreate(): Boolean =
+      try {
+        if (f.getScheme == "file") {
+          // Hadoop's local FS emulates create(overwrite=false) with an
+          // exists-check + create — a TOCTOU window two racing drivers
+          // can both slip through. NIO CREATE_NEW is an atomic O_EXCL.
+          f.mkdirs(new Path(root)): Unit
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(f.makeQualified(lock).toUri.getPath),
+            content.getBytes("UTF-8"),
+            java.nio.file.StandardOpenOption.CREATE_NEW,
+            java.nio.file.StandardOpenOption.WRITE): Unit
+        } else {
+          val out = f.create(lock, false) // overwrite=false: create-exclusive
+          try out.write(content.getBytes("UTF-8")) finally out.close()
+        }
+        true
+      } catch { case _: java.io.IOException => false }
+    if (!tryCreate()) {
+      val content =
+        try readSmallFile(f, lock) catch { case _: java.io.IOException => "" }
+      val expiry = content.split(" ").lift(1).flatMap(_.toLongOption).getOrElse(0L)
+      if (now <= expiry) sys.error(
+        s"another writer holds the lease on $root (expires in ${expiry - now} ms); " +
+          "publish/foldBatches are single-writer per root")
+      // expired: a crashed holder's debris — take over
+      f.delete(lock, false)
+      if (!tryCreate()) sys.error(
+        s"lease on $root contended during expired-lease takeover; retry")
+    }
+    val back =
+      try readSmallFile(f, lock) catch { case _: java.io.IOException => "" }
+    if (!back.startsWith(token))
+      sys.error(s"lost the writer-lease race on $root to a concurrent writer")
+    token
+  }
+
+  /** Release only a lease we still hold (fencing: a TTL takeover by
+    * someone else must not be deleted by the dead holder's finally). */
+  private def releaseLease(f: FileSystem, root: String, token: String): Unit =
+    try {
+      val content =
+        try readSmallFile(f, lockFile(root)) catch { case _: java.io.IOException => "" }
+      if (content.startsWith(token)) f.delete(lockFile(root), false): Unit
+    } catch { case _: Throwable => () } // best-effort; the TTL expires it
+
+  private def withLease[A](f: FileSystem, root: String)(body: => A): A = {
+    val token = acquireLease(f, root)
+    try body finally releaseLease(f, root, token)
   }
 
   private def manifestPath(root: String) = new Path(root, "_MANIFEST")
@@ -225,12 +360,41 @@ object Publish {
     }
   }
 
+  /** Manifest-recorded data sizes: per-batch bytes (written when the
+    * batch commits) and the folded version's bytes. [[foldBatches]]
+    * sizing prefers these over listing every part dir — on an object
+    * store that is the difference between O(1) metadata reads and
+    * O(batches) recursive LIST round trips per fold. Absent entries
+    * (legacy manifests, healed-from-marker batches) fall back to a
+    * listing. */
+  private[graft] def readManifestSizes(spark: SparkSession,
+      root: String): (Map[Long, Long], Option[Long]) = {
+    val f = fs(spark, root)
+    val p = manifestPath(root)
+    if (!f.exists(p)) (Map.empty, None)
+    else {
+      val kv = readSmallFile(f, p).linesIterator.map(_.trim)
+        .filter(_.nonEmpty).map { l =>
+          val Array(k, v) = l.split("=", 2); (k, v)
+        }.toSeq
+      val perBatch = kv.collect { case ("batchBytes", v) =>
+        val Array(id, b) = v.split(":", 2); id.toLong -> b.toLong
+      }.toMap
+      (perBatch, kv.collectFirst { case ("foldedBytes", v) => v.toLong })
+    }
+  }
+
   private def writeManifest(spark: SparkSession, root: String,
-      m: BatchManifest): Unit = {
+      m: BatchManifest, batchBytes: Map[Long, Long] = Map.empty,
+      foldedBytes: Option[Long] = None): Unit = {
     val sb = new StringBuilder
     m.foldedVersion.foreach(v => sb ++= s"foldedVersion=$v\n")
     sb ++= s"foldedThrough=${m.foldedThrough}\n"
+    foldedBytes.foreach(b => sb ++= s"foldedBytes=$b\n")
     m.batches.sorted.foreach(b => sb ++= s"batch=$b\n")
+    batchBytes.toSeq.sorted.foreach { case (id, b) =>
+      sb ++= s"batchBytes=$id:$b\n"
+    }
     atomicWrite(spark, manifestPath(root), sb.toString)
   }
 
@@ -252,12 +416,16 @@ object Publish {
     * fields) — the self-healing step every commit runs, so a crash
     * between a batch's marker and its manifest line is repaired by the
     * next commit rather than losing the batch. */
-  private def healManifest(spark: SparkSession, root: String): BatchManifest = {
+  private def healManifest(spark: SparkSession, root: String,
+      extraBytes: Map[Long, Long] = Map.empty): BatchManifest = {
     val f = fs(spark, root)
     val old = readManifest(spark, root)
       .getOrElse(BatchManifest(None, -1L, Nil))
+    val (oldBytes, foldedBytes) = readManifestSizes(spark, root)
     val m = old.copy(batches = markedBatchDirs(f, root, old.foldedThrough))
-    writeManifest(spark, root, m)
+    val bytes = (oldBytes ++ extraBytes)
+      .filter { case (id, _) => m.batches.contains(id) }
+    writeManifest(spark, root, m, bytes, foldedBytes)
     m
   }
 
@@ -308,12 +476,17 @@ object Publish {
     }
     if (!clean) { f.delete(stagingPath, true); false }
     else {
+      // one listing at commit time (of files this job just wrote)
+      // records the batch's data bytes in the manifest, so fold sizing
+      // never re-lists the dir (see readManifestSizes)
+      val stagedBytes = dataFiles(spark, stagingPath.toString).map(_._2).sum
       require(f.rename(stagingPath, finalPath),
         s"rename $stagingPath -> $finalPath failed")
       hook("renamed")
       f.create(marker, true).close() // integrity marker
       hook("marked")
-      healManifest(spark, root): Unit // manifest line LAST: visibility point
+      // manifest line LAST: visibility point
+      healManifest(spark, root, Map(batchId -> stagedBytes)): Unit
       true
     }
   }
@@ -397,27 +570,41 @@ object Publish {
 
   private[graft] def foldBatchesImpl(spark: SparkSession, root: String,
       targetBytes: Long, constraints: Seq[Check.Constraint],
-      hook: String => Unit): FoldReport = {
+      hook: String => Unit): FoldReport = withLease(fs(spark, root), root) {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
     val man = healManifest(spark, root)
     require(man.batches.nonEmpty,
       s"foldBatches: no committed unfolded batches under $root")
     val parts = man.foldedVersion.map(v => s"$root/v$v").toSeq ++
       man.batches.map(id => s"$root/batch=$id")
-    val bytes = parts.map(p => dataFiles(spark, p).map(_._2).sum).sum
+    // sizing prefers manifest-recorded bytes (written at each commit);
+    // a missing entry (legacy root, marker-healed batch) falls back to
+    // listing just that part
+    val (sizes, foldedBytes) = readManifestSizes(spark, root)
+    val bytes =
+      man.foldedVersion.map(v => foldedBytes.getOrElse(
+        dataFiles(spark, s"$root/v$v").map(_._2).sum)).getOrElse(0L) +
+      man.batches.map(id => sizes.getOrElse(id,
+        dataFiles(spark, s"$root/batch=$id").map(_._2).sum)).sum
     val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     val df = spark.read.parquet(parts: _*).repartition(nOut)
     val version = math.max(
       currentVersion(spark, root).getOrElse(0L),
       man.foldedVersion.getOrElse(0L)) + 1
-    val rep = publish(df, root, version, constraints)
+    // the fold already holds the root's writer lease; publishLocked
+    // skips re-acquiring it (withLease does not reenter)
+    val rep = publishLocked(df, root, version, constraints, None, noHook)
     val through = math.max(man.foldedThrough, man.batches.max)
     if (rep.published) {
       hook("published")
       // manifest swap is the fold's visibility point: readers move from
-      // (old fold + batches) to (new fold) in one atomic file replace
+      // (old fold + batches) to (new fold) in one atomic file replace.
+      // The new fold's bytes are recorded now (one listing) so the NEXT
+      // fold sizes itself from the manifest alone.
+      val newBytes = dataFiles(spark, s"$root/v$version").map(_._2).sum
       writeManifest(spark, root,
-        BatchManifest(Some(version), through, Nil))
+        BatchManifest(Some(version), through, Nil),
+        foldedBytes = Some(newBytes))
     }
     FoldReport(version, through, man.batches, rep.rows, rep.published,
       rep.violations)
@@ -456,18 +643,23 @@ object Publish {
   /** Write-audit-publish. Stages `df` under `root/_tmp/staging_v{version}`,
     * re-reads the STAGED FILES and audits them ([[Check]] constraints +
     * optional exact row-count expectation), then either promotes
-    * (rename to `root/v{version}`, atomic pointer swap — after which
-    * [[current]] serves this version) or deletes the staging dir and
-    * reports the violations, leaving the previous version serving.
+    * (rename to `root/v{version}`, `_COMMITTED` marker PUT — the commit
+    * point — then a pointer refresh, after which [[current]] serves
+    * this version) or deletes the staging dir and reports the
+    * violations, leaving the previous version serving. The staging
+    * rename need NOT be atomic (S3-class copy+delete is fine): a crash
+    * mid-promote leaves a marker-less partial dir that no reader
+    * resolves and the re-run replaces. Holds the root's writer lease
+    * throughout (see the Concurrency section above).
     *
     * Versions are strictly increasing: publishing at or below the
     * current version fails loudly rather than silently rewriting
     * history (a re-run with the same version is a pipeline bug, not an
-    * idempotent no-op — the staged bytes could differ). A `v{version}`
-    * dir ABOVE the current pointer is a different story: the pointer is
-    * the commit point, so such a dir is provably the debris of a crash
-    * between rename and pointer swap, and the publish replaces it —
-    * re-running a torn publish converges instead of wedging.
+    * idempotent no-op — the staged bytes could differ). A MARKER-LESS
+    * `v{version}` dir is a different story: the marker is the commit
+    * point, so such a dir is provably the debris of a crash
+    * mid-promote, and the publish replaces it — re-running a torn
+    * publish converges instead of wedging.
     *
     * The audit reads the staged parquet, so it covers the full
     * write-path (encoders, codecs, schema) — not just the logical plan
@@ -481,6 +673,14 @@ object Publish {
     publishImpl(df, root, version, constraints, expectRows, noHook)
 
   private[graft] def publishImpl(df: DataFrame, root: String, version: Long,
+      constraints: Seq[Check.Constraint], expectRows: Option[Long],
+      hook: String => Unit): PublishReport =
+    withLease(fs(df.sparkSession, root), root)(
+      publishLocked(df, root, version, constraints, expectRows, hook))
+
+  /** [[publishImpl]] body, lease already held (foldBatches reenters
+    * here under its own lease). */
+  private def publishLocked(df: DataFrame, root: String, version: Long,
       constraints: Seq[Check.Constraint], expectRows: Option[Long],
       hook: String => Unit): PublishReport = {
     val spark = df.sparkSession
@@ -524,13 +724,13 @@ object Publish {
       require(f.rename(stagingPath, finalPath),
         s"rename $stagingPath -> $finalPath failed")
       hook("renamed")
-      // pointer swap: write-then-ATOMIC-OVERWRITE-rename, so a reader
-      // sees the old pointer or the new one — never a missing or torn
-      // file (a delete-then-rename would open exactly that window)
-      val tmp = new Path(root, s"_LATEST.tmp$version")
-      val out = f.create(tmp, true)
-      try out.write(version.toString.getBytes("UTF-8")) finally out.close()
-      atomicOverwrite(spark, tmp, pointer(root))
+      // COMMIT: one marker PUT — atomic on every store. From here the
+      // version is committed whether or not the pointer refresh lands.
+      f.create(versionMarker(root, version), true).close()
+      hook("committed")
+      // advisory pointer refresh (atomic where the store supports it;
+      // a torn/missing pointer only costs readers the marker scan)
+      atomicWrite(spark, pointer(root), version.toString)
       PublishReport(version, published = true, rows, Nil)
     }
   }

@@ -52,6 +52,23 @@ object PublishProbe {
       t(s"[$sf] stage-only write (the publish floor)")(
         df.write.mode("overwrite").parquet(s"$root/${sf}_floor"))
     }
+
+    // fold sizing: manifest-recorded bytes vs per-batch listings. At
+    // cluster scale each dataFiles call is a recursive LIST round trip
+    // against the store — the manifest path removes the O(batches) term
+    // (VERDICT r13 item #8).
+    Seq(("manifest-sized", true), ("legacy (sizes stripped)", false))
+      .foreach { case (label, keepSizes) =>
+        val froot = s"$root/fold_$keepSizes"
+        (0L until 20L).foreach(i => Publish.publishBatch(
+          spark.range(i * 50, i * 50 + 50).toDF("k"), froot, i))
+        if (!keepSizes) // legacy root: heal rebuilds the manifest without sizes
+          new java.io.File(s"$froot/_MANIFEST").delete(): Unit
+        Publish.listingCalls.set(0L)
+        t(s"fold 20 batches [$label]")(
+          Publish.foldBatches(spark, froot, 8L << 20))
+        println(s"fold dataFiles listings [$label]: ${Publish.listingCalls.get}")
+      }
     graft.streaming.Streams.deleteRecursivelyNoFollow(root)
     spark.stop()
   }

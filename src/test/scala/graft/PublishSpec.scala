@@ -456,6 +456,162 @@ class PublishSpec extends SparkTestBase {
     } finally graft.streaming.Streams.deleteRecursivelyNoFollow(root)
   }
 
+  // ---- object-store commit contract: no atomic rename assumed --------
+
+  private def writeFile(path: String, content: String): Unit = {
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(path).getParent)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), content): Unit
+  }
+
+  private def readFile(path: String): String =
+    new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), "UTF-8")
+
+  test("object-store contract: a half-copied version dir (torn non-atomic rename) is invisible and replaced on re-run") {
+    val root = freshRoot("torn_rename")
+    try {
+      assert(Publish.publish(Seq((1L, "a")).toDF("k", "v"), root, 1L).published)
+      // simulate an S3-class copy+delete promote dying mid-copy: v2
+      // exists with a partial data file and NO _COMMITTED marker
+      writeFile(s"$root/v2/part-00000.parquet", "partial garbage")
+      assert(Publish.currentVersion(spark, root).contains(1L),
+        "readers must never resolve a marker-less version dir")
+      assertProduces(Publish.current(spark, root), Seq(Seq(1L, "a")))
+      // the re-run replaces the debris wholesale and commits
+      assert(Publish.publish(Seq((2L, "b")).toDF("k", "v"), root, 2L).published)
+      assertProduces(Publish.current(spark, root), Seq(Seq(2L, "b")))
+    } finally graft.streaming.Streams.deleteRecursivelyNoFollow(root)
+  }
+
+  test("object-store contract: stale, torn, or missing pointer neither hides nor tears the committed view; healPointer repairs it") {
+    val root = freshRoot("ptr")
+    try {
+      assert(Publish.publish(Seq((1L, "a")).toDF("k", "v"), root, 1L).published)
+      assert(Publish.publish(Seq((2L, "b")).toDF("k", "v"), root, 2L).published)
+      // missing pointer: the marker scan still resolves v2
+      assert(new java.io.File(s"$root/_LATEST").delete())
+      assert(Publish.currentVersion(spark, root).contains(2L))
+      // torn pointer (half-written garbage on a non-atomic store)
+      writeFile(s"$root/_LATEST", "garbage bytes")
+      assert(Publish.currentVersion(spark, root).contains(2L))
+      // stale pointer (crash between marker and refresh): markers win
+      writeFile(s"$root/_LATEST", "1")
+      assert(Publish.currentVersion(spark, root).contains(2L),
+        "a committed version must not be hidden by a stale advisory pointer")
+      assertProduces(Publish.current(spark, root), Seq(Seq(2L, "b")))
+      assert(Publish.healPointer(spark, root).contains(2L))
+      assert(readFile(s"$root/_LATEST").trim == "2")
+    } finally graft.streaming.Streams.deleteRecursivelyNoFollow(root)
+  }
+
+  test("crash matrix / publish post-marker (pre-pointer-refresh): the version IS committed and visible; same-version re-publish fails loudly") {
+    val root = freshRoot("crash_committed")
+    try {
+      assert(Publish.publish(Seq((1L, "a")).toDF("k", "v"), root, 1L).published)
+      intercept[RuntimeException](Publish.publishImpl(
+        Seq((2L, "b")).toDF("k", "v"), root, 2L, Nil, None, crash("committed")))
+      // the advisory pointer still names v1, but the marker committed v2
+      assert(readFile(s"$root/_LATEST").trim == "1")
+      assert(Publish.currentVersion(spark, root).contains(2L))
+      assertProduces(Publish.current(spark, root), Seq(Seq(2L, "b")))
+      // v2 is committed, so re-publishing it is the history-rewrite bug
+      intercept[IllegalArgumentException](
+        Publish.publish(Seq((9L, "x")).toDF("k", "v"), root, 2L))
+      // life goes on: the next publish lands above it and refreshes
+      assert(Publish.publish(Seq((3L, "c")).toDF("k", "v"), root, 3L).published)
+      assert(readFile(s"$root/_LATEST").trim == "3")
+    } finally graft.streaming.Streams.deleteRecursivelyNoFollow(root)
+  }
+
+  // ---- writer lease ---------------------------------------------------
+
+  test("writer lease: a live foreign _LOCK blocks publish and foldBatches loudly; an expired one is taken over; the lease is released after commit") {
+    val root = freshRoot("lease")
+    try {
+      assert(Publish.publish(Seq((1L, "a")).toDF("k", "v"), root, 1L).published)
+      assert(!new java.io.File(s"$root/_LOCK").exists(),
+        "the lease must be released after a successful publish")
+      writeFile(s"$root/_LOCK",
+        s"someone-else ${System.currentTimeMillis() + 600000}")
+      val e = intercept[RuntimeException](
+        Publish.publish(Seq((2L, "b")).toDF("k", "v"), root, 2L))
+      assert(e.getMessage.contains("another writer holds the lease"))
+      assert(Publish.currentVersion(spark, root).contains(1L))
+      // an expired lease is a crashed holder's debris: taken over
+      writeFile(s"$root/_LOCK",
+        s"dead-writer ${System.currentTimeMillis() - 1000}")
+      assert(Publish.publish(Seq((2L, "b")).toDF("k", "v"), root, 2L).published)
+      assert(!new java.io.File(s"$root/_LOCK").exists())
+      // foldBatches honors the same lease
+      val broot = freshRoot("lease_fold")
+      try {
+        assert(Publish.publishBatch(Seq((1L, "a")).toDF("k", "v"), broot, 0L))
+        writeFile(s"$broot/_LOCK",
+          s"someone-else ${System.currentTimeMillis() + 600000}")
+        val ef = intercept[RuntimeException](Publish.foldBatches(spark, broot))
+        assert(ef.getMessage.contains("another writer holds the lease"))
+      } finally graft.streaming.Streams.deleteRecursivelyNoFollow(broot)
+      // a failing publish releases the lease too (crash injection)
+      intercept[RuntimeException](Publish.publishImpl(
+        Seq((3L, "c")).toDF("k", "v"), root, 3L, Nil, None, crash("staged")))
+      assert(!new java.io.File(s"$root/_LOCK").exists(),
+        "the lease must be released on a crashed publish")
+    } finally graft.streaming.Streams.deleteRecursivelyNoFollow(root)
+  }
+
+  test("writer lease: two drivers racing publish on one root — exactly one commits, the loser fails loudly") {
+    val root = freshRoot("lease_race")
+    try {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val racers = Seq(
+        Seq((1L, "a")).toDF("k", "v"), Seq((2L, "b")).toDF("k", "v"))
+        .map(d => Future(scala.util.Try(Publish.publish(d, root, 1L))))
+      val rs = Await.result(Future.sequence(racers), 300.seconds)
+      assert(rs.count(r => r.isSuccess && r.get.published) == 1,
+        s"exactly one racer must publish: $rs")
+      assert(rs.count(_.isFailure) == 1,
+        s"the losing racer must fail loudly (lease or version check): $rs")
+      assert(Publish.currentVersion(spark, root).contains(1L))
+      assert(!new java.io.File(s"$root/_LOCK").exists())
+    } finally graft.streaming.Streams.deleteRecursivelyNoFollow(root)
+  }
+
+  // ---- manifest-recorded sizes ---------------------------------------
+
+  test("manifest sizes: batch bytes recorded at commit; fold sizes itself from the manifest, not per-batch listings") {
+    val root = freshRoot("sizes")
+    try {
+      (0 to 4).foreach { i =>
+        assert(Publish.publishBatch(
+          Seq((i.toLong, s"v$i")).toDF("k", "v"), root, i.toLong))
+      }
+      val (sizes, folded0) = Publish.readManifestSizes(spark, root)
+      assert(sizes.keySet == (0L to 4L).map(identity).toSet && folded0.isEmpty)
+      sizes.foreach { case (id, b) =>
+        assert(b == Publish.dataFiles(spark, s"$root/batch=$id").map(_._2).sum,
+          s"manifest bytes for batch $id must equal the listing")
+      }
+      Publish.listingCalls.set(0L)
+      val rep = Publish.foldBatches(spark, root, targetBytes = 1L << 20)
+      assert(rep.published)
+      val calls = Publish.listingCalls.get.longValue
+      assert(calls <= 2,
+        s"fold must size from the manifest, not O(batches) listings (saw $calls dataFiles calls)")
+      // the fold recorded its own bytes for the NEXT fold's sizing
+      val (_, fb) = Publish.readManifestSizes(spark, root)
+      assert(fb.contains(
+        Publish.dataFiles(spark, s"$root/v${rep.version}").map(_._2).sum))
+      assert(Publish.publishBatch(Seq((9L, "z")).toDF("k", "v"), root, 9L))
+      Publish.listingCalls.set(0L)
+      assert(Publish.foldBatches(spark, root, targetBytes = 1L << 20).published)
+      assert(Publish.listingCalls.get.longValue <= 2,
+        "second fold must read the previous fold's bytes from the manifest")
+    } finally graft.streaming.Streams.deleteRecursivelyNoFollow(root)
+  }
+
   test("dedupAudit: `kept` is exactly the nearDupDedup survivor set; sizes add up") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val audit = Dedup.dedupAudit(docs, threshold = 0.6).cache()
