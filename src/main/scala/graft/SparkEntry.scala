@@ -4,7 +4,7 @@ import graft.dsl._
 import graft.logic.Query
 import graft.ops.Ops
 import graft.pipeline.{Bpe, Dedup, Similarity, TextAnalysis}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -2729,6 +2729,43 @@ object SparkEntry {
         |SELECT l.doc_id AS id_a, r.doc_id AS id_b
         |FROM banded l JOIN banded r ON l.band = r.band AND l.band_key = r.band_key
         |WHERE l.doc_id < r.doc_id GROUP BY 1, 2""".stripMargin
+
+  /** Statistical contracts for the queries that are rows-only BY DESIGN
+    * (in [[queries]] but deliberately absent from [[oracleSql]] — today
+    * exactly q23's engine-RNG Bernoulli sample). [[Verify]] executes
+    * these at dump time and writes `<name>.contract.json` beside the
+    * parquet, so the correctness artifact SELF-DESCRIBES the check that
+    * replaces the hash (VERDICT r13 item #7) instead of a bare
+    * `no_oracle`. Each entry returns (check, passed, detail) triples;
+    * every check is a distributed computation (no driver-side collect of
+    * the data), so the contract also runs at the sf10 sweep scale.
+    * DriverContractSpec pins keySet == the unoracled set. */
+  def statContracts: Map[String, (SparkSession, String) => Seq[(String, Boolean, String)]] = Map(
+    "q23_sample" -> { (s, d) =>
+      val q = queries("q23_sample")
+      // (1) determinism: the seeded sample is run-to-run identical on
+      // the same data + partitioning — compared by a distributed
+      // content signature (order-free hash sum + count), never a collect
+      def sig(df: DataFrame): Row = df.agg(
+        // decimal sum: a Long sum of 64-bit hashes overflows under ANSI
+        sum(xxhash64(col("l_orderkey"), col("l_linenumber"))
+          .cast(DecimalType(38, 0))).as("h"),
+        count(lit(1)).as("n")).collect()(0)
+      val s1 = sig(q(s, d)); val s2 = sig(q(s, d))
+      val n1 = s1.getLong(1)
+      // (2) source-subset: no sampled row outside the source relation
+      val src = tbl(d, "lineitem")(s).select("l_orderkey", "l_linenumber")
+      val extra = q(s, d).except(src).count()
+      // (3) binomial bound: count within 5 sigma of fraction*n
+      val n = src.count().toDouble
+      val expect = 0.1 * n
+      val sigma = math.sqrt(n * 0.1 * 0.9)
+      Seq(
+        ("deterministic_fixed_seed", s1 == s2, s"sig run1=$s1 run2=$s2"),
+        ("subset_of_source", extra == 0L, s"rows outside source: $extra"),
+        ("binomial_5sigma", math.abs(n1 - expect) <= 5 * sigma,
+          f"sampled $n1 of ${n.toLong} (expect $expect%.1f ± ${5 * sigma}%.1f)"))
+    })
 
   def oracleSql: Map[String, String] = Map(
     "q01_multi_agg" ->

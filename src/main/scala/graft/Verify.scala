@@ -59,6 +59,26 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // statistical contracts for the by-design rows-only queries: run the
+    // named distributed checks and write <name>.contract.json, so the
+    // correctness artifact self-describes the gate instead of `no_oracle`
+    SparkEntry.statContracts
+      .filter { case (n, _) => sel.contains(n) }
+      .foreach { case (name, fn) =>
+        val (status, checks) =
+          try {
+            val cs = fn(spark, sfDir)
+            (if (cs.forall(_._2)) "stat_contract_ok" else "stat_contract_FAILED", cs)
+          } catch { case e: Throwable =>
+            ("stat_contract_ERROR", Seq(("contract_ran", false,
+              String.valueOf(e.getMessage).take(200))))
+          }
+        val body = checks.map { case (n2, ok, detail) =>
+          s"""{"name": ${q(n2)}, "ok": $ok, "detail": ${q(detail)}}"""
+        }.mkString("[", ",", "]")
+        Files.writeString(Paths.get(s"$outDir/$name.contract.json"),
+          s"""{"contract": ${q(status)}, "checks": $body}""")
+      }
     spark.stop()
   }
 }

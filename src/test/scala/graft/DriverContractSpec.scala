@@ -59,6 +59,13 @@ class DriverContractSpec extends SparkTestBase {
     // query shipped without its correctness gate.
     val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(unoracled == Set("q23_sample"), s"queries without oracle: $unoracled")
+    // ...and every by-design rows-only query carries its statistical
+    // contract (Verify writes it as <name>.contract.json): the two sets
+    // must be EQUAL — a new unoracled query without a contract, or a
+    // contract shadowing an oracled query, both fail here
+    assert(SparkEntry.statContracts.keySet == unoracled,
+      s"statContracts must cover exactly the unoracled set: " +
+        s"${SparkEntry.statContracts.keySet} vs $unoracled")
   }
 
   test("q23 sample: deterministic at fixed seed, rows a subset of the source, fraction inside the binomial bound") {

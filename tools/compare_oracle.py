@@ -95,6 +95,30 @@ def run_one(name, sql):
     return ok_vals
 
 
+def stat_contracts():
+    """Report <name>.contract.json files Verify wrote for the by-design
+    rows-only queries (q23's Bernoulli sample): the statistical contract
+    REPLACES the hash for those, so the summary self-describes them
+    instead of leaving a silent no-oracle gap. Returns (count, fails)."""
+    names, fails = [], []
+    for fn in sorted(os.listdir(out)):
+        if not fn.endswith('.contract.json'):
+            continue
+        name = fn[:-len('.contract.json')]
+        if only is not None and name not in only:
+            continue
+        c = json.load(open(f'{out}/{fn}'))
+        ok = c.get('contract') == 'stat_contract_ok'
+        checks = ', '.join(
+            f"{ch['name']}={'ok' if ch.get('ok') else 'FAIL'}"
+            for ch in c.get('checks', []))
+        print(f"{name}: {'STAT CONTRACT OK' if ok else 'STAT CONTRACT ' + str(c.get('contract'))} ({checks})")
+        names.append(name)
+        if not ok:
+            fails.append(name)
+    return len(names), fails
+
+
 def main():
     oracle = json.load(open(f'{out}/oracle_sql.json'))
     items = [(n, s) for n, s in sorted(oracle.items())
@@ -108,7 +132,11 @@ def main():
                 fails.append(name)
         elif not run_one(name, sql):
             fails.append(name)
-    print(f"\n{len(items)-len(fails)}/{len(items)} oracle queries match; fails: {fails}")
+    ncontract, cfails = stat_contracts()
+    fails += cfails
+    ntot = len(items) + ncontract
+    print(f"\n{ntot-len(fails)}/{ntot} queries match "
+          f"({len(items)} oracle + {ncontract} stat-contract); fails: {fails}")
     sys.exit(1 if fails else 0)
 
 
