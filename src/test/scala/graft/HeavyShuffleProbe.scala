@@ -16,7 +16,7 @@ object HeavyShuffleProbe {
 
   private class Acc extends SparkListener {
     final case class Stage(id: Int, shuffleRead: Long, shuffleWrite: Long,
-        tasks: Int, maxTaskMs: Long, medTaskMs: Long)
+        tasks: Int, maxTaskMs: Long, medTaskMs: Long, wallMs: Long)
     val stages = scala.collection.mutable.ArrayBuffer[Stage]()
     private val durs =
       scala.collection.mutable.HashMap[Int, scala.collection.mutable.ArrayBuffer[Long]]()
@@ -29,12 +29,37 @@ object HeavyShuffleProbe {
       val m = s.stageInfo.taskMetrics
       val d = durs.getOrElse(s.stageInfo.stageId,
         scala.collection.mutable.ArrayBuffer[Long]()).sorted
+      val wall = (for {
+        sub <- s.stageInfo.submissionTime
+        done <- s.stageInfo.completionTime
+      } yield done - sub).getOrElse(0L)
       stages += Stage(s.stageInfo.stageId,
         m.shuffleReadMetrics.totalBytesRead, m.shuffleWriteMetrics.bytesWritten,
         s.stageInfo.numTasks,
         if (d.nonEmpty) d.last else 0L,
-        if (d.nonEmpty) d(d.length / 2) else 0L)
+        if (d.nonEmpty) d(d.length / 2) else 0L,
+        wall)
     }
+  }
+
+  /** Straggler budget gate (VERDICT r13 item #6): a DOMINANT stage
+    * (>10% of the query's wall-clock) whose max/median task ratio
+    * exceeds the default budget must be named in
+    * `tools/straggler_budget.txt` with its cause — turning the skew
+    * table's prose adjudication into a failing check. File lines:
+    * `<query> <maxRatio> <cause...>`; '#' comments. */
+  private val DefaultBudgetRatio = 4.0
+
+  private def readBudget(): Map[String, (Double, String)] = {
+    val f = new java.io.File("tools/straggler_budget.txt")
+    if (!f.exists()) Map.empty
+    else scala.io.Source.fromFile(f).getLines()
+      .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { l =>
+        val parts = l.split("\\s+", 3)
+        parts(0) -> (parts(1).toDouble,
+          if (parts.length > 2) parts(2) else "")
+      }.toMap
   }
 
   def main(args: Array[String]): Unit = {
@@ -52,6 +77,8 @@ object HeavyShuffleProbe {
       val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v)
       println(s"conf: $k=$v")
     }
+    val budget = readBudget()
+    val violations = scala.collection.mutable.ArrayBuffer[String]()
     println(f"${"query"}%-24s ${"wall_s"}%8s ${"rows"}%9s ${"shuf_rd"}%9s ${"shuf_wr"}%9s ${"hot_stage"}%10s ${"straggler"}%9s")
     names.foreach { name =>
       val acc = new Acc
@@ -87,7 +114,30 @@ object HeavyShuffleProbe {
       acc.stages.sortBy(-_.maxTaskMs).take(3).foreach { s =>
         println(f"    stage ${s.id}%4d: tasks=${s.tasks}%3d med=${s.medTaskMs / 1000.0}%7.2fs max=${s.maxTaskMs / 1000.0}%7.2fs rd=${mb(s.shuffleRead)} wr=${mb(s.shuffleWrite)}")
       }
+      // straggler budget gate: only DOMINANT shuffle stages count (a
+      // 10x ratio on a 50ms stage costs nothing; scan-stage ratios are
+      // input-layout artifacts, excluded above for the same reason)
+      val qWallMs = wall * 1000.0
+      val dominant = shufStages.filter(_.wallMs > 0.1 * qWallMs)
+      val worstDom = ratio(dominant)
+      val (allowed, cause) = budget.getOrElse(name, (DefaultBudgetRatio, ""))
+      if (dominant.nonEmpty && worstDom > allowed) {
+        violations += f"$name: dominant-stage straggler $worstDom%.1fx > budget $allowed%.1fx" +
+          (if (cause.isEmpty) " (no whitelist entry)" else s" [whitelisted cause: $cause]")
+      } else if (dominant.nonEmpty && worstDom > DefaultBudgetRatio && cause.nonEmpty) {
+        println(f"    budget: $worstDom%.1fx over default ${DefaultBudgetRatio}%.1fx, " +
+          f"within whitelist $allowed%.1fx — $cause")
+      }
     }
+    if (violations.nonEmpty) {
+      println("\nSTRAGGLER BUDGET GATE: FAIL")
+      violations.foreach(v => println(s"  $v"))
+      spark.stop()
+      sys.exit(1)
+    }
+    println("\nSTRAGGLER BUDGET GATE: PASS " +
+      s"(default ${DefaultBudgetRatio}x on dominant shuffle stages; " +
+      s"${budget.size} whitelist entries)")
     spark.stop()
   }
 }

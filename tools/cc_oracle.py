@@ -17,7 +17,21 @@ oracle runs (sf0.001/sf0.01/sf0.1, green in compare_oracle), this tool
 must agree with it, since both consume the same `verified` edges — run
 it there first, then at the scale that needs it.
 
-    GRAFT_ORACLE_MEM=100GB python3 tools/cc_oracle.py <sf_dir> <verify_out_dir> [query]
+    GRAFT_ORACLE_MEM=100GB python3 tools/cc_oracle.py <sf_dir> <verify_out_dir> [query] [--cap N]
+
+`--cap N` (p36 only) replays the engine's HOT-CELL GUARD contract
+instead of the sub-cap all-pairs branch: cells larger than N emit
+cosine-verified STAR EDGES from the cell's min-id hub (the documented
+`bucketedCosinePairs` semantics, Dedup.scala), sub-cap cells keep the
+oracle's verbatim all-pairs join. This is what makes the capped branch
+independently checkable at C=100, where the all-pairs edge set is
+DuckDB's ceiling (>79 GB spill, BASELINE round-13): star edges are
+linear in cell size. Validate the rewrite first at a scale where both
+branches run (sf0.01: `--cap 100000` must equal the plain replay;
+`--cap 4` must equal a Spark dump produced with
+SPARK_GRAFT_CONF=spark.graft.maxBucketSize=4), then use it at the
+scale that needs it. Edges feed the union-find in 1M-row chunks, so
+tool memory stays bounded by the component map, not the edge list.
 """
 import json
 import re
@@ -26,9 +40,15 @@ import sys
 
 import duckdb
 
-sf = sys.argv[1] if len(sys.argv) > 1 else '/root/testdata/sf0.01'
-out = sys.argv[2] if len(sys.argv) > 2 else '/tmp/vout'
-name = sys.argv[3] if len(sys.argv) > 3 else 'p36_semantic_dedup'
+cap = None
+argv = list(sys.argv[1:])
+if '--cap' in argv:
+    i = argv.index('--cap')
+    cap = int(argv[i + 1])
+    del argv[i:i + 2]
+sf = argv[0] if len(argv) > 0 else '/root/testdata/sf0.01'
+out = argv[1] if len(argv) > 1 else '/tmp/vout'
+name = argv[2] if len(argv) > 2 else 'p36_semantic_dedup'
 
 # Only the min-id-survivor oracles apply: the replay hardcodes the
 # component-min-id keep policy and a vec_id/doc_id universe. p76's
@@ -44,6 +64,43 @@ TABLES = ['region', 'nation', 'customer', 'supplier', 'part', 'orders',
           'lineitem', 'events', 'documents', 'embeddings']
 
 sql = json.load(open(f'{out}/oracle_sql.json'))[name]
+
+if cap is not None:
+    # Replay the hot-cell guard: rewrite the `pairs` CTE (p36's is an
+    # all-pairs join over `assign`) into the guarded two-branch form.
+    # The sub-cap branch keeps the original join shape; the capped
+    # branch is the engine's documented star-edge contract.
+    if name != 'p36_semantic_dedup':
+        sys.exit(f"--cap replays the IVF-cell guard and applies to "
+                 f"p36_semantic_dedup only, not {name}")
+    start = sql.find('pairs AS MATERIALIZED (')
+    if start < 0:
+        sys.exit(f"{name}: no `pairs AS MATERIALIZED (` CTE to rewrite")
+    i = sql.index('(', start)
+    depth, j = 0, i
+    while True:  # matching close paren of the CTE body
+        if sql[j] == '(':
+            depth += 1
+        elif sql[j] == ')':
+            depth -= 1
+            if depth == 0:
+                break
+        j += 1
+    guarded = f"""cellstats AS MATERIALIZED (
+  SELECT cell, COUNT(*) AS n, MIN(vec_id) AS hub FROM assign GROUP BY cell),
+pairs AS MATERIALIZED (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  JOIN cellstats ca ON ca.cell = a.cell
+  WHERE ca.n <= {cap}
+  UNION ALL
+  SELECT ca.hub AS id_a, a.vec_id AS id_b
+  FROM assign a JOIN cellstats ca ON ca.cell = a.cell
+  WHERE ca.n > {cap} AND a.vec_id <> ca.hub)"""
+    sql = sql[:start] + guarded + sql[j + 1:]
+    print(f"{name}: replaying the hot-cell guard at cap={cap} "
+          f"(star edges above, all-pairs below)")
+
 # cut the oracle at its closure: the survivor oracles all follow
 # `verified` with a `sym AS` (undirected edge doubling) CTE; cut at the
 # comma that introduces it (whitespace/newline may separate the two)
@@ -64,7 +121,6 @@ for t in TABLES:
     src = p + '/*.parquet' if os.path.isdir(p) else p
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
-edges = con.sql(edges_sql).fetchall()
 # the survivor oracles end `SELECT <id> FROM <table> ... LEFT JOIN comp
 # ... WHERE comp.id IS NULL UNION ALL SELECT <id> FROM keep`: the
 # universe is every id of the dumped id column's source table
@@ -72,7 +128,8 @@ id_col = con.sql(f"SELECT * FROM '{out}/{name}/*.parquet' LIMIT 0").columns[0]
 table = {'vec_id': 'embeddings', 'doc_id': 'documents'}[id_col]
 universe = [r[0] for r in con.sql(f'SELECT {id_col} FROM {table}').fetchall()]
 
-# union-find over the verified edges
+# union-find over the verified edges, fed in 1M-row chunks: the tool's
+# memory is bounded by the component map, never the full edge list
 parent = {}
 
 
@@ -85,18 +142,23 @@ def find(x):
     return r
 
 
-for a, b in edges:
-    ra, rb = find(a), find(b)
-    if ra != rb:
-        # union by min id keeps the root the component minimum
-        if rb < ra:
-            ra, rb = rb, ra
-        parent[rb] = ra
-
+n_edges = 0
 in_graph = set()
-for a, b in edges:
-    in_graph.add(a)
-    in_graph.add(b)
+con.execute(edges_sql)
+while True:
+    chunk = con.fetchmany(1_000_000)
+    if not chunk:
+        break
+    n_edges += len(chunk)
+    for a, b in chunk:
+        in_graph.add(a)
+        in_graph.add(b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min id keeps the root the component minimum
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
 survivors = sorted(x for x in universe
                    if x not in in_graph or find(x) == x)
 
@@ -109,7 +171,7 @@ if not ok:
     extra = [x for x in got if x not in ss][:5]
     missing = [x for x in survivors if x not in gs][:5]
 print(f"{name}: {'OK' if ok else 'MISMATCH'} "
-      f"edges={len(edges)} components={len({find(x) for x in in_graph})} "
+      f"edges={n_edges} components={len({find(x) for x in in_graph})} "
       f"survivors={len(survivors)} spark={len(got)}"
       + ('' if ok else f" extra={extra} missing={missing}"))
 sys.exit(0 if ok else 1)
