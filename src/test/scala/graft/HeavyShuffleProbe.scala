@@ -53,7 +53,7 @@ object HeavyShuffleProbe {
   private def readBudget(): Map[String, (Double, String)] = {
     val f = new java.io.File("tools/straggler_budget.txt")
     if (!f.exists()) Map.empty
-    else scala.io.Source.fromFile(f).getLines()
+    else scala.io.Source.fromFile(f, "UTF-8").getLines()
       .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
       .map { l =>
         val parts = l.split("\\s+", 3)
