@@ -200,8 +200,14 @@ object Bench {
     var firstAll: Map[String, Double] = firstRun.toMap
     var childCal: Seq[Double] = Nil
     var isoTag = if (isolateOn) "fresh_jvm" else "off"
-    if (isoSel.nonEmpty) {
-      runIsolated(isoSel.keys.toSeq) match {
+    // ONE child per query, not one child for the family: a family child
+    // re-accumulates the same state-store/shuffle residue across its own
+    // 12 queries x 3 passes (measured: p86 12.5 s in a family child vs
+    // 4.9 s solo — nearly the full in-suite inflation). A solo child's
+    // number is also independent of suite composition and family order,
+    // i.e. reproducible across rounds by construction.
+    isoSel.foreach { case (n, fn) =>
+      runIsolated(Seq(n)) match {
         case Some((cf, cs, cc, ce)) =>
           firstAll = firstAll ++ cf
           steadyAll = steadyAll ++ cs
@@ -209,14 +215,10 @@ object Bench {
           ce.foreach { case (k, v) => errors(k) = v }
         case None =>
           isoTag = "inline_fallback"
-          isoSel.foreach { case (n, fn) =>
-            timeOne(n, fn).foreach(t => firstAll = firstAll.updated(n, t))
-          }
+          timeOne(n, fn).foreach(t => firstAll = firstAll.updated(n, t))
           (1 to timedPasses).foreach { _ =>
-            isoSel.foreach { case (n, fn) =>
-              timeOne(n, fn).foreach(t => steadyAll = steadyAll
-                .updated(n, math.min(t, steadyAll.getOrElse(n, Double.MaxValue))))
-            }
+            timeOne(n, fn).foreach(t => steadyAll = steadyAll
+              .updated(n, math.min(t, steadyAll.getOrElse(n, Double.MaxValue))))
           }
       }
     }

@@ -77,8 +77,15 @@ def full_names():
 def recheck(flagged, sf_name, ref_norm):
     names = full_names()
     targets = [names.get(q, q) for q in flagged]
+    # SPARK_GRAFT_CPUS must match the artifact's frame: the driver bench
+    # runs local[32], and streaming fixed costs scale with the shuffle/
+    # state-partition count (p86 measured 5.2 s at local[4] vs 12.9 s at
+    # local[32], BOTH honest for their frame — the r12/r13 "fresh JVM
+    # refutations" at 4.9 s were local[4] runs misread against local[32]
+    # records, root-caused round 14)
     env = dict(os.environ,
                SPARK_GRAFT_ONLY=",".join(targets),
+               SPARK_GRAFT_CPUS=os.environ.get("SPARK_GRAFT_CPUS", "32"),
                SPARK_GRAFT_SF_DIR=f"/root/testdata/{sf_name}")
     print(f"\nrecheck: fresh JVM run of {', '.join(targets)} "
           f"(+canary) at {sf_name} ...", flush=True)
