@@ -1892,8 +1892,13 @@ object SparkEntry {
       .toDF("id_a", "id_b")
 
   private def p91(s: SparkSession, d: String): DataFrame =
+    // parquet replay sink: p91's candidate-pair output grows with the
+    // corpus (the one gate query whose RESULT is corpus-sized) — the
+    // memory sink's driver collect kills a 64 GB heap at the sf10 probe
+    // scale, the file sink streams it with bounded driver memory
     graft.streaming.Streams.replayAsStream(
-      p91Staged(s, d), scratchDir("p91_stream", d), 4, "append")(
+      p91Staged(s, d), scratchDir("p91_stream", d), 4, "append",
+      sink = "parquet")(
       p91Transform)
 
   /** SMALL-FILE COMPACTION in the oracle gate

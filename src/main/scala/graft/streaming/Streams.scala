@@ -595,9 +595,15 @@ object Streams {
     * This is the batch↔stream parity harness as a library function: any
     * bounded-result streaming pipeline (stateful aggregation, watermarked
     * windows, streaming dedup) can be checked against its batch oracle by
-    * replaying the batch input through it. The memory sink bounds the
-    * RESULT on the driver, not the input — use it for verification-sized
-    * outputs; production streams go through [[toParquet]].
+    * replaying the batch input through it. The default memory sink bounds
+    * the RESULT on the driver, not the input — use it for
+    * verification-sized outputs; `sink = "parquet"` (append mode only)
+    * writes the stream to files under the scratch dir and reads them
+    * back, so the replay's driver memory stays bounded no matter how
+    * large the output (measured: p91's pair set at the 100× sf10 corpus
+    * kills a 64 GB driver through the memory sink and streams cleanly
+    * through the parquet sink — the same shape production streams use
+    * via [[toParquet]]).
     *
     * Output determinism holds for order-free transforms (aggregations,
     * watermarked windows whose emission depends only on the global max
@@ -621,7 +627,8 @@ object Streams {
     * the second micro-batch on (a Spark contract, not a harness one —
     * StreamReplayPropSpec documents the boundary). */
   def replayAsStream(batch: DataFrame, scratchDir: String, parts: Int,
-      outputMode: String, orderedBy: Option[String] = None)(
+      outputMode: String, orderedBy: Option[String] = None,
+      sink: String = "memory")(
       f: DataFrame => DataFrame): DataFrame = {
     val s = batch.sparkSession
     // fresh run every call: a memory-sink query cannot recover from a
@@ -691,14 +698,30 @@ object Streams {
     val src = s.readStream.schema(s.read.parquet(stage).schema)
       .option("maxFilesPerTrigger", 1).parquet(stage)
       .select(inCols.map(col): _*)
-    val qn = ("graft_replay_" + scratchDir).replaceAll("[^A-Za-z0-9]", "_")
-    val q = f(src).writeStream.format("memory").queryName(qn)
-      .outputMode(outputMode)
-      .option("checkpointLocation", s"$scratchDir/ckpt")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    s.table(qn)
+    if (sink == "parquet") {
+      // file sink: driver memory stays bounded for arbitrarily large
+      // append outputs (the streaming commit log under ckpt marks the
+      // committed files; reading the dir back honors it via _spark_metadata)
+      require(outputMode == "append",
+        s"parquet replay sink is append-only, got $outputMode")
+      val outDir = s"$scratchDir/out"
+      val q = f(src).writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", s"$scratchDir/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(outDir)
+    } else {
+      val qn = ("graft_replay_" + scratchDir).replaceAll("[^A-Za-z0-9]", "_")
+      val q = f(src).writeStream.format("memory").queryName(qn)
+        .outputMode(outputMode)
+        .option("checkpointLocation", s"$scratchDir/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qn)
+    }
   }
 
   private[graft] def deleteRecursivelyNoFollow(path: String): Unit = {

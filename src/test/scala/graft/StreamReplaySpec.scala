@@ -80,6 +80,22 @@ class StreamReplaySpec extends SparkTestBase {
     assert(run(4) == r1 && run(8) == r1, "split-variant append output")
   }
 
+  test("parquet replay sink: append output identical to the memory sink") {
+    // the file sink bounds driver memory for corpus-sized append outputs
+    // (p91's sf10 pair set kills the memory sink's driver collect); the
+    // CONTENT contract is identity with the memory sink
+    def run(sink: String) = graft.streaming.Streams.replayAsStream(
+      ev, scratch(s"sink_$sink"), 4, "append", orderedBy = Some("ets"),
+      sink = sink)(dailyWindows).orderBy("ws_us").collect().toSeq
+    assert(run("parquet") == run("memory"),
+      "parquet-sink replay must equal the memory-sink replay")
+    // non-append modes refuse the file sink loudly
+    intercept[IllegalArgumentException](
+      graft.streaming.Streams.replayAsStream(
+        ev, scratch("sink_bad"), 2, "complete", sink = "parquet")(df =>
+        df.groupBy("event_type").count()))
+  }
+
   test("watermark boundary is inclusive: window end == watermark emits") {
     import spark.implicits._
     // rows at 5s, 15s, max 30s; delay 10s -> final watermark 20s.
