@@ -86,13 +86,19 @@ if cap is not None:
             if depth == 0:
                 break
         j += 1
+    # sub-cap members are MATERIALIZED before the self-join: an
+    # unfiltered assign x assign join is exactly the quadratic blowup
+    # the guard exists to avoid (measured: DuckDB join-ordered the
+    # filter AFTER the self-join and spilled >60 GB at C=100)
     guarded = f"""cellstats AS MATERIALIZED (
   SELECT cell, COUNT(*) AS n, MIN(vec_id) AS hub FROM assign GROUP BY cell),
+smallcell AS MATERIALIZED (
+  SELECT a.vec_id, a.cell FROM assign a
+  JOIN cellstats ca ON ca.cell = a.cell AND ca.n <= {cap}),
 pairs AS MATERIALIZED (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b
-  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
-  JOIN cellstats ca ON ca.cell = a.cell
-  WHERE ca.n <= {cap}
+  FROM smallcell a JOIN smallcell b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
   UNION ALL
   SELECT ca.hub AS id_a, a.vec_id AS id_b
   FROM assign a JOIN cellstats ca ON ca.cell = a.cell
