@@ -94,9 +94,23 @@ object SparkEntry {
       uniqueOn(customer(d)("?ck", "_", "_", "_", "?c_mktsegment"), "?ck"),
       uniqueOn(orders(d)("?ok", "?ck", "_", "_", "_", "_"), "?ok"),
       lineitem(d)("?ok", "_", "_", "_", "_", "?ep", "?disc", "_", "_", "_", "_"),
-      Ops.cmap(cs => cs(0) * (lit(1.0) - cs(1)))("?ep", "?disc") :> "?rev",
-      Ops.sumDec(28, 8)("?rev") :> "?revenue",
-      Ops.count() :> "?n_items").toDF(s)
+      // hash-stable revenue at ANY scale (round-14 sf10 finding): the
+      // product's TRUE value has exactly 4 decimals (2dp price x 2dp
+      // discount), so floor(x*1e4+0.5) recovers an exact integer unit
+      // count from the double product IDENTICALLY on every engine; the
+      // LONG sum is exact, and the single final units->double->/1e4
+      // rounds once, the same way everywhere. Summing the raw double
+      // product through DECIMAL instead diverges twice: per-row
+      // double->decimal conversions disagree on boundary rows (~1e-8
+      // each — invisible at sf0.1, ~1e-4 over a 12M-row group), and the
+      // final decimal->double cast is 1-ulp implementation-dependent
+      // (Java's single correctly-rounded conversion vs a two-step
+      // int128*1e-8).
+      Ops.cmap(cs => floor(cs(0) * (lit(1.0) - cs(1)) * 10000.0 + 0.5)
+        .cast(LongType))("?ep", "?disc") :> "?rev_u",
+      Ops.sum("?rev_u") :> "?units",
+      Ops.count() :> "?n_items",
+      Ops.cmap(cs => cs.head.cast(DoubleType) / 10000.0)("?units") :> "?revenue").toDF(s)
 
   /** Dimension join (broadcast-able): nations per region. */
   private def q04(s: SparkSession, d: String): DataFrame =
@@ -371,17 +385,22 @@ object SparkEntry {
     * multiply partial sums), but the DSL expresses it exactly; decimal
     * partial sums re-sum associatively so results match q03 bit-for-bit. */
   private def q32(s: SparkSession, d: String): DataFrame = {
-    val perOrder = query("?ok", "?part_rev", "?part_cnt")(
+    val perOrder = query("?ok", "?part_units", "?part_cnt")(
       lineitem(d)("?ok", "_", "_", "_", "_", "?ep", "?disc", "_", "_", "_", "_"),
-      Ops.cmap(cs => cs(0) * (lit(1.0) - cs(1)))("?ep", "?disc") :> "?rev",
-      Ops.sumDec(28, 8)("?rev") :> "?part_rev",
+      // same exact-integer-units quantization as q03 (see the comment
+      // there); the per-order partials stay LONG so the re-aggregation
+      // is exact too
+      Ops.cmap(cs => floor(cs(0) * (lit(1.0) - cs(1)) * 10000.0 + 0.5)
+        .cast(LongType))("?ep", "?disc") :> "?rev_u",
+      Ops.sum("?rev_u") :> "?part_units",
       Ops.count() :> "?part_cnt")
     query("?c_mktsegment", "?revenue", "?n_items")(
       customer(d)("?ck", "_", "_", "_", "?c_mktsegment"),
       orders(d)("?ok", "?ck", "_", "_", "_", "_"),
-      perOrder("?ok", "?part_rev", "?part_cnt"),
-      Ops.sumDec(28, 8)("?part_rev") :> "?revenue",
-      Ops.sum("?part_cnt") :> "?n_items").toDF(s)
+      perOrder("?ok", "?part_units", "?part_cnt"),
+      Ops.sum("?part_units") :> "?units",
+      Ops.sum("?part_cnt") :> "?n_items",
+      Ops.cmap(cs => cs.head.cast(DoubleType) / 10000.0)("?units") :> "?revenue").toDF(s)
   }
 
   /** Beyond-reference: hierarchical rollup aggregation (Spark-native
@@ -2785,7 +2804,7 @@ object SparkEntry {
         |FROM lineitem WHERE l_quantity < 3.0""".stripMargin,
     "q03_join_agg" ->
       """SELECT c_mktsegment,
-        |CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,8))) AS DOUBLE) AS revenue,
+        |CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
         |COUNT(*) AS n_items
         |FROM customer JOIN orders ON o_custkey = c_custkey
         |JOIN lineitem ON l_orderkey = o_orderkey
@@ -2884,7 +2903,7 @@ object SparkEntry {
         |AS running_total FROM orders""".stripMargin,
     "q32_preagg_join" ->
       """SELECT c_mktsegment,
-        |CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,8))) AS DOUBLE) AS revenue,
+        |CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
         |COUNT(*) AS n_items
         |FROM customer JOIN orders ON o_custkey = c_custkey
         |JOIN lineitem ON l_orderkey = o_orderkey
