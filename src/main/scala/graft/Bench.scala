@@ -60,7 +60,64 @@ object Bench {
     * sbt epilogue, with slack (bench-output forensics, BASELINE.md). */
   private val HeadlineBudget = 1920
 
+  /** Environment-failure classification (VERDICT r14 #6): round 14's
+    * bench artifact was an unparseable sbt ENOSPC stack because the
+    * disk filled mid-run. An environment death must still emit ONE
+    * parseable headline that says "environment, rerun me" — never read
+    * as "no queries" or a mystery crash. */
+  private[graft] def classifyEnvFailure(t: Throwable): Option[String] = {
+    val chain = Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .take(16).toSeq
+    val msgs = chain.map(c =>
+      c.getClass.getSimpleName + ": " + String.valueOf(c.getMessage))
+    val all = msgs.mkString(" | ").toLowerCase
+    if (all.contains("no space left") || all.contains("disk quota"))
+      Some("ENOSPC: " + msgs.last.take(160))
+    else if (chain.exists(_.isInstanceOf[OutOfMemoryError]) ||
+        all.contains("unable_to_acquire_memory") ||
+        all.contains("java heap space"))
+      Some("OOM: " + msgs.last.take(160))
+    else None
+  }
+
+  private def jsonEsc(s: String): String =
+    s.replaceAll("[\"\\\\\\n\\r\\t]", " ")
+
+  /** One parseable headline naming the environment failure, exit 2.
+    * (The driver parses the LAST {"metric"... line of stdout; an empty
+    * queries map plus env_failure reads as "environment, rerun me".) */
+  private def emitEnvFailure(msg: String): Nothing = {
+    println(s"""{"metric":"total","value":-1,"unit":"sec","env_failure":"${jsonEsc(msg)}","queries":{}}""")
+    sys.exit(2)
+  }
+
+  /** Pre-flight free-space check (r14 postmortem: stranded DuckDB spill
+    * filled the disk and the gate died on ENOSPC mid-run). Returns the
+    * failure message, or None when the disk can host a gate run. */
+  private[graft] def preflightDisk(minFreeGb: Double = 8.0): Option[String] = {
+    val suspects = Seq("/tmp/duckdb_spill", "/tmp/graft_sf10full",
+      "/tmp/v10full", "target")
+    Seq("/tmp", ".").flatMap { p =>
+      val free = new java.io.File(p).getUsableSpace / 1073741824.0
+      if (free >= minFreeGb) None
+      else Some(f"ENOSPC preflight: only $free%.1f GB free at $p " +
+        f"(need $minFreeGb%.1f); check ${suspects.mkString(", ")}")
+    }.headOption
+  }
+
   def main(args: Array[String]): Unit = {
+    preflightDisk().foreach(emitEnvFailure)
+    try run(args)
+    catch {
+      case t: Throwable =>
+        classifyEnvFailure(t) match {
+          case Some(kind) => emitEnvFailure(kind)
+          case None => throw t // a real defect must stay a loud crash
+        }
+    }
+  }
+
+  private def run(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -198,7 +255,11 @@ object Bench {
     }
     var steadyAll = steady
     var firstAll: Map[String, Double] = firstRun.toMap
-    var childCal: Seq[Double] = Nil
+    // per-QUERY child canary legs: each isolated query ran in its own
+    // JVM/frame, so its times must be normalized by ITS OWN legs — a
+    // single last-writer-wins pair silently applied one child's frame
+    // to every streaming query (ADVICE r14)
+    val childCals = mutable.LinkedHashMap.empty[String, Seq[Double]]
     var isoTag = if (isolateOn) "fresh_jvm" else "off"
     // ONE child per query, not one child for the family: a family child
     // re-accumulates the same state-store/shuffle residue across its own
@@ -211,7 +272,7 @@ object Bench {
         case Some((cf, cs, cc, ce)) =>
           firstAll = firstAll ++ cf
           steadyAll = steadyAll ++ cs
-          childCal = cc
+          if (cc.size == 2) childCals(n) = cc
           ce.foreach { case (k, v) => errors(k) = v }
         case None =>
           isoTag = "inline_fallback"
@@ -276,7 +337,10 @@ object Bench {
     // override cannot mislabel the methodology)
     println(s"""{"first_run":${jsonMap(firstSeq, 3)},"first_run_total":${fmt(firstTotal, 3)},"sf":"$sfDir"}""")
     val childCalField =
-      if (childCal.size == 2) s""","child_cal":[${childCal.map(fmt(_, 3)).mkString(",")}]""" else ""
+      if (childCals.isEmpty) ""
+      else childCals.map { case (n, legs) =>
+        "\"" + n + "\":[" + legs.map(fmt(_, 3)).mkString(",") + "]"
+      }.mkString(""","child_cal":{""", ",", "}")
     println(s"""{"steady_full":${jsonMap(results, 3)},"steady_total":${fmt(total, 3)},"host_cal_full":[${calFull.map(fmt(_, 3)).mkString(",")}],"iso":"$isoTag"$childCalField,"sf":"$sfDir","timing":"min_warm$timedPasses","errors":${jsonStrMap(errors)}}""")
     // headline LAST and compact: headline + sbt's "[success] ..."
     // epilogue (~80 chars) must fit the driver's 2000-char tail window

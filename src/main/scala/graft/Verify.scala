@@ -6,6 +6,33 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
+    // environment guard (VERDICT r14 #1/#6): a disk-full round turned
+    // the correctness artifact into an empty {} that read as "no
+    // queries". Fail BEFORE Spark starts when the disk can't host the
+    // run, and classify any mid-run environment death into
+    // outDir/env_failure.json so the artifact self-describes as
+    // "environment, rerun me" instead of silently zeroing the round.
+    def envFail(msg: String): Nothing = {
+      System.err.println(s"[verify] ENVIRONMENT FAILURE: $msg")
+      try {
+        new java.io.File(outDir).mkdirs()
+        Files.writeString(Paths.get(s"$outDir/env_failure.json"),
+          s"""{"env_failure": "${msg.replaceAll("[\"\\\\\\n\\r\\t]", " ").take(300)}"}""")
+      } catch { case _: Throwable => () }
+      sys.exit(2)
+    }
+    Bench.preflightDisk().foreach(envFail)
+    try runAll(sfDir, outDir)
+    catch {
+      case t: Throwable =>
+        Bench.classifyEnvFailure(t) match {
+          case Some(kind) => envFail(kind)
+          case None => throw t // a real defect must stay a loud crash
+        }
+    }
+  }
+
+  private def runAll(sfDir: String, outDir: String): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -41,6 +68,10 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        // an ENVIRONMENT death (disk full, OOM) must stop the run and
+        // classify — swallowing it per-query would burn an hour failing
+        // 150 more times and still produce a misleading artifact
+        if (Bench.classifyEnvFailure(e).isDefined) throw e
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

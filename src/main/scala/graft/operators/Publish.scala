@@ -42,10 +42,18 @@ import org.apache.spark.sql.functions._
   * never silently won by both. [[publishBatch]] deliberately does NOT
   * take the lease: per-batch commits are serialized by the single
   * streaming query that drives them (foreachBatch), and a fold running
-  * concurrently with batch commits is safe by construction — a batch
-  * committed mid-fold is dropped from the fold's manifest swap but its
-  * marker survives, and the next heal makes it visible again; expiry
-  * only ever deletes ids at or below `foldedThrough`.
+  * concurrently with batch commits is safe, by two explicit guards
+  * (not mere construction — the manifest is an unlocked file two
+  * writers can race on): (1) the fold's manifest swap is VERIFIED and
+  * re-written until it sticks, folding in batches committed meanwhile,
+  * because a concurrent heal's read-modify-write can clobber the swap
+  * and regress `foldedVersion`; (2) [[expireBatches]] never expires
+  * the version the manifest still references, so even a swap lost past
+  * the retries (or a fold crashed between its marker commit and the
+  * swap) strands an orphan v-dir — never a dangling manifest. A batch
+  * committed mid-fold keeps its marker either way and the next heal
+  * makes it visible again; expiry only ever deletes ids at or below
+  * `foldedThrough`.
   *
   * At 100 TB:
   *  - [[compact]] is one distributed read→exchange→write per run; the
@@ -312,8 +320,18 @@ object Publish {
       if (now <= expiry) sys.error(
         s"another writer holds the lease on $root (expires in ${expiry - now} ms); " +
           "publish/foldBatches are single-writer per root")
-      // expired: a crashed holder's debris — take over
-      f.delete(lock, false)
+      // expired: a crashed holder's debris — take over. The takeover is
+      // FENCED by an atomic rename to a unique tombstone: rename fails
+      // when the source is already gone, so exactly one racer wins the
+      // takeover; a plain delete+create here let two racers interleave
+      // (B's delete removing A's freshly-created lock after A's
+      // read-back passed) so that BOTH proceeded holding the lease.
+      val tombstone = new Path(root, s"_LOCK.expired.$token")
+      val won =
+        try f.rename(lock, tombstone) catch { case _: java.io.IOException => false }
+      if (!won) sys.error(
+        s"lost the expired-lease takeover race on $root to a concurrent writer; retry")
+      f.delete(tombstone, false): Unit // content is dead; best-effort tidy
       if (!tryCreate()) sys.error(
         s"lease on $root contended during expired-lease takeover; retry")
     }
@@ -491,35 +509,49 @@ object Publish {
     }
   }
 
-  /** Retention for a [[publish]] root (vacuum): delete published
-    * versions older than the newest `keepLast`, never the currently
-    * served one. Returns the deleted version numbers. Staging leftovers
-    * under `_tmp/` older than the current version are cleaned too (a
-    * crashed publish's debris). Driver-side metadata listing + one
-    * recursive delete per expired version — no data read.
+  /** Retention for a [[publish]] root (vacuum): delete COMMITTED
+    * versions older than the newest `keepLast` committed ones, never the
+    * currently served one and never a version in `protect` (the batch-
+    * root fold chain passes its manifest's foldedVersion — see
+    * [[expireBatches]]). Marker-less v-dirs below the current version
+    * are provably crash debris (the marker is the commit point) and are
+    * deleted unconditionally WITHOUT counting toward `keepLast` — debris
+    * must not silently shrink committed-version retention; a marker-less
+    * dir ABOVE the current version is left alone (it may be a live
+    * publish between its rename and its marker PUT). Staging leftovers
+    * under `_tmp/` older than the current version are cleaned too.
+    * Driver-side metadata listing + one recursive delete per expired
+    * version — no data read. Returns every deleted version number
+    * (committed expiries + debris).
     *
-    * The pointer is the safety contract: [[current]] resolves through
-    * `_LATEST`, so expiring v1..vN-k can never break a reader that
-    * re-resolves; a reader holding a file handle into an expired
+    * The `_COMMITTED` markers are the safety contract: [[current]]
+    * resolves through them ([[currentVersion]]; `_LATEST` is an advisory
+    * cache), so expiring old committed versions can never break a reader
+    * that re-resolves; a reader holding a file handle into an expired
     * version is the same snapshot-expiry contract every table format
     * has (retention must exceed the longest query). */
   def expireVersions(spark: SparkSession, root: String,
-      keepLast: Int): Seq[Long] = {
+      keepLast: Int, protect: Set[Long] = Set.empty): Seq[Long] = {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
     val f = fs(spark, root)
     val cur = currentVersion(spark, root).getOrElse(
       sys.error(s"publish root $root has no published version"))
-    val versions = f.listStatus(new Path(root)).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.matches("v\\d+"))
-      .map(_.getPath.getName.drop(1).toLong).sorted
-    val expire = versions.dropRight(keepLast).filter(_ != cur)
-    expire.foreach(v => f.delete(new Path(root, s"v$v"), true))
+    val versions = versionDirs(f, root)
+    val ptr = pointerValue(f, root)
+    // committed = marker present, or the legacy pointer names it (same
+    // visibility rule as currentVersion — pre-marker roots still count)
+    val committed = versions.filter(v =>
+      ptr.contains(v) || f.exists(versionMarker(root, v)))
+    val debris = versions.filterNot(committed.contains).filter(_ < cur)
+    val expire = committed.dropRight(keepLast)
+      .filter(v => v != cur && !protect(v))
+    (debris ++ expire).foreach(v => f.delete(new Path(root, s"v$v"), true))
     val tmp = new Path(root, "_tmp")
     if (f.exists(tmp)) f.listStatus(tmp).toSeq
       .filter(st => st.getPath.getName.matches("staging_v\\d+") &&
         st.getPath.getName.stripPrefix("staging_v").toLong < cur)
       .foreach(st => f.delete(st.getPath, true))
-    expire
+    (debris ++ expire).sorted
   }
 
   /** The committed batches of a [[publishBatch]] root, as one dataset:
@@ -601,10 +633,33 @@ object Publish {
       // (old fold + batches) to (new fold) in one atomic file replace.
       // The new fold's bytes are recorded now (one listing) so the NEXT
       // fold sizes itself from the manifest alone.
+      //
+      // Verified swap: publishBatch's healManifest is an UNLOCKED
+      // read-modify-write, so a heal racing this swap can clobber it and
+      // regress foldedVersion to the pre-fold value. Write, then verify
+      // the swap stuck, and re-write until it does (bounded; heals are
+      // transient — one per batch commit — so this converges). Each
+      // attempt folds in the batches committed meanwhile (marker scan
+      // above `through`) instead of blanking them. Even a swap lost past
+      // the retries is SAFE: expireBatches protects the manifest's
+      // foldedVersion from expiry and the next fold converges — the only
+      // cost is the orphaned v-dir until then.
+      val fsys = fs(spark, root)
       val newBytes = dataFiles(spark, s"$root/v$version").map(_._2).sum
-      writeManifest(spark, root,
-        BatchManifest(Some(version), through, Nil),
-        foldedBytes = Some(newBytes))
+      var attempt = 0
+      var swapped = false
+      while (!swapped && attempt < 5) {
+        if (attempt > 0) Thread.sleep(20L * attempt)
+        val fresh = markedBatchDirs(fsys, root, through)
+        val keptBytes = readManifestSizes(spark, root)._1
+          .filter { case (id, _) => fresh.contains(id) }
+        writeManifest(spark, root,
+          BatchManifest(Some(version), through, fresh),
+          keptBytes, foldedBytes = Some(newBytes))
+        swapped = readManifest(spark, root).exists(m =>
+          m.foldedVersion.contains(version) && m.foldedThrough == through)
+        attempt += 1
+      }
     }
     FoldReport(version, through, man.batches, rep.rows, rep.published,
       rep.violations)
@@ -636,7 +691,14 @@ object Publish {
       .filter(st => st.getPath.getName.matches("batch_\\d+") &&
         st.getPath.getName.stripPrefix("batch_").toLong <= man.foldedThrough)
       .foreach(st => f.delete(st.getPath, true))
-    if (man.foldedVersion.isDefined) expireVersions(spark, root, 1): Unit
+    // vacuum superseded pre-fold versions, but NEVER the version the
+    // manifest still references: if a fold crashed between its marker
+    // commit and its manifest swap (or a concurrent heal regressed the
+    // swap), currentVersion resolves the orphan-committed v{N} while
+    // _MANIFEST still names v{M} — keepLast=1 alone would delete v{M}
+    // and leave readCommitted pointing at a missing directory.
+    if (man.foldedVersion.isDefined)
+      expireVersions(spark, root, 1, protect = man.foldedVersion.toSet): Unit
     folded
   }
 

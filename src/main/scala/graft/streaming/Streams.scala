@@ -705,13 +705,18 @@ object Streams {
       require(outputMode == "append",
         s"parquet replay sink is append-only, got $outputMode")
       val outDir = s"$scratchDir/out"
-      val q = f(src).writeStream.format("parquet")
+      val transformed = f(src)
+      val q = transformed.writeStream.format("parquet")
         .option("path", outDir)
         .option("checkpointLocation", s"$scratchDir/ckpt")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      s.read.parquet(outDir)
+      // explicit schema: a transform emitting ZERO rows writes no data
+      // files, and schema inference over the empty dir would throw where
+      // the memory sink returns an empty table — the two sink modes must
+      // agree on the empty-output edge of the content-identity contract
+      s.read.schema(transformed.schema).parquet(outDir)
     } else {
       val qn = ("graft_replay_" + scratchDir).replaceAll("[^A-Za-z0-9]", "_")
       val q = f(src).writeStream.format("memory").queryName(qn)

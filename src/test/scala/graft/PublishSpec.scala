@@ -131,6 +131,95 @@ class PublishSpec extends SparkTestBase {
     } finally graft.streaming.Streams.deleteRecursivelyNoFollow(root)
   }
 
+  test("expireVersions: marker-less debris never counts toward keepLast; deleted below cur, untouched above") {
+    val root = freshRoot("pub_debris")
+    try {
+      (1L to 3L).foreach { v =>
+        assert(Publish.publish(Seq((v, s"v$v")).toDF("k", "v"), root, v).published)
+      }
+      // v2 loses its marker: the debris of a crash mid-promote. It must
+      // be deleted outright and NOT occupy a keepLast slot — counting it
+      // would silently shrink committed-version retention to {v3} alone.
+      assert(new java.io.File(s"$root/v2/_COMMITTED").delete())
+      // a marker-less dir ABOVE cur may be a LIVE publish between its
+      // rename and marker PUT — retention must leave it alone
+      new java.io.File(s"$root/v9").mkdirs()
+      val expired = Publish.expireVersions(spark, root, keepLast = 2)
+      assert(expired == Seq(2L), s"expired $expired")
+      assert(new java.io.File(s"$root/v1/_COMMITTED").exists(),
+        "v1 is within keepLast=2 of the COMMITTED versions {1,3}")
+      assert(!new java.io.File(s"$root/v2").exists(), "debris deleted")
+      assert(new java.io.File(s"$root/v3/_COMMITTED").exists())
+      assert(new java.io.File(s"$root/v9").exists(),
+        "marker-less dir above cur could be a live publish")
+      assertProduces(Publish.current(spark, root), Seq(Seq(3L, "v3")))
+    } finally graft.streaming.Streams.deleteRecursivelyNoFollow(root)
+  }
+
+  test("crash matrix / re-fold post-publish (pre-manifest-swap): expireBatches never deletes the version the manifest references") {
+    val root = freshRoot("crash_refold")
+    try {
+      // establish a real fold first: manifest foldedVersion = Some(M)
+      assert(Publish.publishBatch(Seq((1L, "a")).toDF("k", "v"), root, 0L))
+      val rep1 = Publish.foldBatches(spark, root, targetBytes = 1L << 20)
+      assert(rep1.published)
+      assert(Publish.expireBatches(spark, root) == Seq(0L))
+      val vM = rep1.version
+      // a later batch, then a RE-FOLD that crashes between its marker
+      // commit and its manifest swap: currentVersion now resolves the
+      // orphan-committed v{N} while _MANIFEST still names v{M}
+      assert(Publish.publishBatch(Seq((2L, "b")).toDF("k", "v"), root, 1L))
+      intercept[RuntimeException](Publish.foldBatchesImpl(
+        spark, root, 1L << 20, Nil, crash("published")))
+      val man = Publish.readManifest(spark, root).get
+      assert(man.foldedVersion.contains(vM), "manifest still names the old fold")
+      assert(Publish.currentVersion(spark, root).exists(_ > vM),
+        "the orphan fold version IS marker-committed")
+      // the dangerous call: expiry with keepLast=1 would have deleted
+      // v{M} (only cur survives) and left readCommitted dangling
+      Publish.expireBatches(spark, root): Unit
+      assert(new java.io.File(s"$root/v$vM").exists(),
+        "the manifest-referenced version must survive expiry")
+      assertProduces(Publish.readCommitted(spark, root).get,
+        Seq(Seq(1L, "a"), Seq(2L, "b")))
+      // re-run converges and the orphan chain vacuums
+      val rep2 = Publish.foldBatches(spark, root, targetBytes = 1L << 20)
+      assert(rep2.published)
+      assert(Publish.expireBatches(spark, root) == Seq(1L))
+      assertProduces(Publish.readCommitted(spark, root).get,
+        Seq(Seq(1L, "a"), Seq(2L, "b")))
+    } finally graft.streaming.Streams.deleteRecursivelyNoFollow(root)
+  }
+
+  test("foldBatches: a batch committed MID-FOLD (heal racing the swap) stays visible — the verified swap lists it, no heal needed") {
+    val root = freshRoot("fold_midbatch")
+    try {
+      assert(Publish.publishBatch(Seq((1L, "a")).toDF("k", "v"), root, 0L))
+      // inject a real mid-fold commit: the hook fires at "published" —
+      // after the fold's version committed, BEFORE its manifest swap.
+      // publishBatch runs healManifest (the unlocked read-modify-write
+      // the swap races); the verified swap must then land foldedVersion
+      // AND list the new batch, not blank it until the next heal.
+      val midFold: String => Unit = {
+        case "published" =>
+          assert(Publish.publishBatch(
+            Seq((9L, "z")).toDF("k", "v"), root, 7L))
+        case _ => ()
+      }
+      val rep = Publish.foldBatchesImpl(spark, root, 1L << 20, Nil, midFold)
+      assert(rep.published && rep.foldedThrough == 0L)
+      val man = Publish.readManifest(spark, root).get
+      assert(man == Publish.BatchManifest(Some(rep.version), 0L, Seq(7L)),
+        s"swap must fold in the mid-fold batch: $man")
+      assertProduces(Publish.readCommitted(spark, root).get,
+        Seq(Seq(1L, "a"), Seq(9L, "z")))
+      // and the mid-fold batch keeps committing forward normally
+      assert(Publish.expireBatches(spark, root) == Seq(0L))
+      assertProduces(Publish.readCommitted(spark, root).get,
+        Seq(Seq(1L, "a"), Seq(9L, "z")))
+    } finally graft.streaming.Streams.deleteRecursivelyNoFollow(root)
+  }
+
   /** One staged parquet file with a controlled mtime — the file source
     * replays in mtime order, so slice k is exactly micro-batch k. */
   private def stageSlice(dir: String, df: org.apache.spark.sql.DataFrame,

@@ -94,6 +94,16 @@ class StreamReplaySpec extends SparkTestBase {
       graft.streaming.Streams.replayAsStream(
         ev, scratch("sink_bad"), 2, "complete", sink = "parquet")(df =>
         df.groupBy("event_type").count()))
+    // empty-output edge of the identity contract (ADVICE r14): a
+    // transform emitting ZERO rows writes no data files; the parquet
+    // read-back must use the transform's schema, not fail inference —
+    // the memory sink returns an empty table there
+    def runEmpty(sink: String) = graft.streaming.Streams.replayAsStream(
+      ev, scratch(s"sink_empty_$sink"), 2, "append",
+      orderedBy = Some("ets"), sink = sink)(
+      df => df.filter(lit(false))).collect().toSeq
+    assert(runEmpty("parquet") == runEmpty("memory"),
+      "zero-row parquet-sink replay must equal the memory sink (empty)")
   }
 
   test("watermark boundary is inclusive: window end == watermark emits") {

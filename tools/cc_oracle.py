@@ -38,7 +38,8 @@ import re
 import os
 import sys
 
-import duckdb
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import duck_env  # capped + self-cleaning DuckDB spill (r14 ENOSPC postmortem)
 
 cap = None
 argv = list(sys.argv[1:])
@@ -117,9 +118,8 @@ head = sql[:m.start()]
 # WITH RECURSIVE with no recursive CTE left is still valid SQL in DuckDB
 edges_sql = head + ' SELECT id_a, id_b FROM verified'
 
-con = duckdb.connect()
-con.sql(f"SET memory_limit='{os.environ.get('GRAFT_ORACLE_MEM', '48GB')}'")
-con.sql("SET temp_directory='/tmp/duckdb_spill'")
+duck_env.preflight()
+con = duck_env.connect()  # spill capped + swept on exit (r14 postmortem)
 for t in TABLES:
     p = f'{sf}/{t}.parquet'
     if not os.path.exists(p):

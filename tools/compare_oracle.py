@@ -23,8 +23,11 @@ sf0.1 sweeps; plain mode is fine at sf0.01 and below.
 flagged query or finishing an interrupted sweep without re-evaluating
 everything.
 """
-import duckdb, json, os, subprocess, sys
+import json, os, subprocess, sys
 import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import duck_env  # capped + self-cleaning DuckDB spill (r14 ENOSPC postmortem)
 
 flags = [a for a in sys.argv[1:] if a.startswith('--')]
 fork = '--fork' in flags
@@ -59,14 +62,11 @@ def norm(df):
 
 def run_one(name, sql):
     """Evaluate one oracle; prints one status line; returns ok bool."""
-    con = duckdb.connect()
     # default 48GB leaves headroom for a concurrent Spark/sbt process;
     # standalone heavy-oracle re-runs (sf1 recursive-CTE class) can raise
     # it: GRAFT_ORACLE_MEM=100GB python3 tools/compare_oracle.py ...
-    con.sql(f"SET memory_limit='{os.environ.get('GRAFT_ORACLE_MEM', '48GB')}'")
-    # spill to disk instead of failing when the host is memory-pressured
-    # (back-to-back sweeps at sf0.1 can race each other's page cache)
-    con.sql("SET temp_directory='/tmp/duckdb_spill'")
+    # Spill is disk-capped and swept on exit (duck_env; r14 postmortem).
+    con = duck_env.connect()
     for t in TABLES:
         p = f'{sf}/{t}.parquet'
         if not os.path.exists(p):
@@ -122,6 +122,15 @@ def stat_contracts():
 
 
 def main():
+    duck_env.preflight()
+    # a Verify run that died on an environment failure (disk full, OOM)
+    # writes env_failure.json instead of a dump — surface the
+    # classification instead of crashing on the missing oracle file
+    if (not os.path.exists(f'{out}/oracle_sql.json')
+            and os.path.exists(f'{out}/env_failure.json')):
+        print('ENVIRONMENT FAILURE (rerun me): '
+              + open(f'{out}/env_failure.json').read())
+        sys.exit(2)
     oracle = json.load(open(f'{out}/oracle_sql.json'))
     items = [(n, s) for n, s in sorted(oracle.items())
              if only is None or n in only]
