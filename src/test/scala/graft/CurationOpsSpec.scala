@@ -378,6 +378,33 @@ class CurationOpsSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == sr)
   }
 
+  test("graph iterations: broadcast path == shuffle path bit-for-bit (broadcastNodeLimit)") {
+    import graft.pipeline.Graph
+    // the node-sized rank/label table broadcasts under
+    // spark.graft.broadcastNodeLimit (hub-skew immunity); forcing the
+    // limit to 0 exercises the sort-merge path — the integer iteration
+    // is partitioning-independent, so both must agree exactly
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val nodes = (1L to 6L).toDF("id")
+    val edges = Graph.symmetrize(pairs)
+    def both[A](run: => A): (A, A) = {
+      val a = run // default: broadcast (6 nodes << 10M limit)
+      spark.conf.set("spark.graft.broadcastNodeLimit", "0")
+      try { val b = run; (a, b) }
+      finally spark.conf.unset("spark.graft.broadcastNodeLimit")
+    }
+    val (ra, rb) = both(Graph.pageRankInt(edges, nodes, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    assert(ra == rb, s"pageRank broadcast vs shuffle: $ra vs $rb")
+    val (la, lb) = both(Graph.labelPropagate(edges, nodes, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    assert(la == lb, s"LPA broadcast vs shuffle: $la vs $lb")
+    // (the returned DF is Stage.materialize'd — an RDD scan — so the
+    // contribution join's shape is not visible from the output plan
+    // here; HeavyShuffleProbe measures it: the broadcast path drops
+    // the rank-join shuffle entirely, BASELINE.md r15 skew section)
+  }
+
   test("triangleCounts: K4, open wedges, isolated nodes, dup families") {
     import graft.pipeline.Graph
     // K4 on {1,2,3,4}: C(4,3) = 4 triangles, each node in 3 of them,
