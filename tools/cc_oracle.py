@@ -42,10 +42,18 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import duck_env  # capped + self-cleaning DuckDB spill (r14 ENOSPC postmortem)
 
 cap = None
+edges_dir = None
 argv = list(sys.argv[1:])
 if '--cap' in argv:
     i = argv.index('--cap')
     cap = int(argv[i + 1])
+    del argv[i:i + 2]
+if '--edges' in argv:
+    # pre-materialized verified-edge parquet (staged_oracle.py
+    # --stop-at=verified): skips the in-process prefix evaluation for
+    # oracles whose one-shot edge computation is environment-bound
+    i = argv.index('--edges')
+    edges_dir = argv[i + 1]
     del argv[i:i + 2]
 sf = argv[0] if len(argv) > 0 else '/root/testdata/sf0.01'
 out = argv[1] if len(argv) > 1 else '/tmp/vout'
@@ -56,7 +64,8 @@ name = argv[2] if len(argv) > 2 else 'p36_semantic_dedup'
 # quality-keyed survivor (max n_chars, tie min id) ALSO has a `sym AS`
 # cut point, so without this guard it would "run" and report a spurious
 # MISMATCH at exactly the scale where no full oracle can disambiguate.
-APPLICABLE = {'p36_semantic_dedup', 'p11_neardup_dedup', 'p17_neardup_star'}
+APPLICABLE = {'p36_semantic_dedup', 'p11_neardup_dedup', 'p17_neardup_star',
+              'p35_embedding_dedup'}
 if name not in APPLICABLE:
     sys.exit(f"{name}: not a min-id-survivor oracle this tool can replay "
              f"(applicable: {sorted(APPLICABLE)})")
@@ -111,12 +120,15 @@ pairs AS MATERIALIZED (
 # cut the oracle at its closure: the survivor oracles all follow
 # `verified` with a `sym AS` (undirected edge doubling) CTE; cut at the
 # comma that introduces it (whitespace/newline may separate the two)
-m = re.search(r',\s*sym\s+AS\b', sql)
-if m is None:
-    sys.exit(f"{name}: oracle has no closure CTE (`sym AS`) to replace")
-head = sql[:m.start()]
-# WITH RECURSIVE with no recursive CTE left is still valid SQL in DuckDB
-edges_sql = head + ' SELECT id_a, id_b FROM verified'
+if edges_dir is not None:
+    edges_sql = f"SELECT id_a, id_b FROM '{edges_dir}/*.parquet'"
+else:
+    m = re.search(r',\s*sym\s+AS\b', sql)
+    if m is None:
+        sys.exit(f"{name}: oracle has no closure CTE (`sym AS`) to replace")
+    head = sql[:m.start()]
+    # WITH RECURSIVE with no recursive CTE left is still valid SQL in DuckDB
+    edges_sql = head + ' SELECT id_a, id_b FROM verified'
 
 duck_env.preflight()
 con = duck_env.connect()  # spill capped + swept on exit (r14 postmortem)
