@@ -86,8 +86,11 @@ object Bench {
   /** One parseable headline naming the environment failure, exit 2.
     * (The driver parses the LAST {"metric"... line of stdout; an empty
     * queries map plus env_failure reads as "environment, rerun me".) */
+  private[graft] def envFailureHeadline(msg: String): String =
+    s"""{"metric":"total","value":-1,"unit":"sec","env_failure":"${jsonEsc(msg)}","queries":{}}"""
+
   private def emitEnvFailure(msg: String): Nothing = {
-    println(s"""{"metric":"total","value":-1,"unit":"sec","env_failure":"${jsonEsc(msg)}","queries":{}}""")
+    println(envFailureHeadline(msg))
     sys.exit(2)
   }
 

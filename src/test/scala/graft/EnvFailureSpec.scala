@@ -1,10 +1,8 @@
 package graft
 
-import org.scalatest.funsuite.AnyFunSuite
-
 /** VERDICT r14 #6: an environment death (disk full, OOM) must classify
   * into a self-describing artifact instead of an unparseable crash. */
-class EnvFailureSpec extends AnyFunSuite {
+class EnvFailureSpec extends SparkTestBase {
 
   test("classifyEnvFailure: ENOSPC anywhere in the cause chain") {
     val t = new RuntimeException("job aborted",
@@ -43,5 +41,24 @@ class EnvFailureSpec extends AnyFunSuite {
     val msg = Bench.preflightDisk(minFreeGb = 1e6)
     assert(msg.exists(m => m.contains("ENOSPC preflight") &&
       m.contains("duckdb_spill")), s"got $msg")
+  }
+
+  test("envFailureHeadline: the simulated disk-full artifact parses and self-describes") {
+    // the full path a disk-full round takes: preflight message -> headline.
+    // The headline must (a) start with {"metric" (the driver's parse
+    // anchor), (b) survive a message containing every JSON-hostile char,
+    // (c) carry env_failure so an empty queries map cannot read as
+    // "no queries ran".
+    val msg = Bench.preflightDisk(minFreeGb = 1e6).get +
+      " weird\"chars\\and\nnewlines\ttabs"
+    val line = Bench.envFailureHeadline(msg)
+    assert(line.startsWith("""{"metric":"total","value":-1"""))
+    assert(line.contains(""""env_failure":"""") && line.endsWith(""""queries":{}}"""))
+    // parseable by a strict JSON reader (Spark's JSON parser as proxy)
+    val df = spark.read.json(
+      spark.createDataset(Seq(line))(org.apache.spark.sql.Encoders.STRING))
+    val row = df.select("env_failure", "metric", "value").head()
+    assert(row.getString(0).contains("ENOSPC preflight"))
+    assert(row.getString(1) == "total" && row.getLong(2) == -1L)
   }
 }
