@@ -399,6 +399,9 @@ class CurationOpsSpec extends SparkTestBase {
     val (la, lb) = both(Graph.labelPropagate(edges, nodes, iters = 3)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
     assert(la == lb, s"LPA broadcast vs shuffle: $la vs $lb")
+    val (ta, tb) = both(Graph.triangleCounts(pairs, nodes)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
+    assert(ta == tb, s"triangles broadcast vs shuffle: $ta vs $tb")
     // (the returned DF is Stage.materialize'd — an RDD scan — so the
     // contribution join's shape is not visible from the output plan
     // here; HeavyShuffleProbe measures it: the broadcast path drops
