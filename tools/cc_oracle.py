@@ -59,13 +59,15 @@ sf = argv[0] if len(argv) > 0 else '/root/testdata/sf0.01'
 out = argv[1] if len(argv) > 1 else '/tmp/vout'
 name = argv[2] if len(argv) > 2 else 'p36_semantic_dedup'
 
-# Only the min-id-survivor oracles apply: the replay hardcodes the
-# component-min-id keep policy and a vec_id/doc_id universe. p76's
-# quality-keyed survivor (max n_chars, tie min id) ALSO has a `sym AS`
-# cut point, so without this guard it would "run" and report a spurious
-# MISMATCH at exactly the scale where no full oracle can disambiguate.
-APPLICABLE = {'p36_semantic_dedup', 'p11_neardup_dedup', 'p17_neardup_star',
-              'p35_embedding_dedup'}
+# Survivor-policy registry: min-id (the default family) or p76's
+# quality-keyed pick (max n_chars over the component, ties min id,
+# all-null falls back to min id — the engine's <=> fallback). A query
+# absent here has no replayable policy and is refused, so it can't
+# "run" and report a spurious MISMATCH at exactly the scale where no
+# full oracle can disambiguate.
+APPLICABLE = {'p36_semantic_dedup': 'min_id', 'p11_neardup_dedup': 'min_id',
+              'p17_neardup_star': 'min_id', 'p35_embedding_dedup': 'min_id',
+              'p76_quality_dedup': 'quality'}
 if name not in APPLICABLE:
     sys.exit(f"{name}: not a min-id-survivor oracle this tool can replay "
              f"(applicable: {sorted(APPLICABLE)})")
@@ -177,8 +179,26 @@ while True:
             if rb < ra:
                 ra, rb = rb, ra
             parent[rb] = ra
-survivors = sorted(x for x in universe
-                   if x not in in_graph or find(x) == x)
+policy = APPLICABLE[name]
+if policy == 'min_id':
+    # union by min id keeps the root the component minimum
+    survivors = sorted(x for x in universe
+                       if x not in in_graph or find(x) == x)
+else:  # 'quality' (p76): per component, max n_chars, ties min id;
+    # an all-null-score component keeps its min id (MAX ignores nulls
+    # and the oracle's IS NOT DISTINCT FROM matches null to null —
+    # a null member never beats a scored one)
+    score = dict(con.sql('SELECT doc_id, n_chars FROM documents').fetchall())
+    best = {}
+    for x in in_graph:
+        r = find(x)
+        s = score.get(x)
+        key = (s is not None, s if s is not None else 0, -x)
+        if r not in best or key > best[r][0]:
+            best[r] = (key, x)
+    kept = {v[1] for v in best.values()}
+    survivors = sorted(x for x in universe
+                       if x not in in_graph or x in kept)
 
 got = sorted(r[0] for r in
              con.sql(f"SELECT {id_col} FROM '{out}/{name}/*.parquet'").fetchall())

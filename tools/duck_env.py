@@ -25,21 +25,58 @@ SPILL_DIR = '/tmp/duckdb_spill'
 _cleanup_registered = False
 
 
+def _my_spill():
+    """Per-PROCESS spill subdir: concurrent oracle tools must not sweep
+    each other's live spill files."""
+    return os.path.join(SPILL_DIR, f'pid{os.getpid()}')
+
+
 def _sweep_spill():
-    shutil.rmtree(SPILL_DIR, ignore_errors=True)
+    shutil.rmtree(_my_spill(), ignore_errors=True)
+    _reap_dead()
+    try:  # tidy the empty parent; harmless if another process holds it
+        os.rmdir(SPILL_DIR)
+    except OSError:
+        pass
+
+
+def _reap_dead():
+    """Remove siblings whose owning process is gone — the 74 GB r14
+    strand was exactly this debris class (a killed oracle run)."""
+    if not os.path.isdir(SPILL_DIR):
+        return
+    for d in os.listdir(SPILL_DIR):
+        if not d.startswith('pid'):
+            # pre-r15 layout: loose duckdb_temp_storage-*.tmp files
+            try:
+                os.remove(os.path.join(SPILL_DIR, d))
+            except OSError:
+                pass
+            continue
+        pid = d[3:]
+        if pid.isdigit() and not os.path.exists(f'/proc/{pid}'):
+            shutil.rmtree(os.path.join(SPILL_DIR, d), ignore_errors=True)
 
 
 def connect(mem_env='GRAFT_ORACLE_MEM', mem_default='48GB'):
     """Fresh DuckDB connection with capped, self-cleaning disk spill."""
     global _cleanup_registered
-    _sweep_spill()  # debris from a crashed previous run
-    os.makedirs(SPILL_DIR, exist_ok=True)
+    _sweep_spill()  # own debris + dead siblings from crashed runs
+    # retry: a concurrent tool's exit-sweep can rmdir the shared parent
+    # between makedirs' two mkdir steps (observed once in a 4-way run)
+    for attempt in range(5):
+        try:
+            os.makedirs(_my_spill(), exist_ok=True)
+            break
+        except FileNotFoundError:
+            if attempt == 4:
+                raise
     if not _cleanup_registered:
         atexit.register(_sweep_spill)
         _cleanup_registered = True
     con = duckdb.connect()
     con.sql(f"SET memory_limit='{os.environ.get(mem_env, mem_default)}'")
-    con.sql(f"SET temp_directory='{SPILL_DIR}'")
+    con.sql(f"SET temp_directory='{_my_spill()}'")
     cap = os.environ.get('GRAFT_SPILL_CAP', '40GB')
     con.sql(f"SET max_temp_directory_size='{cap}'")
     return con

@@ -76,7 +76,11 @@ def parse_ctes(sql):
     i = m.end()
     ctes = []
     while True:
-        mm = re.match(r'\s*([A-Za-z_][A-Za-z0-9_]*)\s+AS\s*\(', s[i:])
+        # MATERIALIZED hint: staged replay materializes every CTE to
+        # parquet anyway, so the hint is consumed and dropped here
+        mm = re.match(
+            r'\s*([A-Za-z_][A-Za-z0-9_]*)\s+AS\s*(?:MATERIALIZED\s*)?\(',
+            s[i:], re.I)
         if not mm:
             break
         name = mm.group(1)
