@@ -80,8 +80,12 @@ object Bench {
     else None
   }
 
-  private def jsonEsc(s: String): String =
-    s.replaceAll("[\"\\\\\\n\\r\\t]", " ")
+  // blanks quote, backslash, and the ENTIRE control range — a \f or \b
+  // in an exception message would otherwise make the env_failure
+  // headline invalid strict JSON, exactly the unparseable-artifact
+  // failure this path exists to prevent
+  private[graft] def jsonEsc(s: String): String =
+    s.replaceAll("[\\p{Cntrl}\"\\\\]", " ")
 
   /** One parseable headline naming the environment failure, exit 2.
     * (The driver parses the LAST {"metric"... line of stdout; an empty
@@ -98,13 +102,31 @@ object Bench {
     * filled the disk and the gate died on ENOSPC mid-run). Returns the
     * failure message, or None when the disk can host a gate run. */
   private[graft] def preflightDisk(minFreeGb: Double = 8.0): Option[String] = {
-    val suspects = Seq("/tmp/duckdb_spill", "/tmp/graft_sf10full",
-      "/tmp/v10full", "target")
     Seq("/tmp", ".").flatMap { p =>
       val free = new java.io.File(p).getUsableSpace / 1073741824.0
       if (free >= minFreeGb) None
-      else Some(f"ENOSPC preflight: only $free%.1f GB free at $p " +
-        f"(need $minFreeGb%.1f); check ${suspects.mkString(", ")}")
+      else {
+        // name the multi-GB probe-debris residents (same prefixes
+        // janitor.py sweeps; size-filtered so the message stays
+        // readable) plus the standing suspects and the cleanup command
+        val prefixes = Seq("duckdb_spill", "graft_sf", "graft_skew",
+          "graft_test_", "graft-", "v10", "v1f", "vout", "staged_",
+          "graft_pub_stage")
+        def du(f: java.io.File): Long =
+          if (f.isFile) f.length
+          else Option(f.listFiles).toSeq.flatten.map(du).sum
+        val debris = Option(new java.io.File("/tmp").listFiles).toSeq
+          .flatten.filter(f => f.isDirectory &&
+            prefixes.exists(f.getName.startsWith))
+          .map(f => f.getPath -> du(f))
+          .filter(_._2 >= (256L << 20)).sortBy(-_._2)
+          .map { case (d, b) => f"$d (${b / 1073741824.0}%.1f GB)" }
+        val suspects =
+          (Seq("/tmp/duckdb_spill", "target") ++ debris).mkString(", ")
+        Some(f"ENOSPC preflight: only $free%.1f GB free at $p " +
+          f"(need $minFreeGb%.1f); check $suspects; " +
+          "cleanup: python3 tools/janitor.py --delete --keep <needed>")
+      }
     }.headOption
   }
 

@@ -437,13 +437,36 @@ object Publish {
   private def healManifest(spark: SparkSession, root: String,
       extraBytes: Map[Long, Long] = Map.empty): BatchManifest = {
     val f = fs(spark, root)
-    val old = readManifest(spark, root)
-      .getOrElse(BatchManifest(None, -1L, Nil))
-    val (oldBytes, foldedBytes) = readManifestSizes(spark, root)
-    val m = old.copy(batches = markedBatchDirs(f, root, old.foldedThrough))
-    val bytes = (oldBytes ++ extraBytes)
-      .filter { case (id, _) => m.batches.contains(id) }
-    writeManifest(spark, root, m, bytes, foldedBytes)
+    // Monotonic heal: this is an UNLOCKED read-modify-write racing the
+    // fold's manifest swap, so (a) the manifest is read IMMEDIATELY
+    // before each write and foldedVersion/foldedThrough never regress
+    // past what any concurrent writer committed (take the max), and
+    // (b) after writing we verify no concurrent writer advanced further
+    // meanwhile — if one did, merge and re-write (bounded; the merge is
+    // monotone, so racing writers converge instead of fighting).
+    // Without this a heal that read the pre-swap manifest and whose
+    // write landed after expireBatches deleted the folded batch= dirs
+    // would regress the fold and orphan its rows.
+    var m = BatchManifest(None, -1L, Nil)
+    var settled = false
+    var attempt = 0
+    while (!settled && attempt < 5) {
+      if (attempt > 0) Thread.sleep(10L * attempt)
+      val cur = readManifest(spark, root)
+        .getOrElse(BatchManifest(None, -1L, Nil))
+      val (curBytes, foldedBytes) = readManifestSizes(spark, root)
+      val through = math.max(m.foldedThrough, cur.foldedThrough)
+      val foldedV = (m.foldedVersion.toSeq ++ cur.foldedVersion)
+        .reduceOption(math.max(_, _))
+      m = BatchManifest(foldedV, through, markedBatchDirs(f, root, through))
+      val bytes = (curBytes ++ extraBytes)
+        .filter { case (id, _) => m.batches.contains(id) }
+      writeManifest(spark, root, m, bytes, foldedBytes)
+      settled = readManifest(spark, root).forall(w =>
+        w.foldedThrough <= m.foldedThrough &&
+          w.foldedVersion.forall(v => m.foldedVersion.exists(_ >= v)))
+      attempt += 1
+    }
     m
   }
 
@@ -540,9 +563,19 @@ object Publish {
     val ptr = pointerValue(f, root)
     // committed = marker present, or the legacy pointer names it (same
     // visibility rule as currentVersion — pre-marker roots still count)
-    val committed = versions.filter(v =>
-      ptr.contains(v) || f.exists(versionMarker(root, v)))
-    val debris = versions.filterNot(committed.contains).filter(_ < cur)
+    val markers = versions.filter(v => f.exists(versionMarker(root, v)))
+    val (committed, debris) =
+      if (markers.isEmpty)
+        // fully legacy (pre-marker) root: the marker protocol never ran
+        // here, so no marker-less dir can be PROVEN crash debris. Every
+        // version counts as committed and retention is the plain
+        // keepLast-newest rule — the debris rule applies only to roots
+        // written under the marker protocol.
+        (versions, Seq.empty[Long])
+      else {
+        val c = versions.filter(v => ptr.contains(v) || markers.contains(v))
+        (c, versions.filterNot(c.contains).filter(_ < cur))
+      }
     val expire = committed.dropRight(keepLast)
       .filter(v => v != cur && !protect(v))
     (debris ++ expire).foreach(v => f.delete(new Path(root, s"v$v"), true))
@@ -640,10 +673,13 @@ object Publish {
       // the swap stuck, and re-write until it does (bounded; heals are
       // transient — one per batch commit — so this converges). Each
       // attempt folds in the batches committed meanwhile (marker scan
-      // above `through`) instead of blanking them. Even a swap lost past
-      // the retries is SAFE: expireBatches protects the manifest's
-      // foldedVersion from expiry and the next fold converges — the only
-      // cost is the orphaned v-dir until then.
+      // above `through`) instead of blanking them. A swap lost past the
+      // retries is SAFE because healManifest is MONOTONIC (re-reads
+      // before writing, never regresses foldedVersion/foldedThrough,
+      // verifies its own write): the losing side here can only be a
+      // heal that ADVANCED the fold fields, expireBatches protects the
+      // manifest's foldedVersion from expiry, and the next fold
+      // converges — the only cost is the orphaned v-dir until then.
       val fsys = fs(spark, root)
       val newBytes = dataFiles(spark, s"$root/v$version").map(_._2).sum
       var attempt = 0

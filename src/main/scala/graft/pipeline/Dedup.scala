@@ -25,6 +25,22 @@ object Dedup {
     resolved
   }
 
+  /** Per-join-task pair budget for the NEAR-CAP bucket self-join
+    * (`spark.graft.saltTargetPairs`, default 2^20). A bucket of size s
+    * at the guard cap emits s²/2 pairs from ONE reducer task of the
+    * band-key self-join — bounded (cap²/2 ≈ 8.4M at the default cap)
+    * but still the dominant straggler on a skewed corpus. Buckets
+    * bigger than √target are therefore split into B = ceil(s/√target)
+    * hash blocks and self-joined on (key, block_i, block_j) instead:
+    * per-task pair volume drops to ~target while the emitted pair SET
+    * is identical by construction ([[minhashCandidates]]). */
+  private[graft] def resolveSaltTarget(df: DataFrame): Long = {
+    val t = df.sparkSession.conf
+      .get("spark.graft.saltTargetPairs", (1L << 20).toString).toLong
+    require(t >= 4, s"saltTargetPairs must be >= 4, got $t")
+    t
+  }
+
   /** Exact dedup: keep the smallest id per exact content hash. One shuffle
     * on the 128-bit content hash; no window over the full data. */
   def exact(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
@@ -257,13 +273,19 @@ object Dedup {
       .transform(graft.Stage.materialize)
     // the guard reads bucket stats from a map-side-combined aggregation —
     // degenerate buckets collapse in the combine, so the shuffled stats are
-    // tiny — and the oversize set (near-empty by definition at a sane cap)
-    // broadcasts back onto the banded rows: no sort, no extra shuffle of
-    // the full banded data (a window count would sort every partition)
-    val oversize = banded.groupBy("band", "band_key")
+    // tiny — and the notable set (buckets > √target: rare by the skew
+    // argument, each holds ≥ √target rows so there are ≤ N/√target of
+    // them) broadcasts back onto the banded rows: no sort, no extra
+    // shuffle of the full banded data (a window count would sort every
+    // partition). The same broadcast serves the oversize guard (> cap →
+    // star edges) and the near-cap salting ((√target, cap] → blocked
+    // self-join).
+    val saltT = resolveSaltTarget(df)
+    val sqrtT = math.max(2L, math.sqrt(saltT.toDouble).toLong)
+    val notable = banded.groupBy("band", "band_key")
       .agg(count(lit(1)).as("_bsz"), min(col(idCol)).as("_hub"))
-      .filter(col("_bsz") > cap)
-    val flagged = banded.join(broadcast(oversize), Seq("band", "band_key"), "left_outer")
+      .filter(col("_bsz") > math.min(sqrtT, cap.toLong))
+    val flagged = banded.join(broadcast(notable), Seq("band", "band_key"), "left_outer")
     val small = flagged.filter(col("_bsz").isNull)
       .select(col(idCol), col("band"), col("band_key"))
     val l = small.toDF("id_a", "band", "band_key")
@@ -271,9 +293,33 @@ object Dedup {
     val pairs = l.join(rr, Seq("band", "band_key"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
-    val stars = flagged.filter(col("_bsz").isNotNull && col(idCol) =!= col("_hub"))
+    // Near-cap buckets (√target < size <= cap) are salted: each bucket
+    // splits into B = ceil(size/√target) deterministic hash blocks and
+    // the self-join runs per block PAIR (i <= j) on the widened key
+    // (band, band_key, i, j) — a row with block b replicates to its
+    // B+1 tasks (left of (b, j>=b), right of (i<=b, b)), so every
+    // unordered row pair meets in EXACTLY the task (min(b₁,b₂),
+    // max(b₁,b₂)) and the per-task pair volume is ~target instead of
+    // size²/2 from one reducer. The emitted pair SET is identical to
+    // the plain self-join by construction — this is a physical-plan
+    // rewrite only (the r15 straggler-budget whitelist this deletes).
+    val salted = flagged.filter(col("_bsz").isNotNull && col("_bsz") <= cap)
+      .select(col(idCol), col("band"), col("band_key"),
+        ceil(col("_bsz").cast("double") / sqrtT).cast("int").as("_nb"))
+      .withColumn("_blk", pmod(xxhash64(col(idCol)), col("_nb")).cast("int"))
+    val sl = salted.select(col(idCol).as("id_a"), col("band"), col("band_key"),
+      col("_blk").as("_i"),
+      explode(sequence(col("_blk"), col("_nb") - 1)).as("_j"))
+    val sr = salted.select(col(idCol).as("id_b"), col("band"), col("band_key"),
+      explode(sequence(lit(0), col("_blk"))).as("_i"),
+      col("_blk").as("_j"))
+    val saltPairs = sl.join(sr, Seq("band", "band_key", "_i", "_j"))
+      .filter(col("_i") =!= col("_j") || col("id_a") < col("id_b"))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+    val stars = flagged.filter(col("_bsz") > cap && col(idCol) =!= col("_hub"))
       .select(col("_hub").as("id_a"), col(idCol).as("id_b"))
-    pairs.unionAll(stars).distinct()
+    pairs.unionAll(saltPairs).unionAll(stars).distinct()
   }
 
   /** Persist the MinHash candidate graph as a reusable parquet tap —

@@ -84,15 +84,28 @@ def connect(mem_env='GRAFT_ORACLE_MEM', mem_default='48GB'):
 
 def preflight(min_free_gb=20):
     """Fail fast (exit 3, stderr diagnosis) if the disk can't host a gate
-    run; lists the usual culprits so the operator knows what to clear."""
+    run; lists EVERY multi-GB resident (named suspects + the probe-debris
+    globs janitor.py manages) and prints the cleanup command."""
     st = shutil.disk_usage('/tmp')
     free_gb = st.free / (1 << 30)
     if free_gb >= min_free_gb:
         return
     print(f"PRE-FLIGHT FAIL: only {free_gb:.1f} GB free on /tmp "
           f"(need {min_free_gb}). Likely culprits:", file=sys.stderr)
-    suspects = [SPILL_DIR, '/tmp/graft_sf10full', '/tmp/v10full',
-                '/root/repo/target']
+    # fixed suspects + every probe-corpus / verify-dump family under /tmp
+    # (the same prefixes janitor.py sweeps), so a low-disk run names
+    # every multi-GB resident instead of a hand-maintained subset
+    suspects = [SPILL_DIR, '/root/repo/target']
+    debris_prefixes = ('graft_sf', 'graft_skew', 'graft_test_', 'graft-',
+                       'v10', 'v1f', 'vout', 'staged_', 'graft_pub_stage')
+    try:
+        for d in sorted(os.listdir('/tmp')):
+            p = os.path.join('/tmp', d)
+            if os.path.isdir(p) and p not in suspects and \
+                    any(d.startswith(pre) for pre in debris_prefixes):
+                suspects.append(p)
+    except OSError:
+        pass
     for d in suspects:
         if os.path.isdir(d):
             total = 0
@@ -102,5 +115,8 @@ def preflight(min_free_gb=20):
                         total += os.path.getsize(os.path.join(root, f))
                     except OSError:
                         pass
-            print(f"  {d}: {total / (1 << 30):.1f} GB", file=sys.stderr)
+            if total >= (1 << 28) or d == SPILL_DIR:
+                print(f"  {d}: {total / (1 << 30):.1f} GB", file=sys.stderr)
+    print("  cleanup: python3 tools/janitor.py "
+          "[--delete --keep <corpora-this-round-reads>]", file=sys.stderr)
     sys.exit(3)

@@ -50,6 +50,7 @@ def main():
         if any(d.startswith(pat) for pat in PATTERNS):
             hits.append((p, du(p), d in keep))
     total = 0
+    spill_total = 0
     for p, sz, kept in hits:
         mark = 'KEEP' if kept else ('DELETE' if delete else 'would-delete')
         if d_is_spill(p):
@@ -57,10 +58,17 @@ def main():
         print(f'{sz / (1 << 30):8.2f} GB  {mark:24s} {p}')
         if delete and not kept and not d_is_spill(p):
             shutil.rmtree(p, ignore_errors=True)
-        if not kept:
+        # the spill dir is never touched by --delete (duck_env owns it),
+        # so it must not count toward the deleted/reclaimable figure
+        if d_is_spill(p):
+            spill_total += sz
+        elif not kept:
             total += sz
     print(f'{total / (1 << 30):8.2f} GB  total '
           f'{"deleted" if delete else "reclaimable (dry run; --delete)"}')
+    if spill_total:
+        print(f'{spill_total / (1 << 30):8.2f} GB  duckdb spill '
+              f'(managed by duck_env.py, not touched here)')
 
 
 def d_is_spill(p):
