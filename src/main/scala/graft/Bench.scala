@@ -219,14 +219,49 @@ object Bench {
     // (ADVICE r5); non-numeric falls back to the default.
     val timedPasses = math.max(1,
       sys.env.get("SPARK_GRAFT_BENCH_PASSES").flatMap(_.toIntOption).getOrElse(2))
-    val steady = (1 to timedPasses).foldLeft(Map.empty[String, Double]) { (acc, _) =>
-      selected.foldLeft(acc) { case (a, (name, fn)) =>
-        timeOne(name, fn) match {
-          case Some(t) => a.updated(name, math.min(t, a.getOrElse(name, Double.MaxValue)))
-          case None => a
+    // Signal floor (VERDICT r15 #1): at sf0.1 most queries run <1 s and
+    // host drift dominates single measurements — one r15 artifact's own
+    // two canary legs disagreed by 30%, making sub-1.5x per-query ratios
+    // noise. Each timed pass is therefore an adaptive LEG: the query
+    // repeats until >= floor seconds of measured work accumulate (max
+    // maxReps), and the leg's value is the min over its repeats (the
+    // min_warmN semantics, unchanged — a repeat can only refine the
+    // estimate downward). The artifact records every leg, the total
+    // repeat count, and the CV across all samples, so reproducibility
+    // is checkable from the artifact alone: two independent adaptive
+    // legs that agree are the quiet-host recheck, built in.
+    val signalFloorSec = sys.env.get("SPARK_GRAFT_BENCH_FLOOR")
+      .flatMap(_.toDoubleOption).getOrElse(1.0)
+    val maxReps = sys.env.get("SPARK_GRAFT_BENCH_MAXREPS")
+      .flatMap(_.toIntOption).getOrElse(9)
+    val legTimes = mutable.LinkedHashMap.empty[String, mutable.ArrayBuffer[Double]]
+    val samples = mutable.LinkedHashMap.empty[String, mutable.ArrayBuffer[Double]]
+    (1 to timedPasses).foreach { _ =>
+      selected.foreach { case (name, fn) =>
+        var acc = 0.0
+        var reps = 0
+        var best = Double.MaxValue
+        var failed = false
+        while (!failed && (reps == 0 || (acc < signalFloorSec && reps < maxReps))) {
+          timeOne(name, fn) match {
+            case Some(t) =>
+              acc += t; reps += 1; best = math.min(best, t)
+              samples.getOrElseUpdate(name, mutable.ArrayBuffer()) += t
+            case None => failed = true
+          }
         }
+        if (best != Double.MaxValue)
+          legTimes.getOrElseUpdate(name, mutable.ArrayBuffer()) += best
       }
     }
+    val steady = legTimes.map { case (n, legs) => n -> legs.min }.toMap
+    def cvOf(xs: Seq[Double]): Double =
+      if (xs.size < 2) 0.0
+      else {
+        val m = xs.sum / xs.size
+        if (m <= 0) 0.0
+        else math.sqrt(xs.map(x => (x - m) * (x - m)).sum / (xs.size - 1)) / m
+      }
     val calEnd = canary("host_cal_end")
     // ---- fresh-JVM isolation of the streaming family ----------------
     // Fork a bare `java` child (same JVM args: add-opens, -Xmx; same
@@ -237,7 +272,14 @@ object Bench {
     // target/bench-child.log so the driver's 2000-char stdout tail only
     // ever sees THIS process's headline. On any child failure the family
     // is timed inline instead (old behavior) and the artifact says so.
-    def runIsolated(names: Seq[String]): Option[(Map[String, Double], Map[String, Double], Seq[Double], Seq[(String, String)])] = {
+    // child result bundle: steady minima + the signal-floor evidence
+    // (per-leg minima, CV, repeat count) the parent folds into the
+    // artifact alongside its own
+    case class ChildRes(first: Map[String, Double], steady: Map[String, Double],
+      cal: Seq[Double], errs: Seq[(String, String)],
+      legs: Map[String, Seq[Double]], cv: Map[String, Double],
+      reps: Map[String, Int])
+    def runIsolated(names: Seq[String]): Option[ChildRes] = {
       import scala.jdk.CollectionConverters._
       try {
         val outFile = java.io.File.createTempFile("graft-bench-child", ".txt")
@@ -263,6 +305,9 @@ object Bench {
         val first = mutable.LinkedHashMap.empty[String, Double]
         val stdy = mutable.LinkedHashMap.empty[String, Double]
         val errs = mutable.ListBuffer.empty[(String, String)]
+        val lg = mutable.LinkedHashMap.empty[String, Seq[Double]]
+        val cv = mutable.LinkedHashMap.empty[String, Double]
+        val rp = mutable.LinkedHashMap.empty[String, Int]
         var cal = Seq.empty[Double]
         lines.foreach { l =>
           l.split(" ", 3) match {
@@ -270,12 +315,21 @@ object Bench {
             case Array("S", n, t) => stdy(n) = t.toDouble
             case Array("C", s, e) => cal = Seq(s.toDouble, e.toDouble)
             case Array("E", n, m) => errs += (n -> m)
+            case Array("L", n, ts) =>
+              lg(n) = ts.split(",").toSeq.flatMap(_.toDoubleOption)
+            case Array("V", n, vr) => vr.split(" ", 2) match {
+              case Array(c, r) =>
+                c.toDoubleOption.foreach(cv(n) = _)
+                r.toIntOption.foreach(rp(n) = _)
+              case _ =>
+            }
             case _ =>
           }
         }
         // a child that timed NOTHING is a failure, not a result
         if (stdy.isEmpty && names.nonEmpty) None
-        else Some((first.toMap, stdy.toMap, cal, errs.toList))
+        else Some(ChildRes(first.toMap, stdy.toMap, cal, errs.toList,
+          lg.toMap, cv.toMap, rp.toMap))
       } catch { case _: Throwable => None }
     }
     var steadyAll = steady
@@ -285,6 +339,8 @@ object Bench {
     // single last-writer-wins pair silently applied one child's frame
     // to every streaming query (ADVICE r14)
     val childCals = mutable.LinkedHashMap.empty[String, Seq[Double]]
+    val childCv = mutable.LinkedHashMap.empty[String, Double]
+    val childReps = mutable.LinkedHashMap.empty[String, Int]
     var isoTag = if (isolateOn) "fresh_jvm" else "off"
     // ONE child per query, not one child for the family: a family child
     // re-accumulates the same state-store/shuffle residue across its own
@@ -294,11 +350,15 @@ object Bench {
     // i.e. reproducible across rounds by construction.
     isoSel.foreach { case (n, fn) =>
       runIsolated(Seq(n)) match {
-        case Some((cf, cs, cc, ce)) =>
-          firstAll = firstAll ++ cf
-          steadyAll = steadyAll ++ cs
-          if (cc.size == 2) childCals(n) = cc
-          ce.foreach { case (k, v) => errors(k) = v }
+        case Some(cr) =>
+          firstAll = firstAll ++ cr.first
+          steadyAll = steadyAll ++ cr.steady
+          if (cr.cal.size == 2) childCals(n) = cr.cal
+          cr.legs.foreach { case (k, v) =>
+            legTimes(k) = mutable.ArrayBuffer(v: _*) }
+          cr.cv.foreach { case (k, v) => childCv(k) = v }
+          cr.reps.foreach { case (k, v) => childReps(k) = v }
+          cr.errs.foreach { case (k, v) => errors(k) = v }
         case None =>
           isoTag = "inline_fallback"
           timeOne(n, fn).foreach(t => firstAll = firstAll.updated(n, t))
@@ -350,6 +410,13 @@ object Bench {
       }
       firstSeq.foreach { case (n, t) => sb ++= s"F $n ${fmt(t, 6)}\n" }
       results.foreach { case (n, t) => sb ++= s"S $n ${fmt(t, 6)}\n" }
+      // signal-floor evidence: per-leg minima + CV + repeat count
+      legTimes.foreach { case (n, legs) =>
+        sb ++= s"L $n ${legs.map(fmt(_, 6)).mkString(",")}\n"
+      }
+      samples.foreach { case (n, xs) =>
+        sb ++= s"V $n ${fmt(cvOf(xs.toSeq), 4)} ${xs.size}\n"
+      }
       errors.foreach { case (n, m) =>
         sb ++= s"E $n ${m.replaceAll("[\\n\\r]", " ")}\n"
       }
@@ -366,7 +433,30 @@ object Bench {
       else childCals.map { case (n, legs) =>
         "\"" + n + "\":[" + legs.map(fmt(_, 3)).mkString(",") + "]"
       }.mkString(""","child_cal":{""", ",", "}")
-    println(s"""{"steady_full":${jsonMap(results, 3)},"steady_total":${fmt(total, 3)},"host_cal_full":[${calFull.map(fmt(_, 3)).mkString(",")}],"iso":"$isoTag"$childCalField,"sf":"$sfDir","timing":"min_warm$timedPasses","errors":${jsonStrMap(errors)}}""")
+    // signal-floor evidence (VERDICT r15 #1), full precision on its own
+    // aux line: per-query independent adaptive legs (reproducibility =
+    // leg disagreement, checkable from the artifact), CV over all
+    // samples, and repeat counts. The worst leg delta also rides the
+    // HEADLINE (compact) so the recorded BENCH_rN.json alone answers
+    // "does the worst mover reproduce?".
+    val legsAll: Map[String, Seq[Double]] =
+      legTimes.map { case (n, v) => n -> v.toSeq }.toMap
+    val cvAll: Map[String, Double] =
+      samples.map { case (n, xs) => n -> cvOf(xs.toSeq) }.toMap ++ childCv
+    val repsAll: Map[String, Int] =
+      samples.map { case (n, xs) => n -> xs.size }.toMap ++ childReps
+    def legDeltaPct(legs: Seq[Double]): Double =
+      if (legs.size < 2 || legs.min <= 0) 0.0
+      else (legs.max - legs.min) / legs.min * 100.0
+    val worstRepro: Option[(String, Double)] =
+      legsAll.filter(_._2.size >= 2)
+        .map { case (n, legs) => n -> legDeltaPct(legs) }
+        .toSeq.sortBy(-_._2).headOption
+    val legsJson = legsAll.map { case (n, legs) =>
+      "\"" + n + "\":[" + legs.map(fmt(_, 3)).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    println(s"""{"legs":$legsJson,"cv":${jsonMap(cvAll, 3)},"reps":${repsAll.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")},"floor_sec":${fmt(signalFloorSec, 2)},"sf":"$sfDir"}""")
+    println(s"""{"steady_full":${jsonMap(results, 3)},"steady_total":${fmt(total, 3)},"host_cal_full":[${calFull.map(fmt(_, 3)).mkString(",")}],"iso":"$isoTag"$childCalField,"sf":"$sfDir","timing":"min_warm${timedPasses}_floor${fmt(signalFloorSec, 1)}","errors":${jsonStrMap(errors)}}""")
     // headline LAST and compact: headline + sbt's "[success] ..."
     // epilogue (~80 chars) must fit the driver's 2000-char tail window
     // together, or the headline's head gets cut and the JSON never
@@ -396,7 +486,13 @@ object Bench {
           val cs = (calFull :+ CanaryBaselineSec).map(fmtC(_, 10.0)).mkString(",")
           s""""host_cal":[$cs],"""
         }
-      s"""{"metric":"total","value":${fmtC(total, cut)},"unit":"sec","t":"w$timedPasses",$calField$errField"sf":"$sfName","queries":${jm(results)}}"""
+      // worst leg disagreement, IN the recorded artifact: ["p55",6.8]
+      // means query p55's two adaptive legs differ by 6.8% — the
+      // reproducibility answer without any quiet-host recheck
+      val repField = worstRepro.map { case (n, d) =>
+        s""""rep":["${shortKey(n)}",${fmt(d, 1)}],"""
+      }.getOrElse("")
+      s"""{"metric":"total","value":${fmtC(total, cut)},"unit":"sec","t":"w$timedPasses",$calField$repField$errField"sf":"$sfName","queries":${jm(results)}}"""
     }
     // tighten precision a notch at a time if a host-slow round (or an
     // errors map) would push the headline past the capture window

@@ -3804,34 +3804,16 @@ object SparkEntry {
     // symbol string left-to-right, merging non-overlapping (a,b)
     // occurrences exactly like Bpe.mergePass ('§' sentinel seeds the
     // fold, '·' delimits symbols; \W+ tokens can contain neither).
+    // p47: the encode replay, UNROLLED one CTE per merge round
+    // (bpeEncodeCtes — VERDICT r15 #4; identical results, sf10-stageable)
     "p47_bpe_encode" ->
-      """WITH RECURSIVE merges(rank, a, b) AS (
-        |  VALUES (1,'t','h'),(2,'th','e'),(3,'i','n'),(4,'a','n'),
-        |         (5,'e','r'),(6,'o','n'),(7,'r','e'),(8,'an','d')),
-        |nm AS (SELECT COUNT(*) AS n FROM merges),
-        |words AS (
-        |  SELECT doc_id, u.wi AS wi, toks[u.wi] AS w
-        |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\W+'),
-        |          x -> x != '') AS toks FROM documents) t,
-        |       unnest(generate_series(1, len(toks))) AS u(wi)),
-        |enc AS (
-        |  SELECT doc_id, wi, 0 AS step,
-        |    '§' || list_reduce(list_prepend('', list_transform(generate_series(1, length(w)), i -> w[i])),
-        |      (acc, x) -> acc || '·' || x) AS s
-        |  FROM words
-        |  UNION ALL
-        |  SELECT e.doc_id, e.wi, e.step + 1,
-        |    list_reduce(list_prepend('§', list_filter(string_split(e.s, '·'), y -> y != '§')),
-        |      (acc, x) -> CASE WHEN ends_with(acc, '·' || m.a) AND x = m.b
-        |        THEN left(acc, length(acc) - length(m.a) - 1) || '·' || m.a || m.b
-        |        ELSE acc || '·' || x END) AS s
-        |  FROM enc e JOIN merges m ON m.rank = e.step + 1),
-        |fin AS (SELECT doc_id, wi, replace(substr(s, 3), '·', ' ') AS toks
-        |        FROM enc, nm WHERE step = nm.n)
-        |SELECT doc_id,
-        |  CAST(SUM(len(string_split(toks, ' '))) AS BIGINT) AS n_bpe,
-        |  string_agg(toks, ' ' ORDER BY wi) AS enc
-        |FROM fin GROUP BY doc_id""".stripMargin,
+      (s"""WITH ${bpeEncodeCtes(P47Merges)},
+         |fin AS (SELECT doc_id, wi, replace(substr(s, 3), '·', ' ') AS toks
+         |        FROM enc${P47Merges.size})
+         |SELECT doc_id,
+         |  CAST(SUM(len(string_split(toks, ' '))) AS BIGINT) AS n_bpe,
+         |  string_agg(toks, ' ' ORDER BY wi) AS enc
+         |FROM fin GROUP BY doc_id""".stripMargin),
     // p48: modern curation end-to-end — the p43 gate, the p44 LM (its
     // counts trained on the gate's survivors), the p01 dedup window,
     // and the p45 shard layout, chained over the SAME survivor sets.
@@ -3910,37 +3892,17 @@ object SparkEntry {
     // rank vocabulary over the distinct emitted tokens and the per-doc
     // id sequence ordered by (word index, token index).
     "p50_bpe_ids" ->
-      """WITH RECURSIVE merges(rank, a, b) AS (
-        |  VALUES (1,'t','h'),(2,'th','e'),(3,'i','n'),(4,'a','n'),
-        |         (5,'e','r'),(6,'o','n'),(7,'r','e'),(8,'an','d')),
-        |nm AS (SELECT COUNT(*) AS n FROM merges),
-        |words AS (
-        |  SELECT doc_id, u.wi AS wi, toks[u.wi] AS w
-        |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\W+'),
-        |          x -> x != '') AS toks FROM documents) t,
-        |       unnest(generate_series(1, len(toks))) AS u(wi)),
-        |enc AS (
-        |  SELECT doc_id, wi, 0 AS step,
-        |    '§' || list_reduce(list_prepend('', list_transform(generate_series(1, length(w)), i -> w[i])),
-        |      (acc, x) -> acc || '·' || x) AS s
-        |  FROM words
-        |  UNION ALL
-        |  SELECT e.doc_id, e.wi, e.step + 1,
-        |    list_reduce(list_prepend('§', list_filter(string_split(e.s, '·'), y -> y != '§')),
-        |      (acc, x) -> CASE WHEN ends_with(acc, '·' || m.a) AND x = m.b
-        |        THEN left(acc, length(acc) - length(m.a) - 1) || '·' || m.a || m.b
-        |        ELSE acc || '·' || x END) AS s
-        |  FROM enc e JOIN merges m ON m.rank = e.step + 1),
-        |fin AS (SELECT doc_id, wi, string_split(substr(s, 3), '·') AS wtoks
-        |        FROM enc, nm WHERE step = nm.n),
-        |tok AS (SELECT doc_id, wi, u.i AS i, wtoks[u.i] AS token
-        |        FROM fin, unnest(generate_series(1, len(wtoks))) AS u(i)),
-        |vocab AS (SELECT token, CAST(ROW_NUMBER() OVER (ORDER BY token) AS BIGINT) AS id
-        |          FROM (SELECT DISTINCT token FROM tok)),
-        |ids AS (SELECT t.doc_id, t.wi, t.i, v.id FROM tok t JOIN vocab v USING (token))
-        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ids,
-        |  string_agg(CAST(id AS VARCHAR), ' ' ORDER BY wi, i) AS ids
-        |FROM ids GROUP BY doc_id""".stripMargin,
+      (s"""WITH ${bpeEncodeCtes(P47Merges)},
+         |fin AS (SELECT doc_id, wi, string_split(substr(s, 3), '·') AS wtoks
+         |        FROM enc${P47Merges.size}),
+         |tok AS MATERIALIZED (SELECT doc_id, wi, u.i AS i, wtoks[u.i] AS token
+         |        FROM fin, unnest(generate_series(1, len(wtoks))) AS u(i)),
+         |vocab AS MATERIALIZED (SELECT token, CAST(ROW_NUMBER() OVER (ORDER BY token) AS BIGINT) AS id
+         |          FROM (SELECT DISTINCT token FROM tok)),
+         |ids AS (SELECT t.doc_id, t.wi, t.i, v.id FROM tok t JOIN vocab v USING (token))
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ids,
+         |  string_agg(CAST(id AS VARCHAR), ' ' ORDER BY wi, i) AS ids
+         |FROM ids GROUP BY doc_id""".stripMargin),
     // p51: integer-exact PageRank over the symmetrized p06 candidate
     // graph. r0 = S//N; each step: per-edge contribution rank//outdeg
     // (exact BIGINT), per-node SUM, damped via (85*s)//100 plus the
@@ -4999,6 +4961,39 @@ object SparkEntry {
     * 'a,b' strings (accumulator = ';'-joined accepted list — a member or
     * product colliding with a higher-ranked acceptance is rejected), and
     * the p47 merge-application fold per accepted rank. */
+  /** p47/p50: the BPE ENCODE replay as an UNROLLED per-merge-round CTE
+    * chain (VERDICT r15 #4). The recursive form kept the whole 9-step
+    * working set live in one DuckDB recursion and was environment-bound
+    * at sf10; unrolled, round k is a standalone MATERIALIZED CTE that
+    * applies merge k only — the exact idiom p81 uses for training
+    * rounds and p51 for PageRank iterations — so tools/staged_oracle.py
+    * can materialize and shard each round independently. Semantically
+    * identical to the recursive member (each round folds the token
+    * chain left-to-right against one pinned merge). */
+  private def bpeEncodeCtes(merges: Seq[(String, String)]): String = {
+    val base =
+      """words AS (
+        |  SELECT doc_id, u.wi AS wi, toks[u.wi] AS w
+        |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\W+'),
+        |          x -> x != '') AS toks FROM documents) t,
+        |       unnest(generate_series(1, len(toks))) AS u(wi)),
+        |enc0 AS MATERIALIZED (
+        |  SELECT doc_id, wi,
+        |    '§' || list_reduce(list_prepend('', list_transform(generate_series(1, length(w)), i -> w[i])),
+        |      (acc, x) -> acc || '·' || x) AS s
+        |  FROM words)""".stripMargin
+    val steps = merges.zipWithIndex.map { case ((a, b), i) =>
+      s"""enc${i + 1} AS MATERIALIZED (
+         |  SELECT doc_id, wi,
+         |    list_reduce(list_prepend('§', list_filter(string_split(s, '·'), y -> y != '§')),
+         |      (acc, x) -> CASE WHEN ends_with(acc, '·' || '$a') AND x = '$b'
+         |        THEN left(acc, length(acc) - ${a.length} - 1) || '·' || '$a$b'
+         |        ELSE acc || '·' || x END) AS s
+         |  FROM enc$i)""".stripMargin
+    }
+    (base +: steps).mkString(",\n")
+  }
+
   private def batchedBpeOracleSql(numMerges: Int, m: Int, minPairFreq: Int): String = {
     val sb = new StringBuilder
     sb ++= """WITH RECURSIVE wt AS MATERIALIZED (

@@ -313,7 +313,19 @@ object Dedup {
     val sr = salted.select(col(idCol).as("id_b"), col("band"), col("band_key"),
       explode(sequence(lit(0), col("_blk"))).as("_i"),
       col("_blk").as("_j"))
-    val saltPairs = sl.join(sr, Seq("band", "band_key", "_i", "_j"))
+    // The sl/sr exchanges are tiny (salted ROWS, a few MB) while the
+    // join's OUTPUT is the pair volume — AQE's input-sized coalescing
+    // would fold the whole block-pair join onto ONE reducer (measured:
+    // a single 23.7 s task emitting 10.3M pairs, worse than unsalted).
+    // An explicit numbered repartition on the join key pins the reducer
+    // count — AQE never coalesces REPARTITION_BY_NUM shuffles — and it
+    // IS the join's required partitioning, so no extra exchange appears.
+    val saltParts = df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "200").toInt
+    val saltKey = Seq(col("band"), col("band_key"), col("_i"), col("_j"))
+    val saltPairs = sl.repartition(saltParts, saltKey: _*)
+      .join(sr.repartition(saltParts, saltKey: _*),
+        Seq("band", "band_key", "_i", "_j"))
       .filter(col("_i") =!= col("_j") || col("id_a") < col("id_b"))
       .select(least(col("id_a"), col("id_b")).as("id_a"),
         greatest(col("id_a"), col("id_b")).as("id_b"))

@@ -13,6 +13,12 @@ corpora are ~30 min to regenerate, so keep the ones the current round
 still reads. The DuckDB spill dir is handled separately by
 duck_env.py (per-pid subdirs, swept on exit, dead-pid reaped) and is
 only listed here for visibility.
+
+Standing keeps live in tools/keep_manifest.txt (`<basename> <round
+recorded> <why>` per line, '#' comments) — the regression-baseline
+corpora the NEXT round diffs against, so "what can I delete" never
+needs archaeology. Manifest entries are merged with --keep;
+--no-manifest ignores the file for a full sweep.
 """
 import os
 import shutil
@@ -34,9 +40,29 @@ def du(path):
     return total
 
 
+MANIFEST = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        'keep_manifest.txt')
+
+
+def manifest_keeps():
+    if not os.path.exists(MANIFEST):
+        return {}
+    out = {}
+    with open(MANIFEST) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith('#'):
+                continue
+            parts = line.split(None, 2)
+            out[parts[0]] = parts[2] if len(parts) > 2 else ''
+    return out
+
+
 def main():
     delete = '--delete' in sys.argv
     keep = set()
+    manifest = {} if '--no-manifest' in sys.argv else manifest_keeps()
+    keep |= set(manifest)
     for i, a in enumerate(sys.argv):
         if a == '--keep' and i + 1 < len(sys.argv):
             keep |= set(sys.argv[i + 1].split(','))
@@ -52,7 +78,10 @@ def main():
     total = 0
     spill_total = 0
     for p, sz, kept in hits:
+        base = os.path.basename(p)
         mark = 'KEEP' if kept else ('DELETE' if delete else 'would-delete')
+        if kept and base in manifest:
+            mark = 'KEEP (manifest)' 
         if d_is_spill(p):
             mark = 'spill (duck_env-managed)'
         print(f'{sz / (1 << 30):8.2f} GB  {mark:24s} {p}')
