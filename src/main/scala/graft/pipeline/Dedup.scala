@@ -41,6 +41,48 @@ object Dedup {
     t
   }
 
+  /** Salted block-pair self-join over the NEAR-CAP buckets of `flagged`
+    * (rows whose broadcast-joined `_bsz` is non-null and <= cap): each
+    * such bucket splits into B = ceil(size/sqrtT) deterministic hash
+    * blocks and the self-join runs per block PAIR (i <= j) on the
+    * widened key, so every unordered row pair meets in EXACTLY the task
+    * (min(blk_a, blk_b), max(...)) and per-task pair volume is ~sqrtT²
+    * instead of size²/2 from one reducer. Emits (id_a < id_b) plus each
+    * side's `payload` columns as `<p>_a`/`<p>_b`, correctly paired with
+    * their ids. The REPARTITION_BY_NUM pin matters: the block-pair
+    * exchanges are tiny (bucket ROWS) while the join OUTPUT is the pair
+    * volume, and AQE's input-sized coalescing would otherwise fold the
+    * whole join onto one reducer (measured — see BASELINE.md r16). */
+  private def saltedSelfJoin(flagged: DataFrame, keyCols: Seq[String],
+      idCol: String, payload: Seq[String], cap: Int,
+      sqrtT: Long): DataFrame = {
+    val salted = flagged.filter(col("_bsz").isNotNull && col("_bsz") <= cap)
+      .select(keyCols.map(col) ++ Seq(col(idCol)) ++ payload.map(col) :+
+        ceil(col("_bsz").cast("double") / sqrtT).cast("int").as("_nb"): _*)
+      .withColumn("_blk", pmod(xxhash64(col(idCol)), col("_nb")).cast("int"))
+    val aSide = salted.select(keyCols.map(col) ++
+      Seq(col(idCol).as("_ida")) ++ payload.map(p => col(p).as(s"${p}_xa")) ++
+      Seq(col("_blk").as("_i"),
+        explode(sequence(col("_blk"), col("_nb") - 1)).as("_j")): _*)
+    val bSide = salted.select(keyCols.map(col) ++
+      Seq(col(idCol).as("_idb")) ++ payload.map(p => col(p).as(s"${p}_xb")) ++
+      Seq(explode(sequence(lit(0), col("_blk"))).as("_i"),
+        col("_blk").as("_j")): _*)
+    val n = flagged.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "200").toInt
+    val key = keyCols.map(col) ++ Seq(col("_i"), col("_j"))
+    aSide.repartition(n, key: _*)
+      .join(bSide.repartition(n, key: _*), keyCols ++ Seq("_i", "_j"))
+      .filter(col("_i") =!= col("_j") || col("_ida") < col("_idb"))
+      .select(Seq(
+        least(col("_ida"), col("_idb")).as("id_a"),
+        greatest(col("_ida"), col("_idb")).as("id_b")) ++
+        payload.map(p => when(col("_ida") < col("_idb"), col(s"${p}_xa"))
+          .otherwise(col(s"${p}_xb")).as(s"${p}_a")) ++
+        payload.map(p => when(col("_ida") < col("_idb"), col(s"${p}_xb"))
+          .otherwise(col(s"${p}_xa")).as(s"${p}_b")): _*)
+  }
+
   /** Exact dedup: keep the smallest id per exact content hash. One shuffle
     * on the 128-bit content hash; no window over the full data. */
   def exact(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
@@ -293,42 +335,12 @@ object Dedup {
     val pairs = l.join(rr, Seq("band", "band_key"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
-    // Near-cap buckets (√target < size <= cap) are salted: each bucket
-    // splits into B = ceil(size/√target) deterministic hash blocks and
-    // the self-join runs per block PAIR (i <= j) on the widened key
-    // (band, band_key, i, j) — a row with block b replicates to its
-    // B+1 tasks (left of (b, j>=b), right of (i<=b, b)), so every
-    // unordered row pair meets in EXACTLY the task (min(b₁,b₂),
-    // max(b₁,b₂)) and the per-task pair volume is ~target instead of
-    // size²/2 from one reducer. The emitted pair SET is identical to
-    // the plain self-join by construction — this is a physical-plan
-    // rewrite only (the r15 straggler-budget whitelist this deletes).
-    val salted = flagged.filter(col("_bsz").isNotNull && col("_bsz") <= cap)
-      .select(col(idCol), col("band"), col("band_key"),
-        ceil(col("_bsz").cast("double") / sqrtT).cast("int").as("_nb"))
-      .withColumn("_blk", pmod(xxhash64(col(idCol)), col("_nb")).cast("int"))
-    val sl = salted.select(col(idCol).as("id_a"), col("band"), col("band_key"),
-      col("_blk").as("_i"),
-      explode(sequence(col("_blk"), col("_nb") - 1)).as("_j"))
-    val sr = salted.select(col(idCol).as("id_b"), col("band"), col("band_key"),
-      explode(sequence(lit(0), col("_blk"))).as("_i"),
-      col("_blk").as("_j"))
-    // The sl/sr exchanges are tiny (salted ROWS, a few MB) while the
-    // join's OUTPUT is the pair volume — AQE's input-sized coalescing
-    // would fold the whole block-pair join onto ONE reducer (measured:
-    // a single 23.7 s task emitting 10.3M pairs, worse than unsalted).
-    // An explicit numbered repartition on the join key pins the reducer
-    // count — AQE never coalesces REPARTITION_BY_NUM shuffles — and it
-    // IS the join's required partitioning, so no extra exchange appears.
-    val saltParts = df.sparkSession.conf
-      .get("spark.sql.shuffle.partitions", "200").toInt
-    val saltKey = Seq(col("band"), col("band_key"), col("_i"), col("_j"))
-    val saltPairs = sl.repartition(saltParts, saltKey: _*)
-      .join(sr.repartition(saltParts, saltKey: _*),
-        Seq("band", "band_key", "_i", "_j"))
-      .filter(col("_i") =!= col("_j") || col("id_a") < col("id_b"))
-      .select(least(col("id_a"), col("id_b")).as("id_a"),
-        greatest(col("id_a"), col("id_b")).as("id_b"))
+    // Near-cap buckets (√target < size <= cap) are salted
+    // ([[saltedSelfJoin]]): identical pair SET, per-task pair volume
+    // ~target instead of size²/2 from one reducer — the physical-plan
+    // rewrite that deleted the r15 straggler-budget whitelist.
+    val saltPairs = saltedSelfJoin(flagged, Seq("band", "band_key"),
+      idCol, Nil, cap, sqrtT).select("id_a", "id_b")
     val stars = flagged.filter(col("_bsz") > cap && col(idCol) =!= col("_hub"))
       .select(col("_hub").as("id_a"), col(idCol).as("id_b"))
     pairs.unionAll(saltPairs).unionAll(stars).distinct()
@@ -725,10 +737,14 @@ object Dedup {
     val bucketed = withSh.select(col(idCol), col("sh"), explode(blocks).as("b"))
       .select(col(idCol), col("sh"), col("b.blk"), col("b.blk_val"))
       .transform(graft.Stage.materialize)
-    val oversize = bucketed.groupBy("blk", "blk_val")
+    // same near-cap salting as minhashCandidates: the notable set
+    // (> √target) serves both the oversize guard and the salted join
+    val saltT = resolveSaltTarget(withSh)
+    val sqrtT = math.max(2L, math.sqrt(saltT.toDouble).toLong)
+    val notable = bucketed.groupBy("blk", "blk_val")
       .agg(count(lit(1)).as("_bsz"), min(struct(col(idCol), col("sh"))).as("_hub"))
-      .filter(col("_bsz") > cap)
-    val flagged = bucketed.join(broadcast(oversize), Seq("blk", "blk_val"), "left_outer")
+      .filter(col("_bsz") > math.min(sqrtT, cap.toLong))
+    val flagged = bucketed.join(broadcast(notable), Seq("blk", "blk_val"), "left_outer")
     val small = flagged.filter(col("_bsz").isNull)
       .select(col(idCol), col("sh"), col("blk"), col("blk_val"))
     val l = small.toDF("id_a", "sh_a", "blk", "blk_val")
@@ -737,11 +753,15 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         hammingDistance(col("sh_a"), col("sh_b")).cast("long").as("hamming"))
+    val saltPairs = saltedSelfJoin(flagged, Seq("blk", "blk_val"),
+      idCol, Seq("sh"), cap, sqrtT)
+      .select(col("id_a"), col("id_b"),
+        hammingDistance(col("sh_a"), col("sh_b")).cast("long").as("hamming"))
     val stars = flagged
-      .filter(col("_bsz").isNotNull && col(idCol) =!= col(s"_hub.$idCol"))
+      .filter(col("_bsz") > cap && col(idCol) =!= col(s"_hub.$idCol"))
       .select(col(s"_hub.$idCol").as("id_a"), col(idCol).as("id_b"),
         hammingDistance(col("_hub.sh"), col("sh")).cast("long").as("hamming"))
-    pairs.unionAll(stars)
+    pairs.unionAll(saltPairs).unionAll(stars)
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming").distinct()
   }
@@ -1760,10 +1780,15 @@ object Dedup {
       graft.functions.VectorExpressions.cosine(sigs0.sparkSession, a, b)
     // self-joined: the signature/assignment kernel must run once
     val sigs = sigs0.transform(graft.Stage.materialize)
-    val oversize = sigs.groupBy("bucket")
+    // near-cap salting matters MOST here: the per-pair verify is a
+    // full-vector cosine, so a near-cap bucket is cap²/2 dot products
+    // from one task without it
+    val saltT = resolveSaltTarget(sigs0)
+    val sqrtT = math.max(2L, math.sqrt(saltT.toDouble).toLong)
+    val notable = sigs.groupBy("bucket")
       .agg(count(lit(1)).as("_bsz"), min(struct(col(idCol), col(embCol))).as("_hub"))
-      .filter(col("_bsz") > cap)
-    val flagged = sigs.join(broadcast(oversize), Seq("bucket"), "left_outer")
+      .filter(col("_bsz") > math.min(sqrtT, cap.toLong))
+    val flagged = sigs.join(broadcast(notable), Seq("bucket"), "left_outer")
     val small = flagged.filter(col("_bsz").isNull)
       .select(col(idCol), col(embCol), col("bucket"))
     val l = small.toDF("id_a", "emb_a", "bucket")
@@ -1772,12 +1797,16 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         cosineOf(col("emb_a"), col("emb_b")).as("cosine"))
+    val saltPairs = saltedSelfJoin(flagged, Seq("bucket"),
+      idCol, Seq(embCol), cap, sqrtT)
+      .select(col("id_a"), col("id_b"),
+        cosineOf(col(s"${embCol}_a"), col(s"${embCol}_b")).as("cosine"))
     // hub = bucket min id, so id_a < id_b holds on star edges too
     val stars = flagged
-      .filter(col("_bsz").isNotNull && col(idCol) =!= col(s"_hub.$idCol"))
+      .filter(col("_bsz") > cap && col(idCol) =!= col(s"_hub.$idCol"))
       .select(col(s"_hub.$idCol").as("id_a"), col(idCol).as("id_b"),
         cosineOf(col(s"_hub.$embCol"), col(embCol)).as("cosine"))
-    pairs.unionAll(stars)
+    pairs.unionAll(saltPairs).unionAll(stars)
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine").distinct()
   }

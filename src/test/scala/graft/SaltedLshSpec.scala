@@ -47,6 +47,39 @@ class SaltedLshSpec extends SparkTestBase {
     assert(salted == plain, "salted mega-bucket must emit the identical set")
   }
 
+  test("hamming (simhash) salted self-join is pair-set neutral, " +
+      "payloads stay correctly paired") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plain = pairsWith(1L << 40)(Dedup.simhashCandidates(docs))
+    val salted = pairsWith(16L)(Dedup.simhashCandidates(docs))
+    // (hamming rides the row; set-compare over (id_a, id_b) + the
+    // distance proves the payload pairing survived the block swap)
+    def full(t: Long) = {
+      spark.conf.set("spark.graft.saltTargetPairs", t.toString)
+      try Dedup.simhashCandidates(docs)
+        .collect().map(r => (r.get(0), r.get(1), r.get(2))).toSet
+      finally spark.conf.unset("spark.graft.saltTargetPairs")
+    }
+    assert(salted == plain, "simhash pair ids must be salt-invariant")
+    assert(full(16L) == full(1L << 40),
+      "hamming values must be salt-invariant (payload pairing)")
+  }
+
+  test("embedding (cosine) salted self-join is pair-set neutral") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def full(t: Long) = {
+      spark.conf.set("spark.graft.saltTargetPairs", t.toString)
+      try Dedup.embeddingNearDup(docs, threshold = -1.0)
+        .collect().map(r => (r.get(0), r.get(1),
+          math.round(r.getDouble(2) * 1e9))).toSet
+      finally spark.conf.unset("spark.graft.saltTargetPairs")
+    }
+    val plain = full(1L << 40)
+    val salted = full(16L)
+    assert(plain.nonEmpty, "corpus must produce cosine candidates")
+    assert(salted == plain, "cosine pairs must be salt-invariant")
+  }
+
   test("guard interplay: over-cap buckets still take star edges when " +
       "salting is active") {
     val docs = (1 to 60).map(i =>
