@@ -230,8 +230,12 @@ object Bench {
     // repeat count, and the CV across all samples, so reproducibility
     // is checkable from the artifact alone: two independent adaptive
     // legs that agree are the quiet-host recheck, built in.
+    // 2.0 default: a 1-2 s query at floor 1.0 ran ONCE per leg, and
+    // single-sample legs disagreed up to 85% (run-1 r16 evidence, q03);
+    // at 2.0 that class gets >=2 repeats per leg and the leg min
+    // stabilizes. Costs ~2-4 min over the 151-query suite.
     val signalFloorSec = sys.env.get("SPARK_GRAFT_BENCH_FLOOR")
-      .flatMap(_.toDoubleOption).getOrElse(1.0)
+      .flatMap(_.toDoubleOption).getOrElse(2.0)
     val maxReps = sys.env.get("SPARK_GRAFT_BENCH_MAXREPS")
       .flatMap(_.toIntOption).getOrElse(9)
     val legTimes = mutable.LinkedHashMap.empty[String, mutable.ArrayBuffer[Double]]

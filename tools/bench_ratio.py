@@ -1,6 +1,7 @@
 """Host-normalized bench comparison: one command instead of a judge re-run.
 
     python3 tools/bench_ratio.py BENCH_r09.json [ref.json] [--no-recheck]
+    python3 tools/bench_ratio.py BENCH_r16.json --recheck-top=3
 
 Reads a driver bench artifact (the `parsed` object, or the last headline
 JSON line found in `tail`), normalizes per-query times by the run's
@@ -23,6 +24,12 @@ fresh JVM via `SPARK_GRAFT_ONLY` (plus the canary, which Bench times
 unconditionally), and the verdict comes from the fresh canary-normalized
 measurement — no human in the loop. Disable with --no-recheck (e.g. when
 the testdata or sbt toolchain is absent).
+
+--recheck-top=K (round 16): also recheck the K worst movers even when
+none crossed 2x — sub-2x "movers" at sf0.1 are usually session drift
+(three same-tree r16 runs: totals reproduce within ±5% normalized but
+per-query tails swing up to 2x; the artifact's per-leg records show
+which), and this flag turns "is that 1.5x real?" into one command.
 """
 import json, os, re, statistics, subprocess, sys
 from pathlib import Path
@@ -138,6 +145,10 @@ def recheck(flagged, sf_name, ref_norm):
 def main():
     argv = [a for a in sys.argv[1:] if not a.startswith("--")]
     no_recheck = "--no-recheck" in sys.argv
+    top_k = 0
+    for a in sys.argv[1:]:
+        if a.startswith("--recheck-top="):
+            top_k = int(a.split("=", 1)[1])
     art = load_headline(argv[0])
     ref = load_headline(argv[1] if len(argv) > 1 else str(REPO / "tools/bench_ref.json"))
     sa, ea, cal_a = host_legs(art)
@@ -175,6 +186,9 @@ def main():
     if art.get("errors"):
         print("artifact errors:", json.dumps(art["errors"])[:400])
     flagged = [r[0] for r in rows if r[4] > FLAG_RATIO]
+    if top_k:
+        # worst movers by ratio, deduped with the >2x flags
+        flagged += [r[0] for r in rows[:top_k] if r[0] not in flagged]
     if flagged and not no_recheck:
         recheck(flagged, art.get("sf", "sf0.1"), ref_norm)
     elif flagged:
