@@ -102,31 +102,36 @@ object Bench {
     * filled the disk and the gate died on ENOSPC mid-run). Returns the
     * failure message, or None when the disk can host a gate run. */
   private[graft] def preflightDisk(minFreeGb: Double = 8.0): Option[String] = {
+    // name the multi-GB probe-debris residents (same prefixes janitor.py
+    // sweeps; size-filtered so the message stays readable) plus the
+    // standing suspects and the cleanup command. Computed LAZILY and at
+    // most once: /tmp and the repo usually share one filesystem, so on a
+    // full disk both mount checks fail — the recursive walk must not run
+    // per mount point. The walk skips symlinks (File.listFiles follows
+    // symlinked dirs; a link cycle under /tmp must not hang the
+    // preflight — the python counterparts use os.walk, which doesn't).
+    lazy val suspects: String = {
+      val prefixes = Seq("duckdb_spill", "graft_sf", "graft_skew",
+        "graft_test_", "graft-", "v10", "v1f", "vout", "staged_",
+        "graft_pub_stage")
+      def du(f: java.io.File): Long =
+        if (java.nio.file.Files.isSymbolicLink(f.toPath)) 0L
+        else if (f.isFile) f.length
+        else Option(f.listFiles).toSeq.flatten.map(du).sum
+      val debris = Option(new java.io.File("/tmp").listFiles).toSeq
+        .flatten.filter(f => f.isDirectory &&
+          prefixes.exists(f.getName.startsWith))
+        .map(f => f.getPath -> du(f))
+        .filter(_._2 >= (256L << 20)).sortBy(-_._2)
+        .map { case (d, b) => f"$d (${b / 1073741824.0}%.1f GB)" }
+      (Seq("/tmp/duckdb_spill", "target") ++ debris).mkString(", ")
+    }
     Seq("/tmp", ".").flatMap { p =>
       val free = new java.io.File(p).getUsableSpace / 1073741824.0
       if (free >= minFreeGb) None
-      else {
-        // name the multi-GB probe-debris residents (same prefixes
-        // janitor.py sweeps; size-filtered so the message stays
-        // readable) plus the standing suspects and the cleanup command
-        val prefixes = Seq("duckdb_spill", "graft_sf", "graft_skew",
-          "graft_test_", "graft-", "v10", "v1f", "vout", "staged_",
-          "graft_pub_stage")
-        def du(f: java.io.File): Long =
-          if (f.isFile) f.length
-          else Option(f.listFiles).toSeq.flatten.map(du).sum
-        val debris = Option(new java.io.File("/tmp").listFiles).toSeq
-          .flatten.filter(f => f.isDirectory &&
-            prefixes.exists(f.getName.startsWith))
-          .map(f => f.getPath -> du(f))
-          .filter(_._2 >= (256L << 20)).sortBy(-_._2)
-          .map { case (d, b) => f"$d (${b / 1073741824.0}%.1f GB)" }
-        val suspects =
-          (Seq("/tmp/duckdb_spill", "target") ++ debris).mkString(", ")
-        Some(f"ENOSPC preflight: only $free%.1f GB free at $p " +
-          f"(need $minFreeGb%.1f); check $suspects; " +
-          "cleanup: python3 tools/janitor.py --delete --keep <needed>")
-      }
+      else Some(f"ENOSPC preflight: only $free%.1f GB free at $p " +
+        f"(need $minFreeGb%.1f); check $suspects; " +
+        "cleanup: python3 tools/janitor.py --delete --keep <needed>")
     }.headOption
   }
 
@@ -397,7 +402,7 @@ object Bench {
     def jsonMap(m: Iterable[(String, Double)], decimals: Int): String =
       m.map { case (k, v) => "\"" + k + "\":" + fmt(v, decimals) }.mkString("{", ",", "}")
     def jsonStrMap(m: Iterable[(String, String)]): String =
-      m.map { case (k, v) => "\"" + k + "\":\"" + v.replaceAll("[\"\\\\\\n\\r\\t]", " ") + "\"" }
+      m.map { case (k, v) => "\"" + k + "\":\"" + jsonEsc(v) + "\"" }
         .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // firstAll preserves no global order; emit in suite order like results

@@ -17,7 +17,7 @@ object Verify {
       try {
         new java.io.File(outDir).mkdirs()
         Files.writeString(Paths.get(s"$outDir/env_failure.json"),
-          s"""{"env_failure": "${msg.replaceAll("[\\p{Cntrl}\"\\\\]", " ").take(300)}"}""")
+          s"""{"env_failure": "${Bench.jsonEsc(msg).take(300)}"}""")
       } catch { case _: Throwable => () }
       sys.exit(2)
     }

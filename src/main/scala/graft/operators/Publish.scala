@@ -452,13 +452,20 @@ object Publish {
     var attempt = 0
     while (!settled && attempt < 5) {
       if (attempt > 0) Thread.sleep(10L * attempt)
+      // listings FIRST (object-store LISTs are the slow part), so the
+      // manifest re-read sits IMMEDIATELY before the atomic write —
+      // the read->write window a racing fold swap could slip into is
+      // one small read + one atomic replace, not a recursive listing.
+      // A batch whose marker lands between the listing and the write
+      // is picked up by the NEXT heal (every commit runs one).
+      val allMarked = markedBatchDirs(f, root, -1L)
+      val (curBytes, foldedBytes) = readManifestSizes(spark, root)
       val cur = readManifest(spark, root)
         .getOrElse(BatchManifest(None, -1L, Nil))
-      val (curBytes, foldedBytes) = readManifestSizes(spark, root)
       val through = math.max(m.foldedThrough, cur.foldedThrough)
       val foldedV = (m.foldedVersion.toSeq ++ cur.foldedVersion)
         .reduceOption(math.max(_, _))
-      m = BatchManifest(foldedV, through, markedBatchDirs(f, root, through))
+      m = BatchManifest(foldedV, through, allMarked.filter(_ > through))
       val bytes = (curBytes ++ extraBytes)
         .filter { case (id, _) => m.batches.contains(id) }
       writeManifest(spark, root, m, bytes, foldedBytes)
@@ -563,19 +570,24 @@ object Publish {
     val ptr = pointerValue(f, root)
     // committed = marker present, or the legacy pointer names it (same
     // visibility rule as currentVersion — pre-marker roots still count)
-    val markers = versions.filter(v => f.exists(versionMarker(root, v)))
-    val (committed, debris) =
-      if (markers.isEmpty)
-        // fully legacy (pre-marker) root: the marker protocol never ran
-        // here, so no marker-less dir can be PROVEN crash debris. Every
-        // version counts as committed and retention is the plain
-        // keepLast-newest rule — the debris rule applies only to roots
-        // written under the marker protocol.
-        (versions, Seq.empty[Long])
-      else {
-        val c = versions.filter(v => ptr.contains(v) || markers.contains(v))
-        (c, versions.filterNot(c.contains).filter(_ < cur))
-      }
+    val markers = versions.filter(v => f.exists(versionMarker(root, v))).toSet
+    // "Provably crash debris" is only provable for versions created
+    // UNDER the marker protocol: anything below the FIRST markered
+    // version predates the migration (legacy commits never wrote
+    // markers) and counts as committed history under plain keepLast;
+    // a marker-less dir at or above that boundary was written by the
+    // marker protocol and its missing marker proves the crash. A fully
+    // legacy root (no markers at all) has no boundary — everything is
+    // committed. Debris also respects `protect`, defensively: nothing
+    // a caller names may be deleted under any classification.
+    val firstMarked = markers.reduceOption(math.min(_, _))
+    val (committed, debris) = firstMarked match {
+      case None => (versions, Seq.empty[Long])
+      case Some(fm) =>
+        val c = versions.filter(v =>
+          ptr.contains(v) || markers.contains(v) || v < fm)
+        (c, versions.filterNot(c.contains).filter(v => v < cur && !protect(v)))
+    }
     val expire = committed.dropRight(keepLast)
       .filter(v => v != cur && !protect(v))
     (debris ++ expire).foreach(v => f.delete(new Path(root, s"v$v"), true))

@@ -327,6 +327,10 @@ object Dedup {
     val notable = banded.groupBy("band", "band_key")
       .agg(count(lit(1)).as("_bsz"), min(col(idCol)).as("_hub"))
       .filter(col("_bsz") > math.min(sqrtT, cap.toLong))
+      // _hub is only read by the star branch (> cap): nulling it for
+      // the (far more numerous) near-cap entries keeps the broadcast
+      // at ~a count per entry even when there are N/sqrtT of them
+      .withColumn("_hub", when(col("_bsz") > cap, col("_hub")))
     val flagged = banded.join(broadcast(notable), Seq("band", "band_key"), "left_outer")
     val small = flagged.filter(col("_bsz").isNull)
       .select(col(idCol), col("band"), col("band_key"))
@@ -744,6 +748,9 @@ object Dedup {
     val notable = bucketed.groupBy("blk", "blk_val")
       .agg(count(lit(1)).as("_bsz"), min(struct(col(idCol), col("sh"))).as("_hub"))
       .filter(col("_bsz") > math.min(sqrtT, cap.toLong))
+      // star-branch-only payload nulled for near-cap entries (see
+      // minhashCandidates) — bounds the broadcast at N/sqrtT counts
+      .withColumn("_hub", when(col("_bsz") > cap, col("_hub")))
     val flagged = bucketed.join(broadcast(notable), Seq("blk", "blk_val"), "left_outer")
     val small = flagged.filter(col("_bsz").isNull)
       .select(col(idCol), col("sh"), col("blk"), col("blk_val"))
@@ -1788,6 +1795,11 @@ object Dedup {
     val notable = sigs.groupBy("bucket")
       .agg(count(lit(1)).as("_bsz"), min(struct(col(idCol), col(embCol))).as("_hub"))
       .filter(col("_bsz") > math.min(sqrtT, cap.toLong))
+      // CRITICAL here: _hub carries a FULL EMBEDDING VECTOR, and the
+      // near-cap notable set can hold N/sqrtT entries on a collision-
+      // heavy corpus — nulling the star-only payload for sub-cap
+      // entries keeps the forced broadcast at counts, not vectors
+      .withColumn("_hub", when(col("_bsz") > cap, col("_hub")))
     val flagged = sigs.join(broadcast(notable), Seq("bucket"), "left_outer")
     val small = flagged.filter(col("_bsz").isNull)
       .select(col(idCol), col(embCol), col("bucket"))

@@ -383,6 +383,43 @@ class PublishSpec extends SparkTestBase {
     } finally graft.streaming.Streams.deleteRecursivelyNoFollow(root)
   }
 
+  test("expireVersions: legacy history survives the marker-protocol migration; protect shields debris") {
+    val root = freshRoot("pub_migrate")
+    try {
+      (1L to 5L).foreach { v =>
+        assert(Publish.publish(Seq((v, s"v$v")).toDF("k", "v"), root, v).published)
+      }
+      // strip every marker: the root now looks exactly like one written
+      // before the marker protocol existed (pointer still names v5)
+      (1L to 5L).foreach { v =>
+        assert(new java.io.File(s"$root/v$v/_COMMITTED").delete())
+      }
+      // first marker-protocol publish on the migrated root
+      assert(Publish.publish(Seq((6L, "v6")).toDF("k", "v"), root, 6L).published)
+      // v1..v5 predate the first marker -> committed HISTORY, not
+      // debris: retention is plain keepLast (the pre-fix code deleted
+      // all five as "provably crash debris", ignoring keepLast AND
+      // protect)
+      val expired = Publish.expireVersions(spark, root, keepLast = 3,
+        protect = Set(3L))
+      assert(expired == Seq(1L, 2L), s"expired $expired")
+      Seq(3L, 4L, 5L, 6L).foreach(v =>
+        assert(new java.io.File(s"$root/v$v").exists(), s"v$v must survive"))
+      assertProduces(Publish.current(spark, root), Seq(Seq(6L, "v6")))
+      // post-migration debris (marker-less at/above the first marker,
+      // below cur) is still deleted -- unless protect names it
+      assert(Publish.publish(Seq((7L, "v7")).toDF("k", "v"), root, 7L).published)
+      assert(Publish.publish(Seq((8L, "v8")).toDF("k", "v"), root, 8L).published)
+      assert(new java.io.File(s"$root/v7/_COMMITTED").delete())
+      assert(!Publish.expireVersions(spark, root, keepLast = 10,
+        protect = Set(7L)).contains(7L), "protected debris must survive")
+      assert(new java.io.File(s"$root/v7").exists())
+      assert(Publish.expireVersions(spark, root, keepLast = 10)
+        .contains(7L), "unprotected post-migration debris is deleted")
+      assert(!new java.io.File(s"$root/v7").exists())
+    } finally graft.streaming.Streams.deleteRecursivelyNoFollow(root)
+  }
+
   test("readCommitted: legacy root without a manifest falls back to the marker listing") {
     val root = freshRoot("legacy")
     try {
