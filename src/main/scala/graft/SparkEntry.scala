@@ -2791,6 +2791,38 @@ object SparkEntry {
           f"sampled $n1 of ${n.toLong} (expect $expect%.1f ± ${5 * sigma}%.1f)"))
     })
 
+  /** Contract oracles (VERDICT r16 #3): DuckDB SQL for the by-design
+    * rows-only queries, authored by [[Verify]] at dump time because the
+    * SQL reads the dumped parquet itself (the dump dir is only known
+    * then). The SQL recomputes the statistical contract INDEPENDENTLY
+    * in DuckDB — every sampled row must exist in the source `lineitem`
+    * table, and the sampled count must sit within 6σ of the 10%
+    * Bernoulli bound on the source row count — and echoes the dumped
+    * rows IFF every check passes (else it returns zero rows and the
+    * hash compare fails loudly). So the driver's q23 row reads
+    * rows/schema/hash-match exactly when the DuckDB-verified contract
+    * holds, instead of `no_oracle` nulls. This is NOT an
+    * exact-membership oracle and is not presented as one: row
+    * membership is engine-RNG by design (reference `sample*`,
+    * cascading/operations.clj:109-116 — Bernoulli by percentage,
+    * seeded); q39_sample_det is the hash-exact deterministic twin, and
+    * [[statContracts]] additionally checks run-to-run determinism
+    * distributedly. Keys must be a subset of [[statContracts]] keys
+    * (DriverContractSpec pins this). */
+  def contractOracleSql(dumpDir: String): Map[String, String] = Map(
+    "q23_sample" ->
+      s"""WITH s AS (SELECT l_orderkey, l_linenumber
+         |           FROM read_parquet('$dumpDir/q23_sample/*.parquet')),
+         |chk AS (SELECT
+         |  (SELECT COUNT(*) FROM s) AS k,
+         |  (SELECT COUNT(*) FROM lineitem) AS n,
+         |  (SELECT COUNT(*) FROM s WHERE NOT EXISTS (SELECT 1
+         |     FROM lineitem l WHERE l.l_orderkey = s.l_orderkey
+         |       AND l.l_linenumber = s.l_linenumber)) AS extra)
+         |SELECT s.l_orderkey, s.l_linenumber FROM s, chk
+         |WHERE chk.extra = 0
+         |  AND abs(chk.k - 0.1 * chk.n) <= 6.0 * sqrt(chk.n * 0.1 * 0.9)""".stripMargin)
+
   def oracleSql: Map[String, String] = Map(
     "q01_multi_agg" ->
       """SELECT l_returnflag, l_linestatus,

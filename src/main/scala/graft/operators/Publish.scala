@@ -441,9 +441,14 @@ object Publish {
     // fold's manifest swap, so (a) the manifest is read IMMEDIATELY
     // before each write and foldedVersion/foldedThrough never regress
     // past what any concurrent writer committed (take the max), and
-    // (b) after writing we verify no concurrent writer advanced further
-    // meanwhile — if one did, merge and re-write (bounded; the merge is
-    // monotone, so racing writers converge instead of fighting).
+    // (b) after writing we re-read and, if a writer whose swap landed
+    // BEFORE ours advanced further, merge and re-write (bounded; the
+    // merge is monotone, so racing writers converge instead of
+    // fighting). The check cannot see a writer whose swap lands INSIDE
+    // our read->write window — that swap is clobbered and the re-read
+    // returns our own manifest; that residual race is covered by the
+    // fold side's own verify loop (fold re-reads after its swap and
+    // re-heals until its version sticks).
     // Without this a heal that read the pre-swap manifest and whose
     // write landed after expireBatches deleted the folded batch= dirs
     // would regress the fold and orphan its rows.
@@ -543,13 +548,22 @@ object Publish {
     * versions older than the newest `keepLast` committed ones, never the
     * currently served one and never a version in `protect` (the batch-
     * root fold chain passes its manifest's foldedVersion — see
-    * [[expireBatches]]). Marker-less v-dirs below the current version
-    * are provably crash debris (the marker is the commit point) and are
-    * deleted unconditionally WITHOUT counting toward `keepLast` — debris
-    * must not silently shrink committed-version retention; a marker-less
-    * dir ABOVE the current version is left alone (it may be a live
-    * publish between its rename and its marker PUT). Staging leftovers
-    * under `_tmp/` older than the current version are cleaned too.
+    * [[expireBatches]]). Marker-less v-dirs AT OR ABOVE the first
+    * markered version (the marker-protocol migration boundary) and
+    * below the current version are provably crash debris (under the
+    * protocol the marker is the commit point) and are deleted without
+    * counting toward `keepLast` — debris must not silently shrink
+    * committed-version retention — but `protect` shields them
+    * defensively. Marker-less dirs BELOW that boundary predate the
+    * migration (legacy commits never wrote markers) and count as
+    * committed history under plain `keepLast`; the one mis-class this
+    * admits is genuine crash debris below the first markered version
+    * (e.g. the root's very first publish crashed pre-marker), which is
+    * permanently treated as committed and only ages out via `keepLast`.
+    * A marker-less dir ABOVE the current version is left alone (it may
+    * be a live publish between its rename and its marker PUT). Staging
+    * leftovers under `_tmp/` older than the current version are cleaned
+    * too.
     * Driver-side metadata listing + one recursive delete per expired
     * version — no data read. Returns every deleted version number
     * (committed expiries + debris).

@@ -66,6 +66,23 @@ class DriverContractSpec extends SparkTestBase {
     assert(SparkEntry.statContracts.keySet == unoracled,
       s"statContracts must cover exactly the unoracled set: " +
         s"${SparkEntry.statContracts.keySet} vs $unoracled")
+    // ...and the dump-time contract oracles (Verify merges them into
+    // oracle_sql.json so the driver's compare checks the contract in
+    // DuckDB) must target exactly that same set — a contract oracle for
+    // an already-oracled query would shadow its real oracle
+    assert(SparkEntry.contractOracleSql("/dump").keySet == unoracled,
+      s"contractOracleSql must cover exactly the unoracled set: " +
+        s"${SparkEntry.contractOracleSql("/dump").keySet} vs $unoracled")
+  }
+
+  test("contract oracle SQL embeds the dump dir it is authored for") {
+    val sql = SparkEntry.contractOracleSql("/some/out")("q23_sample")
+    assert(sql.contains("read_parquet('/some/out/q23_sample/*.parquet')"),
+      s"contract oracle must read the dumped sample back:\n$sql")
+    // the checks must reference the SOURCE table independently — an
+    // oracle that only echoes the dump would be a tautology, not a check
+    assert(sql.contains("FROM lineitem"), "contract oracle must recompute from the source table")
+    assert(sql.contains("sqrt"), "contract oracle must carry the binomial bound")
   }
 
   test("q23 sample: deterministic at fixed seed, rows a subset of the source, fraction inside the binomial bound") {
