@@ -498,6 +498,95 @@ object Bench {
       val counts = pref.values.groupBy(identity).map { case (k, v) => k -> v.size }
       n => if (counts.getOrElse(pref(n), 0) == 1) pref(n) else n
     }
+    // ---- in-run adjudication of movers (VERDICT r16 #2) -------------
+    // bench_ratio.py's --recheck-top existed but ran only ad hoc, so
+    // recorded artifacts shipped unadjudicated 1.4-1.7x movers a judge
+    // had to re-run by hand. The bench now adjudicates ITSELF: compare
+    // this run's steady map against tools/bench_ref.json with the same
+    // leg-interpolated normalization bench_ratio uses, take every >2.0x
+    // query plus the top SPARK_GRAFT_RECHECK_TOP (default 5) movers
+    // above 1.3x, re-measure each in a fresh solo child JVM (the
+    // measurement bench_ratio's recheck already trusts), and record the
+    // verdicts in RECHECK_latest.json + a full-precision aux line + a
+    // compact headline field "rc":[checked, confirmed]. Skipped for
+    // child/subset runs and under SPARK_GRAFT_RECHECK=0 (reference
+    // re-records, where ratios vs the old record are meaningless).
+    // Adjudication failure must never kill the bench — it degrades to
+    // the unadjudicated artifact we shipped before.
+    var rcField = ""
+    val recheckOn = childOut.isEmpty && only.isEmpty &&
+      sys.env.getOrElse("SPARK_GRAFT_RECHECK", "1") != "0"
+    // SPARK_GRAFT_BENCH_REF: alternate reference record (tests, sf1 tier)
+    val refFile = new java.io.File(sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_REF", "tools/bench_ref.json"))
+    if (recheckOn && refFile.exists() && calFull.size == 2) try {
+      val recheckTop = sys.env.get("SPARK_GRAFT_RECHECK_TOP")
+        .flatMap(_.toIntOption).getOrElse(5)
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = om.readTree(refFile)
+      val refQ = mutable.LinkedHashMap.empty[String, Double]
+      val it = root.get("queries").fields()
+      while (it.hasNext) { val e = it.next(); refQ(e.getKey) = e.getValue.asDouble }
+      val (rs, re) = Option(root.get("host_cal")).filter(_.size >= 3)
+        .map(a => (a.get(0).asDouble / a.get(a.size - 1).asDouble,
+          a.get(1).asDouble / a.get(a.size - 1).asDouble))
+        .getOrElse((1.0, 1.0))
+      val aS = calFull(0) / CanaryBaselineSec
+      val aE = calFull(1) / CanaryBaselineSec
+      val totalT = math.max(results.map(_._2).sum, 1e-9)
+      var cum = 0.0
+      val pos = results.map { case (n, t) =>
+        val p = (cum + t / 2) / totalT; cum += t; n -> p }.toMap
+      case class Mover(full: String, short: String, raw: Double,
+        ratio: Double, refNorm: Double)
+      val movers = results.flatMap { case (n, t) =>
+        refQ.get(shortKey(n)).map { rt =>
+          val fa = aS + pos(n) * (aE - aS)
+          val fr = rs + pos(n) * (re - rs)
+          val rn = rt / fr
+          Mover(n, shortKey(n), t, if (rn > 0) (t / fa) / rn else Double.PositiveInfinity, rn)
+        }
+      }.sortBy(-_.ratio)
+      val flagged = (movers.filter(_.ratio > 2.0) ++
+        movers.take(recheckTop).filter(m => m.ratio > 1.3 && m.ratio <= 2.0))
+        .distinctBy(_.full).take(8)
+      if (flagged.nonEmpty) {
+        val verdicts = flagged.map { m =>
+          runIsolated(Seq(m.full)) match {
+            case Some(cr) if cr.steady.contains(m.full) && cr.cal.size == 2 =>
+              // conservative frame: the SMALLER canary leg (fastest
+              // host) yields the LARGEST normalized time, so a noisy
+              // canary cannot falsely exonerate a real regression
+              val hf = math.min(cr.cal(0), cr.cal(1)) / CanaryBaselineSec
+              val freshRatio = (cr.steady(m.full) / hf) / m.refNorm
+              val verdict =
+                if (freshRatio <= 1.3) "drift_artifact"
+                else if (freshRatio <= 2.0) "below_flag"
+                else "CONFIRMED_gt2x"
+              (m, Some(cr.steady(m.full)), Some(freshRatio), verdict)
+            case _ => (m, None, None, "recheck_failed")
+          }
+        }
+        val body = verdicts.map { case (m, fresh, fr2, v) =>
+          s"""{"q":"${m.short}","suite_sec":${fmt(m.raw, 3)},""" +
+            s""""suite_ratio":${fmt(m.ratio, 2)}""" +
+            fresh.map(f => s""","fresh_sec":${fmt(f, 3)}""").getOrElse("") +
+            fr2.map(r => s""","fresh_ratio":${fmt(r, 2)}""").getOrElse("") +
+            s""","verdict":"$v"}"""
+        }.mkString("[", ",", "]")
+        val nConf = verdicts.count(_._4 == "CONFIRMED_gt2x")
+        val doc = s"""{"recheck":$body,"ref":"${jsonEsc(refFile.getPath)}","flag_gt":2.0,"mover_gt":1.3,"top":$recheckTop,"sf":"$sfDir"}"""
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get("RECHECK_latest.json"), doc + "\n")
+        println(doc)
+        rcField = s""""rc":[${verdicts.size},$nConf],"""
+      } else {
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get("RECHECK_latest.json"),
+          s"""{"recheck":[],"note":"no mover above 1.3x vs tools/bench_ref.json","sf":"$sfDir"}\n""")
+        rcField = s""""rc":[0,0],"""
+      }
+    } catch { case _: Throwable => () }
     def headline(cut: Double): String = {
       def jm(m: Iterable[(String, Double)]): String =
         m.map { case (k, v) => "\"" + shortKey(k) + "\":" + fmtC(v, cut) }.mkString("{", ",", "}")
@@ -515,7 +604,10 @@ object Bench {
       val repField = worstRepro.map { case (n, d) =>
         s""""rep":["${shortKey(n)}",${fmt(d, 1)}],"""
       }.getOrElse("")
-      s"""{"metric":"total","value":${fmtC(total, cut)},"unit":"sec","t":"w$timedPasses",$calField$repField$errField"sf":"$sfName","queries":${jm(results)}}"""
+      // short tag carries the signal floor too ("w2f2") so a reader of
+      // the headline alone can tell estimator semantics apart from a
+      // reference recorded under different ones (ADVICE r16)
+      s"""{"metric":"total","value":${fmtC(total, cut)},"unit":"sec","t":"w${timedPasses}f${fmtC(signalFloorSec, 10.0)}",$calField$repField$rcField$errField"sf":"$sfName","queries":${jm(results)}}"""
     }
     // tighten precision a notch at a time if a host-slow round (or an
     // errors map) would push the headline past the capture window
@@ -526,3 +618,4 @@ object Bench {
     spark.stop()
   }
 }
+

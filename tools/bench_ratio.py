@@ -151,6 +151,30 @@ def main():
             top_k = int(a.split("=", 1)[1])
     art = load_headline(argv[0])
     ref = load_headline(argv[1] if len(argv) > 1 else str(REPO / "tools/bench_ref.json"))
+
+    def timing_sig(h):
+        """(passes, floor) from either tag form: long 'min_warm2_floor2.0'
+        or short headline 'w2f2' / legacy 'w2' (floor then unknown)."""
+        for tag in (h.get("timing"), h.get("t")):
+            if not tag:
+                continue
+            m = (re.fullmatch(r"min_warm(\d+)_floor([\d.]+)", tag)
+                 or re.fullmatch(r"w(\d+)f([\d.]+)", tag))
+            if m:
+                return int(m.group(1)), float(m.group(2))
+            m = re.fullmatch(r"w(\d+)", tag)
+            if m:
+                return int(m.group(1)), None
+        return None
+    ta, tr = timing_sig(art), timing_sig(ref)
+    if ta != tr:
+        # different estimators bias minima differently (the adaptive
+        # floor takes min over up to 9 repeats/leg vs 1 before) — flag
+        # it so a total/ratio delta isn't read as an engine change
+        print(f"WARNING: timing semantics differ — artifact {ta} vs "
+              f"reference {tr} (passes, floor); ratios vs this reference "
+              f"are partly an estimator artifact. Re-record the reference "
+              f"under the artifact's semantics before trusting deltas.")
     sa, ea, cal_a = host_legs(art)
     sr, er, cal_r = host_legs(ref)
     print(f"artifact host legs [{sa:.2f}, {ea:.2f}] (cal={cal_a}), "
