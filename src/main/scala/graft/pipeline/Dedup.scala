@@ -331,6 +331,14 @@ object Dedup {
       // the (far more numerous) near-cap entries keeps the broadcast
       // at ~a count per entry even when there are N/sqrtT of them
       .withColumn("_hub", when(col("_bsz") > cap, col("_hub")))
+      // materialized: `flagged` feeds THREE branches (small pairs, salted
+      // near-cap join, stars) and the salted join reads it twice more —
+      // without a boundary each subtree re-aggregates the full banded
+      // table (5 corpus-sized scans+partial-aggs in the plan; exchange
+      // reuse does not collapse them across the union branches). The
+      // table is tiny (≤ N/√target entries), so the boundary costs one
+      // small job and deletes 4 corpus passes.
+      .transform(graft.Stage.materialize)
     val flagged = banded.join(broadcast(notable), Seq("band", "band_key"), "left_outer")
     val small = flagged.filter(col("_bsz").isNull)
       .select(col(idCol), col("band"), col("band_key"))
@@ -751,6 +759,9 @@ object Dedup {
       // star-branch-only payload nulled for near-cap entries (see
       // minhashCandidates) — bounds the broadcast at N/sqrtT counts
       .withColumn("_hub", when(col("_bsz") > cap, col("_hub")))
+      // one bucket-stats pass, not one per union branch (see
+      // minhashCandidates) — the table is ≤ N/√target entries
+      .transform(graft.Stage.materialize)
     val flagged = bucketed.join(broadcast(notable), Seq("blk", "blk_val"), "left_outer")
     val small = flagged.filter(col("_bsz").isNull)
       .select(col(idCol), col("sh"), col("blk"), col("blk_val"))
@@ -1545,8 +1556,11 @@ object Dedup {
     val probes = sh.select(col(idCol).as("_pid"),
       explode(slice(col("_ss"), 1, m)).as("gh"))
     val index = sh.select(col(idCol).as("_iid"), explode(col("_ss")).as("gh"))
+    // materialized: broadcast twice (kept + the probe np clamp) — without
+    // a boundary each broadcast re-runs the corpus-sized explode+agg
     val common = index.groupBy("gh").agg(count(lit(1)).as("_df"))
       .filter(col("_df") > maxDocFreq).select("gh")
+      .transform(graft.Stage.materialize)
     val kept = index.join(broadcast(common), Seq("gh"), "left_anti")
     // The probe-hit count IS a containment sketch: bottom-m is a uniform
     // m-sample of the inner set, so a pair at true containment c hits
@@ -1659,10 +1673,16 @@ object Dedup {
     val dExpl = ds.select(col("delta_id"), explode(col("_ss")).as("gh"))
     val ci = index.select(col(idCol).as("corpus_id"), col("gh"), col("rk"),
       col("doc_n"))
+    // both df-cap tables are broadcast TWICE (candidate anti-join + the
+    // np clamp); materialized so the index/delta-sized explode+agg runs
+    // once per side, not once per broadcast (the sets are tiny: only
+    // hashes above the cap)
     val hotC = ci.groupBy("gh").agg(count(lit(1)).as("_df"))
       .filter(col("_df") > maxDocFreq).select("gh")
+      .transform(graft.Stage.materialize)
     val hotD = dExpl.groupBy("gh").agg(count(lit(1)).as("_df"))
       .filter(col("_df") > maxDocFreq).select("gh")
+      .transform(graft.Stage.materialize)
     // Both directions clamp the probe-hit gate to the ACHIEVABLE count:
     // issued probes minus probes whose hash the opposing side's df cap
     // dropped (same fix as [[containmentCandidates]] — a hot probe can
@@ -1800,6 +1820,10 @@ object Dedup {
       // heavy corpus — nulling the star-only payload for sub-cap
       // entries keeps the forced broadcast at counts, not vectors
       .withColumn("_hub", when(col("_bsz") > cap, col("_hub")))
+      // one bucket-stats pass over the vectors, not one per union
+      // branch (see minhashCandidates) — entries are counts after the
+      // _hub nulling, so the boundary is small
+      .transform(graft.Stage.materialize)
     val flagged = sigs.join(broadcast(notable), Seq("bucket"), "left_outer")
     val small = flagged.filter(col("_bsz").isNull)
       .select(col(idCol), col(embCol), col("bucket"))
