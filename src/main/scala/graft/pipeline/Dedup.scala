@@ -493,10 +493,15 @@ object Dedup {
           .agg(count(lit(1)).as("_bsz"), min(col(idCol)).as("_hub"))
           .filter(col("_bsz") > cap)
     }
-    val dFlag = db.join(broadcast(stats), Seq("band", "band_key"), "left_outer")
+    // materialized: broadcast twice (delta flag + corpus anti-join) —
+    // without a boundary each broadcast re-aggregates the corpus+delta
+    // banded union (or re-runs the stats merge); the table is tiny
+    // (over-cap buckets only)
+    val statsM = stats.transform(graft.Stage.materialize)
+    val dFlag = db.join(broadcast(statsM), Seq("band", "band_key"), "left_outer")
     val dSmall = dFlag.filter(col("_bsz").isNull)
       .select(col(idCol), col("band"), col("band_key"))
-    val cSmall = cb.join(broadcast(stats), Seq("band", "band_key"), "left_anti")
+    val cSmall = cb.join(broadcast(statsM), Seq("band", "band_key"), "left_anti")
       .select(col(idCol), col("band"), col("band_key")) // using-cols joins reorder
     val left = dSmall.toDF("_d", "band", "band_key")
     val right = cSmall.toDF("_o", "band", "band_key")
@@ -1957,6 +1962,11 @@ object Dedup {
         (coalesce(col("_csz"), lit(0L)) + coalesce(col("_dsz"), lit(0L))).as("_bsz"),
         least(col("_chub"), col("_dhub")).as("_hub")) // least skips nulls
       .filter(col("_bsz") > cap)
+      // materialized: broadcast twice (delta flag + corpus anti-join) —
+      // without a boundary the None branch re-aggregates the corpus
+      // index per broadcast, breaking the scanned-exactly-once contract
+      // stated above; over-cap cells only, so the table is tiny
+      .transform(graft.Stage.materialize)
     val dFlag = di.join(broadcast(stats), Seq("cell"), "left_outer")
     val dSmall = dFlag.filter(col("_bsz").isNull)
       .select(col("corpus_id"), col("c_emb"), col("cell"))
