@@ -279,16 +279,22 @@ class MacroMultigroupPlanSpec extends SparkTestBase {
     assert(!pm.contains("Window"), s"minhash guard must not window-sort:\n$pm")
     assert(pm.contains("BroadcastHashJoin"),
       s"minhash oversize set must broadcast onto banded rows:\n$pm")
-    assert(pm.contains("partial_count"),
-      s"minhash bucket stats must combine map-side:\n$pm")
+    // since r17 the stats table materializes at a stage boundary (ONE
+    // aggregation pass feeds all union branches, not one per branch), so
+    // the candidates' final plan reads a checkpoint; the map-side-combine
+    // contract is asserted on the stats aggregation itself
+    val pstats = plan(graft.pipeline.Dedup.bandBucketStats(
+      graft.pipeline.Dedup.bandedSignatures(docs)))
+    assert(pstats.contains("partial_count"),
+      s"bucket stats must combine map-side:\n$pstats")
+    assert(!pstats.contains("Window"),
+      s"bucket stats must not window-sort:\n$pstats")
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val pe = plan(graft.pipeline.Dedup.embeddingNearDup(
       emb, planes = 6, threshold = 0.2, maxBucketSize = 64))
     assert(!pe.contains("Window"), s"embedding guard must not window-sort:\n$pe")
     assert(pe.contains("BroadcastHashJoin"),
       s"embedding oversize set must broadcast onto bucketed vectors:\n$pe")
-    assert(pe.contains("partial_count"),
-      s"embedding bucket stats must combine map-side:\n$pe")
     // SemDeDup cells ride the same shared guard (bucketedCosinePairs) —
     // assert the shape anyway so a future split can't silently lose it
     val cb = graft.pipeline.Similarity.kmeansCentroids(emb, cells = 4, iters = 1)
@@ -297,8 +303,6 @@ class MacroMultigroupPlanSpec extends SparkTestBase {
     assert(!ps.contains("Window"), s"semantic guard must not window-sort:\n$ps")
     assert(ps.contains("BroadcastHashJoin"),
       s"semantic oversize set must broadcast onto cell-assigned vectors:\n$ps")
-    assert(ps.contains("partial_count"),
-      s"semantic cell stats must combine map-side:\n$ps")
   }
 
   test("quantization knn plans: broadcast probes, codegen scoring, cell equi-join") {
