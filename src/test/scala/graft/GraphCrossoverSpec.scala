@@ -168,4 +168,32 @@ class GraphCrossoverSpec extends SparkTestBase {
     assert(rj2 < rj1,
       s"known count must remove the count job(s): $rj1 -> $rj2")
   }
+
+  test("checkpointInterval: fewer eager jobs at wider intervals, " +
+      "bit-identical ranks and labels at every interval") {
+    val (_, nodes, edges) = graph()
+    def withInterval[A](k: Int)(thunk: => A): A = {
+      spark.conf.set("spark.graft.graph.checkpointInterval", k.toString)
+      try thunk finally spark.conf.unset("spark.graft.graph.checkpointInterval")
+    }
+    def ranks() = Graph.pageRankInt(edges, nodes, iters = 5, nNodes = Some(6L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def labels() = Graph.labelPropagate(edges, nodes, iters = 4, nNodes = Some(6L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (r1, rj1) = jobsOf(withInterval(1)(ranks()))
+    val (r2, rj2) = jobsOf(withInterval(2)(ranks()))
+    val (r5, _) = jobsOf(withInterval(5)(ranks()))
+    assert(r1 == r2 && r2 == r5,
+      s"checkpoint interval must be result-neutral: $r1 / $r2 / $r5")
+    assert(rj2 < rj1,
+      s"interval 2 must launch fewer jobs than per-iteration boundaries: " +
+        s"$rj1 -> $rj2")
+    val (l1, lj1) = jobsOf(withInterval(1)(labels()))
+    val (l2, lj2) = jobsOf(withInterval(2)(labels()))
+    val (l4, _) = jobsOf(withInterval(4)(labels()))
+    assert(l1 == l2 && l2 == l4,
+      s"LPA checkpoint interval must be result-neutral: $l1 / $l2 / $l4")
+    assert(lj2 < lj1,
+      s"interval 2 must launch fewer LPA jobs: $lj1 -> $lj2")
+  }
 }
