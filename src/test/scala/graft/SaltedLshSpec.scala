@@ -93,4 +93,47 @@ class SaltedLshSpec extends SparkTestBase {
     assert(salted == plain, "guard branch must be unaffected by salting")
     assert(salted.size == 59, s"star edges: 59 hub pairs, got ${salted.size}")
   }
+
+  test("stats-stage guard: a sub-floor cap skips the eager stats " +
+      "checkpoint (fewer construction-time jobs), pair set unchanged") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def jobsDuring[A](thunk: => A): (A, Int) = {
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            s: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet(): Unit
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        val a = thunk
+        var last = -1; var stable = 0; var tries = 0
+        while (stable < 3 && tries < 60) {
+          val n = jobs.get
+          if (n == last) stable += 1 else { stable = 0; last = n }
+          Thread.sleep(100); tries += 1
+        }
+        (a, jobs.get)
+      } finally spark.sparkContext.removeSparkListener(l)
+    }
+    def withFloor[A](f: Long)(thunk: => A): A = {
+      spark.conf.set("spark.graft.statsStageMinThreshold", f.toString)
+      try thunk finally spark.conf.unset("spark.graft.statsStageMinThreshold")
+    }
+    // cap = 2 (the p16 shape): the notable filter keeps every bucket of
+    // >= 3 rows — bucket-count-sized, NOT provably small. Constructing
+    // the frame must not run the eager stats job (floor 16 default);
+    // forcing the floor to 0 restores the old always-stage behavior.
+    val (dfLazy, jLazy) = jobsDuring(
+      Dedup.minhashCandidates(docs, maxBucketSize = 2))
+    val (dfStaged, jStaged) = withFloor(0L)(jobsDuring(
+      Dedup.minhashCandidates(docs, maxBucketSize = 2)))
+    assert(jLazy < jStaged,
+      s"sub-floor cap must skip the eager stats checkpoint at " +
+        s"construction: lazy=$jLazy staged=$jStaged jobs")
+    val a = dfLazy.collect().map(r => (r.get(0), r.get(1))).toSet
+    val b = dfStaged.collect().map(r => (r.get(0), r.get(1))).toSet
+    assert(a == b && a.nonEmpty,
+      s"stage guard must be result-neutral: ${(a -- b).take(3)} / ${(b -- a).take(3)}")
+  }
 }
