@@ -1811,8 +1811,13 @@ object SparkEntry {
         col("w.kmv_estimate").as("kmv_estimate"))
 
   private def p88(s: SparkSession, d: String): DataFrame =
+    // sketch-shaped state: 3 returnflag keys hold the entire state (128
+    // longs each) however many rows fold in, so the row-based partition
+    // sizing is capped at the key count — empty state partitions would
+    // pay store init/commit/checkpoint IO per micro-batch for nothing
     p88Post(graft.streaming.Streams.replayAsStream(
-      p88Staged(s, d), scratchDir("p88_stream", d), 4, "update")(
+      p88Staged(s, d), scratchDir("p88_stream", d), 4, "update",
+      stateKeyHint = Some(3L))(
       p88Transform))
 
   /** STREAMING SHARDED CMS in the oracle gate: p68's global count-min
@@ -1862,8 +1867,13 @@ object SparkEntry {
   }
 
   private def p89(s: SparkSession, d: String): DataFrame =
+    // sketch-shaped state: exactly 16 hash shards, each one 4×512-cell
+    // CMS — state volume is per-KEY constant, so partitions cap at 16
+    // (see p88; the shard count is the scale-out knob, raised on a
+    // cluster together with the parallelism)
     p89Post(s, d)(graft.streaming.Streams.replayAsStream(
-      p89Staged(s, d), scratchDir("p89_stream", d), 4, "update")(
+      p89Staged(s, d), scratchDir("p89_stream", d), 4, "update",
+      stateKeyHint = Some(16L))(
       p89Transform))
 
   /** STREAMING LSH NEAR-DUP CANDIDATES in the oracle gate: the

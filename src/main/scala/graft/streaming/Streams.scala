@@ -626,9 +626,19 @@ object Streams {
     * rows sit behind the initial watermark and are late-dropped from
     * the second micro-batch on (a Spark contract, not a harness one —
     * StreamReplayPropSpec documents the boundary). */
+  /** `stateKeyHint`: upper bound on the DISTINCT STATE KEYS the
+    * transform's stateful operator will hold (pass it for sketch-shaped
+    * state — KMV/CMS/sharded folds — where state volume is ~constant
+    * bytes per KEY, so the row-based sizing wildly overestimates: p88
+    * folds 600k rows into THREE returnflag sketches, and a state
+    * partition holding no key still pays store init + commit +
+    * checkpoint IO every micro-batch). The hint only CAPS the adaptive
+    * partition count; the explicit `spark.graft.stream.statePartitions`
+    * knob still overrides everything, and results are partition-count
+    * independent (parity specs pin every state shape). */
   def replayAsStream(batch: DataFrame, scratchDir: String, parts: Int,
       outputMode: String, orderedBy: Option[String] = None,
-      sink: String = "memory")(
+      sink: String = "memory", stateKeyHint: Option[Long] = None)(
       f: DataFrame => DataFrame): DataFrame = {
     val s = batch.sparkSession
     // fresh run every call: a memory-sink query cannot recover from a
@@ -648,10 +658,12 @@ object Streams {
     orderedBy match {
       case None =>
         batch.repartition(parts).write.mode("overwrite").parquet(stage)
-        // column-free count over the just-written staging files (cheap:
-        // the scan materializes no columns), so unordered replays get
-        // the same adaptive state sizing as ordered ones
-        stagedRows = Some(s.read.parquet(stage).count())
+        // row count from the just-written parquet FOOTERS — a driver-side
+        // metadata read over `parts` files, so unordered replays get the
+        // same adaptive state sizing as ordered ones without paying a
+        // scan job for it (the ordered branch's count rides its existing
+        // bounds aggregate; this branch had nothing to ride until now)
+        stagedRows = Some(parquetFooterRowCount(s, stage))
       case Some(tc) =>
         // contiguous event-time slices: [min + k*step, min + (k+1)*step)
         // over the order column as a Long (timestamps → epoch micros;
@@ -727,8 +739,8 @@ object Streams {
           val target = s.conf.getOption(
             "spark.graft.stream.rowsPerStatePartition")
             .map(_.toLong).getOrElse(16384L)
-          stagedRows.map(n => math.min(prevParts.toLong.max(1L),
-            math.max(1L, (n + target - 1) / target)).toInt)
+          stagedRows.map(n =>
+            adaptiveStateParts(prevParts.toInt, n, target, stateKeyHint))
         }
         .getOrElse(prevParts.toInt)
     def withStateParts[T](body: => T): T = {
@@ -773,6 +785,35 @@ object Streams {
       }
       s.table(qn)
     }
+  }
+
+  /** Adaptive state-partition count: ceil(rows / rowsPerStatePartition)
+    * clamped to [1, sessionParts], additionally capped at `keyHint`
+    * when given — sketch-shaped state (stateKeyHint): partitions beyond
+    * the key count buy nothing, an empty state partition still pays
+    * store init + commit + checkpoint file IO per micro-batch
+    * (VERDICT r17 #4). */
+  private[graft] def adaptiveStateParts(sessionParts: Int, rows: Long,
+      target: Long, keyHint: Option[Long]): Int = {
+    val rowBased = math.max(1L, (rows + target - 1) / target)
+    val capped = keyHint.fold(rowBased)(k => math.min(rowBased, math.max(1L, k)))
+    math.min(sessionParts.toLong.max(1L), capped).toInt
+  }
+
+  /** Total row count of a directory of parquet part files, read from
+    * the file FOOTERS on the driver — metadata only, no Spark job (the
+    * staging dir holds `parts` files, so this is a handful of footer
+    * reads against the local FS). */
+  private[graft] def parquetFooterRowCount(s: SparkSession, dir: String): Long = {
+    val conf = s.sparkContext.hadoopConfiguration
+    Option(new java.io.File(dir).listFiles()).toSeq.flatten
+      .filter(f => f.isFile && f.getName.startsWith("part-"))
+      .map { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.sum
   }
 
   private[graft] def deleteRecursivelyNoFollow(path: String): Unit = {

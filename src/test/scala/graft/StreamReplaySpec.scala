@@ -377,4 +377,48 @@ class StreamReplaySpec extends SparkTestBase {
     // month-end, so most later rows are late-dropped
     assert(n8 < n1, s"expected late drops: parts=8 counted $n8 vs parts=1 $n1")
   }
+
+  test("adaptiveStateParts: row-based, clamped, and key-hint capped") {
+    import graft.streaming.Streams.adaptiveStateParts
+    // row-based ceil, clamped to the session frame
+    assert(adaptiveStateParts(32, 600000L, 16384L, None) == 32)
+    assert(adaptiveStateParts(32, 40000L, 16384L, None) == 3)
+    assert(adaptiveStateParts(32, 0L, 16384L, None) == 1)
+    // a key hint caps the row-based estimate (sketch-shaped state)...
+    assert(adaptiveStateParts(32, 600000L, 16384L, Some(3L)) == 3)
+    assert(adaptiveStateParts(32, 600000L, 16384L, Some(16L)) == 16)
+    // ...but never raises it above what the rows justify
+    assert(adaptiveStateParts(32, 40000L, 16384L, Some(1000L)) == 3)
+    assert(adaptiveStateParts(32, 600000L, 16384L, Some(0L)) == 1)
+  }
+
+  test("unordered staging: footer row count matches, and stateKeyHint " +
+      "leaves the sketch result unchanged") {
+    import spark.implicits._
+    // footer count == true count (the sizing input the removed count()
+    // job used to produce)
+    val dir = scratch("footer")
+    ev.select("event_id").repartition(3).write.mode("overwrite")
+      .parquet(s"$dir/stage")
+    val n = graft.streaming.Streams.parquetFooterRowCount(spark, s"$dir/stage")
+    assert(n == ev.count(), s"footer row count $n != true count")
+    // p88-shaped KMV fold: identical final state with and without the
+    // key hint (partition fan-out only, never the result)
+    val rows = ev.select(col("event_type").as("k"),
+      graft.operators.Sketches.md5Hash61(col("event_id").cast("string")).as("h"))
+    def run(hint: Option[Long]) = graft.streaming.Streams.replayAsStream(
+      rows, scratch(s"hint${hint.getOrElse(-1L)}"), 4, "update",
+      stateKeyHint = hint) { src =>
+      graft.streaming.Streams.streamingKmvDistinct(src.as[(String, Long)], 32)
+        .toDF("k", "n_seen", "kmv_size", "kmv_estimate")
+    }.groupBy("k")
+      .agg(max_by(struct(col("kmv_size"), col("kmv_estimate")), col("n_seen")).as("w"),
+        max("n_seen").as("n"))
+      .select("k", "n", "w.kmv_size", "w.kmv_estimate")
+      .orderBy("k").collect().toSeq
+    val unhinted = run(None)
+    assert(unhinted.nonEmpty)
+    assert(run(Some(1L)) == unhinted, "hint=1 changed the sketch result")
+    assert(run(Some(1000L)) == unhinted, "hint>keys changed the sketch result")
+  }
 }
