@@ -587,6 +587,89 @@ object Bench {
         rcField = s""""rc":[0,0],"""
       }
     } catch { case _: Throwable => () }
+    // ---- sf1 heavy tier (VERDICT r17 #2) ----------------------------
+    // At sf0.1 the sub-2s per-query tail measures the HOST, not the
+    // engine — two consecutive rounds produced 100+ false "regressions"
+    // the adjudicator then had to refute one by one. The heavy batch
+    // families therefore re-run here against a 10×-replicated input
+    // (documents/embeddings key-shifted union — derived FRESH from the
+    // bench's own parquet inputs every run, deterministic, nothing
+    // persisted across runs), where each query runs multi-second and a
+    // per-query ratio against tools/bench_ref_sf1.json is engine
+    // signal. Same count() action; single timed pass (plans/JIT are
+    // warm from the sf0.1 suite); canary-bracketed. Results go to
+    // SF1_latest.json + a full-precision aux line + a compact headline
+    // field "s1":[total, n]. Skipped for child/subset runs and under
+    // SPARK_GRAFT_SF1=0; any failure degrades to the plain artifact.
+    var sf1Field = ""
+    val sf1On = childOut.isEmpty && only.isEmpty &&
+      sys.env.getOrElse("SPARK_GRAFT_SF1", "1") != "0"
+    if (sf1On) try {
+      import org.apache.spark.sql.functions.{col, lit}
+      val tGen0 = System.nanoTime()
+      val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft_sf1_bench")
+      val budgetSec = sys.env.get("SPARK_GRAFT_SF1_BUDGET")
+        .flatMap(_.toDoubleOption).getOrElse(900.0)
+      graft.streaming.Streams.deleteRecursivelyNoFollow(sf1Dir)
+      val copies = 10
+      val offset = 1000000000L // far above any sf0.1 key (make_sf1.py scheme)
+      Seq("documents" -> "doc_id", "embeddings" -> "vec_id").foreach {
+        case (t, key) =>
+          val src = spark.read.parquet(s"$sfDir/$t.parquet")
+          (0 until copies).map(i => src.withColumn(key,
+              col(key).cast("long") + lit(i.toLong * offset)))
+            .reduce(_ unionAll _)
+            .repartition(16).write.mode("overwrite").parquet(s"$sf1Dir/$t.parquet")
+      }
+      val genSec = (System.nanoTime() - tGen0) / 1e9
+      // the heavy batch families over documents/embeddings — the set
+      // whose sf0.1 numbers the host tail kept destroying. Streaming
+      // queries are excluded: they already run solo in fresh child JVMs.
+      val tier = Seq(
+        "p06_minhash_pairs", "p11_neardup_dedup", "p13_jaccard_verify",
+        "p15_curate", "p16_capped_candidates", "p17_neardup_star",
+        "p27_incremental_neardup", "p28_embedding_neardup", "p34_ivf_knn",
+        "p35_embedding_dedup", "p36_semantic_dedup", "p37_incr_semantic",
+        "p39_ivfpq_knn", "p42_ivfpq_refine", "p48_curate_modern",
+        "p51_similarity_rank", "p54_similarity_triangles",
+        "p55_similarity_communities", "p57_decontaminate",
+        "p67_decontam_bloom", "p71_hamming_neardup", "p72_candidates_tap",
+        "p75_containment", "p76_quality_dedup", "p77_subsumption",
+        "p78_incr_containment", "p94_dedup_audit")
+      val calS1 = canary("sf1_cal_start")
+      val res1 = mutable.LinkedHashMap.empty[String, Double]
+      val dropped1 = mutable.ListBuffer.empty[String]
+      val errs1 = mutable.LinkedHashMap.empty[String, String]
+      tier.foreach { n =>
+        // budget bound, never silent: dropped queries are RECORDED
+        if (res1.values.sum > budgetSec) dropped1 += n
+        else SparkEntry.queries.get(n).foreach { fn =>
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sf1Dir).count()
+            res1(n) = (System.nanoTime() - t0) / 1e9
+          } catch {
+            case t: Throwable => errs1(n) =
+              (t.getClass.getSimpleName + ": " +
+                String.valueOf(t.getMessage)).take(120)
+          }
+        }
+      }
+      val calE1 = canary("sf1_cal_end")
+      val cal1 = Seq(calS1, calE1).flatten
+      val sf1Total = res1.values.sum
+      val doc1 = s"""{"sf1":${jsonMap(res1, 3)},""" +
+        s""""sf1_total":${fmt(sf1Total, 3)},"gen_sec":${fmt(genSec, 2)},""" +
+        s""""sf1_cal":[${cal1.map(fmt(_, 3)).mkString(",")}],""" +
+        s""""dropped":[${dropped1.map("\"" + _ + "\"").mkString(",")}],""" +
+        s""""errors":${jsonStrMap(errs1)},"copies":$copies,""" +
+        s""""budget_sec":${fmt(budgetSec, 0)},"base_sf":"$sfDir"}"""
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("SF1_latest.json"), doc1 + "\n")
+      println(doc1)
+      sf1Field = s""""s1":[${fmtC(sf1Total, 0.3)},${res1.size}],"""
+      graft.streaming.Streams.deleteRecursivelyNoFollow(sf1Dir)
+    } catch { case _: Throwable => () }
     def headline(cut: Double): String = {
       def jm(m: Iterable[(String, Double)]): String =
         m.map { case (k, v) => "\"" + shortKey(k) + "\":" + fmtC(v, cut) }.mkString("{", ",", "}")
@@ -607,7 +690,7 @@ object Bench {
       // short tag carries the signal floor too ("w2f2") so a reader of
       // the headline alone can tell estimator semantics apart from a
       // reference recorded under different ones (ADVICE r16)
-      s"""{"metric":"total","value":${fmtC(total, cut)},"unit":"sec","t":"w${timedPasses}f${fmtC(signalFloorSec, 10.0)}",$calField$repField$rcField$errField"sf":"$sfName","queries":${jm(results)}}"""
+      s"""{"metric":"total","value":${fmtC(total, cut)},"unit":"sec","t":"w${timedPasses}f${fmtC(signalFloorSec, 10.0)}",$calField$repField$rcField$sf1Field$errField"sf":"$sfName","queries":${jm(results)}}"""
     }
     // tighten precision a notch at a time if a host-slow round (or an
     // errors map) would push the headline past the capture window

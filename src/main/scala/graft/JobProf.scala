@@ -15,13 +15,23 @@ object JobProf {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val names = sys.env.getOrElse("SPARK_GRAFT_ONLY", "p51_similarity_rank")
       .split(",").map(_.trim).filter(_.nonEmpty)
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // same conf-override contract as Bench/Verify (profiling A/Bs)
+    sys.env.get("SPARK_GRAFT_CONF").foreach { raw =>
+      val sep = if (raw.contains(';')) ';' else ','
+      raw.split(sep).map(_.trim).filter(_.nonEmpty).foreach { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) if k.nonEmpty => builder.config(k, v)
+          case _ => sys.error(s"SPARK_GRAFT_CONF entry '$kv' is not key=value")
+        }
+      }
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
     val rows = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Double, String)]()
@@ -44,8 +54,14 @@ object JobProf {
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       val wall = (System.nanoTime() - t0) / 1e9
+      // drain: wait (bounded) until every started job has ended, so a
+      // straggler job is neither dropped nor attributed to the next
+      // query's rows (ADVICE r17)
+      var waited = 0
+      while (!starts.isEmpty && waited < 100) { Thread.sleep(100); waited += 1 }
       Thread.sleep(500) // let the listener bus drain
       spark.sparkContext.removeSparkListener(listener)
+      starts.clear()
       import scala.jdk.CollectionConverters._
       val all = rows.asScala.toSeq.sortBy(_._1)
       println(f"[jobprof] $n wall=$wall%.2f s, ${all.size} jobs, " +

@@ -142,8 +142,53 @@ def recheck(flagged, sf_name, ref_norm):
           f"measurement artifacts")
 
 
+def sf1_compare(art_path, ref_path):
+    """--sf1: per-query ratios of an sf1 heavy-tier record (SF1_latest.json,
+    or a bench log carrying the {"sf1":...} aux line) vs
+    tools/bench_ref_sf1.json — every tier query is multi-second, so a
+    single-run ratio here is engine signal (the point of the tier)."""
+    def load_sf1(path):
+        for line in open(path):
+            line = line.strip()
+            if line.startswith('{"sf1"'):
+                d = json.loads(line)
+                return d["sf1"], d.get("sf1_cal", [])
+        raise SystemExit(f"{path}: no sf1 record found")
+    res, cal = load_sf1(art_path)
+    with open(ref_path) as f:
+        ref = json.load(f)
+    rq, rcal = ref["queries"], ref.get("sf1_cal", [0.53, 0.53])
+    fs = (cal[0] / 0.53, cal[1] / 0.53) if len(cal) >= 2 else (1.0, 1.0)
+    fr = (rcal[0] / 0.53, rcal[1] / 0.53)
+    total = sum(res.values()) or 1.0
+    rows, cum = [], 0.0
+    for q, t in res.items():
+        pos = (cum + t / 2.0) / total
+        cum += t
+        na = t / (fs[0] + pos * (fs[1] - fs[0]))
+        nr = rq.get(q)
+        if nr is None:
+            continue
+        nr = nr / (fr[0] + pos * (fr[1] - fr[0]))
+        rows.append((q, t, na, nr, na / nr if nr else float("inf")))
+    rows.sort(key=lambda r: -r[4])
+    print(f"sf1 tier ({len(rows)} shared queries; cal legs "
+          f"[{fs[0]:.2f},{fs[1]:.2f}]):")
+    print(f"{'query':<26} {'raw':>7} {'norm':>7} {'ref':>7} {'ratio':>6}")
+    for q, raw, na, nr, ratio in rows:
+        flag = "  <-- >1.3x" if ratio > 1.3 else ""
+        print(f"{q:<26} {raw:>7.2f} {na:>7.2f} {nr:>7.2f} {ratio:>6.2f}{flag}")
+    ta, tr = sum(r[2] for r in rows), sum(r[3] for r in rows)
+    print(f"normalized sf1 totals: {ta:.1f}s vs ref {tr:.1f}s = "
+          f"{ta / tr:.2f}x; {sum(1 for r in rows if r[4] > 1.3)} queries >1.3x")
+
+
 def main():
     argv = [a for a in sys.argv[1:] if not a.startswith("--")]
+    if "--sf1" in sys.argv:
+        sf1_compare(argv[0] if argv else "SF1_latest.json",
+                    argv[1] if len(argv) > 1 else str(REPO / "tools/bench_ref_sf1.json"))
+        return
     no_recheck = "--no-recheck" in sys.argv
     top_k = 0
     for a in sys.argv[1:]:
