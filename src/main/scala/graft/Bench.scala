@@ -638,20 +638,33 @@ object Bench {
         "p78_incr_containment", "p94_dedup_audit")
       val calS1 = canary("sf1_cal_start")
       val res1 = mutable.LinkedHashMap.empty[String, Double]
+      val reps1 = mutable.LinkedHashMap.empty[String, Int]
       val dropped1 = mutable.ListBuffer.empty[String]
       val errs1 = mutable.LinkedHashMap.empty[String, String]
-      tier.foreach { n =>
-        // budget bound, never silent: dropped queries are RECORDED
-        if (res1.values.sum > budgetSec) dropped1 += n
-        else SparkEntry.queries.get(n).foreach { fn =>
-          val t0 = System.nanoTime()
-          try {
-            fn(spark, sf1Dir).count()
-            res1(n) = (System.nanoTime() - t0) / 1e9
-          } catch {
-            case t: Throwable => errs1(n) =
-              (t.getClass.getSimpleName + ": " +
-                String.valueOf(t.getMessage)).take(120)
+      var spent1 = 0.0
+      // min-of-2 passes, budget-bounded: single-pass sf1 values swung up
+      // to 4x between same-tree runs (mid-tier host phases the bracket
+      // canaries cannot capture); a second pass takes the per-query min
+      // exactly like the main suite's legs. Pass 1 drops (and RECORDS)
+      // queries past the budget; pass 2 stops silently when the budget
+      // is spent — those queries keep their pass-1 value at reps=1.
+      (1 to 2).foreach { pass =>
+        tier.foreach { n =>
+          if (spent1 > budgetSec) { if (pass == 1) dropped1 += n }
+          else SparkEntry.queries.get(n).foreach { fn =>
+            val t0 = System.nanoTime()
+            try {
+              fn(spark, sf1Dir).count()
+              val t = (System.nanoTime() - t0) / 1e9
+              spent1 += t
+              res1(n) = math.min(t, res1.getOrElse(n, Double.MaxValue))
+              reps1(n) = reps1.getOrElse(n, 0) + 1
+            } catch {
+              case t: Throwable =>
+                spent1 += (System.nanoTime() - t0) / 1e9
+                errs1(n) = (t.getClass.getSimpleName + ": " +
+                  String.valueOf(t.getMessage)).take(120)
+            }
           }
         }
       }
@@ -661,6 +674,8 @@ object Bench {
       val doc1 = s"""{"sf1":${jsonMap(res1, 3)},""" +
         s""""sf1_total":${fmt(sf1Total, 3)},"gen_sec":${fmt(genSec, 2)},""" +
         s""""sf1_cal":[${cal1.map(fmt(_, 3)).mkString(",")}],""" +
+        s""""sf1_reps":${reps1.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")},""" +
+        s""""sf1_spent_sec":${fmt(spent1, 1)},""" +
         s""""dropped":[${dropped1.map("\"" + _ + "\"").mkString(",")}],""" +
         s""""errors":${jsonStrMap(errs1)},"copies":$copies,""" +
         s""""budget_sec":${fmt(budgetSec, 0)},"base_sf":"$sfDir"}"""
