@@ -659,18 +659,13 @@ object Dedup {
     java.util.Arrays.copyOf(hs, n)
   })
 
-  /** Jaccard of two sorted distinct hash arrays: one merge pass. */
-  private val jaccardSortedKernel = udf((a: Seq[Long], b: Seq[Long]) => {
-    var i = 0; var j = 0; var inter = 0
-    while (i < a.length && j < b.length) {
-      val x = a(i); val y = b(j)
-      if (x == y) { inter += 1; i += 1; j += 1 }
-      else if (x < y) i += 1
-      else j += 1
-    }
-    val union = a.length + b.length - inter
-    if (union == 0) 1.0 else inter.toDouble / union
-  })
+  /** Jaccard of two sorted distinct hash arrays: one merge pass. Native
+    * codegen expression ([[graft.functions.JaccardSorted]]) — the scalar
+    * UDF it replaces paid two ArrayData→boxed-Seq conversions per
+    * candidate PAIR, which dominated the verify stage at sf1 volume
+    * (round 18); arithmetic is bit-identical by construction. */
+  private def jaccardSorted(df: DataFrame, a: Column, b: Column): Column =
+    graft.functions.SetExpressions.jaccardSorted(df.sparkSession, a, b)
 
   /** Exact n-gram Jaccard similarity for candidate pairs. Only documents
     * that appear in a candidate pair get their shingle sets hashed (a
@@ -698,7 +693,7 @@ object Dedup {
     cands
       .join(t.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "sh_a"), "id_a")
       .join(t.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "sh_b"), "id_b")
-      .withColumn("jaccard", jaccardSortedKernel(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard", jaccardSorted(docs, col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
@@ -1367,7 +1362,7 @@ object Dedup {
     val bad = cands
       .join(ts, "train_id")
       .join(es, "eval_id")
-      .filter(jaccardSortedKernel(col("_sht"), col("_she")) >= threshold)
+      .filter(jaccardSorted(train, col("_sht"), col("_she")) >= threshold)
       .select(col("train_id").as(idCol))
       .distinct()
     train.join(bad, Seq(idCol), "left_anti")
@@ -1556,20 +1551,11 @@ object Dedup {
 
   /** Containment of sorted distinct hash array `a` IN `b`:
     * |A∩B| / |A| via one merge pass. Empty inner set → 0.0 (such docs
-    * never generate candidates; the guard is for direct calls). */
-  private val containmentSortedKernel = udf { (a: Seq[Long], b: Seq[Long]) =>
-    if (a.isEmpty) 0.0
-    else {
-      var i = 0; var j = 0; var inter = 0
-      while (i < a.length && j < b.length) {
-        val x = a(i); val y = b(j)
-        if (x == y) { inter += 1; i += 1; j += 1 }
-        else if (x < y) i += 1
-        else j += 1
-      }
-      inter.toDouble / a.length
-    }
-  }
+    * never generate candidates; the guard is for direct calls). Native
+    * codegen expression ([[graft.functions.ContainmentSorted]]) for the
+    * same per-pair boxing reason as [[jaccardSorted]]. */
+  private def containmentSorted(df: DataFrame, a: Column, b: Column): Column =
+    graft.functions.SetExpressions.containmentSorted(df.sparkSession, a, b)
 
   /** CONTAINMENT candidate pairs — the asymmetric-duplication case
     * MinHash LSH structurally misses: a short document wholly quoted
@@ -1668,7 +1654,7 @@ object Dedup {
       .join(sets.select(col(idCol).as("inner_id"), col("_ss").as("_sa")), "inner_id")
       .join(sets.select(col(idCol).as("outer_id"), col("_ss").as("_sb")), "outer_id")
       .select(col("inner_id"), col("outer_id"),
-        containmentSortedKernel(col("_sa"), col("_sb")).as("containment"))
+        containmentSorted(docs, col("_sa"), col("_sb")).as("containment"))
       .filter(col("containment") >= threshold)
   }
 
@@ -1772,8 +1758,8 @@ object Dedup {
     def verify(cand: DataFrame, dir: String, innerDelta: Boolean): DataFrame = {
       val joined = cand.join(dSets, "delta_id").join(cSets, "corpus_id")
       val cont =
-        if (innerDelta) containmentSortedKernel(col("_ss"), col("_cs"))
-        else containmentSortedKernel(col("_cs"), col("_ss"))
+        if (innerDelta) containmentSorted(delta, col("_ss"), col("_cs"))
+        else containmentSorted(delta, col("_cs"), col("_ss"))
       joined.select(col("delta_id"), col("corpus_id"),
           lit(dir).as("direction"), cont.as("containment"))
         .filter(col("containment") >= threshold)

@@ -13,7 +13,8 @@ object DedupProfile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     docs.count() // warm
 
     def time[T](label: String)(f: => T): T = {
